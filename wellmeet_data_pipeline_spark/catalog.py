@@ -1,0 +1,59 @@
+"""Table catalog over the driver's parquet test tables.
+
+The reference keeps one JSON object per grouping key in S3 and re-reads
+whole files per run (review-crawler/storage_manager.py:25-61); here every
+table is columnar parquet read through the vectorized reader, so column
+pruning and predicate pushdown reach the scan for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table. Plain `spark.read.parquet` so Catalyst owns
+    pushdown; no caching here — callers decide lifetime.
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects — read nanos as long (legacy conf) and rebuild the
+    microsecond timestamp with integer `div` (double division would lose
+    precision at ~1e18 ns).  DuckDB truncates ns→µs the same way, so the
+    oracle sees identical values."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so plans can also be expressed
+    in Spark SQL (`spark.sql(...)`)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

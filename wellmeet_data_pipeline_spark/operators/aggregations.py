@@ -1,0 +1,47 @@
+"""Aggregation operators (SURVEY.md §2.7 A1-A4 + cube/rollup extensions).
+
+All plain groupBy().agg() — Catalyst plans hash aggregation with
+partial (map-side) + final phases, so every one of these ships one
+combined row per (partition, group) into the shuffle, which is what
+keeps grouped tallies viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conditional_counts(df: DataFrame, flag_col, group_cols: Sequence[str]) -> DataFrame:
+    """A2 (save-reviews/lambda_function.py:60-98): success/failure tallies.
+    sum(when(flag,1)) keeps it one pass / one shuffle instead of two counts."""
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(flag_col, 1).otherwise(0)).alias("n_success"),
+        F.sum(F.when(~flag_col, 1).otherwise(0)).alias("n_failed"),
+    )
+
+
+def grouped_sample(df: DataFrame, group_cols: Sequence[str], payload_col: str, k: int) -> DataFrame:
+    """A4 (save-reviews/lambda_function.py:109-110): keep at most k payloads
+    per group — slice(collect_list) after a sort inside the group via
+    sort_array for determinism."""
+    return df.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.collect_list(payload_col)), 1, k).alias("sample")
+    )
+
+
+def rollup_counts(df: DataFrame, dims: Sequence[str], measure: str) -> DataFrame:
+    """Hierarchical subtotals (reference has none — free Catalyst extension,
+    SURVEY.md §2.7)."""
+    return df.rollup(*dims).agg(
+        F.count("*").alias("n_rows"), F.round(F.sum(measure), 2).alias("sum_measure")
+    )
+
+
+def cube_counts(df: DataFrame, dims: Sequence[str], measure: str) -> DataFrame:
+    return df.cube(*dims).agg(
+        F.count("*").alias("n_rows"), F.round(F.sum(measure), 2).alias("sum_measure")
+    )

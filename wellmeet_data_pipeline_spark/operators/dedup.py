@@ -1,0 +1,193 @@
+"""Deduplication operators (SURVEY.md §2.5 + north-star near-dup family).
+
+Exact dedup = hash-groupBy on a surrogate key; "keep first" is made
+deterministic with an explicit order column (min/row_number), because
+dropDuplicates keeps an *arbitrary* row — fine for the reference's
+single-threaded loop (review-crawler/naver_crawler.py:249-252), wrong on
+a 1000-executor cluster where 'first' is a race.
+
+Near-dup family (MinHash-LSH, SimHash, n-gram Jaccard) is built on
+wellmeet_data_pipeline_spark.functions.text shingles; all hashing uses
+seeded xxhash64/sha2 so results are deterministic across runs and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.functions.text import (
+    document_fingerprint,
+    normalized_text,
+    word_shingles,
+)
+
+
+def dedup_keep_first(df: DataFrame, key: str | Sequence[str], order_col: str) -> DataFrame:
+    """D1 made cluster-deterministic: keep the row with the smallest
+    `order_col` per key.  Window row_number -> one shuffle on the key, no
+    driver state (the reference threads a Python set through the loop,
+    naver_crawler.py:249-252)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def distinct_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """D2 (submit-aws-batch-lambda/lambda_function.py:196-207):
+    list(set(...)) -> select().distinct(); partial aggregation makes this a
+    map-side-combined shuffle, not a full materialization."""
+    return df.select(*cols).distinct()
+
+
+def exact_dedup_documents(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-identical dedup: fingerprint = sha256(normalized text)
+    (D3 generalized), keep the lowest id per fingerprint.  One shuffle on a
+    64-char key; at 100 TB shuffle the (fingerprint, id) pair only, then
+    semi-join back to recover surviving rows (done below) so wide document
+    rows never shuffle."""
+    fp = docs.select(F.col(id_col), document_fingerprint(F.col(text_col)).alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return docs.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime for universal hashing
+
+
+def _minhash_signature(shingles_col, num_hashes: int, seed: int = 42):
+    """num_hashes permutation mins over xxhash64(shingle, perm_seed) —
+    entirely in codegen: transform over a literal seed array + array_min."""
+    seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(shingles_col, lambda sh: F.xxhash64(sh, s))),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: shingle -> minhash signature ->
+    band buckets -> self-join per bucket.  The self-join shuffles on
+    (band, band_hash) so only same-bucket docs ever meet — this is the piece
+    that keeps near-dup sub-quadratic at 100 TB.  Returns (id_a, id_b)
+    candidate pairs with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col),
+        _minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification stage after
+    LSH).  Without a candidate frame it falls back to the inverted-index
+    form: explode shingles, self-join on shingle, count co-occurrences —
+    still sub-quadratic because only docs sharing a shingle meet."""
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
+    exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    co = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        co = co.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        co.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(text_col, shingle_n: int = 2):
+    """64-bit SimHash column over word shingles: per-bit majority vote of
+    xxhash64(shingle) — built from transform/aggregate/bit ops, no UDF.
+    Bit masks are literal longs (bit 63 is the sign bit in two's
+    complement). Near-dups then cluster by hamming distance on band
+    prefixes."""
+    masks = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)])
+    sh = word_shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # votes[i] = sum over hashes of (bit i set ? +1 : -1)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
+
+
+def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical simhash64 — the exact-collision slice of
+    SimHash near-dup (full hamming-ball search adds banded prefix joins)."""
+    h = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    dup = h.groupBy("simhash").agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id")).filter(F.col("n") > 1)
+    return (
+        h.join(dup.select("simhash", "keep_id"), "simhash")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col).alias("dup_id"), F.col("keep_id"), F.col("simhash"))
+    )

@@ -1,0 +1,60 @@
+"""Join operators (SURVEY.md §2.4 J1-J4).
+
+The reference's joins are all Python set/loop probes (degenerate hash
+joins).  Here every one is a declarative DataFrame join so Catalyst picks
+broadcast-hash vs sort-merge; we add `broadcast()` hints only where one
+side is known-small (ID sets, dimensions), which is the 100 TB-safe
+default — a 1000-executor sort-merge shuffle for a 10k-row seen-set would
+be pure waste.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def anti_new_rows(incoming: DataFrame, existing_keys: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """J1 (restaurant-crawler/restaurant-crawler.py:370-375): keep only rows
+    whose key is not already present.  The reference loads the full key set
+    into a Python set; at scale the seen-set may itself be huge, so we do NOT
+    unconditionally broadcast — Catalyst/AQE decides from size stats."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return incoming.join(existing_keys.select(*keys), on=keys, how="left_anti")
+
+
+def insert_if_absent(incoming: DataFrame, existing: DataFrame, key: Sequence[str]) -> DataFrame:
+    """J2/K2 (review-crawler/restaurant_save.py:72-130): the reference probes
+    MySQL per row (`SELECT ... WHERE name=? AND address=? LIMIT 1`); Spark
+    inverts it — one anti join computes the whole insert set.  Dedup within
+    the batch on the same key first so one batch can't insert a key twice
+    (the reference gets this for free from per-row commits)."""
+    keys = list(key)
+    w_first = incoming.dropDuplicates(keys)
+    return w_first.join(F.broadcast(existing.select(*keys)), on=keys, how="left_anti")
+
+
+def semi_existing_rows(incoming: DataFrame, existing: DataFrame, key: Sequence[str]) -> DataFrame:
+    """J2's complement — rows already present (the reference counts these as
+    'skipped', restaurant_save.py:116-119)."""
+    keys = list(key)
+    return incoming.join(existing.select(*keys), on=keys, how="left_semi")
+
+
+def enrich_dimension(fact: DataFrame, dim: DataFrame, key: str | Sequence[str], broadcast_dim: bool = True) -> DataFrame:
+    """J4 (review.place_id -> restaurant join; naver_crawler.py:206): standard
+    equi inner join, dimension broadcast by default — dims (nation, region,
+    restaurant metadata) stay small even when facts reach 100 TB."""
+    keys = [key] if isinstance(key, str) else list(key)
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=keys, how="inner")
+
+
+def high_water_mark_filter(incoming: DataFrame, ts_col: str, hwm) -> DataFrame:
+    """J3/T3 (review-crawler/naver_crawler.py:243-247): the reference stops a
+    newest-first scan at the first seen id.  The order-insensitive, scan-
+    pushable form is a watermark predicate — parquet min/max + partition
+    pruning skip whole files below the high-water mark."""
+    return incoming.filter(F.col(ts_col) > F.lit(hwm))

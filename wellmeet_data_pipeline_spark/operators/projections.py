@@ -1,0 +1,65 @@
+"""Projection / filter / validation operators (SURVEY.md §2.3 P1-P8).
+
+All select/withColumn/fillna — pure narrow transformations that Catalyst
+collapses into the scan projection, so every one of these is 'free' at
+100 TB (no shuffle, columns pruned at the parquet reader).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.functions.text import cast_with_default, review_surrogate_id
+
+
+def project_review(df: DataFrame) -> DataFrame:
+    """P1 (review-crawler/naver_crawler.py:179-210): raw review fields ->
+    canonical 5-column review row with the reference's defaults
+    (author->'익명' :182-183, content->'' :194-195) and the sha256 surrogate
+    id (:172-177)."""
+    author = F.coalesce(F.col("author"), F.lit("익명"))
+    content = F.coalesce(F.col("content"), F.lit(""))
+    return df.select(
+        review_surrogate_id(author, content, F.col("visit_date")).alias("id"),
+        F.col("place_id"),
+        author.alias("author"),
+        content.alias("content"),
+        F.col("visit_date"),
+    )
+
+
+def project_review_api_payload(df: DataFrame) -> DataFrame:
+    """P3 (save-reviews/lambda_function.py:69-73): rename + cast projection
+    {place_id->restaurantId:long, content, id->hash}; non-numeric place_id
+    falls back to 0 like int(review.get('place_id', 0)) would raise->skip —
+    we keep the row with the default (F5)."""
+    return df.select(
+        cast_with_default("place_id").alias("restaurantId"),
+        F.coalesce(F.col("content"), F.lit("")).alias("content"),
+        F.col("id").alias("hash"),
+    )
+
+
+def require_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """P4 (submit-aws-batch-lambda/lambda_function.py:114-116): keep rows with
+    every required field present."""
+    cond: Column = F.lit(True)
+    for f in fields:
+        cond = cond & F.col(f).isNotNull()
+    return df.filter(cond)
+
+
+def fill_rds_defaults(df: DataFrame) -> DataFrame:
+    """P7 (review-crawler/restaurant_save.py:94-114): null-coalescing defaults
+    before the RDS insert: address->'', latitude/longitude->0; thumbnail
+    stays nullable (:111-113)."""
+    return df.fillna({"address": "", "latitude": 0.0, "longitude": 0.0})
+
+
+def flatten_nested_lists(df: DataFrame, map_col: str, out_col: str) -> DataFrame:
+    """P8 (submit-aws-batch-lambda/lambda_function.py:86-91): dict-of-lists ->
+    flat rows; explode on the values."""
+    return df.select(F.explode(F.flatten(F.map_values(F.col(map_col)))).alias(out_col))

@@ -1,0 +1,1021 @@
+"""Named query registry: every operator family from SURVEY.md §2 as a
+(PySpark plan, DuckDB oracle SQL) pair over the driver's test tables.
+
+Conventions (driver compare is row-count + schema + order-insensitive
+value hash):
+- every computed column is aliased IDENTICALLY in the Spark plan and the
+  oracle SQL;
+- double aggregates are round()ed (2 for sums, 4-6 for ratios) so
+  accumulation-order ulp noise can't flip the hash;
+- timestamps never appear raw in output — rendered with
+  date_format/strftime to fixed strings;
+- DuckDB sum(int) returns HUGEINT → always CAST(... AS BIGINT) in oracles;
+- ops that DuckDB cannot express (xxhash64-based MinHash/SimHash, IVF)
+  register with oracle=None → driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.catalog import table
+from wellmeet_data_pipeline_spark.functions.text import (
+    bpe_ish_token_count,
+    cast_with_default,
+    clean_address,
+    document_fingerprint,
+    extract_place_id,
+    language_guess,
+    quality_score,
+    review_surrogate_id,
+    token_count,
+    url_decode,
+)
+from wellmeet_data_pipeline_spark.operators.aggregations import (
+    conditional_counts,
+    cube_counts,
+    grouped_sample,
+    rollup_counts,
+)
+from wellmeet_data_pipeline_spark.operators.dedup import (
+    dedup_keep_first,
+    distinct_keys,
+    exact_dedup_documents,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from wellmeet_data_pipeline_spark.operators.joins import (
+    anti_new_rows,
+    enrich_dimension,
+    high_water_mark_filter,
+    insert_if_absent,
+    semi_existing_rows,
+)
+from wellmeet_data_pipeline_spark.operators.similarity import brute_force_top_k, ivf_top_k
+from wellmeet_data_pipeline_spark.operators.sort import top_k_per_group, top_n
+from wellmeet_data_pipeline_spark.operators.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: Optional[str], doc: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the reference's core incremental loop re-expressed set-based
+# (SURVEY.md §3.2: state load → scan → dedup → anti join → enrich → agg)
+# ---------------------------------------------------------------------------
+
+_HWM = "2024-01-05"
+_EV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _event_surrogate():
+    """D3 generalized to events: sha256(user_id|event_type|ts) — the exact
+    shape of the reference's review id (naver_crawler.py:172-177)."""
+    return F.sha2(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.date_format("ts", _EV_TS_FMT),
+        ),
+        256,
+    )
+
+
+@_q(
+    "flagship_incremental_enrich",
+    f"""
+    WITH keyed AS (
+      SELECT *, sha256(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
+                                 strftime(ts, '%Y-%m-%d %H:%M:%S.%f'))) AS surrogate
+      FROM events
+    ),
+    new_events AS (SELECT * FROM keyed WHERE ts > TIMESTAMP '{_HWM}'),
+    seen AS (SELECT surrogate FROM keyed WHERE ts <= TIMESTAMP '{_HWM}'),
+    fresh AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY surrogate ORDER BY event_id) AS rn
+        FROM new_events) WHERE rn = 1
+    ),
+    incoming AS (
+      SELECT * FROM fresh f
+      WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.surrogate = f.surrogate)
+    )
+    SELECT event_type, c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM incoming JOIN customer ON user_id = c_custkey
+    GROUP BY event_type, c_mktsegment
+    """,
+    "reference core loop: hwm scan filter (J3/T3) → sha2 surrogate (D3) → "
+    "keep-first dedup (D1) → anti join vs seen set (J1) → broadcast dim "
+    "enrich (J4) → grouped tallies (A1/A2)",
+)
+def flagship_incremental_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.withColumn("surrogate", _event_surrogate())
+    new_events = high_water_mark_filter(keyed, "ts", _HWM)
+    seen = keyed.filter(F.col("ts") <= F.lit(_HWM).cast("timestamp")).select("surrogate")
+    fresh = dedup_keep_first(new_events, "surrogate", "event_id")
+    incoming = anti_new_rows(fresh, seen, "surrogate")
+    cust = table(spark, sf_dir, "customer")
+    joined = enrich_dimension(
+        incoming.withColumnRenamed("user_id", "c_custkey"), cust, "c_custkey"
+    )
+    return joined.groupBy("event_type", "c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("c_custkey").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.7) — pricing summary, conditional counts, rollup/cube,
+# grouped sample
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-shaped grouped aggregation (A1/A2 analytics form): filter "
+    "pushed to scan, partial+final hash agg",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "conditional_counts",
+    """
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+           CAST(sum(CASE WHEN value >= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_failed
+    FROM events GROUP BY event_type
+    """,
+    "A2 (save-reviews/lambda_function.py:60-98): success/failure tallies as "
+    "one-pass sum(when)",
+)
+def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return conditional_counts(ev, F.col("value") >= 50, ["event_type"])
+
+
+@_q(
+    "grouped_sample",
+    """
+    SELECT event_type,
+           array_to_string(list_sort(list(props))[1:3], ',') AS sample
+    FROM events GROUP BY event_type
+    """,
+    "A4 (save-reviews/lambda_function.py:109-110): at most k payloads kept "
+    "per group, deterministic via in-group sort",
+)
+def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = grouped_sample(ev, ["event_type"], "props", 3)
+    return out.select("event_type", F.array_join("sample", ",").alias("sample"))
+
+
+@_q(
+    "rollup_subtotals",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_measure
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "hierarchical subtotals — free Catalyst extension over the reference's "
+    "flat tallies (§2.7)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return rollup_counts(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+
+
+@_q(
+    "cube_subtotals",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_measure
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "cube over both dims (§2.7 extension)",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return cube_counts(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.4)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_anti_new_rows",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 1000
+    )
+    """,
+    "J1 (restaurant-crawler.py:370-375): left_anti 'new rows only' filter",
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    rich = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 1000).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return anti_new_rows(orders, rich, "o_custkey").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@_q(
+    "join_semi_existing",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    """,
+    "J2's probe side (restaurant_save.py:78-91) as one left_semi instead of "
+    "per-row SELECT ... LIMIT 1",
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    big_items = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return semi_existing_rows(orders, big_items, ["o_orderkey"]).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@_q(
+    "join_insert_if_absent",
+    """
+    WITH incoming AS (
+      SELECT * FROM (
+        SELECT p_name, p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_name ORDER BY p_partkey) AS rn
+        FROM part WHERE p_size > 25) WHERE rn = 1
+    ),
+    existing AS (SELECT DISTINCT p_name FROM part WHERE p_retailprice > 1800)
+    SELECT i.p_name, i.p_brand, i.p_partkey,
+           round(i.p_retailprice, 2) AS p_retailprice
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.p_name = i.p_name)
+    """,
+    "J2/K2 (restaurant_save.py:72-130): insert-if-absent = in-batch "
+    "keep-first dedup + anti join against the existing key set",
+)
+def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    incoming = (
+        dedup_keep_first(part.filter(F.col("p_size") > 25), "p_name", "p_partkey")
+        .select("p_name", "p_brand", "p_partkey", "p_retailprice")
+    )
+    existing = part.filter(F.col("p_retailprice") > 1800).select("p_name")
+    out = incoming.join(existing.distinct(), "p_name", "left_anti")
+    return out.select(
+        "p_name", "p_brand", "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice")
+    )
+
+
+@_q(
+    "join_star_enrich",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    "J4 star-schema enrichment: fact ⋈ broadcast dims (nation/region always "
+    "broadcastable), one shuffle for the agg only",
+)
+def q_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    nation = table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    region = table(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    df = enrich_dimension(orders, cust, "o_custkey")
+    df = enrich_dimension(df, nation, "c_nationkey")
+    df = enrich_dimension(df, region, "n_regionkey")
+    return (
+        df.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / distinct (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_keep_first",
+    """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    "D1 (naver_crawler.py:249-252) made cluster-deterministic: keep the "
+    "min-event_id row per (user_id, event_type)",
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return dedup_keep_first(ev, ["user_id", "event_type"], "event_id").select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@_q(
+    "distinct_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "D2 (submit-aws-batch-lambda/lambda_function.py:196-207): "
+    "list(set(...)) → select().distinct()",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_keys(table(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@_q(
+    "surrogate_key_sha2",
+    """
+    SELECT c_custkey,
+           sha256(concat_ws('|', c_name, c_mktsegment, CAST(c_custkey AS VARCHAR))) AS row_hash
+    FROM customer
+    """,
+    "D3/F3/F4 (naver_crawler.py:172-177): sha256(concat_ws('|',...)) stable "
+    "surrogate identity",
+)
+def q_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(
+            F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment"), F.col("c_custkey").cast("string")),
+            256,
+        ).alias("row_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.6)
+# ---------------------------------------------------------------------------
+
+_HI = "o_totalprice > 150000"
+_URG = "o_orderpriority = '1-URGENT'"
+
+
+@_q(
+    "union_distinct",
+    f"""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE {_HI}
+    UNION
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE {_URG}
+    """,
+    "U1/U2 (storage_manager.py:44-45; restaurant-crawler.py:365-369): "
+    "unionByName of two frames + distinct",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    hi = o.filter(_HI).select("o_orderkey", "o_orderstatus")
+    urg = o.filter(_URG).select("o_orderkey", "o_orderstatus")
+    return hi.unionByName(urg).distinct()
+
+
+@_q(
+    "intersect_keys",
+    f"""
+    SELECT o_orderkey FROM orders WHERE {_HI}
+    INTERSECT
+    SELECT o_orderkey FROM orders WHERE {_URG}
+    """,
+    "set intersection (the reference's set-membership forms, §2.6)",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(_HI).select("o_orderkey").intersect(o.filter(_URG).select("o_orderkey"))
+    )
+
+
+@_q(
+    "except_keys",
+    f"""
+    SELECT o_orderkey FROM orders WHERE {_HI}
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE {_URG}
+    """,
+    "set difference",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(_HI).select("o_orderkey").exceptAll(
+        o.filter(_URG).select("o_orderkey")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orderby_limit",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "O1+O2 (sort newest-first naver_crawler.py:161-169; limit "
+    "save-reviews:65) — TakeOrderedAndProject, no global sort materialized",
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return top_n(o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           CAST(rank_in_group AS INTEGER) AS rank_in_group
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
+      FROM orders)
+    WHERE rank_in_group <= 3
+    """,
+    "per-group top-k via rank window (O1-O3 generalized)",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        o, ["o_orderpriority"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "rank_in_group",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / validation / flatten (§2.3)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "project_rename_cast",
+    """
+    SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS BIGINT) AS restaurantId,
+           event_type AS content,
+           sha256(concat_ws('|', CAST(event_id AS VARCHAR), event_type)) AS hash
+    FROM events
+    """,
+    "P3 (save-reviews/lambda_function.py:69-73): rename + cast projection "
+    "with F5 null-safe cast and F8 JSON field extraction",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.get_json_object("props", "$.k").try_cast("long").alias("restaurantId"),
+        F.col("event_type").alias("content"),
+        F.sha2(F.concat_ws("|", F.col("event_id").cast("string"), F.col("event_type")), 256).alias(
+            "hash"
+        ),
+    )
+
+
+@_q(
+    "validate_required_fields",
+    """
+    SELECT event_id, k
+    FROM (SELECT event_id,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    WHERE k IS NOT NULL AND k >= 50
+    """,
+    "P4/P5 (submit-aws-batch-lambda:114-116): required-field predicate after "
+    "schema-on-read extraction",
+)
+def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") >= 50))
+    )
+
+
+@_q(
+    "fillna_defaults",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), '') AS segment,
+           round(coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0), 2) AS acctbal
+    FROM customer
+    """,
+    "P7 (restaurant_save.py:94-114): null-coalescing defaults "
+    "(address→'', lat/lon→0) — nulls synthesized via nullif since driver "
+    "tables are dense",
+)
+def q_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("")).alias("segment"),
+        F.round(
+            F.coalesce(F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")), F.lit(0.0)),
+            2,
+        ).alias("acctbal"),
+    )
+
+
+@_q(
+    "explode_flatten",
+    """
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    "P8 (submit-aws-batch-lambda:86-91): nested lists → flat rows via "
+    "explode",
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.9) — F1/F2 exercised on synthesized deterministic
+# inputs (driver tables hold no Korean addresses/URLs; both sides build the
+# same input from table keys)
+# ---------------------------------------------------------------------------
+
+_ADDR_SQL_PATTERN = (
+    "([가-힣]+(?:특별시|광역시|특별자치시|도|특별자치도)?\\s*"
+    "[가-힣]+(?:시|군|구)\\s*[가-힣0-9]+(?:읍|면|동|가|로|길)\\s*[0-9-]+)"
+)
+
+
+@_q(
+    "clean_address_regex",
+    f"""
+    SELECT c_custkey,
+           trim(regexp_extract(
+             concat('서울특별시 강남구 테헤란로 ', CAST(c_custkey % 400 + 1 AS VARCHAR),
+                    ' 메종타워 ', CAST(c_custkey % 15 + 1 AS VARCHAR), '층'),
+             '{_ADDR_SQL_PATTERN}', 1)) AS address
+    FROM customer
+    """,
+    "F1 (restaurant-crawler.py:20-37): Korean road-address normalization "
+    "regex, JVM regexp_extract instead of per-row Python",
+)
+def q_clean_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    origin = F.concat(
+        F.lit("서울특별시 강남구 테헤란로 "),
+        (F.col("c_custkey") % 400 + 1).cast("string"),
+        F.lit(" 메종타워 "),
+        (F.col("c_custkey") % 15 + 1).cast("string"),
+        F.lit("층"),
+    )
+    return c.select("c_custkey", clean_address(origin).alias("address"))
+
+
+@_q(
+    "extract_place_id_regex",
+    """
+    SELECT p_partkey,
+           regexp_extract(concat('https://map.naver.com/v5/entry/place/',
+                                 CAST(p_partkey AS VARCHAR), '?c=15'),
+                          '/place/(\\d+)', 1) AS place_id
+    FROM part
+    """,
+    "F2 (restaurant-crawler.py:193-196): /place/(\\d+) URL id extraction",
+)
+def q_place_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://map.naver.com/v5/entry/place/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?c=15"),
+    )
+    return p.select("p_partkey", extract_place_id(url).alias("place_id"))
+
+
+@_q(
+    "url_decode_keys",
+    """
+    SELECT r_regionkey,
+           replace(replace(concat('reviews%20', r_name, '+', CAST(r_regionkey AS VARCHAR), '.json'),
+                   '+', ' '), '%20', ' ') AS decoded_key
+    FROM region
+    """,
+    "F7 (submit-aws-batch-lambda:37): unquote_plus on S3 object keys — "
+    "Spark url_decode; oracle hand-decodes the two escape forms present in "
+    "the synthesized input",
+)
+def q_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    key = F.concat(
+        F.lit("reviews%20"), F.col("r_name"), F.lit("+"), F.col("r_regionkey").cast("string"), F.lit(".json")
+    )
+    return r.select("r_regionkey", url_decode(key).alias("decoded_key"))
+
+
+@_q(
+    "format_keys",
+    """
+    SELECT printf('process-place-%d-page-%d', o_orderkey, CAST(o_orderkey % 4 + 1 AS BIGINT)) AS job_name
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    "F9 (submit-aws-batch-lambda:168): deterministic job/key templating via "
+    "format_string",
+)
+def q_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        F.format_string(
+            "process-place-%d-page-%d", F.col("o_orderkey"), (F.col("o_orderkey") % 4 + 1)
+        ).alias("job_name")
+    )
+
+
+@_q(
+    "date_trunc_month",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+    "derived date dimension (reference keeps dates as raw strings, "
+    "naver_crawler.py:198-199 — we add real date semantics)",
+)
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (§2.10 T7)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "T7: tumbling 60-min event-time windows (epoch-aligned = hour-aligned)",
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return tumbling_window_agg(ev, "ts", 60, ["event_type"])
+
+
+@_q(
+    "sliding_window",
+    """
+    WITH anchored AS (
+      SELECT date_trunc('hour', ts) + (CAST(minute(ts) AS INTEGER) // 30) * INTERVAL 30 MINUTE AS w0
+      FROM events
+    ),
+    contrib AS (
+      SELECT w0 AS wstart FROM anchored
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE AS wstart FROM anchored
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events
+    FROM contrib GROUP BY 1
+    """,
+    "T7: sliding 60/30-min windows — each event contributes to "
+    "length/slide buckets",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return sliding_window_agg(ev, "ts", 60, 30)
+
+
+@_q(
+    "session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT *, CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessioned GROUP BY user_id, session_seq
+    """,
+    "T7 session windows via gaps-and-islands (lag + running sum) — the "
+    "batch twin of Structured Streaming session_window",
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return session_window_agg(ev, "ts", "user_id", 30)
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis over documents (§2.11)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+@_q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z가-힣]+|[0-9]+|[^A-Za-z가-힣0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+    "token counting: whitespace + BPE-ish regex lexemes (north-star text "
+    "analysis)",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        "n_chars",
+    )
+
+
+@_q(
+    "text_quality_score",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           round((least(n_tokens / 20.0, 1.0)
+                + (1.0 - least(n_punct / greatest(n_chars_d, 1.0) * 5.0, 1.0))
+                + least(n_stop / greatest(n_tokens, 1.0) * 10.0, 1.0)) / 3.0, 6) AS quality
+    FROM m
+    """,
+    "heuristic quality scoring (length/punctuation/stopword-ratio rules, "
+    "C4/Gopher-style) as pure built-ins",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@_q(
+    "text_language_guess",
+    """
+    SELECT doc_id,
+           CASE
+             WHEN len(regexp_extract_all(text, '[가-힣]')) > 0 THEN 'ko'
+             WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+             WHEN len(regexp_extract_all(text, '[Ѐ-ӿ]')) > 0 THEN 'ru'
+             WHEN len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|nicht|ist)\\b')) >= len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|que|es|y)\\b'))
+              AND len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|nicht|ist)\\b')) >= len(regexp_extract_all(text, '(?i)\\b(le|les|des|est|une|et)\\b'))
+              AND len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|nicht|ist)\\b')) > len(regexp_extract_all(text, '(?i)\\b(the|and|is|of|to|it)\\b')) THEN 'de'
+             WHEN len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|que|es|y)\\b')) >= len(regexp_extract_all(text, '(?i)\\b(le|les|des|est|une|et)\\b'))
+              AND len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|que|es|y)\\b')) > len(regexp_extract_all(text, '(?i)\\b(the|and|is|of|to|it)\\b')) THEN 'es'
+             WHEN len(regexp_extract_all(text, '(?i)\\b(le|les|des|est|une|et)\\b')) > len(regexp_extract_all(text, '(?i)\\b(the|and|is|of|to|it)\\b')) THEN 'fr'
+             ELSE 'en'
+           END AS lang_guess
+    FROM documents
+    """,
+    "n-gram/marker-word language-ID heuristic (north-star)",
+)
+def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", language_guess("text").alias("lang_guess"))
+
+
+@_q(
+    "doc_fingerprint",
+    f"SELECT doc_id, sha256({_NORM_SQL}) AS fingerprint FROM documents",
+    "document fingerprinting: sha256 of normalized text (D3 generalized)",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", document_fingerprint("text").alias("fingerprint"))
+
+
+@_q(
+    "dedup_exact_documents",
+    f"""
+    WITH fp AS (SELECT doc_id, sha256({_NORM_SQL}) AS fingerprint FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d WHERE EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = d.doc_id)
+    """,
+    "exact dedup over documents: fingerprint hash-groupBy, keep lowest id, "
+    "semi-join back (only (hash,id) pairs ever shuffle)",
+)
+def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return exact_dedup_documents(d).select("doc_id", "lang", "source", "n_chars")
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM norm
+    ),
+    ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM co
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.15
+    """,
+    "n-gram Jaccard near-dup pairs via inverted shingle index (only docs "
+    "sharing a shingle ever meet — sub-quadratic)",
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.15)
+
+
+# rows-only (no ANSI-SQL twin: xxhash64 seeded hashing / IVF probing)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    None,
+    "MinHash+LSH candidate pairs (shingle→minhash→band→bucket join); "
+    "xxhash64-seeded, not DuckDB-expressible → rows-only check",
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d)
+
+
+@_q(
+    "dedup_simhash",
+    None,
+    "SimHash-64 exact-collision duplicates; xxhash64-based → rows-only",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return simhash_duplicates(d)
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search over embeddings (§2.11)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cosine_topk_bruteforce",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                           i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cosine_sim
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    "exact brute-force cosine top-5 self-join over the embedding column — "
+    "JVM-side zip_with/aggregate math, rank window cut",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return brute_force_top_k(e, e, k=5, round_digits=4)
+
+
+@_q(
+    "cosine_topk_ivf",
+    None,
+    "IVF-bucketed approximate top-k (probe nprobe nearest centroid buckets) "
+    "— the 100 TB scale path; approximate → rows-only",
+)
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_top_k(e, k=5)
