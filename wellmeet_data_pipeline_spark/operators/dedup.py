@@ -62,17 +62,30 @@ def exact_dedup_documents(docs: DataFrame, text_col: str = "text", id_col: str =
 # Near-duplicate detection
 # ---------------------------------------------------------------------------
 
-_MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime for universal hashing
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures as num_hashes columns h0..h{n-1}.
 
-
-def _minhash_signature(shingles_col, num_hashes: int, seed: int = 42):
-    """num_hashes permutation mins over xxhash64(shingle, perm_seed) —
-    entirely in codegen: transform over a literal seed array + array_min."""
-    seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(F.transform(shingles_col, lambda sh: F.xxhash64(sh, s))),
+    Explode shingles once, compute all hash family members as plain
+    projection columns (xxhash64(shingle, seed_i) stays in codegen), then
+    ONE groupBy(id).agg(min...) — partial aggregation collapses each
+    partition to one row per doc before the shuffle, so the wire cost is
+    docs x num_hashes longs regardless of document size.  Docs with no
+    shingles (shorter than n words) drop out."""
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -85,36 +98,35 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs: shingle -> minhash signature ->
     band buckets -> self-join per bucket.  The self-join shuffles on
-    (band, band_hash) so only same-bucket docs ever meet — this is the piece
+    (band, bucket) so only same-bucket docs ever meet — this is the piece
     that keeps near-dup sub-quadratic at 100 TB.  Returns (id_a, id_b)
     candidate pairs with id_a < id_b."""
-    rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col),
-        _minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    rpb = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
         id_col,
         F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), *[f"h{i}" for i in range(b * rpb, (b + 1) * rpb)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    return (
         a.join(b, on=["band", "bucket"], how="inner")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
