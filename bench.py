@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style terminal action (collect on the
+already-small result) and timed end-to-end including planning.  A warmup
+query is run first so JVM/codegen startup isn't billed to the first entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+from wellmeet_data_pipeline_spark.session import get_spark
+
+# headline set: one per operator family, weighted toward the scale-relevant
+# paths (joins, aggs, windows, dedup, similarity)
+HEADLINE = [
+    "flagship_incremental_enrich",
+    "pricing_summary",
+    "join_star_enrich",
+    "join_anti_new_rows",
+    "dedup_keep_first",
+    "union_distinct",
+    "topk_per_group",
+    "tumbling_window",
+    "session_window",
+    "doc_fingerprint",
+    "dedup_exact_documents",
+    "ngram_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every table + exercise codegen once
+    REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows = REGISTRY[name].fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

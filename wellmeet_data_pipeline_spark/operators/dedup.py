@@ -62,6 +62,26 @@ def exact_dedup_documents(docs: DataFrame, text_col: str = "text", id_col: str =
 # Near-duplicate detection
 # ---------------------------------------------------------------------------
 
+def shingles_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows: normalize once, posexplode words, lead() window to
+    form n-grams.  This is the hot-path form — a transform() lambda over the
+    word array would re-evaluate the normalization regexes on every
+    element_at access (no CSE inside lambda bodies), which measured ~8x
+    slower.  One shuffle on id for the lead window."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "w0"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, n)]
+    with_leads = words.select(id_col, "pos", "w0", *lead_cols)
+    return with_leads.filter(F.col(f"w{n-1}").isNotNull()).select(
+        id_col, F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("shingle")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -78,10 +98,7 @@ def minhash_signatures(
     partition to one row per doc before the shuffle, so the wire cost is
     docs x num_hashes longs regardless of document size.  Docs with no
     shingles (shorter than n words) drop out."""
-    exploded = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    exploded = shingles_df(docs, text_col, id_col, shingle_n)
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -141,11 +158,8 @@ def ngram_jaccard_pairs(
     LSH).  Without a candidate frame it falls back to the inverted-index
     form: explode shingles, self-join on shingle, count co-occurrences —
     still sub-quadratic because only docs sharing a shingle meet."""
-    sh = docs.select(
-        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
-    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
-    exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
+    exploded = shingles_df(docs, text_col, id_col, shingle_n).distinct()
+    sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     co = (
@@ -193,10 +207,34 @@ def simhash64(text_col, shingle_n: int = 2):
     )
 
 
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def simhash_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+) -> DataFrame:
+    """(id, simhash) via explode + one groupBy with 64 conditional-sum
+    columns (per-bit votes), then a single OR-fold projection — everything
+    stays in whole-stage codegen, one shuffle of 64 longs per doc."""
+    sh = shingles_df(docs, text_col, id_col, shingle_n)
+    h = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    aggs = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)).alias(f"v{i}")
+        for i, m in enumerate(_BIT_MASKS)
+    ]
+    votes = h.groupBy(id_col).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for i, m in enumerate(_BIT_MASKS):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(id_col, acc.alias("simhash"))
+
+
 def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs sharing an identical simhash64 — the exact-collision slice of
     SimHash near-dup (full hamming-ball search adds banded prefix joins)."""
-    h = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    h = simhash_df(docs, text_col, id_col)
     dup = h.groupBy("simhash").agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id")).filter(F.col("n") > 1)
     return (
         h.join(dup.select("simhash", "keep_id"), "simhash")
