@@ -1,0 +1,122 @@
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.operators.dedup import (
+    dedup_keep_first,
+    exact_dedup_documents,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_df,
+    shingles_df,
+)
+from wellmeet_data_pipeline_spark.operators.joins import (
+    anti_new_rows,
+    high_water_mark_filter,
+    insert_if_absent,
+)
+from wellmeet_data_pipeline_spark.operators.projections import (
+    project_review,
+    project_review_api_payload,
+)
+from wellmeet_data_pipeline_spark.operators.setops import union_all
+
+
+def test_dedup_keep_first_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "k1", "late"), (1, "k1", "first"), (2, "k2", "only")],
+        "seq int, key string, val string",
+    )
+    out = {r["key"]: r["val"] for r in dedup_keep_first(df, "key", "seq").collect()}
+    assert out == {"k1": "first", "k2": "only"}
+
+
+def test_anti_new_rows(spark):
+    new = spark.createDataFrame([("a",), ("b",), ("c",)], "place_id string")
+    seen = spark.createDataFrame([("b",)], "place_id string")
+    got = {r["place_id"] for r in anti_new_rows(new, seen, "place_id").collect()}
+    assert got == {"a", "c"}
+
+
+def test_insert_if_absent_dedups_batch_then_filters(spark):
+    incoming = spark.createDataFrame(
+        [("r1", "addr1", 1), ("r1", "addr1", 2), ("r2", "addr2", 3)],
+        "name string, address string, seq int",
+    )
+    existing = spark.createDataFrame([("r2", "addr2")], "name string, address string")
+    got = insert_if_absent(incoming.orderBy("seq"), existing, ["name", "address"]).collect()
+    assert len(got) == 1 and got[0]["name"] == "r1"
+
+
+def test_high_water_mark_filter(spark):
+    df = spark.createDataFrame([(1,), (5,), (9,)], "ts int")
+    assert high_water_mark_filter(df, "ts", 4).count() == 2
+
+
+def test_project_review_defaults(spark):
+    # naver_crawler.py:182-183 (author default), :194-195 (content default)
+    raw = spark.createDataFrame(
+        [(None, None, "7.25.금", "123")], "author string, content string, visit_date string, place_id string"
+    )
+    row = project_review(raw).collect()[0]
+    assert row["author"] == "익명" and row["content"] == ""
+    assert len(row["id"]) == 64
+
+
+def test_project_api_payload_cast_default(spark):
+    # save-reviews/lambda_function.py:70 — int(place_id) with default
+    raw = spark.createDataFrame(
+        [("notanumber", "text", "h1"), ("42", "t2", "h2")], "place_id string, content string, id string"
+    )
+    rows = {r["hash"]: r["restaurantId"] for r in project_review_api_payload(raw).collect()}
+    assert rows == {"h1": 0, "h2": 42}
+
+
+def test_union_all_allow_missing(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, extra string")
+    b = spark.createDataFrame([(2,)], "id int")
+    got = union_all([a, b], allow_missing=True)
+    assert got.count() == 2 and set(got.columns) == {"id", "extra"}
+
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "completely different words about spark query engines at scale"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_documents(spark):
+    kept = {r["doc_id"] for r in exact_dedup_documents(_docs_df(spark)).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(_docs_df(spark)).collect()}
+    assert (1, 2) in pairs
+    assert all(p != (1, 4) and p != (2, 4) for p in pairs)
+
+
+def test_ngram_jaccard(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs_df(spark), threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got  # near dup above 0.5
+    assert (1, 4) not in got
+
+
+def test_simhash_exact_dup_collides(spark):
+    h = {r["doc_id"]: r["simhash"] for r in simhash_df(_docs_df(spark)).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[4]
+
+
+def test_shingles_df(spark):
+    df = spark.createDataFrame([(1, "A b, c d")], "doc_id long, text string")
+    got = [r["shingle"] for r in shingles_df(df, n=3).orderBy("shingle").collect()]
+    assert got == ["a b c", "b c d"]

@@ -1,0 +1,58 @@
+import json
+
+from wellmeet_data_pipeline_spark.schemas import REVIEW
+from wellmeet_data_pipeline_spark.sources.ingest import fetch_rows, incremental_ingest, seed_frame
+from wellmeet_data_pipeline_spark.sources.json_source import read_ids_only, read_json_array
+
+
+def test_read_json_array(spark, tmp_path):
+    # the reference's {place_id}.json layout (storage_manager.py:30)
+    f = tmp_path / "31238198.json"
+    f.write_text(
+        json.dumps(
+            [
+                {"id": "h1", "place_id": "31238198", "author": "a", "content": "c", "visit_date": "7.25.금"},
+                {"id": "h2", "place_id": "31238198", "author": "b", "content": "d", "visit_date": "7.26.토"},
+            ],
+            ensure_ascii=False,
+        )
+    )
+    df = read_json_array(spark, str(f), REVIEW)
+    assert df.count() == 2
+    assert df.schema == REVIEW or set(df.columns) == {c.name for c in REVIEW.fields}
+    ids = {r["id"] for r in read_ids_only(spark, str(f), REVIEW).collect()}
+    assert ids == {"h1", "h2"}
+
+
+def _make_fetcher():
+    # local closure so cloudpickle serializes it by value (executors can't
+    # import the tests module); deterministic stand-in for the Naver crawl
+    def fetch(key: str, page: int):
+        return [
+            {
+                "id": f"{key}-{page}-{i}",
+                "place_id": key,
+                "author": "a",
+                "content": f"row {i}",
+                "visit_date": "7.25.금",
+            }
+            for i in range(3)
+        ]
+
+    return fetch
+
+
+def test_seed_and_fetch(spark):
+    seeds = seed_frame(spark, ["p1", "p2"], pages=4)
+    assert seeds.count() == 8
+    assert seeds.rdd.getNumPartitions() == 8  # partition-per-page (S3/R6)
+    rows = fetch_rows(seeds, _make_fetcher(), REVIEW)
+    assert rows.count() == 24
+
+
+def test_incremental_ingest_anti_join(spark):
+    seeds = seed_frame(spark, ["p1"], pages=1)
+    rows = fetch_rows(seeds, _make_fetcher(), REVIEW)
+    existing = spark.createDataFrame([("p1-1-0",), ("p1-1-2",)], "id string")
+    got = {r["id"] for r in incremental_ingest(rows, existing).collect()}
+    assert got == {"p1-1-1"}

@@ -1,0 +1,75 @@
+"""Idempotent merge-append parquet sink (SURVEY.md §2.2 K1, §2.10 T4 —
+the one nonstandard sink contract, §4 custom piece #4).
+
+The reference's sink reads the whole {key}.json, concatenates, and
+rewrites it (review-crawler/storage_manager.py:25-61), with dedup
+commented out (:47-54) — at-least-once with duplicates possible.  Plain
+parquet has no MERGE, so exactly-once-per-id is built as:
+
+  write:  append new rows keyed by a stable `id`, partitioned by the
+          grouping key (the reference's one-object-per-place_id layout,
+          storage_manager.py:30, becomes partitionBy) — appends never
+          rewrite existing files;
+  read:   dedup-on-read view keeps the first version per id
+          deterministically.
+
+Retries of the same batch re-append the same ids; the read view makes
+that invisible (T4 idempotency the reference only almost had).  A
+lakehouse format would replace this with a transactional MERGE; the
+interface stays the same.
+
+At scale: appends are per-partition files (no read-modify-write of a
+growing object, which is O(total) per batch in the reference); the
+dedup-on-read window shuffles only when the view is queried, and a
+periodic compaction job (`compact`) rewrites partitions to materialize
+the dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def merge_append(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    partition_col: str | None = "place_id",
+    batch_col: str = "_batch_seq",
+    batch_seq: int = 0,
+) -> None:
+    """K1: append-only write; `batch_seq` records arrival order so the read
+    side can keep the FIRST version per id deterministically."""
+    out = df.withColumn(batch_col, F.lit(batch_seq))
+    writer = out.write.mode("append")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
+
+
+def read_current(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "id",
+    batch_col: str = "_batch_seq",
+) -> DataFrame:
+    """Dedup-on-read view: first-arrived row per id wins (D4 enabled — the
+    reference commented this out, storage_manager.py:47-54)."""
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(id_col).orderBy(F.col(batch_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", batch_col)
+    )
+
+
+def compact(spark: SparkSession, path: str, out_path: str, id_col: str = "id",
+            partition_col: str | None = "place_id", batch_col: str = "_batch_seq") -> None:
+    """Materialize the dedup-on-read view (periodic maintenance job)."""
+    cur = read_current(spark, path, id_col, batch_col).withColumn(batch_col, F.lit(0))
+    writer = cur.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(out_path)

@@ -1,0 +1,105 @@
+"""Structured Streaming pipelines (SURVEY.md §2.10, §3.3).
+
+The reference's choreography — S3 ObjectCreated -> Lambda -> AWS Batch ->
+Lambda (§3.3: 4 processes, 3 network hops) — collapses into file-source
+micro-batches:
+
+  T1 trigger        readStream on the landing dir + Trigger.AvailableNow
+                    (drain-to-quiescence = the reference's event-per-upload
+                    + convergence loop R5)
+  T2 state          the file-source checkpoint tracks processed files;
+                    cross-batch id dedup via watermark + dropDuplicates
+  T4 idempotency    foreachBatch -> merge_append sink (exactly-once per id
+                    through the dedup-on-read view)
+  T5 backpressure   maxFilesPerTrigger replaces the [:10] caps and sleeps
+  T6 late data      explicit watermark instead of the silent newest-first
+                    assumption (naver_crawler.py:243-247)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+
+
+def landing_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """T1/S6: the landing directory IS the event source — every new file is
+    an ObjectCreated record (submit-aws-batch-lambda/lambda_function.py:
+    33-39) without the Lambda hop."""
+    reader = spark.readStream.schema(schema).option("multiLine", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(landing_dir)
+
+
+def run_ingest_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    id_col: str = "id",
+    partition_col: str | None = "place_id",
+) -> None:
+    """§3.3 as ONE streaming pipeline: validate -> per-batch dedup ->
+    idempotent merge-append.  Cross-batch duplicates are handled by the
+    sink's dedup-on-read (T4): re-delivered ids never surface twice.
+    Runs with availableNow and blocks until drained (R5 convergence)."""
+    stream = landing_stream(spark, landing_dir, schema)
+    valid = stream.filter(F.col(id_col).isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates([id_col])  # D1 within the batch
+        merge_append(fresh, store_path, id_col=id_col, partition_col=partition_col,
+                     batch_seq=batch_id)
+
+    (
+        valid.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_windowed_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    ts_col: str = "ts",
+    minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> None:
+    """T6/T7: watermarked tumbling-window counts over an event stream —
+    late rows beyond the watermark are dropped *explicitly* (the reference
+    silently truncated via its newest-first assumption)."""
+    stream = landing_stream(spark, landing_dir, schema)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{minutes} minutes").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
