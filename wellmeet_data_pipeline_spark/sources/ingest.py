@@ -33,10 +33,12 @@ def seed_frame(spark: SparkSession, keys: list[str], pages: int) -> DataFrame:
 def fetch_rows(
     seeds: DataFrame,
     fetcher: Callable[[str, int], list[dict]],
-    schema: StructType,
+    schema: StructType | str,
 ) -> DataFrame:
     """S1/S2: run the injected fetcher once per (key, page) unit inside
     mapInPandas — per-partition client setup, Arrow-batched results."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
     field_names = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
