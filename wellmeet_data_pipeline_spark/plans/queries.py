@@ -1019,3 +1019,199 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return ivf_top_k(e, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions / pivot / grouping sets / scalar batteries —
+# free Catalyst extensions beyond the reference's surface (SURVEY.md §2.7,
+# §2.8 notes), all oracle-checked
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_running_sum",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    CAST(0 AS BIGINT)) AS gap_us
+    FROM events
+    """,
+    "running aggregate + lag gap per user — the analytic form of the "
+    "reference's sequential 'time since last seen' reasoning (T2/T3)",
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_value"
+        ),
+        F.coalesce(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w), F.lit(0).cast("long")
+        ).alias("gap_us"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    "pivot (long→wide counts) with a fixed value list so the plan needs no "
+    "value-discovery pass — the at-scale form of groupBy().pivot()",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .fillna(0, subset=_EVENT_TYPES)
+    )
+
+
+@_q(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "explicit grouping sets via the SQL surface (spark.sql over registered "
+    "views) — §2.7 extension",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@_q(
+    "customer_above_avg",
+    """
+    SELECT o_orderkey, n_orders
+    FROM (
+      SELECT o_orderkey,
+             count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+             sum(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_sum,
+             o_totalprice
+      FROM orders)
+    WHERE o_totalprice * n_orders > cust_sum
+    """,
+    "decorrelated 'orders above their customer average' via window count+sum"
+    " — compared as price*n > sum so float summation-order noise (~1e-9) "
+    "can't flip a comparison whose true granularity is 1 cent",
+)
+def q_customer_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.count("*").over(w).alias("n_orders"),
+            F.sum("o_totalprice").over(w).alias("cust_sum"),
+            "o_totalprice",
+        )
+        .filter(F.col("o_totalprice") * F.col("n_orders") > F.col("cust_sum"))
+        .select("o_orderkey", "n_orders")
+    )
+
+
+@_q(
+    "stats_by_type",
+    """
+    SELECT event_type,
+           round(avg(value), 4) AS avg_value,
+           round(stddev_samp(value), 4) AS stddev_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(median(value), 4) AS median_value
+    FROM events GROUP BY event_type
+    """,
+    "statistical aggregates incl. exact median (interpolated) per group",
+)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.median("value"), 4).alias("median_value"),
+    )
+
+
+@_q(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           substring(c_mktsegment, 1, 3) AS seg3,
+           replace(c_name, '#', '-') AS name_dashed,
+           CAST(length(c_name) AS INTEGER) AS name_len
+    FROM customer
+    """,
+    "scalar string battery (F4/F6/F9 family): upper/lpad/substring/replace/"
+    "length, all JVM built-ins",
+)
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@_q(
+    "date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    "date-part extraction + interval arithmetic (the reference never parses "
+    "dates — naver_crawler.py:198-199; we add real date semantics)",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
