@@ -12,11 +12,15 @@ adapts the registry to the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wellmeet_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,63 @@
+"""Plan-quality audit: prints formatted physical plans for the headline
+queries and greps for the scale signals that matter — PushedFilters
+reaching the parquet scan, pruned ReadSchema, broadcast joins for dims,
+WholeStageCodegen coverage, and absence of accidental CartesianProduct.
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+from wellmeet_data_pipeline_spark.session import get_spark
+
+AUDIT = [
+    "flagship_incremental_enrich",
+    "pricing_summary",
+    "join_star_enrich",
+    "join_anti_new_rows",
+    "topk_per_group",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or AUDIT
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = "/root/testdata/sf0.01"
+    for name in names:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        signals = {
+            "scans": len(re.findall(r"Scan parquet", plan)),
+            "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+            "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+            "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+            "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
+            "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+            "cartesian": len(re.findall(r"CartesianProduct|BroadcastNestedLoop", plan)),
+            "take_ordered": len(re.findall(r"TakeOrderedAndProject", plan)),
+        }
+        print(f"\n=== {name} ===")
+        print("  ", signals)
+        read_schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+        for rs in read_schemas:
+            print("   ReadSchema:", rs[:140])
+        if "--full" in sys.argv:
+            print(plan)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Skew mitigation (100 TB posture).
+
+The driver's `events` table is skewed by user_id by construction
+(TESTDATA.md), and the reference's review corpus is skewed by place_id
+(a few restaurants own most reviews).  Two standard treatments:
+
+- AQE skew-join splitting is ON in session.py — the first line of
+  defense, no code changes.
+- Salted two-phase aggregation here for the cases AQE can't fix
+  (a single giant group in groupBy): salt the key, partial-agg on
+  (key, salt), final-agg on key.  Works for any algebraic aggregate.
+- Salted broadcast-replicated join for skewed join keys when the small
+  side fits in memory x salt factor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_sum(
+    df: DataFrame, key_cols: Sequence[str], value_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase skew-safe groupBy: count + sum per key.  Phase 1 shuffles
+    on (key, salt) — the hot key spreads over salt_buckets reducers; phase
+    2 combines salt_buckets small rows per key."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        F.count("*").alias("__n"), F.sum(value_col).alias("__s")
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("__n").alias("n_rows"), F.sum("__s").alias("sum_value")
+    )
+
+
+def salted_join_small_side(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skewed equi join: salt the big side, replicate the small side across
+    all salt values (explode), join on (key, salt).  Each hot-key bucket
+    lands on a different reducer.  Prefer plain broadcast when the small
+    side fits; this is for medium dims too big to broadcast next to a
+    skewed fact."""
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    small_replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
+    )
+    out = big_salted.join(small_replicated, on=[key, "__salt"], how="inner")
+    return out.drop("__salt")
