@@ -29,3 +29,50 @@ def test_streaming_ingest_idempotent(spark, tmp_path):
     cur = read_current(spark, store)
     assert cur.count() == 4
     assert {row["id"] for row in cur.collect()} == {"h1", "h2", "h3", "h4"}
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    from wellmeet_data_pipeline_spark.streaming.stateful import run_stateful_dedup
+
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    r = lambda i, p: {"id": f"h{i}", "place_id": p, "author": "a", "content": f"c{i}", "visit_date": "d"}
+    _drop(landing, "a.json", [r(1, "p1"), r(1, "p1"), r(2, "p1")])
+    run_stateful_dedup(spark, str(landing), out, ckpt, REVIEW)
+    assert spark.read.parquet(out).count() == 2
+
+    # second activation: h2 re-delivered — checkpointed state drops it
+    _drop(landing, "b.json", [r(2, "p1"), r(3, "p2")])
+    run_stateful_dedup(spark, str(landing), out, ckpt, REVIEW)
+    got = {row["id"] for row in spark.read.parquet(out).collect()}
+    assert got == {"h1", "h2", "h3"}
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    from pyspark.sql.types import StructType, StructField, StringType, TimestampType
+    from wellmeet_data_pipeline_spark.streaming.pipeline import run_windowed_counts
+
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("event_type", StringType())]
+    )
+    landing = tmp_path / "landing3"
+    landing.mkdir()
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    _drop(
+        landing,
+        "ev.json",
+        [
+            {"ts": "2024-01-01T00:01:00.000Z", "event_type": "click"},
+            {"ts": "2024-01-01T00:02:00.000Z", "event_type": "click"},
+            {"ts": "2024-01-01T00:11:00.000Z", "event_type": "view"},
+            {"ts": "2024-01-01T09:00:00.000Z", "event_type": "late-watermark-advancer"},
+        ],
+    )
+    run_windowed_counts(spark, str(landing), out, ckpt, schema, minutes=10)
+    rows = {(r["window_start"], r["event_type"]): r["n_events"] for r in spark.read.parquet(out).collect()}
+    assert rows[("2024-01-01 00:00:00", "click")] == 2
+    assert rows[("2024-01-01 00:10:00", "view")] == 1

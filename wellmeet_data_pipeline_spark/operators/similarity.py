@@ -184,3 +184,46 @@ def ivf_top_k(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    data: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with rounded
+    cosine >= threshold.  Same broadcast + Arrow-batch matmul shape as
+    brute_force_top_k; at a scale where the candidate block can't
+    broadcast, run it per IVF bucket instead (ivf_top_k's cogroup)."""
+    spark = data.sparkSession
+    cand_pd = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    bc = spark.sparkContext.broadcast((cand_pd["id"].to_numpy(), _matrix(cand_pd["v"])))
+
+    def score(batches):
+        cids, C = bc.value
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = _matrix(pdf["v"])
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = np.round(Qn @ Cn.T, round_digits)
+            qids = pdf["id"].to_numpy()
+            out_a, out_b, out_s = [], [], []
+            for r in range(S.shape[0]):
+                mask = (cids > qids[r]) & (S[r] >= threshold)
+                out_a.append(np.full(int(mask.sum()), qids[r]))
+                out_b.append(cids[mask])
+                out_s.append(S[r][mask])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                    "cosine_sim": np.concatenate(out_s) if out_s else [],
+                }
+            )
+
+    q = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return q.mapInPandas(score, "id_a long, id_b long, cosine_sim double")

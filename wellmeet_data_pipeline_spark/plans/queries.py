@@ -1215,3 +1215,30 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "due_date"
         ),
     )
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                         i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                        i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) >= 0.42
+    """,
+    "embedding-cosine near-dup pairs (threshold on rounded similarity) — "
+    "the dense-vector member of the dedup family",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.42)
