@@ -56,3 +56,31 @@ def test_incremental_ingest_anti_join(spark):
     existing = spark.createDataFrame([("p1-1-0",), ("p1-1-2",)], "id string")
     got = {r["id"] for r in incremental_ingest(rows, existing).collect()}
     assert got == {"p1-1-1"}
+
+
+def test_paginated_datasource(spark):
+    from wellmeet_data_pipeline_spark.sources.datasource import PaginatedFeedDataSource
+
+    spark.dataSource.register(PaginatedFeedDataSource)
+    df = (
+        spark.read.format("paginated_feed")
+        .option("keys", "p1,p2")
+        .option("pages", "2")
+        .option("rows_per_page", "3")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 12
+    assert {r["place_id"] for r in rows} == {"p1", "p2"}
+    assert df.rdd.getNumPartitions() == 4  # one task per (key, page)
+
+
+def test_jdbc_plan_insert_if_absent(spark):
+    from wellmeet_data_pipeline_spark.sinks.jdbc import plan_insert_if_absent
+
+    incoming = spark.createDataFrame(
+        [("r1", "a1"), ("r2", "a2")], "name string, address string"
+    )
+    existing = spark.createDataFrame([("r2", "a2")], "name string, address string")
+    got = plan_insert_if_absent(incoming, existing, ["name", "address"]).collect()
+    assert [r["name"] for r in got] == ["r1"]

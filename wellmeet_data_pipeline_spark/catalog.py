@@ -41,6 +41,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle sees identical values."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    # The driver may call queries() from its own session: pin the confs the
+    # registry's determinism depends on (UTC rendering, nanos read).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
