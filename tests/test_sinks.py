@@ -43,3 +43,16 @@ def test_http_sink_errors_as_data(spark):
     assert report["success"] == 2
     assert report["failed"] == 1
     assert "ValueError" in report["errors"][0]
+
+
+def test_compact_materializes_dedup(spark, tmp_path):
+    from wellmeet_data_pipeline_spark.sinks.merge import compact
+
+    store = str(tmp_path / "store_c")
+    out = str(tmp_path / "store_compacted")
+    merge_append(_reviews(spark, [("r1", "p1", "v1"), ("r2", "p1", "v1")]), store, batch_seq=0)
+    merge_append(_reviews(spark, [("r2", "p1", "v2"), ("r3", "p2", "v1")]), store, batch_seq=1)
+    compact(spark, store, out)
+    cur = read_current(spark, out)
+    rows = {r["id"]: r["content"] for r in cur.collect()}
+    assert rows == {"r1": "v1", "r2": "v1", "r3": "v1"}

@@ -1242,3 +1242,28 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, threshold=0.42)
+
+
+@_q(
+    "json_typed_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events WHERE props IS NOT NULL
+    """,
+    "F8 as typed schema-on-read: from_json with a declared struct (not "
+    "string get_json_object) + derived banding",
+)
+def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    props_schema = StructType([StructField("k", IntegerType())])
+    parsed = ev.withColumn("p", F.from_json("props", props_schema))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )
