@@ -9,10 +9,43 @@ pruning and predicate pushdown reach the scan for free.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+
+_PKG_ZIP: str | None = None
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile.
+
+    The driver may import us from a cwd that is not the repo root; worker
+    processes then cannot resolve `wellmeet_data_pipeline_spark` when a
+    pickled-by-reference mapInPandas/applyInPandas function arrives.
+    addPyFile works on a live session and is idempotent per session."""
+    global _PKG_ZIP
+    sc = spark.sparkContext
+    if getattr(sc, "_wellmeet_pyfile_added", False):
+        return
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        fd, path = tempfile.mkstemp(suffix=".zip", prefix="wellmeet_pkg_")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "wellmeet_data_pipeline_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        _PKG_ZIP = path
+    sc.addPyFile(_PKG_ZIP)
+    sc._wellmeet_pyfile_added = True
 
 TABLES = (
     "region",
@@ -42,7 +75,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
     # The driver may call queries() from its own session: pin the confs the
-    # registry's determinism depends on (UTC rendering, nanos read).
+    # registry's determinism depends on (UTC rendering, nanos read) and make
+    # the package importable on its workers.
+    ensure_workers_can_import(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
