@@ -241,3 +241,53 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "d
         .filter(F.col(id_col) != F.col("keep_id"))
         .select(F.col(id_col).alias("dup_id"), F.col("keep_id"), F.col("simhash"))
     )
+
+
+def minhash_lsh_candidates_sha(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Oracle-checkable MinHash+LSH: the hash family is
+    substr(sha256(shingle || '|' || seed), 1, 16) — fixed-width lowercase
+    hex, so lexicographic min == numeric min and ANSI SQL (DuckDB) can
+    reproduce the signature bit-for-bit.  Same plan shape as the xxhash64
+    variant (explode once, num_hashes mins in ONE groupBy, band buckets,
+    bucket self-join); sha2 costs more per shingle, which is why the
+    xxhash64 variant remains the 100 TB default."""
+    rpb = num_hashes // bands
+    exploded = shingles_df(docs, text_col, id_col, shingle_n).distinct()
+    aggs = [
+        F.min(F.substring(F.sha2(F.concat_ws("|", "shingle", F.lit(str(i))), 256), 1, 16)).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.sha2(
+                            F.concat_ws("|", *[f"h{i}" for i in range(b * rpb, (b + 1) * rpb)]), 256
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

@@ -1267,3 +1267,58 @@ def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+_MINHASH_SHA_NH = 16
+_MINHASH_SHA_BANDS = 4
+
+
+def _minhash_sha_oracle() -> str:
+    nh, bands = _MINHASH_SHA_NH, _MINHASH_SHA_BANDS
+    rpb = nh // bands
+    hcols = ",\n             ".join(
+        f"min(substr(sha256(concat_ws('|', shingle, '{i}')), 1, 16)) AS h{i}" for i in range(nh)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, sha256(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                     i -> array_to_string(words[i:i+2], ' '))) AS shingle
+        FROM norm)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {hcols}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@_q(
+    "dedup_minhash_lsh_sha",
+    _minhash_sha_oracle(),
+    "MinHash+LSH with a sha256-prefix hash family — bit-identical in ANSI "
+    "SQL, so the full shingle→signature→band→bucket-join pipeline is "
+    "oracle-verified (the xxhash64 variant stays the faster scale default)",
+)
+def q_minhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_lsh_candidates_sha
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates_sha(d)
