@@ -69,3 +69,40 @@ def test_word_shingles(spark):
 
 def test_url_decode_unquote_plus(spark):
     assert _one(spark, url_decode(F.lit("%EA%B3%B5%EB%8D%95+%EC%8B%9D%EB%8B%B9.json"))) == "공덕 식당.json"
+
+
+def test_clean_address_reference_parity(spark):
+    # differential test: Spark (?U)-ported regex vs the reference's Python
+    # re behavior (restaurant-crawler.py:20-37)
+    import re as _re
+
+    regex = (
+        r"(\w+[원,산,남,울,북,천,주,기,시,도]\s*)?"
+        r"(\w+[구,시,군]\s*)?(\w+[구,시]\s*)?"
+        r"(\w+[면,읍]\s*)"
+        r"?(\w+\d*\w*[동,리,로,길]\s*)"
+        r"?(\w*\d+-?\d*)?"
+    )
+
+    def reference_clean(address):
+        if not address:
+            return ""
+        m = _re.search(regex, address)
+        return m.group().strip() if m else address
+
+    samples = [
+        "서울특별시 마포구 마포대로 109 롯데캐슬프레지던트 101동 2층",
+        "경기도 수원시 팔달구 인계로 123-45 스타빌딩",
+        "부산광역시 해운대구 센텀중앙로 55",
+        "강원도 춘천시 동면 장학리 123",
+        "서울 강남구 테헤란로 427",
+        "공덕동 310-3",
+        "",
+        "no korean at all 123",
+    ]
+    from wellmeet_data_pipeline_spark.functions.text import clean_address_reference
+
+    df = spark.createDataFrame([(s,) for s in samples], "addr string")
+    got = [r["v"] for r in df.select(clean_address_reference(F.col("addr")).alias("v")).collect()]
+    expected = [reference_clean(s) for s in samples]
+    assert got == expected

@@ -29,8 +29,31 @@ _ADDRESS_PATTERN = (
 def clean_address(origin_address: Column | str) -> Column:
     """F1 (restaurant-crawler/restaurant-crawler.py:20-37): extract the
     normalized road-address prefix; empty string when no match, like the
-    reference's fallback."""
+    reference's fallback.  This is the *strengthened* pattern (anchored
+    admin-unit chain); clean_address_reference() reproduces the
+    reference's exact loose regex."""
     return F.trim(F.regexp_extract(origin_address, _ADDRESS_PATTERN, 1))
+
+
+# The reference's regex verbatim (restaurant-crawler.py:26-33), including
+# its quirks: the char classes contain literal commas, every group is
+# optional (so it always matches — the `return address` fallback at :37 is
+# unreachable), and it depends on Python's Unicode-aware \w.  Java regex
+# \w is ASCII-only, so the (?U) flag is REQUIRED for parity — a verbatim
+# port silently extracts nothing without it.
+_REFERENCE_ADDRESS_REGEX = (
+    r"(\w+[원,산,남,울,북,천,주,기,시,도]\s*)?"
+    r"(\w+[구,시,군]\s*)?(\w+[구,시]\s*)?"
+    r"(\w+[면,읍]\s*)"
+    r"?(\w+\d*\w*[동,리,로,길]\s*)"
+    r"?(\w*\d+-?\d*)?"
+)
+
+
+def clean_address_reference(origin_address: Column | str) -> Column:
+    """Bit-for-bit behavioral twin of the reference's clean_address
+    (match.group().strip() of the first search hit)."""
+    return F.trim(F.regexp_extract(origin_address, "(?U)" + _REFERENCE_ADDRESS_REGEX, 0))
 
 
 def extract_place_id(url: Column | str) -> Column:

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from wellmeet_data_pipeline_spark.functions.text import (
     document_fingerprint,
     normalized_text,
-    word_shingles,
 )
 
 
@@ -181,32 +180,8 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text_col, shingle_n: int = 2):
-    """64-bit SimHash column over word shingles: per-bit majority vote of
-    xxhash64(shingle) — built from transform/aggregate/bit ops, no UDF.
-    Bit masks are literal longs (bit 63 is the sign bit in two's
-    complement). Near-dups then cluster by hamming distance on band
-    prefixes."""
-    masks = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)])
-    sh = word_shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # votes[i] = sum over hashes of (bit i set ? +1 : -1)
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc.bitwiseOR(b),
-    )
-
-
+# simhash bit masks as literal longs (bit 63 is the sign bit in two's
+# complement)
 _BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
 
