@@ -120,3 +120,41 @@ def test_shingles_df(spark):
     df = spark.createDataFrame([(1, "A b, c d")], "doc_id long, text string")
     got = [r["shingle"] for r in shingles_df(df, n=3).orderBy("shingle").collect()]
     assert got == ["a b c", "b c d"]
+
+
+def test_custom_minhash_agrees_with_spark_ml_lsh(spark):
+    # cross-validate our LSH against spark.ml's MinHashLSH on the same
+    # shingle sets: the extreme near-dup pair (1,2) must be a candidate in
+    # both, and the unrelated doc 4 must pair with nothing under a tight
+    # distance threshold
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
+
+    docs = _docs_df(spark)
+    shingle_sets = (
+        shingles_df(docs, n=3)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+    model = cv.fit(shingle_sets)
+    feats = model.transform(shingle_sets)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    lsh_model = lsh.fit(feats)
+    sim = lsh_model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    ml_pairs = {
+        (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+        for r in sim.collect()
+        if r["datasetA"]["doc_id"] < r["datasetB"]["doc_id"]
+    }
+    assert (1, 2) in ml_pairs
+    assert all(4 not in p for p in ml_pairs)
+
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    ours = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in ours
+    assert all(4 not in p for p in ours)
