@@ -158,3 +158,49 @@ def test_custom_minhash_agrees_with_spark_ml_lsh(spark):
     ours = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
     assert (1, 2) in ours
     assert all(4 not in p for p in ours)
+
+
+def test_simhash_near_dup_pairs_hamming_ball(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = 0b1010_1100_0011_0101
+    rows = [
+        (1, base),
+        (2, base ^ 0b101),          # hamming 2 -> pair
+        (3, base - (1 << 63)),      # sign bit flipped (two's complement): hamming 1 -> pair
+        (4, ~base),                 # hamming 64 -> no pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(df).collect()}
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 1
+    assert (2, 3) in got  # hamming 3
+    assert all(4 not in pair for pair in got)
+
+
+def test_http_sink_retry_and_rate(spark):
+    from wellmeet_data_pipeline_spark.sinks.http import post_partitioned, post_report
+
+    df = spark.createDataFrame([("1", "flaky"), ("2", "ok"), ("3", "dead")], "id string, content string")
+
+    # counts shared per-partition worker; coalesce(1) keeps one worker
+    def make_poster():
+        attempts = {}
+
+        def poster(rec):
+            n = attempts.get(rec["id"], 0) + 1
+            attempts[rec["id"]] = n
+            if rec["content"] == "dead":
+                raise RuntimeError("永 fails")
+            if rec["content"] == "flaky" and n < 3:
+                raise RuntimeError("transient")
+
+        return poster
+
+    results = post_partitioned(
+        df.coalesce(1), make_poster(), max_retries=2, sleeper=lambda s: None
+    )
+    report = post_report(results)
+    assert report["success"] == 2          # flaky succeeds on 3rd attempt
+    assert report["failed"] == 1           # dead exhausts retries
+    assert "RuntimeError" in report["errors"][0]

@@ -40,3 +40,14 @@ def test_ivf_matches_bruteforce_on_separated_clusters(spark):
     got_ivf = {r["query_id"]: r["neighbor_id"] for r in ivf.collect()}
     got_bf = {r["query_id"]: r["neighbor_id"] for r in bf.collect()}
     assert got_ivf == got_bf
+
+
+def test_ivf_kmeans_refinement_matches_bruteforce(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import brute_force_top_k, ivf_top_k
+
+    df = _vecs(spark)
+    ivf = ivf_top_k(df, k=1, n_centroids=3, nprobe=2, seed_mod=1, kmeans_iters=2)
+    bf = brute_force_top_k(df, df, k=1)
+    got_ivf = {r["query_id"]: r["neighbor_id"] for r in ivf.collect()}
+    got_bf = {r["query_id"]: r["neighbor_id"] for r in bf.collect()}
+    assert got_ivf == got_bf

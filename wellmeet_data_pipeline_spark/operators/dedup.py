@@ -266,3 +266,49 @@ def minhash_lsh_candidates_sha(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def simhash_near_dup_pairs(
+    sim_df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-ball SimHash near-dup: pairs whose simhash differs in at
+    most `max_hamming` bits.
+
+    Banded-prefix LSH on the 64-bit hash: split into `bands` 16-bit
+    slices; by pigeonhole, any pair within hamming distance < bands must
+    agree on at least one slice, so the candidate join shuffles on
+    (band, slice) and only slice-equal docs meet — never an all-pairs
+    comparison.  Exact verification is bit_count(xor) <= d in codegen.
+    Complete when max_hamming < bands (standard 64/4/3 configuration)."""
+    bits = 64 // bands
+    slices = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(hash_col), b * bits)
+            .bitwiseAND(F.lit((1 << bits) - 1))
+            .alias("slice"),
+        )
+        for b in range(bands)
+    ]
+    banded = sim_df.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*slices)).alias("bb")
+    ).select(id_col, hash_col, "bb.band", "bb.slice")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "slice"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -98,6 +98,52 @@ def brute_force_top_k(
     return q.mapInPandas(score, _TOPK_SCHEMA)
 
 
+def _kmeans_refine(
+    vecs: DataFrame, cent_ids: np.ndarray, C: np.ndarray, iters: int
+) -> np.ndarray:
+    """Spherical k-means refinement of the centroid matrix, distributed:
+    each iteration is one assignment pass (mapInPandas vs the broadcast
+    centroids) + an element-wise mean via posexplode/groupBy — only
+    n_centroids x dim scalars ever reach the driver.  Deterministic given
+    the deterministic init."""
+    spark = vecs.sparkSession
+    dim = C.shape[1]
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((cent_ids, Cn))
+
+        def assign(batches):
+            cids, Cn_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = _matrix(pdf["v"])
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                best = np.argmax(Qn @ Cn_.T, axis=1)
+                out = pdf[["v"]].copy()
+                out["centroid_id"] = cids[best]
+                yield out[["centroid_id", "v"]]
+
+        assigned = vecs.mapInPandas(assign, "centroid_id long, v array<float>")
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_C = C.copy()
+        by_cid = {int(cid): i for i, cid in enumerate(cent_ids)}
+        got = np.zeros((len(cent_ids), dim))
+        seen = np.zeros(len(cent_ids), dtype=bool)
+        for r in means:
+            i = by_cid[int(r["centroid_id"])]
+            got[i, int(r["pos"])] = r["m"]
+            seen[i] = True
+        new_C[seen] = got[seen]  # empty clusters keep their old centroid
+        C = new_C
+    return C
+
+
 def ivf_top_k(
     data: DataFrame,
     k: int,
@@ -107,15 +153,17 @@ def ivf_top_k(
     vec_col: str = "embedding",
     seed_mod: int = 131,
     round_digits: int = 6,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate self-top-k.
 
     Centroids: deterministic sample (id % seed_mod == 0, lowest ids) —
-    reproducible without RNG; a k-means refinement would slot in here
-    unchanged.  Assignment + probe list come from one mapInPandas pass
-    against the broadcast centroid matrix; bucket-local exact scoring is a
-    cogrouped applyInPandas on centroid_id; a final rank window merges the
-    nprobe buckets per query."""
+    reproducible without RNG — optionally refined by `kmeans_iters`
+    rounds of distributed spherical k-means (tighter buckets → higher
+    recall at the same nprobe).  Assignment + probe list come from one
+    mapInPandas pass against the broadcast centroid matrix; bucket-local
+    exact scoring is a cogrouped applyInPandas on centroid_id; a final
+    rank window merges the nprobe buckets per query."""
     spark = data.sparkSession
     cent_pd = (
         data.filter((F.col(id_col) % seed_mod) == 0)
@@ -124,7 +172,12 @@ def ivf_top_k(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
         .toPandas()
     )
-    bc = spark.sparkContext.broadcast((cent_pd["cid"].to_numpy(), _matrix(cent_pd["v"])))
+    cent_ids, C = cent_pd["cid"].to_numpy(), _matrix(cent_pd["v"])
+    if kmeans_iters:
+        C = _kmeans_refine(
+            data.select(F.col(vec_col).alias("v")), cent_ids, C, kmeans_iters
+        )
+    bc = spark.sparkContext.broadcast((cent_ids, C))
 
     def rank_centroids(batches):
         cids, C = bc.value

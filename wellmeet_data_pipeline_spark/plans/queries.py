@@ -47,7 +47,6 @@ from wellmeet_data_pipeline_spark.operators.dedup import (
     exact_dedup_documents,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash_duplicates,
 )
 from wellmeet_data_pipeline_spark.operators.joins import (
     anti_new_rows,
@@ -966,11 +965,17 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_simhash",
     None,
-    "SimHash-64 exact-collision duplicates; xxhash64-based → rows-only",
+    "SimHash-64 hamming-ball near-dup pairs (banded-prefix LSH + "
+    "bit_count(xor) verify); xxhash64-based → rows-only",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        simhash_df,
+        simhash_near_dup_pairs,
+    )
+
     d = table(spark, sf_dir, "documents")
-    return simhash_duplicates(d)
+    return simhash_near_dup_pairs(simhash_df(d), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -30,28 +30,56 @@ def post_partitioned(
     poster: Callable[[dict], None],
     key_col: str = "id",
     parallelism: int | None = None,
+    max_retries: int = 0,
+    backoff_s: float = 0.0,
+    rate_per_sec: float | None = None,
+    sleeper: Callable[[float], None] | None = None,
 ) -> DataFrame:
     """K3/K4: POST every row; returns a result DataFrame (row_key, ok,
     error).  `poster` raises on failure; the per-row try/except is the
     reference's handle_errors decorator (hello.py:30-60) as errors-as-data.
-    Rate limiting (R9) belongs inside `poster`/the partition loop, not in
-    the plan."""
+
+    R9 throttling, per PARTITION (so cluster-wide rate =
+    rate_per_sec x parallelism — size parallelism to the API budget):
+    - rate_per_sec: min spacing between posts
+    - max_retries/backoff_s: linear backoff re-attempts before a row is
+      recorded as failed (the reference retries nothing; a transient 5xx
+      costs it the row)
+    `sleeper` is injectable so tests don't sleep."""
     if parallelism:
         df = df.repartition(parallelism)
-    cols = df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        sleep = sleeper or _time.sleep
+        min_gap = 1.0 / rate_per_sec if rate_per_sec else 0.0
+        last_post = [0.0]
+
+        def attempt(rec: dict) -> str | None:
+            for i in range(max_retries + 1):
+                if min_gap:
+                    wait = last_post[0] + min_gap - _time.monotonic()
+                    if wait > 0:
+                        sleep(wait)
+                    last_post[0] = _time.monotonic()
+                try:
+                    poster(rec)
+                    return None
+                except Exception as exc:  # errors-as-data, never task failure
+                    if i == max_retries:
+                        return f"{type(exc).__name__}: {exc}"
+                    if backoff_s:
+                        sleep(backoff_s * (i + 1))
+            return "unreachable"
+
         for pdf in batches:
             keys, oks, errs = [], [], []
             for rec in pdf.to_dict(orient="records"):
                 keys.append(str(rec.get(key_col)))
-                try:
-                    poster(rec)
-                    oks.append(True)
-                    errs.append(None)
-                except Exception as exc:  # errors-as-data, never task failure
-                    oks.append(False)
-                    errs.append(f"{type(exc).__name__}: {exc}")
+                err = attempt(rec)
+                oks.append(err is None)
+                errs.append(err)
             yield pd.DataFrame({"row_key": keys, "ok": oks, "error": errs})
 
     return df.mapInPandas(run, RESULT_SCHEMA)
