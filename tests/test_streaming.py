@@ -76,3 +76,33 @@ def test_windowed_counts_stream(spark, tmp_path):
     rows = {(r["window_start"], r["event_type"]): r["n_events"] for r in spark.read.parquet(out).collect()}
     assert rows[("2024-01-01 00:00:00", "click")] == 2
     assert rows[("2024-01-01 00:10:00", "view")] == 1
+
+
+def test_embedding_pipeline_and_near_dups(spark, tmp_path):
+    from wellmeet_data_pipeline_spark.streaming.embedding import (
+        run_embedding_pipeline,
+        store_near_dups,
+    )
+
+    landing = tmp_path / "landing4"
+    landing.mkdir()
+    store = str(tmp_path / "emb_store")
+    ckpt = str(tmp_path / "ckpt4")
+
+    r = lambda i, content: {"id": f"h{i}", "place_id": "p", "author": "a", "content": content, "visit_date": "d"}
+    _drop(landing, "a.json", [r(1, "great food"), r(2, "terrible wait")])
+    run_embedding_pipeline(spark, str(landing), store, ckpt, REVIEW)
+
+    # second activation: h3 duplicates h1's content exactly -> embeddings
+    # identical (deterministic encoder) -> cosine 1.0 across batches
+    _drop(landing, "b.json", [r(3, "great food"), r(4, "fine")])
+    run_embedding_pipeline(spark, str(landing), store, ckpt, REVIEW)
+
+    from wellmeet_data_pipeline_spark.sinks.merge import read_current
+
+    cur = read_current(spark, store)
+    assert cur.count() == 4
+    assert dict(cur.select("id").groupBy().count().collect()[0].asDict())  # smoke
+
+    pairs = {(p["id_a"], p["id_b"]): p["cosine_sim"] for p in store_near_dups(spark, store).collect()}
+    assert pairs == {("h1", "h3"): 1.0}

@@ -245,6 +245,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    id_type: str = "long",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b) with rounded
     cosine >= threshold.  Same broadcast + Arrow-batch matmul shape as
@@ -279,4 +280,4 @@ def embedding_near_dup_pairs(
             )
 
     q = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return q.mapInPandas(score, "id_a long, id_b long, cosine_sim double")
+    return q.mapInPandas(score, f"id_a {id_type}, id_b {id_type}, cosine_sim double")
