@@ -10,6 +10,14 @@ value hash):
 - timestamps never appear raw in output — rendered with
   date_format/strftime to fixed strings;
 - DuckDB sum(int) returns HUGEINT → always CAST(... AS BIGINT) in oracles;
+- sums whose TRUE value has finite decimal granularity (money: cents x
+  pct) are computed in exact-integer space — round each factor to its
+  integer grid, multiply, sum (sums of integer-valued doubles are exact
+  and order-independent below 2^53), divide once at the end — and the
+  final round targets the value's own grid (4 dp for cents x pct), never
+  a coarser one: a coarser round puts true values exactly ON the .xx5
+  boundary, where Spark (decimal shortest-repr HALF_UP) and DuckDB
+  (binary) round in different directions;
 - ops that DuckDB cannot express (xxhash64-based MinHash/SimHash, IVF)
   register with oracle=None → driver's weaker rows-only check.
 """
@@ -165,7 +173,7 @@ def flagship_incremental_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) / 10000.0, 4) AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            count(*) AS count_order
@@ -184,7 +192,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0) * (F.lit(100) - F.round(F.col("l_discount") * 100, 0))) / F.lit(10000.0), 4).alias(
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -1333,7 +1341,7 @@ def q_minhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) / 10000.0, 4) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -1360,7 +1368,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         joined.groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0) * (F.lit(100) - F.round(F.col("l_discount") * 100, 0))) / F.lit(10000.0), 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -1374,7 +1382,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_volume",
     """
     SELECT r_name AS region, n_name AS nation,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) / 10000.0, 4) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -1407,7 +1415,69 @@ def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0) * (F.lit(100) - F.round(F.col("l_discount") * 100, 0))) / F.lit(10000.0), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+@_q(
+    "nation_pair_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) / 10000.0, 4) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name, year(o_orderdate)
+    """,
+    "TPC-H Q7-shaped nation-pair volume: the same dim table joined twice "
+    "under different roles (both broadcast), year derivation, one fact "
+    "shuffle",
+)
+def q_nation_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("s_nk") != F.col("c_nk"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0) * (F.lit(100) - F.round(F.col("l_discount") * 100, 0))) / F.lit(10000.0), 4).alias("volume"))
+    )
+
+
+@_q(
+    "stats_correlation",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "bivariate aggregates (corr / covar_samp) per group",
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
     )
