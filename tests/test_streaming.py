@@ -106,3 +106,45 @@ def test_embedding_pipeline_and_near_dups(spark, tmp_path):
 
     pairs = {(p["id_a"], p["id_b"]): p["cosine_sim"] for p in store_near_dups(spark, store).collect()}
     assert pairs == {("h1", "h3"): 1.0}
+
+
+def test_full_orchestration_dag(spark, tmp_path):
+    from wellmeet_data_pipeline_spark.streaming.orchestration import run_orchestration
+
+    landing = tmp_path / "rest_landing"
+    landing.mkdir()
+    rest_store = str(tmp_path / "rest_store")
+    rev_store = str(tmp_path / "rev_store")
+    ckpt = str(tmp_path / "ckpt_orch")
+
+    def rest(pid, name):
+        return {
+            "place_id": pid, "name": name, "thumbnail_url": "", "category": "한식",
+            "page": 1, "origin_address": "서울특별시 마포구 마포대로 109",
+            "address": "서울특별시 마포구 마포대로 109", "latitude": None, "longitude": None,
+        }
+
+    def make_review_fetcher():
+        def fetch(place_id, page):
+            return [
+                {"author": "a", "content": f"review {i} of {place_id}", "visit_date": "d", "place_id": place_id}
+                for i in range(2)
+            ]
+        return fetch
+
+    _drop(landing, "r1.json", [rest("p1", "집밥"), rest(None, "invalid"), rest("p2", "국수")])
+    run_orchestration(spark, str(landing), rest_store, rev_store, ckpt, make_review_fetcher())
+
+    from wellmeet_data_pipeline_spark.sinks.merge import read_current
+
+    rests = read_current(spark, rest_store, id_col="place_id")
+    assert {r["place_id"] for r in rests.collect()} == {"p1", "p2"}
+    assert rests.filter("latitude = 0.0").count() == 2  # P7 defaults applied
+    revs = read_current(spark, rev_store)
+    assert revs.count() == 4  # 2 restaurants x 2 reviews
+
+    # second activation: p2 re-landed (no new reviews crawled), p3 new
+    _drop(landing, "r2.json", [rest("p2", "국수"), rest("p3", "곱창")])
+    run_orchestration(spark, str(landing), rest_store, rev_store, ckpt, make_review_fetcher())
+    assert read_current(spark, rest_store, id_col="place_id").count() == 3
+    assert read_current(spark, rev_store).count() == 6  # only p3's crawl ran
