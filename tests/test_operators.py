@@ -204,3 +204,28 @@ def test_http_sink_retry_and_rate(spark):
     assert report["success"] == 2          # flaky succeeds on 3rd attempt
     assert report["failed"] == 1           # dead exhausts retries
     assert "RuntimeError" in report["errors"][0]
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    """A stop-shingle shared by every doc must not blow up the inverted
+    index: with the DF cap it is dropped from the index AND the set
+    sizes, so pair counts stay bounded by the rare shingles only."""
+    hot = "the quick fox"  # one shared 3-gram across all docs
+    rows = [(i, f"{hot} unique{i} tail{i} end{i}") for i in range(1, 21)]
+    # docs 1/2 share their rare shingles too -> true near-dups
+    rows[1] = (2, f"{hot} unique1 tail1 end1")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=5).collect()
+    # hot shingle dropped: only the doc1/doc2 rare-shingle overlap survives
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(1, 2)}
+    assert capped[0]["jaccard"] == 1.0  # jaccard over the capped universe
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=None).collect()
+    # without the cap every doc pair meets through the hot shingle: 20*19/2
+    assert len(uncapped) == 190
+
+    # cap high enough to be inert -> identical to exact uncapped semantics
+    inert = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=10_000).collect()
+    assert sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in inert) == sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in uncapped
+    )

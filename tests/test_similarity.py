@@ -51,3 +51,67 @@ def test_ivf_kmeans_refinement_matches_bruteforce(spark):
     got_ivf = {r["query_id"]: r["neighbor_id"] for r in ivf.collect()}
     got_bf = {r["query_id"]: r["neighbor_id"] for r in bf.collect()}
     assert got_ivf == got_bf
+
+
+def test_exact_similarity_never_collects_to_driver(spark, monkeypatch):
+    """Scale regression: brute_force_top_k / embedding_near_dup_pairs must
+    not pull the candidate table to the driver (toPandas/collect) — the
+    block-nested-loop runs entirely as cogrouped tasks."""
+    import pyspark.sql as pssql
+
+    from wellmeet_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = _vecs(spark)
+
+    def boom(self, *a, **k):  # pragma: no cover - should never fire
+        raise AssertionError("driver-side collect in exact similarity lineage")
+
+    monkeypatch.setattr(pssql.DataFrame, "toPandas", boom)
+    monkeypatch.setattr(pssql.DataFrame, "collect", boom)
+    topk = brute_force_top_k(df, df, k=2)
+    pairs = embedding_near_dup_pairs(df, threshold=0.95)
+    monkeypatch.undo()
+    # evaluating the plans must also stay collect-free on the driver side
+    assert topk.count() > 0
+    assert pairs.count() > 0
+
+
+def test_near_dup_pairs_each_pair_once_and_blocked_matches_unblocked(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = _vecs(spark)
+    got = embedding_near_dup_pairs(df, threshold=0.9, n_blocks=3).collect()
+    seen = {(r["id_a"], r["id_b"]) for r in got}
+    assert len(seen) == len(got)  # no pair emitted twice across tiles
+    assert all(a < b for a, b in seen)
+    one_block = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9, n_blocks=1).collect()
+    }
+    assert seen == one_block
+
+
+def test_blocked_topk_matches_single_block(spark):
+    df = _vecs(spark)
+    blocked = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_top_k(df, df, k=3, n_blocks=4).collect()
+    )
+    single = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_top_k(df, df, k=3, n_blocks=1).collect()
+    )
+    assert blocked == single
+
+
+def test_round_half_away_matches_oracle_mode():
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.similarity import _round_half_away
+
+    x = np.array([0.00005, -0.00005, 0.12345, 0.5, -0.5])
+    got = _round_half_away(x, 4)
+    # np.round would give 0.0 / 0.1234 on the .xxxx5 boundaries (half-to-even)
+    assert got[0] == 0.0001 and got[1] == -0.0001
+    assert got[2] == 0.1235 or abs(0.12345 * 1e4 - 1234.5) > 1e-9  # repr-dependent boundary
+    assert got[3] == 0.5 and got[4] == -0.5

@@ -152,12 +152,28 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (verification stage after
     LSH).  Without a candidate frame it falls back to the inverted-index
     form: explode shingles, self-join on shingle, count co-occurrences —
-    still sub-quadratic because only docs sharing a shingle meet."""
+    sub-quadratic only if no shingle is hot: a shingle shared by d docs
+    contributes d^2 join rows, and natural-language stop-shingles have
+    d ~ corpus size.  `max_shingle_df` caps that: shingles whose document
+    frequency exceeds the cap are dropped from the index AND from the
+    per-doc set sizes (the standard stopword treatment — a shingle in
+    >10k docs carries ~zero Jaccard signal), bounding the self-join at
+    cap^2 rows per shingle.  The DF count rides the same shuffle
+    partitioning as the self-join (both keyed on shingle).  Set
+    max_shingle_df=None for the exact uncapped semantics."""
     exploded = shingles_df(docs, text_col, id_col, shingle_n).distinct()
+    if max_shingle_df is not None:
+        by_shingle = Window.partitionBy("shingle")
+        exploded = (
+            exploded.withColumn("__df", F.count("*").over(by_shingle))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
     sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -2,25 +2,33 @@
 
 Two tiers:
 
-- brute_force_top_k: exact cosine top-k.  The candidate block is collected
-  and broadcast (the 'broadcast dim' pattern — embeddings tables that fit
-  one executor), queries stream through mapInPandas, and the scoring is a
-  single float64 matmul per Arrow batch.  Pure higher-order-function
-  scoring (zip_with + aggregate per pair) measured ~20x slower — the
-  lambdas are interpreted per element; BLAS is the right physical operator
-  here, which is exactly what Pandas UDFs are for.
+- brute_force_top_k / embedding_near_dup_pairs: exact cosine, fully
+  distributed.  Both sides are hash-blocked on their id
+  (pmod(xxhash64(id), n_blocks)) and every (query_block, candidate_block)
+  pair meets in ONE cogrouped applyInPandas — a block-nested-loop join
+  where each task scores an (N/B x N/B) tile with a single float64
+  matmul.  Nothing is ever collected to the driver: the only shuffles are
+  the two cogroup exchanges (each side replicated n_blocks times, rows
+  stay narrow (id, vector)) plus a final rank-window merge of the B
+  partial top-k lists per query.  Tile memory is (2N/B) rows — tune
+  n_blocks so a tile fits an executor, independent of total N.
 
 - ivf_top_k: IVF-flat approximate search, the 100 TB path.  Deterministic
-  centroids, every vector assigned to its nearest centroid, queries probe
-  only their nprobe nearest centroid buckets.  The bucket-local scoring is
-  a cogrouped applyInPandas on centroid_id: candidates shuffle once on
+  centroids (count ~ sqrt(N) by default, the standard IVF sizing), every
+  vector assigned to its nearest centroid, queries probe only their
+  nprobe nearest centroid buckets.  The bucket-local scoring is a
+  cogrouped applyInPandas on centroid_id: candidates shuffle once on
   centroid, probes shuffle once on centroid, and each group does a local
   numpy top-k — cost ~ nprobe/n_centroids of brute force, no quadratic
-  pair blowup anywhere.
+  pair blowup anywhere.  The one driver-side collect is the centroid
+  sample itself (n_centroids rows, bounded by the cap — a broadcast dim,
+  not a data collect).
 
 Determinism: similarities rounded before ranking, ties broken by
 neighbor_id, so results are stable across partitionings and match the
-DuckDB oracle.
+DuckDB oracle.  Rounding is half-away-from-zero (the ROUND mode of both
+Spark's F.round and DuckDB) — np.round would be half-to-even and could
+flip a ranking on an exact .xxxx5 boundary.
 """
 
 from __future__ import annotations
@@ -35,6 +43,14 @@ def _matrix(series: pd.Series) -> np.ndarray:
     return np.vstack(series.to_numpy()).astype(np.float64)
 
 
+def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """Round half away from zero — matches Spark F.round / DuckDB ROUND
+    (np.round is banker's rounding: 0.5 -> 0, which diverges from the
+    oracle exactly on representable .xxxx5 boundaries)."""
+    p = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
 def _topk_block(
     qids: np.ndarray, Q: np.ndarray, cids: np.ndarray, C: np.ndarray, k: int, round_digits: int
 ) -> pd.DataFrame:
@@ -42,7 +58,7 @@ def _topk_block(
     pairs. Scoring matches the oracle formula dot/(|a||b|) with float64."""
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     cn = np.linalg.norm(C, axis=1, keepdims=True)
-    S = np.round((Q @ C.T) / (qn @ cn.T), round_digits)
+    S = _round_half_away((Q @ C.T) / (qn @ cn.T), round_digits)
     out_q, out_n, out_s, out_r = [], [], [], []
     for r in range(S.shape[0]):
         mask = cids != qids[r]
@@ -68,6 +84,35 @@ def _topk_block(
 _TOPK_SCHEMA = "query_id long, neighbor_id long, cosine_sim double, rank int"
 
 
+def _blocked_sides(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str,
+    n_blocks: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Block both sides for the block-nested-loop cogroup.
+
+    A query in block i is replicated to every (i, j); a candidate in
+    block j is replicated to every (i, j) — so group (i, j) holds exactly
+    block-i queries x block-j candidates, and every (query, candidate)
+    pair meets in exactly one group.  Blocks derive from xxhash64(id):
+    deterministic under task retries (no monotonically_increasing_id)."""
+    all_blocks = F.array(*[F.lit(b) for b in range(n_blocks)])
+    q = (
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("q_block", F.pmod(F.xxhash64("qid"), F.lit(n_blocks)))
+        .withColumn("c_block", F.explode(all_blocks))
+    )
+    c = (
+        candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("c_block", F.pmod(F.xxhash64("cid"), F.lit(n_blocks)))
+        .withColumn("q_block", F.explode(all_blocks))
+    )
+    return q, c
+
+
 def brute_force_top_k(
     queries: DataFrame,
     candidates: DataFrame,
@@ -76,26 +121,39 @@ def brute_force_top_k(
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query row (self-matches on id
-    equality excluded).  Candidates are broadcast; at a scale where they
-    don't fit, loop candidate blocks keeping a running top-k per query (or
-    switch to ivf_top_k)."""
-    spark = queries.sparkSession
-    cand_pd = candidates.select(F.col(cand_id).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    bc = spark.sparkContext.broadcast((cand_pd["id"].to_numpy(), _matrix(cand_pd["v"])))
+    equality excluded), as a distributed block-nested-loop: cogroup on
+    (q_block, c_block) tiles, numpy matmul per tile, rank-window merge of
+    the per-tile top-k lists.  No driver-side collect anywhere in the
+    lineage; at huge N switch to ivf_top_k (same output contract)."""
 
-    def score(batches):
-        cids, C = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            yield _topk_block(
-                pdf["qid"].to_numpy(), _matrix(pdf["v"]), cids, C, k, round_digits
-            )
+    q, c = _blocked_sides(queries, candidates, query_id, cand_id, vec_col, n_blocks)
 
-    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("v"))
-    return q.mapInPandas(score, _TOPK_SCHEMA)
+    def tile_topk(key, q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []})
+        return _topk_block(
+            q_pdf["qid"].to_numpy(),
+            _matrix(q_pdf["qv"]),
+            c_pdf["cid"].to_numpy(),
+            _matrix(c_pdf["cv"]),
+            k,
+            round_digits,
+        )
+
+    partial = (
+        q.groupBy("q_block", "c_block")
+        .cogroup(c.groupBy("q_block", "c_block"))
+        .applyInPandas(tile_topk, _TOPK_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
 
 
 def _kmeans_refine(
@@ -144,10 +202,16 @@ def _kmeans_refine(
     return C
 
 
+def default_n_centroids(n_rows: int, cap: int = 4096) -> int:
+    """Standard IVF sizing: ~sqrt(N) lists (bucket size ~ sqrt(N) too, so
+    probe cost and list count balance), clamped to [4, cap]."""
+    return max(4, min(cap, int(np.sqrt(max(n_rows, 1)))))
+
+
 def ivf_top_k(
     data: DataFrame,
     k: int,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -160,17 +224,22 @@ def ivf_top_k(
     Centroids: deterministic sample (id % seed_mod == 0, lowest ids) —
     reproducible without RNG — optionally refined by `kmeans_iters`
     rounds of distributed spherical k-means (tighter buckets → higher
-    recall at the same nprobe).  Assignment + probe list come from one
-    mapInPandas pass against the broadcast centroid matrix; bucket-local
-    exact scoring is a cogrouped applyInPandas on centroid_id; a final
-    rank window merges the nprobe buckets per query."""
+    recall at the same nprobe).  `n_centroids=None` auto-sizes to
+    ~sqrt(N) (one count() job), so bucket sizes stay ~sqrt(N) as the
+    input grows instead of degrading toward brute force.  Assignment +
+    probe list come from one mapInPandas pass against the broadcast
+    centroid matrix; bucket-local exact scoring is a cogrouped
+    applyInPandas on centroid_id; a final rank window merges the nprobe
+    buckets per query."""
     spark = data.sparkSession
+    if n_centroids is None:
+        n_centroids = default_n_centroids(data.count())
     cent_pd = (
         data.filter((F.col(id_col) % seed_mod) == 0)
         .orderBy(F.col(id_col).asc())
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
-        .toPandas()
+        .toPandas()  # bounded: n_centroids rows — a broadcast dim, not a data collect
     )
     cent_ids, C = cent_pd["cid"].to_numpy(), _matrix(cent_pd["v"])
     if kmeans_iters:
@@ -246,38 +315,44 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     round_digits: int = 4,
     id_type: str = "long",
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b) with rounded
-    cosine >= threshold.  Same broadcast + Arrow-batch matmul shape as
-    brute_force_top_k; at a scale where the candidate block can't
-    broadcast, run it per IVF bucket instead (ivf_top_k's cogroup)."""
-    spark = data.sparkSession
-    cand_pd = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    bc = spark.sparkContext.broadcast((cand_pd["id"].to_numpy(), _matrix(cand_pd["v"])))
+    cosine >= threshold.  Same distributed block-nested-loop as
+    brute_force_top_k — every (a, b) pair meets in exactly one
+    (q_block, c_block) tile and is emitted only under the a < b filter,
+    so each unordered pair appears exactly once.  No driver collect; at
+    huge N prefer LSH/IVF candidates + this as the verify stage."""
 
-    def score(batches):
-        cids, C = bc.value
+    q, c = _blocked_sides(data, data, id_col, id_col, vec_col, n_blocks)
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+
+    def tile_pairs(key, q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        Q = _matrix(q_pdf["qv"])
+        C = _matrix(c_pdf["cv"])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = _matrix(pdf["v"])
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            S = np.round(Qn @ Cn.T, round_digits)
-            qids = pdf["id"].to_numpy()
-            out_a, out_b, out_s = [], [], []
-            for r in range(S.shape[0]):
-                mask = (cids > qids[r]) & (S[r] >= threshold)
-                out_a.append(np.full(int(mask.sum()), qids[r]))
-                out_b.append(cids[mask])
-                out_s.append(S[r][mask])
-            yield pd.DataFrame(
-                {
-                    "id_a": np.concatenate(out_a) if out_a else [],
-                    "id_b": np.concatenate(out_b) if out_b else [],
-                    "cosine_sim": np.concatenate(out_s) if out_s else [],
-                }
-            )
+        S = _round_half_away(Qn @ Cn.T, round_digits)
+        qids = q_pdf["qid"].to_numpy()
+        cids = c_pdf["cid"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        for r in range(S.shape[0]):
+            mask = (cids > qids[r]) & (S[r] >= threshold)
+            out_a.append(np.full(int(mask.sum()), qids[r]))
+            out_b.append(cids[mask])
+            out_s.append(S[r][mask])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "cosine_sim": np.concatenate(out_s) if out_s else [],
+            }
+        )
 
-    q = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return q.mapInPandas(score, f"id_a {id_type}, id_b {id_type}, cosine_sim double")
+    return (
+        q.groupBy("q_block", "c_block")
+        .cogroup(c.groupBy("q_block", "c_block"))
+        .applyInPandas(tile_pairs, out_schema)
+    )
