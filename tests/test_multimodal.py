@@ -35,3 +35,48 @@ def test_frame_sample_plan(spark):
     for r in rows:
         by_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
     assert all(v == sorted(v) and v[0] == 0 for v in by_asset.values())
+
+
+def test_binaryfile_source_feeds_multimodal_operators(spark, tmp_path):
+    """SURVEY §2.11: spark.read.format('binaryFile') over a fixture media
+    directory -> MEDIA_ASSET -> feature extraction + exact binary dedup."""
+    from wellmeet_data_pipeline_spark.operators.multimodal import (
+        dedup_assets_exact,
+        extract_features,
+    )
+    from wellmeet_data_pipeline_spark.sources.binary import (
+        read_media_assets,
+        write_media_fixtures,
+    )
+
+    media = tmp_path / "media"
+    write_media_fixtures(
+        str(media),
+        {
+            "a.jpg": b"\xff\xd8fakejpegbytes",
+            "b.png": b"\x89PNGfake",
+            "dup_of_a.jpg": b"\xff\xd8fakejpegbytes",  # byte-identical to a.jpg
+            "clip.mp4": b"\x00\x00movbytes",
+            "notes.txt": b"not media",
+        },
+    )
+
+    assets = read_media_assets(spark, str(media), glob="*.{jpg,png,mp4}")
+    rows = {r["metadata"]["file_name"]: r for r in assets.collect()}
+    assert set(rows) == {"a.jpg", "b.png", "dup_of_a.jpg", "clip.mp4"}  # txt pruned at listing
+    assert rows["a.jpg"]["media_type"] == "image"
+    assert rows["clip.mp4"]["media_type"] == "video"
+    assert rows["a.jpg"]["payload"] == bytearray(b"\xff\xd8fakejpegbytes")
+    assert rows["a.jpg"]["metadata"]["length"] == str(len(b"\xff\xd8fakejpegbytes"))
+    # asset_id deterministic across reads (xxhash64 of path)
+    again = {r["metadata"]["file_name"]: r["asset_id"] for r in read_media_assets(spark, str(media), glob="*.{jpg,png,mp4}").collect()}
+    assert {n: r["asset_id"] for n, r in rows.items()} == again
+
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert len(feats) == 4
+    a_id, dup_id = rows["a.jpg"]["asset_id"], rows["dup_of_a.jpg"]["asset_id"]
+    assert feats[a_id]["sha256"] == feats[dup_id]["sha256"]
+
+    survivors = {r["metadata"]["file_name"] for r in dedup_assets_exact(assets).collect()}
+    assert len(survivors) == 3  # one of the two identical jpgs dropped
+    assert "b.png" in survivors and "clip.mp4" in survivors

@@ -148,3 +148,90 @@ def test_full_orchestration_dag(spark, tmp_path):
     run_orchestration(spark, str(landing), rest_store, rev_store, ckpt, make_review_fetcher())
     assert read_current(spark, rest_store, id_col="place_id").count() == 3
     assert read_current(spark, rev_store).count() == 6  # only p3's crawl ran
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """SURVEY §2.10 T7 streaming twin: F.session_window sessionization
+    agrees with the batch gaps-and-islands form on a fixture where no two
+    events sit exactly one gap apart (the two formulations differ only on
+    that boundary: stream closes at last+gap, batch keeps strictly >)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from wellmeet_data_pipeline_spark.operators.windows import session_window_agg
+    from wellmeet_data_pipeline_spark.streaming.pipeline import run_session_windows
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rows = [
+        # u1: two sessions (gap 30m): [00:00, 00:10, 00:25] and [01:10]
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": "u1", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00.000Z", "user_id": "u1", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T00:25:00.000Z", "user_id": "u1", "value": 3.0},
+        {"event_id": 4, "ts": "2024-01-01T01:10:00.000Z", "user_id": "u1", "value": 4.0},
+        # u2: one session
+        {"event_id": 5, "ts": "2024-01-01T00:05:00.000Z", "user_id": "u2", "value": 5.0},
+        {"event_id": 6, "ts": "2024-01-01T00:20:00.000Z", "user_id": "u2", "value": 6.0},
+        # far-future row advances the watermark so every session closes
+        {"event_id": 7, "ts": "2024-01-02T12:00:00.000Z", "user_id": "wm", "value": 0.0},
+    ]
+    landing = tmp_path / "landing_sess"
+    landing.mkdir()
+    _drop(landing, "ev.json", rows)
+    out = str(tmp_path / "out_sess")
+    ckpt = str(tmp_path / "ckpt_sess")
+    run_session_windows(spark, str(landing), out, ckpt, schema, gap_minutes=30)
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"].replace("T", " ").replace(".000Z", ""), r["user_id"], r["value"]) for r in rows],
+        "event_id long, ts_s string, user_id string, value double",
+    ).selectExpr("event_id", "cast(ts_s as timestamp) as ts", "user_id", "value")
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in session_window_agg(batch_df, "ts", "user_id", 30).collect()
+        # the watermark-advancer's own session can't close in the stream
+        # (it holds the max event time), so it stays in state, not output
+        if r["user_id"] != "wm"
+    }
+    assert got == batch
+    assert got[("u1", "2024-01-01 00:00:00")] == (3, 6.0)
+    assert got[("u1", "2024-01-01 01:10:00")] == (1, 4.0)
+
+
+def test_stateful_dedup_deterministic_survivor(spark, tmp_path):
+    """Within one batch, the survivor per id is the min row under the
+    declared tiebreak, not whichever row Arrow delivered first."""
+    from wellmeet_data_pipeline_spark.streaming.stateful import run_stateful_dedup
+
+    landing = tmp_path / "landing_det"
+    landing.mkdir()
+    out = str(tmp_path / "out_det")
+    ckpt = str(tmp_path / "ckpt_det")
+
+    rows = [
+        {"id": "h1", "place_id": "p", "author": "zeta", "content": "later", "visit_date": "d"},
+        {"id": "h1", "place_id": "p", "author": "alpha", "content": "first", "visit_date": "d"},
+        {"id": "h1", "place_id": "p", "author": "mid", "content": "middle", "visit_date": "d"},
+    ]
+    _drop(landing, "a.json", rows)
+    run_stateful_dedup(spark, str(landing), out, ckpt, REVIEW)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    # min under (place_id, author, content, visit_date) -> author 'alpha'
+    assert got[0]["author"] == "alpha"

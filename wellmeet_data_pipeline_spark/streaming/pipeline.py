@@ -103,3 +103,56 @@ def run_windowed_counts(
         .start()
         .awaitTermination()
     )
+
+
+def run_session_windows(
+    spark: SparkSession,
+    landing_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> None:
+    """T7's streaming twin of operators.windows.session_window_agg:
+    watermarked F.session_window sessionization.  The state store keys on
+    (key, merging session) and shards on the groupBy shuffle — the same
+    per-key layout the batch gaps-and-islands form shuffles on, so the
+    batch and stream agree wherever no two events are exactly one gap
+    apart (F.session_window closes at `last + gap`, i.e. a gap == the
+    threshold starts a new session; the batch/SQL form uses strictly >).
+
+    Emits (key, session_start, n_events, sum_value) per closed session —
+    session_start == min(ts) exactly as in the batch form; the window's
+    end is last_event + gap by definition, so parity checks compare on
+    start.  availableNow drains the source and the watermark closes every
+    session older than the horizon."""
+    stream = landing_stream(spark, landing_dir, schema)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("sw"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -12,7 +12,7 @@ exact layout the reference's Python set can't have.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -21,26 +21,34 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _STATE_SCHEMA = "seen integer"
 
 
-def dedup_stream_by_id(stream: DataFrame, id_col: str = "id") -> DataFrame:
+def dedup_stream_by_id(
+    stream: DataFrame, id_col: str = "id", tiebreak_cols: Sequence[str] | None = None
+) -> DataFrame:
     """Emit only the first-ever row per id across ALL micro-batches.
 
     groupBy(id) -> applyInPandasWithState: state is one int per id.  If
-    the key has state, drop everything; otherwise emit exactly one row
-    (smallest by the remaining columns' order in the batch is arbitrary —
-    batches deliver one file's rows, and cross-batch determinism comes
-    from arrival order, matching the reference's append semantics)."""
+    the key has state, drop everything; otherwise emit exactly one row.
+    Cross-batch the survivor is arrival order (the reference's append
+    semantics); WITHIN a batch the survivor is the min row under
+    `tiebreak_cols` (default: every non-id column, in schema order) —
+    matching dedup_keep_first's declared-order determinism instead of
+    whatever row Arrow happened to deliver first."""
     out_schema = stream.schema
+    order_cols = list(tiebreak_cols) if tiebreak_cols else [
+        f.name for f in stream.schema.fields if f.name != id_col
+    ]
 
     def first_only(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             return
-        for pdf in pdfs:
-            if len(pdf) > 0:
-                state.update((1,))
-                yield pdf.head(1)
-                return
+        chunks = [pdf for pdf in pdfs if len(pdf) > 0]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        state.update((1,))
+        yield batch.sort_values(order_cols, kind="mergesort").head(1)
 
     return stream.groupBy(id_col).applyInPandasWithState(
         first_only,
