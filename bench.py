@@ -51,11 +51,28 @@ def main() -> None:
     REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
 
     times: dict[str, float] = {}
+    results: dict[str, list] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         rows = REGISTRY[name].fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
+        if name in ("cosine_topk_bruteforce", "cosine_topk_ivf"):
+            results[name] = rows
         del rows
+
+    # approximate-tier quality: recall@5 of IVF vs exact brute force —
+    # tracked per round so the approximate path's quality is measured,
+    # not asserted
+    exact: dict[int, set] = {}
+    for r in results.get("cosine_topk_bruteforce", []):
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = tot = 0
+    for r in results.get("cosine_topk_ivf", []):
+        truth = exact.get(r["query_id"])
+        if truth is not None:
+            tot += 1
+            hit += r["neighbor_id"] in truth
+    recall = round(hit / tot, 4) if tot else None
 
     total = round(sum(times.values()), 3)
     print(
@@ -65,6 +82,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "ivf_recall_at_5": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -115,3 +115,35 @@ def test_round_half_away_matches_oracle_mode():
     assert got[0] == 0.0001 and got[1] == -0.0001
     assert got[2] == 0.1235 or abs(0.12345 * 1e4 - 1234.5) > 1e-9  # repr-dependent boundary
     assert got[3] == 0.5 and got[4] == -0.5
+
+
+def test_blocked_topk_matches_numpy_at_scale(spark):
+    """Full cross-check against numpy on enough rows that a co-partitioning
+    bug can't hide (the cogroup key-type mismatch passed every toy-sized
+    test and the sf0.01 oracle, and only diverged at thousands of rows)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(600, 16)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(600)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+
+    got = {}
+    for r in brute_force_top_k(df, df, k=3, n_blocks=4, round_digits=6).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine_sim"]))
+
+    Xd = X.astype(np.float64)
+    Xn = Xd / np.linalg.norm(Xd, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    p = 1e6
+    Sr = np.sign(S) * np.floor(np.abs(S) * p + 0.5) / p
+    ids = np.arange(600)
+    bad = 0
+    for q in range(600):
+        s = Sr[q].copy()
+        s[q] = -2
+        order = np.lexsort((ids, -s))[:3]
+        expect = [(rk + 1, int(ids[j]), s[j]) for rk, j in enumerate(order)]
+        if sorted(got[q]) != expect:
+            bad += 1
+    assert bad == 0

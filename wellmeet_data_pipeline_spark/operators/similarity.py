@@ -98,16 +98,22 @@ def _blocked_sides(
     block j is replicated to every (i, j) — so group (i, j) holds exactly
     block-i queries x block-j candidates, and every (query, candidate)
     pair meets in exactly one group.  Blocks derive from xxhash64(id):
-    deterministic under task retries (no monotonically_increasing_id)."""
-    all_blocks = F.array(*[F.lit(b) for b in range(n_blocks)])
+    deterministic under task retries (no monotonically_increasing_id).
+
+    Both block columns are cast to int on BOTH sides: cogroup matches its
+    grouping keys positionally and by type, and a (bigint, int) left key
+    against an (int, bigint) right key hash-partitions the two sides
+    differently — groups silently fail to meet (caught by the recall
+    audit at sf0.1; an ordinary join would have inserted the casts)."""
+    all_blocks = F.array(*[F.lit(b).cast("int") for b in range(n_blocks)])
     q = (
         queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
-        .withColumn("q_block", F.pmod(F.xxhash64("qid"), F.lit(n_blocks)))
+        .withColumn("q_block", F.pmod(F.xxhash64("qid"), F.lit(n_blocks)).cast("int"))
         .withColumn("c_block", F.explode(all_blocks))
     )
     c = (
         candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("c_block", F.pmod(F.xxhash64("cid"), F.lit(n_blocks)))
+        .withColumn("c_block", F.pmod(F.xxhash64("cid"), F.lit(n_blocks)).cast("int"))
         .withColumn("q_block", F.explode(all_blocks))
     )
     return q, c
@@ -215,7 +221,7 @@ def ivf_top_k(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed_mod: int = 131,
+    seed_mod: int | None = None,
     round_digits: int = 6,
     kmeans_iters: int = 0,
 ) -> DataFrame:
@@ -226,14 +232,27 @@ def ivf_top_k(
     rounds of distributed spherical k-means (tighter buckets → higher
     recall at the same nprobe).  `n_centroids=None` auto-sizes to
     ~sqrt(N) (one count() job), so bucket sizes stay ~sqrt(N) as the
-    input grows instead of degrading toward brute force.  Assignment +
-    probe list come from one mapInPandas pass against the broadcast
+    input grows instead of degrading toward brute force; `seed_mod=None`
+    adapts to ~N/n_centroids so the sample actually yields n_centroids
+    rows (a fixed modulus caps the centroid count at N/mod).  Assignment
+    + probe list come from one mapInPandas pass against the broadcast
     centroid matrix; bucket-local exact scoring is a cogrouped
     applyInPandas on centroid_id; a final rank window merges the nprobe
-    buckets per query."""
+    buckets per query.
+
+    Recall is data-dependent: on well-clustered corpora (the real-world
+    embedding case) a small nprobe/n_centroids ratio suffices; on
+    near-uniform vectors (the synthetic test tables — the hard case for
+    any IVF) neighbors spread across buckets and high recall needs a
+    high probe ratio.  bench.py tracks ivf_recall_at_5 against the exact
+    tier every round rather than asserting it."""
     spark = data.sparkSession
-    if n_centroids is None:
-        n_centroids = default_n_centroids(data.count())
+    if n_centroids is None or seed_mod is None:
+        n_rows = data.count()
+        if n_centroids is None:
+            n_centroids = default_n_centroids(n_rows)
+        if seed_mod is None:
+            seed_mod = max(1, n_rows // n_centroids)
     cent_pd = (
         data.filter((F.col(id_col) % seed_mod) == 0)
         .orderBy(F.col(id_col).asc())

@@ -1031,7 +1031,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    return ivf_top_k(e, k=5)
+    # the synthetic embeddings are near-uniform in cosine space (labels
+    # carry no cosine structure), the worst case for IVF: high recall
+    # needs a high nprobe/n_centroids ratio.  16/12 + 2 k-means rounds
+    # measures ~0.94 recall@5 vs the exact tier at sf0.1 (bench.py
+    # emits ivf_recall_at_5 per round); clustered real-world corpora
+    # run nprobe << n_centroids instead.
+    return ivf_top_k(e, k=5, n_centroids=16, nprobe=12, kmeans_iters=2, round_digits=4)
 
 
 # ---------------------------------------------------------------------------
