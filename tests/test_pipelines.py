@@ -107,3 +107,58 @@ def test_embed_text_deterministic_unit_norm(spark):
     assert rows["1"] == rows["2"]
     assert rows["1"] != rows["3"]
     assert abs(sum(x * x for x in rows["1"]) - 1.0) < 1e-5
+
+
+def test_geocode_cache_survives_across_batches(spark, tmp_path):
+    """Executor-lifetime memo: within one worker process, a distinct
+    address is resolved at most ONCE across separate actions ('batches').
+    The geocoder drops a (pid, address) marker file per real call; a
+    per-batch memo would produce two markers for the same pid+address."""
+    import os
+
+    calls = str(tmp_path / "calls")
+    os.makedirs(calls, exist_ok=True)
+
+    def geo(addr):
+        open(os.path.join(calls, f"{os.getpid()}_{addr or 'none'}_{len(os.listdir(calls))}"), "w").close()
+        return (37.5, 127.0)
+
+    df = spark.createDataFrame([("seoul",), ("seoul",)], "address string").repartition(1)
+    out = geocode_with_cache(df, geo, cache_namespace="t_exec_cache")
+    assert out.count() == 2  # batch 1
+    assert out.count() == 2  # batch 2 (same plan, new action)
+
+    per_pid_addr = {}
+    for f in os.listdir(calls):
+        pid, addr, _ = f.split("_")
+        per_pid_addr[(pid, addr)] = per_pid_addr.get((pid, addr), 0) + 1
+    # every worker process resolved 'seoul' at most once, across both actions
+    assert all(n == 1 for n in per_pid_addr.values()), per_pid_addr
+    # and with worker reuse the second action hit the warm cache entirely
+    assert len(per_pid_addr) >= 1
+
+
+def test_ingest_reviews_scopes_identity_per_place(spark, tmp_path):
+    """Identical (author, content, visit_date) at two different places
+    must BOTH survive: the reference stores {place_id}.json, so the
+    sha256 id is only unique within a place.  Global dedup on the hash
+    would silently drop one place's review."""
+    from wellmeet_data_pipeline_spark.pipelines import ingest_reviews
+
+    store = str(tmp_path / "rev_store_scope")
+
+    def fetch(place_id, page):
+        return [{"author": "a", "content": "same text", "visit_date": "d", "place_id": place_id}]
+
+    fresh = ingest_reviews(spark, ["p1", "p2"], fetch, store)
+    assert fresh.count() == 2  # same hash at two places: both kept
+
+    got = read_current(spark, store, id_col=["place_id", "id"])
+    assert {r["place_id"] for r in got.collect()} == {"p1", "p2"}
+    ids = [r["id"] for r in got.collect()]
+    assert ids[0] == ids[1]  # identical hash is expected, not a collision
+
+    # re-ingest: per-place increment sees both as existing -> no new rows
+    again = ingest_reviews(spark, ["p1", "p2"], fetch, store, batch_seq=1)
+    assert again.count() == 0
+    assert read_current(spark, store, id_col=["place_id", "id"]).count() == 2

@@ -34,26 +34,47 @@ from pyspark.sql import functions as F
 
 GeoFn = Callable[[str], tuple[float, float] | None]
 
+# Executor-lifetime geocode memo.  Lives at module scope so it survives
+# across tasks AND micro-batches within one Python worker process (workers
+# are reused by default, spark.python.worker.reuse) — a per-closure dict
+# would re-resolve every distinct address each batch.  Keyed by
+# (namespace, address) so two different geocoders never cross-poison.
+_GEO_MEMO: dict[tuple[str, str], tuple[float, float] | None] = {}
+
 
 def geocode_with_cache(
-    df: DataFrame, geocoder: GeoFn, address_col: str = "address"
+    df: DataFrame,
+    geocoder: GeoFn,
+    address_col: str = "address",
+    cache_namespace: str | None = None,
 ) -> DataFrame:
     """F10: append latitude/longitude; distinct addresses resolved once per
-    partition via a memo (the reference re-geocodes every row)."""
+    WORKER PROCESS (the reference re-geocodes every row; round-1 shape
+    re-resolved once per partition per batch).  The memo is looked up via
+    the worker's own module import, not a pickled snapshot — cloudpickle
+    would otherwise ship a by-value copy of the dict per task and nothing
+    would persist."""
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + ["latitude double", "longitude double"]
     )
+    ns = cache_namespace or (
+        f"{getattr(geocoder, '__module__', '?')}.{getattr(geocoder, '__qualname__', repr(geocoder))}"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, tuple[float, float] | None] = {}
+        # resolve the memo through the module object loaded IN THIS worker:
+        # the singleton shared by every task the process ever runs
+        from wellmeet_data_pipeline_spark.functions import enrichment as _enr
+
+        memo = _enr._GEO_MEMO
         for pdf in batches:
             lats, lons = [], []
             for addr in pdf[address_col]:
-                key = "" if addr is None else str(addr)
+                key = (ns, "" if addr is None else str(addr))
                 if key not in memo:
                     try:
-                        memo[key] = geocoder(key)
+                        memo[key] = geocoder(key[1])
                     except Exception:
                         memo[key] = None  # reference returns None on miss (:49-53)
                 hit = memo[key]

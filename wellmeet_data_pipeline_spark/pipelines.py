@@ -76,16 +76,24 @@ def ingest_reviews(
     pages: int = 1,
     batch_seq: int = 0,
 ) -> DataFrame:
-    """Entry point B as one job: per-place incremental review ingest."""
+    """Entry point B as one job: per-place incremental review ingest.
+
+    Identity is (place_id, id): the reference stores {place_id}.json, so
+    the sha256 hash only has to be unique WITHIN a place — two places can
+    legitimately hold reviews with identical (author, content,
+    visit_date).  Deduping on the hash alone would silently drop one
+    place's review."""
     raw_schema = "author string, content string, visit_date string, place_id string"
     seeds = seed_frame(spark, place_ids, pages)
     raw = fetch_rows(seeds, fetcher, raw_schema)
     reviews = project_review(raw)
     try:
-        existing = read_current(spark, store_path).select("id")
+        existing = read_current(spark, store_path, id_col=["place_id", "id"]).select(
+            "place_id", "id"
+        )
     except Exception:
-        existing = spark.createDataFrame([], "id string")
-    fresh = incremental_ingest(reviews, existing, "id")
+        existing = spark.createDataFrame([], "place_id string, id string")
+    fresh = incremental_ingest(reviews, existing, ["place_id", "id"])
     merge_append(fresh, store_path, id_col="id", partition_col="place_id", batch_seq=batch_seq)
     return fresh
 

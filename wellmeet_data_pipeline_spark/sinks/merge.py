@@ -51,13 +51,18 @@ def merge_append(
 def read_current(
     spark: SparkSession,
     path: str,
-    id_col: str = "id",
+    id_col: str | list[str] = "id",
     batch_col: str = "_batch_seq",
 ) -> DataFrame:
     """Dedup-on-read view: first-arrived row per id wins (D4 enabled — the
-    reference commented this out, storage_manager.py:47-54)."""
+    reference commented this out, storage_manager.py:47-54).  Accepts a
+    compound identity, e.g. (place_id, id) for the review store, where the
+    reference scopes ids per place ({place_id}.json) — deduping on the
+    hash alone would collapse identical (author, content, visit_date)
+    reviews posted at two different places."""
     df = spark.read.parquet(path)
-    w = Window.partitionBy(id_col).orderBy(F.col(batch_col).asc())
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
+    w = Window.partitionBy(*keys).orderBy(F.col(batch_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

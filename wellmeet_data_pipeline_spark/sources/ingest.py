@@ -54,10 +54,13 @@ def fetch_rows(
 def incremental_ingest(
     new_rows: DataFrame,
     existing_keys: DataFrame,
-    key: str = "id",
+    key: str | list[str] = "id",
 ) -> DataFrame:
     """The reference's incremental contract (§3.2): only rows whose key is
     not already stored survive.  Set-based left_anti instead of the
     order-dependent stop-at-first-seen loop (naver_crawler.py:243-247) so
-    results don't depend on feed order."""
-    return new_rows.join(existing_keys.select(key), key, "left_anti")
+    results don't depend on feed order.  Accepts a compound key — review
+    identity is scoped per place ({place_id}.json in the reference), so
+    review ingest keys on (place_id, id), not the hash alone."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return new_rows.join(existing_keys.select(*keys), keys, "left_anti")
