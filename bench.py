@@ -38,6 +38,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
+    "decontaminate_benchmark",
+    "tfidf_top_terms",
+    "asof_join_last_purchase",
+    "dedup_embedding_lsh",
 ]
 
 

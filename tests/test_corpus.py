@@ -1,0 +1,136 @@
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.operators.corpus import (
+    as_of_join,
+    decontaminate,
+    repetition_stats,
+    scrub_pii,
+    stratified_sample_exact,
+    tfidf_top_terms,
+)
+
+
+def test_scrub_pii_all_categories(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org visit https://x.io/p?a=1 ip 192.168.0.1 call +82 10-1234-5678 done")],
+        "id long, text string",
+    )
+    got = scrub_pii(df, "text", "clean").collect()[0]["clean"]
+    assert got == "mail <EMAIL> visit <URL> ip <IP> call <PHONE> done"
+
+
+def test_decontaminate_drops_only_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "a totally different document body here"),
+            (3, "quick brown fox appears again elsewhere"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+    # docs 1 and 3 share the 3-gram 'quick brown fox' with the benchmark
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench).collect()}
+    assert kept == {2}
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all words here are fully distinct"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, shingle_n=2).collect()}
+    assert got[1]["n_grams"] == 5 and got[1]["n_distinct"] == 1
+    assert got[1]["dup_ratio"] == 0.8
+    assert got[2]["dup_ratio"] == 0.0
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    rows = [(i, "a" if i < 40 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = sorted(r["doc_id"] for r in stratified_sample_exact(df, ["lang"], 0.25, "doc_id").collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample_exact(df.repartition(7), ["lang"], 0.25, "doc_id").collect()
+    )
+    assert s1 == s2  # partitioning-independent
+    by_lang = {"a": 0, "b": 0}
+    got = stratified_sample_exact(df, ["lang"], 0.25, "doc_id").collect()
+    for r in got:
+        by_lang[r["lang"]] += 1
+    assert by_lang == {"a": 10, "b": 15}  # exact per-stratum quota
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common yak"),
+            (3, "common word salad"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["rank"]): r["term"] for r in tfidf_top_terms(df, k=1).collect()}
+    # 'common' appears in every doc -> idf 0; the unique term wins per doc
+    assert got[(1, 1)] == "zebra"
+    assert got[(2, 1)] == "yak"
+
+
+def test_as_of_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01 00:05:00"),
+            (11, 1, "2024-01-01 00:10:00"),
+            (12, 2, "2024-01-01 00:01:00"),  # no prior purchase
+        ],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:03:00", 5.0),
+            (2, 1, "2024-01-01 00:05:00", 7.0),   # same ts as click 10 -> <= wins
+            (3, 1, "2024-01-01 00:05:00", 9.0),   # tie on ts -> max event_id wins
+            (4, 1, "2024-01-01 00:30:00", 11.0),  # after both clicks
+        ],
+        "event_id long, user_id long, ts_s string, value double",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = {
+        r["event_id"]: (r["asof_value"], r["asof_ts"])
+        for r in as_of_join(left, right, "user_id", "ts", "value", "event_id").collect()
+    }
+    assert got[10][0] == 9.0  # equal-ts purchase visible, event_id 3 beats 2
+    assert got[11][0] == 9.0  # 00:30 purchase not yet visible
+    assert got[12] == (None, None)
+
+
+def test_embedding_lsh_recovers_planted_dups(spark):
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 32)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(200)]
+    # plant exact copies of vectors 0..9 as ids 1000..1009
+    rows += [(1000 + i, [float(x) for x in X[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_near_dup_lsh(df, threshold=0.99, dim=32).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_near_dup_pairs(df, threshold=0.99).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= set(lsh)  # hamming 0 pairs always collide in every band
+    assert lsh == exact  # on this corpus the LSH tier loses nothing vs exact

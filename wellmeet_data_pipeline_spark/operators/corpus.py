@@ -1,0 +1,235 @@
+"""Training-corpus curation operators (SURVEY.md §2.11 north-star —
+the operations a large-scale LLM training-data pipeline runs over the
+`documents` table, beyond dedup/similarity: PII scrubbing,
+benchmark decontamination, repetition-based quality filtering,
+deterministic sampling, TF-IDF term profiling).
+
+All of these stay JVM-side (regexp/split/window/groupBy in whole-stage
+codegen); none collect to the driver; every shuffle is keyed on the
+column the next stage groups on.  Generalizes the reference's
+text-hygiene moves (clean_address regex, sha256 identity,
+submit-aws-batch-lambda's validation pass) to corpus scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.functions.text import normalized_text
+from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately RE2-compatible (no backrefs/lookaround) so the
+# DuckDB oracle can run the byte-identical regex; order matters — URLs are
+# scrubbed before emails so `http://a@b.com` doesn't half-match.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\-\s]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """Redact emails / URLs / IPs / phone numbers with typed placeholders —
+    the standard pre-training hygiene pass.  A chain of JVM
+    regexp_replace calls: one projection, no UDF, collapses into the
+    scan."""
+    c = F.col(text_col)
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return df.withColumn(out_col, c)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Drop every corpus document sharing at least one word n-gram with the
+    benchmark set (the GPT-3/PaLM n-gram-overlap decontamination rule;
+    13-grams there, parameterized here).
+
+    Plan shape: both sides explode to (id, shingle) and meet in ONE
+    semi-join keyed on shingle — the benchmark side is tiny next to the
+    corpus, so Catalyst broadcasts it; contaminated ids then anti-join
+    back against the corpus.  Only (id, shingle) pairs ever shuffle, the
+    document bodies never move."""
+    corpus_sh = shingles_df(corpus, text_col, id_col, shingle_n)
+    bench_sh = (
+        shingles_df(benchmark, text_col, id_col, shingle_n).select("shingle").distinct()
+    )
+    contaminated = (
+        corpus_sh.join(bench_sh, "shingle", "left_semi").select(id_col).distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-rule family)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document n-gram repetition: (total n-grams, distinct n-grams,
+    dup_ratio = 1 - distinct/total).  The Gopher quality rules threshold
+    exactly this family (fraction of duplicate n-grams) to drop
+    boilerplate/spam.  One groupBy(id) over the exploded shingles —
+    partial aggregation collapses each partition before the shuffle.
+    Documents shorter than n words have no n-grams and drop out."""
+    sh = shingles_df(docs, text_col, id_col, shingle_n)
+    return (
+        sh.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.countDistinct("shingle").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), round_digits),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum sampling: rank rows inside each stratum by
+    sha2(id) — a uniform, deterministic, retry-stable order — and keep
+    the first ceil(fraction * stratum_size).  Unlike df.sample(), the
+    output is a pure function of the data (reruns, retries and
+    repartitioning cannot change it), every stratum hits its quota
+    exactly, and the oracle can reproduce it bit-for-bit.  One shuffle
+    on the strata key."""
+    strata = list(strata_cols)
+    h = F.sha2(F.col(id_col).cast("string"), 256)
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    n = Window.partitionBy(*strata)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(n))
+        .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rk", "__n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term profiling
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc term count,
+    idf = ln(N / df) over documents containing the term,
+    score = tf * idf rounded before ranking (ties broken by term) so the
+    ranking is stable across partitionings and engines.
+
+    Two shuffles total: one groupBy (id, term) for tf, one groupBy(term)
+    for df; N is a scalar cross-joined in (Catalyst broadcasts it).  The
+    per-doc top-k is the same rank-window shape as topk_per_group."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = words.select(id_col).distinct().select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_digits),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (most recent prior event)
+# ---------------------------------------------------------------------------
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    right_value: str,
+    tiebreak: str,
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    right.ts <= left.ts for the same key (the time-series as-of join
+    Spark lacks as a primitive).
+
+    NOT a range join: both sides union into one frame tagged by side,
+    sorted per key by (ts, side, tiebreak) with right-before-left at
+    equal ts (<= semantics), and a running last_value(ignorenulls) carries
+    the latest right value forward.  ONE shuffle on the key and a linear
+    pass — the union trick turns an O(n*m) inequality join into the same
+    state layout Structured Streaming uses for stream-stream as-of.
+    Ties inside the right side resolve by max(tiebreak): deterministic."""
+    l_tag = left.select(
+        F.col(key), F.col(ts_col).alias("__ts"), F.lit(1).alias("__is_left"),
+        F.col(tiebreak).alias("__tb"), F.lit(None).cast(right.schema[right_value].dataType).alias("__rv"),
+        *[F.col(c) for c in left.columns if c not in (key, ts_col)],
+    )
+    r_tag = right.select(
+        F.col(key), F.col(ts_col).alias("__ts"), F.lit(0).alias("__is_left"),
+        F.col(tiebreak).alias("__tb"), F.col(right_value).alias("__rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (key, ts_col)],
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        u.withColumn("asof_value", F.last("__rv", ignorenulls=True).over(w))
+        .withColumn(
+            "asof_ts",
+            F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("__is_left") == 1)
+    )
+    return matched.select(
+        F.col(key),
+        F.col("__ts").alias(ts_col),
+        *[F.col(c) for c in left.columns if c not in (key, ts_col)],
+        "asof_ts",
+        "asof_value",
+    )

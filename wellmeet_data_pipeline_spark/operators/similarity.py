@@ -327,6 +327,95 @@ def ivf_top_k(
     )
 
 
+def embedding_simhash(
+    data: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane SimHash signatures for dense vectors: bit i is
+    sign(v . h_i) for n_bits fixed Gaussian hyperplanes (Charikar's
+    cosine LSH — P[bits agree] = 1 - angle/pi).  The hyperplane matrix is
+    seeded and broadcast; signatures come from one Arrow-batched matmul
+    pass, so the output is a narrow (id, simhash) frame that feeds the
+    SAME banded-prefix candidate join as text SimHash
+    (dedup.simhash_near_dup_pairs)."""
+    spark = data.sparkSession
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((n_bits, dim))
+    bc = spark.sparkContext.broadcast(H)
+
+    def sign_bits(batches):
+        H_ = bc.value
+        # bit 63 is the int64 sign bit — same convention as dedup._BIT_MASKS
+        weights = np.array(
+            [(1 << i) if i < 63 else -(1 << 63) for i in range(H_.shape[0])], dtype=np.int64
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _matrix(pdf["v"])
+            bits = (X @ H_.T) >= 0
+            sig = (bits * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "simhash": sig})
+
+    vecs = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return vecs.mapInPandas(sign_bits, "id long, simhash long").withColumnRenamed("id", id_col)
+
+
+def embedding_near_dup_lsh(
+    data: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    max_hamming: int = 12,
+    bands: int = 16,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup at 100 TB scale: SimHash signatures ->
+    banded-prefix candidate join (sub-quadratic, only slice-equal
+    signatures meet) -> exact cosine verify on the candidate pairs with
+    JVM zip_with/aggregate math (candidates are few, so interpreted
+    higher-order functions are fine here).  Same output contract as the
+    exact embedding_near_dup_pairs; recall is tunable via
+    (n_bits, bands, max_hamming) — by pigeonhole the banding is complete
+    for pairs within hamming < bands."""
+    from wellmeet_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    sig = embedding_simhash(data, dim, id_col, vec_col, n_bits, seed)
+    cand = simhash_near_dup_pairs(
+        sig, max_hamming=max_hamming, id_col=id_col, hash_col="simhash", bands=bands
+    ).select("id_a", "id_b")
+    va = data.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = data.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine_sim", F.round(dot / (norm(F.col("__va")) * norm(F.col("__vb"))), round_digits)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def embedding_near_dup_pairs(
     data: DataFrame,
     threshold: float,

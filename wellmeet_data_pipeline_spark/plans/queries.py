@@ -63,6 +63,15 @@ from wellmeet_data_pipeline_spark.operators.joins import (
     insert_if_absent,
     semi_existing_rows,
 )
+from wellmeet_data_pipeline_spark.operators.corpus import (
+    PII_PATTERNS,
+    as_of_join,
+    decontaminate,
+    repetition_stats,
+    scrub_pii,
+    stratified_sample_exact,
+    tfidf_top_terms,
+)
 from wellmeet_data_pipeline_spark.operators.similarity import brute_force_top_k, ivf_top_k
 from wellmeet_data_pipeline_spark.operators.sort import top_k_per_group, top_n
 from wellmeet_data_pipeline_spark.operators.windows import (
@@ -1487,3 +1496,263 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus curation (§2.11 north-star: the ops an LLM data pipeline
+# runs over `documents`/`events` beyond dedup & similarity)
+# ---------------------------------------------------------------------------
+
+# synthetic PII injected identically on both sides so the scrub is actually
+# exercised (the corpus text itself carries no emails/URLs)
+_PII_TXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com via https://site.example/p?id=' || CAST(doc_id AS VARCHAR) || "
+    "' from 10.0.0.1 call +82 10-1234-5678 end'"
+)
+_SCRUB_SQL = _PII_TXT_SQL
+for _pat, _tok in PII_PATTERNS:
+    _SCRUB_SQL = f"regexp_replace({_SCRUB_SQL}, '{_pat}', '{_tok}', 'g')"
+
+
+@_q(
+    "scrub_pii",
+    f"SELECT doc_id, {_SCRUB_SQL} AS clean_text FROM documents",
+    "PII scrubbing: email/URL/IP/phone -> typed placeholders via a chain of "
+    "JVM regexp_replace (RE2-compatible patterns shared byte-for-byte with "
+    "the oracle); pre-training hygiene pass",
+)
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    with_pii = d.withColumn(
+        "__txt",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://site.example/p?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.0.0.1 call +82 10-1234-5678 end"),
+        ),
+    )
+    return scrub_pii(with_pii, "__txt", "clean_text").select("doc_id", "clean_text")
+
+
+@_q(
+    "decontaminate_benchmark",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                   i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM norm
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+    contam AS (
+      SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM bench)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
+    """,
+    "benchmark decontamination (GPT-3/PaLM n-gram-overlap rule): drop corpus "
+    "docs sharing any word 3-gram with the benchmark set; one shingle-keyed "
+    "semi-join, benchmark side broadcast, document bodies never shuffle",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter((F.col("doc_id") % 37) == 0)
+    return decontaminate(d, bench).select("doc_id", "lang", "source", "n_chars")
+
+
+@_q(
+    "gopher_repetition",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    gr AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                                   i -> array_to_string(words[i:i+1], ' '))) AS g
+      FROM norm
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS dup_ratio
+    FROM gr GROUP BY doc_id
+    """,
+    "Gopher-rule repetition stats: per-doc duplicate word-2gram fraction "
+    "(boilerplate/spam signal); one map-side-combined groupBy on doc_id",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return repetition_stats(d, shingle_n=2)
+
+
+@_q(
+    "stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= ceil(n * 0.2)
+    """,
+    "deterministic stratified sampling: per-stratum rank by sha2(id) (a "
+    "uniform retry-stable order), keep exactly ceil(20%) of each language — "
+    "reproducible corpus subsetting df.sample() can't give",
+)
+def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return stratified_sample_exact(d, ["lang"], 0.2)
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    w2 AS (SELECT * FROM words WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w2 GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM w2),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    "TF-IDF top-3 terms per document: tf groupBy (doc, term), df groupBy "
+    "(term), scalar N broadcast, rank window — corpus term profiling",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+@_q(
+    "asof_join_last_purchase",
+    f"""
+    WITH u AS (
+      SELECT user_id, ts, 0 AS is_left, event_id, value
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1 AS is_left, event_id, NULL AS value
+      FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT *,
+        last_value(value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, is_left, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value,
+        last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, is_left, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+      FROM u
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           strftime(asof_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           round(asof_value, 2) AS purchase_value
+    FROM m WHERE is_left = 1
+    """,
+    "as-of join (most recent purchase at or before each click, per user): "
+    "union + tagged sort + running last_value(ignorenulls) — ONE shuffle on "
+    "the key instead of an O(n*m) inequality join; <= semantics, "
+    "deterministic tiebreak by event_id",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    res = as_of_join(left, right, key="user_id", ts_col="ts", right_value="value", tiebreak="event_id")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _EV_TS_FMT).alias("ts_s"),
+        F.date_format("asof_ts", _EV_TS_FMT).alias("purchase_ts"),
+        F.round("asof_value", 2).alias("purchase_value"),
+    )
+
+
+@_q(
+    "corpus_quality_filter",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, n_tokens,
+             round((least(n_tokens / 20.0, 1.0)
+                  + (1.0 - least(n_punct / greatest(n_chars_d, 1.0) * 5.0, 1.0))
+                  + least(n_stop / greatest(n_tokens, 1.0) * 10.0, 1.0)) / 3.0, 6) AS quality
+      FROM m
+    ),
+    fp AS (SELECT doc_id, sha256({_NORM_SQL}) AS fingerprint FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+    SELECT d.doc_id, d.lang, d.source, CAST(q.n_tokens AS BIGINT) AS n_tokens, q.quality
+    FROM documents d JOIN q USING (doc_id)
+    WHERE q.quality >= 0.5 AND q.n_tokens BETWEEN 5 AND 500
+      AND EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = d.doc_id)
+    """,
+    "the C4-style curation pipeline as ONE plan: quality-rule filter + "
+    "length bounds + exact-dedup keep — composition of scan-collapsed "
+    "projections, one fingerprint groupBy, one semi-join",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import exact_dedup_documents
+
+    d = table(spark, sf_dir, "documents")
+    kept = exact_dedup_documents(d).select("doc_id")
+    scored = d.select(
+        "doc_id", "lang", "source",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    return (
+        scored.join(kept, "doc_id", "left_semi")
+        .filter((F.col("quality") >= 0.5) & F.col("n_tokens").between(5, 500))
+        .select("doc_id", "lang", "source", "n_tokens", "quality")
+    )
+
+
+@_q(
+    "dedup_embedding_lsh",
+    None,
+    "embedding near-dup at scale: random-hyperplane SimHash -> banded-prefix "
+    "candidate join -> exact cosine verify (sub-quadratic; planted duplicate "
+    "copies of every 100th vector are recovered at threshold 0.99) — "
+    "RNG hyperplanes → rows-only",
+)
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import embedding_near_dup_lsh
+
+    e = table(spark, sf_dir, "embeddings")
+    planted = e.filter((F.col("vec_id") % 100) == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    corpus = e.unionByName(planted)
+    return embedding_near_dup_lsh(corpus, threshold=0.99, dim=64)
