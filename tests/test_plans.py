@@ -43,3 +43,35 @@ def test_flagship_no_cartesian_and_pruned_seen_scan(spark):
     # the seen-set branch must not read value/event_id (column pruning)
     seen_scans = [s for s in plan.split("ReadSchema: ")[1:] if "event_type" in s[:200]]
     assert any("value" not in s[:120] for s in seen_scans)
+
+
+def test_scrub_pii_collapses_into_scan(spark):
+    # regexp chain is a pure projection: no Exchange anywhere in the plan
+    plan = _plan(spark, "scrub_pii")
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    plan = _plan(spark, "decontaminate_benchmark")
+    # the tiny benchmark shingle set must reach the semi-join as a broadcast
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_exchange_on_key(spark):
+    plan = _plan(spark, "asof_join_last_purchase")
+    # union + window layout: exactly one shuffle, keyed on user_id
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_scalar_count(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_similarity_no_collect_in_plan(spark):
+    # blocked cogroup: FlatMapCoGroupsInPandas is the only Python stage
+    plan = _plan(spark, "cosine_topk_bruteforce")
+    assert "FlatMapCoGroupsInPandas" in plan

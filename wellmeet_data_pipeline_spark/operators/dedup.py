@@ -168,6 +168,11 @@ def ngram_jaccard_pairs(
     max_shingle_df=None for the exact uncapped semantics."""
     exploded = shingles_df(docs, text_col, id_col, shingle_n).distinct()
     if max_shingle_df is not None:
+        # window count (not a groupBy + anti-join): the DF filter rides
+        # ONE exchange on shingle that the self-join below reuses, whereas
+        # a broadcast-anti-join of the hot set would recompute the whole
+        # exploded lineage a second time to build the broadcast side
+        # (measured ~1.6x slower end-to-end at sf0.1)
         by_shingle = Window.partitionBy("shingle")
         exploded = (
             exploded.withColumn("__df", F.count("*").over(by_shingle))
