@@ -1756,3 +1756,116 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.unionByName(planted)
     return embedding_near_dup_lsh(corpus, threshold=0.99, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Distribution analytics: percentiles, histograms, cohorts, sketches
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    "exact percentiles per group (linear interpolation — Spark percentile "
+    "== DuckDB quantile_cont); one shuffle, per-group sort inside the agg",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@_q(
+    "value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS INTEGER) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 50.0) AS INTEGER)
+    """,
+    "fixed-width histogram per group: arithmetic bucketing stays in "
+    "codegen, map-side combine collapses each partition to (group, bucket) "
+    "rows before the shuffle",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50.0).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@_q(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+      SELECT DISTINCT o.o_custkey, f.cohort_month,
+             (year(date_trunc('month', o.o_orderdate)) - year(f.cohort_month)) * 12
+             + (month(date_trunc('month', o.o_orderdate)) - month(f.cohort_month)) AS month_offset
+      FROM orders o JOIN firsts f USING (o_custkey)
+    )
+    SELECT strftime(cohort_month, '%Y-%m') AS cohort,
+           month_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY cohort_month, month_offset
+    """,
+    "cohort retention: first-order month per customer (one groupBy), month "
+    "offsets of later orders, distinct customers per (cohort, offset) — the "
+    "classic retention triangle as two shuffles on the customer key",
+)
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            (
+                (F.year(F.date_trunc("month", F.col("o_orderdate"))) - F.year("cohort_month")) * 12
+                + (F.month(F.date_trunc("month", F.col("o_orderdate"))) - F.month("cohort_month"))
+            ).alias("month_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_month", "month_offset").agg(
+        F.count("*").alias("n_users")
+    ).select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"), "month_offset", "n_users"
+    )
+
+
+@_q(
+    "approx_distinct_sketch",
+    None,
+    "HLL++ approximate distinct users + approximate percentile per "
+    "event_type — the sketch tier for 100 TB cardinality questions "
+    "(estimates are engine-specific → rows-only)",
+)
+def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5, 1000), 2).alias("approx_p50"),
+    )
