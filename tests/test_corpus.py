@@ -134,3 +134,51 @@ def test_embedding_lsh_recovers_planted_dups(spark):
     planted = {(i, 1000 + i) for i in range(10)}
     assert planted <= set(lsh)  # hamming 0 pairs always collide in every band
     assert lsh == exact  # on this corpus the LSH tier loses nothing vs exact
+
+
+def test_streaming_corpus_pipeline(spark, tmp_path):
+    """Landing docs -> scrub -> quality gate -> decontaminate -> fingerprint
+    dedup vs store, across two activations."""
+    import json
+
+    from wellmeet_data_pipeline_spark.streaming.corpus import (
+        read_corpus,
+        run_corpus_pipeline,
+    )
+
+    landing = tmp_path / "doc_landing"
+    landing.mkdir()
+    store = str(tmp_path / "corpus_store")
+    ckpt = str(tmp_path / "corpus_ckpt")
+    schema = "doc_id long, text string"
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(schema)
+
+    bench = spark.createDataFrame(
+        [(900, "the secret benchmark question answer pair")], "doc_id long, text string"
+    )
+
+    batch1 = [
+        {"doc_id": 1, "text": "a clean document with plenty of words mail me@x.org"},
+        {"doc_id": 2, "text": "contains the secret benchmark question answer pair inside"},  # contaminated
+        {"doc_id": 3, "text": "too short"},  # quality gate (min 3 tokens)
+    ]
+    (landing / "b1.json").write_text(json.dumps(batch1))
+    run_corpus_pipeline(spark, str(landing), store, ckpt, schema, bench)
+
+    cur = read_corpus(spark, store)
+    rows = {r["doc_id"]: r["text"] for r in cur.collect()}
+    assert set(rows) == {1}
+    assert "<EMAIL>" in rows[1] and "me@x.org" not in rows[1]
+
+    batch2 = [
+        {"doc_id": 4, "text": "a clean document with plenty of words mail other@y.io"},  # same content post-scrub
+        {"doc_id": 5, "text": "an entirely new document body with many distinct words"},
+    ]
+    (landing / "b2.json").write_text(json.dumps(batch2))
+    run_corpus_pipeline(spark, str(landing), store, ckpt, schema, bench)
+
+    got = {r["doc_id"] for r in read_corpus(spark, store).collect()}
+    # doc 4 normalizes+scrubs to doc 1's fingerprint -> deduped cross-batch
+    assert got == {1, 5}

@@ -58,3 +58,53 @@ def high_water_mark_filter(incoming: DataFrame, ts_col: str, hwm) -> DataFrame:
     pushable form is a watermark predicate — parquet min/max + partition
     pruning skip whole files below the high-water mark."""
     return incoming.filter(F.col(ts_col) > F.lit(hwm))
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    window_seconds: int,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Event pairs (l, r) on the same key with l.ts <= r.ts <= l.ts + W —
+    the time-range join Spark would otherwise execute as a broadcast
+    nested loop (O(n*m) comparisons).
+
+    Binning trick: both sides bucket their timestamp into W-wide bins;
+    any qualifying pair sits in the same or adjacent bin, so the left
+    side expands to (bin, bin+1) — a 2x fan-out — and the join becomes an
+    EQUI join on (key, bin) Catalyst executes as a shuffled hash join.
+    The exact interval predicate then filters the candidates.  Work is
+    O(pairs per (key, bin)) — bounded by local density, never all-pairs;
+    the same shape range-join optimizers (Databricks' range join hint,
+    DuckDB IEJoin bucketing) produce.
+
+    Timestamps compare in integer microseconds end-to-end: no double
+    rounding at the window boundary."""
+    w_us = window_seconds * 1_000_000
+    l = left.select(
+        F.col(key),
+        F.unix_micros(F.col(ts_col)).alias("__l_us"),
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c not in (key, ts_col)],
+    ).withColumn("__bin", F.explode(F.array(
+        F.floor(F.col("__l_us") / w_us).cast("long"),
+        (F.floor(F.col("__l_us") / w_us) + 1).cast("long"),
+    )))
+    r = right.select(
+        F.col(key),
+        F.unix_micros(F.col(ts_col)).alias("__r_us"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns if c not in (key, ts_col)],
+    ).withColumn("__bin", F.floor(F.col("__r_us") / w_us).cast("long"))
+    return (
+        l.join(r, on=[key, "__bin"])
+        .filter(
+            (F.col("__r_us") >= F.col("__l_us"))
+            & (F.col("__r_us") <= F.col("__l_us") + F.lit(w_us))
+        )
+        .drop("__bin")
+        .withColumn("delta_us", F.col("__r_us") - F.col("__l_us"))
+        .drop("__l_us", "__r_us")
+    )

@@ -1869,3 +1869,75 @@ def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.round(F.percentile_approx("value", 0.5, 1000), 2).alias("approx_p50"),
     )
+
+
+@_q(
+    "range_join_events",
+    """
+    SELECT c.user_id, c.event_id AS l_event_id, p.event_id AS r_event_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND epoch_us(p.ts) >= epoch_us(c.ts)
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+    """,
+    "time-range join (purchase within 30min after a click, same user) via "
+    "the binning trick: W-wide buckets, left side fans out to (bin, bin+1), "
+    "EQUI join on (key, bin) + exact interval filter — O(local density), "
+    "never the O(n*m) nested loop; integer-microsecond comparisons",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.joins import range_join_within
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    res = range_join_within(clicks, purchases, key="user_id", ts_col="ts", window_seconds=1800)
+    return res.select("user_id", "l_event_id", "r_event_id", "delta_us")
+
+
+@_q(
+    "gopher_quality_rules",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_nonspace,
+             CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS n_symbols,
+             CAST(len(regexp_extract_all(text, '\\S*[A-Za-z가-힣]\\S*')) AS DOUBLE) AS n_alpha_words
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(n_nonspace / greatest(n_words, 1), 6) AS mean_word_len,
+           round(n_symbols / greatest(n_words, 1), 6) AS symbol_ratio,
+           round(n_alpha_words / greatest(n_words, 1), 6) AS alpha_word_frac,
+           (n_words BETWEEN 5 AND 100000
+            AND n_nonspace / greatest(n_words, 1) BETWEEN 2 AND 12
+            AND n_symbols / greatest(n_words, 1) < 0.1
+            AND n_alpha_words / greatest(n_words, 1) > 0.7) AS passes
+    FROM m
+    """,
+    "Gopher quality rules: word count bounds, mean word length, "
+    "symbol-to-word ratio, alphabetic-word fraction + the combined pass "
+    "flag — all scan-collapsed regexp/arithmetic, zero exchanges",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_words = token_count("text")
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("double")
+    n_symbols = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")).cast("double")
+    n_alpha = F.regexp_count(F.col("text"), F.lit(r"\S*[A-Za-z가-힣]\S*")).cast("double")
+    nw = F.greatest(n_words, F.lit(1))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_nonspace / nw, 6).alias("mean_word_len"),
+        F.round(n_symbols / nw, 6).alias("symbol_ratio"),
+        F.round(n_alpha / nw, 6).alias("alpha_word_frac"),
+        (
+            n_words.between(5, 100000)
+            & (n_nonspace / nw).between(2, 12)
+            & ((n_symbols / nw) < 0.1)
+            & ((n_alpha / nw) > 0.7)
+        ).alias("passes"),
+    )

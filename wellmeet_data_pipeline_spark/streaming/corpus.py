@@ -1,0 +1,77 @@
+"""Streaming training-corpus ingest (SURVEY.md §2.11 + §2.10 composed).
+
+The batch curation operators (operators/corpus.py) run unchanged inside
+foreachBatch: landing JSON documents -> PII scrub -> minimum-quality
+gate -> benchmark decontamination -> content-fingerprint dedup against
+the growing store -> idempotent merge-append.  Cross-batch dedup keys on
+the CONTENT fingerprint (not the doc id), so re-delivered files AND
+later re-crawls of the same text both collapse in the dedup-on-read
+view — the corpus analogue of the review pipeline's (place_id, id)
+identity.
+
+At scale each stage keeps the shapes documented in DESIGN.md: the scrub
+and quality gate collapse into the batch scan, decontamination is one
+broadcast semi-join on shingles, and the store anti-join ships only
+(fingerprint) keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from wellmeet_data_pipeline_spark.functions.text import document_fingerprint, token_count
+from wellmeet_data_pipeline_spark.operators.corpus import decontaminate, scrub_pii
+from wellmeet_data_pipeline_spark.sinks.merge import merge_append, read_current
+from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 3,
+    shingle_n: int = 3,
+) -> None:
+    """availableNow activation of the curation DAG over a landing dir."""
+    stream = landing_stream(spark, landing_dir, schema)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scrubbed = (
+            scrub_pii(batch_df, text_col, "__clean")
+            .drop(text_col)
+            .withColumnRenamed("__clean", text_col)
+        )
+        gated = scrubbed.filter(token_count(text_col) >= min_tokens)
+        decon = decontaminate(gated, benchmark, text_col, id_col, shingle_n)
+        keyed = decon.withColumn("fingerprint", document_fingerprint(F.col(text_col)))
+        keyed = keyed.dropDuplicates(["fingerprint"])  # within-batch
+        try:
+            existing = read_current(spark, store_path, id_col="fingerprint").select(
+                "fingerprint"
+            )
+            fresh = keyed.join(existing, "fingerprint", "left_anti")
+        except Exception:  # first batch: empty store
+            fresh = keyed
+        merge_append(
+            fresh, store_path, id_col="fingerprint", partition_col=None, batch_seq=batch_id
+        )
+
+    (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_corpus(spark: SparkSession, store_path: str) -> DataFrame:
+    """The curated corpus: first-arrived row per content fingerprint."""
+    return read_current(spark, store_path, id_col="fingerprint")
