@@ -229,3 +229,24 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
     assert sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in inert) == sorted(
         (r["id_a"], r["id_b"], r["jaccard"]) for r in uncapped
     )
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """A chain a-b-c-d must collapse to one component (min id) even though
+    a and d never share an edge — requires real propagation, not one hop."""
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_cluster_survivors,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 50]],
+                                 "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup_cluster_survivors(docs, edges).collect()}
+    assert kept == {1, 10, 50}  # one survivor per cluster + untouched singleton

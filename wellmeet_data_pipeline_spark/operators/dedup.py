@@ -289,6 +289,73 @@ def minhash_lsh_candidates_sha(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into CLUSTERS: connected components
+    by iterative min-label propagation — component id = min node id
+    reachable, the canonical survivor for 'keep one doc per duplicate
+    cluster'.
+
+    Each round: every node takes min(own label, neighbors' labels) — one
+    groupBy(node) over the symmetrized edge list joined to current
+    labels; converges in O(graph diameter) rounds (near-dup clusters are
+    shallow: diameter ~ 2-3), checked by a driver-side changed-count
+    (a bounded scalar, not a data collect).  Labels cache per round and
+    unpersist after; at 100 TB checkpoint every few rounds to truncate
+    lineage.  Returns (node, component) for every node with an edge."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    labels.cache()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "component")
+
+
+def dedup_cluster_survivors(
+    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id", max_iters: int = 20
+) -> DataFrame:
+    """The end of the near-dup pipeline: candidate pairs -> connected
+    components -> keep the min-id doc per cluster (plus every doc that
+    was never in a pair).  Semi/anti joins ship only ids."""
+    comp = connected_components(edges, max_iters=max_iters)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash_near_dup_pairs(
     sim_df: DataFrame,
     max_hamming: int = 3,

@@ -1301,7 +1301,9 @@ _MINHASH_SHA_NH = 16
 _MINHASH_SHA_BANDS = 4
 
 
-def _minhash_sha_oracle() -> str:
+def _minhash_sha_ctes() -> str:
+    """Shared CTE chain: documents -> shingles -> sha256-family MinHash
+    signature -> band buckets -> candidate pairs (as `pairs`)."""
     nh, bands = _MINHASH_SHA_NH, _MINHASH_SHA_BANDS
     rpb = nh // bands
     hcols = ",\n             ".join(
@@ -1313,8 +1315,7 @@ def _minhash_sha_oracle() -> str:
         )
         for b in range(bands)
     )
-    return f"""
-    WITH norm AS (
+    return f"""norm AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
     ),
     sh AS (
@@ -1331,10 +1332,18 @@ def _minhash_sha_oracle() -> str:
     ),
     banded AS (
       {band_selects}
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-    WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_sha_oracle() -> str:
+    return f"""
+    WITH {_minhash_sha_ctes()}
+    SELECT id_a, id_b FROM pairs
     """
 
 
@@ -1941,3 +1950,76 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((n_alpha / nw) > 0.7)
         ).alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution: candidate pairs -> connected components ->
+# one survivor per cluster.  The Spark side is ITERATIVE (min-label
+# propagation); the oracle is a recursive CTE computing min reachable id —
+# an iterative distributed algorithm verified against a SQL fixpoint.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_minhash_sha_ctes()},
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM e2
+      UNION
+      SELECT e.u, r.r FROM e2 e JOIN reach r ON e.v = r.node
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+    "connected components over MinHash-LSH candidate pairs via min-label "
+    "propagation (converges in O(cluster diameter) rounds, driver sees only "
+    "the changed-count scalar) — oracle is a recursive-CTE fixpoint",
+)
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_candidates_sha(d))
+
+
+@_q(
+    "dedup_cluster_survivors",
+    f"""
+    WITH RECURSIVE {_minhash_sha_ctes()},
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM e2
+      UNION
+      SELECT e.u, r.r FROM e2 e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> component)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.node = d.doc_id)
+    """,
+    "end of the near-dup pipeline: keep the min-id document per duplicate "
+    "cluster (everything not in a cluster survives untouched); anti-join "
+    "ships only ids",
+)
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        dedup_cluster_survivors,
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    edges = minhash_lsh_candidates_sha(d)
+    return dedup_cluster_survivors(d, edges).select("doc_id", "lang", "source", "n_chars")
