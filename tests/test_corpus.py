@@ -182,3 +182,64 @@ def test_streaming_corpus_pipeline(spark, tmp_path):
     got = {r["doc_id"] for r in read_corpus(spark, store).collect()}
     # doc 4 normalizes+scrubs to doc 1's fingerprint -> deduped cross-batch
     assert got == {1, 5}
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A doc's split assignment is a pure function of its id: adding new
+    docs (corpus growth) must never migrate an existing doc between
+    splits — the property randomSplit and rank-quota schemes lack."""
+    from wellmeet_data_pipeline_spark.operators.corpus import hash_split
+
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # all three splits materialize and roughly follow the fractions
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_rebalance_sources_caps_dominant_source(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import rebalance_sources
+
+    rows = [(i, "giant") for i in range(90)] + [(100 + i, "tiny") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = rebalance_sources(df, max_share=0.2)
+    by_src = {r["source"]: r["cnt"] for r in out.groupBy("source").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert by_src == {"giant": 20, "tiny": 10}  # cap = ceil(0.2*100); tiny untouched
+    # deterministic: same survivors on re-run
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in rebalance_sources(df, max_share=0.2).collect()
+    )
+
+
+def test_top_ngrams_per_group_counts_occurrences(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import top_ngrams_per_group
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "big cat big cat small dog"),
+            (2, "en", "big cat again"),
+            (3, "ko", "small dog"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = top_ngrams_per_group(df, "lang", n=2, k=2).collect()
+    en = {(r["ngram"], r["n_occurrences"]) for r in out if r["lang"] == "en"}
+    assert ("big cat", 3) in en  # occurrences, not distinct docs
+    assert {r["ngram"] for r in out if r["lang"] == "ko"} == {"small dog"}
+
+
+def test_trim_outliers_per_group_drops_tails(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import trim_outliers_per_group
+
+    df = spark.createDataFrame(
+        [(i, "en", i) for i in range(1, 101)], "doc_id long, lang string, n_chars long"
+    )
+    kept = sorted(r["n_chars"] for r in trim_outliers_per_group(df, lo=0.1, hi=0.9).collect())
+    assert kept == list(range(11, 91))  # bottom 10 and top 10 gone

@@ -233,3 +233,133 @@ def as_of_join(
         "asof_ts",
         "asof_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+def split_thresholds(fractions: Sequence[tuple[str, float]], hex_width: int = 8) -> list[tuple[str, str]]:
+    """Cumulative hex-string thresholds for hash_split.  A doc lands in
+    split s_i iff its hash prefix (fixed-width lowercase hex) is
+    lexicographically below threshold_i and >= threshold_{i-1}.  Computed
+    once driver-side so Spark and any SQL oracle share the exact
+    boundary."""
+    out, acc = [], 0.0
+    space = 16 ** hex_width
+    for name, frac in fractions:
+        acc += frac
+        out.append((name, format(min(int(acc * space), space), f"0{hex_width}x")))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to train/val/test by sha256(salt|id) — the split
+    is a pure function of the id: stable across reruns, retries,
+    repartitioning, and corpus growth (a doc never migrates between
+    splits when new docs arrive, unlike randomSplit or rank-based
+    quotas).  Narrow (no shuffle); the salt gives independent re-draws.
+    Comparison is on the fixed-width lowercase-hex prefix, so
+    lexicographic == numeric and ANSI SQL reproduces it bit-for-bit."""
+    bucket = F.substring(F.sha2(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")), 256), 1, 8)
+    ths = split_thresholds(fractions)
+    # reversed fold builds WHEN b<t1 THEN s1 WHEN b<t2 THEN s2 ... ELSE last
+    expr = F.lit(ths[-1][0])
+    for name, th in reversed(ths[:-1]):
+        expr = F.when(bucket < F.lit(th), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# Source-mix rebalancing
+# ---------------------------------------------------------------------------
+
+def rebalance_sources(
+    df: DataFrame,
+    max_share: float = 0.25,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap any one source at max_share of the (pre-filter) corpus — the
+    standard mix-rebalancing move before training (no domain dominates).
+    Per-source survivors are the first ceil(max_share * total) rows in
+    sha256(id) order: deterministic, uniform within source, retry-stable.
+    One shuffle on source_col for the rank window; the global count is a
+    one-row aggregate broadcast-crossed in (NOT an empty-partition
+    window, which would funnel every row through a single task, and NOT
+    a driver collect)."""
+    h = F.sha2(F.col(id_col).cast("string"), 256)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    total = df.agg(F.ceil(F.count("*") * F.lit(max_share)).alias("__cap"))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("__rk") <= F.col("__cap"))
+        .drop("__rk", "__cap")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group n-gram frequency profile
+# ---------------------------------------------------------------------------
+
+def top_ngrams_per_group(
+    docs: DataFrame,
+    group_col: str = "lang",
+    n: int = 2,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Most frequent word n-grams per group (corpus profiling / stop-list
+    mining).  The group column rides through the shingle explode
+    (carry_cols), so the only shuffles are the per-doc lead() window and
+    the (group, ngram) count — no join back to the doc table.  Ties break
+    by ngram text: deterministic."""
+    sh = shingles_df(docs, text_col, id_col, n, carry_cols=(group_col,))
+    counts = sh.groupBy(group_col, F.col("shingle").alias("ngram")).agg(
+        F.count("*").alias("n_occurrences")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group length-outlier trimming
+# ---------------------------------------------------------------------------
+
+def trim_outliers_per_group(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the (lo, hi] rank-percentile band of docs per group — the
+    rank-based form of 'keep p05..p95', chosen over interpolated-
+    percentile thresholds because rank cuts are exact integer arithmetic
+    (no float-boundary membership flips between engines; and never
+    derive a fraction as 1.0-hi — that float noise shifts floor() by
+    one).  Tiebreak on id makes equal-length docs cut deterministically.
+    One shuffle on the group key."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    n = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(n))
+        .filter(
+            (F.col("__rk") > F.floor(F.col("__n") * F.lit(lo)))
+            & (F.col("__rk") <= F.floor(F.col("__n") * F.lit(hi)))
+        )
+        .drop("__rk", "__n")
+    )

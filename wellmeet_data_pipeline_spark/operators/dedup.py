@@ -62,22 +62,30 @@ def exact_dedup_documents(docs: DataFrame, text_col: str = "text", id_col: str =
 # ---------------------------------------------------------------------------
 
 def shingles_df(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """(id, shingle) rows: normalize once, posexplode words, lead() window to
     form n-grams.  This is the hot-path form — a transform() lambda over the
     word array would re-evaluate the normalization regexes on every
     element_at access (no CSE inside lambda bodies), which measured ~8x
-    slower.  One shuffle on id for the lead window."""
+    slower.  One shuffle on id for the lead window.  `carry_cols` rides
+    extra narrow columns (e.g. lang) through the explode so downstream
+    per-group stats don't need a join back to the doc table."""
+    carry = list(carry_cols)
     words = docs.select(
         F.col(id_col),
+        *carry,
         F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "w0"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     lead_cols = [F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, n)]
-    with_leads = words.select(id_col, "pos", "w0", *lead_cols)
+    with_leads = words.select(id_col, *carry, "pos", "w0", *lead_cols)
     return with_leads.filter(F.col(f"w{n-1}").isNotNull()).select(
-        id_col, F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("shingle")
+        id_col, *carry, F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("shingle")
     )
 
 

@@ -2023,3 +2023,125 @@ def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     edges = minhash_lsh_candidates_sha(d)
     return dedup_cluster_survivors(d, edges).select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus assembly: deterministic split, source-mix rebalancing,
+# n-gram profiling, per-group outlier trimming.  All hash/rank based so
+# the oracle reproduces them bit-for-bit (no randomSplit / sample()).
+# ---------------------------------------------------------------------------
+
+from wellmeet_data_pipeline_spark.operators.corpus import (  # noqa: E402
+    hash_split,
+    rebalance_sources,
+    split_thresholds,
+    top_ngrams_per_group,
+    trim_outliers_per_group,
+)
+
+_SPLIT_FRACTIONS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def _split_oracle() -> str:
+    ths = split_thresholds(_SPLIT_FRACTIONS)
+    bucket = "substr(sha256(concat_ws('|', 'split', CAST(doc_id AS VARCHAR))), 1, 8)"
+    whens = "\n           ".join(
+        f"WHEN {bucket} < '{th}' THEN '{name}'" for name, th in ths[:-1]
+    )
+    return f"""
+    SELECT doc_id, lang, source,
+           CASE {whens}
+                ELSE '{ths[-1][0]}' END AS split
+    FROM documents
+    """
+
+
+@_q(
+    "corpus_split",
+    _split_oracle(),
+    "deterministic train/val/test assignment by sha256(salt|id) hex-prefix "
+    "thresholds — stable under reruns, retries, and corpus growth (a doc "
+    "never migrates splits); narrow, no shuffle",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return hash_split(d, _SPLIT_FRACTIONS).select("doc_id", "lang", "source", "split")
+
+
+@_q(
+    "rebalance_sources",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             count(*) OVER () AS total
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM ranked WHERE rk <= CAST(ceil(total * 0.03) AS BIGINT)
+    """,
+    "cap any source at 3% of the corpus (training-mix rebalancing): "
+    "survivors are the first ceil(share*total) per source in sha256(id) "
+    "order; rank window shuffles on source only, global count broadcast "
+    "as a one-row frame",
+)
+def q_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return rebalance_sources(d, 0.03).select("doc_id", "lang", "source", "n_chars")
+
+
+@_q(
+    "top_ngrams_per_lang",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                                   i -> array_to_string(words[i:i+1], ' '))) AS ngram
+      FROM norm
+    ),
+    counts AS (SELECT lang, ngram, count(*) AS n_occurrences FROM sh GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, ngram, n_occurrences,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_occurrences DESC, ngram) AS rk
+      FROM counts
+    )
+    SELECT lang, ngram, n_occurrences, rk FROM ranked WHERE rk <= 10
+    """,
+    "top-10 bigrams per language (corpus profiling / stop-list mining); "
+    "lang rides through the shingle explode so no join back to documents — "
+    "shuffles: per-doc lead window + (lang, ngram) count + per-lang top-k",
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return top_ngrams_per_group(d, "lang", n=2, k=10).withColumn(
+        "rk", F.col("rk").cast("long")
+    )
+
+
+@_q(
+    "corpus_length_trim",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM ranked
+    WHERE rk > floor(n * 0.05) AND rk <= floor(n * 0.95)
+    """,
+    "drop the shortest 5% and longest 5% of docs per language — rank cuts, "
+    "not interpolated percentiles, so the boundary is exact integer "
+    "arithmetic on both engines; one shuffle on lang",
+)
+def q_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return trim_outliers_per_group(d, "n_chars", "lang", 0.05, 0.95).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
