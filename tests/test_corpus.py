@@ -243,3 +243,50 @@ def test_trim_outliers_per_group_drops_tails(spark):
     )
     kept = sorted(r["n_chars"] for r in trim_outliers_per_group(df, lo=0.1, hi=0.9).collect())
     assert kept == list(range(11, 91))  # bottom 10 and top 10 gone
+
+
+def test_streaming_corpus_near_dup_lsh(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup: in-batch clusters collapse to the
+    min-id doc; later batches are probed against the PERSISTED bucket
+    store (store docs are never re-shingled) and near-dups of stored
+    docs are dropped while novel docs pass."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.streaming.corpus import (
+        read_corpus,
+        run_corpus_pipeline,
+    )
+
+    landing = tmp_path / "nd_landing"
+    landing.mkdir()
+    store = str(tmp_path / "nd_store")
+    ckpt = str(tmp_path / "nd_ckpt")
+    sigs = str(tmp_path / "nd_sigs")
+    schema = StructType.fromDDL("doc_id long, text string")
+    bench = spark.createDataFrame([(900, "unrelated benchmark row")], "doc_id long, text string")
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    batch1 = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " extra"},  # near-dup of 1 (same batch)
+        {"doc_id": 3, "text": "completely different content about spark shuffle partitions and codegen stages"},
+    ]
+    (landing / "b1.json").write_text(json.dumps(batch1))
+    run_corpus_pipeline(
+        spark, str(landing), store, ckpt, schema, bench,
+        near_dup=True, sig_store_path=sigs,
+    )
+    assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {1, 3}
+
+    batch2 = [
+        {"doc_id": 4, "text": base + " again"},  # near-dup of stored doc 1
+        {"doc_id": 5, "text": "a genuinely novel document mentioning watermarks and stateful aggregation semantics"},
+    ]
+    (landing / "b2.json").write_text(json.dumps(batch2))
+    run_corpus_pipeline(
+        spark, str(landing), store, ckpt, schema, bench,
+        near_dup=True, sig_store_path=sigs,
+    )
+    assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {1, 3, 5}

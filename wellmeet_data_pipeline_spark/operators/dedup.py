@@ -112,7 +112,7 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -120,14 +120,14 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs: shingle -> minhash signature ->
-    band buckets -> self-join per bucket.  The self-join shuffles on
-    (band, bucket) so only same-bucket docs ever meet — this is the piece
-    that keeps near-dup sub-quadratic at 100 TB.  Returns (id_a, id_b)
-    candidate pairs with id_a < id_b."""
+    """(id, band, bucket) LSH index rows for each doc — the persistable
+    half of MinHash+LSH.  A stored bucket frame lets an incremental
+    pipeline index each doc ONCE and probe new docs against the store by
+    an equi-join on (band, bucket), instead of re-hashing the whole
+    corpus per batch (streaming/corpus.py rides this)."""
     rpb = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -143,6 +143,11 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def bucket_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b) candidate pairs from an LSH index frame: self-join on
+    (band, bucket) — only same-bucket docs ever meet."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -150,6 +155,24 @@ def minhash_lsh_candidates(
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: shingle -> minhash signature ->
+    band buckets -> self-join per bucket.  The self-join shuffles on
+    (band, bucket) so only same-bucket docs ever meet — this is the piece
+    that keeps near-dup sub-quadratic at 100 TB.  Returns (id_a, id_b)
+    candidate pairs with id_a < id_b."""
+    return bucket_pairs(
+        minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, shingle_n), id_col
     )
 
 

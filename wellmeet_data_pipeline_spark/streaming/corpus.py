@@ -23,6 +23,11 @@ from pyspark.sql.types import StructType
 
 from wellmeet_data_pipeline_spark.functions.text import document_fingerprint, token_count
 from wellmeet_data_pipeline_spark.operators.corpus import decontaminate, scrub_pii
+from wellmeet_data_pipeline_spark.operators.dedup import (
+    bucket_pairs,
+    dedup_cluster_survivors,
+    minhash_band_buckets,
+)
 from wellmeet_data_pipeline_spark.sinks.merge import merge_append, read_current
 from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
 
@@ -38,9 +43,25 @@ def run_corpus_pipeline(
     id_col: str = "doc_id",
     min_tokens: int = 3,
     shingle_n: int = 3,
+    near_dup: bool = False,
+    sig_store_path: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
 ) -> None:
-    """availableNow activation of the curation DAG over a landing dir."""
+    """availableNow activation of the curation DAG over a landing dir.
+
+    With `near_dup=True` a MinHash-LSH stage runs after exact dedup: each
+    surviving doc is indexed ONCE into a persisted (doc_id, band, bucket)
+    store at `sig_store_path`; new docs are probed against the store by an
+    equi-join on (band, bucket) — the store text is never re-shingled —
+    and in-batch near-dup clusters collapse to their min-id survivor via
+    connected components.  This is the incremental form of the batch
+    minhash_lsh_candidates path: per batch the work is
+    O(batch x num_hashes) hashing + two bucket equi-joins, independent of
+    corpus size except through bucket occupancy."""
     stream = landing_stream(spark, landing_dir, schema)
+    if near_dup and sig_store_path is None:
+        raise ValueError("near_dup=True requires sig_store_path")
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         scrubbed = (
@@ -59,6 +80,43 @@ def run_corpus_pipeline(
             fresh = keyed.join(existing, "fingerprint", "left_anti")
         except Exception:  # first batch: empty store
             fresh = keyed
+        if near_dup:
+            buckets = minhash_band_buckets(
+                fresh, text_col, id_col, num_hashes, bands, shingle_n
+            )
+            try:
+                stored = read_current(
+                    spark, sig_store_path, id_col=[id_col, "band", "bucket"]
+                )
+                # probed against the store: bucket collision == near-dup
+                # candidate; candidates are dropped (same contract as the
+                # batch LSH family — add a Jaccard verify stage to keep
+                # borderline docs instead)
+                hit = buckets.join(stored, ["band", "bucket"], "left_semi").select(
+                    id_col
+                ).distinct()
+                fresh = fresh.join(hit, id_col, "left_anti")
+                buckets = buckets.join(hit, id_col, "left_anti")
+            except Exception:  # first batch: empty signature store
+                pass
+            # in-batch clusters -> min-id survivor (multi-hop safe)
+            fresh = dedup_cluster_survivors(fresh, bucket_pairs(buckets, id_col), id_col)
+            # MATERIALIZE before writing: both writes' lineages read the
+            # stores they are about to append to (fingerprint anti-join
+            # reads store_path, bucket probe reads sig_store_path).  A
+            # lazy plan re-evaluated after the first append would see the
+            # batch's own rows and drop every survivor as a "dup" of
+            # itself.  localCheckpoint truncates the lineage at batch
+            # granularity (bounded by batch size, executor-side, not a
+            # driver collect).
+            fresh = fresh.localCheckpoint(eager=True)
+            merge_append(
+                buckets.join(fresh.select(id_col), id_col, "left_semi"),
+                sig_store_path,
+                id_col=id_col,
+                partition_col=None,
+                batch_seq=batch_id,
+            )
         merge_append(
             fresh, store_path, id_col="fingerprint", partition_col=None, batch_seq=batch_id
         )
