@@ -290,3 +290,75 @@ def test_streaming_corpus_near_dup_lsh(spark, tmp_path):
         near_dup=True, sig_store_path=sigs,
     )
     assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {1, 3, 5}
+
+
+def test_line_dedup_global_keep_first_and_reassembly(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import line_dedup_global
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\nfooter"),
+            (2, "cookie banner\nreal content two\nfooter"),
+            (3, "cookie banner\nfooter"),  # nothing novel -> vanishes
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["n_lines"]) for r in line_dedup_global(df).collect()}
+    assert got == {
+        1: ("cookie banner\nreal content one\nfooter", 3),
+        2: ("real content two", 1),
+    }
+
+
+def test_duplicate_line_stats_fractions(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import duplicate_line_stats
+
+    df = spark.createDataFrame(
+        [(1, "aa\nbb\naa\naa"), (2, "xx\nyy")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_line_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["n_lines"], r1["n_distinct"]) == (4, 2)
+    assert r1["dup_line_frac"] == 0.5  # 2 of 4 occurrences are repeats
+    assert r1["dup_char_frac"] == 0.5  # 4 of 8 chars sit in repeated lines
+    r2 = got[2]
+    assert r2["dup_line_frac"] == 0.0 and r2["dup_char_frac"] == 0.0
+
+
+def test_pack_sequences_contiguous_offsets(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import pack_sequences
+
+    # one stream (n_streams=1): docs of 6,6,6 tokens into seq_len=10 packs
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "g h i j k l"), (2, "m n o p q r")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(df, seq_len=10, n_streams=1).collect()}
+    assert (got[0]["pack_id"], got[0]["offset"]) == (0, 0)
+    assert (got[1]["pack_id"], got[1]["offset"]) == (0, 6)   # starts in pack 0, straddles
+    assert (got[2]["pack_id"], got[2]["offset"]) == (1, 2)   # cum 12 -> pack 1 offset 2
+    # sharding is deterministic: doc_id % n_streams
+    sharded = pack_sequences(df, seq_len=10, n_streams=2).collect()
+    assert {r["doc_id"]: r["stream_id"] for r in sharded} == {0: 0, 1: 1, 2: 0}
+
+
+def test_minhash_verify_estimate_tracks_exact_jaccard(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_verify_sha
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " w13"),  # near-dup of 1: high exact jaccard
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_verify_sha(df, num_hashes=16, bands=4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["jaccard"] == round(10 / 11, 6)  # 10 shared 3-gram shingles, union 11
+    assert 0.5 <= r["est_jaccard"] <= 1.0     # 16-hash estimate is coarse but close
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from wellmeet_data_pipeline_spark.functions.text import normalized_text
+from wellmeet_data_pipeline_spark.functions.text import normalized_text, token_count
 from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
 
 # ---------------------------------------------------------------------------
@@ -362,4 +362,157 @@ def trim_outliers_per_group(
             & (F.col("__rk") <= F.floor(F.col("__n") * F.lit(hi)))
         )
         .drop("__rk", "__n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup + duplicate-line stats (C4 / RefinedWeb / Gopher family)
+# ---------------------------------------------------------------------------
+
+def split_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """(id, line_no, line) exploded frame; line_no is the 1-based position
+    inside the document, which later stages use both as the keep-first
+    tiebreak and the reassembly order."""
+    return docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("__p", "line"),
+    ).select(id_col, (F.col("__p") + 1).alias("line_no"), "line")
+
+
+def line_dedup_global(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-wide line dedup (the C4/RefinedWeb boilerplate-removal pass:
+    nav bars, cookie banners, license headers repeat across millions of
+    pages): keep only the FIRST occurrence of each distinct line — first
+    by (doc_id, line_no), a total order, so output is retry-stable — and
+    reassemble each document from its surviving lines in original order.
+    Documents whose every line was seen earlier vanish entirely.
+
+    Plan shape: explode -> ONE shuffle keyed on the line text
+    (row_number over [line]) -> groupBy(id) reassembly.  Only
+    (line, id, line_no) tuples move; at 100 TB the shuffle key is the
+    line itself, whose duplication is exactly what we're removing —
+    hot boilerplate lines are the skewed keys, and AQE skew-split
+    handles them because row_number only needs each partition of one
+    key, ordered (rank windows over a single hot key are still one
+    task: acceptable, the alternative two-phase min-trick trades a
+    second shuffle for it).
+
+    Generalizes the reference's exact-identity dedup
+    (naver_crawler.py:172-177 sha256 id) from document to line grain.
+    """
+    out_col = out_col or text_col
+    lines = split_lines(docs, text_col, id_col, delim)
+    w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("line_no").asc())
+    kept = lines.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("line_no", "line"))).alias("__ls"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(delim, F.expr("transform(__ls, x -> x.line)")).alias(out_col),
+            F.size("__ls").alias("n_lines"),
+        )
+    )
+
+
+def duplicate_line_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document duplicate-line metrics (the Gopher repetition rules at
+    line grain): n_lines, n_distinct lines, dup_line_frac = fraction of
+    line OCCURRENCES beyond each line's first, dup_char_frac = same
+    weighted by line length in chars.  Gopher thresholds these to drop
+    listicles/boilerplate (dup_line_frac > 0.30, dup_char_frac > 0.20).
+
+    Two-level aggregation, both keyed inside the doc: groupBy(id, line)
+    then groupBy(id) — partial aggregation collapses each partition
+    before the single shuffle on id; the line text never shuffles
+    (only its count and length survive level 1)."""
+    lines = split_lines(docs, text_col, id_col, delim)
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count("*").alias("cnt"), F.length(F.first("line")).alias("chars")
+    )
+    return (
+        per_line.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("cnt") * F.col("chars")).alias("__tot_chars"),
+            F.sum((F.col("cnt") - 1) * F.col("chars")).alias("__dup_chars"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_distinct",
+            F.round(
+                (F.col("n_lines") - F.col("n_distinct")) / F.col("n_lines"), round_digits
+            ).alias("dup_line_frac"),
+            F.round(
+                F.col("__dup_chars") / F.greatest(F.col("__tot_chars"), F.lit(1)),
+                round_digits,
+            ).alias("dup_char_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 256,
+    n_streams: int = 8,
+) -> DataFrame:
+    """Assign each document its position in fixed-length training
+    sequences — the concat-and-chunk packing every LLM data loader runs
+    (concatenate docs, cut every seq_len tokens).  Output per doc:
+    (stream_id, n_tokens, pack_id, offset): the doc's tokens start at
+    `offset` inside pack `pack_id` of stream `stream_id` (docs straddle
+    pack boundaries, exactly like the real loader).
+
+    A single global concatenation order would be one unbounded window —
+    a single-task sort at 100 TB.  Instead docs shard into `n_streams`
+    INDEPENDENT streams (stream_id = doc_id % n_streams — deterministic
+    and retry-stable, unlike round-robin repartition), each stream
+    packed by a running-sum window ordered by doc_id.  Set n_streams ~
+    cluster parallelism: the real loader reads streams independently
+    anyway, so per-stream packing is the semantics production wants,
+    not a compromise."""
+    cum_w = (
+        Window.partitionBy("stream_id")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            id_col,
+            (F.col(id_col) % n_streams).alias("stream_id"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("__before", F.coalesce(F.sum("n_tokens").over(cum_w), F.lit(0)))
+        .select(
+            id_col,
+            "stream_id",
+            "n_tokens",
+            F.floor(F.col("__before") / seq_len).alias("pack_id"),
+            (F.col("__before") % seq_len).alias("offset"),
+        )
     )

@@ -270,6 +270,27 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def minhash_signatures_sha(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature with the sha256-prefix hash
+    family: substr(sha256(shingle || '|' || seed), 1, 16) — fixed-width
+    lowercase hex, so lexicographic min == numeric min and ANSI SQL
+    (DuckDB) reproduces the signature bit-for-bit."""
+    exploded = shingles_df(docs, text_col, id_col, shingle_n).distinct()
+    aggs = [
+        F.min(F.substring(F.sha2(F.concat_ws("|", "shingle", F.lit(str(i))), 256), 1, 16)).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
 def minhash_lsh_candidates_sha(
     docs: DataFrame,
     text_col: str = "text",
@@ -278,22 +299,13 @@ def minhash_lsh_candidates_sha(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Oracle-checkable MinHash+LSH: the hash family is
-    substr(sha256(shingle || '|' || seed), 1, 16) — fixed-width lowercase
-    hex, so lexicographic min == numeric min and ANSI SQL (DuckDB) can
-    reproduce the signature bit-for-bit.  Same plan shape as the xxhash64
-    variant (explode once, num_hashes mins in ONE groupBy, band buckets,
-    bucket self-join); sha2 costs more per shingle, which is why the
-    xxhash64 variant remains the 100 TB default."""
+    """Oracle-checkable MinHash+LSH over the sha256-prefix hash family.
+    Same plan shape as the xxhash64 variant (explode once, num_hashes
+    mins in ONE groupBy, band buckets, bucket self-join); sha2 costs
+    more per shingle, which is why the xxhash64 variant remains the
+    100 TB default."""
     rpb = num_hashes // bands
-    exploded = shingles_df(docs, text_col, id_col, shingle_n).distinct()
-    aggs = [
-        F.min(F.substring(F.sha2(F.concat_ws("|", "shingle", F.lit(str(i))), 256), 1, 16)).alias(
-            f"h{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
+    sig = minhash_signatures_sha(docs, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
         id_col,
         F.explode(
@@ -317,6 +329,72 @@ def minhash_lsh_candidates_sha(
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_verify_sha(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The MinHash VERIFY stage the LSH candidate generator feeds: for each
+    candidate pair, the signature-agreement estimate
+    est_jaccard = (1/k) * #{i : min_i(A) == min_i(B)} — the unbiased
+    MinHash estimator of Jaccard — next to the EXACT shingle-set Jaccard,
+    so a threshold stage can keep true near-dups and a quality dashboard
+    can track estimator error.
+
+    Everything is candidate-bounded: the estimate is a pair ⋈ signature
+    equi-join (k small columns), and the exact Jaccard joins shingles
+    THROUGH the candidate pairs (pair ⋈ shingles_a on id, ⋈ shingles_b
+    on (id, shingle)) — only candidate docs' shingles ever meet, never
+    the all-pairs corpus.  This is the standard two-phase near-dup
+    topology at 100 TB: cheap banded recall, exact precision on the
+    surviving droplet."""
+    pairs = minhash_lsh_candidates_sha(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    sig = minhash_signatures_sha(docs, text_col, id_col, num_hashes, shingle_n)
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes))
+    est = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(num_hashes)), round_digits).alias("est_jaccard"),
+        )
+    )
+    sh = shingles_df(docs, text_col, id_col, shingle_n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"], "inner")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+                round_digits,
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -2145,3 +2145,148 @@ def q_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trim_outliers_per_group(d, "n_chars", "lang", 0.05, 0.95).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-grain curation: global line dedup (C4/RefinedWeb boilerplate
+# removal) + Gopher duplicate-line fractions + training-sequence packing.
+# The synthetic docs are single-line, so queries first chunk each doc
+# into 3-word pseudo-lines with a regexp shared byte-for-byte with the
+# oracle — the operators themselves take any delimiter.
+# ---------------------------------------------------------------------------
+
+_CHUNK_RE = r"((\S+\s+){2}\S+)\s+"
+_CHUNK_SQL = r"regexp_replace(text, '((\S+\s+){2}\S+)\s+', '\1' || chr(10), 'g')"
+_LINES_CTES = f"""chunked AS (
+      SELECT doc_id, {_CHUNK_SQL} AS text FROM documents
+    ),
+    arrs AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM chunked
+    ),
+    lines AS (
+      SELECT doc_id, i AS line_no, arr[i] AS line
+      FROM arrs, LATERAL unnest(generate_series(1, len(arr))) AS t(i)
+    )"""
+
+
+def _chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.regexp_replace(F.col("text"), _CHUNK_RE, "$1\n").alias("text"))
+
+
+@_q(
+    "line_dedup_global",
+    f"""
+    WITH {_LINES_CTES},
+    kept AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY line_no) AS text,
+           CAST(count(*) AS INT) AS n_lines
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+    """,
+    "corpus-wide keep-first line dedup (C4/RefinedWeb boilerplate removal) "
+    "with per-doc reassembly in original order; one shuffle keyed on the "
+    "line text + one groupBy(doc_id) — docs fully consumed by earlier "
+    "docs vanish",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import line_dedup_global
+
+    return line_dedup_global(_chunked_docs(spark, sf_dir))
+
+
+@_q(
+    "dup_line_stats",
+    f"""
+    WITH {_LINES_CTES},
+    per_line AS (
+      SELECT doc_id, line, count(*) AS cnt, length(line) AS chars
+      FROM lines GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round((sum(cnt) - count(*)) / sum(cnt), 6) AS dup_line_frac,
+           round(sum((cnt - 1) * chars) / greatest(sum(cnt * chars), 1), 6) AS dup_char_frac
+    FROM per_line GROUP BY doc_id
+    """,
+    "Gopher duplicate-line fractions per doc (occurrence- and char-"
+    "weighted); two-level agg keyed inside the doc so line text never "
+    "shuffles past level 1",
+)
+def q_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import duplicate_line_stats
+
+    return duplicate_line_stats(_chunked_docs(spark, sf_dir))
+
+
+@_q(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS stream_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, stream_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY stream_id ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t
+    )
+    SELECT doc_id, stream_id, n_tokens,
+           cb // 64 AS pack_id,
+           cb % 64 AS pack_offset
+    FROM c
+    """,
+    "concat-and-chunk training-sequence packing: docs shard into 8 "
+    "deterministic streams (doc_id % 8, retry-stable), each stream packed "
+    "by a running-token-count window — per-stream windows, never one "
+    "global single-task sort",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    res = pack_sequences(d, seq_len=64, n_streams=8)
+    return res.withColumnRenamed("offset", "pack_offset")
+
+
+@_q(
+    "minhash_jaccard_verify",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    est AS (
+      SELECT p.id_a, p.id_b,
+             round(({" + ".join(f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(_MINHASH_SHA_NH))}) / {_MINHASH_SHA_NH}.0, 6) AS est_jaccard
+      FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS i
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           round(COALESCE(i.i, 0) / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS jaccard
+    FROM est e
+    JOIN sizes sa ON sa.doc_id = e.id_a
+    JOIN sizes sb ON sb.doc_id = e.id_b
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    """,
+    "MinHash verify stage: signature-agreement Jaccard estimate next to "
+    "exact shingle Jaccard for every LSH candidate pair — candidate-"
+    "bounded joins only (pairs ⋈ signatures, pairs ⋈ shingles), the "
+    "two-phase recall/precision topology near-dup runs at 100 TB",
+)
+def q_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_verify_sha
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_verify_sha(d)
