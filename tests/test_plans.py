@@ -75,3 +75,26 @@ def test_exact_similarity_no_collect_in_plan(spark):
     # blocked cogroup: FlatMapCoGroupsInPandas is the only Python stage
     plan = _plan(spark, "cosine_topk_bruteforce")
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_bucketed_join_and_agg_zero_exchange(spark):
+    # bucketed orders⋈lineitem + groupBy on the bucket key: the entire
+    # query runs without a single shuffle — write-time bucketing amortized
+    plan = _plan(spark, "bucketed_order_revenue")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_single_shuffle_on_line(spark):
+    # keep-first needs exactly the window shuffle on the line text plus
+    # the reassembly agg on doc_id — no joins, no cartesian
+    plan = _plan(spark, "line_dedup_global")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_partial_windows_only(spark):
+    # per-stream running sums: hash-partitioned window on stream_id,
+    # never a single global sort
+    plan = _plan(spark, "pack_sequences")
+    assert "Exchange hashpartitioning(stream_id" in plan
+    assert "Exchange SinglePartition" not in plan

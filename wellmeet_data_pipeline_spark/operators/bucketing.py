@@ -26,11 +26,17 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     n_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed managed table.  n_buckets should be sized so
-    one bucket ≈ one healthy task (128-512 MB) at the target scale."""
+    """Persist as a bucketed table.  n_buckets should be sized so one
+    bucket ≈ one healthy task (128-512 MB) at the target scale.  Pass
+    `path` to pin the files to an explicit location (external table) —
+    without it the files land in the session's warehouse dir, which
+    follows the DRIVER's cwd."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(name)
 
 

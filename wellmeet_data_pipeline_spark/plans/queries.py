@@ -2290,3 +2290,83 @@ def q_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return minhash_verify_sha(d)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the repeated-big⋈big answer at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _ensure_bucketed_tpch(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> tuple[str, str]:
+    """Write orders+lineitem bucketed by orderkey ONCE per (session, sf)
+    into repo-local external tables; every later join/agg on the key is
+    then exchange-free.  This is the write-time amortization bucketing
+    buys: pay one shuffle at ingest, never again."""
+    import hashlib
+
+    from wellmeet_data_pipeline_spark.operators.bucketing import write_bucketed
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    o_name, l_name = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    base = "/root/repo/spark-warehouse/bucketed"
+    if not spark.catalog.tableExists(o_name):
+        write_bucketed(
+            table(spark, sf_dir, "orders"),
+            o_name,
+            ["o_orderkey"],
+            n_buckets,
+            path=f"{base}/{o_name}",
+        )
+    if not spark.catalog.tableExists(l_name):
+        write_bucketed(
+            table(spark, sf_dir, "lineitem"),
+            l_name,
+            ["l_orderkey"],
+            n_buckets,
+            path=f"{base}/{l_name}",
+        )
+    return o_name, l_name
+
+
+@_q(
+    "bucketed_order_revenue",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) AS BIGINT) AS revenue_micros
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    """,
+    "orders⋈lineitem + groupBy, both keyed on the bucket column over "
+    "bucketed tables — SortMergeJoin AND final aggregation run with ZERO "
+    "Exchange (plan-asserted in tests/test_plans.py); revenue summed in "
+    "exact-integer micros (cents × pct) so the hash is accumulation-"
+    "order-proof",
+)
+def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_name, l_name = _ensure_bucketed_tpch(spark, sf_dir)
+    o = spark.table(o_name).select("o_orderkey", "o_orderdate")
+    li = spark.table(l_name).select("l_orderkey", "l_extendedprice", "l_discount")
+    j = o.join(
+        li.hint("merge"), o["o_orderkey"] == li["l_orderkey"], "inner"
+    )  # merge hint: keep the bucket-aligned SortMergeJoin even where
+    # broadcast would win at toy scale — the 100 TB plan is the point
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100)
+                * (F.lit(100) - F.round(F.col("l_discount") * 100))
+            )
+            .cast("long")
+            .alias("revenue_micros"),
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "n_items",
+            "revenue_micros",
+        )
+    )
