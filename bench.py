@@ -42,6 +42,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "asof_join_last_purchase",
     "dedup_embedding_lsh",
+    "line_dedup_global",
+    "pack_sequences",
 ]
 
 
