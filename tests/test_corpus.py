@@ -362,3 +362,19 @@ def test_minhash_verify_estimate_tracks_exact_jaccard(spark):
     assert r["jaccard"] == round(10 / 11, 6)  # 10 shared 3-gram shingles, union 11
     assert 0.5 <= r["est_jaccard"] <= 1.0     # 16-hash estimate is coarse but close
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_temperature_sample_flattens_skewed_mix(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import temperature_sample_sources
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample_sources(df, alpha=0.5).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    # z = sqrt(90)+sqrt(10); quotas: big -> ceil(100*sqrt(90)/z) = 75 (downsampled),
+    # small -> min(10, ceil(100*sqrt(10)/z)=26) = 10 (kept whole)
+    assert got == {"big": 75, "small": 10}
+    # deterministic: same survivors on rerun
+    a = sorted(r["doc_id"] for r in temperature_sample_sources(df, alpha=0.5).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample_sources(df, alpha=0.5).collect())
+    assert a == b

@@ -106,3 +106,16 @@ def test_clean_address_reference_parity(spark):
     got = [r["v"] for r in df.select(clean_address_reference(F.col("addr")).alias("v")).collect()]
     expected = [reference_clean(s) for s in samples]
     assert got == expected
+
+
+def test_normalize_nfc_composes_combining_marks(spark):
+    from wellmeet_data_pipeline_spark.functions.text import normalize_nfc
+
+    decomposed = "Café"          # e + COMBINING ACUTE
+    composed = "Café"             # é precomposed
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["nfc_text"] for r in normalize_nfc(df).collect()}
+    assert got[1] == composed == got[2]
+    assert got[3] is None

@@ -56,3 +56,19 @@ def test_compact_materializes_dedup(spark, tmp_path):
     cur = read_current(spark, out)
     rows = {r["id"]: r["content"] for r in cur.collect()}
     assert rows == {"r1": "v1", "r2": "v1", "r3": "v1"}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from wellmeet_data_pipeline_spark.sinks.compact import compact_parquet
+
+    src, dst = str(tmp_path / "many"), str(tmp_path / "few")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    df.repartition(40).write.parquet(src)  # simulate micro-batch fragmentation
+    n_files = compact_parquet(spark, src, dst, target_rows_per_file=500, sort_cols=["k"])
+    assert n_files == 2
+    import glob
+
+    assert len(glob.glob(dst + "/part-*.parquet")) == 2
+    out = spark.read.parquet(dst)
+    assert out.count() == 1000
+    assert sorted(r["k"] for r in out.collect()) == list(range(1000))

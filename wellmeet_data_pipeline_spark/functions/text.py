@@ -172,3 +172,32 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + F.lit(j + 1)).cast("int")) for j in range(n)]))
     )
+
+
+def normalize_nfc(df: "DataFrame", text_col: str = "text", out_col: str = "nfc_text") -> "DataFrame":
+    """Unicode NFC normalization — the canonical first step of any
+    multilingual corpus pipeline (é as U+00E9 vs e+U+0301 must dedup and
+    shingle identically).  The JVM has no built-in normalizer exposed
+    through pyspark.sql.functions, so this is an Arrow-batched pandas
+    iterator UDF (mapInPandas): one Python hop per BATCH, never per row,
+    and the schema is declared so every downstream stage stays codegen'd.
+    DuckDB's nfc_normalize() reproduces it exactly — the oracle runs the
+    byte-identical transform."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # build a FRESH StructType: StructType.add mutates in place, and
+    # df.schema hands back the DataFrame's own cached schema object —
+    # mutating it desyncs the client-side column list from the JVM plan
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf[out_col] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema)

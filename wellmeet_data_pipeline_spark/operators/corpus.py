@@ -516,3 +516,54 @@ def pack_sequences(
             (F.col("__before") % seq_len).alias("offset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing
+# ---------------------------------------------------------------------------
+
+def temperature_sample_sources(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing (multilingual/multi-domain training
+    mixes: sample source s proportionally to n_s^alpha, alpha<1 flattens
+    the mix toward small sources).  Per-source quota =
+    min(n_s, ceil(total * n_s^alpha / Σ n_t^alpha)) — capped at n_s
+    because downsampling-only keeps the operator a pure row filter
+    (upsampling = replication belongs to the data loader).  Survivors are
+    the first quota rows in sha256(id) order: deterministic, uniform
+    within source, retry-stable.
+
+    Float discipline: alpha=0.5 routes through sqrt, which IEEE 754
+    requires to be CORRECTLY rounded — bit-identical on every engine —
+    unlike pow, whose libm implementations differ by ulps and could flip
+    a ceil at an integer boundary between this plan and an oracle.
+
+    Shuffles: one per-source rank window; counts and the scalar Σ are
+    broadcast — nothing collects to the driver."""
+    wfun = F.sqrt if alpha == 0.5 else (lambda c: F.pow(c, F.lit(alpha)))
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    z = counts.agg(
+        F.sum(wfun(F.col("__n"))).alias("__z"), F.sum("__n").alias("__total")
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            source_col,
+            F.least(
+                F.col("__n"),
+                F.ceil(F.col("__total") * wfun(F.col("__n")) / F.col("__z")),
+            ).alias("__quota"),
+        )
+    )
+    h = F.sha2(F.col(id_col).cast("string"), 256)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(quota), source_col)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )

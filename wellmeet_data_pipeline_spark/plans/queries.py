@@ -2370,3 +2370,49 @@ def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_micros",
         )
     )
+
+
+@_q(
+    "temperature_mix",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    z AS (SELECT sum(sqrt(n)) AS z, CAST(sum(n) AS BIGINT) AS total FROM counts),
+    quota AS (
+      SELECT lang, least(n, CAST(ceil(total * sqrt(n) / z) AS BIGINT)) AS q
+      FROM counts, z
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.source
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.rk <= q.q
+    """,
+    "temperature-based language mixing (sample ∝ n^0.5, the multilingual-"
+    "mix flattening rule — the dominant lang downsamples, the tail keeps "
+    "everything): per-lang sha-rank quota, downsample-only; sqrt not pow "
+    "because IEEE requires sqrt correctly rounded — bit-identical across "
+    "engines where pow's libm ulps could flip a ceil boundary",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import temperature_sample_sources
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return temperature_sample_sources(d, alpha=0.5, source_col="lang")
+
+
+@_q(
+    "unicode_nfc",
+    "SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents",
+    "Unicode NFC normalization via Arrow-batched mapInPandas (no JVM "
+    "normalizer in pyspark.sql.functions) — one Python hop per batch; "
+    "oracle is DuckDB's nfc_normalize, byte-identical",
+)
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import normalize_nfc
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return normalize_nfc(d).select("doc_id", "nfc_text")
