@@ -378,3 +378,36 @@ def test_temperature_sample_flattens_skewed_mix(spark):
     a = sorted(r["doc_id"] for r in temperature_sample_sources(df, alpha=0.5).collect())
     b = sorted(r["doc_id"] for r in temperature_sample_sources(df, alpha=0.5).collect())
     assert a == b
+
+
+def test_chunk_documents_overlap_and_clamp(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    got = {r["chunk_no"]: r for r in chunk_documents(df, window=4, stride=2).collect()}
+    assert got[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert got[1]["chunk_text"] == "w2 w3 w4 w5"       # 50% overlap
+    assert got[4]["chunk_text"] == "w8 w9"             # clamped tail
+    assert got[4]["n_chunk_tokens"] == 2
+    assert set(got) == {0, 1, 2, 3, 4}                 # starts 0,2,4,6,8
+
+
+def test_contamination_report_fractions(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),      # shares 'alpha beta gamma'
+            (2, "one two three four five six"),         # clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma unrelated tail")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in contamination_report(corpus, bench).collect()}
+    assert got[1]["n_shingles"] == 3 and got[1]["n_contaminated"] == 1
+    assert got[1]["contamination_frac"] == round(1 / 3, 6)
+    assert got[2]["n_contaminated"] == 0 and got[2]["contamination_frac"] == 0.0

@@ -567,3 +567,86 @@ def temperature_sample_sources(
         .filter(F.col("__rk") <= F.col("__quota"))
         .drop("__rk", "__quota")
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping word windows (`window` words,
+    advancing `stride` — 50% overlap at the defaults), the chunking every
+    RAG indexer / context-window preparer runs before embedding.  Chunk
+    starts are 0, stride, 2*stride, … while start < n_words; the last
+    chunk clamps at the end (shorter, never empty).
+
+    Pure codegen: split → sequence → explode → slice; the explode
+    multiplies rows by ~n/stride but each output row carries only its
+    own chunk text, so the stage stays narrow — no shuffle at all until
+    whatever consumes the chunks."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            id_col,
+            words.alias("__words"),
+            F.explode(F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))).alias("__start"),
+        )
+    )
+    chunk = F.slice(F.col("__words"), F.col("__start") + 1, window)
+    return exploded.select(
+        id_col,
+        (F.col("__start") / stride).cast("long").alias("chunk_no"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contamination report (the measuring twin of decontaminate)
+# ---------------------------------------------------------------------------
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document contamination MEASUREMENT (decontaminate's reporting
+    twin — audits run this to quantify benchmark overlap before deciding
+    drop thresholds): distinct shingles, how many also appear in the
+    benchmark set, and their ratio.
+
+    Same join topology as decontaminate — benchmark shingles broadcast
+    into a semi-join, document bodies never shuffle — plus one
+    groupBy(id) per side of the ratio."""
+    corpus_sh = shingles_df(corpus, text_col, id_col, shingle_n).distinct()
+    bench_sh = (
+        shingles_df(benchmark, text_col, id_col, shingle_n).select("shingle").distinct()
+    )
+    totals = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles"),
+                round_digits,
+            ).alias("contamination_frac"),
+        )
+    )

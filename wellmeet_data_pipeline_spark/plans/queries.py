@@ -2416,3 +2416,65 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return normalize_nfc(d).select("doc_id", "nfc_text")
+
+
+@_q(
+    "chunk_documents",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (SELECT doc_id, words, len(words) AS n FROM w),
+    c AS (
+      SELECT doc_id, words, unnest(range(0, n, 16)) AS start FROM s
+    )
+    SELECT doc_id,
+           start // 16 AS chunk_no,
+           array_to_string(words[start + 1 : start + 32], ' ') AS chunk_text,
+           CAST(len(words[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+    "overlapping word-window chunking (32-word windows, stride 16 — the "
+    "RAG/context-prep pass): split → sequence → explode → slice, all "
+    "codegen, zero shuffles; last chunk clamps, never empty",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(table(spark, sf_dir, "documents"), window=32, stride=16)
+
+
+@_q(
+    "contamination_report",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                   i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM norm
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM sh WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           round(COALESCE(h.n_contaminated, 0) / t.n_shingles, 6) AS contamination_frac
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    "per-doc benchmark-overlap measurement (decontaminate's reporting "
+    "twin): distinct-shingle totals vs benchmark-matched counts, benchmark "
+    "side broadcast, bodies never shuffle",
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import contamination_report
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter((F.col("doc_id") % 37) == 0)
+    return contamination_report(d, bench)
