@@ -58,3 +58,54 @@ def test_token_count_nonnegative_and_split_consistent(spark, texts):
     counts = _eval_many(spark, texts, token_count)
     expected = [len(t.split()) for t in texts]
     assert counts == expected
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_line_dedup_preserves_distinct_lines_and_order(spark, docs):
+    """Invariants: (1) the multiset of output lines == the SET of distinct
+    input lines (every distinct line survives exactly once corpus-wide);
+    (2) each doc's surviving lines are a subsequence of its original
+    lines."""
+    from wellmeet_data_pipeline_spark.operators.corpus import line_dedup_global
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"].split("\n") for r in line_dedup_global(df).collect()}
+
+    all_out = [ln for lines in out.values() for ln in lines]
+    assert sorted(all_out) == sorted({ln for lines in docs for ln in lines})
+
+    for doc_id, kept in out.items():
+        orig = docs[doc_id]
+        it = iter(orig)
+        assert all(any(o == k for o in it) for k in kept)  # subsequence
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40))
+def test_pack_sequences_offsets_consistent(spark, token_counts):
+    """Per stream: doc offsets/pack_ids must equal the running token sum,
+    and 0 <= offset < seq_len."""
+    from wellmeet_data_pipeline_spark.operators.corpus import pack_sequences
+
+    seq_len = 16
+    rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        pack_sequences(df, seq_len=seq_len, n_streams=3).collect(),
+        key=lambda r: (r["stream_id"], r["doc_id"]),
+    )
+    cum: dict[int, int] = {}
+    for r in got:
+        before = cum.get(r["stream_id"], 0)
+        assert r["pack_id"] == before // seq_len
+        assert r["offset"] == before % seq_len
+        assert 0 <= r["offset"] < seq_len
+        cum[r["stream_id"]] = before + r["n_tokens"]
