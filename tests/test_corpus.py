@@ -411,3 +411,20 @@ def test_contamination_report_fractions(spark):
     assert got[1]["n_shingles"] == 3 and got[1]["n_contaminated"] == 1
     assert got[1]["contamination_frac"] == round(1 / 3, 6)
     assert got[2]["n_contaminated"] == 0 and got[2]["contamination_frac"] == 0.0
+
+
+def test_remove_repeated_spans_exactsubstr_semantics(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # first occurrence of everything: untouched
+            (2, "x a b c y"),          # 'a b c' repeats -> those 3 tokens cut
+            (3, "a b c d e"),          # every token covered -> doc vanishes
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_repeated_spans(df, span_w=3).collect()}
+    assert got[1]["text"] == "a b c d e" and got[1]["n_tokens_removed"] == 0
+    assert got[2]["text"] == "x y" and got[2]["n_tokens_removed"] == 3
+    assert 3 not in got

@@ -650,3 +650,75 @@ def contamination_report(
             ).alias("contamination_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span removal (ExactSubstr-style, token grain)
+# ---------------------------------------------------------------------------
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_w: int = 3,
+    out_col: str | None = None,
+) -> DataFrame:
+    """ExactSubstr-style dedup at token grain (the "Deduplicating Training
+    Data Makes Language Models Better" family, suffix-array pass
+    re-expressed relationally): every token covered by a w-token span
+    whose exact text occurred EARLIER in the corpus (first occurrence =
+    min (doc_id, pos), a total order) is removed; first occurrences stay.
+    Documents reassemble from surviving tokens; fully-consumed docs
+    vanish.  Production w ≈ 50 tokens; the default here is small enough
+    to exercise the path on toy corpora.
+
+    Plan shape, all bucketed on sane keys: token/gram explode (narrow) →
+    ONE window shuffle keyed on the gram text (keep-first) → covered-
+    position explode (≤ w rows per duplicated gram start, the only
+    fan-out) → distinct + anti-join on (id, pos) → groupBy(id)
+    reassembly.  The gram text is the shuffle key exactly once; at
+    production w, substitute xxhash64(gram) to shuffle 8 bytes instead
+    of ~50 tokens (kept as raw text here so ANSI SQL can replay it)."""
+    out_col = out_col or text_col
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(id_col, words.alias("__words"))
+    )
+    toks = base.select(
+        id_col, F.posexplode("__words").alias("pos", "tok")
+    )
+    grams = (
+        base.filter(F.size("__words") >= span_w)
+        .select(
+            id_col,
+            "__words",
+            F.explode(F.sequence(F.lit(0), F.size("__words") - span_w)).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.array_join(F.slice("__words", F.col("pos") + 1, span_w), " ").alias("gram"),
+        )
+    )
+    w = Window.partitionBy("gram").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    marked = grams.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") > 1)
+    covered = (
+        marked.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + span_w - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    sizes = base.select(id_col, F.size("__words").alias("__n"))
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("__ts"))
+        .join(sizes, id_col)
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.expr("transform(__ts, x -> x.tok)")).alias(out_col),
+            (F.col("__n") - F.size("__ts")).cast("long").alias("n_tokens_removed"),
+        )
+    )

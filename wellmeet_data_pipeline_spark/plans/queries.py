@@ -2478,3 +2478,48 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     bench = d.filter((F.col("doc_id") % 37) == 0)
     return contamination_report(d, bench)
+
+
+@_q(
+    "repeated_span_removal",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, words[i] AS tok
+      FROM w, LATERAL unnest(generate_series(1, len(words))) t(i)
+    ),
+    grams AS (
+      SELECT doc_id, s AS pos, array_to_string(words[s + 1 : s + 3], ' ') AS gram,
+             row_number() OVER (PARTITION BY array_to_string(words[s + 1 : s + 3], ' ')
+                                ORDER BY doc_id, s) AS rn
+      FROM w, LATERAL unnest(generate_series(0, len(words) - 3)) g(s)
+      WHERE len(words) >= 3
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS pos
+      FROM grams, LATERAL unnest(generate_series(0, 2)) c(j)
+      WHERE rn > 1
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t
+      WHERE NOT EXISTS (SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+    )
+    SELECT k.doc_id,
+           string_agg(k.tok, ' ' ORDER BY k.pos) AS text,
+           CAST(len(any_value(w.words)) - count(*) AS BIGINT) AS n_tokens_removed
+    FROM kept k JOIN w ON w.doc_id = k.doc_id
+    GROUP BY k.doc_id
+    """,
+    "ExactSubstr-style repeated-span removal (token grain, w=3): tokens "
+    "covered by any span seen earlier in the corpus are cut, docs "
+    "reassembled — one gram-keyed window shuffle, bounded w-fanout for "
+    "coverage, anti-join on (id, pos)",
+)
+def q_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import remove_repeated_spans
+
+    return remove_repeated_spans(table(spark, sf_dir, "documents"), span_w=3)
