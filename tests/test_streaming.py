@@ -235,3 +235,43 @@ def test_stateful_dedup_deterministic_survivor(spark, tmp_path):
     assert len(got) == 1
     # min under (place_id, author, content, visit_date) -> author 'alpha'
     assert got[0]["author"] == "alpha"
+
+
+def test_corpus_store_compaction_preserves_view(spark, tmp_path):
+    """After several micro-batches fragment the store, the maintenance
+    compaction must (1) shrink the file count to the target and
+    (2) leave the dedup-on-read view byte-identical."""
+    import glob
+    import json
+
+    from wellmeet_data_pipeline_spark.sinks.merge import compact
+    from wellmeet_data_pipeline_spark.streaming.corpus import (
+        read_corpus,
+        run_corpus_pipeline,
+    )
+    from pyspark.sql.types import StructType
+
+    landing = tmp_path / "c_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "c_store"), str(tmp_path / "c_ckpt")
+    schema = StructType.fromDDL("doc_id long, text string")
+    bench = spark.createDataFrame([(900, "benchmark only")], "doc_id long, text string")
+
+    for b in range(3):
+        rows = [
+            {"doc_id": b * 10 + i, "text": f"document number {b * 10 + i} has several distinct words"}
+            for i in range(4)
+        ]
+        (landing / f"b{b}.json").write_text(json.dumps(rows))
+        run_corpus_pipeline(spark, str(landing), store, ckpt, schema, bench)
+
+    before = {(r["doc_id"], r["text"]) for r in read_corpus(spark, store).collect()}
+    assert len(before) == 12
+    assert len(glob.glob(store + "/*.parquet")) >= 3  # one file set per batch
+
+    compacted = str(tmp_path / "c_store_compacted")
+    compact(spark, store, compacted, id_col="fingerprint", partition_col=None,
+            target_rows_per_file=12)
+    assert len(glob.glob(compacted + "/*.parquet")) == 1
+    after = {(r["doc_id"], r["text"]) for r in read_corpus(spark, compacted).collect()}
+    assert after == before

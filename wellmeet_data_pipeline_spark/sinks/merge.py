@@ -71,9 +71,19 @@ def read_current(
 
 
 def compact(spark: SparkSession, path: str, out_path: str, id_col: str = "id",
-            partition_col: str | None = "place_id", batch_col: str = "_batch_seq") -> None:
-    """Materialize the dedup-on-read view (periodic maintenance job)."""
+            partition_col: str | None = "place_id", batch_col: str = "_batch_seq",
+            target_rows_per_file: int | None = None) -> None:
+    """Materialize the dedup-on-read view (periodic maintenance job).
+    `target_rows_per_file` additionally bounds output file sizes — a
+    store fed one file set per micro-batch accumulates small files
+    whose count, not bytes, dominates scan planning at 100 TB; the
+    maintenance pass is where that debt gets paid."""
     cur = read_current(spark, path, id_col, batch_col).withColumn(batch_col, F.lit(0))
+    if target_rows_per_file:
+        import math
+
+        n = cur.count()
+        cur = cur.repartition(max(1, math.ceil(n / target_rows_per_file)))
     writer = cur.write.mode("overwrite")
     if partition_col:
         writer = writer.partitionBy(partition_col)
