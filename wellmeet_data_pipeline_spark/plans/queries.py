@@ -2523,3 +2523,83 @@ def q_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.corpus import remove_repeated_spans
 
     return remove_repeated_spans(table(spark, sf_dir, "documents"), span_w=3)
+
+
+@_q(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    "behavioral transition matrix: lag(event_type) per user in (ts, "
+    "event_id) order → (from, to) counts — ONE shuffle on user_id for the "
+    "window, the (from,to) agg collapses map-side to ≤25 rows",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+@_q(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+    )
+    """,
+    "ordered funnel (view → click → purchase, strict ts order per user): "
+    "each stage is a min-ts groupBy joined forward on (user, ts > prev) — "
+    "user_id-keyed shuffles only, stage outputs are one row each",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None, tcol: str, prev_tcol: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_tcol))
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    v = stage("view", None, "t1", "")
+    c = stage("click", v, "t2", "t1")
+    p = stage("purchase", c, "t3", "t2")
+
+    def count_row(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_users"),
+        )
+
+    return count_row(v, 1, "view").unionAll(count_row(c, 2, "click")).unionAll(
+        count_row(p, 3, "purchase")
+    )
