@@ -98,3 +98,14 @@ def test_pack_sequences_partial_windows_only(spark):
     plan = _plan(spark, "pack_sequences")
     assert "Exchange hashpartitioning(stream_id" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_partition_pruned_week_prunes_directories(spark):
+    # the date filter must reach PartitionFilters (directory pruning),
+    # leaving only the 7 requested day-partitions in the scan
+    plan = _plan(spark, "partition_pruned_week")
+    assert "PartitionFilters" in plan
+    # both range bounds must appear INSIDE the partition predicate, not as
+    # a post-scan Filter
+    pf = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
+    assert "2024-01-08" in pf and "2024-01-14" in pf

@@ -2603,3 +2603,57 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_row(v, 1, "view").unionAll(count_row(c, 2, "click")).unionAll(
         count_row(p, 3, "purchase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition pruning: the other half of write-time layout (with bucketing).
+# ---------------------------------------------------------------------------
+
+
+def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write events date-partitioned ONCE per (session, sf) — the standard
+    time-series layout at 100 TB, where a day-range query must touch only
+    its partitions' files (directory-level pruning, before any row group
+    or footer is read)."""
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/spark-warehouse/events_by_day_{tag}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = table(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    return path
+
+
+@_q(
+    "partition_pruned_week",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+    GROUP BY 1, 2
+    """,
+    "one-week slice over a date-partitioned layout: the filter prunes at "
+    "the DIRECTORY level (PartitionFilters, plan-asserted) — 23 of 30 "
+    "day-partitions are never opened; sums in exact-integer cents",
+)
+def q_partition_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(F.col("event_date").between("2024-01-08", "2024-01-14"))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100)).cast("long").alias("value_cents"),
+        )
+    )
