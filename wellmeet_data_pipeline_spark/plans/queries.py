@@ -2297,16 +2297,29 @@ def q_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _source_tag(sf_dir: str, *tables: str) -> str:
+    """Cache tag for derived layouts (bucketed/partitioned copies) keyed on
+    the SOURCE files' identity (path + mtime + size), so a regenerated
+    testdata dir can never be served a stale derived copy."""
+    import hashlib
+    import os
+
+    parts = [sf_dir]
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _ensure_bucketed_tpch(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> tuple[str, str]:
     """Write orders+lineitem bucketed by orderkey ONCE per (session, sf)
     into repo-local external tables; every later join/agg on the key is
     then exchange-free.  This is the write-time amortization bucketing
     buys: pay one shuffle at ingest, never again."""
-    import hashlib
-
     from wellmeet_data_pipeline_spark.operators.bucketing import write_bucketed
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tag = _source_tag(sf_dir, "orders", "lineitem")
     o_name, l_name = f"b_orders_{tag}", f"b_lineitem_{tag}"
     base = "/root/repo/spark-warehouse/bucketed"
     if not spark.catalog.tableExists(o_name):
@@ -2615,10 +2628,9 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     time-series layout at 100 TB, where a day-range query must touch only
     its partitions' files (directory-level pruning, before any row group
     or footer is read)."""
-    import hashlib
     import os
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tag = _source_tag(sf_dir, "events")
     path = f"/root/repo/spark-warehouse/events_by_day_{tag}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
