@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "line_dedup_global",
     "pack_sequences",
+    "corpus_end_to_end",
 ]
 
 

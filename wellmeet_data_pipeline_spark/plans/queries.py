@@ -2669,3 +2669,94 @@ def q_partition_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100)).cast("long").alias("value_cents"),
         )
     )
+
+
+@_q(
+    "corpus_end_to_end",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, n_tokens,
+             round((least(n_tokens / 20.0, 1.0)
+                  + (1.0 - least(n_punct / greatest(n_chars_d, 1.0) * 5.0, 1.0))
+                  + least(n_stop / greatest(n_tokens, 1.0) * 10.0, 1.0)) / 3.0, 6) AS quality
+      FROM m
+    ),
+    gated AS (
+      SELECT d.doc_id, d.lang, d.source, d.text, CAST(q.n_tokens AS BIGINT) AS n_tokens
+      FROM documents d JOIN q USING (doc_id)
+      WHERE q.quality >= 0.5 AND q.n_tokens BETWEEN 5 AND 500
+    ),
+    fp AS (SELECT doc_id, sha256({_NORM_SQL}) AS fingerprint FROM gated),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+    deduped AS (
+      SELECT g.* FROM gated g WHERE EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = g.doc_id)
+    ),
+    counts AS (SELECT lang, count(*) AS n FROM deduped GROUP BY lang),
+    z AS (SELECT sum(sqrt(n)) AS z, CAST(sum(n) AS BIGINT) AS total FROM counts),
+    quota AS (
+      SELECT lang, least(n, CAST(ceil(total * sqrt(n) / z) AS BIGINT)) AS q
+      FROM counts, z
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source, n_tokens,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM deduped
+    ),
+    mixed AS (
+      SELECT r.doc_id, r.lang, r.source, r.n_tokens
+      FROM ranked r JOIN quota q ON r.lang = q.lang WHERE r.rk <= q.q
+    ),
+    c AS (
+      SELECT doc_id, lang, source, n_tokens, doc_id % 8 AS stream_id,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM mixed
+    )
+    SELECT doc_id, lang, source, stream_id, n_tokens,
+           cb // 64 AS pack_id, cb % 64 AS pack_offset
+    FROM c
+    """,
+    "the WHOLE curation DAG as one declarative plan: quality+length gate → "
+    "exact dedup (fingerprint groupBy + semi-join) → temperature language "
+    "mix (sqrt quotas) → per-stream sequence packing — Catalyst fuses the "
+    "gate into the scan and every shuffle is keyed on what the next stage "
+    "groups on (fingerprint, lang, stream)",
+)
+def q_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import (
+        pack_sequences,
+        temperature_sample_sources,
+    )
+    from wellmeet_data_pipeline_spark.operators.dedup import exact_dedup_documents
+
+    d = table(spark, sf_dir, "documents")
+    gated = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("__q"),
+    ).filter((F.col("__q") >= 0.5) & F.col("n_tokens").between(5, 500))
+    deduped = exact_dedup_documents(gated)
+    mixed = temperature_sample_sources(deduped, alpha=0.5, source_col="lang")
+    packed = pack_sequences(mixed, seq_len=64, n_streams=8)
+    return packed.join(mixed.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "stream_id",
+        "n_tokens",
+        "pack_id",
+        F.col("offset").alias("pack_offset"),
+    )
