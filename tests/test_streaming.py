@@ -275,3 +275,40 @@ def test_corpus_store_compaction_preserves_view(spark, tmp_path):
     assert len(glob.glob(compacted + "/*.parquet")) == 1
     after = {(r["doc_id"], r["text"]) for r in read_corpus(spark, compacted).collect()}
     assert after == before
+
+
+def test_rag_index_pipeline_chunks_and_embeds(spark, tmp_path):
+    """Landing docs -> chunk -> embed -> store; re-delivery of the same doc
+    must not duplicate chunks (idempotent on (doc_id, chunk_no))."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.sinks.merge import read_current
+    from wellmeet_data_pipeline_spark.streaming.embedding import run_rag_index_pipeline
+
+    landing = tmp_path / "rag_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "rag_store"), str(tmp_path / "rag_ckpt")
+    schema = StructType.fromDDL("doc_id long, text string")
+
+    text10 = " ".join(f"w{i}" for i in range(10))  # 5 chunks at w=4, s=2
+    (landing / "b1.json").write_text(json.dumps([{"doc_id": 1, "text": text10}]))
+    run_rag_index_pipeline(spark, str(landing), store, ckpt, schema,
+                           window=4, stride=2, dim=8)
+
+    cur = read_current(spark, store, id_col="chunk_key").collect()
+    assert len(cur) == 5
+    by_chunk = {r["chunk_no"]: r for r in cur}
+    assert by_chunk[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert all(len(r["embedding"]) == 8 for r in cur)
+
+    # redeliver doc 1 plus a new doc: old chunks must not duplicate
+    (landing / "b2.json").write_text(
+        json.dumps([{"doc_id": 1, "text": text10}, {"doc_id": 2, "text": "a b c"}])
+    )
+    run_rag_index_pipeline(spark, str(landing), store, ckpt, schema,
+                           window=4, stride=2, dim=8)
+    cur2 = read_current(spark, store, id_col="chunk_key")
+    assert cur2.count() == 5 + 2  # doc2: starts 0 and 2
+    assert cur2.filter("doc_id = 1").count() == 5

@@ -61,3 +61,52 @@ def store_near_dups(
     return embedding_near_dup_pairs(
         cur, threshold=threshold, id_col=id_col, vec_col="embedding", id_type="string"
     )
+
+
+def run_rag_index_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 16,
+    dim: int = 64,
+) -> None:
+    """RAG index build as a stream: landing docs -> overlapping chunks ->
+    per-chunk embedding -> idempotent merge-append keyed on
+    (doc_id, chunk_no).  The batch twins are `chunk_documents` and
+    `embed_text`; ANN queries then run against the growing store with
+    the similarity family (IVF/LSH/brute-force) untouched.
+
+    Chunking multiplies rows by ~n_tokens/stride BEFORE the expensive
+    embed stage — that ordering is the point: the embed step is Arrow-
+    batched per chunk, so throughput scales with executors x batch rate
+    regardless of document length skew (one 100k-token doc becomes many
+    uniform chunks instead of one pathological Arrow batch)."""
+    from pyspark.sql import functions as F
+
+    from wellmeet_data_pipeline_spark.operators.corpus import chunk_documents
+
+    stream = landing_stream(spark, landing_dir, schema)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = chunk_documents(
+            batch_df.dropDuplicates([id_col]), text_col, id_col, window, stride
+        )
+        embedded = embed_text(chunks, text_col="chunk_text", dim=dim)
+        keyed = embedded.withColumn(
+            "chunk_key",
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_no").cast("string")),
+        )
+        merge_append(keyed, store_path, id_col="chunk_key", partition_col=None, batch_seq=batch_id)
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
