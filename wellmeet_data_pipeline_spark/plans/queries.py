@@ -2760,3 +2760,149 @@ def q_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         F.col("offset").alias("pack_offset"),
     )
+
+
+@_q(
+    "salted_type_totals",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+    "skew-safe two-phase aggregation (salt = spark_partition_id % 16: "
+    "deterministic under task retry) proven EQUAL to the plain groupBy "
+    "oracle — sums ride exact-integer cents so the two accumulation "
+    "orders cannot diverge by a ulp",
+)
+def q_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.skew import salted_count_sum
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "__cents", F.round(F.col("value") * 100)
+    )
+    res = salted_count_sum(ev, ["event_type"], "__cents", salt_buckets=16)
+    return res.select(
+        "event_type", "n_rows", F.col("sum_value").cast("long").alias("value_cents")
+    )
+
+
+@_q(
+    "orders_reconciliation",
+    """
+    WITH o AS (SELECT DISTINCT o_custkey FROM orders),
+    j AS (
+      SELECT c.c_custkey AS ck, o.o_custkey AS ok
+      FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    )
+    SELECT CASE WHEN ck IS NULL THEN 'orphan_order'
+                WHEN ok IS NULL THEN 'no_orders'
+                ELSE 'matched' END AS status,
+           CAST(count(*) AS BIGINT) AS n_custkeys
+    FROM j GROUP BY 1
+    """,
+    "referential-integrity audit via FULL OUTER join (customers without "
+    "orders / orders pointing at missing customers / matched) — the "
+    "reconciliation read every warehouse runs after ingest",
+)
+def q_orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return (
+        j.select(
+            F.when(F.col("c_custkey").isNull(), "orphan_order")
+            .when(F.col("o_custkey").isNull(), "no_orders")
+            .otherwise("matched")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n_custkeys"))
+    )
+
+
+@_q(
+    "event_debounce",
+    """
+    WITH seq AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                                    ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type FROM seq
+    WHERE gap_us IS NULL OR gap_us >= 259200000000
+    """,
+    "debounce: drop events repeating the same (user, type) within a "
+    "3-day cooldown — lag over one (user,type)-keyed shuffle, "
+    "integer-microsecond arithmetic (no float time math)",
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") >= 259200000000))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@_q(
+    "unpivot_user_counts",
+    """
+    WITH wide AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+             CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n FROM (
+      SELECT user_id, 'click' AS metric, n_click AS n FROM wide
+      UNION ALL SELECT user_id, 'view', n_view FROM wide
+      UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+    )
+    """,
+    "unpivot/melt: conditional-count wide frame stacked back to long form "
+    "via F.stack — the wide→long half of the pivot pair, one agg shuffle, "
+    "stack is a zero-shuffle projection",
+)
+def q_unpivot_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+    )
+    return wide.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'click', n_click, 'view', n_view, 'purchase', n_purchase) AS (metric, n)"
+        ),
+    )
+
+
+@_q(
+    "daily_event_delta",
+    """
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT day, n, n - lag(n) OVER (ORDER BY day) AS delta
+    FROM d
+    """,
+    "day-over-day deltas: the lag window runs AFTER aggregation over ~30 "
+    "rows — a single-partition window is fine post-agg (and only "
+    "post-agg); the scan-side work is one date-keyed groupBy",
+)
+def q_daily_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day")
+    return d.select("day", "n", (F.col("n") - F.lag("n").over(w)).alias("delta"))
