@@ -36,6 +36,10 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.01"
     for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)
+        # execute FIRST: under AQE the pre-execution plan is a placeholder
+        # AdaptiveSparkPlan — codegen spans, final join strategies, and
+        # runtime-coalesced shuffles only exist in the final plan
+        df.collect()
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
@@ -45,8 +49,12 @@ def main() -> None:
             "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
             "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
             "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
-            "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
-            "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+            "shuffles": len(
+                re.findall(r"Exchange (?:hash|range)partitioning", plan)
+            )
+            + len(re.findall(r"Arguments: (?:hash|range)partitioning", plan)),
+            "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
+            or len(re.findall(r"WholeStageCodegen", plan)),
             "cartesian": len(re.findall(r"CartesianProduct|BroadcastNestedLoop", plan)),
             "take_ordered": len(re.findall(r"TakeOrderedAndProject", plan)),
         }
