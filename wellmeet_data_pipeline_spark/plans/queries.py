@@ -2906,3 +2906,36 @@ def q_daily_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day")
     return d.select("day", "n", (F.col("n") - F.lag("n").over(w)).alias("delta"))
+
+
+@_q(
+    "event_validity_intervals",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    """,
+    "SCD2-shape validity intervals: each (user, type) observation is valid "
+    "until the next one (lead window, half-open intervals, NULL = current "
+    "version) — the dimension-history layout every warehouse keeps; one "
+    "(user,type)-keyed shuffle, timestamps rendered to fixed strings",
+)
+def q_event_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", _EV_TS_FMT).alias("valid_from"),
+        F.date_format(nxt, _EV_TS_FMT).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
