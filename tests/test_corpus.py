@@ -428,3 +428,16 @@ def test_remove_repeated_spans_exactsubstr_semantics(spark):
     assert got[1]["text"] == "a b c d e" and got[1]["n_tokens_removed"] == 0
     assert got[2]["text"] == "x y" and got[2]["n_tokens_removed"] == 3
     assert 3 not in got
+
+
+def test_line_dedup_regex_metachar_delimiter(spark):
+    """delim is a LITERAL: '|' must split on the pipe character, not act
+    as the regex alternation that matches the empty string everywhere."""
+    from wellmeet_data_pipeline_spark.operators.corpus import line_dedup_global
+
+    df = spark.createDataFrame(
+        [(1, "seg one|seg two"), (2, "seg one|seg three")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in line_dedup_global(df, delim="|").collect()}
+    assert got == {1: "seg one|seg two", 2: "seg three"}

@@ -377,10 +377,15 @@ def split_lines(
 ) -> DataFrame:
     """(id, line_no, line) exploded frame; line_no is the 1-based position
     inside the document, which later stages use both as the keep-first
-    tiebreak and the reassembly order."""
+    tiebreak and the reassembly order.  `delim` is a LITERAL string —
+    quoted with \\Q..\\E before reaching F.split's regex engine, so
+    delimiters like '|' or '.' split on the character, not on the
+    regex it would otherwise denote."""
     return docs.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("__p", "line"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + delim + "\\E", -1)).alias(
+            "__p", "line"
+        ),
     ).select(id_col, (F.col("__p") + 1).alias("line_no"), "line")
 
 

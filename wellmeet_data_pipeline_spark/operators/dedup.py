@@ -304,8 +304,17 @@ def minhash_lsh_candidates_sha(
     mins in ONE groupBy, band buckets, bucket self-join); sha2 costs
     more per shingle, which is why the xxhash64 variant remains the
     100 TB default."""
-    rpb = num_hashes // bands
     sig = minhash_signatures_sha(docs, text_col, id_col, num_hashes, shingle_n)
+    return _sha_band_pairs(sig, id_col, num_hashes, bands)
+
+
+def _sha_band_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id_a, id_b) LSH candidate pairs from a sha-family signature frame —
+    shared by the candidate generator and the verify stage so callers that
+    already hold `sig` don't pay a second signature computation."""
+    rpb = num_hashes // bands
     banded = sig.select(
         id_col,
         F.explode(
@@ -354,9 +363,14 @@ def minhash_verify_sha(
     on (id, shingle)) — only candidate docs' shingles ever meet, never
     the all-pairs corpus.  This is the standard two-phase near-dup
     topology at 100 TB: cheap banded recall, exact precision on the
-    surviving droplet."""
-    pairs = minhash_lsh_candidates_sha(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    surviving droplet.
+
+    The signature frame is built ONCE and feeds both the candidate
+    banding and the agreement estimate (the shingle frame still appears
+    in the estimate and the exact-Jaccard lineages — persist `sig`/`sh`
+    at cluster scale to materialize them across the self-joins)."""
     sig = minhash_signatures_sha(docs, text_col, id_col, num_hashes, shingle_n)
+    pairs = _sha_band_pairs(sig, id_col, num_hashes, bands)
     sig_a = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
     )

@@ -2312,6 +2312,19 @@ def _source_tag(sf_dir: str, *tables: str) -> str:
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
+def _prune_stale_layouts(parent: str, prefix: str, live_tag: str) -> None:
+    """Remove sibling derived layouts with the same prefix but a different
+    (superseded) source tag — without this, every testdata regeneration
+    orphans a full bucketed/partitioned copy on disk forever."""
+    import glob
+    import os
+    import shutil
+
+    for d in glob.glob(os.path.join(parent, f"{prefix}*")):
+        if os.path.isdir(d) and not os.path.basename(d).endswith(live_tag):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _ensure_bucketed_tpch(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> tuple[str, str]:
     """Write orders+lineitem bucketed by orderkey ONCE per (session, sf)
     into repo-local external tables; every later join/agg on the key is
@@ -2320,8 +2333,11 @@ def _ensure_bucketed_tpch(spark: SparkSession, sf_dir: str, n_buckets: int = 8) 
     from wellmeet_data_pipeline_spark.operators.bucketing import write_bucketed
 
     tag = _source_tag(sf_dir, "orders", "lineitem")
-    o_name, l_name = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    o_name, l_name = f"b_orders_{sf_key}_{tag}", f"b_lineitem_{sf_key}_{tag}"
     base = "/root/repo/spark-warehouse/bucketed"
+    _prune_stale_layouts(base, f"b_orders_{sf_key}_", tag)
+    _prune_stale_layouts(base, f"b_lineitem_{sf_key}_", tag)
     if not spark.catalog.tableExists(o_name):
         write_bucketed(
             table(spark, sf_dir, "orders"),
@@ -2631,7 +2647,11 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     tag = _source_tag(sf_dir, "events")
-    path = f"/root/repo/spark-warehouse/events_by_day_{tag}"
+    sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    _prune_stale_layouts(
+        "/root/repo/spark-warehouse", f"events_by_day_{sf_key}_", tag
+    )
+    path = f"/root/repo/spark-warehouse/events_by_day_{sf_key}_{tag}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         ev = table(spark, sf_dir, "events")
@@ -2833,9 +2853,10 @@ def q_orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type FROM seq
     WHERE gap_us IS NULL OR gap_us >= 259200000000
     """,
-    "debounce: drop events repeating the same (user, type) within a "
-    "3-day cooldown — lag over one (user,type)-keyed shuffle, "
-    "integer-microsecond arithmetic (no float time math)",
+    "successive-gap thinning: drop an event when the PREVIOUS (user, type) "
+    "event — kept or not — was under 3 days earlier (the one-window lag "
+    "rule; a kept-anchored cooldown is iterative and belongs to the "
+    "stateful streaming tier) — integer-microsecond arithmetic",
 )
 def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")

@@ -16,6 +16,18 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 
 
+def evenly_sized(df: DataFrame, target_rows_per_file: int) -> tuple[DataFrame, int]:
+    """(repartitioned df, file count) at ~target_rows_per_file rows per
+    output file.  PERSISTS the input around the sizing count so the
+    caller's write doesn't execute the lineage a second time — on a
+    dedup-on-read view that lineage is a full window shuffle; caller
+    unpersists after the write."""
+    df = df.persist()
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    return df.repartition(n_files), n_files
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,
@@ -31,10 +43,9 @@ def compact_parquet(
     every object store — swap atomically at the catalog/manifest layer
     instead."""
     df: DataFrame = spark.read.parquet(src_path)
-    n = df.count()
-    n_files = max(1, math.ceil(n / target_rows_per_file))
-    out = df.repartition(n_files)
+    out, n_files = evenly_sized(df, target_rows_per_file)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(dst_path)
+    df.unpersist()
     return n_files

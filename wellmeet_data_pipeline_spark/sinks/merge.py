@@ -79,12 +79,15 @@ def compact(spark: SparkSession, path: str, out_path: str, id_col: str = "id",
     whose count, not bytes, dominates scan planning at 100 TB; the
     maintenance pass is where that debt gets paid."""
     cur = read_current(spark, path, id_col, batch_col).withColumn(batch_col, F.lit(0))
+    persisted = None
     if target_rows_per_file:
-        import math
+        from wellmeet_data_pipeline_spark.sinks.compact import evenly_sized
 
-        n = cur.count()
-        cur = cur.repartition(max(1, math.ceil(n / target_rows_per_file)))
+        persisted = cur
+        cur, _ = evenly_sized(cur, target_rows_per_file)
     writer = cur.write.mode("overwrite")
     if partition_col:
         writer = writer.partitionBy(partition_col)
     writer.parquet(out_path)
+    if persisted is not None:
+        persisted.unpersist()

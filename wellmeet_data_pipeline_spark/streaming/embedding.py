@@ -93,9 +93,13 @@ def run_rag_index_pipeline(
     stream = landing_stream(spark, landing_dir, schema)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        chunks = chunk_documents(
-            batch_df.dropDuplicates([id_col]), text_col, id_col, window, stride
-        )
+        from wellmeet_data_pipeline_spark.operators.dedup import dedup_keep_first
+
+        # deterministic in-batch survivor (min text per id) — dropDuplicates
+        # keeps an arbitrary row and would let retries of the same batch
+        # write different chunk text under the same chunk_key
+        deduped = dedup_keep_first(batch_df, id_col, text_col)
+        chunks = chunk_documents(deduped, text_col, id_col, window, stride)
         embedded = embed_text(chunks, text_col="chunk_text", dim=dim)
         keyed = embedded.withColumn(
             "chunk_key",
