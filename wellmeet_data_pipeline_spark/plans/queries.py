@@ -2960,3 +2960,117 @@ def q_event_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, _EV_TS_FMT).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@_q(
+    "vocab_coverage",
+    """
+    WITH counts AS (
+      SELECT unnest(string_split({norm}, ' ')) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM counts WHERE token <> '' GROUP BY token
+    ),
+    tot AS (SELECT sum(n) AS t FROM freq),
+    ranked AS (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank,
+             sum(n) OVER (ORDER BY n DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM freq
+    )
+    SELECT token, n, rank, round(cum / t, 6) AS cum_coverage
+    FROM ranked, tot
+    """.format(norm=_NORM_SQL),
+    "vocabulary building: global token frequencies + rank + cumulative "
+    "corpus coverage (the choose-vocab-size curve every tokenizer build "
+    "reads) — map-side-combined token counts; the rank/coverage window "
+    "runs post-agg over vocab-sized data, where single-partition is the "
+    "right plan",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("t"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(tot))
+        .select("token", "n", "rank", F.round(F.col("cum") / F.col("t"), 6).alias("cum_coverage"))
+    )
+
+
+@_q(
+    "lsh_quality_metrics",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.i / (sa.n + sb.n - i.i) >= 0.5
+    )
+    SELECT
+      CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_candidates,
+      CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+      CAST((SELECT count(*) FROM pairs p JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b) AS BIGINT) AS n_hit
+    """,
+    "LSH quality audit: candidate count vs ground-truth near-dup pairs "
+    "(exact Jaccard ≥ 0.5) vs their intersection — recall = n_hit/n_true, "
+    "precision = n_hit/n_candidates, the two numbers that justify band/"
+    "row parameters before a 100 TB run (truth side is corpus-squared in "
+    "general: run it on a SAMPLE at scale; here the shingle join bounds it)",
+)
+def q_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates_sha,
+        ngram_jaccard_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates_sha(d)
+    truth = ngram_jaccard_pairs(d).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    hit = pairs.join(truth, ["id_a", "id_b"], "inner")
+    return (
+        pairs.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").alias("n_true")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+
+
+@_q(
+    "embedding_mean_pool",
+    """
+    WITH e AS (
+      SELECT label, i - 1 AS pos, embedding[i] AS v
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) t(i)
+    )
+    SELECT label, pos, round(avg(v), 6) + 0.0 AS mean_v,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM e GROUP BY label, pos
+    """,
+    "mean pooling over vector columns (class prototypes here; the same "
+    "shape pools chunk embeddings back to doc embeddings in the RAG "
+    "store): posexplode → (group, dim) avg, map-side combined — the "
+    "vector never moves as a blob, only (dim, partial-sum) pairs "
+    "shuffle; `+ 0.0` canonicalizes -0.0 across engines",
+)
+def q_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("mean_v"),
+        F.count("*").alias("n_vectors"),
+    )
