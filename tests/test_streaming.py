@@ -312,3 +312,61 @@ def test_rag_index_pipeline_chunks_and_embeds(spark, tmp_path):
     cur2 = read_current(spark, store, id_col="chunk_key")
     assert cur2.count() == 5 + 2  # doc2: starts 0 and 2
     assert cur2.filter("doc_id = 1").count() == 5
+
+
+def test_stream_stream_range_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join produces the same pairs as the batch
+    range_join_within on the same fixture."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from wellmeet_data_pipeline_spark.operators.joins import range_join_within
+    from wellmeet_data_pipeline_spark.streaming.pipeline import (
+        run_stream_stream_range_join,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    clicks = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 7},
+        {"event_id": 2, "ts": "2024-01-01T02:00:00.000Z", "user_id": 7},
+    ]
+    purchases = [
+        {"event_id": 10, "ts": "2024-01-01T00:20:00.000Z", "user_id": 7},  # within 30m of click 1
+        {"event_id": 11, "ts": "2024-01-01T01:00:00.000Z", "user_id": 7},  # matches nothing
+        {"event_id": 12, "ts": "2024-01-01T02:10:00.000Z", "user_id": 7},  # within 30m of click 2
+        {"event_id": 13, "ts": "2024-01-01T09:00:00.000Z", "user_id": 99}, # watermark advancer
+    ]
+    lpath, rpath = tmp_path / "ss_left", tmp_path / "ss_right"
+    lpath.mkdir(); rpath.mkdir()
+    _drop(lpath, "l.json", clicks)
+    _drop(rpath, "r.json", purchases)
+
+    out, ckpt = str(tmp_path / "ss_out"), str(tmp_path / "ss_ckpt")
+    run_stream_stream_range_join(spark, str(lpath), str(rpath), out, ckpt, schema)
+    got = {
+        (r["l_event_id"], r["r_event_id"], r["delta_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 10, 1200000000), (2, 12, 600000000)}
+
+    # batch twin on identical data
+    to_ts = lambda rows: spark.createDataFrame(
+        [(r["event_id"], r["ts"].replace("T", " ").replace("Z", ""), r["user_id"]) for r in rows],
+        "event_id long, ts_s string, user_id long",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id")
+    batch = range_join_within(to_ts(clicks), to_ts(purchases), key="user_id", ts_col="ts", window_seconds=1800)
+    got_batch = {
+        (r["l_event_id"], r["r_event_id"], r["delta_us"]) for r in batch.collect()
+    }
+    assert got_batch == got

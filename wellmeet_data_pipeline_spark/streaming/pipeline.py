@@ -156,3 +156,67 @@ def run_session_windows(
         .start()
         .awaitTermination()
     )
+
+
+def run_stream_stream_range_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> None:
+    """Watermarked stream-stream range join — the streaming twin of
+    `range_join_events` (click ⋈ purchase within a window per user).
+    Both sides watermark on event time; the join condition bounds the
+    right side's timestamp to [left.ts, left.ts + window], which is what
+    lets Structured Streaming EVICT state: a buffered left row can be
+    dropped once the right watermark passes left.ts + window.  An
+    unbounded-condition stream-stream join would hold both sides
+    forever — the time bound IS the state-retention contract at scale.
+
+    Output columns mirror the batch operator: (user_id, l_event_id,
+    r_event_id, delta_us).  Append-mode parquet sink; availableNow."""
+    left = (
+        landing_stream(spark, left_dir, schema)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.col("event_id").alias("l_event_id"),
+            F.col(ts_col).alias("l_ts"),
+        )
+    )
+    right = (
+        landing_stream(spark, right_dir, schema)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("__rk"),
+            F.col("event_id").alias("r_event_id"),
+            F.col(ts_col).alias("r_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col(key_col) == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")),
+        "inner",
+    ).select(
+        key_col,
+        "l_event_id",
+        "r_event_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
+    )
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
