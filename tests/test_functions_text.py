@@ -119,3 +119,20 @@ def test_normalize_nfc_composes_combining_marks(spark):
     got = {r["doc_id"]: r["nfc_text"] for r in normalize_nfc(df).collect()}
     assert got[1] == composed == got[2]
     assert got[3] is None
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    from wellmeet_data_pipeline_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "<div class='x'>Hello <b>world</b>&nbsp;&amp; friends</div>"),
+            (2, "plain text stays"),
+            (3, "a &lt;tag&gt; literal &#39;quoted&#39;"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean"] for r in df.select("doc_id", strip_html("text").alias("clean")).collect()}
+    assert got[1] == "Hello world & friends"
+    assert got[2] == "plain text stays"
+    assert got[3] == "a <tag> literal 'quoted'"

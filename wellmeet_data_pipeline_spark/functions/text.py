@@ -201,3 +201,29 @@ def normalize_nfc(df: "DataFrame", text_col: str = "text", out_col: str = "nfc_t
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+# HTML stripping — RE2-compatible (no lookaround) so the DuckDB oracle can
+# run the byte-identical patterns; entity map covers the five XML
+# predefined entities (a full HTML5 entity table is a reference-data join,
+# not a regex).
+_HTML_TAG = r"<[^>]*>"
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+)
+
+
+def strip_html(text: Column | str) -> Column:
+    """Web-corpus cleaning: drop tags, decode the predefined entities,
+    collapse the whitespace the removals leave behind.  Pure
+    regexp_replace chain — collapses into the scan projection."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for pat, rep in _HTML_ENTITIES:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

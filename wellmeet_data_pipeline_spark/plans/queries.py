@@ -3074,3 +3074,54 @@ def q_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("mean_v"),
         F.count("*").alias("n_vectors"),
     )
+
+
+@_q(
+    "clean_web_text",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+             '\\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+    "web-corpus HTML cleaning: strip tags, decode predefined entities, "
+    "collapse whitespace — a regexp_replace chain fused into the scan "
+    "(identity on this plain-text corpus; the regex parity is what the "
+    "oracle checks, tag/entity behavior is unit-tested on HTML fixtures)",
+)
+def q_clean_web_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import strip_html
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", strip_html("text").alias("clean_text"))
+
+
+@_q(
+    "zscore_by_type",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 6) AS zscore
+    FROM events e JOIN s USING (event_type)
+    """,
+    "per-group z-score standardization (feature scaling): one stats "
+    "groupBy broadcast back onto the fact — mean/std computed once per "
+    "group, never a per-row window over the full table",
+)
+def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+    )
