@@ -1,0 +1,58 @@
+import math
+
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.operators.geo import geo_within_km, haversine_km
+
+
+def test_haversine_known_distance(spark):
+    # Seoul City Hall -> Gangnam station: great-circle 8.78 km
+    df = spark.createDataFrame(
+        [(37.5663, 126.9779, 37.4979, 127.0276)], "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    d = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).collect()[0]["d"]
+    assert abs(d - 8.778) < 0.01
+
+
+def test_geo_within_km_bin_join_matches_bruteforce(spark):
+    # ring of points around a center; radius filter must match brute force
+    center = (37.5663, 126.9779)
+    pts = []
+    for i in range(24):
+        ang = 2 * math.pi * i / 24
+        # points at 0.5, 1.5, 2.5 km from center
+        for j, r_km in enumerate((0.5, 1.5, 2.5)):
+            dlat = (r_km / 111.195) * math.cos(ang)
+            dlon = (r_km / (111.195 * math.cos(math.radians(center[0])))) * math.sin(ang)
+            pts.append((i * 3 + j, center[0] + dlat, center[1] + dlon))
+    left = spark.createDataFrame([(0, center[0], center[1])], "l_id long, lat double, lon double")
+    right = spark.createDataFrame(pts, "r_id long, lat double, lon double")
+
+    got = {r["r_id"] for r in geo_within_km(left, right, km=2.0).collect()}
+    # brute force truth
+    truth = set()
+    for rid, la, lo in pts:
+        d = 2 * 6371.0088 * math.asin(
+            math.sqrt(
+                math.sin(math.radians(la - center[0]) / 2) ** 2
+                + math.cos(math.radians(center[0]))
+                * math.cos(math.radians(la))
+                * math.sin(math.radians(lo - center[1]) / 2) ** 2
+            )
+        )
+        if d <= 2.0:
+            truth.add(rid)
+    assert got == truth and len(truth) == 48  # the 0.5 and 1.5 km rings
+
+
+def test_geo_within_km_high_latitude(spark):
+    # at 75°N one km spans ~3.9x more longitude — adaptive lon fan-out
+    # must still find the pair a fixed 3x3 neighborhood would miss
+    left = spark.createDataFrame([(1, 75.0, 20.0)], "l_id long, lat double, lon double")
+    # ~1.8 km due east at 75N: dlon = 1.8 / (111.195*cos(75))
+    dlon = 1.8 / (111.195 * math.cos(math.radians(75.0)))
+    right = spark.createDataFrame([(2, 75.0, 20.0 + dlon)], "r_id long, lat double, lon double")
+    got = geo_within_km(left, right, km=2.0).collect()
+    assert len(got) == 1 and abs(got[0]["distance_km"] - 1.8) < 0.05

@@ -1,0 +1,92 @@
+"""Geo operators for the reference's geocoded-restaurant domain
+(restaurant-crawler.py:39-53 produces latitude/longitude; SURVEY §2.11
+F10/X2).  The scale piece is the WITHIN-DISTANCE JOIN: naive is an
+O(n·m) cross join with a trig filter; the distributed form bins points
+into lat/lon grid cells sized to the search radius and equi-joins on
+cell — the same bin-then-verify topology as range_join_within and the
+LSH families: candidates by equi-join, exactness by a cheap verify
+predicate."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+KM_PER_DEG_LAT = 111.195  # pi/180 * mean earth radius
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km — pure JVM trig, stays in codegen."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
+    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_within_km(
+    left: DataFrame,
+    right: DataFrame,
+    km: float,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(left_id, right_id, distance_km) for every cross-frame pair within
+    `km`.  Grid cells are km-sized in latitude; the LEFT side explodes
+    into its neighbor cells — 3 lat cells x (2·ceil(1/cos lat)+1) lon
+    cells, so the fan-out adapts to longitude convergence and the join
+    stays correct at any latitude short of the poles.  Only (cell, id,
+    lat, lon) tuples shuffle; the haversine verify runs per candidate,
+    never per cross pair."""
+    cell_deg = km / KM_PER_DEG_LAT
+
+    def cells(df: DataFrame, idc: str, explode_neighbors: bool) -> DataFrame:
+        lat_cell = F.floor(F.col(lat_col) / cell_deg)
+        lon_cell = F.floor(F.col(lon_col) / cell_deg)
+        if not explode_neighbors:
+            return df.select(
+                F.col(idc),
+                F.col(lat_col).alias("__lat"),
+                F.col(lon_col).alias("__lon"),
+                lat_cell.alias("__clat"),
+                lon_cell.alias("__clon"),
+            )
+        n_lon = F.ceil(1.0 / F.cos(F.radians(F.col(lat_col))))
+        return (
+            df.select(
+                F.col(idc),
+                F.col(lat_col).alias("__lat"),
+                F.col(lon_col).alias("__lon"),
+                F.explode(F.sequence(lat_cell - 1, lat_cell + 1)).alias("__clat"),
+                lon_cell.alias("__lc"),
+                n_lon.alias("__n"),
+            )
+            .select(
+                idc,
+                "__lat",
+                "__lon",
+                "__clat",
+                F.explode(
+                    F.sequence(F.col("__lc") - F.col("__n"), F.col("__lc") + F.col("__n"))
+                ).alias("__clon"),
+            )
+        )
+
+    lc = cells(left, left_id, explode_neighbors=True)
+    rc = cells(right, right_id, explode_neighbors=False)
+    dist = haversine_km(
+        F.col("a.__lat"), F.col("a.__lon"), F.col("b.__lat"), F.col("b.__lon")
+    )
+    return (
+        lc.alias("a")
+        .join(rc.alias("b"), on=["__clat", "__clon"], how="inner")
+        .withColumn("distance_km", F.round(dist, 6))
+        .filter(F.col("distance_km") <= km)
+        .select(left_id, right_id, "distance_km")
+        .distinct()
+    )
