@@ -2,7 +2,11 @@ import math
 
 from pyspark.sql import functions as F
 
-from wellmeet_data_pipeline_spark.operators.geo import geo_within_km, haversine_km
+from wellmeet_data_pipeline_spark.operators.geo import (
+    geo_within_km,
+    haversine_km,
+    resolve_nearby_places,
+)
 
 
 def test_haversine_known_distance(spark):
@@ -56,3 +60,17 @@ def test_geo_within_km_high_latitude(spark):
     right = spark.createDataFrame([(2, 75.0, 20.0 + dlon)], "r_id long, lat double, lon double")
     got = geo_within_km(left, right, km=2.0).collect()
     assert len(got) == 1 and abs(got[0]["distance_km"] - 1.8) < 0.05
+
+
+def test_resolve_nearby_places_entity_resolution(spark):
+    places = spark.createDataFrame(
+        [
+            ("A1", "Cafe Luna", 37.56630, 126.97790),
+            ("A2", "Cafe Luna ", 37.56655, 126.97810),   # ~30m away, name variant
+            ("B1", "Cafe Luna", 37.58000, 126.99000),    # same name, 1.9km away: distinct
+            ("C1", "Burger Haus", 37.56630, 126.97800),  # 9m from A1, different name
+        ],
+        "place_id string, name string, latitude double, longitude double",
+    )
+    kept = {r["place_id"] for r in resolve_nearby_places(places, meters=50).collect()}
+    assert kept == {"A1", "B1", "C1"}  # A2 collapses into A1

@@ -90,3 +90,39 @@ def geo_within_km(
         .select(left_id, right_id, "distance_km")
         .distinct()
     )
+
+
+def resolve_nearby_places(
+    places: DataFrame,
+    meters: float = 50.0,
+    max_name_edits: int = 2,
+    id_col: str = "place_id",
+    name_col: str = "name",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """Place entity resolution: the same venue crawled twice lands with a
+    slightly different geocode and a name variant (the reference's
+    crawler re-discovers places across runs; its sha-identity can't
+    catch this).  Pipeline: grid-binned self-join for pairs within
+    `meters` -> name-edit-distance verify (levenshtein, JVM-side) ->
+    connected components -> keep the min-id survivor per cluster.  The
+    same candidates-then-verify-then-cluster topology as the text
+    near-dup family, with geography as the blocking key."""
+    from wellmeet_data_pipeline_spark.operators.dedup import dedup_cluster_survivors
+
+    pts = places.select(
+        F.col(id_col), F.col(name_col), F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon")
+    )
+    l = pts.select(F.col(id_col).alias("l_id"), "lat", "lon")
+    r = pts.select(F.col(id_col).alias("r_id"), "lat", "lon")
+    cand = geo_within_km(l, r, km=meters / 1000.0).filter(F.col("l_id") < F.col("r_id"))
+    names_l = pts.select(F.col(id_col).alias("l_id"), F.col(name_col).alias("__ln"))
+    names_r = pts.select(F.col(id_col).alias("r_id"), F.col(name_col).alias("__rn"))
+    verified = (
+        cand.join(names_l, "l_id")
+        .join(names_r, "r_id")
+        .filter(F.levenshtein(F.col("__ln"), F.col("__rn")) <= max_name_edits)
+        .select(F.col("l_id").alias("id_a"), F.col("r_id").alias("id_b"))
+    )
+    return dedup_cluster_survivors(places, verified, id_col=id_col)
