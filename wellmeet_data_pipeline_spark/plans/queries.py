@@ -3125,3 +3125,59 @@ def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
     )
+
+
+@_q(
+    "late_shipment_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: orders having ≥1 lineitem shipped >90 days after "
+    "order date, counted per priority — EXISTS with a cross-table "
+    "predicate becomes ONE left-semi join carrying the condition; the "
+    "lineitem side ships only (orderkey, shipdate)",
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@_q(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.aq
+    """,
+    "TPC-H Q17 shape: items below 20% of their part's average quantity — "
+    "the correlated scalar subquery re-expressed as a groupBy + equi-join "
+    "back (one partkey-keyed shuffle); safe to hash-compare because "
+    "l_quantity is integer-valued so per-part sums are EXACT doubles and "
+    "the average is bit-identical on both engines",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    j = li.join(pa, "l_partkey").filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+    return j.agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("revenue_cents"),
+    )
