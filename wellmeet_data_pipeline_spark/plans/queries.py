@@ -3040,8 +3040,15 @@ def q_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates_sha(d)
-    truth = ngram_jaccard_pairs(d).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    # both frames are consumed twice (own count + the hit join) —
+    # materialize once instead of re-walking the corpus lineage
+    pairs = minhash_lsh_candidates_sha(d).localCheckpoint(eager=False)
+    truth = (
+        ngram_jaccard_pairs(d)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     hit = pairs.join(truth, ["id_a", "id_b"], "inner")
     return (
         pairs.agg(F.count("*").alias("n_candidates"))
