@@ -485,6 +485,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     seq_len: int = 256,
     n_streams: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document its position in fixed-length training
     sequences — the concat-and-chunk packing every LLM data loader runs
@@ -500,17 +501,25 @@ def pack_sequences(
     packed by a running-sum window ordered by doc_id.  Set n_streams ~
     cluster parallelism: the real loader reads streams independently
     anyway, so per-stream packing is the semantics production wants,
-    not a compromise."""
+    not a compromise.
+
+    Pass `tokens_col` to reuse a precomputed token count (a curation
+    pipeline that already gated on length has one) instead of
+    re-tokenizing the text — drops the text column from this stage's
+    lineage entirely."""
     cum_w = (
         Window.partitionBy("stream_id")
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    n_tokens = (
+        F.col(tokens_col) if tokens_col is not None else token_count(F.col(text_col))
+    )
     return (
         docs.select(
             id_col,
             (F.col(id_col) % n_streams).alias("stream_id"),
-            token_count(F.col(text_col)).alias("n_tokens"),
+            n_tokens.alias("n_tokens"),
         )
         .withColumn("__before", F.coalesce(F.sum("n_tokens").over(cum_w), F.lit(0)))
         .select(

@@ -2768,9 +2768,17 @@ def q_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         quality_score("text").alias("__q"),
     ).filter((F.col("__q") >= 0.5) & F.col("n_tokens").between(5, 500))
-    deduped = exact_dedup_documents(gated)
+    # after dedup the text column is DONE — mixing and packing need only
+    # (id, lang, source, n_tokens).  Materialize that narrow frame once
+    # instead of re-running the quality regexes + fingerprint lineage in
+    # each of the three downstream consumers (mix counts, mix rank, pack)
+    deduped = (
+        exact_dedup_documents(gated)
+        .select("doc_id", "lang", "source", "n_tokens")
+        .localCheckpoint(eager=False)
+    )
     mixed = temperature_sample_sources(deduped, alpha=0.5, source_col="lang")
-    packed = pack_sequences(mixed, seq_len=64, n_streams=8)
+    packed = pack_sequences(mixed, seq_len=64, n_streams=8, tokens_col="n_tokens")
     return packed.join(mixed.select("doc_id", "lang", "source"), "doc_id").select(
         "doc_id",
         "lang",
