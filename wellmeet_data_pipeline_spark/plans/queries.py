@@ -3196,3 +3196,36 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("revenue_cents"),
     )
+
+
+@_q(
+    "daily_moving_average",
+    """
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n,
+           round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+    FROM d
+    """,
+    "7-day trailing moving average per event type — the rolling window "
+    "runs AFTER the date×type aggregation (~150 rows), partitioned by "
+    "type so no single-partition window on anything scan-sized; avg of "
+    "BIGINTs rounds identically on both engines",
+)
+def q_daily_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "day", "event_type", "n", F.round(F.avg("n").over(w), 6).alias("ma7")
+    )
