@@ -129,6 +129,7 @@ def test_strip_html_tags_entities_whitespace(spark):
             (1, "<div class='x'>Hello <b>world</b>&nbsp;&amp; friends</div>"),
             (2, "plain text stays"),
             (3, "a &lt;tag&gt; literal &#39;quoted&#39;"),
+            (4, "escaped: &amp;lt;b&amp;gt; stays text"),
         ],
         "doc_id long, text string",
     )
@@ -136,3 +137,6 @@ def test_strip_html_tags_entities_whitespace(spark):
     assert got[1] == "Hello world & friends"
     assert got[2] == "plain text stays"
     assert got[3] == "a <tag> literal 'quoted'"
+    # author-escaped entities must decode ONE level, not two: &amp;lt;
+    # renders as the literal text &lt;, never as a fake <b> tag
+    assert got[4] == "escaped: &lt;b&gt; stays text"

@@ -74,3 +74,31 @@ def test_resolve_nearby_places_entity_resolution(spark):
     )
     kept = {r["place_id"] for r in resolve_nearby_places(places, meters=50).collect()}
     assert kept == {"A1", "B1", "C1"}  # A2 collapses into A1
+
+
+def test_geo_within_km_antimeridian_and_pole_guard(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 0.0, 179.9955),   # ~1 km from the seam partner
+            (2, 90.0, 0.0),       # bad-geocode sentinel: must be dropped, not explode
+        ],
+        "l_id long, lat double, lon double",
+    )
+    right = spark.createDataFrame(
+        [(10, 0.0, -179.9955), (11, 89.9, 10.0)],
+        "r_id long, lat double, lon double",
+    )
+    got = {(r["l_id"], r["r_id"]) for r in geo_within_km(left, right, km=2.0).collect()}
+    assert got == {(1, 10)}  # seam pair found; polar rows silently excluded
+
+
+def test_resolve_nearby_places_normalizes_names(spark):
+    places = spark.createDataFrame(
+        [
+            ("A1", "CAFE LUNA", 37.56630, 126.97790),
+            ("A2", "Cafe Luna!", 37.56640, 126.97795),  # case+punct variant, ~12m
+        ],
+        "place_id string, name string, latitude double, longitude double",
+    )
+    kept = {r["place_id"] for r in resolve_nearby_places(places, meters=50).collect()}
+    assert kept == {"A1"}

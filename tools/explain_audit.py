@@ -18,6 +18,28 @@ sys.path.insert(0, "/root/repo")
 from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
 from wellmeet_data_pipeline_spark.session import get_spark
 
+def plan_signals(plan: str) -> dict[str, int]:
+    """Scale signals from a FORMATTED (and, for codegen/AQE-final info,
+    executed) physical plan.  Single source of truth — PLANS.md
+    (tools/plan_report.py) and the audit CLI both read these."""
+    return {
+        "scans": len(re.findall(r"Scan parquet", plan)),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+        + len(re.findall(r"Arguments: (?:hash|range)partitioning", plan)),
+        "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
+        or len(re.findall(r"WholeStageCodegen", plan)),
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoop", plan)),
+        "take_ordered": len(re.findall(r"TakeOrderedAndProject", plan)),
+        "arrow_py": len(
+            re.findall(r"MapInPandas|FlatMapCoGroupsInPandas|FlatMapGroupsInPandas", plan)
+        ),
+    }
+
+
 AUDIT = [
     "flagship_incremental_enrich",
     "pricing_summary",
@@ -44,20 +66,7 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        signals = {
-            "scans": len(re.findall(r"Scan parquet", plan)),
-            "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-            "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
-            "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
-            "shuffles": len(
-                re.findall(r"Exchange (?:hash|range)partitioning", plan)
-            )
-            + len(re.findall(r"Arguments: (?:hash|range)partitioning", plan)),
-            "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
-            or len(re.findall(r"WholeStageCodegen", plan)),
-            "cartesian": len(re.findall(r"CartesianProduct|BroadcastNestedLoop", plan)),
-            "take_ordered": len(re.findall(r"TakeOrderedAndProject", plan)),
-        }
+        signals = plan_signals(plan)
         print(f"\n=== {name} ===")
         print("  ", signals)
         read_schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)

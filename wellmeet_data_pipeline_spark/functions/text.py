@@ -208,13 +208,16 @@ def normalize_nfc(df: "DataFrame", text_col: str = "text", out_col: str = "nfc_t
 # predefined entities (a full HTML5 entity table is a reference-data join,
 # not a regex).
 _HTML_TAG = r"<[^>]*>"
+# &amp; MUST decode LAST: decoding it first turns author-escaped text like
+# '&amp;lt;' into '&lt;' which the later passes then wrongly decode again
+# (double-decoding destroys intentional escaping).
 _HTML_ENTITIES: tuple[tuple[str, str], ...] = (
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", '"'),
     (r"&#39;", "'"),
     (r"&nbsp;", " "),
+    (r"&amp;", "&"),
 )
 
 

@@ -39,32 +39,53 @@ def geo_within_km(
     """(left_id, right_id, distance_km) for every cross-frame pair within
     `km`.  Grid cells are km-sized in latitude; the LEFT side explodes
     into its neighbor cells — 3 lat cells x (2·ceil(1/cos lat)+1) lon
-    cells, so the fan-out adapts to longitude convergence and the join
-    stays correct at any latitude short of the poles.  Only (cell, id,
-    lat, lon) tuples shuffle; the haversine verify runs per candidate,
-    never per cross pair."""
+    cells, so the fan-out adapts to longitude convergence.  Only (cell,
+    id, lat, lon) tuples shuffle; the haversine verify runs per
+    candidate, never per cross pair.
+
+    Robustness: rows with |lat| > 85° are DROPPED on both sides — above
+    that the lon fan-out grows without bound (a single bad-geocode
+    sentinel like lat=90 would otherwise explode ~10^16 cells and kill
+    the job; polar data needs a polar-cap cell scheme, not a lat/lon
+    grid).  The antimeridian IS handled: left rows within the search
+    margin of ±180° get a second cell-computation copy shifted by 360°,
+    so pairs straddling the seam still meet — haversine itself is
+    wrap-correct (sin²(Δλ/2) is periodic), so the verify needs no
+    change."""
     cell_deg = km / KM_PER_DEG_LAT
 
     def cells(df: DataFrame, idc: str, explode_neighbors: bool) -> DataFrame:
+        df = df.filter(F.abs(F.col(lat_col)) <= 85.0)
         lat_cell = F.floor(F.col(lat_col) / cell_deg)
-        lon_cell = F.floor(F.col(lon_col) / cell_deg)
         if not explode_neighbors:
             return df.select(
                 F.col(idc),
                 F.col(lat_col).alias("__lat"),
                 F.col(lon_col).alias("__lon"),
                 lat_cell.alias("__clat"),
-                lon_cell.alias("__clon"),
+                F.floor(F.col(lon_col) / cell_deg).alias("__clon"),
             )
         n_lon = F.ceil(1.0 / F.cos(F.radians(F.col(lat_col))))
+        margin = (n_lon + 1) * cell_deg
+        seam_lon = F.when(F.col(lon_col) > 0, F.col(lon_col) - 360).otherwise(
+            F.col(lon_col) + 360
+        )
+        lons = F.when(
+            F.lit(180.0) - F.abs(F.col(lon_col)) <= margin,
+            F.array(F.col(lon_col), seam_lon),
+        ).otherwise(F.array(F.col(lon_col)))
         return (
             df.select(
                 F.col(idc),
                 F.col(lat_col).alias("__lat"),
                 F.col(lon_col).alias("__lon"),
                 F.explode(F.sequence(lat_cell - 1, lat_cell + 1)).alias("__clat"),
-                lon_cell.alias("__lc"),
+                lons.alias("__lons"),
                 n_lon.alias("__n"),
+            )
+            .select(
+                idc, "__lat", "__lon", "__clat", "__n",
+                F.explode("__lons").alias("__cell_lon"),
             )
             .select(
                 idc,
@@ -72,7 +93,10 @@ def geo_within_km(
                 "__lon",
                 "__clat",
                 F.explode(
-                    F.sequence(F.col("__lc") - F.col("__n"), F.col("__lc") + F.col("__n"))
+                    F.sequence(
+                        F.floor(F.col("__cell_lon") / cell_deg) - F.col("__n"),
+                        F.floor(F.col("__cell_lon") / cell_deg) + F.col("__n"),
+                    )
                 ).alias("__clon"),
             )
         )
@@ -117,8 +141,17 @@ def resolve_nearby_places(
     l = pts.select(F.col(id_col).alias("l_id"), "lat", "lon")
     r = pts.select(F.col(id_col).alias("r_id"), "lat", "lon")
     cand = geo_within_km(l, r, km=meters / 1000.0).filter(F.col("l_id") < F.col("r_id"))
-    names_l = pts.select(F.col(id_col).alias("l_id"), F.col(name_col).alias("__ln"))
-    names_r = pts.select(F.col(id_col).alias("r_id"), F.col(name_col).alias("__rn"))
+    # levenshtein over NORMALIZED names (lowercase, punctuation stripped,
+    # whitespace collapsed): 'CAFE LUNA' vs 'Cafe Luna' is the most common
+    # re-crawl variant and must count as 0 edits, not 7
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+    names_l = pts.select(
+        F.col(id_col).alias("l_id"), normalized_text(F.col(name_col)).alias("__ln")
+    )
+    names_r = pts.select(
+        F.col(id_col).alias("r_id"), normalized_text(F.col(name_col)).alias("__rn")
+    )
     verified = (
         cand.join(names_l, "l_id")
         .join(names_r, "r_id")

@@ -3049,11 +3049,13 @@ def q_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     # both frames are consumed twice (own count + the hit join) —
-    # materialize once instead of re-walking the corpus lineage
+    # materialize once instead of re-walking the corpus lineage.
+    # threshold/DF-cap must MATCH the oracle (>= 0.5, uncapped): the
+    # operator's own defaults (0.8, capped) would silently hide every
+    # truth pair in [0.5, 0.8) from the Spark side only
     pairs = minhash_lsh_candidates_sha(d).localCheckpoint(eager=False)
     truth = (
-        ngram_jaccard_pairs(d)
-        .filter(F.col("jaccard") >= 0.5)
+        ngram_jaccard_pairs(d, threshold=0.5, max_shingle_df=None)
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
@@ -3098,8 +3100,8 @@ def q_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
            trim(regexp_replace(
              replace(replace(replace(replace(replace(replace(
                regexp_replace(text, '<[^>]*>', ' ', 'g'),
-               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-               '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
              '\\s+', ' ', 'g')) AS clean_text
     FROM documents
     """,
