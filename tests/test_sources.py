@@ -84,3 +84,29 @@ def test_jdbc_plan_insert_if_absent(spark):
     existing = spark.createDataFrame([("r2", "a2")], "name string, address string")
     got = plan_insert_if_absent(incoming, existing, ["name", "address"]).collect()
     assert [r["name"] for r in got] == ["r1"]
+
+
+def test_format_roundtrip_csv_json_orc_parquet(spark, tmp_path):
+    """Source/sink format completeness: the same frame must survive a
+    write/read roundtrip through every built-in columnar/text format
+    with an explicit schema (csv/json are schema-on-read — never infer
+    in production paths)."""
+    from pyspark.sql.types import StructType
+
+    df = spark.createDataFrame(
+        [(1, "hello world", 3.5), (2, "bye, with comma", None)],
+        "id long, text string, score double",
+    )
+    want = {(r["id"], r["text"], r["score"]) for r in df.collect()}
+    schema = StructType.fromDDL("id long, text string, score double")
+    for fmt, opts in [
+        ("parquet", {}),
+        ("orc", {}),
+        ("json", {}),
+        ("csv", {"header": "true", "quote": '"', "escape": '"'}),
+    ]:
+        path = str(tmp_path / fmt)
+        df.write.mode("overwrite").options(**opts).format(fmt).save(path)
+        back = spark.read.options(**opts).schema(schema).format(fmt).load(path)
+        got = {(r["id"], r["text"], r["score"]) for r in back.collect()}
+        assert got == want, fmt

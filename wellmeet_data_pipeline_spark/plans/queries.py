@@ -3231,3 +3231,34 @@ def q_daily_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "day", "event_type", "n", F.round(F.avg("n").over(w), 6).alias("ma7")
     )
+
+
+@_q(
+    "user_value_quartiles",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(sum(round(value * 100)) AS BIGINT) AS total_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, total_cents,
+           ntile(4) OVER (ORDER BY total_cents, user_id) AS quartile,
+           round(percent_rank() OVER (ORDER BY total_cents, user_id), 6) AS pct_rank
+    FROM t
+    """,
+    "ranking-window completeness: ntile quartile buckets + percent_rank "
+    "over per-user spend — post-agg windows on user-cardinality data; "
+    "ties broken by user_id so bucket edges are deterministic; spend in "
+    "exact-integer cents",
+)
+def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    t = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("total_cents")
+    )
+    w = Window.orderBy(F.col("total_cents").asc(), F.col("user_id").asc())
+    return t.select(
+        "user_id",
+        "total_cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
