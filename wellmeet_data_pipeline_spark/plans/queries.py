@@ -3262,3 +3262,62 @@ def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@_q(
+    "busiest_day_per_type",
+    """
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           arg_max(day, lpad(CAST(n AS VARCHAR), 20, '0') || day) AS busiest_day,
+           max(n) AS peak_events
+    FROM d GROUP BY event_type
+    """,
+    "argmax aggregation (max_by): the busiest day per event type in ONE "
+    "aggregation pass — no rank-window detour; ties break toward the "
+    "later day via a lexicographic (zero-padded count ‖ day) key, the "
+    "compound-ordering form both engines' arg_max accept",
+)
+def q_busiest_day_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    key = F.concat(F.lpad(F.col("n").cast("string"), 20, "0"), F.col("day"))
+    return d.groupBy("event_type").agg(
+        F.max_by("day", key).alias("busiest_day"),
+        F.max("n").alias("peak_events"),
+    )
+
+
+@_q(
+    "sql_api_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "the SQL facade: the engine accepts raw ANSI SQL via temp views + "
+    "spark.sql — same Catalyst plan as the DataFrame form (filter pushed, "
+    "partial aggs), proving both API surfaces hit identical physical "
+    "strategies",
+)
+def q_sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS price_cents
+        FROM v_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
