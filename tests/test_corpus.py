@@ -441,3 +441,48 @@ def test_line_dedup_regex_metachar_delimiter(spark):
     )
     got = {r["doc_id"]: r["text"] for r in line_dedup_global(df, delim="|").collect()}
     assert got == {1: "seg one|seg two", 2: "seg three"}
+
+
+def test_streaming_near_dup_survives_sig_store_replay(spark, tmp_path):
+    """Crash-replay safety: if a previous attempt appended the batch's OWN
+    signatures to the sig store but died before the corpus write, the
+    replayed batch must NOT collide with itself and vanish."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_band_buckets
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.corpus import (
+        read_corpus,
+        run_corpus_pipeline,
+    )
+
+    landing = tmp_path / "rp_landing"
+    landing.mkdir()
+    store, ckpt, sigs = (
+        str(tmp_path / "rp_store"),
+        str(tmp_path / "rp_ckpt"),
+        str(tmp_path / "rp_sigs"),
+    )
+    schema = StructType.fromDDL("doc_id long, text string")
+    bench = spark.createDataFrame([(900, "unrelated benchmark")], "doc_id long, text string")
+
+    batch = [
+        {"doc_id": 1, "text": "a perfectly ordinary document with several words"},
+        {"doc_id": 2, "text": "another unrelated body of text talking about shuffles"},
+    ]
+    (landing / "b1.json").write_text(json.dumps(batch))
+
+    # simulate the crashed attempt: its sig-store append committed
+    bdf = spark.createDataFrame([(r["doc_id"], r["text"]) for r in batch], schema)
+    merge_append(
+        minhash_band_buckets(bdf, num_hashes=16, bands=4),
+        sigs, id_col="doc_id", partition_col=None, batch_seq=0,
+    )
+
+    run_corpus_pipeline(
+        spark, str(landing), store, ckpt, schema, bench,
+        near_dup=True, sig_store_path=sigs,
+    )
+    assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {1, 2}

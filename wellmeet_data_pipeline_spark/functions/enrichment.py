@@ -40,6 +40,10 @@ GeoFn = Callable[[str], tuple[float, float] | None]
 # would re-resolve every distinct address each batch.  Keyed by
 # (namespace, address) so two different geocoders never cross-poison.
 _GEO_MEMO: dict[tuple[str, str], tuple[float, float] | None] = {}
+# soft cap: beyond this, new addresses resolve but aren't memoized — an
+# unbounded per-worker dict would grow with every distinct address for the
+# executor's lifetime
+_GEO_MEMO_MAX = 1_000_000
 
 
 def geocode_with_cache(
@@ -58,9 +62,19 @@ def geocode_with_cache(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + ["latitude double", "longitude double"]
     )
-    ns = cache_namespace or (
-        f"{getattr(geocoder, '__module__', '?')}.{getattr(geocoder, '__qualname__', repr(geocoder))}"
-    )
+    if cache_namespace is not None:
+        ns = cache_namespace
+    else:
+        # qualname alone collides for distinct closures born at the same
+        # code location (two make_geocoder('kr'/'us') lambdas share a
+        # __qualname__ but must NOT share cache entries) — hash the pickled
+        # closure, which captures the bound arguments
+        try:
+            from pyspark import cloudpickle
+
+            ns = hashlib.sha1(cloudpickle.dumps(geocoder)).hexdigest()[:16]
+        except Exception:
+            ns = f"{getattr(geocoder, '__module__', '?')}.{getattr(geocoder, '__qualname__', repr(geocoder))}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # resolve the memo through the module object loaded IN THIS worker:
@@ -72,12 +86,21 @@ def geocode_with_cache(
             lats, lons = [], []
             for addr in pdf[address_col]:
                 key = (ns, "" if addr is None else str(addr))
-                if key not in memo:
+                if key in memo:
+                    hit = memo[key]
+                else:
                     try:
-                        memo[key] = geocoder(key[1])
+                        hit = geocoder(key[1])
                     except Exception:
-                        memo[key] = None  # reference returns None on miss (:49-53)
-                hit = memo[key]
+                        # transient failure: return null THIS row but do
+                        # NOT memoize — a worker-lifetime cache would turn
+                        # one network blip into a permanently unresolvable
+                        # address (the reference's None-on-miss, :49-53,
+                        # is only for a RESOLVED not-found, cached below)
+                        hit = None
+                    else:
+                        if len(memo) < _GEO_MEMO_MAX:  # bound worker memory
+                            memo[key] = hit
                 lats.append(hit[0] if hit else None)
                 lons.append(hit[1] if hit else None)
             pdf = pdf.copy()

@@ -32,7 +32,11 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"https?://[^\s]+", "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d\-\s]{7,}\d", "<PHONE>"),
+    # phones need STRUCTURE, not just digit runs: either an international
+    # +cc prefix (spaces/hyphens allowed after it) or a hyphenated local
+    # number.  A bare [\d\-\s]{7,} run would eat ordinary numeric text —
+    # '2020 2021 2022' or a column of figures — corpus-wide.
+    (r"\+\d{1,3}[\-\s]?\d[\d\-\s]{5,}\d|\b\d{2,4}-\d{3,4}-\d{3,4}\b", "<PHONE>"),
 )
 
 

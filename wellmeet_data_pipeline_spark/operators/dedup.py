@@ -437,9 +437,19 @@ def connected_components(
     shallow: diameter ~ 2-3), checked by a driver-side changed-count
     (a bounded scalar, not a data collect).  Labels cache per round and
     unpersist after; at 100 TB checkpoint every few rounds to truncate
-    lineage.  Returns (node, component) for every node with an edge."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    lineage.  Returns (node, component) for every node with an edge.
+
+    Raises if max_iters rounds pass without convergence — labels would be
+    silently WRONG (a chain longer than max_iters keeps several
+    'survivors' of one true cluster); the caller must raise max_iters,
+    not receive plausible-looking partial labels.  The edge list is
+    materialized once up front: every round joins it twice, and an
+    unmaterialized lineage (e.g. a full MinHash candidate pipeline) would
+    otherwise re-run per round."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -471,6 +481,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters; returning "
+            "partial labels would keep multiple survivors per cluster"
+        )
     return labels.select("node", "component")
 
 

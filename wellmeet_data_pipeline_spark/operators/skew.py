@@ -28,14 +28,18 @@ def salted_count_sum(
     on (key, salt) — the hot key spreads over salt_buckets reducers; phase
     2 combines salt_buckets small rows per key.
 
-    Salt = spark_partition_id() % buckets: deterministic under task retry
-    (a recomputed partition re-derives the SAME salt for every row,
-    unlike monotonically_increasing_id, which can renumber rows on stage
-    recomputation and move them between (key, salt) groups after part of
-    the shuffle output was already fetched — the round-robin
-    repartition hazard class).  A hot key's rows span many input
-    partitions at scale, which is exactly the spread the salt needs."""
-    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
+    Salt = pmod(xxhash64(all columns), buckets): a pure function of row
+    CONTENT, so it is deterministic under task retry (the
+    monotonically_increasing_id / round-robin hazard class cannot touch
+    it) AND independent of input partitioning — spark_partition_id-based
+    salts silently collapse to one bucket when the hot key arrives in few
+    partitions (small file, post-coalesce, source clustered by the key),
+    re-creating the very straggler this operator exists to prevent.
+    Fully identical rows share a salt; their spread comes from partial
+    aggregation, which collapses them before the shuffle anyway."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
     partial = salted.groupBy(*key_cols, "__salt").agg(
         F.count("*").alias("__n"), F.sum(value_col).alias("__s")
     )
@@ -56,7 +60,8 @@ def salted_join_small_side(
     side fits; this is for medium dims too big to broadcast next to a
     skewed fact."""
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
     )
     small_replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))

@@ -26,10 +26,27 @@ from wellmeet_data_pipeline_spark.operators.corpus import decontaminate, scrub_p
 from wellmeet_data_pipeline_spark.operators.dedup import (
     bucket_pairs,
     dedup_cluster_survivors,
+    dedup_keep_first,
     minhash_band_buckets,
 )
 from wellmeet_data_pipeline_spark.sinks.merge import merge_append, read_current
 from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
+
+
+def _read_store_or_empty(spark: SparkSession, path: str, **kwargs) -> DataFrame | None:
+    """read_current, with ONLY the missing-path case mapped to None (first
+    batch, store not yet created).  Any other failure — transient
+    object-store errors, corrupt footers, permissions — must PROPAGATE:
+    swallowing it would silently disable dedup for the batch and admit
+    duplicates permanently."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return read_current(spark, path, **kwargs)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def run_corpus_pipeline(
@@ -72,33 +89,42 @@ def run_corpus_pipeline(
         gated = scrubbed.filter(token_count(text_col) >= min_tokens)
         decon = decontaminate(gated, benchmark, text_col, id_col, shingle_n)
         keyed = decon.withColumn("fingerprint", document_fingerprint(F.col(text_col)))
-        keyed = keyed.dropDuplicates(["fingerprint"])  # within-batch
-        try:
-            existing = read_current(spark, store_path, id_col="fingerprint").select(
-                "fingerprint"
+        # deterministic within-batch survivor (min id per fingerprint) —
+        # dropDuplicates keeps an arbitrary row, so a foreachBatch replay
+        # could persist a different doc for the same fingerprint
+        keyed = dedup_keep_first(keyed, "fingerprint", id_col)
+        existing = _read_store_or_empty(spark, store_path, id_col="fingerprint")
+        if existing is not None:
+            fresh = keyed.join(
+                existing.select("fingerprint"), "fingerprint", "left_anti"
             )
-            fresh = keyed.join(existing, "fingerprint", "left_anti")
-        except Exception:  # first batch: empty store
+        else:
             fresh = keyed
         if near_dup:
             buckets = minhash_band_buckets(
                 fresh, text_col, id_col, num_hashes, bands, shingle_n
             )
-            try:
-                stored = read_current(
-                    spark, sig_store_path, id_col=[id_col, "band", "bucket"]
-                )
+            stored = _read_store_or_empty(
+                spark, sig_store_path, id_col=[id_col, "band", "bucket"]
+            )
+            if stored is not None:
                 # probed against the store: bucket collision == near-dup
                 # candidate; candidates are dropped (same contract as the
                 # batch LSH family — add a Jaccard verify stage to keep
-                # borderline docs instead)
+                # borderline docs instead).  REPLAY SAFETY: exclude the
+                # batch's own ids from the probe — foreachBatch is
+                # at-least-once, and a crash between the sig-store append
+                # and the corpus append would otherwise make every
+                # replayed doc collide with its OWN persisted buckets and
+                # silently vanish from the corpus.
+                stored = stored.join(
+                    fresh.select(id_col), id_col, "left_anti"
+                )
                 hit = buckets.join(stored, ["band", "bucket"], "left_semi").select(
                     id_col
                 ).distinct()
                 fresh = fresh.join(hit, id_col, "left_anti")
                 buckets = buckets.join(hit, id_col, "left_anti")
-            except Exception:  # first batch: empty signature store
-                pass
             # in-batch clusters -> min-id survivor (multi-hop safe)
             fresh = dedup_cluster_survivors(fresh, bucket_pairs(buckets, id_col), id_col)
             # MATERIALIZE before writing: both writes' lineages read the
