@@ -370,3 +370,65 @@ def test_stream_stream_range_join_matches_batch(spark, tmp_path):
         (r["l_event_id"], r["r_event_id"], r["delta_us"]) for r in batch.collect()
     }
     assert got_batch == got
+
+
+def test_debounce_stream_kept_anchored(spark, tmp_path):
+    """True cooldown: in a chain of sub-cooldown events only the FIRST
+    survives, and an event past the cooldown from the last KEPT (not last
+    seen) is re-admitted; state persists across activations."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
+    from wellmeet_data_pipeline_spark.streaming.stateful import debounce_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+        ]
+    )
+    landing = tmp_path / "db_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "db_out"), str(tmp_path / "db_ckpt")
+
+    def run():
+        stream = landing_stream(spark, str(landing), schema)
+        (
+            debounce_stream(stream, ["user_id"], "ts", cooldown_seconds=300)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # chain at 0, 2, 4, 6 minutes: lag-gap thinning would keep 0 only
+    # (every successive gap < 5m); kept-anchored keeps 0 AND 6m (>= 5m
+    # after the kept 0)
+    _drop(landing, "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": "u1"},
+        {"event_id": 2, "ts": "2024-01-01T00:02:00.000Z", "user_id": "u1"},
+        {"event_id": 3, "ts": "2024-01-01T00:04:00.000Z", "user_id": "u1"},
+        {"event_id": 4, "ts": "2024-01-01T00:06:00.000Z", "user_id": "u1"},
+    ])
+    run()
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 4]
+
+    # next activation: 8m is < 5m after kept 6m -> dropped; 12m kept
+    _drop(landing, "b2.json", [
+        {"event_id": 5, "ts": "2024-01-01T00:08:00.000Z", "user_id": "u1"},
+        {"event_id": 6, "ts": "2024-01-01T00:12:00.000Z", "user_id": "u1"},
+    ])
+    run()
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 4, 6]

@@ -83,3 +83,57 @@ def run_stateful_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def debounce_stream(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    cooldown_seconds: int = 300,
+) -> DataFrame:
+    """KEPT-ANCHORED debounce: emit an event only if >= cooldown has passed
+    since the last EMITTED event of the same key — the semantics a lag()
+    window cannot express (the anchor advances only on kept events, an
+    inherently sequential scan), which is exactly what per-key streaming
+    state is for.  Contrast the batch `event_debounce` query, which
+    documents itself as successive-gap thinning.
+
+    State per key: the last-kept event-time epoch microseconds.  Within a
+    batch rows are processed in (ts, remaining columns) order so output
+    is deterministic under retries.  Chain of sub-cooldown events: only
+    the first survives, no matter how long the chain runs — time since
+    last KEPT, not since last SEEN."""
+    out_schema = stream.schema
+    keys = list(key_cols)
+    order_cols = [ts_col] + [
+        f.name for f in stream.schema.fields if f.name not in (*keys, ts_col)
+    ]
+
+    def keep_after_cooldown(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in pdfs if len(pdf) > 0]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        batch = batch.sort_values(order_cols, kind="mergesort")
+        last_us = state.get[0] if state.exists else None
+        cooldown_us = cooldown_seconds * 1_000_000
+        kept_rows = []
+        for i, ts in enumerate(batch[ts_col]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is None or ts_us - last_us >= cooldown_us:
+                kept_rows.append(i)
+                last_us = ts_us
+        if last_us is not None:
+            state.update((last_us,))
+        if kept_rows:
+            yield batch.iloc[kept_rows]
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        keep_after_cooldown,
+        outputStructType=out_schema,
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
