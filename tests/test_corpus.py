@@ -486,3 +486,28 @@ def test_streaming_near_dup_survives_sig_store_replay(spark, tmp_path):
         near_dup=True, sig_store_path=sigs,
     )
     assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {1, 2}
+
+
+def test_remove_repeated_spans_realistic_width(spark):
+    """Production-ish span width (w=10) over long documents: a planted
+    15-word plagiarized passage is cut from the later doc while the
+    surrounding original prose survives word-for-word."""
+    import random
+
+    from wellmeet_data_pipeline_spark.operators.corpus import remove_repeated_spans
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    prose = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    passage = " ".join(f"quote{i}" for i in range(15))  # 15-word repeated span
+    d1 = prose(80) + " " + passage + " " + prose(40)
+    d2_head, d2_tail = prose(60), prose(30)
+    d2 = d2_head + " " + passage + " " + d2_tail
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+
+    got = {r["doc_id"]: r for r in remove_repeated_spans(df, span_w=10).collect()}
+    assert got[1]["n_tokens_removed"] == 0          # first occurrence untouched
+    assert got[1]["text"] == d1
+    assert got[2]["n_tokens_removed"] == 15         # exactly the passage cut
+    assert got[2]["text"] == d2_head + " " + d2_tail
+    assert "quote0" not in got[2]["text"]
