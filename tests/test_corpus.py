@@ -474,10 +474,16 @@ def test_streaming_near_dup_survives_sig_store_replay(spark, tmp_path):
     ]
     (landing / "b1.json").write_text(json.dumps(batch))
 
-    # simulate the crashed attempt: its sig-store append committed
+    # simulate the crashed attempt: its sig-store append committed, with
+    # the (id, fingerprint)-keyed rows the pipeline writes
+    from pyspark.sql import functions as SF
+
+    from wellmeet_data_pipeline_spark.functions.text import document_fingerprint
+
     bdf = spark.createDataFrame([(r["doc_id"], r["text"]) for r in batch], schema)
+    fp = bdf.select("doc_id", document_fingerprint(SF.col("text")).alias("fingerprint"))
     merge_append(
-        minhash_band_buckets(bdf, num_hashes=16, bands=4),
+        minhash_band_buckets(bdf, num_hashes=16, bands=4).join(fp, "doc_id"),
         sigs, id_col="doc_id", partition_col=None, batch_seq=0,
     )
 
@@ -511,3 +517,43 @@ def test_remove_repeated_spans_realistic_width(spark):
     assert got[2]["n_tokens_removed"] == 15         # exactly the passage cut
     assert got[2]["text"] == d2_head + " " + d2_tail
     assert "quote0" not in got[2]["text"]
+
+
+def test_streaming_near_dup_catches_edited_recrawl(spark, tmp_path):
+    """Same doc_id re-crawled with slightly edited text (new fingerprint):
+    the refined (id, fingerprint) replay exclusion must still probe it
+    against its own stored signatures and drop it as a near-dup."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.streaming.corpus import (
+        read_corpus,
+        run_corpus_pipeline,
+    )
+
+    landing = tmp_path / "rc_landing"
+    landing.mkdir()
+    store, ckpt, sigs = (
+        str(tmp_path / "rc_store"),
+        str(tmp_path / "rc_ckpt"),
+        str(tmp_path / "rc_sigs"),
+    )
+    schema = StructType.fromDDL("doc_id long, text string")
+    bench = spark.createDataFrame([(900, "unrelated benchmark")], "doc_id long, text string")
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    (landing / "b1.json").write_text(json.dumps([{"doc_id": 1, "text": base}]))
+    run_corpus_pipeline(spark, str(landing), store, ckpt, schema, bench,
+                        near_dup=True, sig_store_path=sigs)
+    assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {1}
+
+    # re-crawl of id 1 with one extra word: new fingerprint, near-dup text
+    (landing / "b2.json").write_text(
+        json.dumps([{"doc_id": 1, "text": base + " today"}])
+    )
+    run_corpus_pipeline(spark, str(landing), store, ckpt, schema, bench,
+                        near_dup=True, sig_store_path=sigs)
+    cur = read_corpus(spark, store).collect()
+    assert {r["doc_id"] for r in cur} == {1}
+    assert [r["text"] for r in cur] == [base]  # the ORIGINAL stays canonical

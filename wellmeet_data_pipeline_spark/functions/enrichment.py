@@ -82,22 +82,30 @@ def geocode_with_cache(
         from wellmeet_data_pipeline_spark.functions import enrichment as _enr
 
         memo = _enr._GEO_MEMO
+        # TASK-lifetime negative cache: a failing address is retried once
+        # per task, not once per row (a down endpoint must not become a
+        # per-row RPC storm) — and not memoized worker-lifetime, so the
+        # next task retries after a transient blip
+        failed: set[str] = set()
         for pdf in batches:
             lats, lons = [], []
             for addr in pdf[address_col]:
                 key = (ns, "" if addr is None else str(addr))
                 if key in memo:
                     hit = memo[key]
+                elif key[1] in failed:
+                    hit = None
                 else:
                     try:
                         hit = geocoder(key[1])
                     except Exception:
-                        # transient failure: return null THIS row but do
-                        # NOT memoize — a worker-lifetime cache would turn
-                        # one network blip into a permanently unresolvable
+                        # transient failure: null for this TASK but never
+                        # memoized — a worker-lifetime cache would turn one
+                        # network blip into a permanently unresolvable
                         # address (the reference's None-on-miss, :49-53,
                         # is only for a RESOLVED not-found, cached below)
                         hit = None
+                        failed.add(key[1])
                     else:
                         if len(memo) < _GEO_MEMO_MAX:  # bound worker memory
                             memo[key] = hit

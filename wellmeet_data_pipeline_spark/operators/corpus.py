@@ -32,11 +32,21 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"https?://[^\s]+", "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # phones need STRUCTURE, not just digit runs: either an international
-    # +cc prefix (spaces/hyphens allowed after it) or a hyphenated local
-    # number.  A bare [\d\-\s]{7,} run would eat ordinary numeric text —
-    # '2020 2021 2022' or a column of figures — corpus-wide.
-    (r"\+\d{1,3}[\-\s]?\d[\d\-\s]{5,}\d|\b\d{2,4}-\d{3,4}-\d{3,4}\b", "<PHONE>"),
+    # phones need STRUCTURE, not just digit runs — a bare [\d\-\s]{7,}
+    # would eat ordinary numeric text ('2020 2021 2022', figure columns)
+    # corpus-wide.  Four bounded shapes, none with an open-ended tail:
+    #   +cc then hyphenated groups        (+82 10-1234-5678)
+    #   3-group local, sep space/hyphen,  (010 1234 5678 / 415 555 2671 —
+    #     first group <=3 digits so 4-4-4 year runs never match)
+    #   bare national: leading 0, 9-11 digits  (01012345678)
+    #   hyphenated with a wider first group    (0101-123-4567)
+    (
+        r"\+\d{1,3}[\-\s]?\d{1,4}(-\d{2,4}){1,3}"
+        r"|\b\d{2,3}[\-\s]\d{3,4}[\-\s]\d{4}\b"
+        r"|\b0\d{8,10}\b"
+        r"|\b\d{2,4}-\d{3,4}-\d{3,4}\b",
+        "<PHONE>",
+    ),
 )
 
 

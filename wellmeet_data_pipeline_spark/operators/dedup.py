@@ -446,6 +446,8 @@ def connected_components(
     materialized once up front: every round joins it twice, and an
     unmaterialized lineage (e.g. a full MinHash candidate pipeline) would
     otherwise re-run per round."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

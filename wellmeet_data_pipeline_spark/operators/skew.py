@@ -59,9 +59,17 @@ def salted_join_small_side(
     lands on a different reducer.  Prefer plain broadcast when the small
     side fits; this is for medium dims too big to broadcast next to a
     skewed fact."""
+    # content hash + partition id: content alone collapses when a hot
+    # key's projected rows are identical (joins have no partial-agg
+    # rescue); partition id alone collapses when the key sits in few
+    # partitions.  The sum spreads in either case and stays retry-
+    # deterministic (a recomputed partition re-derives both terms).
     big_salted = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns]) + F.spark_partition_id(),
+            F.lit(salt_buckets),
+        ),
     )
     small_replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))

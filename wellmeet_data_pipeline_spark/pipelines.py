@@ -32,7 +32,10 @@ from wellmeet_data_pipeline_spark.operators.projections import (
 )
 from wellmeet_data_pipeline_spark.operators.joins import insert_if_absent
 from wellmeet_data_pipeline_spark.schemas import RESTAURANT, REVIEW
-from wellmeet_data_pipeline_spark.sinks.merge import merge_append, read_current
+from wellmeet_data_pipeline_spark.sinks.merge import (
+    merge_append,
+    read_current_or_none,
+)
 from wellmeet_data_pipeline_spark.sources.ingest import fetch_rows, incremental_ingest, seed_frame
 from wellmeet_data_pipeline_spark.functions.text import clean_address
 
@@ -59,10 +62,11 @@ def discover_restaurants(
         )
     projected = projected.select([f.name for f in RESTAURANT.fields])
 
-    try:
-        existing = read_current(spark, store_path, id_col="place_id").select("place_id")
-    except Exception:  # first run: empty store
-        existing = spark.createDataFrame([], "place_id string")
+    cur = read_current_or_none(spark, store_path, id_col="place_id")
+    existing = (
+        cur.select("place_id") if cur is not None
+        else spark.createDataFrame([], "place_id string")
+    )
     fresh = incremental_ingest(projected.filter(F.col("place_id").isNotNull()), existing, "place_id")
     merge_append(fresh, store_path, id_col="place_id", partition_col=None, batch_seq=batch_seq)
     return fresh
@@ -87,12 +91,11 @@ def ingest_reviews(
     seeds = seed_frame(spark, place_ids, pages)
     raw = fetch_rows(seeds, fetcher, raw_schema)
     reviews = project_review(raw)
-    try:
-        existing = read_current(spark, store_path, id_col=["place_id", "id"]).select(
-            "place_id", "id"
-        )
-    except Exception:
-        existing = spark.createDataFrame([], "place_id string, id string")
+    cur = read_current_or_none(spark, store_path, id_col=["place_id", "id"])
+    existing = (
+        cur.select("place_id", "id") if cur is not None
+        else spark.createDataFrame([], "place_id string, id string")
+    )
     fresh = incremental_ingest(reviews, existing, ["place_id", "id"])
     merge_append(fresh, store_path, id_col="id", partition_col="place_id", batch_seq=batch_seq)
     return fresh

@@ -2803,8 +2803,9 @@ def q_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
     FROM events GROUP BY event_type
     """,
-    "skew-safe two-phase aggregation (salt = spark_partition_id % 16: "
-    "deterministic under task retry) proven EQUAL to the plain groupBy "
+    "skew-safe two-phase aggregation (salt = pmod(xxhash64(row), 16): "
+    "content-derived, retry-deterministic, partitioning-independent) "
+    "proven EQUAL to the plain groupBy "
     "oracle — sums ride exact-integer cents so the two accumulation "
     "orders cannot diverge by a ulp",
 )

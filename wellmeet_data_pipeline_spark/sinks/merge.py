@@ -91,3 +91,31 @@ def compact(spark: SparkSession, path: str, out_path: str, id_col: str = "id",
     writer.parquet(out_path)
     if persisted is not None:
         persisted.unpersist()
+
+
+def read_current_or_none(
+    spark: SparkSession,
+    path: str,
+    id_col: str | list[str] = "id",
+    batch_col: str = "_batch_seq",
+):
+    """read_current with ONLY the store-not-yet-created cases mapped to
+    None: missing path, or an existing directory holding no parquet parts
+    (an all-filtered first batch under AQE can commit _SUCCESS with zero
+    files → UNABLE_TO_INFER_SCHEMA).  Everything else — transient
+    object-store errors, corrupt footers, permissions — PROPAGATES:
+    swallowing it would silently disable dedup for the batch and admit
+    duplicates permanently."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return read_current(spark, path, id_col, batch_col)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise

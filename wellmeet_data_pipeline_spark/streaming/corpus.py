@@ -29,24 +29,12 @@ from wellmeet_data_pipeline_spark.operators.dedup import (
     dedup_keep_first,
     minhash_band_buckets,
 )
-from wellmeet_data_pipeline_spark.sinks.merge import merge_append, read_current
+from wellmeet_data_pipeline_spark.sinks.merge import (
+    merge_append,
+    read_current,
+    read_current_or_none,
+)
 from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
-
-
-def _read_store_or_empty(spark: SparkSession, path: str, **kwargs) -> DataFrame | None:
-    """read_current, with ONLY the missing-path case mapped to None (first
-    batch, store not yet created).  Any other failure — transient
-    object-store errors, corrupt footers, permissions — must PROPAGATE:
-    swallowing it would silently disable dedup for the batch and admit
-    duplicates permanently."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return read_current(spark, path, **kwargs)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
 
 
 def run_corpus_pipeline(
@@ -93,7 +81,7 @@ def run_corpus_pipeline(
         # dropDuplicates keeps an arbitrary row, so a foreachBatch replay
         # could persist a different doc for the same fingerprint
         keyed = dedup_keep_first(keyed, "fingerprint", id_col)
-        existing = _read_store_or_empty(spark, store_path, id_col="fingerprint")
+        existing = read_current_or_none(spark, store_path, id_col="fingerprint")
         if existing is not None:
             fresh = keyed.join(
                 existing.select("fingerprint"), "fingerprint", "left_anti"
@@ -101,24 +89,32 @@ def run_corpus_pipeline(
         else:
             fresh = keyed
         if near_dup:
+            # buckets carry the doc's content fingerprint into the sig
+            # store so replay exclusion below can distinguish "same doc
+            # re-delivered" from "same id re-crawled with edited text"
             buckets = minhash_band_buckets(
                 fresh, text_col, id_col, num_hashes, bands, shingle_n
-            )
-            stored = _read_store_or_empty(
+            ).join(fresh.select(id_col, "fingerprint"), id_col)
+            stored = read_current_or_none(
                 spark, sig_store_path, id_col=[id_col, "band", "bucket"]
             )
             if stored is not None:
                 # probed against the store: bucket collision == near-dup
                 # candidate; candidates are dropped (same contract as the
                 # batch LSH family — add a Jaccard verify stage to keep
-                # borderline docs instead).  REPLAY SAFETY: exclude the
-                # batch's own ids from the probe — foreachBatch is
-                # at-least-once, and a crash between the sig-store append
-                # and the corpus append would otherwise make every
-                # replayed doc collide with its OWN persisted buckets and
-                # silently vanish from the corpus.
+                # borderline docs instead).  REPLAY SAFETY: exclude stored
+                # rows matching the batch on (id, fingerprint) — foreachBatch
+                # is at-least-once, and a crash between the sig-store append
+                # and the corpus append would otherwise make every replayed
+                # doc collide with its OWN persisted buckets and silently
+                # vanish.  Keying the exclusion on the fingerprint TOO means
+                # an EDITED re-crawl under the same id (different
+                # fingerprint) is still probed against its stored version
+                # and deduped as the near-dup it is.
                 stored = stored.join(
-                    fresh.select(id_col), id_col, "left_anti"
+                    fresh.select(id_col, "fingerprint"),
+                    [id_col, "fingerprint"],
+                    "left_anti",
                 )
                 hit = buckets.join(stored, ["band", "bucket"], "left_semi").select(
                     id_col

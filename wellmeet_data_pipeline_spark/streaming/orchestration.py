@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from wellmeet_data_pipeline_spark.operators.projections import fill_rds_defaults, require_fields
 from wellmeet_data_pipeline_spark.pipelines import ingest_reviews
 from wellmeet_data_pipeline_spark.schemas import RESTAURANT
-from wellmeet_data_pipeline_spark.sinks.merge import merge_append, read_current
+from wellmeet_data_pipeline_spark.sinks.merge import merge_append, read_current_or_none
 from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
 
 
@@ -43,10 +43,11 @@ def run_orchestration(
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         valid = fill_rds_defaults(require_fields(batch_df, ["place_id", "name"]))
         valid = valid.dropDuplicates(["place_id"])
-        try:
-            existing = read_current(spark, restaurant_store, id_col="place_id").select("place_id")
-        except Exception:  # first activation: empty store
-            existing = spark.createDataFrame([], "place_id string")
+        cur = read_current_or_none(spark, restaurant_store, id_col="place_id")
+        existing = (
+            cur.select("place_id") if cur is not None
+            else spark.createDataFrame([], "place_id string")
+        )
         fresh = valid.join(existing, "place_id", "left_anti")
         merge_append(fresh, restaurant_store, id_col="place_id", partition_col=None,
                      batch_seq=batch_id)

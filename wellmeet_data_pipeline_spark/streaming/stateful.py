@@ -102,7 +102,14 @@ def debounce_stream(
     batch rows are processed in (ts, remaining columns) order so output
     is deterministic under retries.  Chain of sub-cooldown events: only
     the first survives, no matter how long the chain runs — time since
-    last KEPT, not since last SEEN."""
+    last KEPT, not since last SEEN.
+
+    Disorder caveat: the anchor is monotone — an event arriving in a
+    LATER batch with an event time before the current anchor is dropped,
+    so output depends on delivery order for out-of-order streams.  Bound
+    the disorder upstream with a watermark (and accept drop-late
+    semantics), or use the batch `event_debounce` query on settled data
+    where a total event-time order exists."""
     out_schema = stream.schema
     keys = list(key_cols)
     order_cols = [ts_col] + [
