@@ -343,6 +343,30 @@ def test_pack_sequences_contiguous_offsets(spark):
     assert {r["doc_id"]: r["stream_id"] for r in sharded} == {0: 0, 1: 1, 2: 0}
 
 
+def test_pack_sequences_auto_streams_scale_with_input(spark):
+    """n_streams=None auto-sizes: never below defaultParallelism, and the
+    stream count must GROW with input size (a fixed default is a
+    parallelism ceiling — 8 streams over 100 TB = 8 giant sort tasks)."""
+    from pyspark.sql import functions as F
+
+    from wellmeet_data_pipeline_spark.operators.corpus import pack_sequences
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("a b c").alias("text"))
+    big = spark.range(3200).select(F.col("id").alias("doc_id"), F.lit("a b c").alias("text"))
+    n_small = (
+        pack_sequences(small, seq_len=16, rows_per_stream=100)
+        .agg(F.countDistinct("stream_id").alias("n")).collect()[0]["n"]
+    )
+    n_big = (
+        pack_sequences(big, seq_len=16, rows_per_stream=100)
+        .agg(F.countDistinct("stream_id").alias("n")).collect()[0]["n"]
+    )
+    assert n_small == max(par, 1)          # floor at cluster parallelism
+    assert n_big == max(par, 32)           # ceil(3200/100) once input outgrows it
+    assert n_big > n_small or par >= 32
+
+
 def test_minhash_verify_estimate_tracks_exact_jaccard(spark):
     from wellmeet_data_pipeline_spark.operators.dedup import minhash_verify_sha
 

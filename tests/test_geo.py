@@ -62,6 +62,57 @@ def test_geo_within_km_high_latitude(spark):
     assert len(got) == 1 and abs(got[0]["distance_km"] - 1.8) < 0.05
 
 
+def test_geo_within_km_secant_breakpoint_cell_straddle(spark):
+    # Regression net for the lon fan-out margin: near the sec(lat)=2
+    # breakpoint the widest within-2km pair spans ~2.004 lon cells (maximum
+    # over lat placements lands at 60.069°N, found numerically), and floor
+    # binning across a cell boundary puts such a pair THREE cells apart.
+    # Constructed exactly: left sits 1e-9° inside the right edge of cell
+    # 1000, right sits 2.0038 cells east (floor -> cell 1003); haversine
+    # 1.998 km < 2.0 so it is a true pair the join must emit.
+    cell_deg = 2.0 / 111.195
+    lat = 60.069
+    lon_l = 1001 * cell_deg - 1e-9        # floor -> cell 1000
+    lon_r = lon_l + 0.036042              # 2.0038 cells -> floor cell 1003
+    assert math.floor(lon_r / cell_deg) - math.floor(lon_l / cell_deg) == 3
+    left = spark.createDataFrame([(1, lat, lon_l)], "l_id long, lat double, lon double")
+    right = spark.createDataFrame([(2, lat, lon_r)], "r_id long, lat double, lon double")
+    got = geo_within_km(left, right, km=2.0).collect()
+    assert len(got) == 1 and got[0]["distance_km"] <= 2.0
+
+
+def test_geo_within_km_scatter_matches_bruteforce_60N(spark):
+    # deterministic scatter around 60°N spanning several cells in both
+    # axes; the grid join must reproduce the brute-force pair set exactly
+    pts = []
+    for i in range(60):
+        la = 59.98 + (i * 7 % 60) * 0.0016         # 59.98 .. 60.074
+        lo = 18.0 + (i * 13 % 60) * 0.002          # 18.0 .. 18.12
+        pts.append((i, la, lo))
+    left = spark.createDataFrame(pts, "l_id long, lat double, lon double")
+    right = spark.createDataFrame(
+        [(i + 1000, la, lo) for i, la, lo in pts], "r_id long, lat double, lon double"
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in geo_within_km(left, right, km=2.0).collect()
+    }
+    truth = set()
+    for i, la1, lo1 in pts:
+        for j, la2, lo2 in pts:
+            d = 2 * 6371.0088 * math.asin(
+                math.sqrt(
+                    math.sin(math.radians(la2 - la1) / 2) ** 2
+                    + math.cos(math.radians(la1))
+                    * math.cos(math.radians(la2))
+                    * math.sin(math.radians(lo2 - lo1) / 2) ** 2
+                )
+            )
+            if round(d, 6) <= 2.0:
+                truth.add((i, j + 1000))
+    assert got == truth and len(truth) > 100
+
+
 def test_resolve_nearby_places_entity_resolution(spark):
     places = spark.createDataFrame(
         [

@@ -250,3 +250,23 @@ def test_connected_components_multi_hop_chain(spark):
                                  "doc_id long, text string")
     kept = {r["doc_id"] for r in dedup_cluster_survivors(docs, edges).collect()}
     assert kept == {1, 10, 50}  # one survivor per cluster + untouched singleton
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 1000-link chain (diameter 999) must converge within the default
+    round budget — the large/small-star alternation is O(log n) rounds,
+    independent of diameter, unlike min-label propagation which would
+    need ~1000 rounds and previously aborted at 20."""
+    from pyspark.sql import functions as F
+
+    from wellmeet_data_pipeline_spark.operators.dedup import connected_components
+
+    chain = spark.range(1, 1000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = connected_components(chain).agg(
+        F.countDistinct("component").alias("n_comp"),
+        F.count("*").alias("n_nodes"),
+        F.max("component").alias("max_label"),
+    ).collect()[0]
+    assert (got["n_comp"], got["n_nodes"], got["max_label"]) == (1, 1000, 1)

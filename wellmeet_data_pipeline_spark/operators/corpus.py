@@ -498,8 +498,9 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     seq_len: int = 256,
-    n_streams: int = 8,
+    n_streams: int | None = None,
     tokens_col: str | None = None,
+    rows_per_stream: int = 250_000,
 ) -> DataFrame:
     """Assign each document its position in fixed-length training
     sequences — the concat-and-chunk packing every LLM data loader runs
@@ -512,15 +513,25 @@ def pack_sequences(
     a single-task sort at 100 TB.  Instead docs shard into `n_streams`
     INDEPENDENT streams (stream_id = doc_id % n_streams — deterministic
     and retry-stable, unlike round-robin repartition), each stream
-    packed by a running-sum window ordered by doc_id.  Set n_streams ~
-    cluster parallelism: the real loader reads streams independently
-    anyway, so per-stream packing is the semantics production wants,
-    not a compromise.
+    packed by a running-sum window ordered by doc_id.  The real loader
+    reads streams independently anyway, so per-stream packing is the
+    semantics production wants, not a compromise.
+
+    `n_streams=None` (default) AUTO-SIZES to
+    max(defaultParallelism, ceil(rows / rows_per_stream)) — one count()
+    job — so the per-stream window stays a bounded task as the input
+    grows instead of a fixed-n parallelism ceiling (8 streams over
+    100 TB would be 8 tasks sorting ~12 TB each).  Pass an explicit
+    n_streams when the output must be reproducible across cluster
+    sizes (the registry/oracle queries pin it).
 
     Pass `tokens_col` to reuse a precomputed token count (a curation
     pipeline that already gated on length has one) instead of
     re-tokenizing the text — drops the text column from this stage's
     lineage entirely."""
+    if n_streams is None:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        n_streams = max(par, -(-docs.count() // max(rows_per_stream, 1)))
     cum_w = (
         Window.partitionBy("stream_id")
         .orderBy(F.col(id_col).asc())

@@ -424,76 +424,113 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iters: int = 20,
+    max_iters: int = 25,
 ) -> DataFrame:
     """Resolve near-dup candidate PAIRS into CLUSTERS: connected components
-    by iterative min-label propagation — component id = min node id
-    reachable, the canonical survivor for 'keep one doc per duplicate
-    cluster'.
+    by the alternating LARGE-STAR / SMALL-STAR algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — component
+    id = min node id reachable, the canonical survivor for 'keep one doc
+    per duplicate cluster'.
 
-    Each round: every node takes min(own label, neighbors' labels) — one
-    groupBy(node) over the symmetrized edge list joined to current
-    labels; converges in O(graph diameter) rounds (near-dup clusters are
-    shallow: diameter ~ 2-3), checked by a driver-side changed-count
-    (a bounded scalar, not a data collect).  Labels cache per round and
-    unpersist after; at 100 TB checkpoint every few rounds to truncate
-    lineage.  Returns (node, component) for every node with an edge.
+    Each round rewires the edge set toward stars rooted at component
+    minima:
+      large-star — per node u over its full neighborhood, every neighbor
+        v > u reconnects to m = min(N(u) ∪ {u});
+      small-star — per node u over its smaller neighbors (edges oriented
+        high→low), all of them plus u reconnect to the minimum.
+    Both preserve connectivity, and the alternation converges in
+    O(log² n) rounds WORST case (O(log n) in practice) — independent of
+    graph DIAMETER, unlike min-label propagation, so a 1000-link chain of
+    near-dups costs ~10 rounds, not 1000.  Each step is one groupBy(min)
+    + an equi-join re-expansion; only (u, v) id pairs ever shuffle.
 
-    Raises if max_iters rounds pass without convergence — labels would be
-    silently WRONG (a chain longer than max_iters keeps several
-    'survivors' of one true cluster); the caller must raise max_iters,
-    not receive plausible-looking partial labels.  The edge list is
-    materialized once up front: every round joins it twice, and an
-    unmaterialized lineage (e.g. a full MinHash candidate pipeline) would
-    otherwise re-run per round."""
+    Convergence is detected by an order-invariant edge-set signature
+    (count + decimal sum of xxhash64(u, v) — a 1-row aggregate, not a
+    data collect).  Per-round frames are localCheckpoint-materialized —
+    truncating the logical plan, which would otherwise double every
+    round — and no cache-catalog entry outlives the call: checkpoint
+    blocks are released by the ContextCleaner once the superseded frames
+    are dropped.  Returns (node, component) for every node appearing in
+    an edge.
+
+    Raises if max_iters rounds pass without the edge set stabilizing —
+    labels would be silently WRONG; the caller must raise max_iters, not
+    receive plausible-looking partial labels."""
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: int64 sum of xxhash64 overflows under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    # orient every edge high→low (u > v); drop self-loops.  localCheckpoint
+    # (not cache) each round: it truncates the LOGICAL plan to an RDD leaf —
+    # the star rounds otherwise double the plan every iteration and the
+    # final plan string alone goes exponential; its blocks are released by
+    # the ContextCleaner once the superseded frame is dropped, so no
+    # session-lifetime cache-catalog entry leaks.
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels.cache()
+    sig = signature(e)
     for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_component"))
+        # large-star over the symmetrized neighborhood
+        ee = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = (
+            ee.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
+        large = (
+            ee.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
         )
-        new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        # small-star over the high→low edges large just produced
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            large.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        new_sig = signature(new_e)
+        e = new_e
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds "
-            f"({changed} labels still changing) — raise max_iters; returning "
-            "partial labels would keep multiple survivors per cluster"
+            f"connected_components did not stabilize in {max_iters} large/small-star "
+            "rounds — raise max_iters; returning partial labels would keep multiple "
+            "survivors per cluster"
         )
-    return labels.select("node", "component")
+    roots = e.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(roots, nodes.node == roots.u, "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
 
 
 def dedup_cluster_survivors(
-    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id", max_iters: int = 20
+    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id", max_iters: int = 25
 ) -> DataFrame:
     """The end of the near-dup pipeline: candidate pairs -> connected
     components -> keep the min-id doc per cluster (plus every doc that

@@ -65,7 +65,19 @@ def geo_within_km(
                 lat_cell.alias("__clat"),
                 F.floor(F.col(lon_col) / cell_deg).alias("__clon"),
             )
-        n_lon = F.ceil(1.0 / F.cos(F.radians(F.col(lat_col))))
+        # Lon fan-out must cover the WORST latitude either partner can sit
+        # at, not this row's: the partner may be up to one lat cell closer
+        # to the pole (|lat|+cell_deg), where convergence is stronger, and
+        # floor-binning lets two points Δlon apart land floor(Δ/cell)+1
+        # cells apart (a within-2km pair near 60°N spans up to ~2.004 lon
+        # cells — numerically maximized at 60.069°N — i.e. THREE cells
+        # after the floor straddle).  ceil(sec(own lat)) happens to cover
+        # every realizable pair at this radius only by razor-thin float
+        # margins, so take the conservative bound instead:
+        # n_lon = ceil(sec(|lat|+cell_deg)) + 1.  Clamped below 89.5° so a
+        # large radius near the 85° cutoff can't push sec() negative.
+        worst_lat = F.least(F.abs(F.col(lat_col)) + F.lit(cell_deg), F.lit(89.5))
+        n_lon = F.ceil(1.0 / F.cos(F.radians(worst_lat))) + 1
         margin = (n_lon + 1) * cell_deg
         seam_lon = F.when(F.col(lon_col) > 0, F.col(lon_col) - 360).otherwise(
             F.col(lon_col) + 360

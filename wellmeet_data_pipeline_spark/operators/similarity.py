@@ -260,6 +260,17 @@ def ivf_top_k(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
         .toPandas()  # bounded: n_centroids rows — a broadcast dim, not a data collect
     )
+    if len(cent_pd) < n_centroids:
+        # (id % seed_mod == 0) assumes dense contiguous ids; sparse/hashed
+        # id spaces can yield far fewer centroids and silently wreck bucket
+        # balance.  Fall back to a deterministic hash-order sample (TakeOrdered
+        # over sha2(id) — no RNG, id-distribution-free).
+        cent_pd = (
+            data.orderBy(F.sha2(F.col(id_col).cast("string"), 256).asc(), F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+            .toPandas()
+        )
     cent_ids, C = cent_pd["cid"].to_numpy(), _matrix(cent_pd["v"])
     if kmeans_iters:
         C = _kmeans_refine(
@@ -342,6 +353,11 @@ def embedding_simhash(
     pass, so the output is a narrow (id, simhash) frame that feeds the
     SAME banded-prefix candidate join as text SimHash
     (dedup.simhash_near_dup_pairs)."""
+    if not 0 < n_bits <= 64:
+        # the signature is ONE int64 (bit 63 = sign bit); >64 bits would
+        # overflow the weights construction inside the Arrow worker — fail
+        # fast on the driver instead
+        raise ValueError(f"n_bits must be in 1..64, got {n_bits}")
     spark = data.sparkSession
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((n_bits, dim))

@@ -1959,9 +1959,10 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Near-dup cluster resolution: candidate pairs -> connected components ->
-# one survivor per cluster.  The Spark side is ITERATIVE (min-label
-# propagation); the oracle is a recursive CTE computing min reachable id —
-# an iterative distributed algorithm verified against a SQL fixpoint.
+# one survivor per cluster.  The Spark side is ITERATIVE (alternating
+# large-star/small-star, O(log n) rounds independent of diameter); the
+# oracle is a recursive CTE computing min reachable id — an iterative
+# distributed algorithm verified against a SQL fixpoint.
 # ---------------------------------------------------------------------------
 
 
@@ -1981,9 +1982,9 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node, min(r) AS component FROM reach GROUP BY node
     """,
-    "connected components over MinHash-LSH candidate pairs via min-label "
-    "propagation (converges in O(cluster diameter) rounds, driver sees only "
-    "the changed-count scalar) — oracle is a recursive-CTE fixpoint",
+    "connected components over MinHash-LSH candidate pairs via alternating "
+    "large/small-star rounds (O(log n), diameter-independent; driver sees "
+    "only a 1-row edge-set signature) — oracle is a recursive-CTE fixpoint",
 )
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import (
