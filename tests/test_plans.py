@@ -109,3 +109,20 @@ def test_partition_pruned_week_prunes_directories(spark):
     # a post-scan Filter
     pf = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
     assert "2024-01-08" in pf and "2024-01-14" in pf
+
+
+def test_ngram_jaccard_lsh_tier_matches_exact(spark):
+    """The MinHash-LSH candidate tier must reproduce the exact inverted-
+    index result pair-for-pair on the oracle corpus — the scale path is a
+    faster route to the same answer, not a different answer."""
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, SF).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in REGISTRY["ngram_jaccard_pairs_lsh"].fn(spark, SF).collect()
+    }
+    assert exact == lsh and len(exact) > 0

@@ -211,16 +211,30 @@ def ngram_jaccard_pairs(
             .drop("__df")
         )
     sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    co = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        co = co.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        # candidate-driven verification: enumerate intersections ONLY for
+        # the candidate pairs — cost Σ_pairs |shingles(a)|, linear in the
+        # candidate count, never the DF² shingle self-join.  (Filtering the
+        # self-join output by candidates instead would pay the full
+        # inverted-index cost first and discard most of it.)
+        cand = candidates.select("id_a", "id_b").distinct()
+        ash = exploded.select(F.col(id_col).alias("id_a"), "shingle")
+        bsh = exploded.select(F.col(id_col).alias("id_b"), "shingle")
+        co = (
+            cand.join(ash, "id_a")
+            .join(bsh, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        co = (
+            a.join(b, on="shingle")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

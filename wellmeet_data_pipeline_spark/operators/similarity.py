@@ -16,13 +16,14 @@ Two tiers:
 - ivf_top_k: IVF-flat approximate search, the 100 TB path.  Deterministic
   centroids (count ~ sqrt(N) by default, the standard IVF sizing), every
   vector assigned to its nearest centroid, queries probe only their
-  nprobe nearest centroid buckets.  The bucket-local scoring is a
-  cogrouped applyInPandas on centroid_id: candidates shuffle once on
-  centroid, probes shuffle once on centroid, and each group does a local
-  numpy top-k — cost ~ nprobe/n_centroids of brute force, no quadratic
-  pair blowup anywhere.  The one driver-side collect is the centroid
-  sample itself (n_centroids rows, bounded by the cap — a broadcast dim,
-  not a data collect).
+  nprobe nearest centroid buckets.  ONE Arrow pass emits (id, v, bucket,
+  rank) rows — every row is a probe of its bucket and the rank==1 subset
+  is the bucket's candidate list — so bucket-local scoring is a single
+  groupBy(centroid_id).applyInPandas with one shuffle, and each group
+  does a local numpy top-k: cost ~ nprobe/n_centroids of brute force, no
+  quadratic pair blowup anywhere.  The one driver-side collect is the
+  centroid sample itself (n_centroids rows, bounded by the cap — a
+  broadcast dim, not a data collect).
 
 Determinism: similarities rounded before ranking, ties broken by
 neighbor_id, so results are stable across partitionings and match the
@@ -235,10 +236,12 @@ def ivf_top_k(
     input grows instead of degrading toward brute force; `seed_mod=None`
     adapts to ~N/n_centroids so the sample actually yields n_centroids
     rows (a fixed modulus caps the centroid count at N/mod).  Assignment
-    + probe list come from one mapInPandas pass against the broadcast
-    centroid matrix; bucket-local exact scoring is a cogrouped
-    applyInPandas on centroid_id; a final rank window merges the nprobe
-    buckets per query.
+    + probe list come from ONE mapInPandas pass against the broadcast
+    centroid matrix, carrying the vector so no re-join is needed;
+    bucket-local exact scoring is a single groupBy(centroid_id).
+    applyInPandas (each row probes its bucket, the rank==1 rows are the
+    bucket's candidates); a final rank window merges the nprobe buckets
+    per query.
 
     Recall is data-dependent: on well-clustered corpora (the real-world
     embedding case) a small nprobe/n_centroids ratio suffices; on
@@ -279,6 +282,10 @@ def ivf_top_k(
     bc = spark.sparkContext.broadcast((cent_ids, C))
 
     def rank_centroids(batches):
+        # emit (id, v, centroid_id, c_rank) — the vector rides along so the
+        # probe/candidate sides are pure FILTERS of this one pass instead of
+        # two re-joins against the input (each re-join was a full extra
+        # shuffle of the vectors; carrying v costs the same bytes once)
         cids, C = bc.value
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
         for pdf in batches:
@@ -288,53 +295,84 @@ def ivf_top_k(
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
             S = Qn @ Cn.T
             ids = pdf["id"].to_numpy()
-            out = []
+            vs = pdf["v"].to_numpy()
+            out_id, out_v, out_c, out_r = [], [], [], []
             for r in range(S.shape[0]):
                 order = np.lexsort((cids, -S[r]))[:nprobe]
                 for rank, j in enumerate(order, start=1):
-                    out.append((ids[r], int(cids[j]), rank))
-            yield pd.DataFrame(out, columns=["id", "centroid_id", "c_rank"])
+                    out_id.append(ids[r])
+                    out_v.append(vs[r])
+                    out_c.append(int(cids[j]))
+                    out_r.append(rank)
+            yield pd.DataFrame(
+                {"id": out_id, "v": out_v, "centroid_id": out_c, "c_rank": out_r}
+            )
 
-    vecs = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    ranked = vecs.mapInPandas(rank_centroids, "id long, centroid_id long, c_rank int")
-
-    assign = ranked.filter(F.col("c_rank") == 1).select("id", "centroid_id")
-    probe_keys = ranked.filter(F.col("c_rank") <= nprobe).select("id", "centroid_id")
-    # ranked derives from vecs, so qualify the re-join explicitly to avoid
-    # ambiguous-lineage resolution
-    cand = (
-        vecs.alias("cv")
-        .join(assign.alias("ca"), F.col("cv.id") == F.col("ca.id"))
-        .select(F.col("cv.id").alias("id"), F.col("cv.v").alias("v"), F.col("ca.centroid_id").alias("centroid_id"))
+    vecs = data.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    probes = (
-        vecs.alias("pv")
-        .join(probe_keys.alias("pk"), F.col("pv.id") == F.col("pk.id"))
-        .select(F.col("pv.id").alias("id"), F.col("pv.v").alias("v"), F.col("pk.centroid_id").alias("centroid_id"))
+    ranked = vecs.mapInPandas(
+        rank_centroids, "id long, v array<double>, centroid_id long, c_rank int"
     )
 
-    def bucket_topk(key, probe_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(probe_pdf) == 0 or len(cand_pdf) == 0:
+    def bucket_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # every ranked row IS a probe of its bucket, and the c_rank==1
+        # subset IS the bucket's candidate list — one grouped pass replaces
+        # the old probe/candidate cogroup (which recomputed the assignment
+        # mapInPandas once per side and shuffled twice)
+        cand_pdf = pdf[pdf["c_rank"] == 1]
+        if len(pdf) == 0 or len(cand_pdf) == 0:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []})
         return _topk_block(
-            probe_pdf["id"].to_numpy(),
-            _matrix(probe_pdf["v"]),
+            pdf["id"].to_numpy(),
+            _matrix(pdf["v"]),
             cand_pdf["id"].to_numpy(),
             _matrix(cand_pdf["v"]),
             k,
             round_digits,
         )
 
-    bucket_results = (
-        probes.groupBy("centroid_id")
-        .cogroup(cand.groupBy("centroid_id"))
-        .applyInPandas(bucket_topk, _TOPK_SCHEMA)
-    )
+    bucket_results = ranked.groupBy("centroid_id").applyInPandas(bucket_topk, _TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
         bucket_results.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def clustered_embeddings(
+    e: DataFrame,
+    mix: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic CLUSTERED fixture derived from an embedding table:
+    pull every vector toward its label's anchor (the embedding of the
+    lowest-id member of that label), v' = mix·anchor + (1-mix)·v.  No
+    normalization — cosine is scale-invariant.
+
+    Why this exists: the synthetic test embeddings are near-uniform in
+    cosine space (labels carry no cosine structure), which is the WORST
+    case for any inverted-file index — real-world embedding corpora are
+    strongly clustered, and that is the regime IVF's operating point
+    should be demonstrated in.  This transform is pure JVM expression
+    work (one broadcast join against ≤|labels| anchor rows + zip_with),
+    deterministic, RNG-free, and expressible 1:1 in the DuckDB oracle,
+    so the exact tier over the fixture stays hash-verified."""
+    anchors = e.groupBy(label_col).agg(
+        F.min_by(F.col(vec_col), F.col(id_col)).alias("__anchor")
+    )
+    mixed = F.zip_with(
+        F.col(vec_col),
+        F.col("__anchor"),
+        lambda x, a: a.cast("double") * F.lit(float(mix))
+        + x.cast("double") * F.lit(float(1.0 - mix)),
+    )
+    return (
+        e.join(F.broadcast(anchors), label_col)
+        .select(F.col(id_col), F.col(label_col), mixed.alias(vec_col))
     )
 
 
