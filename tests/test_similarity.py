@@ -208,3 +208,18 @@ def test_ivf_low_probe_high_recall_on_clustered_fixture(spark):
     }
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.9
+
+
+def test_ivf_sparse_id_space_falls_back_to_hash_sample(spark):
+    """(id % seed_mod == 0) assumes dense ids; with a sparse/hashed id
+    space the modulus sample can yield almost no centroids.  The operator
+    must fall back to a hash-order sample and still return correct
+    results rather than silently degrading to one giant bucket."""
+    rows = [(1_000_003 + i * 7919, [float((i * 13 + d * 5) % 11) for d in range(6)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf = ivf_top_k(df, k=2, n_centroids=4, nprobe=4, round_digits=4)
+    bf = brute_force_top_k(df, df, k=2, round_digits=4)
+    got_ivf = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
+    got_bf = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in bf.collect()}
+    assert got_ivf == got_bf  # nprobe == n_centroids -> exact, if buckets exist

@@ -1,0 +1,157 @@
+"""Synthetic scale smoke: wall-time scaling exponents for the four
+scale-critical operators at 1x / 8x / 64x of the sf0.1 tables.
+
+Scaled corpora are DERIVED deterministically from the driver's parquet
+(never synthesized from scratch):
+
+- documents: every word in copy K is suffixed with _K ("a b" -> "a_K
+  b_K"), which keeps each copy's shingle/line structure IDENTICAL to the
+  original corpus while making copies pairwise disjoint in shingle and
+  line space.  Verbatim replication would instead turn every original
+  doc into a 64-clique of near-dups and measure a pathological corpus
+  (candidate pairs ~ replication^2); injecting tokens BETWEEN words
+  would create degenerate single-word shingles ("zK b zK") that make
+  unrelated docs collide.  Dedup work therefore scales linearly with
+  data, matching real corpus growth.
+- embeddings: copies are rotated slightly (per-copy deterministic
+  perturbation), preserving cluster structure without exact-dup vectors.
+
+For each operator the smoke records wall seconds at each scale and the
+log-log slope between successive scales; slope < 2 means sub-quadratic,
+slope ~ 1 is linear.  Results land in SCALESMOKE.json.
+
+Usage: python tools/scale_smoke.py [sf_dir] [ops...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.plans.queries import table
+from wellmeet_data_pipeline_spark.session import get_spark
+
+SCALES = [1, 8, 64]
+
+
+def scaled_documents(spark, sf_dir: str, factor: int):
+    d = table(spark, sf_dir, "documents")
+    if factor == 1:
+        return d
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    return (
+        d.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("__copy") * 10_000_000).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1_"), F.col("__copy").cast("string")),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+
+
+def scaled_embeddings(spark, sf_dir: str, factor: int):
+    e = table(spark, sf_dir, "embeddings")
+    if factor == 1:
+        return e
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    return (
+        e.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                + F.lit(0.01)
+                * F.col("__copy").cast("double")
+                * F.sin(i.cast("double") * 2.3 + F.col("__copy").cast("double")),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+
+
+def run_minhash(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(scaled_documents(spark, sf_dir, factor)).count()
+
+
+def run_line_dedup(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.corpus import line_dedup_global
+
+    return line_dedup_global(scaled_documents(spark, sf_dir, factor)).count()
+
+
+def run_pack(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.corpus import pack_sequences
+
+    # auto n_streams: the whole point is that parallelism grows with input
+    return pack_sequences(
+        scaled_documents(spark, sf_dir, factor), seq_len=256, rows_per_stream=50_000
+    ).count()
+
+
+def run_ivf(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        clustered_embeddings,
+        ivf_top_k,
+    )
+
+    e = clustered_embeddings(scaled_embeddings(spark, sf_dir, factor))
+    # auto ~sqrt(N) centroids so bucket sizes stay sqrt(N) as input grows
+    return ivf_top_k(e, k=5, nprobe=4, kmeans_iters=0, round_digits=4).count()
+
+
+OPS = {
+    "minhash_lsh_candidates": run_minhash,
+    "line_dedup_global": run_line_dedup,
+    "pack_sequences": run_pack,
+    "cosine_topk_ivf": run_ivf,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:]) or set(OPS)
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    table(spark, sf_dir, "documents").count()  # warm scans + JVM
+    table(spark, sf_dir, "embeddings").count()
+
+    out: dict[str, dict] = {"sf_dir": sf_dir, "scales": SCALES, "ops": {}}
+    for name, fn in OPS.items():
+        if name not in only:
+            continue
+        rec = {"seconds": {}, "rows": {}, "slopes": {}}
+        for s in SCALES:
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir, s)
+            dt = round(time.perf_counter() - t0, 2)
+            rec["seconds"][str(s)] = dt
+            rec["rows"][str(s)] = rows
+            print(f"{name} x{s}: {dt}s ({rows} rows)", flush=True)
+        for lo, hi in zip(SCALES, SCALES[1:]):
+            t_lo, t_hi = rec["seconds"][str(lo)], rec["seconds"][str(hi)]
+            rec["slopes"][f"{lo}->{hi}"] = (
+                round(math.log(t_hi / t_lo) / math.log(hi / lo), 3) if t_lo > 0 else None
+            )
+        out["ops"][name] = rec
+    with open("/root/repo/SCALESMOKE.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
