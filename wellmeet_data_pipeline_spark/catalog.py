@@ -14,7 +14,7 @@ import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 _PKG_ZIP: str | None = None
 
@@ -67,11 +67,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Plain `spark.read.parquet` so Catalyst owns
     pushdown; no caching here — callers decide lifetime.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects — read nanos as long (legacy conf) and rebuild the
-    microsecond timestamp with integer `div` (double division would lose
-    precision at ~1e18 ns).  DuckDB truncates ns→µs the same way, so the
-    oracle sees identical values."""
+    `events.ts` has shipped as BOTH TIMESTAMP(NANOS) and timestamp[us]
+    parquet across driver rounds — normalize either to a session-UTC
+    TIMESTAMP:
+    - NANOS: Spark's vectorized reader rejects it — read nanos as long
+      (legacy conf) and rebuild the microsecond timestamp with integer
+      `div` (double division would lose precision at ~1e18 ns).  DuckDB
+      truncates ns→µs the same way, so the oracle sees identical values.
+    - timestamp[us] (isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+      which rejects arithmetic casts (NTZ→double) and diverges from the
+      LTZ rendering path — cast to TIMESTAMP under the pinned UTC
+      session so the wall-clock instants match DuckDB's naive read."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
     # The driver may call queries() from its own session: pin the confs the
@@ -81,8 +87,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
