@@ -1,0 +1,135 @@
+"""Model-based scoring operators (operators/scoring.py): bigram-LM
+perplexity, hashed linear classifier, deterministic shard shuffle.
+Expected values are recomputed independently in pure Python (math.log /
+hashlib) — not by re-running the Spark expressions."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.operators.scoring import (
+    N_FEATURE_BUCKETS,
+    hashed_linear_score,
+    model_weights_table,
+    ngram_lm_score,
+    shuffle_to_shards,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_lm_score_matches_hand_computed_bigram_model(spark):
+    # LM corpus: one doc, "a b a b a"; scored doc: "a b c"
+    lm = _docs(spark, [(0, "a b a b a")])
+    docs = _docs(spark, [(1, "a b c")])
+    out = {r["doc_id"]: r for r in ngram_lm_score(docs, lm, alpha=0.5).collect()}
+
+    # counts: c1 = {a:3, b:2}, T=5, V=2; c2 = {(a,b):2, (b,a):2}
+    a, T, V = 0.5, 5, 2
+
+    def snap(x):
+        return math.floor(x * 1e6 + 0.5)
+
+    lp = (
+        snap(math.log((3 + a) / (T + a * V)))  # p(a)
+        + snap(math.log((2 + a) / (3 + a * V)))  # p(b|a)
+        + snap(math.log((0 + a) / (2 + a * V)))  # p(c|b) unseen bigram
+    )
+    expected_nll = math.floor(-lp / 3 + 0.5) / 1e6
+    r = out[1]
+    assert r["n_tokens"] == 3
+    assert r["nll"] == pytest.approx(expected_nll, abs=0)
+
+
+def test_ngram_lm_score_unseen_words_fall_back_to_smoothing_mass(spark):
+    lm = _docs(spark, [(0, "x y")])
+    docs = _docs(spark, [(1, "q q")])  # q never seen: p(q)=(0+a)/(T+aV), p(q|q)=(0+a)/(0+aV)
+    a, T, V = 0.1, 2, 2
+    r = ngram_lm_score(docs, lm, alpha=a).collect()[0]
+    lp = math.floor(math.log(a / (T + a * V)) * 1e6 + 0.5) + math.floor(
+        math.log(a / (a * V)) * 1e6 + 0.5
+    )
+    assert r["nll"] == math.floor(-lp / 2 + 0.5) / 1e6
+
+
+def test_ngram_lm_bands_partition_by_thresholds(spark):
+    lm = _docs(spark, [(0, "a a a a a a a a")])
+    # doc 1 is pure LM material (low nll), doc 2 is all-unseen (high nll)
+    docs = _docs(spark, [(1, "a a a a"), (2, "z w v u")])
+    rows = {r["doc_id"]: r for r in
+            ngram_lm_score(docs, lm, head_nll=0.2, tail_nll=0.5).collect()}
+    assert rows[1]["nll"] < rows[2]["nll"]
+    assert rows[1]["ppl_band"] == "head"
+    assert rows[2]["ppl_band"] == "tail"
+
+
+def _py_bucket(term: str) -> int:
+    return int(hashlib.sha256(term.encode()).hexdigest()[:4], 16)
+
+
+def _py_weight(bucket: int) -> int:
+    return (bucket * 2654435761) % 65536 - 32768
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    docs = _docs(spark, [(1, "Hello, World! hello")])
+    w = model_weights_table(spark)
+    r = hashed_linear_score(docs, w).collect()[0]
+    # normalized tokens: "hello world hello"
+    s = _py_weight(_py_bucket("hello")) * 2 + _py_weight(_py_bucket("world"))
+    assert r["n_tokens"] == 3
+    assert r["logit"] == math.floor(s / (32768.0 * 3) * 1e6 + 0.5) / 1e6
+    assert r["keep"] == (s >= 0)
+
+
+def test_model_weights_table_covers_full_bucket_space(spark):
+    w = model_weights_table(spark)
+    stats = w.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("bucket").alias("nb"),
+        F.min("w_int").alias("lo"),
+        F.max("w_int").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == stats["nb"] == N_FEATURE_BUCKETS
+    assert -32768 <= stats["lo"] and stats["hi"] <= 32767
+
+
+def test_shuffle_to_shards_is_a_permutation_with_contiguous_positions(spark):
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    out = shuffle_to_shards(df, 4).collect()
+    assert len(out) == 200
+    assert {r["doc_id"] for r in out} == set(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shuffle_to_shards_shard_assignment_is_growth_stable(spark):
+    small = spark.range(100).select(F.col("id").alias("doc_id"))
+    big = spark.range(300).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shard"] for r in shuffle_to_shards(small, 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in shuffle_to_shards(big, 8).collect()}
+    # a doc's shard never changes when the corpus grows (hex-range bucketing)
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_shuffle_to_shards_deterministic_under_repartition(spark):
+    df = spark.range(150).select(F.col("id").alias("doc_id"))
+    one = sorted(map(tuple, shuffle_to_shards(df, 4).collect()))
+    two = sorted(map(tuple, shuffle_to_shards(df.repartition(7), 4).collect()))
+    assert one == two
+
+
+def test_shuffle_to_shards_rejects_bad_n(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        shuffle_to_shards(df, 0)

@@ -1,0 +1,278 @@
+"""Model-based document scoring for training-data curation
+(SURVEY.md §2.11 north-star, CCNet/fastText family):
+
+- ngram_lm_score: CCNet-style language-model perplexity scoring — train
+  an add-alpha-smoothed bigram LM on a reference partition of the
+  corpus, score every document's per-token negative log-likelihood, and
+  band documents head/middle/tail the way CCNet buckets by Wikipedia-LM
+  perplexity.  Generalizes the reference pipeline's per-record quality
+  gating (review-crawler validation passes) to statistical quality.
+
+- model_weights_table + hashed_linear_score: fastText-shaped hashed
+  bag-of-words linear scorer.  Tokens hash into a 2^16 feature space,
+  the model is a (bucket, weight) table broadcast-joined onto the
+  exploded tokens, and the document logit is the mean feature weight —
+  exactly the production shape for shipping a trained text classifier
+  into a Spark pipeline (the weights here are a deterministic
+  hash-derived stand-in, like the embedding stub: no training libs in
+  the container, but the plumbing — feature hashing, broadcast model
+  join, exact integer-space scoring — is the real thing).
+
+- shuffle_to_shards: deterministic global shuffle into N training
+  shards.  Shard assignment is a growth-stable sha256 hex-prefix range
+  (a doc's shard never changes when the corpus grows); within-shard
+  order is the sha rank.  This is the "shuffle the corpus before
+  training" step done scalably: no global sort, one N-way window.
+
+Determinism rules (NOTES.md): every per-token float is rounded to a
+fixed grid and summed in exact-integer space (sums of integer-valued
+doubles are exact and order-independent below 2^53), so document scores
+are bit-stable across partitionings and match the DuckDB oracle.
+Grid-snapping uses floor(x + 0.5), NOT round(): Spark round(double)
+goes through the shortest-decimal repr (HALF_UP) while DuckDB rounds
+the binary value, and score ratios with power-of-two denominators
+(sum/(32768*n)) land EXACTLY on .5 grid points where the two modes
+split.  floor is exact on doubles, so given bit-identical inputs (exact
+integer arithmetic + correctly-rounded IEEE division) both engines snap
+identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.functions.text import normalized_text
+from wellmeet_data_pipeline_spark.operators.corpus import split_thresholds
+
+# ---------------------------------------------------------------------------
+# CCNet-style n-gram LM perplexity scoring
+# ---------------------------------------------------------------------------
+
+
+def _tokens_with_pos(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, term) for every token of the normalized text.  Positions
+    are contiguous from 0: normalization collapses whitespace so split
+    never emits interior empties, and the one empty token of an empty
+    document is filtered out."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    head_nll: float = 5.0,
+    tail_nll: float = 7.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood (nats/token) plus a
+    CCNet-style head/middle/tail band.
+
+    LM: add-alpha-smoothed bigram model counted over `lm_docs` (the
+    curated reference partition — CCNet uses a Wikipedia-trained LM):
+      p(w_0)        = (c1(w_0) + a) / (T + aV)
+      p(w_i|w_i-1)  = (c2(w_i-1, w_i) + a) / (c1(w_i-1) + aV)
+    with T = total LM tokens, V = LM vocabulary size.  Unseen words and
+    bigrams fall back to the smoothing mass via coalesce(count, 0).
+
+    Plan shape: the LM is two groupBys over the exploded reference
+    tokens (term / (prev, term)) — vocabulary-sized frames that AQE
+    broadcasts onto the corpus token stream; the per-doc previous token
+    is a lag window partitioned by doc (tiny partitions); the final
+    aggregate is one groupBy(id).  Document bodies never shuffle — only
+    (id, pos, term) rows move.
+
+    Determinism: each token's log-prob is snapped to `round_digits`
+    decimals IN INTEGER SPACE (floor(ln(p)*1e6 + 0.5) as bigint) and
+    summed exactly, so the per-doc sum is independent of row order and
+    matches the DuckDB oracle bit-for-bit (see module docstring for why
+    floor, not round)."""
+    scale = float(10**round_digits)
+    lm_tokens = _tokens_with_pos(lm_docs, text_col, id_col)
+    w_lag = Window.partitionBy(id_col).orderBy("pos")
+    lm_bi = lm_tokens.withColumn("prev", F.lag("term").over(w_lag))
+    c1 = lm_tokens.groupBy("term").agg(F.count("*").alias("c1"))
+    c2 = (
+        lm_bi.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count("*").alias("c2"))
+    )
+    totals = c1.agg(
+        F.sum("c1").alias("lm_total"), F.count("*").alias("lm_vocab")
+    )
+
+    toks = (
+        _tokens_with_pos(docs, text_col, id_col)
+        .withColumn("prev", F.lag("term").over(w_lag))
+    )
+    c1_self = c1.select(F.col("term"), F.col("c1").alias("c1_self"))
+    c1_prev = c1.select(F.col("term").alias("prev"), F.col("c1").alias("c1_prev"))
+    c2_pair = c2.select(F.col("prev"), F.col("term"), F.col("c2").alias("c2_pair"))
+    joined = (
+        toks.join(c1_self, "term", "left")
+        .join(c1_prev, "prev", "left")
+        .join(c2_pair, ["prev", "term"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    a = F.lit(alpha)
+    smooth_v = a * F.col("lm_vocab")
+    p = F.when(
+        F.col("prev").isNull(),
+        (F.coalesce(F.col("c1_self"), F.lit(0)) + a) / (F.col("lm_total") + smooth_v),
+    ).otherwise(
+        (F.coalesce(F.col("c2_pair"), F.lit(0)) + a)
+        / (F.coalesce(F.col("c1_prev"), F.lit(0)) + smooth_v)
+    )
+    scaled = F.floor(F.log(p) * F.lit(scale) + F.lit(0.5)).cast("long")
+    per_doc = (
+        joined.withColumn("__lp", scaled)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("__lp").alias("__s"))
+        .withColumn(
+            "nll",
+            F.floor(-F.col("__s") / F.col("n_tokens") + F.lit(0.5)).cast("long")
+            / F.lit(scale),
+        )
+    )
+    band = (
+        F.when(F.col("nll") <= F.lit(head_nll), F.lit("head"))
+        .when(F.col("nll") <= F.lit(tail_nll), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return per_doc.select(id_col, "n_tokens", "nll", band.alias("ppl_band"))
+
+
+# ---------------------------------------------------------------------------
+# fastText-shaped hashed linear classifier
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+N_FEATURE_BUCKETS = 65536  # 2^16 — four hex chars of sha256(term)
+
+
+def _hex_nibble(col, i: int):
+    # strpos-style hex digit -> value, expressible identically in DuckDB
+    return F.instr(F.lit(_HEX), F.substring(col, i, 1)) - F.lit(1)
+
+
+def feature_bucket(term) -> F.Column:
+    """Feature-hash a token into [0, 2^16): the first four hex chars of
+    sha256(term), decoded positionally.  Uses instr-over-'0123456789abcdef'
+    rather than conv() so the DuckDB oracle (which has no conv) computes
+    the byte-identical bucket."""
+    c = F.col(term) if isinstance(term, str) else term
+    h = F.sha2(c, 256)
+    return (
+        _hex_nibble(h, 1) * F.lit(4096)
+        + _hex_nibble(h, 2) * F.lit(256)
+        + _hex_nibble(h, 3) * F.lit(16)
+        + _hex_nibble(h, 4)
+    )
+
+
+def model_weights_table(spark: SparkSession) -> DataFrame:
+    """The model: one integer weight per feature bucket, in
+    [-32768, 32767].  Stand-in weights are a deterministic affine hash
+    of the bucket id (Knuth multiplicative constant) — in production
+    this frame is the trained classifier loaded from storage; everything
+    downstream (broadcast join, integer-space scoring) is unchanged.
+    65,536 rows — a broadcast dim."""
+    return spark.range(N_FEATURE_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(65536)) - F.lit(32768))
+        .cast("long")
+        .alias("w_int"),
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score documents with a hashed bag-of-words linear model: explode
+    tokens, feature-hash each into the weight table's bucket space,
+    broadcast-join the model, and average the weights per document.
+
+    logit = sum(w_int) / (32768 * n_tokens)  in [-1, 1], computed from an
+    exact bigint sum (order-independent, oracle-stable); `keep` is the
+    logit >= 0 decision.  One shuffle: the groupBy(id) aggregate — the
+    model join is broadcast, tokens never leave their scan partitions
+    before the partial agg."""
+    toks = _tokens_with_pos(docs, text_col, id_col).withColumn(
+        "bucket", feature_bucket("term")
+    )
+    scored = toks.join(F.broadcast(weights), "bucket")
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_int").alias("__s"))
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.floor(
+                    F.col("__s")
+                    / (F.lit(32768.0) * F.col("n_tokens"))
+                    * F.lit(float(10**round_digits))
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(float(10**round_digits))
+            ).alias("logit"),
+            (F.col("__s") >= 0).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle into training shards
+# ---------------------------------------------------------------------------
+
+
+def shuffle_to_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    hex_width: int = 8,
+) -> DataFrame:
+    """Assign every row a (shard, pos_in_shard) for randomized training
+    order.  Shard = sha256(salt|id) hex-prefix range bucket (equal
+    fractions — growth-stable, narrow, no shuffle to assign);
+    pos_in_shard = rank of the same hash within the shard.  The only
+    shuffle is the N-way rank window — there is NO global sort, so the
+    plan scales with executors instead of funneling through one task.
+    Reading shards in (shard, pos) order replays a uniform deterministic
+    permutation of the corpus."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ths = split_thresholds(
+        [(str(i), 1.0 / n_shards) for i in range(n_shards)], hex_width
+    )
+    h = F.substring(
+        F.sha2(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")), 256),
+        1,
+        hex_width,
+    )
+    shard = F.lit(int(ths[-1][0]))
+    for name, th in reversed(ths[:-1]):
+        shard = F.when(h < F.lit(th), F.lit(int(name))).otherwise(shard)
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .drop("__h")
+    )

@@ -1126,6 +1126,35 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cosine_topk_ivfpq",
+    None,
+    "IVF-PQ approximate top-k: coarse inverted file + product-quantization "
+    "ADC candidate scoring + exact re-rank of the shortlist — the "
+    "memory-resident index shape for 100 TB vector search (m bytes/vector "
+    "instead of 4*dim); approximate → rows-only",
+)
+def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same clustered fixture and probe budget as cosine_topk_ivf so the
+    # two approximate tiers are directly comparable; PQ adds the
+    # compressed-candidate scoring stage (codes are 8 uint8s per vector
+    # vs 64 floats).  bench.py emits ivfpq_recall_at_5 against
+    # cosine_topk_exact_clustered every round.
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        clustered_embeddings,
+        ivf_pq_top_k,
+    )
+
+    e = clustered_embeddings(table(spark, sf_dir, "embeddings"))
+    # oversample=16 (an 80-row exact re-rank per query — negligible next
+    # to bucket scan cost at any scale) recovers flat-IVF recall (0.9932
+    # at sf0.01) while candidates score from 8-byte PQ codes
+    return ivf_pq_top_k(
+        e, k=5, n_centroids=16, nprobe=4, seed_mod=31, m_subspaces=8, n_codes=16,
+        oversample=16, round_digits=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytic window functions / pivot / grouping sets / scalar batteries —
 # free Catalyst extensions beyond the reference's surface (SURVEY.md §2.7,
@@ -3399,4 +3428,181 @@ def q_sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based corpus scoring (operators/scoring.py)
+# ---------------------------------------------------------------------------
+
+# token stream with positions, shared by the scoring oracles: zip-unnest of
+# the normalized word list against its index range (DuckDB aligns parallel
+# unnests); the lone empty token of an empty document is filtered out, so
+# positions stay contiguous — same contract as scoring._tokens_with_pos
+_TOKPOS_SQL = f"""
+      w0 AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(ws) AS term, unnest(range(1, len(ws) + 1)) AS pos
+        FROM w0
+      ),
+      t2 AS (SELECT * FROM toks WHERE term <> '')
+"""
+
+
+@_q(
+    "ngram_lm_perplexity",
+    f"""
+    WITH {_TOKPOS_SQL},
+    lmtok AS (SELECT * FROM t2 WHERE doc_id % 5 = 0),
+    c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM lmtok GROUP BY term),
+    lmbi AS (
+      SELECT term, lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM lmtok
+    ),
+    c2 AS (
+      SELECT prev, term, CAST(count(*) AS BIGINT) AS c2
+      FROM lmbi WHERE prev IS NOT NULL GROUP BY prev, term
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS lm_total,
+             CAST(count(*) AS BIGINT) AS lm_vocab
+      FROM c1
+    ),
+    dtok AS (
+      SELECT doc_id, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM t2
+    ),
+    lp AS (
+      SELECT d.doc_id,
+             CAST(floor(ln(CASE WHEN d.prev IS NULL
+               THEN (coalesce(cs.c1, 0) + CAST(0.1 AS DOUBLE))
+                    / (t.lm_total + CAST(0.1 AS DOUBLE) * t.lm_vocab)
+               ELSE (coalesce(cc.c2, 0) + CAST(0.1 AS DOUBLE))
+                    / (coalesce(cp.c1, 0) + CAST(0.1 AS DOUBLE) * t.lm_vocab)
+             END) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp
+      FROM dtok d
+      LEFT JOIN c1 cs ON cs.term = d.term
+      LEFT JOIN c1 cp ON cp.term = d.prev
+      LEFT JOIN c2 cc ON cc.prev = d.prev AND cc.term = d.term
+      CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lp) AS BIGINT) AS s
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(-CAST(s AS DOUBLE) / n_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / CAST(1000000 AS DOUBLE) AS nll,
+           CASE WHEN CAST(floor(-CAST(s AS DOUBLE) / n_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     / CAST(1000000 AS DOUBLE) <= CAST(3.42 AS DOUBLE) THEN 'head'
+                WHEN CAST(floor(-CAST(s AS DOUBLE) / n_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     / CAST(1000000 AS DOUBLE) <= CAST(3.50 AS DOUBLE) THEN 'middle'
+                ELSE 'tail' END AS ppl_band
+    FROM agg
+    """,
+    "CCNet-style LM perplexity scoring: add-0.1-smoothed bigram LM counted "
+    "on the curated reference fifth of the corpus (doc_id % 5), every doc "
+    "scored by nats/token and banded head/middle/tail; LM count frames are "
+    "vocabulary-sized broadcasts, per-token log-probs snap to an integer "
+    "micro-nat grid so the sums are order-independent and oracle-stable",
+)
+def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import ngram_lm_score
+
+    d = table(spark, sf_dir, "documents")
+    lm = d.filter((F.col("doc_id") % 5) == 0)
+    return ngram_lm_score(d, lm, alpha=0.1, head_nll=3.42, tail_nll=3.50)
+
+
+@_q(
+    "quality_classifier_score",
+    f"""
+    WITH {_TOKPOS_SQL},
+    h AS (SELECT doc_id, sha256(term) AS hx FROM t2),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS bucket
+      FROM h
+    ),
+    wtd AS (
+      SELECT doc_id,
+             CAST((bucket * 2654435761) % 65536 - 32768 AS BIGINT) AS w_int
+      FROM b
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w_int) AS BIGINT) AS s
+      FROM wtd GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(s AS DOUBLE) / (CAST(32768 AS DOUBLE) * n_tokens)
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / CAST(1000000 AS DOUBLE) AS logit,
+           s >= 0 AS keep
+    FROM agg
+    """,
+    "fastText-shaped hashed linear quality classifier: tokens feature-hash "
+    "into 2^16 buckets (first four sha256 hex chars, decoded via instr so "
+    "the oracle matches byte-for-byte), the (bucket, weight) model table is "
+    "broadcast-joined onto the exploded tokens, and the doc logit is the "
+    "exact-integer mean weight — the production shape for shipping a "
+    "trained text classifier into the pipeline (weights here are a "
+    "deterministic stand-in; no training libs in the container)",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        hashed_linear_score,
+        model_weights_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return hashed_linear_score(d, model_weights_table(spark))
+
+
+def _shard_case_sql(n_shards: int, hex_col: str) -> str:
+    from wellmeet_data_pipeline_spark.operators.corpus import split_thresholds
+
+    ths = split_thresholds([(str(i), 1.0 / n_shards) for i in range(n_shards)])
+    whens = " ".join(
+        f"WHEN {hex_col} < '{th}' THEN {name}" for name, th in ths[:-1]
+    )
+    return f"CASE {whens} ELSE {ths[-1][0]} END"
+
+
+@_q(
+    "corpus_shuffle_shards",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             substr(sha256('shard|' || CAST(doc_id AS VARCHAR)), 1, 8) AS hp
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, hp,
+             CAST({_shard_case_sql(8, "hp")} AS INTEGER) AS shard
+      FROM hashed
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hp, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM sharded
+    """,
+    "deterministic global shuffle into 8 training shards: shard = "
+    "growth-stable sha hex-prefix range (narrow, no shuffle to assign), "
+    "within-shard position = sha rank — a uniform reproducible permutation "
+    "of the corpus with an N-way window instead of a global single-task "
+    "sort",
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import shuffle_to_shards
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_to_shards(d, 8)
+    return out.select(
+        "doc_id", "shard", F.col("pos_in_shard").cast("long").alias("pos_in_shard")
     )
