@@ -42,6 +42,7 @@ HEADLINE = [
     "cosine_topk_exact_clustered",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
+    "cosine_topk_ivfpq",
     "decontaminate_benchmark",
     "tfidf_top_terms",
     "asof_join_last_purchase",
@@ -67,7 +68,7 @@ def main() -> None:
         t0 = time.perf_counter()
         rows = REGISTRY[name].fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
-        if name in ("cosine_topk_exact_clustered", "cosine_topk_ivf"):
+        if name in ("cosine_topk_exact_clustered", "cosine_topk_ivf", "cosine_topk_ivfpq"):
             results[name] = rows
         del rows
 
@@ -128,13 +129,17 @@ def main() -> None:
     exact: dict[int, set] = {}
     for r in results.get("cosine_topk_exact_clustered", []):
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    hit = tot = 0
-    for r in results.get("cosine_topk_ivf", []):
-        truth = exact.get(r["query_id"])
-        if truth is not None:
-            tot += 1
-            hit += r["neighbor_id"] in truth
-    recall = round(hit / tot, 4) if tot else None
+    def _recall_vs_exact(rows):
+        hit = tot = 0
+        for r in rows:
+            truth = exact.get(r["query_id"])
+            if truth is not None:
+                tot += 1
+                hit += r["neighbor_id"] in truth
+        return round(hit / tot, 4) if tot else None
+
+    recall = _recall_vs_exact(results.get("cosine_topk_ivf", []))
+    recall_pq = _recall_vs_exact(results.get("cosine_topk_ivfpq", []))
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     out = {
@@ -143,6 +148,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "ivf_recall_at_5": recall,
+        "ivfpq_recall_at_5": recall_pq,
         "ivf_16x_recall_at_5": recall16,
         "sf": sf_val,
     }

@@ -223,3 +223,78 @@ def test_ivf_sparse_id_space_falls_back_to_hash_sample(spark):
     got_ivf = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
     got_bf = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in bf.collect()}
     assert got_ivf == got_bf  # nprobe == n_centroids -> exact, if buckets exist
+
+
+def test_ivfpq_recall_on_clustered_fixture(spark):
+    """IVF-PQ with 25% probe + ADC preselect + exact re-rank must track
+    the exact tier on clustered data (same bar as flat IVF)."""
+    import math
+
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        brute_force_top_k,
+        clustered_embeddings,
+        ivf_pq_top_k,
+    )
+
+    def h(i, d):
+        return (math.sin(i * 12.9898 + d * 78.233) * 43758.5453) % 1.0 * 2 - 1
+
+    rows = [(i, [h(i, d) for d in range(16)], i % 4) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    e = clustered_embeddings(df)
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_top_k(
+            e, k=3, n_centroids=8, nprobe=2, m_subspaces=4, n_codes=16, round_digits=4,
+            oversample=8,
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_top_k(e, e, k=3, round_digits=4).collect()
+    }
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.9
+
+
+def test_ivfpq_deterministic_under_repartition(spark):
+    """Codebooks, centroid sample, ADC shortlist, and re-rank are all
+    deterministic — the result must be identical however the input is
+    partitioned (ADC ties break on id, not row order)."""
+    rows = [(i, [float((i * 13 + d * 5) % 11) for d in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_pq_top_k
+
+    kw = dict(k=2, n_centroids=4, nprobe=2, m_subspaces=4, n_codes=8, round_digits=4)
+    one = sorted(map(tuple, ivf_pq_top_k(df, **kw).collect()))
+    two = sorted(map(tuple, ivf_pq_top_k(df.repartition(7), **kw).collect()))
+    assert one == two
+
+
+def test_ivfpq_full_probe_matches_bruteforce(spark):
+    """nprobe == n_centroids and a generous oversample: the ADC stage may
+    only reorder the shortlist, the exact re-rank must recover the true
+    top-k exactly."""
+    df = _vecs(spark)
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_pq_top_k
+
+    pq = ivf_pq_top_k(
+        df, k=1, n_centroids=3, nprobe=3, seed_mod=1, m_subspaces=3, n_codes=4,
+        oversample=10,
+    )
+    bf = brute_force_top_k(df, df, k=1)
+    got_pq = {r["query_id"]: r["neighbor_id"] for r in pq.collect()}
+    got_bf = {r["query_id"]: r["neighbor_id"] for r in bf.collect()}
+    assert got_pq == got_bf
+
+
+def test_ivfpq_parameter_validation(spark):
+    import pytest
+
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_pq_top_k
+
+    df = _vecs(spark)  # dim 3
+    with pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_top_k(df, k=1, n_centroids=2, seed_mod=1, m_subspaces=2).collect()
+    with pytest.raises(ValueError, match="n_codes"):
+        ivf_pq_top_k(df, k=1, n_centroids=2, seed_mod=1, m_subspaces=3, n_codes=300)

@@ -215,6 +215,33 @@ def default_n_centroids(n_rows: int, cap: int = 4096) -> int:
     return max(4, min(cap, int(np.sqrt(max(n_rows, 1)))))
 
 
+def _centroid_sample(
+    data: DataFrame, n_centroids: int, seed_mod: int, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic coarse-centroid sample: (id % seed_mod == 0, lowest
+    ids) — reproducible without RNG.  Bounded: n_centroids rows — a
+    broadcast dim, not a data collect.  (id % seed_mod == 0) assumes
+    dense contiguous ids; sparse/hashed id spaces can yield far fewer
+    centroids and silently wreck bucket balance, so a short sample falls
+    back to a hash-order sample (TakeOrdered over sha2(id) — no RNG,
+    id-distribution-free)."""
+    cent_pd = (
+        data.filter((F.col(id_col) % seed_mod) == 0)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+        .toPandas()
+    )
+    if len(cent_pd) < n_centroids:
+        cent_pd = (
+            data.orderBy(F.sha2(F.col(id_col).cast("string"), 256).asc(), F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+            .toPandas()
+        )
+    return cent_pd["cid"].to_numpy(), _matrix(cent_pd["v"])
+
+
 def ivf_top_k(
     data: DataFrame,
     k: int,
@@ -256,25 +283,7 @@ def ivf_top_k(
             n_centroids = default_n_centroids(n_rows)
         if seed_mod is None:
             seed_mod = max(1, n_rows // n_centroids)
-    cent_pd = (
-        data.filter((F.col(id_col) % seed_mod) == 0)
-        .orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
-        .toPandas()  # bounded: n_centroids rows — a broadcast dim, not a data collect
-    )
-    if len(cent_pd) < n_centroids:
-        # (id % seed_mod == 0) assumes dense contiguous ids; sparse/hashed
-        # id spaces can yield far fewer centroids and silently wreck bucket
-        # balance.  Fall back to a deterministic hash-order sample (TakeOrdered
-        # over sha2(id) — no RNG, id-distribution-free).
-        cent_pd = (
-            data.orderBy(F.sha2(F.col(id_col).cast("string"), 256).asc(), F.col(id_col).asc())
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
-            .toPandas()
-        )
-    cent_ids, C = cent_pd["cid"].to_numpy(), _matrix(cent_pd["v"])
+    cent_ids, C = _centroid_sample(data, n_centroids, seed_mod, id_col, vec_col)
     if kmeans_iters:
         C = _kmeans_refine(
             data.select(F.col(vec_col).alias("v")), cent_ids, C, kmeans_iters
@@ -334,6 +343,215 @@ def ivf_top_k(
 
     bucket_results = ranked.groupBy("centroid_id").applyInPandas(bucket_topk, _TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        bucket_results.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _train_pq_codebooks(
+    data: DataFrame,
+    m_subspaces: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+    train_rows: int,
+    lloyd_iters: int,
+) -> np.ndarray:
+    """Train product-quantization codebooks on a deterministic bounded
+    sample (sha2-order, `train_rows` rows — model training on a sample,
+    the standard PQ practice; the sample is a bounded collect like the
+    centroid sample, not a data collect).  Vectors are unit-normalized
+    first so inner products decompose additively across subspaces; each
+    subspace runs Lloyd's k-means with deterministic init (first
+    `n_codes` sample subvectors in sha order).  Returns
+    (m_subspaces, n_codes, sub_dim) float64."""
+    sample = (
+        data.orderBy(F.sha2(F.col(id_col).cast("string"), 256).asc(), F.col(id_col).asc())
+        .limit(train_rows)
+        .select(F.col(vec_col).alias("v"))
+        .toPandas()
+    )
+    X = _matrix(sample["v"])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    books = np.empty((m_subspaces, n_codes, sub))
+    for j in range(m_subspaces):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        cb = Xj[: min(n_codes, len(Xj))].copy()
+        if len(cb) < n_codes:  # degenerate tiny input: tile the sample
+            reps = int(np.ceil(n_codes / max(len(cb), 1)))
+            cb = np.tile(cb, (reps, 1))[:n_codes]
+        for _ in range(lloyd_iters):
+            d2 = ((Xj[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cb[c] = Xj[mask].mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def ivf_pq_top_k(
+    data: DataFrame,
+    k: int,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int | None = None,
+    round_digits: int = 6,
+    oversample: int = 4,
+    train_rows: int = 2048,
+    lloyd_iters: int = 5,
+) -> DataFrame:
+    """IVF-PQ approximate self-top-k: the coarse inverted file of
+    ivf_top_k plus product-quantization candidate scoring inside each
+    bucket.
+
+    Every vector is unit-normalized and encoded as m_subspaces uint8
+    codes against per-subspace k-means codebooks (trained on a bounded
+    deterministic sample).  Bucket scoring is asymmetric-distance
+    computation: each query builds an (m x n_codes) lookup table of
+    subvector dot products (one small matmul), candidate scores are m
+    table lookups summed — O(m) per pair instead of O(dim) — and only
+    the ADC top-(oversample*k) candidates get an exact cosine re-rank.
+
+    Why this is the 100 TB shape: the index stores m bytes per vector
+    (16 B at m=16) instead of 4*dim (3 KB at dim=768) — memory-resident
+    at scales where raw vectors aren't — and bucket scan cost drops by
+    dim/m.  In THIS implementation the single encode pass still carries
+    the raw vector alongside the codes (same one-shuffle trade as
+    ivf_top_k: each row is a probe of its bucket, and probes need the
+    query vector for the LUT; re-rank then reads candidate vectors
+    already present in the group).  A storage-tiered deployment would
+    split probe and candidate streams so candidates ship codes only and
+    re-rank joins the short candidate list back to the vector store.
+
+    Output contract matches brute_force_top_k / ivf_top_k:
+    (query_id, neighbor_id, cosine_sim, rank) with exact re-ranked
+    cosine — so recall is directly measurable against the exact tier
+    (bench records it every round)."""
+    spark = data.sparkSession
+    if n_codes > 256:
+        raise ValueError(f"n_codes must be <= 256 (uint8 codes), got {n_codes}")
+    if n_centroids is None or seed_mod is None:
+        n_rows = data.count()
+        if n_centroids is None:
+            n_centroids = default_n_centroids(n_rows)
+        if seed_mod is None:
+            seed_mod = max(1, n_rows // n_centroids)
+    cent_ids, C = _centroid_sample(data, n_centroids, seed_mod, id_col, vec_col)
+    books = _train_pq_codebooks(
+        data, m_subspaces, n_codes, id_col, vec_col, train_rows, lloyd_iters
+    )
+    bc = spark.sparkContext.broadcast((cent_ids, C, books))
+
+    def encode_and_rank(batches):
+        # one pass: every row -> nprobe (id, v, codes, centroid_id, c_rank)
+        # rows; rank==1 rows double as the bucket's candidate list (same
+        # single-shuffle layout as ivf_top_k, with PQ codes riding along)
+        cids, C_, books_ = bc.value
+        m, _, sub = books_.shape
+        Cn = C_ / np.linalg.norm(C_, axis=1, keepdims=True)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = _matrix(pdf["v"])
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            codes = np.empty((len(Qn), m), dtype=np.int32)
+            for j in range(m):
+                Xj = Qn[:, j * sub : (j + 1) * sub]
+                d2 = ((Xj[:, None, :] - books_[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            S = Qn @ Cn.T
+            ids = pdf["id"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            out = {"id": [], "v": [], "codes": [], "centroid_id": [], "c_rank": []}
+            for r in range(S.shape[0]):
+                order = np.lexsort((cids, -S[r]))[:nprobe]
+                for rank, jj in enumerate(order, start=1):
+                    out["id"].append(ids[r])
+                    out["v"].append(vs[r])
+                    out["codes"].append(codes[r].tolist())
+                    out["centroid_id"].append(int(cids[jj]))
+                    out["c_rank"].append(rank)
+            yield pd.DataFrame(out)
+
+    vecs = data.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    ranked = vecs.mapInPandas(
+        encode_and_rank,
+        "id long, v array<double>, codes array<int>, centroid_id long, c_rank int",
+    )
+
+    def bucket_adc_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cids_, C_, books_ = bc.value
+        m, n_cb, sub = books_.shape
+        cand_pdf = pdf[pdf["c_rank"] == 1]
+        if len(pdf) == 0 or len(cand_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
+            )
+        cand_ids = cand_pdf["id"].to_numpy()
+        cand_codes = np.vstack(cand_pdf["codes"].to_numpy()).astype(np.int64)
+        Cv = _matrix(cand_pdf["v"])
+        Cn = Cv / np.linalg.norm(Cv, axis=1, keepdims=True)
+        qids = pdf["id"].to_numpy()
+        Q = _matrix(pdf["v"])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        # flatten (subspace, code) -> one LUT gather per candidate row
+        flat_codes = cand_codes + (np.arange(m) * n_cb)[None, :]
+        pre = max(1, oversample * k)
+        out_q, out_n, out_s, out_r = [], [], [], []
+        for r in range(len(Qn)):
+            # LUT: dot of each query subvector with every codebook entry
+            lut = np.einsum("ms,mcs->mc", Qn[r].reshape(m, sub), books_)
+            adc = lut.ravel()[flat_codes].sum(axis=1)
+            mask = cand_ids != qids[r]
+            if not mask.any():
+                continue
+            ids_m = cand_ids[mask]
+            adc_m = adc[mask]
+            # lexsort, not stable argsort: ADC ties must break on id, not on
+            # the partition-dependent row order, or the shortlist (and thus
+            # the result) would change across repartitionings
+            keep = np.lexsort((ids_m, -adc_m))[:pre]
+            # exact re-rank of the ADC shortlist only
+            sims = _round_half_away(Cn[mask][keep] @ Qn[r], round_digits)
+            order = np.lexsort((ids_m[keep], -sims))[:k]
+            kk = len(order)
+            out_q.append(np.full(kk, qids[r]))
+            out_n.append(ids_m[keep][order])
+            out_s.append(sims[order])
+            out_r.append(np.arange(1, kk + 1, dtype=np.int32))
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine_sim": np.concatenate(out_s),
+                "rank": np.concatenate(out_r),
+            }
+        )
+
+    bucket_results = ranked.groupBy("centroid_id").applyInPandas(
+        bucket_adc_topk, _TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
     return (
         bucket_results.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
