@@ -75,6 +75,7 @@ def ngram_lm_score(
     head_nll: float = 5.0,
     tail_nll: float = 7.5,
     round_digits: int = 6,
+    materialize_lm: bool = True,
 ) -> DataFrame:
     """Per-document bigram-LM negative log-likelihood (nats/token) plus a
     CCNet-style head/middle/tail band.
@@ -108,6 +109,16 @@ def ngram_lm_score(
         .groupBy("prev", "term")
         .agg(F.count("*").alias("c2"))
     )
+    if materialize_lm:
+        # c1 feeds THREE consumers (self-prob join, prev-prob join, the
+        # totals scalar) and c2 one more — without materialization each
+        # consumer re-runs the whole LM token-explode lineage, i.e. 13
+        # scans of the corpus in the executed plan.  The count frames are
+        # vocabulary-sized, so checkpointing them (the repo's standard
+        # multi-consumer idiom, cf. corpus_end_to_end) collapses the plan
+        # to one LM pass per count frame + one pass over the scored docs.
+        c1 = c1.localCheckpoint(eager=True)
+        c2 = c2.localCheckpoint(eager=True)
     totals = c1.agg(
         F.sum("c1").alias("lm_total"), F.count("*").alias("lm_vocab")
     )
