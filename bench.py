@@ -50,6 +50,8 @@ HEADLINE = [
     "line_dedup_global",
     "pack_sequences",
     "corpus_end_to_end",
+    "ngram_lm_perplexity",
+    "quality_classifier_score",
 ]
 
 

@@ -1137,21 +1137,24 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same clustered fixture and probe budget as cosine_topk_ivf so the
     # two approximate tiers are directly comparable; PQ adds the
-    # compressed-candidate scoring stage (codes are 8 uint8s per vector
-    # vs 64 floats).  bench.py emits ivfpq_recall_at_5 against
-    # cosine_topk_exact_clustered every round.
+    # compressed-candidate scoring stage (16 uint8 codes per vector vs 64
+    # floats — the standard PQ16x8 configuration).  bench.py emits
+    # ivfpq_recall_at_5 against cosine_topk_exact_clustered every round.
     from wellmeet_data_pipeline_spark.operators.similarity import (
         clustered_embeddings,
         ivf_pq_top_k,
     )
 
     e = clustered_embeddings(table(spark, sf_dir, "embeddings"))
-    # oversample=16 (an 80-row exact re-rank per query — negligible next
-    # to bucket scan cost at any scale) recovers flat-IVF recall (0.9932
-    # at sf0.01) while candidates score from 8-byte PQ codes
+    # Operating point swept across all three SFs: 8-bit codebooks are
+    # REQUIRED on the tight clustered fixture (coarser books can't rank
+    # within-cluster neighbors: 16-code books scored recall 0.70 at
+    # sf0.1), and oversample=32 (a 160-row exact re-rank per query —
+    # negligible next to bucket scan cost) lands recall@5 at
+    # 0.998/0.993/0.9998 for sf0.001/0.01/0.1.
     return ivf_pq_top_k(
-        e, k=5, n_centroids=16, nprobe=4, seed_mod=31, m_subspaces=8, n_codes=16,
-        oversample=16, round_digits=4,
+        e, k=5, n_centroids=16, nprobe=4, seed_mod=31, m_subspaces=16, n_codes=256,
+        oversample=32, round_digits=4,
     )
 
 
