@@ -581,3 +581,51 @@ def test_streaming_near_dup_catches_edited_recrawl(spark, tmp_path):
     cur = read_corpus(spark, store).collect()
     assert {r["doc_id"] for r in cur} == {1}
     assert [r["text"] for r in cur] == [base]  # the ORIGINAL stays canonical
+
+
+def test_streaming_corpus_pipeline_model_quality_gate(spark, tmp_path):
+    """The fastText-shaped classifier gates docs inside the streaming
+    pipeline: only keep==True documents reach the store.  Gate words are
+    chosen by probing the deterministic weight function, not hard-coded."""
+    import hashlib
+    import json
+
+    from wellmeet_data_pipeline_spark.operators.scoring import model_weights_table
+    from wellmeet_data_pipeline_spark.streaming.corpus import (
+        read_corpus,
+        run_corpus_pipeline,
+    )
+
+    def w(term: str) -> int:
+        b = int(hashlib.sha256(term.encode()).hexdigest()[:4], 16)
+        return (b * 2654435761) % 65536 - 32768
+
+    # deterministically find clearly-positive and clearly-negative words
+    vocab = [f"word{i}" for i in range(200)]
+    pos = [t for t in vocab if w(t) > 8000][:6]
+    neg = [t for t in vocab if w(t) < -8000][:6]
+    assert len(pos) == 6 and len(neg) == 6
+
+    landing = tmp_path / "gated_landing"
+    landing.mkdir()
+    store = str(tmp_path / "gated_store")
+    ckpt = str(tmp_path / "gated_ckpt")
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("doc_id long, text string")
+    bench = spark.createDataFrame([(900, "zz yy xx")], "doc_id long, text string")
+
+    (landing / "b1.json").write_text(
+        json.dumps(
+            [
+                {"doc_id": 1, "text": " ".join(pos)},
+                {"doc_id": 2, "text": " ".join(neg)},
+            ]
+        )
+    )
+    run_corpus_pipeline(
+        spark, str(landing), store, ckpt, schema, bench,
+        quality_weights=model_weights_table(spark),
+    )
+    got = {r["doc_id"] for r in read_corpus(spark, store).collect()}
+    assert got == {1}

@@ -72,3 +72,46 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 1000
     assert sorted(r["k"] for r in out.collect()) == list(range(1000))
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """Shard sink: one directory per shard, files capped, and a
+    sequential read of any one file replays positions in order."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from wellmeet_data_pipeline_spark.operators.scoring import shuffle_to_shards
+    from wellmeet_data_pipeline_spark.sinks.shards import (
+        read_shard_in_order,
+        write_training_shards,
+    )
+
+    df = spark.range(400).select(F.col("id").alias("doc_id"))
+    sharded = shuffle_to_shards(df, 4)
+    path = str(tmp_path / "shards")
+    write_training_shards(sharded, path, max_records_per_file=40)
+
+    dirs = sorted(glob.glob(path + "/shard=*"))
+    assert [d.rsplit("=", 1)[-1] for d in dirs] == ["0", "1", "2", "3"]
+    # files are bounded
+    for d in dirs:
+        for f in glob.glob(d + "/part-*.parquet"):
+            import pyarrow.parquet as pq
+
+            assert pq.read_metadata(f).num_rows <= 40
+    # within-file order is the shard order (file order is how a training
+    # reader consumes a shard)
+    a_file = glob.glob(dirs[0] + "/part-*.parquet")[0]
+    import pyarrow.parquet as pq
+
+    pos = pq.read_table(a_file, columns=["pos_in_shard"])["pos_in_shard"].to_pylist()
+    assert pos == sorted(pos)
+
+    # read-back covers every row exactly once, in order per shard
+    total = 0
+    for s in range(4):
+        rows = read_shard_in_order(spark, path, s).collect()
+        assert [r["pos_in_shard"] for r in rows] == list(range(1, len(rows) + 1))
+        total += len(rows)
+    assert total == 400

@@ -114,11 +114,47 @@ def run_ivf(spark, sf_dir, factor):
     return ivf_top_k(e, k=5, nprobe=4, kmeans_iters=0, round_digits=4).count()
 
 
+def run_ngram_lm(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.scoring import ngram_lm_score
+
+    # LM reference partition scales WITH the corpus (every copy contributes
+    # its fifth), so vocabulary and count-frame size grow linearly — the
+    # realistic regime for the broadcastability of c1/c2
+    d = scaled_documents(spark, sf_dir, factor)
+    lm = d.filter((F.col("doc_id") % 5) == 0)
+    return ngram_lm_score(d, lm).count()
+
+
+def run_quality_classifier(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        hashed_linear_score,
+        model_weights_table,
+    )
+
+    d = scaled_documents(spark, sf_dir, factor)
+    return hashed_linear_score(d, model_weights_table(spark)).count()
+
+
+def run_ivfpq(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        clustered_embeddings,
+        ivf_pq_top_k,
+    )
+
+    e = clustered_embeddings(scaled_embeddings(spark, sf_dir, factor))
+    return ivf_pq_top_k(
+        e, k=5, nprobe=4, m_subspaces=16, n_codes=256, oversample=32, round_digits=4
+    ).count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
     "pack_sequences": run_pack,
     "cosine_topk_ivf": run_ivf,
+    "ngram_lm_perplexity": run_ngram_lm,
+    "quality_classifier_score": run_quality_classifier,
+    "cosine_topk_ivfpq": run_ivfpq,
 }
 
 
@@ -130,7 +166,16 @@ def main() -> None:
     table(spark, sf_dir, "documents").count()  # warm scans + JVM
     table(spark, sf_dir, "embeddings").count()
 
+    # merge with the existing file so a subset run refreshes only its own
+    # ops instead of clobbering the rest of the record
     out: dict[str, dict] = {"sf_dir": sf_dir, "scales": SCALES, "ops": {}}
+    try:
+        with open("/root/repo/SCALESMOKE.json") as fh:
+            prev = json.load(fh)
+        if prev.get("sf_dir") == sf_dir and prev.get("scales") == SCALES:
+            out["ops"].update(prev.get("ops", {}))
+    except (OSError, json.JSONDecodeError):
+        pass
     for name, fn in OPS.items():
         if name not in only:
             continue

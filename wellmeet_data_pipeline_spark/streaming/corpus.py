@@ -52,6 +52,7 @@ def run_corpus_pipeline(
     sig_store_path: str | None = None,
     num_hashes: int = 16,
     bands: int = 4,
+    quality_weights: DataFrame | None = None,
 ) -> None:
     """availableNow activation of the curation DAG over a landing dir.
 
@@ -75,6 +76,22 @@ def run_corpus_pipeline(
             .withColumnRenamed("__clean", text_col)
         )
         gated = scrubbed.filter(token_count(text_col) >= min_tokens)
+        if quality_weights is not None:
+            # model-based quality gate (fastText-shaped hashed linear
+            # scorer, operators/scoring.py): keep only keep==True docs.
+            # The score is one token-explode + broadcast model join +
+            # groupBy(id); the gate itself is a key-only semi-join, so
+            # document bodies never shuffle for scoring.
+            from wellmeet_data_pipeline_spark.operators.scoring import (
+                hashed_linear_score,
+            )
+
+            keep_ids = (
+                hashed_linear_score(gated, quality_weights, text_col, id_col)
+                .filter(F.col("keep"))
+                .select(id_col)
+            )
+            gated = gated.join(keep_ids, id_col, "left_semi")
         decon = decontaminate(gated, benchmark, text_col, id_col, shingle_n)
         keyed = decon.withColumn("fingerprint", document_fingerprint(F.col(text_col)))
         # deterministic within-batch survivor (min id per fingerprint) —
