@@ -113,35 +113,31 @@ def main() -> None:
         e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, kmeans_iters=0, round_digits=4
     ).collect()
     times["cosine_topk_ivf_16x"] = round(time.perf_counter() - t0, 3)
-    exact16: dict[int, set] = {}
-    for r in bf16:
-        exact16.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    hit = tot = 0
-    for r in iv16:
-        truth = exact16.get(r["query_id"])
-        if truth is not None:
-            tot += 1
-            hit += r["neighbor_id"] in truth
-    recall16 = round(hit / tot, 4) if tot else None
-    del bf16, iv16, exact16
 
-    # approximate-tier quality: recall@5 of IVF vs the exact tier ON THE
-    # SAME clustered fixture — tracked per round so the approximate path's
-    # quality is measured, not asserted
-    exact: dict[int, set] = {}
-    for r in results.get("cosine_topk_exact_clustered", []):
-        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    def _recall_vs_exact(rows):
+    def _truth_sets(rows):
+        t: dict[int, set] = {}
+        for r in rows:
+            t.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return t
+
+    def _recall_vs(rows, truth):
         hit = tot = 0
         for r in rows:
-            truth = exact.get(r["query_id"])
-            if truth is not None:
+            ts = truth.get(r["query_id"])
+            if ts is not None:
                 tot += 1
-                hit += r["neighbor_id"] in truth
+                hit += r["neighbor_id"] in ts
         return round(hit / tot, 4) if tot else None
 
-    recall = _recall_vs_exact(results.get("cosine_topk_ivf", []))
-    recall_pq = _recall_vs_exact(results.get("cosine_topk_ivfpq", []))
+    recall16 = _recall_vs(iv16, _truth_sets(bf16))
+    del bf16, iv16
+
+    # approximate-tier quality: recall@5 of IVF / IVF-PQ vs the exact tier
+    # ON THE SAME clustered fixture — tracked per round so the approximate
+    # path's quality is measured, not asserted
+    exact = _truth_sets(results.get("cosine_topk_exact_clustered", []))
+    recall = _recall_vs(results.get("cosine_topk_ivf", []), exact)
+    recall_pq = _recall_vs(results.get("cosine_topk_ivfpq", []), exact)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     out = {

@@ -267,6 +267,17 @@ def split_thresholds(fractions: Sequence[tuple[str, float]], hex_width: int = 8)
     return out
 
 
+def threshold_case_expr(bucket, thresholds, lit_fn=F.lit):
+    """Reversed WHEN-fold over cumulative hex thresholds: WHEN b<t1 THEN
+    s1 WHEN b<t2 THEN s2 ... ELSE last.  Shared by hash_split and
+    shuffle_to_shards so the bucketing semantics cannot diverge
+    (queries.py renders the same CASE for the SQL oracle)."""
+    expr = lit_fn(thresholds[-1][0])
+    for name, th in reversed(thresholds[:-1]):
+        expr = F.when(bucket < F.lit(th), lit_fn(name)).otherwise(expr)
+    return expr
+
+
 def hash_split(
     df: DataFrame,
     fractions: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
@@ -282,12 +293,7 @@ def hash_split(
     Comparison is on the fixed-width lowercase-hex prefix, so
     lexicographic == numeric and ANSI SQL reproduces it bit-for-bit."""
     bucket = F.substring(F.sha2(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")), 256), 1, 8)
-    ths = split_thresholds(fractions)
-    # reversed fold builds WHEN b<t1 THEN s1 WHEN b<t2 THEN s2 ... ELSE last
-    expr = F.lit(ths[-1][0])
-    for name, th in reversed(ths[:-1]):
-        expr = F.when(bucket < F.lit(th), F.lit(name)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    return df.withColumn(out_col, threshold_case_expr(bucket, split_thresholds(fractions)))
 
 
 # ---------------------------------------------------------------------------

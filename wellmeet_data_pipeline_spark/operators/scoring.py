@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wellmeet_data_pipeline_spark.functions.text import normalized_text
-from wellmeet_data_pipeline_spark.operators.corpus import split_thresholds
+from wellmeet_data_pipeline_spark.operators.corpus import split_thresholds, threshold_case_expr
 
 # ---------------------------------------------------------------------------
 # CCNet-style n-gram LM perplexity scoring
@@ -98,7 +98,12 @@ def ngram_lm_score(
     decimals IN INTEGER SPACE (floor(ln(p)*1e6 + 0.5) as bigint) and
     summed exactly, so the per-doc sum is independent of row order and
     matches the DuckDB oracle bit-for-bit (see module docstring for why
-    floor, not round)."""
+    floor, not round).  Caveat: the snap input ln(p) itself is libm
+    output (within 1 ulp on either engine, not correctly rounded); a
+    1-ulp disagreement flips a snapped micro-nat only when ln(p)*1e6
+    lands within ~1e-9 of an integer boundary — measure-zero in
+    practice, and the driver compare's 9-significant-digit rendering
+    absorbs a single flipped micro-nat in the per-doc mean."""
     scale = float(10**round_digits)
     lm_tokens = _tokens_with_pos(lm_docs, text_col, id_col)
     w_lag = Window.partitionBy(id_col).orderBy("pos")
@@ -220,13 +225,22 @@ def hashed_linear_score(
 
     logit = sum(w_int) / (32768 * n_tokens)  in [-1, 1], computed from an
     exact bigint sum (order-independent, oracle-stable); `keep` is the
-    logit >= 0 decision.  One shuffle: the groupBy(id) aggregate — the
-    model join is broadcast, tokens never leave their scan partitions
-    before the partial agg."""
+    sign of the RAW integer sum — i.e. of the unrounded logit — which is
+    strictly more precise than thresholding the snapped `logit` column
+    (a tiny negative sum snaps to logit == 0.0 but keeps keep=False).
+    One shuffle: the groupBy(id) aggregate — the model join is broadcast,
+    tokens never leave their scan partitions before the partial agg."""
     toks = _tokens_with_pos(docs, text_col, id_col).withColumn(
         "bucket", feature_bucket("term")
     )
-    scored = toks.join(F.broadcast(weights), "bucket")
+    # LEFT join + coalesce(0): a trained-model export typically stores only
+    # non-zero buckets, and an inner join would silently drop unmatched
+    # tokens from n_tokens (skewing the mean) and drop fully-unmatched
+    # documents from the output entirely — a gate consumer would then
+    # discard them regardless of quality
+    scored = toks.join(F.broadcast(weights), "bucket", "left").withColumn(
+        "w_int", F.coalesce(F.col("w_int"), F.lit(0))
+    )
     return (
         scored.groupBy(id_col)
         .agg(F.count("*").alias("n_tokens"), F.sum("w_int").alias("__s"))
@@ -277,9 +291,7 @@ def shuffle_to_shards(
         1,
         hex_width,
     )
-    shard = F.lit(int(ths[-1][0]))
-    for name, th in reversed(ths[:-1]):
-        shard = F.when(h < F.lit(th), F.lit(int(name))).otherwise(shard)
+    shard = threshold_case_expr(h, ths, lit_fn=lambda n: F.lit(int(n)))
     w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
     return (
         df.withColumn("__h", h)

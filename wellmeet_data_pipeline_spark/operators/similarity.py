@@ -52,6 +52,17 @@ def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
 
 
+def _unit_rows(X: np.ndarray) -> np.ndarray:
+    """Row-normalize, guarding zero rows (norm 0 -> leave the zero vector
+    instead of dividing to NaN).  One NaN row would otherwise poison
+    k-means codebooks globally: NaN distances win every argmin, the
+    cluster mean goes NaN, and the next Lloyd round spreads it to all
+    rows — recall collapses silently because the exact re-rank still
+    'succeeds' on a garbage shortlist."""
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.where(n == 0, 1.0, n)
+
+
 def _topk_block(
     qids: np.ndarray, Q: np.ndarray, cids: np.ndarray, C: np.ndarray, k: int, round_digits: int
 ) -> pd.DataFrame:
@@ -384,12 +395,11 @@ def _train_pq_codebooks(
         .select(F.col(vec_col).alias("v"))
         .toPandas()
     )
-    X = _matrix(sample["v"])
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    X = _unit_rows(_matrix(sample["v"]))
     dim = X.shape[1]
     if dim % m_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = _unit_rows(C)
     X = X - Cn[np.argmax(X @ Cn.T, axis=1)]  # residual vs nearest centroid
     sub = dim // m_subspaces
     books = np.empty((m_subspaces, n_codes, sub))
@@ -475,14 +485,20 @@ def ivf_pq_top_k(
         # bucket centroid — see _train_pq_codebooks
         cids, C_, books_ = bc.value
         m, _, sub = books_.shape
-        Cn = C_ / np.linalg.norm(C_, axis=1, keepdims=True)
+        Cn = _unit_rows(C_)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = _matrix(pdf["v"])
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            Qn = _unit_rows(_matrix(pdf["v"]))
             S = Qn @ Cn.T
-            R = Qn - Cn[np.argmax(S, axis=1)]
+            # the lexsort winner (lowest cid on ties) decides BOTH the
+            # rank-1 candidate bucket and the residual origin — argmax
+            # breaks ties by index, which diverges from the bucket
+            # assignment when the sha-fallback centroid sample is active
+            # (index order != cid order) and two centroids tie exactly
+            orders = [np.lexsort((cids, -S[r]))[:nprobe] for r in range(S.shape[0])]
+            top1 = np.array([o[0] for o in orders])
+            R = Qn - Cn[top1]
             codes = np.empty((len(Qn), m), dtype=np.int32)
             for j in range(m):
                 Xj = R[:, j * sub : (j + 1) * sub]
@@ -491,8 +507,7 @@ def ivf_pq_top_k(
             ids = pdf["id"].to_numpy()
             vs = pdf["v"].to_numpy()
             out = {"id": [], "v": [], "codes": [], "centroid_id": [], "c_rank": []}
-            for r in range(S.shape[0]):
-                order = np.lexsort((cids, -S[r]))[:nprobe]
+            for r, order in enumerate(orders):
                 for rank, jj in enumerate(order, start=1):
                     out["id"].append(ids[r])
                     out["v"].append(vs[r])
@@ -519,11 +534,9 @@ def ivf_pq_top_k(
             )
         cand_ids = cand_pdf["id"].to_numpy()
         cand_codes = np.vstack(cand_pdf["codes"].to_numpy()).astype(np.int64)
-        Cv = _matrix(cand_pdf["v"])
-        Cn = Cv / np.linalg.norm(Cv, axis=1, keepdims=True)
+        Cn = _unit_rows(_matrix(cand_pdf["v"]))
         qids = pdf["id"].to_numpy()
-        Q = _matrix(pdf["v"])
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = _unit_rows(_matrix(pdf["v"]))
         # flatten (subspace, code) -> one LUT gather per candidate row
         flat_codes = cand_codes + (np.arange(m) * n_cb)[None, :]
         pre = max(1, oversample * k)
@@ -532,21 +545,22 @@ def ivf_pq_top_k(
             # LUT: dot of each query subvector with every codebook entry
             lut = np.einsum("ms,mcs->mc", Qn[r].reshape(m, sub), books_)
             adc = lut.ravel()[flat_codes].sum(axis=1)
-            mask = cand_ids != qids[r]
-            if not mask.any():
+            orig = np.flatnonzero(cand_ids != qids[r])
+            if len(orig) == 0:
                 continue
-            ids_m = cand_ids[mask]
-            adc_m = adc[mask]
             # lexsort, not stable argsort: ADC ties must break on id, not on
             # the partition-dependent row order, or the shortlist (and thus
             # the result) would change across repartitionings
-            keep = np.lexsort((ids_m, -adc_m))[:pre]
-            # exact re-rank of the ADC shortlist only
-            sims = _round_half_away(Cn[mask][keep] @ Qn[r], round_digits)
-            order = np.lexsort((ids_m[keep], -sims))[:k]
+            keep = orig[np.lexsort((cand_ids[orig], -adc[orig]))[:pre]]
+            # exact re-rank of the ADC shortlist ONLY — index with the
+            # short `keep` list, never a boolean mask over the whole
+            # bucket: Cn[mask] would copy the full (n_cand x dim) matrix
+            # per query, making the "O(m) per pair" stage O(dim) again
+            sims = _round_half_away(Cn[keep] @ Qn[r], round_digits)
+            order = np.lexsort((cand_ids[keep], -sims))[:k]
             kk = len(order)
             out_q.append(np.full(kk, qids[r]))
-            out_n.append(ids_m[keep][order])
+            out_n.append(cand_ids[keep][order])
             out_s.append(sims[order])
             out_r.append(np.arange(1, kk + 1, dtype=np.int32))
         if not out_q:
