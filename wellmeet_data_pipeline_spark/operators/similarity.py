@@ -540,29 +540,40 @@ def ivf_pq_top_k(
         # flatten (subspace, code) -> one LUT gather per candidate row
         flat_codes = cand_codes + (np.arange(m) * n_cb)[None, :]
         pre = max(1, oversample * k)
+        # ALL queries' LUTs in one einsum, then chunked vectorized gathers:
+        # a per-query einsum + gather was ~500k tiny numpy calls at the
+        # 64x smoke scale — python dispatch dominated the whole stage.
+        # Chunking bounds the gather intermediate to
+        # chunk x n_cand x m float64 (~12 MB at 256 x 6k x 8).
+        lut_all = np.einsum(
+            "qms,mcs->qmc", Qn.reshape(len(Qn), m, sub), books_
+        ).reshape(len(Qn), m * n_cb)
         out_q, out_n, out_s, out_r = [], [], [], []
-        for r in range(len(Qn)):
-            # LUT: dot of each query subvector with every codebook entry
-            lut = np.einsum("ms,mcs->mc", Qn[r].reshape(m, sub), books_)
-            adc = lut.ravel()[flat_codes].sum(axis=1)
-            orig = np.flatnonzero(cand_ids != qids[r])
-            if len(orig) == 0:
-                continue
-            # lexsort, not stable argsort: ADC ties must break on id, not on
-            # the partition-dependent row order, or the shortlist (and thus
-            # the result) would change across repartitionings
-            keep = orig[np.lexsort((cand_ids[orig], -adc[orig]))[:pre]]
-            # exact re-rank of the ADC shortlist ONLY — index with the
-            # short `keep` list, never a boolean mask over the whole
-            # bucket: Cn[mask] would copy the full (n_cand x dim) matrix
-            # per query, making the "O(m) per pair" stage O(dim) again
-            sims = _round_half_away(Cn[keep] @ Qn[r], round_digits)
-            order = np.lexsort((cand_ids[keep], -sims))[:k]
-            kk = len(order)
-            out_q.append(np.full(kk, qids[r]))
-            out_n.append(cand_ids[keep][order])
-            out_s.append(sims[order])
-            out_r.append(np.arange(1, kk + 1, dtype=np.int32))
+        chunk = max(1, int(2_000_000 / max(len(cand_ids), 1)))
+        for lo in range(0, len(Qn), chunk):
+            hi = min(lo + chunk, len(Qn))
+            adc_chunk = lut_all[lo:hi][:, flat_codes].sum(axis=2)
+            for r in range(lo, hi):
+                adc = adc_chunk[r - lo]
+                orig = np.flatnonzero(cand_ids != qids[r])
+                if len(orig) == 0:
+                    continue
+                # lexsort, not stable argsort: ADC ties must break on id,
+                # not on the partition-dependent row order, or the
+                # shortlist (and thus the result) would change across
+                # repartitionings
+                keep = orig[np.lexsort((cand_ids[orig], -adc[orig]))[:pre]]
+                # exact re-rank of the ADC shortlist ONLY — index with the
+                # short `keep` list, never a boolean mask over the whole
+                # bucket: Cn[mask] would copy the full (n_cand x dim)
+                # matrix per query, making the O(m)-per-pair stage O(dim)
+                sims = _round_half_away(Cn[keep] @ Qn[r], round_digits)
+                order = np.lexsort((cand_ids[keep], -sims))[:k]
+                kk = len(order)
+                out_q.append(np.full(kk, qids[r]))
+                out_n.append(cand_ids[keep][order])
+                out_s.append(sims[order])
+                out_r.append(np.arange(1, kk + 1, dtype=np.int32))
         if not out_q:
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
