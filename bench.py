@@ -85,6 +85,7 @@ def main() -> None:
     from wellmeet_data_pipeline_spark.operators.similarity import (  # noqa: E402
         brute_force_top_k,
         clustered_embeddings,
+        ivf_pq_top_k,
         ivf_top_k,
     )
     from wellmeet_data_pipeline_spark.plans.queries import table  # noqa: E402
@@ -113,6 +114,12 @@ def main() -> None:
         e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, kmeans_iters=0, round_digits=4
     ).collect()
     times["cosine_topk_ivf_16x"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pq16 = ivf_pq_top_k(
+        e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
+        n_codes=256, oversample=32, round_digits=4,
+    ).collect()
+    times["cosine_topk_ivfpq_16x"] = round(time.perf_counter() - t0, 3)
 
     def _truth_sets(rows):
         t: dict[int, set] = {}
@@ -129,8 +136,10 @@ def main() -> None:
                 hit += r["neighbor_id"] in ts
         return round(hit / tot, 4) if tot else None
 
-    recall16 = _recall_vs(iv16, _truth_sets(bf16))
-    del bf16, iv16
+    truth16 = _truth_sets(bf16)
+    recall16 = _recall_vs(iv16, truth16)
+    recall16_pq = _recall_vs(pq16, truth16)
+    del bf16, iv16, pq16, truth16
 
     # approximate-tier quality: recall@5 of IVF / IVF-PQ vs the exact tier
     # ON THE SAME clustered fixture — tracked per round so the approximate
@@ -148,6 +157,7 @@ def main() -> None:
         "ivf_recall_at_5": recall,
         "ivfpq_recall_at_5": recall_pq,
         "ivf_16x_recall_at_5": recall16,
+        "ivfpq_16x_recall_at_5": recall16_pq,
         "sf": sf_val,
     }
 

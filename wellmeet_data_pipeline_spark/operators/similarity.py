@@ -549,7 +549,9 @@ def ivf_pq_top_k(
             "qms,mcs->qmc", Qn.reshape(len(Qn), m, sub), books_
         ).reshape(len(Qn), m * n_cb)
         out_q, out_n, out_s, out_r = [], [], [], []
-        chunk = max(1, int(2_000_000 / max(len(cand_ids), 1)))
+        # the gather intermediate is chunk x n_cand x m float64 — bound it
+        # to ~16 MB regardless of bucket size
+        chunk = max(1, 2_000_000 // max(len(cand_ids) * m, 1))
         for lo in range(0, len(Qn), chunk):
             hi = min(lo + chunk, len(Qn))
             adc_chunk = lut_all[lo:hi][:, flat_codes].sum(axis=2)
