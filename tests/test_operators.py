@@ -270,3 +270,32 @@ def test_connected_components_long_chain_converges(spark):
         F.max("component").alias("max_label"),
     ).collect()[0]
     assert (got["n_comp"], got["n_nodes"], got["max_label"]) == (1, 1000, 1)
+
+
+def test_dedup_against_reference_drops_only_cross_corpus_near_dups(spark):
+    """Cross-corpus dedup: a new doc sharing (near-)identical text with
+    the REFERENCE corpus is dropped; unrelated new docs and new-vs-new
+    duplicates survive (only cross-corpus hits count)."""
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        cross_corpus_near_dup_ids_sha,
+        dedup_against_reference_sha,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),  # in ref
+            (2, "the quick brown fox jumps over the lazy cat again and again"),  # near ref
+            (3, "completely different words about spark query engines at scale"),
+            (4, "completely different words about spark query engines at scale"),  # dup of 3, NOT of ref
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"] for r in cross_corpus_near_dup_ids_sha(new, ref).collect()}
+    assert 1 in hits and 3 not in hits and 4 not in hits
+    kept = {r["doc_id"] for r in dedup_against_reference_sha(new, ref).collect()}
+    assert kept == {r for r in {1, 2, 3, 4}} - hits
+    assert {3, 4} <= kept  # new-vs-new dups are NOT cross-corpus hits

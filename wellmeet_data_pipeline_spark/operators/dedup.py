@@ -322,14 +322,14 @@ def minhash_lsh_candidates_sha(
     return _sha_band_pairs(sig, id_col, num_hashes, bands)
 
 
-def _sha_band_pairs(
+def _sha_banded(
     sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(id_a, id_b) LSH candidate pairs from a sha-family signature frame —
-    shared by the candidate generator and the verify stage so callers that
-    already hold `sig` don't pay a second signature computation."""
+    """(id, band, bucket) LSH index rows from a sha-family signature frame
+    — the two-corpus probe join and the self-join pair generator share
+    this banding."""
     rpb = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -345,6 +345,15 @@ def _sha_band_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def _sha_band_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id_a, id_b) LSH candidate pairs from a sha-family signature frame —
+    shared by the candidate generator and the verify stage so callers that
+    already hold `sig` don't pay a second signature computation."""
+    banded = _sha_banded(sig, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -353,6 +362,59 @@ def _sha_band_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def cross_corpus_near_dup_ids_sha(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Ids of NEW documents that LSH-collide with the REFERENCE corpus —
+    the cross-corpus dedup primitive ("drop crawl docs already in the
+    training set", train-vs-eval leakage scans, re-crawl suppression).
+
+    Both corpora band independently (a doc's signature does not depend
+    on corpus membership) and meet in ONE equi-join on (band, bucket):
+    the reference side ships only its (id, band, bucket) index rows —
+    at 100 TB the reference index is computed once and persisted
+    (minhash_band_buckets / streaming sig store are the incremental
+    twins of this batch form).  Returns distinct `id_col` of hit new
+    docs; sha256-prefix family, so the whole path is oracle-checkable."""
+    new_banded = _sha_banded(
+        minhash_signatures_sha(new_docs, text_col, id_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands,
+    )
+    ref_banded = _sha_banded(
+        minhash_signatures_sha(ref_docs, text_col, id_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands,
+    )
+    return (
+        new_banded.join(ref_banded, ["band", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def dedup_against_reference_sha(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """New-corpus rows surviving cross-corpus near-dup removal: anti-join
+    against the LSH hit ids.  Document bodies never shuffle — only
+    (id, band, bucket) index rows and the final id key set move."""
+    hits = cross_corpus_near_dup_ids_sha(
+        new_docs, ref_docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    return new_docs.join(hits, id_col, "left_anti")
 
 
 def minhash_verify_sha(

@@ -3609,3 +3609,34 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "shard", F.col("pos_in_shard").cast("long").alias("pos_in_shard")
     )
+
+
+@_q(
+    "dedup_vs_reference",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    cross_hits AS (
+      SELECT DISTINCT CASE WHEN id_a % 4 <> 0 THEN id_a ELSE id_b END AS new_id
+      FROM pairs
+      WHERE (id_a % 4 = 0) <> (id_b % 4 = 0)
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 4 <> 0
+      AND NOT EXISTS (SELECT 1 FROM cross_hits c WHERE c.new_id = d.doc_id)
+    """,
+    "cross-corpus dedup: drop new-crawl docs that MinHash-LSH-collide with "
+    "the reference corpus (the 'already in the training set' scan) — both "
+    "sides band independently, meet in one (band, bucket) equi-join, and "
+    "only index rows + id keys shuffle; sha-prefix family keeps the whole "
+    "path oracle-verified (oracle derives cross pairs as the "
+    "partition-filtered subset of the union self-join, which is identical "
+    "because signatures are corpus-membership-independent)",
+)
+def q_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import dedup_against_reference_sha
+
+    d = table(spark, sf_dir, "documents")
+    ref = d.filter((F.col("doc_id") % 4) == 0)
+    new = d.filter((F.col("doc_id") % 4) != 0)
+    return dedup_against_reference_sha(new, ref).select("doc_id", "lang", "source")
