@@ -361,6 +361,16 @@ def ivf_top_k(
     )
 
 
+def _pq_assign(Xj: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Nearest-codeword assignment per row: argmin_c |x - cb_c|^2 ==
+    argmin_c (|cb_c|^2 - 2 x.cb_c) — one BLAS matmul instead of an
+    (n x n_codes x sub) broadcast temporary (the temp moved ~80 MB per
+    10k-row Arrow batch per subspace through memory)."""
+    return np.argmin(
+        np.sum(cb * cb, axis=1)[None, :] - 2.0 * (Xj @ cb.T), axis=1
+    )
+
+
 def _train_pq_codebooks(
     data: DataFrame,
     C: np.ndarray,
@@ -410,8 +420,7 @@ def _train_pq_codebooks(
             reps = int(np.ceil(n_codes / max(len(cb), 1)))
             cb = np.tile(cb, (reps, 1))[:n_codes]
         for _ in range(lloyd_iters):
-            d2 = ((Xj[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = _pq_assign(Xj, cb)
             for c in range(n_codes):
                 mask = assign == c
                 if mask.any():
@@ -501,9 +510,7 @@ def ivf_pq_top_k(
             R = Qn - Cn[top1]
             codes = np.empty((len(Qn), m), dtype=np.int32)
             for j in range(m):
-                Xj = R[:, j * sub : (j + 1) * sub]
-                d2 = ((Xj[:, None, :] - books_[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+                codes[:, j] = _pq_assign(R[:, j * sub : (j + 1) * sub], books_[j])
             ids = pdf["id"].to_numpy()
             vs = pdf["v"].to_numpy()
             out = {"id": [], "v": [], "codes": [], "centroid_id": [], "c_rank": []}
@@ -537,24 +544,25 @@ def ivf_pq_top_k(
         Cn = _unit_rows(_matrix(cand_pdf["v"]))
         qids = pdf["id"].to_numpy()
         Qn = _unit_rows(_matrix(pdf["v"]))
-        # flatten (subspace, code) -> one LUT gather per candidate row
-        flat_codes = cand_codes + (np.arange(m) * n_cb)[None, :]
         pre = max(1, oversample * k)
-        # ALL queries' LUTs in one einsum, then chunked vectorized gathers:
-        # a per-query einsum + gather was ~500k tiny numpy calls at the
-        # 64x smoke scale — python dispatch dominated the whole stage.
-        # Chunking bounds the gather intermediate to
-        # chunk x n_cand x m float64 (~12 MB at 256 x 6k x 8).
-        lut_all = np.einsum(
-            "qms,mcs->qmc", Qn.reshape(len(Qn), m, sub), books_
-        ).reshape(len(Qn), m * n_cb)
+        # ADC via RECONSTRUCTION: sum_j <q_j, cb_j[code_j]> is exactly
+        # <q, concat_j cb_j[code_j]>, so decoding each candidate ONCE per
+        # bucket (n_cand x dim, bounded by bucket size — the same bound as
+        # the candidate vectors already in this group) turns the per-query
+        # LUT gather into one BLAS matmul per chunk.  The gather
+        # formulation moved chunk x n_cand x m doubles per chunk through
+        # memory and was 2.7x slower than flat IVF's matmul at the 16x
+        # bench tier; this one computes identical ADC values at matmul
+        # speed.
+        R_hat = books_[np.arange(m)[None, :], cand_codes].reshape(
+            len(cand_ids), m * sub
+        )
         out_q, out_n, out_s, out_r = [], [], [], []
-        # the gather intermediate is chunk x n_cand x m float64 — bound it
-        # to ~16 MB regardless of bucket size
-        chunk = max(1, 2_000_000 // max(len(cand_ids) * m, 1))
+        # bound the adc intermediate (chunk x n_cand float64) to ~16 MB
+        chunk = max(1, 2_000_000 // max(len(cand_ids), 1))
         for lo in range(0, len(Qn), chunk):
             hi = min(lo + chunk, len(Qn))
-            adc_chunk = lut_all[lo:hi][:, flat_codes].sum(axis=2)
+            adc_chunk = Qn[lo:hi] @ R_hat.T
             for r in range(lo, hi):
                 adc = adc_chunk[r - lo]
                 orig = np.flatnonzero(cand_ids != qids[r])
