@@ -297,5 +297,5 @@ def test_dedup_against_reference_drops_only_cross_corpus_near_dups(spark):
     hits = {r["doc_id"] for r in cross_corpus_near_dup_ids_sha(new, ref).collect()}
     assert 1 in hits and 3 not in hits and 4 not in hits
     kept = {r["doc_id"] for r in dedup_against_reference_sha(new, ref).collect()}
-    assert kept == {r for r in {1, 2, 3, 4}} - hits
+    assert kept == {1, 2, 3, 4} - hits
     assert {3, 4} <= kept  # new-vs-new dups are NOT cross-corpus hits

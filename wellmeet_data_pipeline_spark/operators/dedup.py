@@ -353,15 +353,7 @@ def _sha_band_pairs(
     """(id_a, id_b) LSH candidate pairs from a sha-family signature frame —
     shared by the candidate generator and the verify stage so callers that
     already hold `sig` don't pay a second signature computation."""
-    banded = _sha_banded(sig, id_col, num_hashes, bands)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, on=["band", "bucket"], how="inner")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return bucket_pairs(_sha_banded(sig, id_col, num_hashes, bands), id_col)
 
 
 def cross_corpus_near_dup_ids_sha(
@@ -372,18 +364,30 @@ def cross_corpus_near_dup_ids_sha(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    verify_jaccard: float | None = 0.5,
 ) -> DataFrame:
-    """Ids of NEW documents that LSH-collide with the REFERENCE corpus —
-    the cross-corpus dedup primitive ("drop crawl docs already in the
+    """Ids of NEW documents that near-dup the REFERENCE corpus — the
+    cross-corpus dedup primitive ("drop crawl docs already in the
     training set", train-vs-eval leakage scans, re-crawl suppression).
 
-    Both corpora band independently (a doc's signature does not depend
-    on corpus membership) and meet in ONE equi-join on (band, bucket):
-    the reference side ships only its (id, band, bucket) index rows —
-    at 100 TB the reference index is computed once and persisted
+    Two-phase, like every near-dup path in this module: banded LSH
+    recall, then exact precision on the surviving droplet.  Both corpora
+    band independently (a doc's signature does not depend on corpus
+    membership) and meet in ONE equi-join on (band, bucket) — the
+    reference side ships only its (id, band, bucket) index rows, and at
+    100 TB that index is computed once and persisted
     (minhash_band_buckets / streaming sig store are the incremental
-    twins of this batch form).  Returns distinct `id_col` of hit new
-    docs; sha256-prefix family, so the whole path is oracle-checkable."""
+    twins of this batch form).  With `verify_jaccard` set (the default:
+    0.5), each candidate (new, ref) pair gets its EXACT shingle-set
+    Jaccard through candidate-bounded joins and only pairs at/above the
+    threshold count as hits — at the default banding (16 hashes /
+    4 bands) a raw band collision alone fires ~23% of the time for
+    Jaccard-0.5 pairs, far too loose to destroy data on.  Pass
+    verify_jaccard=None for the raw candidate ids (leakage SCANS, where
+    recall matters and nothing is dropped).
+
+    sha256-prefix family throughout, so the whole path — banding AND
+    verify — is oracle-checkable."""
     new_banded = _sha_banded(
         minhash_signatures_sha(new_docs, text_col, id_col, num_hashes, shingle_n),
         id_col, num_hashes, bands,
@@ -392,11 +396,43 @@ def cross_corpus_near_dup_ids_sha(
         minhash_signatures_sha(ref_docs, text_col, id_col, num_hashes, shingle_n),
         id_col, num_hashes, bands,
     )
-    return (
-        new_banded.join(ref_banded, ["band", "bucket"], "left_semi")
-        .select(id_col)
+    if verify_jaccard is None:
+        return (
+            new_banded.join(ref_banded, ["band", "bucket"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    pairs = (
+        new_banded.join(
+            ref_banded.withColumnRenamed(id_col, "__ref_id"), ["band", "bucket"]
+        )
+        .select(id_col, "__ref_id")
         .distinct()
     )
+    # exact Jaccard, candidate-bounded: shingles join THROUGH the pairs
+    sh_new = shingles_df(new_docs, text_col, id_col, shingle_n).distinct()
+    sh_ref = (
+        shingles_df(ref_docs, text_col, id_col, shingle_n)
+        .distinct()
+        .withColumnRenamed(id_col, "__ref_id")
+    )
+    inter = (
+        pairs.join(sh_new, id_col)
+        .join(sh_ref, ["__ref_id", "shingle"])
+        .groupBy(id_col, "__ref_id")
+        .agg(F.count("*").alias("__i"))
+    )
+    n_new = sh_new.groupBy(id_col).agg(F.count("*").alias("__na"))
+    n_ref = sh_ref.groupBy("__ref_id").agg(F.count("*").alias("__nb"))
+    verified = (
+        inter.join(n_new, id_col)
+        .join(n_ref, "__ref_id")
+        .filter(
+            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+            >= F.lit(verify_jaccard)
+        )
+    )
+    return verified.select(id_col).distinct()
 
 
 def dedup_against_reference_sha(
@@ -407,12 +443,18 @@ def dedup_against_reference_sha(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    verify_jaccard: float | None = 0.5,
 ) -> DataFrame:
     """New-corpus rows surviving cross-corpus near-dup removal: anti-join
-    against the LSH hit ids.  Document bodies never shuffle — only
-    (id, band, bucket) index rows and the final id key set move."""
+    against the (Jaccard-verified by default) hit ids.  Narrow frames do
+    the matching — index rows and (id, shingle) pairs for the verify;
+    the final anti-join is keyed on id, and Spark broadcasts the hit set
+    when it is small (the usual case) — with a pathologically large hit
+    set the planner falls back to shuffling the new corpus once on its
+    id, which is the floor cost of any keyed filter."""
     hits = cross_corpus_near_dup_ids_sha(
-        new_docs, ref_docs, text_col, id_col, num_hashes, bands, shingle_n
+        new_docs, ref_docs, text_col, id_col, num_hashes, bands, shingle_n,
+        verify_jaccard,
     )
     return new_docs.join(hits, id_col, "left_anti")
 

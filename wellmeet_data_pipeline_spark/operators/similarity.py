@@ -533,7 +533,7 @@ def ivf_pq_top_k(
 
     def bucket_adc_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cids_, C_, books_ = bc.value
-        m, n_cb, sub = books_.shape
+        m, _, sub = books_.shape
         cand_pdf = pdf[pdf["c_rank"] == 1]
         if len(pdf) == 0 or len(cand_pdf) == 0:
             return pd.DataFrame(

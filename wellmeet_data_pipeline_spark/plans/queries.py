@@ -3615,23 +3615,40 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_vs_reference",
     f"""
     WITH {_minhash_sha_ctes()},
-    cross_hits AS (
-      SELECT DISTINCT CASE WHEN id_a % 4 <> 0 THEN id_a ELSE id_b END AS new_id
+    cpairs AS (
+      SELECT DISTINCT CASE WHEN id_a % 4 <> 0 THEN id_a ELSE id_b END AS new_id,
+                      CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS ref_id
       FROM pairs
       WHERE (id_a % 4 = 0) <> (id_b % 4 = 0)
+    ),
+    inter AS (
+      SELECT p.new_id, p.ref_id, CAST(count(*) AS BIGINT) AS i
+      FROM cpairs p
+      JOIN sh a ON a.doc_id = p.new_id
+      JOIN sh b ON b.doc_id = p.ref_id AND b.shingle = a.shingle
+      GROUP BY p.new_id, p.ref_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    cross_hits AS (
+      SELECT DISTINCT i.new_id
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.new_id
+      JOIN sizes sb ON sb.doc_id = i.ref_id
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= CAST(0.5 AS DOUBLE)
     )
     SELECT d.doc_id, d.lang, d.source
     FROM documents d
     WHERE d.doc_id % 4 <> 0
       AND NOT EXISTS (SELECT 1 FROM cross_hits c WHERE c.new_id = d.doc_id)
     """,
-    "cross-corpus dedup: drop new-crawl docs that MinHash-LSH-collide with "
-    "the reference corpus (the 'already in the training set' scan) — both "
-    "sides band independently, meet in one (band, bucket) equi-join, and "
-    "only index rows + id keys shuffle; sha-prefix family keeps the whole "
-    "path oracle-verified (oracle derives cross pairs as the "
-    "partition-filtered subset of the union self-join, which is identical "
-    "because signatures are corpus-membership-independent)",
+    "cross-corpus dedup: drop new-crawl docs near-dup'ing the reference "
+    "corpus (the 'already in the training set' scan) — banded LSH recall, "
+    "then exact shingle-Jaccard >= 0.5 verify on candidate-bounded joins "
+    "(a raw band collision alone fires ~23% on Jaccard-0.5 pairs — too "
+    "loose to destroy data on); sha-prefix family keeps banding AND "
+    "verify oracle-checked (cross pairs = partition-filtered subset of "
+    "the union self-join, exact because signatures are corpus-"
+    "membership-independent)",
 )
 def q_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import dedup_against_reference_sha
