@@ -298,3 +298,50 @@ def test_ivfpq_parameter_validation(spark):
         ivf_pq_top_k(df, k=1, n_centroids=2, seed_mod=1, m_subspaces=2).collect()
     with pytest.raises(ValueError, match="n_codes"):
         ivf_pq_top_k(df, k=1, n_centroids=2, seed_mod=1, m_subspaces=3, n_codes=300)
+
+
+def test_ivfpq_survives_zero_vector_rows(spark):
+    """A zero-norm vector must not poison the PQ codebooks (NaN rows in
+    the training sample would NaN every Lloyd mean) nor crash encoding;
+    results for the normal rows stay correct."""
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_pq_top_k
+
+    rows = [(i, [float((i * 13 + d * 5) % 11) for d in range(8)]) for i in range(40)]
+    rows.append((999, [0.0] * 8))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_pq_top_k(
+        df, k=2, n_centroids=4, nprobe=4, seed_mod=1, m_subspaces=4, n_codes=8,
+        oversample=10,
+    ).collect()
+    import math
+
+    assert all(not math.isnan(r["cosine_sim"]) for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) >= 40  # normal rows all got neighbors
+
+
+def test_hard_negative_top_k_excludes_same_label_and_self(spark):
+    """Hard negatives: nearest DIFFERENT-label neighbors only — same-label
+    near-dups (the easy positives) never appear."""
+    from wellmeet_data_pipeline_spark.operators.similarity import hard_negative_top_k
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0], 0),   # same label as 1, nearly identical
+        (3, [0.9, 0.2, 0.0], 1),    # different label, close to 1
+        (4, [0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.95, 0.1], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {}
+    labels = {r[0]: r[2] for r in rows}
+    for r in hard_negative_top_k(df, k=2).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+        assert r["query_id"] != r["neighbor_id"]
+    # 1's hardest negative is 3 (cos ~0.975), NOT its same-label twin 2
+    assert got[1][0] == 3
+    # 4's hardest negative is 5 (different label, cos ~0.99)
+    assert got[4][0] == 5

@@ -174,6 +174,92 @@ def brute_force_top_k(
     )
 
 
+def hard_negative_top_k(
+    data: DataFrame,
+    k: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's top-k
+    most-similar neighbors belonging to a DIFFERENT label — the pairs a
+    retrieval/embedding model most needs as negatives.  Same distributed
+    block-nested-loop shape as brute_force_top_k (every pair meets in
+    exactly one cogrouped tile, rank-window merge of per-tile partials,
+    no driver collect); the tile mask excludes same-id AND same-label
+    candidates.  At huge N feed it LSH/IVF candidates instead — the
+    contract matches the approximate tiers."""
+    all_blocks = F.array(*[F.lit(b).cast("int") for b in range(n_blocks)])
+    q = (
+        data.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlab"),
+        )
+        .withColumn("q_block", F.pmod(F.xxhash64("qid"), F.lit(n_blocks)).cast("int"))
+        .withColumn("c_block", F.explode(all_blocks))
+    )
+    c = (
+        data.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("clab"),
+        )
+        .withColumn("c_block", F.pmod(F.xxhash64("cid"), F.lit(n_blocks)).cast("int"))
+        .withColumn("q_block", F.explode(all_blocks))
+    )
+
+    def tile(key, q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
+            )
+        Q, C = _matrix(q_pdf["qv"]), _matrix(c_pdf["cv"])
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        S = _round_half_away((Q @ C.T) / (qn @ cn.T), round_digits)
+        qids = q_pdf["qid"].to_numpy()
+        qlabs = q_pdf["qlab"].to_numpy()
+        cids = c_pdf["cid"].to_numpy()
+        clabs = c_pdf["clab"].to_numpy()
+        out_q, out_n, out_s, out_r = [], [], [], []
+        for r in range(S.shape[0]):
+            mask = (cids != qids[r]) & (clabs != qlabs[r])
+            ids_m, sims_m = cids[mask], S[r][mask]
+            order = np.lexsort((ids_m, -sims_m))[:k]
+            kk = len(order)
+            out_q.append(np.full(kk, qids[r]))
+            out_n.append(ids_m[order])
+            out_s.append(sims_m[order])
+            out_r.append(np.arange(1, kk + 1, dtype=np.int32))
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine_sim": np.concatenate(out_s),
+                "rank": np.concatenate(out_r),
+            }
+        )
+
+    partial = (
+        q.groupBy("q_block", "c_block")
+        .cogroup(c.groupBy("q_block", "c_block"))
+        .applyInPandas(tile, _TOPK_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def _kmeans_refine(
     vecs: DataFrame, cent_ids: np.ndarray, C: np.ndarray, iters: int
 ) -> np.ndarray:

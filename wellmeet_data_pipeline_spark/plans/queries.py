@@ -3657,3 +3657,41 @@ def q_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.filter((F.col("doc_id") % 4) == 0)
     new = d.filter((F.col("doc_id") % 4) != 0)
     return dedup_against_reference_sha(new, ref).select("doc_id", "lang", "source")
+
+
+@_q(
+    "hard_negatives_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                           i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cosine_sim
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id AND a.label <> b.label
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    "hard-negative mining for contrastive training: per vector, the top-3 "
+    "most-similar DIFFERENT-label neighbors — the blocked-BNL exact tier "
+    "with a label-aware tile mask; at scale the same contract runs over "
+    "LSH/IVF candidates",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import hard_negative_top_k
+
+    e = table(spark, sf_dir, "embeddings")
+    return hard_negative_top_k(e, k=3, round_digits=4)
