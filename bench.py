@@ -52,6 +52,8 @@ HEADLINE = [
     "corpus_end_to_end",
     "ngram_lm_perplexity",
     "quality_classifier_score",
+    "dedup_vs_reference",
+    "hard_negatives_topk",
 ]
 
 
