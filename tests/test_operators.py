@@ -299,3 +299,48 @@ def test_dedup_against_reference_drops_only_cross_corpus_near_dups(spark):
     kept = {r["doc_id"] for r in dedup_against_reference_sha(new, ref).collect()}
     assert kept == {1, 2, 3, 4} - hits
     assert {3, 4} <= kept  # new-vs-new dups are NOT cross-corpus hits
+
+
+def test_global_rank_cumsum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    rows = [(f"k{i:03d}", (i * 37) % 101 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string, n int")
+    order = [F.col("n").desc(), F.col("key").asc()]
+    got = {
+        r["key"]: (r["rank"], r["cum"])
+        for r in global_rank_cumsum(df, order, sum_col="n", num_partitions=7).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["key"]: (r["rank"], r["cum"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_global_rank_cumsum_rank_only_and_single_row(spark):
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    df = spark.createDataFrame([("a", 5)], "key string, n int")
+    out = global_rank_cumsum(df, [F.col("n").asc()], num_partitions=4).collect()
+    assert len(out) == 1 and out[0]["rank"] == 1 and "cum" not in out[0].asDict()
+
+
+def test_registry_driver_window_is_oracle_backed(spark):
+    """The driver snapshots the first 50 REGISTRY entries; the rotation must
+    keep that window exactly _DRIVER_WINDOW and never waste a slot on a
+    rows-only (oracle=None) query."""
+    from wellmeet_data_pipeline_spark.plans.queries import _DRIVER_WINDOW, REGISTRY
+
+    names = list(REGISTRY)
+    assert names[: len(_DRIVER_WINDOW)] == _DRIVER_WINDOW
+    assert len(_DRIVER_WINDOW) == 50
+    assert all(REGISTRY[n].oracle is not None for n in _DRIVER_WINDOW)
+    assert len(names) == len(set(names))

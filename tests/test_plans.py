@@ -126,3 +126,27 @@ def test_ngram_jaccard_lsh_tier_matches_exact(spark):
         for r in REGISTRY["ngram_jaccard_pairs_lsh"].fn(spark, SF).collect()
     }
     assert exact == lsh and len(exact) > 0
+
+
+def _window_partition_specs(plan):
+    """Partition-spec prefix of every windowspecdefinition in the plan."""
+    import re
+
+    return re.findall(r"windowspecdefinition\(([^)]*)", plan)
+
+
+def test_vocab_coverage_no_unpartitioned_window(spark):
+    # two-pass range-partitioned prefix sum: every WindowExec must be
+    # partitioned by _pid — the old form ranked the whole vocabulary in a
+    # single task ("WindowExec: No Partition Defined")
+    plan = _plan(spark, "vocab_coverage")
+    specs = _window_partition_specs(plan)
+    assert specs and all(s.startswith("_pid") for s in specs), specs
+
+
+def test_user_value_quartiles_no_unpartitioned_window(spark):
+    # ntile/percent_rank derived from the two-pass rank: no global window
+    # over the user-cardinality frame
+    plan = _plan(spark, "user_value_quartiles")
+    specs = _window_partition_specs(plan)
+    assert specs and all(s.startswith("_pid") for s in specs), specs

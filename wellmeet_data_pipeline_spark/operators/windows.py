@@ -11,8 +11,9 @@ session_window() is the stateful twin.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +78,79 @@ def session_window_agg(df: DataFrame, ts_col: str, key_col: str, gap_minutes: in
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    sum_col: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+    rank_col: str = "rank",
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Distributed row_number (+ optional running sum) over a GLOBAL order
+    without a single-partition WindowExec.
+
+    `Window.orderBy(...)` with no partitionBy funnels the entire frame into
+    ONE task (Spark logs ``WindowExec: No Partition Defined``) — acceptable
+    post-agg over dozens of rows, a scale-killer over vocab- or
+    user-cardinality frames (10^8+ rows at 100 TB).  Classic two-pass
+    distributed prefix sum instead:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order key,
+       then ``localCheckpoint`` so every downstream branch reads ONE
+       immutable partitioning (range boundaries come from sampling; without
+       the pin, recomputation could hand the two passes different layouts).
+    2. Local pass — row_number / running sum windowed BY PARTITION ID:
+       fully parallel, one task per range.
+    3. Tiny pass — per-partition (row-count, sum) totals → EXCLUSIVE
+       offsets via a triangular self-join over ``num_partitions`` rows,
+       broadcast back.  No window at all on this path, so the executed
+       plan contains zero unpartitioned WindowExec nodes
+       (``tests/test_plans.py`` pins this).
+
+    rank = partition row-offset + local row_number (LongType);
+    cum  = partition sum-offset + local running sum (sum_col's sum type).
+
+    `order_cols` must be a deterministic total order (break ties with a
+    unique key) — range boundaries may split ties across partitions.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w))
+    if sum_col is not None:
+        local = local.withColumn(
+            "_lcum", F.sum(sum_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+
+    aggs = [F.count("*").alias("_rows")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("_psum"))
+    stats = ranged.groupBy("_pid").agg(*aggs)
+
+    a, b = stats.alias("a"), stats.alias("b")
+    off_aggs = [F.coalesce(F.sum("b._rows"), F.lit(0)).cast("long").alias("_row_off")]
+    if sum_col is not None:
+        off_aggs.append(F.coalesce(F.sum("b._psum"), F.lit(0)).alias("_sum_off"))
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(*off_aggs)
+    )
+
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        rank_col, F.col("_row_off") + F.col("_lrn")
+    )
+    drop = ["_pid", "_lrn", "_row_off"]
+    if sum_col is not None:
+        out = out.withColumn(cum_col, F.col("_sum_off") + F.col("_lcum"))
+        drop += ["_lcum", "_sum_off"]
+    return out.drop(*drop)

