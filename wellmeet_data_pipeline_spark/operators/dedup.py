@@ -387,7 +387,18 @@ def cross_corpus_near_dup_ids_sha(
     recall matters and nothing is dropped).
 
     sha256-prefix family throughout, so the whole path — banding AND
-    verify — is oracle-checkable."""
+    verify — is oracle-checkable.
+
+    `verify_jaccard` must be > 0 when set: the intersection count comes
+    from inner joins, so zero-overlap candidate pairs never reach the
+    threshold filter and a 0.0 threshold would silently mean '> 0'.  Use
+    verify_jaccard=None for recall-only scans (raw band collisions)."""
+    if verify_jaccard is not None and verify_jaccard <= 0:
+        raise ValueError(
+            "verify_jaccard must be > 0 (inner-join intersection counting "
+            "cannot express a 0.0 threshold); pass verify_jaccard=None for "
+            "a recall-only candidate scan"
+        )
     new_banded = _sha_banded(
         minhash_signatures_sha(new_docs, text_col, id_col, num_hashes, shingle_n),
         id_col, num_hashes, bands,

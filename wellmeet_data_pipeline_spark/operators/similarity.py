@@ -64,16 +64,27 @@ def _unit_rows(X: np.ndarray) -> np.ndarray:
 
 
 def _topk_block(
-    qids: np.ndarray, Q: np.ndarray, cids: np.ndarray, C: np.ndarray, k: int, round_digits: int
+    qids: np.ndarray,
+    Q: np.ndarray,
+    cids: np.ndarray,
+    C: np.ndarray,
+    k: int,
+    round_digits: int,
+    mask_fn=None,
 ) -> pd.DataFrame:
     """Exact top-k of Q against C (both unnormalized), excluding id-equal
-    pairs. Scoring matches the oracle formula dot/(|a||b|) with float64."""
+    pairs. Scoring matches the oracle formula dot/(|a||b|) with float64.
+    `mask_fn(r)` may return an extra boolean mask over candidates for
+    query-row r (AND-ed with the id-inequality mask) — e.g. the
+    different-label mask of hard-negative mining."""
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     cn = np.linalg.norm(C, axis=1, keepdims=True)
     S = _round_half_away((Q @ C.T) / (qn @ cn.T), round_digits)
     out_q, out_n, out_s, out_r = [], [], [], []
     for r in range(S.shape[0]):
         mask = cids != qids[r]
+        if mask_fn is not None:
+            mask &= mask_fn(r)
         ids_m, sims_m = cids[mask], S[r][mask]
         order = np.lexsort((ids_m, -sims_m))[:k]
         kk = len(order)
@@ -96,6 +107,19 @@ def _topk_block(
 _TOPK_SCHEMA = "query_id long, neighbor_id long, cosine_sim double, rank int"
 
 
+def _merge_tile_partials(partial: DataFrame, k: int) -> DataFrame:
+    """Rank-window merge of per-tile top-k lists into the global top-k
+    (partitioned by query — never a global window)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def _blocked_sides(
     queries: DataFrame,
     candidates: DataFrame,
@@ -103,6 +127,8 @@ def _blocked_sides(
     cand_id: str,
     vec_col: str,
     n_blocks: int,
+    q_carry: dict[str, str] | None = None,
+    c_carry: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Block both sides for the block-nested-loop cogroup.
 
@@ -116,15 +142,26 @@ def _blocked_sides(
     grouping keys positionally and by type, and a (bigint, int) left key
     against an (int, bigint) right key hash-partitions the two sides
     differently — groups silently fail to meet (caught by the recall
-    audit at sf0.1; an ordinary join would have inserted the casts)."""
+    audit at sf0.1; an ordinary join would have inserted the casts).
+
+    `q_carry`/`c_carry` ride extra columns along ({out_name: src_col}) —
+    e.g. the label column hard-negative mining masks on."""
     all_blocks = F.array(*[F.lit(b).cast("int") for b in range(n_blocks)])
     q = (
-        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            *[F.col(src).alias(dst) for dst, src in (q_carry or {}).items()],
+        )
         .withColumn("q_block", F.pmod(F.xxhash64("qid"), F.lit(n_blocks)).cast("int"))
         .withColumn("c_block", F.explode(all_blocks))
     )
     c = (
-        candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
+        candidates.select(
+            F.col(cand_id).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            *[F.col(src).alias(dst) for dst, src in (c_carry or {}).items()],
+        )
         .withColumn("c_block", F.pmod(F.xxhash64("cid"), F.lit(n_blocks)).cast("int"))
         .withColumn("q_block", F.explode(all_blocks))
     )
@@ -166,12 +203,7 @@ def brute_force_top_k(
         .cogroup(c.groupBy("q_block", "c_block"))
         .applyInPandas(tile_topk, _TOPK_SCHEMA)
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _merge_tile_partials(partial, k)
 
 
 def hard_negative_top_k(
@@ -191,22 +223,15 @@ def hard_negative_top_k(
     no driver collect); the tile mask excludes same-id AND same-label
     candidates.  At huge N feed it LSH/IVF candidates instead — the
     contract matches the approximate tiers."""
-    all_blocks = F.array(*[F.lit(b).cast("int") for b in range(n_blocks)])
-    q = (
-        data.select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-            F.col(label_col).alias("qlab"),
-        )
-        .withColumn("q_block", F.pmod(F.xxhash64("qid"), F.lit(n_blocks)).cast("int"))
-        .withColumn("c_block", F.explode(all_blocks))
-    )
-    c = (
-        data.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-            F.col(label_col).alias("clab"),
-        )
-        .withColumn("c_block", F.pmod(F.xxhash64("cid"), F.lit(n_blocks)).cast("int"))
-        .withColumn("q_block", F.explode(all_blocks))
+    q, c = _blocked_sides(
+        data,
+        data,
+        id_col,
+        id_col,
+        vec_col,
+        n_blocks,
+        q_carry={"qlab": label_col},
+        c_carry={"clab": label_col},
     )
 
     def tile(key, q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -214,35 +239,16 @@ def hard_negative_top_k(
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
             )
-        Q, C = _matrix(q_pdf["qv"]), _matrix(c_pdf["cv"])
-        qn = np.linalg.norm(Q, axis=1, keepdims=True)
-        cn = np.linalg.norm(C, axis=1, keepdims=True)
-        S = _round_half_away((Q @ C.T) / (qn @ cn.T), round_digits)
-        qids = q_pdf["qid"].to_numpy()
         qlabs = q_pdf["qlab"].to_numpy()
-        cids = c_pdf["cid"].to_numpy()
         clabs = c_pdf["clab"].to_numpy()
-        out_q, out_n, out_s, out_r = [], [], [], []
-        for r in range(S.shape[0]):
-            mask = (cids != qids[r]) & (clabs != qlabs[r])
-            ids_m, sims_m = cids[mask], S[r][mask]
-            order = np.lexsort((ids_m, -sims_m))[:k]
-            kk = len(order)
-            out_q.append(np.full(kk, qids[r]))
-            out_n.append(ids_m[order])
-            out_s.append(sims_m[order])
-            out_r.append(np.arange(1, kk + 1, dtype=np.int32))
-        if not out_q:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
-            )
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "cosine_sim": np.concatenate(out_s),
-                "rank": np.concatenate(out_r),
-            }
+        return _topk_block(
+            q_pdf["qid"].to_numpy(),
+            _matrix(q_pdf["qv"]),
+            c_pdf["cid"].to_numpy(),
+            _matrix(c_pdf["cv"]),
+            k,
+            round_digits,
+            mask_fn=lambda r: clabs != qlabs[r],
         )
 
     partial = (
@@ -250,14 +256,7 @@ def hard_negative_top_k(
         .cogroup(c.groupBy("q_block", "c_block"))
         .applyInPandas(tile, _TOPK_SCHEMA)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _merge_tile_partials(partial, k)
 
 
 def _kmeans_refine(
@@ -459,6 +458,7 @@ def _pq_assign(Xj: np.ndarray, cb: np.ndarray) -> np.ndarray:
 
 def _train_pq_codebooks(
     data: DataFrame,
+    cent_ids: np.ndarray,
     C: np.ndarray,
     m_subspaces: int,
     n_codes: int,
@@ -496,7 +496,14 @@ def _train_pq_codebooks(
     if dim % m_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     Cn = _unit_rows(C)
-    X = X - Cn[np.argmax(X @ Cn.T, axis=1)]  # residual vs nearest centroid
+    # residual vs nearest centroid — SAME winner as encode_and_rank's
+    # lexsort (lowest cid on exact score ties): training residuals must
+    # come from the centroid the encode pass will subtract, or tied
+    # samples mistrain the codebooks (argmax breaks ties by index, which
+    # diverges when the sha-fallback sample makes index order != cid order)
+    S = X @ Cn.T
+    top1 = np.array([np.lexsort((cent_ids, -S[r]))[0] for r in range(len(X))])
+    X = X - Cn[top1]
     sub = dim // m_subspaces
     books = np.empty((m_subspaces, n_codes, sub))
     for j in range(m_subspaces):
@@ -556,7 +563,14 @@ def ivf_pq_top_k(
     Output contract matches brute_force_top_k / ivf_top_k:
     (query_id, neighbor_id, cosine_sim, rank) with exact re-ranked
     cosine — so recall is directly measurable against the exact tier
-    (bench records it every round)."""
+    (bench records it every round).
+
+    Degenerate zero vectors: this tier unit-normalizes with a zero-norm
+    guard (`_unit_rows`), so a zero vector scores cosine 0 everywhere,
+    while the exact tiers (brute_force_top_k, _topk_block) divide by the
+    raw norm and yield NaN for the same rows.  The guard is load-bearing
+    (one NaN row poisons k-means codebooks globally — see _unit_rows);
+    recall accounting is simply not meaningful for zero-vector queries."""
     spark = data.sparkSession
     if n_codes > 256:
         raise ValueError(f"n_codes must be <= 256 (uint8 codes), got {n_codes}")
@@ -568,7 +582,7 @@ def ivf_pq_top_k(
             seed_mod = max(1, n_rows // n_centroids)
     cent_ids, C = _centroid_sample(data, n_centroids, seed_mod, id_col, vec_col)
     books = _train_pq_codebooks(
-        data, C, m_subspaces, n_codes, id_col, vec_col, train_rows, lloyd_iters
+        data, cent_ids, C, m_subspaces, n_codes, id_col, vec_col, train_rows, lloyd_iters
     )
     bc = spark.sparkContext.broadcast((cent_ids, C, books))
 
