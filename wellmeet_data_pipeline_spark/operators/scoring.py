@@ -212,38 +212,71 @@ def model_weights_table(spark: SparkSession) -> DataFrame:
     )
 
 
+def doc_term_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, __tc) — per-document term occurrence counts.  The shared
+    bag-of-words frame for every term-grain scorer: a document's exploded
+    tokens all live in the partition that scanned it, so the partial
+    aggregate collapses duplicates ENTIRELY map-side and only one narrow
+    row per distinct (doc, term) ever shuffles."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("__tc"))
+    )
+
+
 def hashed_linear_score(
     docs: DataFrame,
     weights: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     round_digits: int = 6,
+    term_counts: DataFrame | None = None,
 ) -> DataFrame:
-    """Score documents with a hashed bag-of-words linear model: explode
-    tokens, feature-hash each into the weight table's bucket space,
-    broadcast-join the model, and average the weights per document.
+    """Score documents with a hashed bag-of-words linear model: aggregate
+    tokens to (doc, term) counts, feature-hash each DISTINCT (doc, term)
+    into the weight table's bucket space, broadcast-join the model, and
+    count-weight the per-document mean.
 
-    logit = sum(w_int) / (32768 * n_tokens)  in [-1, 1], computed from an
-    exact bigint sum (order-independent, oracle-stable); `keep` is the
-    sign of the RAW integer sum — i.e. of the unrounded logit — which is
-    strictly more precise than thresholding the snapped `logit` column
-    (a tiny negative sum snaps to logit == 0.0 but keeps keep=False).
-    One shuffle: the groupBy(id) aggregate — the model join is broadcast,
-    tokens never leave their scan partitions before the partial agg."""
-    toks = _tokens_with_pos(docs, text_col, id_col).withColumn(
-        "bucket", feature_bucket("term")
+    logit = sum(w_int * tc) / (32768 * n_tokens)  in [-1, 1], computed
+    from an exact bigint sum (order-independent, oracle-stable); `keep`
+    is the sign of the RAW integer sum — i.e. of the unrounded logit —
+    which is strictly more precise than thresholding the snapped `logit`
+    column (a tiny negative sum snaps to logit == 0.0 but keeps
+    keep=False).
+
+    Cost shape: sha256 + join probe run once per distinct (doc, term),
+    not once per token occurrence — on natural-language corpora that is
+    a 1.5-3x cut of the dominant per-token CPU (Zipf: a document repeats
+    its common words), bought with one extra narrow shuffle of the
+    (doc, term, count) rows (the map-side combine collapses duplicates
+    before anything moves — see doc_term_counts).  Pass a precomputed
+    `term_counts` frame to share the tokenization pass with other
+    term-grain scorers in a fused pipeline."""
+    tc = (
+        term_counts
+        if term_counts is not None
+        else doc_term_counts(docs, text_col, id_col)
     )
+    bucketed = tc.withColumn("bucket", feature_bucket("term"))
     # LEFT join + coalesce(0): a trained-model export typically stores only
     # non-zero buckets, and an inner join would silently drop unmatched
     # tokens from n_tokens (skewing the mean) and drop fully-unmatched
     # documents from the output entirely — a gate consumer would then
     # discard them regardless of quality
-    scored = toks.join(F.broadcast(weights), "bucket", "left").withColumn(
+    scored = bucketed.join(F.broadcast(weights), "bucket", "left").withColumn(
         "w_int", F.coalesce(F.col("w_int"), F.lit(0))
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.count("*").alias("n_tokens"), F.sum("w_int").alias("__s"))
+        .agg(
+            F.sum("__tc").alias("n_tokens"),
+            F.sum(F.col("w_int") * F.col("__tc")).alias("__s"),
+        )
         .select(
             id_col,
             "n_tokens",
