@@ -53,6 +53,7 @@ def run_corpus_pipeline(
     num_hashes: int = 16,
     bands: int = 4,
     quality_weights: DataFrame | None = None,
+    ref_index_path: str | None = None,
 ) -> None:
     """availableNow activation of the curation DAG over a landing dir.
 
@@ -64,7 +65,19 @@ def run_corpus_pipeline(
     connected components.  This is the incremental form of the batch
     minhash_lsh_candidates path: per batch the work is
     O(batch x num_hashes) hashing + two bucket equi-joins, independent of
-    corpus size except through bucket occupancy."""
+    corpus size except through bucket occupancy.
+
+    With `ref_index_path` set (see build_reference_index), every batch is
+    ALSO probed against the persisted LSH index of an existing training
+    corpus, and colliding docs are dropped before they reach the store —
+    the reference pipeline's 'stop at the first already-seen review'
+    (naver_crawler.py:243-247) generalized from exact id to near-dup
+    content, across corpora.  The reference corpus itself is never read
+    per batch: only its (band, bucket) index rows join.  The index is
+    static state, so foreachBatch replays cannot self-collide against it
+    (unlike the own-store probe, which needs the fingerprint exclusion
+    below).  Works with or without `near_dup`; the batch twin with an
+    exact-Jaccard verify stage is dedup_against_reference_sha."""
     stream = landing_stream(spark, landing_dir, schema)
     if near_dup and sig_store_path is None:
         raise ValueError("near_dup=True requires sig_store_path")
@@ -105,13 +118,27 @@ def run_corpus_pipeline(
             )
         else:
             fresh = keyed
-        if near_dup:
+        buckets = None
+        if near_dup or ref_index_path is not None:
             # buckets carry the doc's content fingerprint into the sig
             # store so replay exclusion below can distinguish "same doc
             # re-delivered" from "same id re-crawled with edited text"
             buckets = minhash_band_buckets(
                 fresh, text_col, id_col, num_hashes, bands, shingle_n
             ).join(fresh.select(id_col, "fingerprint"), id_col)
+        if ref_index_path is not None:
+            # banding parameters MUST match the ones the index was built
+            # with (build_reference_index) — mismatched bands make every
+            # probe a miss, silently
+            ref_idx = spark.read.parquet(ref_index_path).select("band", "bucket")
+            ref_hit = (
+                buckets.join(ref_idx, ["band", "bucket"], "left_semi")
+                .select(id_col)
+                .distinct()
+            )
+            fresh = fresh.join(ref_hit, id_col, "left_anti")
+            buckets = buckets.join(ref_hit, id_col, "left_anti")
+        if near_dup:
             stored = read_current_or_none(
                 spark, sig_store_path, id_col=[id_col, "band", "bucket"]
             )
@@ -172,3 +199,23 @@ def run_corpus_pipeline(
 def read_corpus(spark: SparkSession, store_path: str) -> DataFrame:
     """The curated corpus: first-arrived row per content fingerprint."""
     return read_current(spark, store_path, id_col="fingerprint")
+
+
+def build_reference_index(
+    ref_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the MinHash (doc_id, band, bucket) index of an EXISTING
+    training corpus so streaming gates can drop already-in-the-training-set
+    docs (run_corpus_pipeline's ref_index_path).  Computed once per
+    reference corpus — at 100 TB this is the one full pass over the
+    reference text; every later micro-batch joins index rows only.  Use
+    the SAME (num_hashes, bands, shingle_n) when probing."""
+    minhash_band_buckets(
+        ref_docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).write.mode("overwrite").parquet(path)
