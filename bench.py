@@ -146,6 +146,64 @@ def main() -> None:
     recall16_pq = _recall_vs(pq16, truth16)
     del bf16, iv16, pq16, truth16
 
+    # high-dim tier (round 4): dim 512 (realistic text-embedding width; 8
+    # phase-shifted concatenations of the base vectors preserve cluster
+    # structure), 32k vectors.  Tracked as a DELIBERATE null result: with
+    # ADC-by-reconstruction, m*sub == dim means the candidate matmul has
+    # byte-for-byte the SAME FLOPs as flat IVF scoring, so PQ can never
+    # win on single-node latency at ANY dim — it runs at IVF-plus-
+    # training-overhead (repeated alternating runs: IVF 17-22s, PQ 24-27s;
+    # a one-off cold-JVM run that showed PQ 'winning' was variance).  What
+    # the tier DOES prove: recall parity (>= 0.999) from a 16 B/vector
+    # index — 256x smaller than the dim-512 raw vectors — the property
+    # that pays at 100 TB, where candidates ship codes over the network
+    # and flat vectors don't fit executor RAM.  Full analysis: NOTES.md
+    # round-4 entry.  Exact truth for recall is computed on the copy-0
+    # query subset only: full brute force at dim 512 x 32k costs ~70s and
+    # adds nothing statistically.
+    hd_reps = 8
+    e_hd = (
+        e.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(hd_reps - 1)),
+                    lambda rep: F.transform(
+                        F.col("embedding"),
+                        lambda x, d: x
+                        + F.lit(0.02)
+                        * F.col("copy").cast("double")
+                        * F.sin(
+                            d.cast("double") * 1.7
+                            + F.col("copy").cast("double")
+                            + rep.cast("double") * 0.37
+                        ),
+                    ),
+                )
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    iv_hd = ivf_top_k(
+        e_hd, k=5, n_centroids=64, nprobe=4, seed_mod=421, kmeans_iters=0,
+        round_digits=4,
+    ).collect()
+    times["cosine_topk_ivf_hd"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pq_hd = ivf_pq_top_k(
+        e_hd, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
+        n_codes=256, oversample=128, round_digits=4,
+    ).collect()
+    times["cosine_topk_ivfpq_hd"] = round(time.perf_counter() - t0, 3)
+    sample_q = e_hd.filter(F.col("vec_id") < 1_000_000)  # the copy-0 originals
+    bf_hd = brute_force_top_k(sample_q, e_hd, k=5, n_blocks=32, round_digits=4).collect()
+    truth_hd = _truth_sets(bf_hd)
+    recall_hd = _recall_vs(iv_hd, truth_hd)
+    recall_hd_pq = _recall_vs(pq_hd, truth_hd)
+    del iv_hd, pq_hd, bf_hd, truth_hd
+
     # approximate-tier quality: recall@5 of IVF / IVF-PQ vs the exact tier
     # ON THE SAME clustered fixture — tracked per round so the approximate
     # path's quality is measured, not asserted
@@ -163,6 +221,8 @@ def main() -> None:
         "ivfpq_recall_at_5": recall_pq,
         "ivf_16x_recall_at_5": recall16,
         "ivfpq_16x_recall_at_5": recall16_pq,
+        "ivf_hd_recall_at_5": recall_hd,
+        "ivfpq_hd_recall_at_5": recall_hd_pq,
         "sf": sf_val,
     }
 
