@@ -3347,6 +3347,18 @@ def q_daily_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntile_from_rank(rn, N, k: int):
+    """SQL-standard ntile(k) recovered arithmetically from a global row
+    number: the first N%k buckets hold ceil(N/k) rows, the rest floor(N/k)
+    — matches both Spark's and DuckDB's ntile bit-for-bit on a total
+    order, without the single-partition window ntile() itself needs."""
+    base, big = F.floor(N / k), N % k
+    threshold = big * (base + 1)
+    return F.when(rn <= threshold, F.floor((rn - 1) / (base + 1)) + 1).otherwise(
+        big + F.floor((rn - threshold - 1) / base) + 1
+    )
+
+
 @_q(
     "user_value_quartiles",
     """
@@ -3378,19 +3390,11 @@ def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ncnt = t.agg(F.count("*").alias("_N"))
     rn, N = F.col("rank"), F.col("_N")
-    # SQL-standard ntile(k): the first N%k buckets hold ceil(N/k) rows, the
-    # rest floor(N/k) — recovered arithmetically from the global row number,
-    # matching both Spark's and DuckDB's ntile bit-for-bit on a total order.
-    base, big = F.floor(N / 4), N % 4
-    threshold = big * (base + 1)
-    quartile = F.when(rn <= threshold, F.floor((rn - 1) / (base + 1)) + 1).otherwise(
-        big + F.floor((rn - threshold - 1) / base) + 1
-    )
     pct_rank = F.when(N == 1, F.lit(0.0)).otherwise(F.round((rn - 1) / (N - 1), 6))
     return ranked.crossJoin(F.broadcast(ncnt)).select(
         "user_id",
         "total_cents",
-        quartile.cast("int").alias("quartile"),
+        _ntile_from_rank(rn, N, 4).cast("int").alias("quartile"),
         pct_rank.alias("pct_rank"),
     )
 
@@ -3715,6 +3719,231 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return hard_negative_top_k(e, k=3, round_digits=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: training-prep and corpus-ops queries
+# ---------------------------------------------------------------------------
+
+_BPE_SQL = "regexp_extract_all(text, '[A-Za-z가-힣]+|[0-9]+|[^A-Za-z가-힣0-9\\s]')"
+
+
+@_q(
+    "fim_split",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_tokens,
+             CAST(floor(len(words) * 2.0 / 5) AS BIGINT) AS p,
+             CAST(floor(len(words) * 7.0 / 10) AS BIGINT) AS m
+      FROM w WHERE len(words) >= 5
+    )
+    SELECT doc_id, n_tokens,
+           array_to_string(words[1:p], ' ') AS fim_prefix,
+           array_to_string(words[p + 1:m], ' ') AS fim_middle,
+           array_to_string(words[m + 1:n_tokens], ' ') AS fim_suffix
+    FROM s
+    """,
+    "fill-in-middle transform for code/infilling training: deterministic "
+    "40/30/30 token split of each document into (prefix, middle, suffix) "
+    "— pure projection, collapses into the scan (integer-arithmetic "
+    "boundaries so both engines cut at the same token)",
+)
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+    base = d.select(F.col("doc_id"), words.alias("words")).filter(
+        F.size("words") >= 5
+    )
+    n = F.size("words").cast("long")
+    p = F.floor(n * 2 / 5).cast("int")
+    m = F.floor(n * 7 / 10).cast("int")
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.array_join(F.slice("words", F.lit(1), p), " ").alias("fim_prefix"),
+        F.array_join(F.slice("words", p + 1, m - p), " ").alias("fim_middle"),
+        F.array_join(F.slice("words", m + 1, n.cast("int") - m), " ").alias("fim_suffix"),
+    )
+
+
+@_q(
+    "tokenizer_fertility",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(n_chars) AS DOUBLE)
+                 / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS chars_per_word,
+           round(CAST(sum(n_chars) AS DOUBLE)
+                 / sum(len({_BPE_SQL})), 4) AS chars_per_token,
+           round(CAST(sum(len({_BPE_SQL})) AS DOUBLE)
+                 / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS fertility
+    FROM documents
+    GROUP BY lang
+    """,
+    "tokenizer fertility audit per language: chars/word, chars/BPE-token "
+    "and tokens-per-word — the numbers that decide whether a tokenizer "
+    "under-serves a language; exact integer sums, one map-side-combined "
+    "aggregation",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("__ws"),
+        F.sum(bpe_ish_token_count("text")).alias("__bpe"),
+        F.sum("n_chars").alias("__chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("__chars") / F.col("__ws"), 4).alias("chars_per_word"),
+        F.round(F.col("__chars") / F.col("__bpe"), 4).alias("chars_per_token"),
+        F.round(F.col("__bpe") / F.col("__ws"), 4).alias("fertility"),
+    )
+
+
+@_q(
+    "seqlen_histogram",
+    f"""
+    WITH t AS (
+      SELECT CAST(len({_BPE_SQL}) AS BIGINT) AS n FROM documents
+    )
+    SELECT CAST(pow(2, floor(log2(n))) AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(sum((256 - n % 256) % 256) AS BIGINT) AS pad_waste_256
+    FROM t WHERE n >= 1
+    GROUP BY 1
+    """,
+    "sequence-length histogram in power-of-2 buckets + the padding waste "
+    "a naive pad-to-256 batching would pay per bucket — the distribution "
+    "every packing/curriculum decision reads; log2 is exact on the "
+    "bucket boundaries (powers of two) so both engines bucket "
+    "identically",
+)
+def q_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n = bpe_ish_token_count("text")
+    t = d.select(n.alias("n")).filter(F.col("n") >= 1)
+    return (
+        t.groupBy(
+            F.pow(F.lit(2.0), F.floor(F.log2("n"))).cast("long").alias("len_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("sum_tokens"),
+            F.sum((F.lit(256) - F.col("n") % 256) % 256).alias("pad_waste_256"),
+        )
+    )
+
+
+@_q(
+    "dup_rate_by_source",
+    f"""
+    WITH f AS (
+      SELECT source, sha256({_NORM_SQL}) AS fp FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+           round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 6) AS dup_share
+    FROM f GROUP BY source
+    """,
+    "per-source exact-duplication pressure: the share of docs whose "
+    "content fingerprint repeats within the source — the ops metric that "
+    "flags a crawler re-ingesting its own output; distinct-count on the "
+    "64-hex fingerprint, partial-agged",
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import document_fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    f = d.select("source", document_fingerprint(F.col("text")).alias("fp"))
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.round(
+            (F.count("*") - F.count_distinct("fp")) * 1.0 / F.count("*"), 6
+        ).alias("dup_share"),
+    )
+
+
+@_q(
+    "length_curriculum",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_BPE_SQL}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS stage
+    FROM t
+    """,
+    "length-based curriculum staging: exact quartile of every document "
+    "by token count (train short→long) — ntile derived from the two-pass "
+    "distributed rank (global_rank_cumsum), no global window over the "
+    "corpus-cardinality frame",
+)
+def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", bpe_ish_token_count("text").alias("n_tokens"))
+    ranked = global_rank_cumsum(
+        t, [F.col("n_tokens").asc(), F.col("doc_id").asc()]
+    )
+    ncnt = t.agg(F.count("*").alias("_N"))
+    return ranked.crossJoin(F.broadcast(ncnt)).select(
+        "doc_id",
+        "n_tokens",
+        _ntile_from_rank(F.col("rank"), F.col("_N"), 4).cast("int").alias("stage"),
+    )
+
+
+@_q(
+    "pack_efficiency_by_seqlen",
+    f"""
+    WITH t AS (
+      SELECT CAST(len({_BPE_SQL}) AS BIGINT) AS n FROM documents
+    ),
+    lens AS (SELECT unnest([128, 256, 512, 1024]) AS seq_len)
+    SELECT CAST(seq_len AS INTEGER) AS seq_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+           round(CAST(sum(seq_len - least(n, seq_len)) AS DOUBLE)
+                 / (seq_len * count(*)), 6) AS pad_fraction,
+           round(CAST(sum(greatest(n - seq_len, 0)) AS DOUBLE) / sum(n), 6) AS trunc_fraction
+    FROM t, lens GROUP BY seq_len
+    """,
+    "choose-the-sequence-length audit: for each candidate seq_len, the "
+    "padding waste of one-doc-per-sequence batching and the token loss "
+    "of truncation — exact integer sums over a broadcast 4-row literal "
+    "frame, one pass over the corpus",
+)
+def q_pack_efficiency_by_seqlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(bpe_ish_token_count("text").alias("n"))
+    lens = spark.createDataFrame([(128,), (256,), (512,), (1024,)], "seq_len int")
+    c = t.crossJoin(F.broadcast(lens))
+    return c.groupBy("seq_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n") > F.col("seq_len"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        F.round(
+            F.sum(F.col("seq_len") - F.least("n", "seq_len"))
+            / (F.col("seq_len") * F.count("*")),
+            6,
+        ).alias("pad_fraction"),
+        F.round(
+            F.sum(F.greatest(F.col("n") - F.col("seq_len"), F.lit(0))) / F.sum("n"), 6
+        ).alias("trunc_fraction"),
+    )
 
 
 # ---------------------------------------------------------------------------
