@@ -133,3 +133,44 @@ def test_shuffle_to_shards_rejects_bad_n(spark):
     df = spark.range(10).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         shuffle_to_shards(df, 0)
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs sharing vocabulary with the target corpus must score higher
+    than docs that only match the raw background."""
+    from wellmeet_data_pipeline_spark.operators.scoring import dsir_importance_weight
+
+    target = spark.createDataFrame(
+        [(100, "high quality encyclopedia article about physics and chemistry"),
+         (101, "another encyclopedia article discussing physics in detail")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(200, "buy cheap deals now click here amazing offer"),
+         (201, "free spam offer click now buy cheap"),
+         (202, "encyclopedia article about physics")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "encyclopedia article about physics and chemistry"),
+         (2, "buy cheap offer click now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_importance_weight(docs, target, raw).collect()}
+    assert out[1]["dsir_weight"] > out[2]["dsir_weight"]
+    assert out[1]["keep"] and not out[2]["keep"]
+
+
+def test_dsir_weight_deterministic_across_partitionings(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import dsir_importance_weight
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words and token{i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id % 4 = 0")
+    a = {r["doc_id"]: r["dsir_weight"]
+         for r in dsir_importance_weight(docs, target, docs).collect()}
+    b = {r["doc_id"]: r["dsir_weight"]
+         for r in dsir_importance_weight(docs.repartition(7), target, docs).collect()}
+    assert a == b

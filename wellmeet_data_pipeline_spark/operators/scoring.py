@@ -332,3 +332,94 @@ def shuffle_to_shards(
         .withColumn("pos_in_shard", F.row_number().over(w))
         .drop("__h")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weighting
+# ---------------------------------------------------------------------------
+
+
+def _hashed_ngram_features(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bucket) for every hashed unigram AND bigram feature of the
+    normalized text — the DSIR feature space (Xie et al., "Data Selection
+    for Language Models via Importance Resampling": hashed n-grams into a
+    fixed bucket space).  Buckets reuse the classifier's sha256-prefix
+    hash so the oracle computes byte-identical ids."""
+    toks = _tokens_with_pos(docs, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bi = toks.withColumn("prev", F.lag("term").over(w))
+    uni = toks.select(F.col(id_col), feature_bucket("term").alias("bucket"))
+    big = bi.filter(F.col("prev").isNotNull()).select(
+        F.col(id_col),
+        feature_bucket(F.concat_ws(" ", F.col("prev"), F.col("term"))).alias("bucket"),
+    )
+    return uni.unionByName(big)
+
+
+def dsir_importance_weight(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document DSIR importance weight: mean over the doc's hashed
+    n-gram features of ln(p_target(b) / p_raw(b)), where each p is an
+    add-alpha-smoothed bucket unigram model counted over the target /
+    raw reference corpora.  Documents that look like the target
+    distribution get positive weights — sampling proportional to the
+    (exponentiated) weight is importance resampling toward the target.
+
+    Plan shape: both bucket-count frames are bounded by the 2^16 feature
+    space (broadcast dims, localCheckpoint'd so their token-explode
+    lineage runs once); the doc feature stream joins them broadcast and
+    aggregates per doc — document bodies never shuffle, only (id,
+    bucket) rows move through the bigram lag window's doc-keyed shuffle.
+
+    Determinism: each feature's log-ratio is snapped to `round_digits`
+    decimals in integer space and summed exactly (module docstring);
+    `keep` is the sign of the RAW integer sum, strictly more precise
+    than thresholding the snapped mean."""
+    scale = float(10**round_digits)
+    c_t = (
+        _hashed_ngram_features(target_docs, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_t"))
+        .localCheckpoint(eager=True)
+    )
+    c_r = (
+        _hashed_ngram_features(raw_docs, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_r"))
+        .localCheckpoint(eager=True)
+    )
+    totals = c_t.agg(F.sum("c_t").alias("t_total")).crossJoin(
+        c_r.agg(F.sum("c_r").alias("r_total"))
+    )
+    feats = _hashed_ngram_features(docs, text_col, id_col)
+    a = F.lit(alpha)
+    smooth = a * F.lit(N_FEATURE_BUCKETS)
+    joined = (
+        feats.join(F.broadcast(c_t), "bucket", "left")
+        .join(F.broadcast(c_r), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_t = (F.coalesce(F.col("c_t"), F.lit(0)) + a) / (F.col("t_total") + smooth)
+    p_r = (F.coalesce(F.col("c_r"), F.lit(0)) + a) / (F.col("r_total") + smooth)
+    snapped = F.floor(F.log(p_t / p_r) * F.lit(scale) + F.lit(0.5)).cast("long")
+    return (
+        joined.withColumn("__lr", snapped)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_features"), F.sum("__lr").alias("__s"))
+        .select(
+            F.col(id_col),
+            "n_features",
+            (
+                F.floor(F.col("__s") / F.col("n_features") + F.lit(0.5)).cast("long")
+                / F.lit(scale)
+            ).alias("dsir_weight"),
+            (F.col("__s") >= 0).alias("keep"),
+        )
+    )

@@ -3946,6 +3946,76 @@ def q_pack_efficiency_by_seqlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1)"
+)
+
+
+@_q(
+    "dsir_importance",
+    f"""
+    WITH {_TOKPOS_SQL},
+    bi AS (
+      SELECT doc_id, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM t2
+    ),
+    feats AS (
+      SELECT doc_id, {_BUCKET_SQL.format(h="sha256(term)")} AS bucket FROM t2
+      UNION ALL
+      SELECT doc_id, {_BUCKET_SQL.format(h="sha256(prev || ' ' || term)")} AS bucket
+      FROM bi WHERE prev IS NOT NULL
+    ),
+    c_t AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c_t
+      FROM feats WHERE doc_id % 7 = 0 GROUP BY bucket
+    ),
+    c_r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_r FROM feats GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT CAST(sum(c_t) AS BIGINT) FROM c_t) AS t_total,
+             (SELECT CAST(sum(c_r) AS BIGINT) FROM c_r) AS r_total
+    ),
+    lr AS (
+      SELECT f.doc_id,
+             CAST(floor(ln(
+               ((coalesce(t.c_t, 0) + CAST(0.1 AS DOUBLE))
+                / (tt.t_total + CAST(0.1 AS DOUBLE) * 65536))
+               / ((coalesce(r.c_r, 0) + CAST(0.1 AS DOUBLE))
+                  / (tt.r_total + CAST(0.1 AS DOUBLE) * 65536))
+             ) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lr
+      FROM feats f
+      LEFT JOIN c_t t ON t.bucket = f.bucket
+      LEFT JOIN c_r r ON r.bucket = f.bucket
+      CROSS JOIN tot tt
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+             CAST(sum(lr) AS BIGINT) AS s
+      FROM lr GROUP BY doc_id
+    )
+    SELECT doc_id, n_features,
+           CAST(floor(CAST(s AS DOUBLE) / n_features + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / CAST(1000000 AS DOUBLE) AS dsir_weight,
+           s >= 0 AS keep
+    FROM agg
+    """,
+    "DSIR importance resampling weights (Xie et al.): mean hashed-ngram "
+    "log-ratio ln(p_target/p_raw) per document, target = the doc_id%7 "
+    "partition, raw = the whole corpus — bucket-count frames bounded by "
+    "the 2^16 feature space broadcast onto the feature stream; "
+    "integer micro-nat grid for oracle exactness",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import dsir_importance_weight
+
+    d = table(spark, sf_dir, "documents")
+    target = d.filter((F.col("doc_id") % 7) == 0)
+    return dsir_importance_weight(d, target, d)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
