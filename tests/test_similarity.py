@@ -345,3 +345,17 @@ def test_hard_negative_top_k_excludes_same_label_and_self(spark):
     assert got[1][0] == 3
     # 4's hardest negative is 5 (different label, cos ~0.99)
     assert got[4][0] == 5
+
+
+def test_ivf_tiers_empty_input_returns_empty(spark):
+    """An empty (e.g. fully-filtered micro-batch) input must yield an
+    empty result frame from both approximate tiers, matching the exact
+    tiers — not an np.vstack crash in the centroid sample."""
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        ivf_pq_top_k,
+        ivf_top_k,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_top_k(empty, k=3, n_centroids=4, seed_mod=1).count() == 0
+    assert ivf_pq_top_k(empty, k=3, n_centroids=4, seed_mod=1).count() == 0

@@ -596,8 +596,8 @@ def test_orchestration_fanout_capped_and_fully_drained(spark, tmp_path):
     revs = read_current(spark, rev_store)
     assert revs.count() == 8  # every key's reviews eventually ingested
     assert {r["place_id"] for r in revs.collect()} == {f"p{i:02d}" for i in range(8)}
-    # backlog fully drained
-    from wellmeet_data_pipeline_spark.streaming.orchestration import _read_backlog_or_none
+    # backlog fully drained: every todo mark has a done mark
+    from wellmeet_data_pipeline_spark.streaming.orchestration import _read_pending
 
-    remaining = _read_backlog_or_none(spark, backlog)
-    assert remaining is None or remaining.count() == 0
+    pending = _read_pending(spark, backlog)
+    assert pending is None or pending.count() == 0

@@ -147,6 +147,16 @@ def run_ivfpq(spark, sf_dir, factor):
     ).count()
 
 
+def run_dsir(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.scoring import dsir_importance_weight
+
+    # target partition scales with the corpus (each copy contributes its
+    # seventh) — feature-space frames stay 2^16-bounded regardless
+    d = scaled_documents(spark, sf_dir, factor)
+    target = d.filter((F.col("doc_id") % 7) == 0)
+    return dsir_importance_weight(d, target, target_within_docs=True).count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -155,6 +165,7 @@ OPS = {
     "ngram_lm_perplexity": run_ngram_lm,
     "quality_classifier_score": run_quality_classifier,
     "cosine_topk_ivfpq": run_ivfpq,
+    "dsir_importance": run_dsir,
 }
 
 

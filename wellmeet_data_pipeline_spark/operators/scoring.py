@@ -359,11 +359,12 @@ def _hashed_ngram_features(docs: DataFrame, text_col: str, id_col: str) -> DataF
 def dsir_importance_weight(
     docs: DataFrame,
     target_docs: DataFrame,
-    raw_docs: DataFrame,
+    raw_docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.1,
     round_digits: int = 6,
+    target_within_docs: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weight: mean over the doc's hashed
     n-gram features of ln(p_target(b) / p_raw(b)), where each p is an
@@ -381,24 +382,41 @@ def dsir_importance_weight(
     Determinism: each feature's log-ratio is snapped to `round_digits`
     decimals in integer space and summed exactly (module docstring);
     `keep` is the sign of the RAW integer sum, strictly more precise
-    than thresholding the snapped mean."""
+    than thresholding the snapped mean.
+
+    Pass `raw_docs=None` when the raw background IS `docs`, and
+    `target_within_docs=True` when `target_docs` is a subset of `docs`
+    (the common in-corpus-partition setup): the tokenize + bigram-window
+    pass then runs ONCE over the corpus — the doc feature stream is
+    checkpointed and both count frames derive from it (c_t via a
+    semi-join on the target ids) instead of re-exploding the text."""
     scale = float(10**round_digits)
+    feats = _hashed_ngram_features(docs, text_col, id_col)
+    if raw_docs is None or target_within_docs:
+        feats = feats.localCheckpoint(eager=True)
+    t_feats = (
+        feats.join(target_docs.select(id_col), id_col, "left_semi")
+        if target_within_docs
+        else _hashed_ngram_features(target_docs, text_col, id_col)
+    )
     c_t = (
-        _hashed_ngram_features(target_docs, text_col, id_col)
-        .groupBy("bucket")
+        t_feats.groupBy("bucket")
         .agg(F.count("*").alias("c_t"))
         .localCheckpoint(eager=True)
     )
+    r_feats = (
+        feats
+        if raw_docs is None
+        else _hashed_ngram_features(raw_docs, text_col, id_col)
+    )
     c_r = (
-        _hashed_ngram_features(raw_docs, text_col, id_col)
-        .groupBy("bucket")
+        r_feats.groupBy("bucket")
         .agg(F.count("*").alias("c_r"))
         .localCheckpoint(eager=True)
     )
     totals = c_t.agg(F.sum("c_t").alias("t_total")).crossJoin(
         c_r.agg(F.sum("c_r").alias("r_total"))
     )
-    feats = _hashed_ngram_features(docs, text_col, id_col)
     a = F.lit(alpha)
     smooth = a * F.lit(N_FEATURE_BUCKETS)
     joined = (

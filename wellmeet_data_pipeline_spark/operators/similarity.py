@@ -335,6 +335,11 @@ def _centroid_sample(
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
             .toPandas()
         )
+    if len(cent_pd) == 0:
+        # empty input (e.g. a fully-filtered micro-batch): no index to
+        # build — callers return an empty result frame, matching the
+        # exact tiers' behavior instead of np.vstack blowing up
+        return cent_pd["cid"].to_numpy(), np.empty((0, 0))
     return cent_pd["cid"].to_numpy(), _matrix(cent_pd["v"])
 
 
@@ -380,6 +385,8 @@ def ivf_top_k(
         if seed_mod is None:
             seed_mod = max(1, n_rows // n_centroids)
     cent_ids, C = _centroid_sample(data, n_centroids, seed_mod, id_col, vec_col)
+    if len(cent_ids) == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     if kmeans_iters:
         C = _kmeans_refine(
             data.select(F.col(vec_col).alias("v")), cent_ids, C, kmeans_iters
@@ -502,7 +509,9 @@ def _train_pq_codebooks(
     # samples mistrain the codebooks (argmax breaks ties by index, which
     # diverges when the sha-fallback sample makes index order != cid order)
     S = X @ Cn.T
-    top1 = np.array([np.lexsort((cent_ids, -S[r]))[0] for r in range(len(X))])
+    top1 = np.array(
+        [np.lexsort((cent_ids, -S[r]))[0] for r in range(len(X))], dtype=np.intp
+    )  # dtype pinned: an empty comprehension would yield float64 indices
     X = X - Cn[top1]
     sub = dim // m_subspaces
     books = np.empty((m_subspaces, n_codes, sub))
@@ -581,6 +590,8 @@ def ivf_pq_top_k(
         if seed_mod is None:
             seed_mod = max(1, n_rows // n_centroids)
     cent_ids, C = _centroid_sample(data, n_centroids, seed_mod, id_col, vec_col)
+    if len(cent_ids) == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     books = _train_pq_codebooks(
         data, cent_ids, C, m_subspaces, n_codes, id_col, vec_col, train_rows, lloyd_iters
     )

@@ -3388,7 +3388,9 @@ def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank_cumsum(
         t, [F.col("total_cents").asc(), F.col("user_id").asc()]
     )
-    ncnt = t.agg(F.count("*").alias("_N"))
+    # N from the checkpointed ranked frame, not from t: counting t would
+    # re-run the whole upstream aggregation a second time
+    ncnt = ranked.agg(F.count("*").alias("_N"))
     rn, N = F.col("rank"), F.col("_N")
     pct_rank = F.when(N == 1, F.lit(0.0)).otherwise(F.round((rn - 1) / (N - 1), 6))
     return ranked.crossJoin(F.broadcast(ncnt)).select(
@@ -3897,7 +3899,9 @@ def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank_cumsum(
         t, [F.col("n_tokens").asc(), F.col("doc_id").asc()]
     )
-    ncnt = t.agg(F.count("*").alias("_N"))
+    # N from the checkpointed ranked frame: counting t would re-run the
+    # per-document regexp token count over the whole corpus a second time
+    ncnt = ranked.agg(F.count("*").alias("_N"))
     return ranked.crossJoin(F.broadcast(ncnt)).select(
         "doc_id",
         "n_tokens",
@@ -4013,7 +4017,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     target = d.filter((F.col("doc_id") % 7) == 0)
-    return dsir_importance_weight(d, target, d)
+    return dsir_importance_weight(d, target, target_within_docs=True)
 
 
 # ---------------------------------------------------------------------------

@@ -120,12 +120,9 @@ def run_corpus_pipeline(
             fresh = keyed
         buckets = None
         if near_dup or ref_index_path is not None:
-            # buckets carry the doc's content fingerprint into the sig
-            # store so replay exclusion below can distinguish "same doc
-            # re-delivered" from "same id re-crawled with edited text"
             buckets = minhash_band_buckets(
                 fresh, text_col, id_col, num_hashes, bands, shingle_n
-            ).join(fresh.select(id_col, "fingerprint"), id_col)
+            )
         if ref_index_path is not None:
             # banding parameters MUST match the ones the index was built
             # with (build_reference_index) — mismatched bands make every
@@ -139,6 +136,11 @@ def run_corpus_pipeline(
             fresh = fresh.join(ref_hit, id_col, "left_anti")
             buckets = buckets.join(ref_hit, id_col, "left_anti")
         if near_dup:
+            # the fingerprint rides into the sig store so replay exclusion
+            # below can distinguish "same doc re-delivered" from "same id
+            # re-crawled with edited text" — joined only on this path; the
+            # ref-index probe above needs bare (band, bucket) rows
+            buckets = buckets.join(fresh.select(id_col, "fingerprint"), id_col)
             stored = read_current_or_none(
                 spark, sig_store_path, id_col=[id_col, "band", "bucket"]
             )

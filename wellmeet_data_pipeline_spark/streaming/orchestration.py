@@ -30,10 +30,34 @@ from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
 
 
 def _read_backlog_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    # narrow catch: ONLY path-does-not-exist may read as "no backlog yet".
+    # A transient read failure must propagate — treating it as empty would
+    # make the caller proceed without the carried-over obligations.
+    import os
+
+    if not os.path.exists(path):
         return None
+    return spark.read.parquet(path)
+
+
+def _read_pending(spark: SparkSession, backlog_store: str) -> DataFrame | None:
+    """Pending fan-out keys from the append-only backlog log: rows marked
+    'todo' that have no 'done' marker.  The log is never overwritten —
+    appends are crash-safe (a torn append leaves at worst a replayable
+    duplicate, and both marks are idempotent on place_id), unlike a
+    rewrite-in-place whose delete window can lose the only durable copy."""
+    log = _read_backlog_or_none(spark, backlog_store)
+    if log is None:
+        return None
+    todo = log.filter(F.col("_op") == "todo").select("place_id").distinct()
+    done = log.filter(F.col("_op") == "done").select("place_id")
+    return todo.join(done, "place_id", "left_anti")
+
+
+def _append_marks(keys: DataFrame, backlog_store: str, op: str) -> None:
+    keys.select("place_id", F.lit(op).alias("_op")).write.mode("append").parquet(
+        backlog_store
+    )
 
 
 def _take_chunk(todo: DataFrame, max_keys: int) -> list[str]:
@@ -47,32 +71,27 @@ def _take_chunk(todo: DataFrame, max_keys: int) -> list[str]:
 
 def _ingest_capped(
     spark: SparkSession,
-    todo: DataFrame,
+    pending: DataFrame,
     backlog_store: str,
     review_store: str,
     review_fetcher: Callable[[str, int], list[dict]],
     max_keys: int,
     batch_seq: int,
 ) -> None:
-    """Drain up to `max_keys` keys from `todo`, persisting the remainder.
+    """Ingest up to `max_keys` pending keys, marking them done afterwards.
 
-    Write order is the at-least-once contract: (1) the FULL todo set goes
-    to the backlog store before any ingest, so a crash mid-ingest never
-    loses an obligation; (2) the chunk is ingested (review merge is
-    idempotent on (place_id, id), so a replayed chunk is harmless); (3)
-    the backlog is rewritten without the chunk.  `todo` is
-    localCheckpoint'd by the caller because step (3) overwrites a path
-    step (1)'s lineage read from."""
-    todo.write.mode("overwrite").parquet(backlog_store)
-    chunk = _take_chunk(todo, max_keys)
-    if chunk:
-        ingest_reviews(spark, chunk, review_fetcher, review_store, batch_seq=batch_seq)
-    chunk_df = todo.sparkSession.createDataFrame(
-        [(k,) for k in chunk], "place_id string"
-    )
-    todo.join(chunk_df, "place_id", "left_anti").write.mode("overwrite").parquet(
-        backlog_store
-    )
+    At-least-once order: the 'todo' marks are already durable (appended by
+    the caller before this runs); the chunk is ingested (review merge is
+    idempotent on (place_id, id), so a crash-replay of the chunk is
+    harmless); only then are 'done' marks appended.  A crash between
+    ingest and the done-append re-ingests the chunk later — nothing is
+    ever lost, because no step deletes log data."""
+    chunk = _take_chunk(pending, max_keys)
+    if not chunk:
+        return
+    ingest_reviews(spark, chunk, review_fetcher, review_store, batch_seq=batch_seq)
+    chunk_df = spark.createDataFrame([(k,) for k in chunk], "place_id string")
+    _append_marks(chunk_df, backlog_store, "done")
 
 
 def drain_backlog(
@@ -85,15 +104,16 @@ def drain_backlog(
 ) -> None:
     """Drain any carried-over fan-out backlog to empty, one capped chunk
     per round — every driver collect stays <= max_keys_per_batch."""
+    if max_keys_per_batch < 1:
+        raise ValueError(f"max_keys_per_batch must be >= 1, got {max_keys_per_batch}")
     round_no = 0
     while True:
-        backlog = _read_backlog_or_none(spark, backlog_store)
-        if backlog is None or backlog.isEmpty():
+        pending = _read_pending(spark, backlog_store)
+        if pending is None or pending.isEmpty():
             return
-        todo = backlog.select("place_id").distinct().localCheckpoint(eager=True)
         _ingest_capped(
-            spark, todo, backlog_store, review_store, review_fetcher,
-            max_keys_per_batch, start_seq + round_no,
+            spark, pending.localCheckpoint(eager=True), backlog_store, review_store,
+            review_fetcher, max_keys_per_batch, start_seq + round_no,
         )
         round_no += 1
 
@@ -145,16 +165,17 @@ def run_orchestration(
                     batch_seq=batch_id,
                 )
             return
-        backlog = _read_backlog_or_none(spark, backlog_store)
-        todo = fresh.select("place_id")
-        if backlog is not None:
-            todo = todo.unionByName(backlog.select("place_id"))
-        # materialize BEFORE the backlog overwrite: the union's lineage
-        # reads the store being rewritten
-        todo = todo.distinct().localCheckpoint(eager=True)
+        # durable first: new keys enter the append-only log before any
+        # ingest, so a crash anywhere below never loses an obligation
+        _append_marks(fresh.select("place_id"), backlog_store, "todo")
+        pending = _read_pending(spark, backlog_store)
+        if pending is None:
+            return
+        # materialize BEFORE _ingest_capped appends done-marks: the
+        # pending lineage reads the log being appended to
         _ingest_capped(
-            spark, todo, backlog_store, review_store, review_fetcher,
-            max_keys_per_batch, batch_id,
+            spark, pending.localCheckpoint(eager=True), backlog_store, review_store,
+            review_fetcher, max_keys_per_batch, batch_id,
         )
 
     (
