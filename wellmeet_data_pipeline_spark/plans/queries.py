@@ -4020,6 +4020,127 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weight(d, target, target_within_docs=True)
 
 
+_REV_CENTS_SQL = "round(l_extendedprice * 100) * (100 - round(l_discount * 100))"
+
+
+def _rev_cents():
+    """Exact-integer revenue term (cents x pct): the repo's standard
+    money-sum discipline (module docstring)."""
+    return F.round(F.col("l_extendedprice") * 100, 0) * (
+        F.lit(100) - F.round(F.col("l_discount") * 100, 0)
+    )
+
+
+@_q(
+    "market_share_by_year",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_1' THEN {_REV_CENTS_SQL} ELSE 0 END)
+                 / sum({_REV_CENTS_SQL}), 6) AS mkt_share,
+           round(sum({_REV_CENTS_SQL}) / 10000.0, 4) AS total_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY year(o_orderdate)
+    """,
+    "TPC-H Q8-shaped market share: one supplier nation's revenue share "
+    "per year inside a region's market — conditional sum over a six-way "
+    "join (every dimension broadcast, nation under two roles), ratio of "
+    "two exact-integer sums so the share is order-independent",
+)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _rev_cents()
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n2.n_name") == "NATION_1", rev).otherwise(0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev) / F.lit(10000.0), 4).alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "customer_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    "TPC-H Q13-shaped customer distribution: how many customers placed "
+    "exactly k orders, INCLUDING the zero-order customers a plain inner "
+    "join would drop — left-outer count(null-skipping) then a second "
+    "small aggregation",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q(
+    "promo_revenue_share",
+    f"""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS_SQL} ELSE 0 END)
+                 / sum({_REV_CENTS_SQL}), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    "TPC-H Q14-shaped promo revenue share: percentage of each month's "
+    "revenue from PROMO-type parts — broadcast part join, conditional "
+    "exact-integer sums, month rendered as a fixed string",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = _rev_cents()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
