@@ -54,6 +54,9 @@ HEADLINE = [
     "quality_classifier_score",
     "dedup_vs_reference",
     "hard_negatives_topk",
+    "dsir_importance",
+    "market_share_by_year",
+    "vocab_coverage",
 ]
 
 

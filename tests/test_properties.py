@@ -109,3 +109,42 @@ def test_pack_sequences_offsets_consistent(spark, token_counts):
         assert r["offset"] == before % seq_len
         assert 0 <= r["offset"] < seq_len
         cum[r["stream_id"]] = before + r["n_tokens"]
+
+
+def test_global_rank_cumsum_property(spark):
+    """Property: for arbitrary (key, value) multisets and partition
+    counts, the two-pass distributed rank/cumsum agrees with the
+    single-partition window form."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=60),
+        n_parts=st.integers(min_value=1, max_value=9),
+    )
+    def check(vals, n_parts):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key long, n long")
+        order = [F.col("n").desc(), F.col("key").asc()]
+        got = {
+            r["key"]: (r["rank"], r["cum"])
+            for r in global_rank_cumsum(
+                df, order, sum_col="n", num_partitions=n_parts
+            ).collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            r["key"]: (r["rank"], r["cum"])
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .withColumn(
+                "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            )
+            .collect()
+        }
+        assert got == want
+
+    check()
