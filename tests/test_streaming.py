@@ -601,3 +601,25 @@ def test_orchestration_fanout_capped_and_fully_drained(spark, tmp_path):
 
     pending = _read_pending(spark, backlog)
     assert pending is None or pending.count() == 0
+
+
+def test_backlog_compaction_preserves_pending(spark, tmp_path):
+    from wellmeet_data_pipeline_spark.streaming.orchestration import (
+        _append_marks,
+        _read_pending,
+        compact_backlog,
+    )
+
+    log = str(tmp_path / "bl_log")
+    out = str(tmp_path / "bl_compacted")
+    keys = spark.createDataFrame([(f"p{i}",) for i in range(6)], "place_id string")
+    _append_marks(keys, log, "todo")
+    _append_marks(keys.filter("place_id < 'p3'"), log, "done")
+    # duplicate marks from a replay must not resurrect done keys
+    _append_marks(keys.filter("place_id = 'p1'"), log, "todo")
+
+    compact_backlog(spark, log, out)
+    assert {r["place_id"] for r in _read_pending(spark, out).collect()} == {
+        "p3", "p4", "p5",
+    }
+    assert spark.read.parquet(out).count() == 3  # pending-only, marks cancelled

@@ -189,3 +189,17 @@ def run_orchestration(
         drain_backlog(
             spark, backlog_store, review_store, review_fetcher, max_keys_per_batch
         )
+
+
+def compact_backlog(spark: SparkSession, backlog_store: str, out_path: str) -> None:
+    """Maintenance: rewrite the append-only mark log as pending-only
+    'todo' marks at `out_path` (done pairs cancelled).  Writes to a NEW
+    path like sinks.merge.compact — the live log is never overwritten, so
+    the swap stays crash-safe (keep the old dir until the new one is
+    committed); marks keep accumulating otherwise."""
+    pending = _read_pending(spark, backlog_store)
+    if pending is None:
+        pending = spark.createDataFrame([], "place_id string")
+    pending.select("place_id", F.lit("todo").alias("_op")).write.mode(
+        "error"
+    ).parquet(out_path)
