@@ -174,3 +174,30 @@ def test_dsir_weight_deterministic_across_partitionings(spark):
     b = {r["doc_id"]: r["dsir_weight"]
          for r in dsir_importance_weight(docs.repartition(7), target, docs).collect()}
     assert a == b
+
+
+def test_dsir_model_scoring_matches_inline_form(spark):
+    """Scoring with a prebuilt dense model must be bit-identical to
+    dsir_importance_weight at the same (alpha, round_digits) — the
+    log-ratio depends only on the bucket."""
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        build_dsir_model,
+        dsir_importance_weight,
+        dsir_score_with_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"words shared across docs plus token{i % 5} and token{i % 3}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id % 4 = 0")
+    inline = {
+        tuple(r) for r in dsir_importance_weight(
+            docs, target, target_within_docs=True
+        ).collect()
+    }
+    model = build_dsir_model(target, docs)
+    via_model = {
+        tuple(r) for r in dsir_score_with_model(docs, model).collect()
+    }
+    assert inline == via_model and len(inline) == 24

@@ -623,3 +623,44 @@ def test_backlog_compaction_preserves_pending(spark, tmp_path):
         "p3", "p4", "p5",
     }
     assert spark.read.parquet(out).count() == 3  # pending-only, marks cancelled
+
+
+def test_streaming_corpus_dsir_gate_drops_off_distribution_docs(spark, tmp_path):
+    """A persisted-model DSIR gate in the streaming corpus pipeline keeps
+    target-like docs and drops off-distribution ones per micro-batch."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.operators.scoring import build_dsir_model
+    from wellmeet_data_pipeline_spark.streaming.corpus import (
+        read_corpus,
+        run_corpus_pipeline,
+    )
+
+    landing = tmp_path / "dsir_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "dsir_store"), str(tmp_path / "dsir_ckpt")
+    schema = StructType.fromDDL("doc_id long, text string")
+    bench = spark.createDataFrame([(900, "benchmark only")], "doc_id long, text string")
+
+    target = spark.createDataFrame(
+        [(100, "encyclopedia article about physics chemistry and biology research"),
+         (101, "detailed encyclopedia article covering physics research topics")],
+        "doc_id long, text string",
+    )
+    raw = target.unionByName(spark.createDataFrame(
+        [(200, "buy cheap deals now click here amazing offer"),
+         (201, "free spam offer click now buy cheap deals")],
+        "doc_id long, text string",
+    ))
+    model = build_dsir_model(target, raw).localCheckpoint(eager=True)
+
+    (landing / "b1.json").write_text(json.dumps([
+        {"doc_id": 1, "text": "encyclopedia article about physics research"},
+        {"doc_id": 2, "text": "buy cheap deals click now amazing offer"},
+    ]))
+    run_corpus_pipeline(
+        spark, str(landing), store, ckpt, schema, bench, dsir_model=model
+    )
+    assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {1}

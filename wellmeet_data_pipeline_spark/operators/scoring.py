@@ -441,3 +441,85 @@ def dsir_importance_weight(
             (F.col("__s") >= 0).alias("keep"),
         )
     )
+
+
+def build_dsir_model(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Precompute the DSIR model as a DENSE (bucket, lr_int) table over
+    the full 2^16 feature space: lr_int is the snapped integer micro-nat
+    log-ratio ln(p_target(b)/p_raw(b)).  Dense on purpose — scoring is
+    then ONE broadcast join with no unseen-bucket default path, and
+    65,536 rows is the same broadcast-dim size as model_weights_table.
+    Train once offline, persist as parquet, gate micro-batches forever:
+    the streaming corpus pipeline's dsir_model option consumes this."""
+    scale = float(10**round_digits)
+    c_t = (
+        _hashed_ngram_features(target_docs, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_t"))
+        .localCheckpoint(eager=True)
+    )
+    c_r = (
+        _hashed_ngram_features(raw_docs, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_r"))
+        .localCheckpoint(eager=True)
+    )
+    totals = c_t.agg(F.sum("c_t").alias("t_total")).crossJoin(
+        c_r.agg(F.sum("c_r").alias("r_total"))
+    )
+    spark = target_docs.sparkSession
+    dense = (
+        spark.range(N_FEATURE_BUCKETS)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(c_t, "bucket", "left")
+        .join(c_r, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    a = F.lit(alpha)
+    smooth = a * F.lit(N_FEATURE_BUCKETS)
+    p_t = (F.coalesce(F.col("c_t"), F.lit(0)) + a) / (F.col("t_total") + smooth)
+    p_r = (F.coalesce(F.col("c_r"), F.lit(0)) + a) / (F.col("r_total") + smooth)
+    return dense.select(
+        "bucket",
+        F.floor(F.log(p_t / p_r) * F.lit(scale) + F.lit(0.5))
+        .cast("long")
+        .alias("lr_int"),
+    )
+
+
+def dsir_score_with_model(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score documents against a prebuilt dense DSIR model (see
+    build_dsir_model): explode hashed n-gram features, ONE broadcast
+    model join, exact-integer per-doc mean.  Output contract matches
+    dsir_importance_weight — the log-ratio depends only on the bucket, so
+    scoring with a persisted model is bit-identical to the inline form
+    at the same (alpha, round_digits)."""
+    scale = float(10**round_digits)
+    feats = _hashed_ngram_features(docs, text_col, id_col)
+    return (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_features"), F.sum("lr_int").alias("__s"))
+        .select(
+            F.col(id_col),
+            "n_features",
+            (
+                F.floor(F.col("__s") / F.col("n_features") + F.lit(0.5)).cast("long")
+                / F.lit(scale)
+            ).alias("dsir_weight"),
+            (F.col("__s") >= 0).alias("keep"),
+        )
+    )

@@ -54,6 +54,7 @@ def run_corpus_pipeline(
     bands: int = 4,
     quality_weights: DataFrame | None = None,
     ref_index_path: str | None = None,
+    dsir_model: DataFrame | None = None,
 ) -> None:
     """availableNow activation of the curation DAG over a landing dir.
 
@@ -105,6 +106,22 @@ def run_corpus_pipeline(
                 .select(id_col)
             )
             gated = gated.join(keep_ids, id_col, "left_semi")
+        if dsir_model is not None:
+            # DSIR importance gate (operators/scoring.py): the model is a
+            # dense 2^16-bucket (bucket, lr_int) table trained OFFLINE
+            # (build_dsir_model) — per batch the cost is one feature
+            # explode + broadcast join; keep docs whose mean hashed-ngram
+            # log-ratio favors the target distribution
+            from wellmeet_data_pipeline_spark.operators.scoring import (
+                dsir_score_with_model,
+            )
+
+            dsir_keep = (
+                dsir_score_with_model(gated, dsir_model, text_col, id_col)
+                .filter(F.col("keep"))
+                .select(id_col)
+            )
+            gated = gated.join(dsir_keep, id_col, "left_semi")
         decon = decontaminate(gated, benchmark, text_col, id_col, shingle_n)
         keyed = decon.withColumn("fingerprint", document_fingerprint(F.col(text_col)))
         # deterministic within-batch survivor (min id per fingerprint) —
