@@ -4141,6 +4141,135 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "large_order_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(round(l_quantity)) > 150
+    )
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o_totalprice, 2) AS total_price,
+           CAST((SELECT sum(round(l_quantity)) FROM lineitem
+                 WHERE l_orderkey = o_orderkey) AS BIGINT) AS total_qty
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    "TPC-H Q18-shaped large-volume orders: HAVING on an exact-integer "
+    "quantity sum, then join the qualifying keys back to orders and "
+    "customers — the group-filter-then-rejoin shape; the qualifying set "
+    "is small so both joins broadcast it",
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity", 0)).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+@_q(
+    "disjunctive_filter_revenue",
+    f"""
+    SELECT round(sum({_REV_CENTS_SQL}) / 10000.0, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_type = 'PROMO' AND p_size <= 20 AND round(l_quantity) <= 25)
+       OR (p_type = 'ECONOMY' AND p_size <= 10 AND round(l_quantity) <= 15)
+       OR (p_brand = 'BRAND_1' AND round(l_quantity) >= 40)
+    """,
+    "TPC-H Q19-shaped disjunctive predicate revenue: three OR-branches "
+    "mixing part and lineitem attributes — the join-then-filter form "
+    "Catalyst handles by pushing each side's common conjuncts into the "
+    "scans; exact-integer quantity comparisons",
+)
+def q_disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    qty = F.round("l_quantity", 0)
+    cond = (
+        ((F.col("p_type") == "PROMO") & (F.col("p_size") <= 20) & (qty <= 25))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10) & (qty <= 15))
+        | ((F.col("p_brand") == "BRAND_1") & (qty >= 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_rev_cents()) / F.lit(10000.0), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "inactive_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS s_cents,
+             CAST(count(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           round(sum(round(c_acctbal * 100)) / 100.0, 2) AS total_bal
+    FROM customer, avg_bal
+    WHERE round(c_acctbal * 100) * n_pos > s_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22-shaped sales opportunity: above-average-balance customers "
+    "with no RECENT order (this synthetic data gives every customer some "
+    "order, so the lapsed-since-2000 form keeps the result non-trivial) "
+    "— scalar-subquery threshold broadcast onto the scan, anti join "
+    "against the filtered orders keys (filter pushed to that scan); the "
+    "above-average comparison is restated in exact-integer cents "
+    "(bal*100*n > sum) so summation-order ulp noise can never flip a "
+    "boundary customer (the customer_above_avg discipline)",
+)
+def q_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    cents = F.round(F.col("c_acctbal") * 100, 0)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).cast("long").alias("s_cents"),
+        F.count("*").alias("n_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(cents * F.col("n_pos") > F.col("s_cents"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100, 0)) / F.lit(100.0), 2
+            ).alias("total_bal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
