@@ -359,3 +359,51 @@ def test_ivf_tiers_empty_input_returns_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert ivf_top_k(empty, k=3, n_centroids=4, seed_mod=1).count() == 0
     assert ivf_pq_top_k(empty, k=3, n_centroids=4, seed_mod=1).count() == 0
+
+
+def test_semantic_dedup_keeps_least_central_per_group(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    # one tight duplicate group (1,2,3), a looser pair (10,11) below the
+    # threshold, and an isolated vector (99)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),
+        (3, [0.998, 0.002, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.8, 0.6]),
+        (99, [0.0, 0.0, 1.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(e, threshold=0.999, n_centroids=3, seed_mod=1).toPandas()
+    assert len(out) == 6
+    by_id = out.set_index("vec_id")
+    # 1,2,3 form one duplicate group; survivor = least similar to the
+    # cluster centroid (tie-break lowest id); the rest of that group drops
+    grp = by_id.loc[[1, 2, 3]]
+    assert grp["kept"].sum() == 1
+    survivor = grp[grp["kept"]].index[0]
+    assert survivor == grp["centroid_sim"].idxmin()
+    # vectors never in a >=threshold pair all survive
+    assert bool(by_id.loc[10, "kept"]) and bool(by_id.loc[11, "kept"])
+    assert bool(by_id.loc[99, "kept"])
+
+
+def test_semantic_dedup_one_survivor_per_component_and_empty_input(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    # chain a~b, b~c across one cluster: transitive closure must keep ONE
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9999, 0.0001]),
+        (3, [0.9998, 0.0002]),
+        (4, [-1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(e, threshold=0.9999, n_centroids=2, seed_mod=1).toPandas()
+    assert out[out.vec_id.isin([1, 2, 3])]["kept"].sum() == 1
+    assert bool(out[out.vec_id == 4]["kept"].iloc[0])
+
+    empty = e.filter("vec_id < 0")
+    out2 = semantic_dedup(empty, threshold=0.9, n_centroids=2, seed_mod=1)
+    assert out2.count() == 0

@@ -4270,6 +4270,75 @@ def q_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "semdedup_survivors",
+    """
+    WITH RECURSIVE anchors AS (
+      SELECT label, list_transform(arg_min(embedding, vec_id), x -> CAST(x AS DOUBLE)) AS a
+      FROM embeddings GROUP BY label
+    ),
+    v AS (
+      SELECT e.vec_id, list_transform(range(1, len(e.embedding) + 1),
+             i -> an.a[i] * 0.75 + CAST(e.embedding[i] AS DOUBLE) * 0.25) AS e
+      FROM embeddings e JOIN anchors an ON e.label = an.label
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+    cents AS (SELECT vec_id AS cid, e AS c, nrm AS cnrm FROM n
+              WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+    scored AS (
+      SELECT a.vec_id, c.cid,
+             round(list_sum(list_transform(range(1, len(a.e)+1),
+                                           i -> a.e[i] * c.c[i])) / (a.nrm * c.cnrm), 4) AS sim
+      FROM n a CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster_id, sim AS centroid_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid ASC) rk FROM scored)
+      WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM assign ja JOIN assign jb
+        ON ja.cluster_id = jb.cluster_id AND ja.vec_id < jb.vec_id
+      JOIN n a ON a.vec_id = ja.vec_id JOIN n b ON b.vec_id = jb.vec_id
+      WHERE round(list_sum(list_transform(range(1, len(a.e)+1),
+                                          i -> a.e[i]*b.e[i]))/(a.nrm*b.nrm), 4) >= 0.95
+    ),
+    e2 AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM e2
+      UNION
+      SELECT e.u, r.r FROM e2 e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.node, row_number() OVER (PARTITION BY c.component
+                                        ORDER BY a.centroid_sim ASC, c.node ASC) AS rk
+      FROM comp c JOIN assign a ON a.vec_id = c.node
+    )
+    SELECT a.vec_id, a.cluster_id, a.centroid_sim,
+           coalesce(r.rk = 1, TRUE) AS kept
+    FROM assign a LEFT JOIN ranked r ON r.node = a.vec_id
+    """,
+    "SemDeDup (Abbas et al. 2023): semantic dedup over the clustered "
+    "embedding fixture — deterministic coarse clusters, within-cluster "
+    "cosine>=0.95 edges, connected components, keep the least-central "
+    "member per duplicate group; the quadratic term is confined within "
+    "clusters (per-task bound (N/n_centroids)^2, n_centroids~sqrt(N) at "
+    "scale) and the oracle replays assignment, edges, the component "
+    "fixpoint, and the survivor rule exactly",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        clustered_embeddings,
+        semantic_dedup,
+    )
+
+    e = clustered_embeddings(table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(e, threshold=0.95, n_centroids=16, seed_mod=31)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
