@@ -4339,6 +4339,253 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, threshold=0.95, n_centroids=16, seed_mod=31)
 
 
+@_q(
+    "forecast_revenue_change",
+    """
+    SELECT round(sum(round(l_extendedprice * 100) * round(l_discount * 100)) / 10000.0, 4)
+             AS revenue_increase,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND round(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: revenue increase from dropping small-quantity "
+    "mid-discount items in one shipping year — a pure filter+agg whose "
+    "entire predicate reaches the parquet scan (PushedFilters on "
+    "shipdate/quantity); discount restated on its integer pct grid so "
+    "the band edges are exact on both engines",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.round(F.col("l_discount") * 100, 0).between(5, 7)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0)
+                    * F.round(F.col("l_discount") * 100, 0)
+                )
+                / F.lit(10000.0),
+                4,
+            ).alias("revenue_increase"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "product_profit_by_nation",
+    f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum({_REV_CENTS_SQL}
+                     - round(p_retailprice * 100) * round(l_quantity) * 100) / 10000.0, 4)
+             AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    "TPC-H Q9 shape: per-(supplier nation, order year) profit on parts "
+    "matching a name pattern, with retail cost standing in for the "
+    "missing partsupp supplycost — revenue and cost both restated on the "
+    "common 1/10000 grid (cents x pct vs cents x qty x 100) so the sum "
+    "is exact-integer and order-independent; dims broadcast, one "
+    "orderkey-side shuffle",
+)
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    amount = _rev_cents() - (
+        F.round(F.col("p_retailprice") * 100, 0) * F.round("l_quantity", 0) * 100
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount) / F.lit(10000.0), 4).alias("profit"))
+    )
+
+
+@_q(
+    "returned_item_report",
+    f"""
+    WITH per_cust AS (
+      SELECT c_custkey, c_name, n_name,
+             CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS rev_tt
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT c_custkey, c_name, n_name AS nation,
+           round(rev_tt / 10000.0, 4) AS revenue
+    FROM (SELECT *, row_number() OVER (ORDER BY rev_tt DESC, c_custkey ASC) AS rk
+          FROM per_cust)
+    WHERE rk <= 20
+    """,
+    "TPC-H Q10 shape: top-20 customers by revenue lost to returned items "
+    "in one quarter — the rank cut happens on the exact-integer revenue "
+    "(ties broken by custkey) so the top-20 frontier is identical on "
+    "both engines; the global window ranks only the ~|customers in "
+    "window| aggregated rows, never line items",
+)
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_cents()).cast("long").alias("rev_tt"))
+    )
+    w = Window.orderBy(F.col("rev_tt").desc(), F.col("c_custkey").asc())
+    return (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("rev_tt") / F.lit(10000.0), 4).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS rev_tt
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(rev_tt / 10000.0, 4) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE rev_tt = (SELECT max(rev_tt) FROM rev)
+    """,
+    "TPC-H Q15 shape: the supplier(s) achieving maximum revenue in one "
+    "quarter — the view-plus-scalar-max form becomes an agg reused by "
+    "both the max subquery and the probe (exact-integer revenue makes "
+    "the equality safe; a double sum could miss the max row by one ulp)",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_cents()).cast("long").alias("rev_tt"))
+        .localCheckpoint()  # reused by the max subquery AND the probe
+    )
+    mx = rev.agg(F.max("rev_tt").alias("mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx), F.col("rev_tt") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_tt") / F.lit(10000.0), 4).alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "waiting_supplier_orders",
+    """
+    WITH per_os AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per_o AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp, max(s_max) AS o_max
+      FROM per_os GROUP BY l_orderkey
+    ),
+    at_max AS (
+      SELECT p.l_orderkey, CAST(count(*) AS BIGINT) AS n_at_max
+      FROM per_os p JOIN per_o o
+        ON p.l_orderkey = o.l_orderkey AND p.s_max = o.o_max
+      GROUP BY p.l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_os p
+    JOIN per_o o ON p.l_orderkey = o.l_orderkey
+    JOIN at_max m ON p.l_orderkey = m.l_orderkey
+    JOIN supplier ON p.l_suppkey = s_suppkey
+    WHERE o.n_supp > 1 AND p.s_max = o.o_max AND m.n_at_max = 1
+    GROUP BY s_name
+    """,
+    "TPC-H Q21 shape: suppliers who alone shipped last on multi-supplier "
+    "orders (the reshaped 'kept the order waiting' — shipdate stands in "
+    "for the missing commit/receipt dates) — the EXISTS / NOT-EXISTS "
+    "pair becomes two per-order aggregates (supplier count, count at the "
+    "max shipdate) joined back; everything shuffles once on orderkey",
+)
+def q_waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    ).localCheckpoint()  # feeds per_o, at_max, and the probe
+    per_o = (
+        per_os.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_supp"), F.max("s_max").alias("o_max"))
+        .select(F.col("l_orderkey").alias("ok_o"), "n_supp", "o_max")
+    )
+    at_max = (
+        per_os.join(
+            per_o,
+            (F.col("l_orderkey") == F.col("ok_o")) & (F.col("s_max") == F.col("o_max")),
+        )
+        .groupBy(F.col("l_orderkey").alias("ok_m"))
+        .agg(F.count("*").alias("n_at_max"))
+    )
+    return (
+        per_os.join(per_o, F.col("l_orderkey") == F.col("ok_o"))
+        .join(at_max, F.col("l_orderkey") == F.col("ok_m"))
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("s_max") == F.col("o_max"))
+            & (F.col("n_at_max") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
