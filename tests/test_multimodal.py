@@ -80,3 +80,74 @@ def test_binaryfile_source_feeds_multimodal_operators(spark, tmp_path):
     survivors = {r["metadata"]["file_name"] for r in dedup_assets_exact(assets).collect()}
     assert len(survivors) == 3  # one of the two identical jpgs dropped
     assert "b.png" in survivors and "clip.mp4" in survivors
+
+
+def _png(w, h):
+    import struct, zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _bmp(w, h):
+    import struct
+
+    return (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, -h) + b"\x00" * 8
+    )
+
+
+def _jpeg(w, h):
+    import struct
+
+    # SOI + APP0 (JFIF) + a comment segment + SOF0 + EOI: the parser must
+    # walk past variable-length segments to reach the frame header
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3)
+    return b"\xff\xd8" + app0 + com + sof + b"\xff\xd9"
+
+
+def test_parse_image_header_real_formats():
+    from wellmeet_data_pipeline_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(_gif(320, 200)) == ("gif", 320, 200)
+    assert parse_image_header(_bmp(1024, 768)) == ("bmp", 1024, 768)
+    assert parse_image_header(_jpeg(800, 600)) == ("jpeg", 800, 600)
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a") is None  # truncated signature
+    assert parse_image_header(b"\xff\xd8\x00\x00garbage") is None  # desynced jpeg
+    assert parse_image_header(b"not an image at all") is None
+
+
+def test_extract_features_header_path_returns_real_dimensions(spark):
+    from wellmeet_data_pipeline_spark.operators.multimodal import extract_features
+
+    rows = [
+        (1, "image", bytearray(_png(12, 34))),
+        (2, "image", bytearray(_jpeg(56, 78))),
+        (3, "blob", bytearray(b"opaque payload")),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, media_type string, payload binary")
+    feats = {
+        r["asset_id"]: r
+        for r in extract_features(assets, prefer_headers=True).collect()
+    }
+    assert (feats[1]["width"], feats[1]["height"]) == (12, 34)
+    assert (feats[2]["width"], feats[2]["height"]) == (56, 78)
+    # unrecognized payloads keep flowing through the deterministic fake
+    assert feats[3]["width"] > 0 and feats[3]["height"] > 0
+    assert feats[3]["n_bytes"] == len(b"opaque payload")

@@ -34,9 +34,61 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder entry point — requires an image library not present in
-    this container."""
+    """Full pixel decode — requires an image library not present in this
+    container.  Header-level metadata does NOT need this: see
+    `parse_image_header`, which is a real (not stubbed) parser."""
     raise NotImplementedError("image decode requires PIL/cv2; not available in this environment")
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL image metadata extraction, no decode library needed: read
+    (format, width, height) straight from the container header bytes of
+    the four dominant web formats.  Returns None for unrecognized or
+    truncated payloads (errors-as-data — the caller keeps the row with
+    null dimensions rather than failing the task).
+
+    - PNG:  8-byte signature, then the IHDR chunk fixes width/height at
+      byte offsets 16/20 (big-endian u32).
+    - GIF:  'GIF87a'/'GIF89a', logical screen descriptor at 6/8
+      (little-endian u16).
+    - BMP:  'BM', BITMAPINFOHEADER width/height at 18/22 (little-endian
+      i32; height may be negative for top-down rows).
+    - JPEG: walk the marker stream to the first SOF frame header
+      (0xC0-0xCF minus DHT/JPG/DAC), whose payload holds height/width
+      as big-endian u16 at +3/+5.
+    """
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return ("png", w, h)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return ("gif", w, h)
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return ("bmp", abs(w), abs(h))
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None  # desynced marker stream
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    return None
 
 
 def _fake_dimensions(payload: bytes) -> tuple[int, int, int]:
@@ -47,16 +99,26 @@ def _fake_dimensions(payload: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 64, 16 + d[1] % 64, 1 + d[2] % 8
 
 
-def extract_features(assets: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
+def extract_features(
+    assets: DataFrame, use_fake_decoder: bool = True, prefer_headers: bool = False
+) -> DataFrame:
     """Decode/feature-extract over mapInPandas: one Arrow batch of binary
-    payloads in, one narrow feature frame out."""
+    payloads in, one narrow feature frame out.  With
+    `prefer_headers=True`, payloads in a recognized container format
+    (PNG/GIF/BMP/JPEG) get REAL dimensions via `parse_image_header`;
+    unrecognized payloads fall back to the deterministic fake (or, with
+    `use_fake_decoder=False`, to the stubbed full decoder)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict(orient="records"):
                 payload = rec["payload"] or b""
-                if use_fake_decoder:
+                parsed = parse_image_header(payload) if prefer_headers else None
+                if parsed is not None:
+                    _, w, h = parsed
+                    nf = 1
+                elif use_fake_decoder:
                     w, h, nf = _fake_dimensions(payload)
                 else:
                     decode_image(payload)  # pragma: no cover - stub
