@@ -57,6 +57,10 @@ HEADLINE = [
     "dsir_importance",
     "market_share_by_year",
     "vocab_coverage",
+    # rides the embeddings warmup done by the cosine tiers above
+    "semdedup_survivors",
+    "returned_item_report",
+    "waiting_supplier_orders",
 ]
 
 

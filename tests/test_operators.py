@@ -344,3 +344,39 @@ def test_registry_driver_window_is_oracle_backed(spark):
     assert len(_DRIVER_WINDOW) == 50
     assert all(REGISTRY[n].oracle is not None for n in _DRIVER_WINDOW)
     assert len(names) == len(set(names))
+
+
+def test_cross_doc_spans_finds_maximal_shared_spans(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import cross_doc_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two three {shared} tail xx yy"),
+            (2, f"{shared} completely different ending here now"),
+            (3, "no overlap with anything else at all in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = cross_doc_spans(docs, min_tokens=8).collect()
+    # exactly one maximal span between docs 1 and 2 — the 10 shared words;
+    # sub-spans of it must have been merged, doc 3 appears nowhere
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["span_tokens"] == 10
+    assert r["start_a"] == 4 and r["start_b"] == 0
+
+
+def test_cross_doc_spans_df_cap_drops_boilerplate_grams(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import cross_doc_spans
+
+    boiler = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} says {boiler}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    uncapped = cross_doc_spans(docs, min_tokens=8).collect()
+    assert len(uncapped) == 10  # all C(5,2) pairs share the span
+    capped = cross_doc_spans(docs, min_tokens=8, max_gram_df=3).collect()
+    assert capped == []  # gram df=5 exceeds the cap

@@ -67,6 +67,7 @@ def shingles_df(
     id_col: str = "doc_id",
     n: int = 3,
     carry_cols: Sequence[str] = (),
+    keep_pos: bool = False,
 ) -> DataFrame:
     """(id, shingle) rows: normalize once, posexplode words, lead() window to
     form n-grams.  This is the hot-path form — a transform() lambda over the
@@ -74,7 +75,9 @@ def shingles_df(
     element_at access (no CSE inside lambda bodies), which measured ~8x
     slower.  One shuffle on id for the lead window.  `carry_cols` rides
     extra narrow columns (e.g. lang) through the explode so downstream
-    per-group stats don't need a join back to the doc table."""
+    per-group stats don't need a join back to the doc table.  `keep_pos`
+    also emits the 0-based word offset of each shingle (span detection
+    needs it; the MinHash paths don't, so it stays opt-in)."""
     carry = list(carry_cols)
     words = docs.select(
         F.col(id_col),
@@ -84,8 +87,12 @@ def shingles_df(
     w = Window.partitionBy(id_col).orderBy("pos")
     lead_cols = [F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, n)]
     with_leads = words.select(id_col, *carry, "pos", "w0", *lead_cols)
+    pos_cols = ["pos"] if keep_pos else []
     return with_leads.filter(F.col(f"w{n-1}").isNotNull()).select(
-        id_col, *carry, F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("shingle")
+        id_col,
+        *carry,
+        *pos_cols,
+        F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("shingle"),
     )
 
 
@@ -714,4 +721,75 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def cross_doc_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """ExactSubstr-style CROSS-document duplicate span detection (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    find every maximal token span of length >= min_tokens shared verbatim
+    by two documents.  Complements the shingle/MinHash family (which
+    scores whole-document overlap) and corpus.repeated_span_removal
+    (which is WITHIN-document): this is the operator that catches boilerplate
+    and quoted passages across otherwise-distinct documents.
+
+    Distributed shape — a suffix array is the single-machine tool; the
+    Spark-native equivalent is seed-and-extend, all set-based:
+      1. positioned min_tokens-grams (one explode + lead window);
+      2. optional document-frequency cap on the gram key (`max_gram_df`,
+         counted as DISTINCT docs): boilerplate grams shared by thousands
+         of docs would otherwise make the seed join quadratic in DF —
+         the same hot-key discipline as ngram_jaccard_pairs, and the
+         knob a 100 TB run MUST set;
+      3. seed self-join on the gram string (one shuffle on the gram key;
+         doc_a < doc_b keeps each unordered pair once);
+      4. merge overlapping/adjacent seeds into MAXIMAL spans: seeds of
+         one shared span all lie on one diagonal (pa - pb), so a
+         row_number window per (doc_a, doc_b, diagonal) turns runs of
+         consecutive pa into islands (pa - row_number is constant within
+         a run) — never a global window.
+
+    Output: (doc_a, doc_b, start_a, start_b, span_tokens) per maximal
+    shared span, offsets 0-based in normalized-word space."""
+    grams = shingles_df(
+        docs, text_col=text_col, id_col=id_col, n=min_tokens, keep_pos=True
+    )
+    if max_gram_df is not None:
+        df_ok = (
+            grams.groupBy("shingle")
+            .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+            .filter(F.col("__df") <= max_gram_df)
+            .select("shingle")
+        )
+        grams = grams.join(df_ok, "shingle")
+    a = grams.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "shingle"
+    )
+    b = grams.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "shingle"
+    )
+    seeds = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    with_diag = seeds.select(
+        "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = with_diag.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.min("pa").alias("start_a"), F.max("pa").alias("max_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            (F.col("start_a") - F.col("diag")).alias("start_b"),
+            (F.col("max_a") - F.col("start_a") + min_tokens).cast("long").alias("span_tokens"),
+        )
     )

@@ -4586,6 +4586,53 @@ def q_waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cross_doc_spans",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    grams0 AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(words) - 7, 0) + 1)) AS pos1,
+             unnest(list_transform(range(1, greatest(len(words) - 7, 0) + 1),
+                                   i -> array_to_string(words[i:i+7], ' '))) AS g
+      FROM norm
+    ),
+    grams AS (SELECT doc_id, pos1 - 1 AS pos, g FROM grams0),
+    df_ok AS (
+      SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS d FROM grams GROUP BY g)
+      WHERE d <= 10
+    ),
+    seeds AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.g IN (SELECT g FROM df_ok)
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS grp
+      FROM seeds
+    )
+    SELECT doc_a, doc_b, min(pa) AS start_a,
+           CAST(min(pa) - diag AS BIGINT) AS start_b,
+           CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_a, doc_b, diag, grp
+    """,
+    "ExactSubstr-style cross-document duplicate spans (Lee et al. 2021): "
+    "maximal verbatim token spans >= 8 words shared by two docs — "
+    "seed-and-extend re-expressed set-based (positioned 8-gram seed "
+    "join with a DF<=10 hot-gram cap, then diagonal run-length islands "
+    "per doc pair); the within-doc twin is repeated_span_removal",
+)
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import cross_doc_spans
+
+    d = table(spark, sf_dir, "documents")
+    return cross_doc_spans(d, min_tokens=8, max_gram_df=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
