@@ -629,3 +629,41 @@ def test_streaming_corpus_pipeline_model_quality_gate(spark, tmp_path):
     )
     got = {r["doc_id"] for r in read_corpus(spark, store).collect()}
     assert got == {1}
+
+
+def test_bloom_probe_never_false_negative_and_verify_matches_exact(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import (
+        bloom_filter_frame,
+        bloom_probe,
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    items = spark.range(200).selectExpr("concat('member', id) AS s")
+    bloom = bloom_filter_frame(items, "s", m_bits=1 << 12, k_hashes=5)
+    probes = spark.range(400).selectExpr("concat('member', id) AS s")
+    might = {r["s"] for r in bloom_probe(probes, bloom, "s", 1 << 12, 5).collect()}
+    members = {f"member{i}" for i in range(200)}
+    assert members <= might  # no false negatives, ever
+    # at 20 bits/member the false-positive tail should be small
+    assert len(might - members) < 60
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated text about something else entirely here"),
+            (3, "quick brown fox appears in this document too somehow"),
+            (37 * 9, "another clean document with no benchmark overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox went home")], "doc_id long, text string"
+    )
+    exact = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    bloomed = {r["doc_id"] for r in decontaminate_bloom(docs, bench, verify=True).collect()}
+    assert bloomed == exact
+    # unverified mode may only drop MORE (bloom fps), never keep extra
+    loose = {r["doc_id"] for r in decontaminate_bloom(docs, bench, verify=False).collect()}
+    assert loose <= exact

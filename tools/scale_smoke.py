@@ -157,6 +157,25 @@ def run_dsir(spark, sf_dir, factor):
     return dsir_importance_weight(d, target, target_within_docs=True).count()
 
 
+def run_semdedup(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        clustered_embeddings,
+        semantic_dedup,
+    )
+
+    e = clustered_embeddings(scaled_embeddings(spark, sf_dir, factor))
+    # auto ~sqrt(N) clusters: the within-cluster quadratic term stays ~N
+    return semantic_dedup(e, threshold=0.95).count()
+
+
+def run_cross_doc_spans(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.dedup import cross_doc_spans
+
+    return cross_doc_spans(
+        scaled_documents(spark, sf_dir, factor), min_tokens=8, max_gram_df=10
+    ).count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -166,6 +185,8 @@ OPS = {
     "quality_classifier_score": run_quality_classifier,
     "cosine_topk_ivfpq": run_ivfpq,
     "dsir_importance": run_dsir,
+    "semdedup_survivors": run_semdedup,
+    "cross_doc_spans": run_cross_doc_spans,
 }
 
 

@@ -767,3 +767,103 @@ def remove_repeated_spans(
             (F.col("__n") - F.size("__ts")).cast("long").alias("n_tokens_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination gate
+# ---------------------------------------------------------------------------
+
+def bloom_filter_frame(
+    items: DataFrame, col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Distributed Bloom-filter BUILD, pure Catalyst expressions: each item
+    sets k_hashes bit positions (pmod(xxhash64(item, i), m_bits)); the
+    bitmap is a (word_idx, bits) frame of at most m_bits/64 long rows
+    produced by one bit_or aggregation.  No driver-side construction —
+    the filter is itself a (tiny) DataFrame, broadcastable where a hash
+    relation of the raw strings would not be: ~1.25 GB of bitmap
+    represents ~10^9 members at 10 bits/item vs 100+ GB of strings."""
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)).alias(f"__p{i}")
+        for i in range(k_hashes)
+    ]
+    pos = items.select(pos_cols).select(
+        F.explode(F.array(*[f"__p{i}" for i in range(k_hashes)])).alias("pos")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, bloom: DataFrame, col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Membership probe against a bloom_filter_frame: k_hashes broadcast
+    joins of the bitmap (NO shuffle of the probe side, no groupBy — each
+    hash is its own map-side join and the conjunction is a filter).
+    Returns the probe rows that MIGHT be members (false positives
+    possible, false negatives impossible)."""
+    out = probes
+    for i in range(k_hashes):
+        pos = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+        out = out.withColumn(f"__w{i}", F.floor(pos / 64).cast("long")).withColumn(
+            f"__m{i}",
+            F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")),
+        )
+        b = bloom.select(
+            F.col("word_idx").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = out.join(F.broadcast(b), f"__w{i}", "left")
+    might = None
+    for i in range(k_hashes):
+        hit = F.col(f"__b{i}").isNotNull() & (
+            F.col(f"__b{i}").bitwiseAND(F.col(f"__m{i}")) == F.col(f"__m{i}")
+        )
+        might = hit if might is None else (might & hit)
+    drop = [c for i in range(k_hashes) for c in (f"__w{i}", f"__m{i}", f"__b{i}")]
+    return out.filter(might).drop(*drop)
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+    verify: bool = True,
+) -> DataFrame:
+    """`decontaminate` with a Bloom pre-filter — the shape that survives a
+    benchmark-shingle set too large to broadcast as a hash relation.
+
+    The exact form broadcasts the benchmark shingle STRINGS; at ~10^9
+    benchmark n-grams that relation is >100 GB and the semi-join falls
+    back to shuffling every corpus (id, shingle) pair.  Here the
+    benchmark is collapsed to an m_bits bitmap (10 bits/item), the
+    corpus side probes it with k map-side joins (zero shuffle), and only
+    the surviving candidates — corpus shingles that MIGHT be benchmark
+    members, a ~fp-rate fraction — reach the exact semi-join.  With
+    verify=True the result is exactly `decontaminate` (the Bloom stage
+    is pure pruning; no false negatives by construction); verify=False
+    skips the exact join and accepts the fp-rate of extra drops."""
+    corpus_sh = shingles_df(corpus, text_col, id_col, shingle_n)
+    bench_sh = (
+        shingles_df(benchmark, text_col, id_col, shingle_n).select("shingle").distinct()
+    )
+    bloom = bloom_filter_frame(bench_sh, "shingle", m_bits, k_hashes)
+    cand = bloom_probe(corpus_sh, bloom, "shingle", m_bits, k_hashes)
+    if verify:
+        contaminated = (
+            cand.join(bench_sh, "shingle", "left_semi").select(id_col).distinct()
+        )
+    else:
+        contaminated = cand.select(id_col).distinct()
+    return corpus.join(contaminated, id_col, "left_anti")

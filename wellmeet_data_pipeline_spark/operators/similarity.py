@@ -903,7 +903,7 @@ def embedding_near_dup_pairs(
 def semantic_dedup(
     data: DataFrame,
     threshold: float,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     seed_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -946,9 +946,15 @@ def semantic_dedup(
     from wellmeet_data_pipeline_spark.operators.dedup import connected_components
 
     spark = data.sparkSession
-    if seed_mod is None:
+    if n_centroids is None or seed_mod is None:
         n_rows = data.count()
-        seed_mod = max(1, n_rows // max(n_centroids, 1))
+        if n_centroids is None:
+            # ~sqrt(N) clusters keeps the within-cluster quadratic term at
+            # ~N total pairwise work as the corpus grows (same sizing rule
+            # as the IVF index)
+            n_centroids = default_n_centroids(n_rows)
+        if seed_mod is None:
+            seed_mod = max(1, n_rows // max(n_centroids, 1))
     cent_ids, C = _centroid_sample(data, n_centroids, seed_mod, id_col, vec_col)
     if len(cent_ids) == 0:
         return spark.createDataFrame(

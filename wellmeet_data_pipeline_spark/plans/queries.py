@@ -4633,6 +4633,44 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_spans(d, min_tokens=8, max_gram_df=10)
 
 
+@_q(
+    "decontaminate_bloom",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                   i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM norm
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+    contam AS (
+      SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM bench)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
+    """,
+    "decontaminate_benchmark behind a distributed Bloom pre-filter: the "
+    "benchmark shingle set collapses to a bitmap frame (bit_or agg, "
+    "~10 bits/member — broadcastable where 10^9 raw shingle strings are "
+    "not), corpus shingles probe it with k map-side joins (zero "
+    "shuffle), and only might-member candidates reach the exact "
+    "semi-join — same oracle as the exact form because the Bloom stage "
+    "is pure pruning (no false negatives by construction)",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import decontaminate_bloom
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter((F.col("doc_id") % 37) == 0)
+    return decontaminate_bloom(d, bench, verify=True).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
