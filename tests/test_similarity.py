@@ -407,3 +407,26 @@ def test_semantic_dedup_one_survivor_per_component_and_empty_input(spark):
     empty = e.filter("vec_id < 0")
     out2 = semantic_dedup(empty, threshold=0.9, n_centroids=2, seed_mod=1)
     assert out2.count() == 0
+
+
+def test_embedding_label_outliers_finds_planted_outlier(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        embedding_label_outliers,
+    )
+
+    # label 0: tight cluster around e1 plus one vector pointing elsewhere;
+    # label 1: two agreeing vectors
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.99, 0.01, 0.0]),
+        (3, 0, [0.98, 0.02, 0.0]),
+        (4, 0, [0.0, 0.0, 1.0]),  # the planted mislabeled point
+        (10, 1, [0.0, 1.0, 0.0]),
+        (11, 1, [0.0, 0.95, 0.05]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = embedding_label_outliers(e, k=1).collect()
+    by_label = {r["label"]: r for r in out}
+    assert by_label[0]["vec_id"] == 4  # farthest from the label-0 centroid
+    assert by_label[0]["rank"] == 1
+    assert by_label[0]["centroid_sim"] < by_label[1]["centroid_sim"]

@@ -1030,3 +1030,59 @@ def semantic_dedup(
             F.coalesce(F.col("kept_in_comp"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def embedding_label_outliers(
+    data: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-label outlier mining: cosine of every vector to its LABEL
+    CENTROID (element-wise mean), lowest-k per label — the standard
+    mislabeled-example / noisy-data detector for supervised corpora
+    (prototype distance).  Pure JVM expressions, no Arrow stage:
+
+      1. posexplode to (label, pos, x) and average per (label, pos) —
+         partial aggregation collapses each partition before the
+         shuffle, so the wire carries labels x dim rows, not vectors;
+      2. the centroid frame is labels x dim (tiny) — Catalyst broadcasts
+         it back onto the exploded frame; dot products and norms are two
+         groupBy(vec) partial sums;
+      3. one rank window per label (never global) takes the k least
+         central members.
+
+    Output: (label, vec_id, centroid_sim, rank) for the k outliers per
+    label, rank 1 = farthest from the centroid."""
+    ex = data.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    pv = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("m")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("v2"),
+        )
+    )
+    cn = cent.groupBy("label").agg(F.sum(F.col("m") * F.col("m")).alias("c2"))
+    scored = pv.join(F.broadcast(cn), "label").select(
+        "label",
+        "vec_id",
+        F.round(F.col("dot") / F.sqrt(F.col("v2") * F.col("c2")), round_digits).alias(
+            "centroid_sim"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_sim").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", "vec_id", "centroid_sim", "rank")
+    )

@@ -4671,6 +4671,51 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "embedding_label_outliers",
+    """
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(e) + 1)) AS pos,
+             unnest(e) AS x
+      FROM v
+    ),
+    cent AS (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos),
+    pv AS (
+      SELECT e.vec_id, e.label, sum(e.x * c.m) AS dot, sum(e.x * e.x) AS v2
+      FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY e.vec_id, e.label
+    ),
+    cn AS (SELECT label, sum(m * m) AS c2 FROM cent GROUP BY label),
+    scored AS (
+      SELECT pv.label, vec_id, round(dot / sqrt(v2 * c2), 4) AS centroid_sim
+      FROM pv JOIN cn ON pv.label = cn.label
+    )
+    SELECT label, vec_id, centroid_sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY centroid_sim ASC, vec_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    "per-label outlier mining: cosine of each vector to its label "
+    "centroid (element-wise mean), 5 least-central per label — the "
+    "prototype-distance detector for mislabeled/noisy supervised "
+    "examples; all JVM expressions (posexplode + partial-agg means, "
+    "broadcast centroid join, per-label rank window)",
+)
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        embedding_label_outliers,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_label_outliers(e, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
