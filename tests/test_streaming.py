@@ -664,3 +664,54 @@ def test_streaming_corpus_dsir_gate_drops_off_distribution_docs(spark, tmp_path)
         spark, str(landing), store, ckpt, schema, bench, dsir_model=model
     )
     assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {1}
+
+
+def test_streaming_corpus_bloom_gate_decontaminates_without_benchmark(spark, tmp_path):
+    """Bloom decontamination gate: micro-batches probe the persisted
+    benchmark bitmap (the benchmark itself is never read per batch) and
+    drop every doc sharing a shingle with it; clean docs pass; replays
+    stay idempotent."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.streaming.corpus import (
+        build_benchmark_bloom,
+        read_corpus,
+        run_corpus_pipeline,
+    )
+
+    landing = tmp_path / "bloom_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "bloom_store"), str(tmp_path / "bloom_ckpt")
+    bloom_path = str(tmp_path / "bench_bloom")
+    schema = StructType.fromDDL("doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(900, "held out benchmark question about prime factorization")],
+        "doc_id long, text string",
+    )
+    build_benchmark_bloom(bench, bloom_path)
+
+    rows = [
+        # contains a benchmark 3-gram -> must be dropped by the gate
+        {"doc_id": 1, "text": "an exam leak with the benchmark question about primes"},
+        {"doc_id": 2, "text": "clean training text about distributed query planning"},
+        {"doc_id": 3, "text": "another clean document with its own unrelated words"},
+    ]
+    (landing / "b1.json").write_text(json.dumps(rows))
+    # benchmark arg is still required but must NOT be consulted on the
+    # bloom path: pass an empty frame to prove the gate runs off the bitmap
+    empty_bench = bench.filter("doc_id < 0")
+    run_corpus_pipeline(
+        spark, str(landing), store, ckpt, schema, empty_bench, bloom_path=bloom_path
+    )
+    kept = {r["doc_id"] for r in read_corpus(spark, store).collect()}
+    assert kept == {2, 3}
+
+    # replay idempotency
+    (landing / "b2.json").write_text(json.dumps(rows))
+    run_corpus_pipeline(
+        spark, str(landing), store, ckpt, schema, empty_bench, bloom_path=bloom_path
+    )
+    kept2 = {r["doc_id"] for r in read_corpus(spark, store).collect()}
+    assert kept2 == {2, 3}

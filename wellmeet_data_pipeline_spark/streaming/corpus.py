@@ -55,6 +55,7 @@ def run_corpus_pipeline(
     quality_weights: DataFrame | None = None,
     ref_index_path: str | None = None,
     dsir_model: DataFrame | None = None,
+    bloom_path: str | None = None,
 ) -> None:
     """availableNow activation of the curation DAG over a landing dir.
 
@@ -122,7 +123,35 @@ def run_corpus_pipeline(
                 .select(id_col)
             )
             gated = gated.join(dsir_keep, id_col, "left_semi")
-        decon = decontaminate(gated, benchmark, text_col, id_col, shingle_n)
+        if bloom_path is not None:
+            # Bloom decontamination gate (build_benchmark_bloom): the
+            # benchmark is never touched per batch — only its bitmap frame
+            # (m_bits/64 longs) is read, and the probe is k map-side
+            # joins.  Contract: might-member docs are DROPPED without an
+            # exact verify, so the gate over-drops by the filter's
+            # false-positive rate (sized by m_bits at build time); no
+            # contaminated doc can ever pass (no false negatives).
+            # shingle_n must match the build, like the LSH ref index.
+            from wellmeet_data_pipeline_spark.operators.corpus import bloom_probe
+            from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
+
+            bloom = spark.read.parquet(bloom_path)
+            params = bloom.select("m_bits", "k_hashes").first()
+            corpus_sh = shingles_df(gated, text_col, id_col, shingle_n)
+            contaminated = (
+                bloom_probe(
+                    corpus_sh,
+                    bloom.select("word_idx", "bits"),
+                    "shingle",
+                    int(params["m_bits"]),
+                    int(params["k_hashes"]),
+                )
+                .select(id_col)
+                .distinct()
+            )
+            decon = gated.join(contaminated, id_col, "left_anti")
+        else:
+            decon = decontaminate(gated, benchmark, text_col, id_col, shingle_n)
         keyed = decon.withColumn("fingerprint", document_fingerprint(F.col(text_col)))
         # deterministic within-batch survivor (min id per fingerprint) —
         # dropDuplicates keeps an arbitrary row, so a foreachBatch replay
@@ -238,3 +267,33 @@ def build_reference_index(
     minhash_band_buckets(
         ref_docs, text_col, id_col, num_hashes, bands, shingle_n
     ).write.mode("overwrite").parquet(path)
+
+
+def build_benchmark_bloom(
+    benchmark: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> None:
+    """Persist the benchmark-shingle Bloom bitmap so streaming gates can
+    decontaminate without ever re-reading the benchmark
+    (run_corpus_pipeline's bloom_path).  Built once per benchmark set;
+    the bitmap is m_bits/64 long rows + the (m_bits, k_hashes) build
+    parameters, which the probe side reads back — mismatched parameters
+    would otherwise make every probe a miss, silently.  Size m_bits at
+    ~10+ bits per distinct benchmark shingle to keep the gate's
+    over-drop (false-positive) rate around 1%."""
+    from wellmeet_data_pipeline_spark.operators.corpus import bloom_filter_frame
+    from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
+
+    sh = shingles_df(benchmark, text_col, id_col, shingle_n).select("shingle").distinct()
+    (
+        bloom_filter_frame(sh, "shingle", m_bits, k_hashes)
+        .withColumn("m_bits", F.lit(m_bits))
+        .withColumn("k_hashes", F.lit(k_hashes))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
