@@ -667,3 +667,33 @@ def test_bloom_probe_never_false_negative_and_verify_matches_exact(spark):
     # unverified mode may only drop MORE (bloom fps), never keep extra
     loose = {r["doc_id"] for r in decontaminate_bloom(docs, bench, verify=False).collect()}
     assert loose <= exact
+
+
+def test_epoch_budget_allocation_water_fills_under_caps(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import epoch_budget_allocation
+
+    # tiny: 2 tokens, small: 10, big: 100 each; budget = 2x total = 424
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "tiny"),
+            (2, " ".join(f"w{i}" for i in range(10)), "small"),
+            (3, " ".join(f"x{i}" for i in range(100)), "big1"),
+            (4, " ".join(f"y{i}" for i in range(100)), "big2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in epoch_budget_allocation(docs).collect()}
+    total = sum(r["n_tokens"] for r in out.values())
+    budget = total * 2
+    # caps respected everywhere; no allocation negative
+    for r in out.values():
+        assert 0 <= r["alloc_tokens"] <= r["cap_tokens"] == r["n_tokens"] * 4
+    # tiny and small sources are cap-bound (4 epochs), the big ones split
+    # the remainder equally
+    assert out["tiny"]["alloc_tokens"] == 8 and out["tiny"]["epochs"] == 4.0
+    assert out["small"]["alloc_tokens"] == 40
+    assert out["big1"]["alloc_tokens"] == out["big2"]["alloc_tokens"] == (budget - 48) // 2
+    assert sum(r["alloc_tokens"] for r in out.values()) <= budget
+    # abundant-budget degenerate case: everything cap-bound
+    rich = epoch_budget_allocation(docs, budget_num=100, budget_den=1).collect()
+    assert all(r["alloc_tokens"] == r["cap_tokens"] for r in rich)

@@ -867,3 +867,85 @@ def decontaminate_bloom(
     else:
         contaminated = cand.select(id_col).distinct()
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained mixing: epoch/repetition budget allocation
+# ---------------------------------------------------------------------------
+
+def epoch_budget_allocation(
+    docs: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 1,
+    max_epochs: int = 4,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-budget allocation across sources under a repetition cap
+    (the data-constrained regime of Muennighoff et al. 2023: repeating
+    data beyond ~4 epochs stops helping, so a fixed training-token
+    budget must be WATER-FILLED across sources, each capped at
+    max_epochs x its unique tokens).
+
+    budget = total_corpus_tokens * budget_num / budget_den (integer
+    arithmetic — a fraction, so the contract scales with the corpus).
+
+    Closed-form water-filling, no iteration: rank sources by cap
+    ascending; a source is cap-bound iff giving every not-yet-ranked
+    source its cap-sized share would still undershoot the budget
+    (cap_i * (n-i+1) + prefix_{i-1} < B); the remaining budget splits
+    equally (floor division, so both engines agree to the token) among
+    the share-bound rest.  Every window here ranks the per-SOURCE
+    aggregate frame — bounded by the number of sources, never by rows.
+
+    Output per source: n_tokens (unique), cap_tokens, alloc_tokens,
+    epochs (alloc/unique, 4 dp)."""
+    per_source = docs.groupBy(source_col).agg(
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens")
+    )
+    w_rank = Window.orderBy(F.col("cap").asc(), F.col(source_col).asc())
+    ranked = (
+        per_source.withColumn("cap", F.col("n_tokens") * max_epochs)
+        .withColumn("i", F.row_number().over(w_rank))
+        .withColumn("cum", F.sum("cap").over(w_rank))
+    )
+    totals = ranked.agg(
+        F.count("*").alias("n"), F.sum("n_tokens").cast("long").alias("tot")
+    ).select(
+        "n",
+        # integer div end-to-end: a double-quotient floor could land one
+        # ulp either side of an integer on a huge corpus
+        F.expr(f"CAST((tot * {budget_num}) div {budget_den} AS BIGINT)").alias("b"),
+    )
+    sized = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "bound",
+        F.col("cap") * (F.col("n") - F.col("i") + 1) + (F.col("cum") - F.col("cap"))
+        < F.col("b"),
+    )
+    thresh = sized.agg(
+        F.coalesce(F.max(F.when(F.col("bound"), F.col("i"))), F.lit(0)).alias("k"),
+        F.coalesce(F.max(F.when(F.col("bound"), F.col("cum"))), F.lit(0)).alias("ck"),
+    )
+    alloc = (
+        sized.crossJoin(F.broadcast(thresh))
+        .withColumn(
+            "share",
+            F.when(
+                F.col("n") > F.col("k"),
+                F.expr("CAST((b - ck) div (n - k) AS BIGINT)"),
+            ),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("bound"), F.col("cap")).otherwise(
+                F.least(F.col("cap"), F.col("share"))
+            ),
+        )
+    )
+    return alloc.select(
+        source_col,
+        "n_tokens",
+        F.col("cap").alias("cap_tokens"),
+        "alloc_tokens",
+        F.round(F.col("alloc_tokens") / F.col("n_tokens"), 4).alias("epochs"),
+    )

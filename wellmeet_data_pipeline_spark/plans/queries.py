@@ -4716,6 +4716,64 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_label_outliers(e, k=5)
 
 
+@_q(
+    "epoch_budget_allocation",
+    """
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, n_tokens, n_tokens * 4 AS cap,
+             row_number() OVER (ORDER BY n_tokens * 4 ASC, source ASC) AS i,
+             sum(n_tokens * 4) OVER (ORDER BY n_tokens * 4 ASC, source ASC
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per_source
+    ),
+    totals AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST((sum(n_tokens) * 2) // 1 AS BIGINT) AS b
+      FROM per_source
+    ),
+    sized AS (
+      SELECT r.*, t.n, t.b,
+             (r.cap * (t.n - r.i + 1) + (r.cum - r.cap)) < t.b AS bound
+      FROM ranked r CROSS JOIN totals t
+    ),
+    thresh AS (
+      SELECT coalesce(max(CASE WHEN bound THEN i END), 0) AS k,
+             CAST(coalesce(max(CASE WHEN bound THEN cum END), 0) AS BIGINT) AS ck
+      FROM sized
+    ),
+    alloc AS (
+      SELECT s.*, th.k, th.ck,
+             CASE WHEN s.n > th.k
+                  THEN CAST((s.b - th.ck) // (s.n - th.k) AS BIGINT) END AS share
+      FROM sized s CROSS JOIN thresh th
+    )
+    SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN bound THEN cap ELSE least(cap, share) END AS BIGINT)
+             AS alloc_tokens,
+           round(CAST(CASE WHEN bound THEN cap ELSE least(cap, share) END AS DOUBLE)
+                 / n_tokens, 4) AS epochs
+    FROM alloc
+    """,
+    "data-constrained token-budget allocation (Muennighoff et al. 2023): "
+    "water-fill a 2x-corpus training budget across sources, each capped "
+    "at 4 epochs of its unique tokens — closed-form (rank + prefix sums "
+    "+ one scalar threshold, no iteration), integer div end-to-end, and "
+    "every window ranks the per-SOURCE frame (bounded by source count)",
+)
+def q_epoch_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import epoch_budget_allocation
+
+    d = table(spark, sf_dir, "documents")
+    return epoch_budget_allocation(d, budget_num=2, budget_den=1, max_epochs=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
