@@ -380,3 +380,23 @@ def test_cross_doc_spans_df_cap_drops_boilerplate_grams(spark):
     assert len(uncapped) == 10  # all C(5,2) pairs share the span
     capped = cross_doc_spans(docs, min_tokens=8, max_gram_df=3).collect()
     assert capped == []  # gram df=5 exceeds the cap
+
+
+def test_graph_pagerank_star_center_ranks_highest(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import graph_pagerank
+
+    # star: 0 connected to 1..4, plus an isolated pair (10, 11)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r for r in graph_pagerank(edges, iters=3).collect()}
+    assert out[0]["degree"] == 4
+    # the hub dominates every leaf; the symmetric pair members tie
+    assert all(out[0]["pagerank"] > out[v]["pagerank"] for v in (1, 2, 3, 4))
+    assert out[10]["pagerank"] == out[11]["pagerank"]
+    assert out[1]["pagerank"] == out[2]["pagerank"] == out[3]["pagerank"]
+    # rank mass is conserved across the whole graph (no dangling nodes)
+    assert abs(sum(r["pagerank"] for r in out.values()) - 1.0) < 1e-4
+
+    empty = edges.filter("id_a < 0")
+    assert graph_pagerank(empty).count() == 0

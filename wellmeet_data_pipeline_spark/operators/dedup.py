@@ -793,3 +793,65 @@ def cross_doc_spans(
             (F.col("max_a") - F.col("start_a") + min_tokens).cast("long").alias("span_tokens"),
         )
     )
+
+
+def graph_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "id_a",
+    dst: str = "id_b",
+    round_digits: int = 6,
+) -> DataFrame:
+    """PageRank over an undirected candidate-pair graph — duplicate-set
+    CENTRALITY: within a near-dup cluster the highest-rank node is the
+    most-connected variant, a principled canonical-document choice where
+    min-id (dedup_cluster_survivors) is arbitrary.
+
+    Fixed-iteration power method, all set-based: per round one
+    groupBy(neighbor) of rank/degree contributions (map-side combined)
+    + a broadcast join of the (node, degree) frame.  The iterate is
+    localCheckpoint'ed every round — the logical plan would otherwise
+    double per iteration (the connected-components lesson; AQE plan
+    FORMATTING alone can OOM the driver before any execution).  Node set
+    = nodes appearing in edges (every node has degree >= 1, so there are
+    no dangling-mass corrections to carry).
+
+    Returns (node, degree, pagerank) with pagerank rounded for
+    engine-stable comparison."""
+    e2 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst), F.col(src)))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e2.groupBy("u").agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node long, degree long, pagerank double"
+        )
+    pr = deg.select(
+        F.col("u").alias("node"), (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr")
+    )
+    base = (1.0 - damping) / float(n_nodes)
+    for _ in range(iters):
+        contrib = (
+            e2.join(deg, "u")
+            .join(pr, e2["u"] == pr["node"])
+            .select(F.col("v"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = contrib.select(
+            F.col("v").alias("node"),
+            (F.lit(base) + F.lit(damping) * F.col("s")).alias("pr"),
+        ).localCheckpoint()
+    return (
+        pr.join(deg, pr["node"] == deg["u"])
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("degree"),
+            F.round("pr", round_digits).alias("pagerank"),
+        )
+    )

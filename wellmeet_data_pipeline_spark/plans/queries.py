@@ -4774,6 +4774,59 @@ def q_epoch_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_budget_allocation(d, budget_num=2, budget_den=1, max_epochs=4)
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled power-method CTE chain over the MinHash candidate graph.
+    The damping constants are CAST(... AS DOUBLE) BEFORE any arithmetic
+    (a bare 0.85 parses as DECIMAL in DuckDB and 1 - 0.85 would yield
+    decimal 0.15, not the IEEE 0.15000000000000002 Spark computes)."""
+    d = "CAST(0.85 AS DOUBLE)"
+    parts = [
+        "pr0 AS (SELECT u AS node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""pr{t} AS (
+      SELECT e.v AS node,
+             (CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+               + {d} * sum(p.pr / d2.deg) AS pr
+      FROM e2 e JOIN deg d2 ON e.u = d2.u JOIN pr{t-1} p ON p.node = e.u
+      GROUP BY e.v)"""
+        )
+    return ",\n    ".join(parts) + f"""
+    SELECT p.node, d3.deg AS degree, round(p.pr, 6) AS pagerank
+    FROM pr{iters} p JOIN deg d3 ON p.node = d3.u"""
+
+
+@_q(
+    "dedup_graph_pagerank",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    {_pagerank_oracle(3)}
+    """,
+    "PageRank centrality over the MinHash near-dup candidate graph "
+    "(3 power-method rounds, damping 0.85): the highest-rank node of a "
+    "duplicate cluster is its most-connected variant — a principled "
+    "canonical-document choice; iterate localCheckpoint'ed per round "
+    "(the connected-components plan-doubling lesson), oracle unrolled "
+    "CTE-per-iteration",
+)
+def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        graph_pagerank,
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return graph_pagerank(minhash_lsh_candidates_sha(d), iters=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
