@@ -3811,6 +3811,39 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bpe_pair_counts",
+    f"""
+    WITH wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, i, 2))) AS pair,
+             freq
+      FROM wf WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    "BPE tokenizer training, iteration-1 argmax input: adjacent char-pair "
+    "counts weighted by word frequency over the WORD VOCABULARY (types "
+    "not tokens — the frame every merge iteration touches is "
+    "vocabulary-sized, independent of corpus size); top-20 via "
+    "TakeOrderedAndProject, never a global sort.  The full iterated "
+    "trainer (train_bpe_merges: 1-row argmax collect + JVM array-fold "
+    "rewrite per merge) is pytest-verified against an independent "
+    "pure-Python BPE in tests/test_tokenizer.py",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(table(spark, sf_dir, "documents"), top_n=20)
+
+
+@_q(
     "seqlen_histogram",
     f"""
     WITH t AS (
