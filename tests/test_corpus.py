@@ -697,3 +697,25 @@ def test_epoch_budget_allocation_water_fills_under_caps(spark):
     # abundant-budget degenerate case: everything cap-bound
     rich = epoch_budget_allocation(docs, budget_num=100, budget_den=1).collect()
     assert all(r["alloc_tokens"] == r["cap_tokens"] for r in rich)
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import ngram_novelty
+
+    # doc 1 owns "a b c" and "b c d"; doc 2 repeats "a b c" and adds
+    # "b c e"; doc 3 is all repeats of doc 1; doc 4 is too short for a
+    # 3-gram and must be absent from the output.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),
+            (3, "a b c d"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_shingles"], got[1]["n_novel"], got[1]["novelty"]) == (2, 2, 1.0)
+    assert (got[2]["n_shingles"], got[2]["n_novel"], got[2]["novelty"]) == (2, 1, 0.5)
+    assert (got[3]["n_shingles"], got[3]["n_novel"], got[3]["novelty"]) == (2, 0, 0.0)

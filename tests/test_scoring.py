@@ -201,3 +201,35 @@ def test_dsir_model_scoring_matches_inline_form(spark):
         tuple(r) for r in dsir_score_with_model(docs, model).collect()
     }
     assert inline == via_model and len(inline) == 24
+
+
+def test_perplexity_lang_buckets_terciles_per_language(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import perplexity_lang_buckets
+
+    # lang "aa": 6 docs with increasingly unseen content -> distinct nll
+    # values -> exact 2/2/2 tercile split; lang "bb": 3 docs -> 1/1/1.
+    rows = [
+        (1, "a b a b a b", "aa"),
+        (2, "a b a b q q", "aa"),
+        (3, "a b q q q q", "aa"),
+        (4, "q q q q q q", "aa"),
+        (5, "a b a b a q", "aa"),
+        (6, "q a q b q a", "aa"),
+        (7, "a b a b", "bb"),
+        (8, "a q a q", "bb"),
+        (9, "q q q q", "bb"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    lm = docs.filter("doc_id = 1")  # LM trained on "a b a b a b"
+    out = perplexity_lang_buckets(docs, lm, alpha=0.1)
+    got = {(r["lang"], r["ppl_bucket"]): r for r in out.collect()}
+    assert {k: v["n_docs"] for k, v in got.items()} == {
+        ("aa", "head"): 2, ("aa", "middle"): 2, ("aa", "tail"): 2,
+        ("bb", "head"): 1, ("bb", "middle"): 1, ("bb", "tail"): 1,
+    }
+    for lang in ("aa", "bb"):
+        assert (
+            got[(lang, "head")]["mean_nll"]
+            < got[(lang, "middle")]["mean_nll"]
+            < got[(lang, "tail")]["mean_nll"]
+        )

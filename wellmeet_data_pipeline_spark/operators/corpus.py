@@ -697,6 +697,45 @@ def contamination_report(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    shingles whose first corpus occurrence (min doc id over all docs
+    containing the shingle) is this doc — a content-freshness score for
+    curriculum ordering and crawl-frontier prioritization (a doc whose
+    shingles all appeared in earlier docs adds nothing new).
+
+    Plan: one shuffle at shingle grain (min(id) is map-side
+    combinable), a join back on shingle, one shuffle at doc grain.
+    Only (shingle, id) pairs move — document bodies never shuffle —
+    the same inverted-index topology as ngram_jaccard_pairs, minus its
+    pair join.  Docs with fewer than `shingle_n` words have no shingles
+    and are absent from the output (documented contract)."""
+    sh = shingles_df(docs, text_col, id_col, shingle_n).distinct()
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("__first") == F.col(id_col)).cast("long")).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), round_digits).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repeated-span removal (ExactSubstr-style, token grain)
 # ---------------------------------------------------------------------------

@@ -294,6 +294,83 @@ def hashed_linear_score(
     )
 
 
+def perplexity_lang_buckets(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    alpha: float = 0.1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CCNet's actual bucketing rule: per-LANGUAGE head/middle/tail
+    cutoffs derived from the corpus's own perplexity distribution
+    (terciles), not the fixed global thresholds of ngram_lm_score —
+    a language the LM models poorly still splits 1/3-1/3-1/3 instead
+    of landing wholesale in "tail".
+
+    Cutoffs are DISCRETE terciles computed in integer micro-nat space:
+    per-(lang, nll-grid-value) counts, a cumulative sum over the grid
+    (window partitioned by lang over DISTINCT nll values — bounded by
+    the value-grid cardinality, never doc-cardinality, so no
+    unpartitioned/doc-sized window anywhere), cutoff_k = smallest grid
+    value whose cumulative count reaches ceil(k*N/3).  Pure integer
+    logic — no float quantile interpolation to diverge between engines.
+
+    Output: (lang, ppl_bucket, n_docs, mean_nll); mean is an exact
+    integer micro-nat sum divided once at the end."""
+    scored = ngram_lm_score(
+        docs, lm_docs, text_col, id_col, alpha=alpha, round_digits=round_digits
+    ).select(id_col, "nll")
+    scale = float(10**round_digits)
+    s = (
+        docs.select(id_col, lang_col)
+        .join(scored, id_col)
+        .withColumn("__m", F.round(F.col("nll") * F.lit(scale)).cast("long"))
+    )
+    grid = s.groupBy(lang_col, "__m").agg(F.count("*").alias("__c"))
+    w_cum = (
+        Window.partitionBy(lang_col)
+        .orderBy("__m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("__cum", F.sum("__c").over(w_cum))
+    tot = grid.groupBy(lang_col).agg(F.sum("__c").alias("__n"))
+    cuts = (
+        cum.join(tot, lang_col)
+        .groupBy(lang_col)
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.floor((F.col("__n") + 2) / 3), F.col("__m")
+                )
+            ).alias("__cut1"),
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.floor((2 * F.col("__n") + 2) / 3), F.col("__m")
+                )
+            ).alias("__cut2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("__m") <= F.col("__cut1"), F.lit("head"))
+        .when(F.col("__m") <= F.col("__cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        s.join(F.broadcast(cuts), lang_col)
+        .withColumn("ppl_bucket", bucket)
+        .groupBy(lang_col, "ppl_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("__m").cast("double") / F.count("*") / F.lit(scale),
+                round_digits,
+            ).alias("mean_nll"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic global shuffle into training shards
 # ---------------------------------------------------------------------------
