@@ -400,3 +400,14 @@ def test_graph_pagerank_star_center_ranks_highest(spark):
 
     empty = edges.filter("id_a < 0")
     assert graph_pagerank(empty).count() == 0
+
+
+def test_heavy_hitters_exact_threshold_and_bound(spark):
+    from wellmeet_data_pipeline_spark.operators.aggregations import heavy_hitters
+
+    # 20 rows: key "hot" 10x (share .5), "warm" 5x (.25), 5 singletons
+    rows = [("hot",)] * 10 + [("warm",)] * 5 + [(f"u{i}",) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: (r["n"], r["share"]) for r in heavy_hitters(df, "k", 0.25).collect()}
+    assert got == {"hot": (10, 0.5), "warm": (5, 0.25)}  # >= is inclusive
+    assert heavy_hitters(df, "k", 0.251).count() == 1

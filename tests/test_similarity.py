@@ -430,3 +430,24 @@ def test_embedding_label_outliers_finds_planted_outlier(spark):
     assert by_label[0]["vec_id"] == 4  # farthest from the label-0 centroid
     assert by_label[0]["rank"] == 1
     assert by_label[0]["centroid_sim"] < by_label[1]["centroid_sim"]
+
+
+def test_kmeans_assign_step_hand_computed(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import kmeans_assign_step
+
+    # seeds = two lowest ids: (0,0) and (10,0).  Points 3/4 sit nearer
+    # seed 1, point 5 nearer seed 2; tie point (5,0) -> lower seed id.
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [10.0, 0.0]),
+        (3, [1.0, 0.0]),
+        (4, [0.0, 2.0]),
+        (5, [9.0, 0.0]),
+        (6, [5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["cluster_id"]: r for r in kmeans_assign_step(df, k=2).collect()}
+    assert {c: r["n_members"] for c, r in got.items()} == {1: 4, 2: 2}
+    # cluster 1 members: dists 0, 1, 4, 25 -> mean 7.5; cluster 2: 0, 1 -> 0.5
+    assert got[1]["mean_dist"] == 7.5
+    assert got[2]["mean_dist"] == 0.5

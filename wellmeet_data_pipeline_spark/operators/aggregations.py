@@ -45,3 +45,31 @@ def cube_counts(df: DataFrame, dims: Sequence[str], measure: str) -> DataFrame:
     return df.cube(*dims).agg(
         F.count("*").alias("n_rows"), F.round(F.sum(measure), 2).alias("sum_measure")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_share: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact phi-heavy-hitters: keys whose frequency is >= min_share of
+    all rows — the exact form of what Misra-Gries / count-min sketches
+    approximate, and the frame a skew-mitigation pass (salting, hot-key
+    broadcast) reads to decide WHICH keys to salt.
+
+    Plan: one map-side-combined groupBy on the key + a 1-row total
+    broadcast (scalar agg cross-joined back, the tfidf_top_terms idiom).
+    Output is at most 1/min_share rows by construction — bounded
+    regardless of corpus size."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= F.col("__total") * F.lit(min_share))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("__total"), round_digits).alias("share"),
+        )
+    )

@@ -305,6 +305,57 @@ def _kmeans_refine(
     return C
 
 
+def kmeans_assign_step(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """One deterministic Lloyd assignment step, fully JVM-side and
+    SQL-expressible: seeds = the k lowest-id vectors (k-means' init
+    before any iteration), every vector assigned to its nearest seed by
+    squared L2, reported as per-cluster (size, mean distance) — the
+    frame a clustering-quality audit or an IVF sizing decision reads.
+    The ITERATED trainer (mapInPandas assignment + distributed centroid
+    means) is `_kmeans_refine`, exercised through ivf_top_k's
+    kmeans_iters; this operator is its oracle-checkable first step.
+
+    Plan: seeds are a k-row TakeOrderedAndProject broadcast; the
+    k-fold expansion is a broadcast nested-loop join against a
+    MODEL-sized side (k rows — same bounded-broadcast category as the
+    scalar-total joins); argmin is a window over the k candidate rows
+    per vector (never doc-cardinality partitions); means ride an exact
+    integer grid so accumulation order cannot flip the hash."""
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    seeds = (
+        e.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("__sid"), F.col("__v").alias("__sv"))
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("__v", "__sv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_digits,
+    )
+    d = e.crossJoin(F.broadcast(seeds)).withColumn("__dist", dist)
+    w = Window.partitionBy(id_col).orderBy("__dist", "__sid")
+    best = d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    scale = float(10**round_digits)
+    grid = best.withColumn(
+        "__mi", F.round(F.col("__dist") * F.lit(scale)).cast("long")
+    )
+    return grid.groupBy(F.col("__sid").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum("__mi").cast("double") / F.count("*") / F.lit(scale), round_digits
+        ).alias("mean_dist"),
+    )
+
+
 def default_n_centroids(n_rows: int, cap: int = 4096) -> int:
     """Standard IVF sizing: ~sqrt(N) lists (bucket size ~ sqrt(N) too, so
     probe cost and list count balance), clamped to [4, cap]."""

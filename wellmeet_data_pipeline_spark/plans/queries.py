@@ -1099,6 +1099,43 @@ def q_cosine_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kmeans_cluster_step",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 8),
+    d AS (
+      SELECT v.vec_id, s.sid,
+             round(list_sum(list_transform(range(1, len(v.e) + 1),
+                            i -> (v.e[i] - s.se[i]) * (v.e[i] - s.se[i]))), 4) AS dist
+      FROM v CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, sid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+      FROM d
+    ),
+    g AS (SELECT sid, CAST(round(dist * 10000) AS BIGINT) AS mi FROM best WHERE rn = 1)
+    SELECT sid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(mi) AS DOUBLE) / count(*) / CAST(10000 AS DOUBLE), 4)
+             AS mean_dist
+    FROM g GROUP BY sid
+    """,
+    "k-means over embeddings, the oracle-checkable first Lloyd step: "
+    "k=8 lowest-id seeds broadcast (model-sized BNL join), nearest-seed "
+    "assignment by squared L2 in pure JVM array math, per-cluster size "
+    "+ exact-grid mean distance; the iterated trainer (_kmeans_refine) "
+    "runs through ivf_top_k's kmeans_iters and is pytest-covered",
+)
+def q_kmeans_cluster_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import kmeans_assign_step
+
+    return kmeans_assign_step(table(spark, sf_dir, "embeddings"), k=8)
+
+
+@_q(
     "cosine_topk_ivf",
     None,
     "IVF-bucketed approximate top-k (probe nprobe nearest centroid buckets) "
@@ -2620,6 +2657,41 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ngram_novelty",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM norm
+    ),
+    ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY shingle)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM ex e JOIN firsts f USING (shingle)
+    GROUP BY e.doc_id
+    """,
+    "per-document n-gram novelty: the share of a doc's distinct 3-gram "
+    "shingles first seen (min doc_id) in that doc — content-freshness "
+    "scoring for curriculum ordering / crawl prioritization; inverted "
+    "shingle index, only (shingle, id) pairs shuffle, min() map-side "
+    "combines",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import ngram_novelty
+
+    return ngram_novelty(table(spark, sf_dir, "documents"))
+
+
+@_q(
     "repeated_span_removal",
     """
     WITH w AS (
@@ -2924,6 +2996,63 @@ def q_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "event_type", "n_rows", F.col("sum_value").cast("long").alias("value_cents")
     )
+
+
+@_q(
+    "heavy_hitter_users",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT user_id, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM c CROSS JOIN tot
+    WHERE n >= total * 0.007
+    """,
+    "exact phi-heavy-hitters over the event key (users holding >= 0.7% "
+    "of all events) — the exact form of what Misra-Gries/count-min "
+    "approximate, and the frame a skew-mitigation pass reads to decide "
+    "which keys to salt (salted_type_totals is the consumer).  One "
+    "map-side-combined groupBy + a 1-row total broadcast; output is "
+    "bounded at 1/phi rows regardless of corpus size",
+)
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import heavy_hitters
+
+    return heavy_hitters(table(spark, sf_dir, "events"), "user_id", min_share=0.007)
+
+
+@_q(
+    "order_priority_check",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    "TPC-H Q4 shape (order-priority checking): quarter of orders having "
+    "at least one lineitem shipped more than 60 days after order date, "
+    "counted per priority — a LEFT SEMI join whose equi-key (orderkey) "
+    "drives the shuffle and whose date predicate rides as a join-side "
+    "filter; order-date range is pushed to the parquet scan",
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
 
 
 @_q(
@@ -3478,10 +3607,11 @@ _TOKPOS_SQL = f"""
 """
 
 
-@_q(
-    "ngram_lm_perplexity",
-    f"""
-    WITH {_TOKPOS_SQL},
+# shared LM-scoring CTE chain (documents scored by the add-0.1-smoothed
+# bigram LM counted on the doc_id % 5 == 0 reference fifth), ending at
+# agg = (doc_id, n_tokens, s) with s the exact integer micro-nat sum —
+# the base of both the fixed-band and the per-language-tercile oracles
+_LM_AGG_SQL = f"""{_TOKPOS_SQL},
     lmtok AS (SELECT * FROM t2 WHERE doc_id % 5 = 0),
     c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM lmtok GROUP BY term),
     lmbi AS (
@@ -3520,7 +3650,13 @@ _TOKPOS_SQL = f"""
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              CAST(sum(lp) AS BIGINT) AS s
       FROM lp GROUP BY doc_id
-    )
+    )"""
+
+
+@_q(
+    "ngram_lm_perplexity",
+    f"""
+    WITH {_LM_AGG_SQL}
     SELECT doc_id, n_tokens,
            CAST(floor(-CAST(s AS DOUBLE) / n_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT)
              / CAST(1000000 AS DOUBLE) AS nll,
@@ -3543,6 +3679,54 @@ def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     lm = d.filter((F.col("doc_id") % 5) == 0)
     return ngram_lm_score(d, lm, alpha=0.1, head_nll=3.42, tail_nll=3.50)
+
+
+@_q(
+    "perplexity_lang_buckets",
+    f"""
+    WITH {_LM_AGG_SQL},
+    docm AS (
+      SELECT a.doc_id, d.lang,
+             CAST(floor(-CAST(s AS DOUBLE) / n_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
+      FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+    ),
+    grid AS (SELECT lang, m, CAST(count(*) AS BIGINT) AS c FROM docm GROUP BY lang, m),
+    cumg AS (
+      SELECT lang, m, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY m
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM grid
+    ),
+    cuts AS (
+      SELECT lang,
+             min(CASE WHEN cum >= (n + 2) // 3 THEN m END) AS cut1,
+             min(CASE WHEN cum >= (2 * n + 2) // 3 THEN m END) AS cut2
+      FROM cumg GROUP BY lang
+    )
+    SELECT d.lang,
+           CASE WHEN d.m <= c.cut1 THEN 'head'
+                WHEN d.m <= c.cut2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(d.m) AS DOUBLE) / count(*) / CAST(1000000 AS DOUBLE), 6)
+             AS mean_nll
+    FROM docm d JOIN cuts c USING (lang)
+    GROUP BY 1, 2
+    """,
+    "CCNet's real bucketing rule: per-LANGUAGE head/middle/tail cutoffs "
+    "from the corpus's own perplexity distribution (discrete terciles), "
+    "not fixed thresholds; cutoffs computed in integer micro-nat space "
+    "over the (lang, nll-value) GRID — the cumulative window is bounded "
+    "by value-grid cardinality, never doc cardinality, so nothing "
+    "resembles a global sort at 100 TB",
+)
+def q_perplexity_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import perplexity_lang_buckets
+
+    d = table(spark, sf_dir, "documents")
+    lm = d.filter((F.col("doc_id") % 5) == 0)
+    return perplexity_lang_buckets(d, lm, alpha=0.1)
 
 
 @_q(
