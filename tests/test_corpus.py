@@ -719,3 +719,28 @@ def test_ngram_novelty_hand_computed(spark):
     assert (got[1]["n_shingles"], got[1]["n_novel"], got[1]["novelty"]) == (2, 2, 1.0)
     assert (got[2]["n_shingles"], got[2]["n_novel"], got[2]["novelty"]) == (2, 1, 0.5)
     assert (got[3]["n_shingles"], got[3]["n_novel"], got[3]["novelty"]) == (2, 0, 0.0)
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+    from collections import Counter
+
+    from wellmeet_data_pipeline_spark.operators.corpus import char_entropy
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "The quick brown fox!"), (4, "  ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert 4 not in got  # empty after normalization
+    assert got[1]["entropy_nats"] == 0.0  # single-char spam
+    # independent recompute on the micro-nat grid
+    for i, t in rows[:3]:
+        s = "".join(ch for ch in t.lower() if ch.isalnum() or ch == "_")
+        n = len(s)
+        exp = sum(
+            math.floor(-(k / n) * math.log(k / n) * 1e6 + 0.5)
+            for k in Counter(s).values()
+        ) / 1e6
+        assert got[i]["entropy_nats"] == exp
+        assert got[i]["n_chars_nospace"] == n
+    # "abab": two chars at p=1/2 -> two grid terms of floor(.5*ln2*1e6+.5)
+    assert got[2]["entropy_nats"] == 2 * math.floor(0.5 * math.log(2) * 1e6 + 0.5) / 1e6

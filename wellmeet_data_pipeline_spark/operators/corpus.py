@@ -988,3 +988,50 @@ def epoch_budget_allocation(
         "alloc_tokens",
         F.round(F.col("alloc_tokens") / F.col("n_tokens"), 4).alias("epochs"),
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the character distribution
+    of the normalized text, whitespace excluded — a gibberish /
+    compressibility signal (repeated-char spam scores near 0; natural
+    prose ~2.8-3.2 nats; uniform-random keyboard mash higher still).
+
+    ZERO-shuffle: the char string is materialized ONCE as a column (a
+    lambda-body regex would re-evaluate normalization per character,
+    the shingles_df pitfall), then distinct chars, per-char counts, and
+    the entropy sum all run inside one JVM projection via array
+    lambdas.  Each -p*ln(p) term snaps to an integer micro-nat grid
+    (the ngram_lm_score idiom) and integer-sums, so the result is
+    independent of array_distinct's element order and matches the
+    DuckDB oracle bit-for-bit.  Empty-after-normalization docs are
+    absent from the output (documented contract)."""
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+    s = docs.withColumn(
+        "__cs", F.regexp_replace(normalized_text(F.col(text_col)), " ", "")
+    ).filter(F.length("__cs") > 0)
+    chars = F.expr("transform(sequence(1, length(__cs)), i -> substring(__cs, i, 1))")
+    scale = float(10**round_digits)
+    n = F.length("__cs").cast("double")
+    term = lambda u: F.floor(
+        -(F.size(F.filter(F.col("__chars"), lambda x: x == u)).cast("double") / n)
+        * F.log(F.size(F.filter(F.col("__chars"), lambda x: x == u)).cast("double") / n)
+        * F.lit(scale)
+        + F.lit(0.5)
+    ).cast("long")
+    out = (
+        s.withColumn("__chars", chars)
+        .withColumn("__uniq", F.array_distinct(F.col("__chars")))
+        .withColumn("__ent", F.aggregate(F.transform(F.col("__uniq"), term), F.lit(0).cast("long"), lambda acc, x: acc + x))
+    )
+    return out.select(
+        F.col(id_col),
+        F.length("__cs").cast("long").alias("n_chars_nospace"),
+        F.size("__uniq").cast("long").alias("n_distinct_chars"),
+        (F.col("__ent") / F.lit(scale)).alias("entropy_nats"),
+    )

@@ -2657,6 +2657,43 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "char_entropy",
+    f"""
+    WITH s AS (
+      SELECT doc_id, replace({_NORM_SQL}, ' ', '') AS cs FROM documents
+    ),
+    s2 AS (SELECT doc_id, cs, CAST(length(cs) AS BIGINT) AS n FROM s WHERE length(cs) > 0),
+    ch AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, length(cs) + 1), i -> substr(cs, i, 1))) AS c
+      FROM s2
+    ),
+    cc AS (SELECT doc_id, n, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, n, c),
+    t AS (
+      SELECT doc_id, n,
+             CAST(floor(-(CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n)
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e
+      FROM cc
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars_nospace,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           CAST(sum(e) AS BIGINT) / CAST(1000000 AS DOUBLE) AS entropy_nats
+    FROM t GROUP BY doc_id
+    """,
+    "per-document Shannon char entropy (nats, whitespace excluded) — "
+    "gibberish/compressibility quality signal; ZERO-shuffle on the Spark "
+    "side (distinct chars + counts + entropy all inside one JVM "
+    "projection via array lambdas), each -p*ln(p) term snapped to the "
+    "integer micro-nat grid so the sum is order-independent",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import char_entropy
+
+    return char_entropy(table(spark, sf_dir, "documents"))
+
+
+@_q(
     "ngram_novelty",
     f"""
     WITH norm AS (
