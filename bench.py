@@ -61,6 +61,12 @@ HEADLINE = [
     "semdedup_survivors",
     "returned_item_report",
     "waiting_supplier_orders",
+    "bpe_pair_counts",
+    "ngram_novelty",
+    "char_entropy",
+    "perplexity_lang_buckets",
+    "kmeans_cluster_step",
+    "heavy_hitter_users",
 ]
 
 

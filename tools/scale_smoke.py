@@ -176,6 +176,35 @@ def run_cross_doc_spans(spark, sf_dir, factor):
     ).count()
 
 
+def run_bpe_pair_counts(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.tokenizer import bpe_pair_counts
+
+    # the _K word suffixes make each copy's vocabulary disjoint, so the
+    # vocab frame (the per-iteration working set) grows linearly — the
+    # honest regime for the types-not-tokens claim
+    return bpe_pair_counts(scaled_documents(spark, sf_dir, factor), top_n=20).count()
+
+
+def run_ngram_novelty(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.corpus import ngram_novelty
+
+    return ngram_novelty(scaled_documents(spark, sf_dir, factor)).count()
+
+
+def run_char_entropy(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.corpus import char_entropy
+
+    return char_entropy(scaled_documents(spark, sf_dir, factor)).count()
+
+
+def run_perplexity_lang_buckets(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.scoring import perplexity_lang_buckets
+
+    d = scaled_documents(spark, sf_dir, factor)
+    lm = d.filter((F.col("doc_id") % 5) == 0)
+    return perplexity_lang_buckets(d, lm).count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -187,6 +216,10 @@ OPS = {
     "dsir_importance": run_dsir,
     "semdedup_survivors": run_semdedup,
     "cross_doc_spans": run_cross_doc_spans,
+    "bpe_pair_counts": run_bpe_pair_counts,
+    "ngram_novelty": run_ngram_novelty,
+    "char_entropy": run_char_entropy,
+    "perplexity_lang_buckets": run_perplexity_lang_buckets,
 }
 
 
