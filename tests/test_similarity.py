@@ -451,3 +451,20 @@ def test_kmeans_assign_step_hand_computed(spark):
     # cluster 1 members: dists 0, 1, 4, 25 -> mean 7.5; cluster 2: 0, 1 -> 0.5
     assert got[1]["mean_dist"] == 7.5
     assert got[2]["mean_dist"] == 0.5
+
+
+def test_embedding_int8_stats_hand_computed(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import embedding_int8_stats
+
+    # dim 0: values 0..10 -> span 10, q = round(x/10*255); dim 1 constant
+    rows = [(1, [0.0, 5.0]), (2, [10.0, 5.0]), (3, [3.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["pos"]: r for r in embedding_int8_stats(df).collect()}
+    assert (got[0]["vmin"], got[0]["vmax"]) == (0.0, 10.0)
+    # x=3: q=floor(76.5+.5)=77 -> deq=77*10/255=3.019607843.. err≈0.019608
+    import math
+    err3 = math.floor(abs(3.0 - 77 * 10.0 / 255.0) * 1e6 + 0.5)
+    assert got[0]["max_abs_err"] == err3 / 1e6
+    assert got[0]["mean_abs_err"] == round(err3 / 3 / 1e6, 6)
+    # constant dim: span 0 -> q 0, zero error by convention
+    assert (got[1]["mean_abs_err"], got[1]["max_abs_err"]) == (0.0, 0.0)

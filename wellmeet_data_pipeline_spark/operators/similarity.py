@@ -356,6 +356,54 @@ def kmeans_assign_step(
     )
 
 
+def embedding_int8_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-dimension int8 scalar-quantization audit: global (min, max)
+    per dimension, then the absolute reconstruction error of round-trip
+    quantize/dequantize at 256 levels — the decision frame for storing
+    embeddings at 1 byte/dim (4x smaller than float32, 32x smaller than
+    the float64 compute form; the IVF-PQ module is the 16 B/vector
+    extreme of the same tradeoff).
+
+    Plan: posexplode to (pos, x) — the only corpus-sized pass — one
+    dim-sized groupBy for (min, max), broadcast back, and one dim-sized
+    final groupBy.  Errors snap to an integer micro grid before the
+    mean so accumulation order cannot flip the hash; quantization
+    rounds via floor(z + 0.5), the engine-neutral half-up."""
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    stats = ex.groupBy("pos").agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    j = ex.join(F.broadcast(stats), "pos")
+    span = F.col("vmax") - F.col("vmin")
+    q = F.when(span == 0, F.lit(0.0)).otherwise(
+        F.floor((F.col("x") - F.col("vmin")) / span * F.lit(255.0) + F.lit(0.5)).cast(
+            "double"
+        )
+    )
+    deq = F.col("vmin") + q * span / F.lit(255.0)
+    scale = float(10**round_digits)
+    errg = F.floor(F.abs(F.col("x") - deq) * F.lit(scale) + F.lit(0.5)).cast("long")
+    return (
+        j.withColumn("__e", errg)
+        .groupBy("pos")
+        .agg(
+            F.round(F.min("vmin"), round_digits).alias("vmin"),
+            F.round(F.min("vmax"), round_digits).alias("vmax"),
+            F.round(
+                F.sum("__e").cast("double") / F.count("*") / F.lit(scale),
+                round_digits,
+            ).alias("mean_abs_err"),
+            (F.max("__e") / F.lit(scale)).alias("max_abs_err"),
+        )
+    )
+
+
 def default_n_centroids(n_rows: int, cap: int = 4096) -> int:
     """Standard IVF sizing: ~sqrt(N) lists (bucket size ~ sqrt(N) too, so
     probe cost and list count balance), clamped to [4, cap]."""

@@ -1099,6 +1099,48 @@ def q_cosine_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "embedding_int8_stats",
+    """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    st AS (SELECT pos, min(x) AS vmin, max(x) AS vmax FROM ex GROUP BY pos),
+    j AS (
+      SELECT ex.pos, st.vmin, st.vmax, ex.x,
+             CASE WHEN st.vmax - st.vmin = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(floor((ex.x - st.vmin) / (st.vmax - st.vmin)
+                                  * CAST(255 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                            AS DOUBLE)
+             END AS q
+      FROM ex JOIN st USING (pos)
+    ),
+    e AS (
+      SELECT pos, vmin, vmax,
+             CAST(floor(abs(x - (vmin + q * (vmax - vmin) / CAST(255 AS DOUBLE)))
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS eg
+      FROM j
+    )
+    SELECT pos,
+           round(min(vmin), 6) AS vmin,
+           round(min(vmax), 6) AS vmax,
+           round(CAST(sum(eg) AS DOUBLE) / count(*) / CAST(1000000 AS DOUBLE), 6)
+             AS mean_abs_err,
+           CAST(max(eg) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS max_abs_err
+    FROM e GROUP BY pos
+    """,
+    "int8 scalar-quantization audit per embedding dimension: global "
+    "(min, max) + round-trip reconstruction error at 256 levels — the "
+    "decision frame for 1-byte/dim embedding storage; one corpus pass, "
+    "dim-sized aggregations, micro-grid error sums",
+)
+def q_embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import embedding_int8_stats
+
+    return embedding_int8_stats(table(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "kmeans_cluster_step",
     """
     WITH v AS (
