@@ -715,3 +715,44 @@ def test_streaming_corpus_bloom_gate_decontaminates_without_benchmark(spark, tmp
     )
     kept2 = {r["doc_id"] for r in read_corpus(spark, store).collect()}
     assert kept2 == {2, 3}
+
+
+def test_streaming_heavy_hitters_incremental_and_replay_safe(spark, tmp_path):
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.analytics import (
+        current_heavy_hitters,
+        run_streaming_key_counts,
+    )
+    from pyspark.sql.types import StructType, StructField, StringType
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "hh_landing"
+    landing.mkdir()
+    store = str(tmp_path / "hh_store")
+    ckpt = str(tmp_path / "hh_ckpt")
+    schema = StructType([StructField("k", StringType())])
+
+    # empty store -> empty frame, not an error
+    assert current_heavy_hitters(spark, store, "k", 0.5).count() == 0
+
+    _drop(landing, "a.json", [{"k": "hot"}] * 3 + [{"k": "cold"}])
+    run_streaming_key_counts(spark, str(landing), store, ckpt, schema, "k")
+    got = {r["k"]: (r["n"], r["share"]) for r in
+           current_heavy_hitters(spark, store, "k", 0.5).collect()}
+    assert got == {"hot": (3, 0.75)}
+
+    # second activation: new file shifts the distribution
+    _drop(landing, "b.json", [{"k": "cold"}] * 4)
+    run_streaming_key_counts(spark, str(landing), store, ckpt, schema, "k")
+    got = {r["k"]: r["n"] for r in
+           current_heavy_hitters(spark, store, "k", 0.5).collect()}
+    assert got == {"cold": 5}  # 5 of 8
+
+    # at-least-once replay: the same (key, batch) partial re-appended
+    # (foreachBatch contract: same batch_id => same data) must not
+    # double-count
+    replay = spark.createDataFrame([("cold", 4)], "k string, n long")
+    merge_append(replay, store, id_col="k", partition_col=None, batch_seq=1)
+    got = {r["k"]: r["n"] for r in
+           current_heavy_hitters(spark, store, "k", 0.5).collect()}
+    assert got == {"cold": 5}

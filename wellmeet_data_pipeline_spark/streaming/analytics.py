@@ -1,0 +1,98 @@
+"""Streaming key-frequency analytics: an incrementally-maintained
+heavy-hitter (hot-key) tracker.
+
+The batch form (operators/aggregations.heavy_hitters) answers "which
+keys should the next job salt" from a full scan; this twin maintains
+the same answer INCREMENTALLY over a landing stream, so a long-running
+ingest can consult current hot keys without rescanning history — the
+generalization of the reference's per-restaurant fan-out accounting
+(submit-aws-batch-lambda/lambda_function.py:145-183 tracks per-key work
+units) to frequency monitoring.
+
+Store contract: each micro-batch appends its per-key partial counts as
+rows identified by (key, batch seq).  Replayed batches (foreachBatch is
+at-least-once) re-append the SAME identity, and the dedup-on-read view
+(sinks/merge.read_current with compound identity) drops them — counts
+are therefore exactly-once without read-modify-write of a growing
+object.  The store is partial-count grain: O(distinct keys x batches)
+rows, compacted by the same periodic `sinks.merge.compact` job as every
+other store in the repo.
+
+Exactly-once holds under the foreachBatch replay contract (a replayed
+batch_id re-delivers the SAME data).  Restarting with a FRESH
+checkpoint breaks that premise — batch ids restart and re-cover old
+files with different compositions — so a fresh checkpoint requires a
+fresh store (true of every checkpoint-keyed store in this repo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from wellmeet_data_pipeline_spark.sinks.merge import merge_append, read_current_or_none
+
+
+def run_streaming_key_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    key_col: str,
+) -> None:
+    """Drain the landing stream (availableNow), appending per-batch
+    partial counts keyed by (key, batch) — one dim-sized groupBy per
+    micro-batch, never a rescan of the store."""
+    stream = spark.readStream.schema(schema).option("multiLine", "true").json(
+        landing_dir
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts = batch_df.groupBy(key_col).agg(F.count("*").alias("n"))
+        if counts.isEmpty():
+            return
+        merge_append(
+            counts,
+            store_path,
+            id_col=key_col,
+            partition_col=None,
+            batch_seq=batch_id,
+        )
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def current_heavy_hitters(
+    spark: SparkSession,
+    store_path: str,
+    key_col: str,
+    min_share: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The consumer view: exactly-once totals per key (replayed partials
+    deduped on (key, batch seq)), thresholded at min_share of all rows
+    seen so far — same output contract as the batch heavy_hitters."""
+    cur = read_current_or_none(spark, store_path, id_col=[key_col, "_batch_seq"])
+    if cur is None:
+        return spark.createDataFrame(
+            [], f"{key_col} string, n bigint, share double"
+        )
+    totals = cur.groupBy(key_col).agg(F.sum("n").alias("n"))
+    grand = totals.agg(F.sum("n").alias("__total"))
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .filter(F.col("n") >= F.col("__total") * F.lit(min_share))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("__total"), round_digits).alias("share"),
+        )
+    )
