@@ -140,3 +140,21 @@ def test_strip_html_tags_entities_whitespace(spark):
     # author-escaped entities must decode ONE level, not two: &amp;lt;
     # renders as the literal text &lt;, never as a fake <b> tag
     assert got[4] == "escaped: &lt;b&gt; stays text"
+
+
+def test_script_mix_counts_and_flag(spark):
+    from wellmeet_data_pipeline_spark.functions.text import script_counts
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "hello world"),            # pure latin
+        (2, "안녕 hello"),              # hangul + latin, mixed
+        (3, "Привет"),                 # pure cyrillic
+        (4, "12345 !!"),               # no script chars at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select("doc_id", *script_counts("text")).collect()}
+    assert (got[1]["n_latin"], got[1]["n_hangul"]) == (10, 0)
+    assert (got[2]["n_hangul"], got[2]["n_latin"]) == (2, 5)
+    assert got[3]["n_cyrillic"] == 6
+    assert sum(got[4][c] for c in ("n_hangul", "n_cjk", "n_cyrillic", "n_latin")) == 0

@@ -230,3 +230,24 @@ def strip_html(text: Column | str) -> Column:
     for pat, rep in _HTML_ENTITIES:
         c = F.regexp_replace(c, pat, rep)
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# Unicode script classes shared by language_guess (which keys on their
+# PRESENCE) and script_mix_stats (which keys on their PROPORTIONS)
+SCRIPT_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("hangul", "[가-힣]"),
+    ("cjk", "[一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("latin", "[A-Za-z]"),
+)
+
+
+def script_counts(text: Column | str) -> list[Column]:
+    """Per-script character counts (one JVM regexp_count per class —
+    fused into the scan, no UDF): the input of code-switch / mixed-
+    script detection in multilingual corpus triage."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in SCRIPT_PATTERNS
+    ]

@@ -905,6 +905,54 @@ def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "script_mix_stats",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[가-힣]')) AS BIGINT) AS n_hangul,
+             CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+             CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin
+      FROM documents
+    ),
+    t AS (SELECT *, n_hangul + n_cjk + n_cyrillic + n_latin AS total FROM c)
+    SELECT doc_id, n_hangul, n_cjk, n_cyrillic, n_latin,
+           CASE WHEN total = 0 THEN NULL
+                ELSE round(CAST(greatest(n_hangul, n_cjk, n_cyrillic, n_latin)
+                                AS DOUBLE) / total, 6) END AS dominant_share,
+           (total > 0 AND greatest(n_hangul, n_cjk, n_cyrillic, n_latin)
+                          < total * 0.9) AS is_mixed
+    FROM t
+    """,
+    "per-document Unicode-script mix (code-switch detection for "
+    "multilingual triage): per-script char counts as scan-fused JVM "
+    "regexp_count, dominant-script share, mixed flag at the 90% "
+    "threshold — the signal that routes a doc to per-language vs "
+    "mixed-language processing",
+)
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import script_counts
+
+    d = table(spark, sf_dir, "documents")
+    c = d.select("doc_id", *script_counts("text"))
+    total = (
+        F.col("n_hangul") + F.col("n_cjk") + F.col("n_cyrillic") + F.col("n_latin")
+    )
+    dom = F.greatest("n_hangul", "n_cjk", "n_cyrillic", "n_latin")
+    return c.select(
+        "doc_id",
+        "n_hangul",
+        "n_cjk",
+        "n_cyrillic",
+        "n_latin",
+        F.when(total == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(dom.cast("double") / total, 6))
+        .alias("dominant_share"),
+        ((total > 0) & (dom < total * F.lit(0.9))).alias("is_mixed"),
+    )
+
+
+@_q(
     "doc_fingerprint",
     f"SELECT doc_id, sha256({_NORM_SQL}) AS fingerprint FROM documents",
     "document fingerprinting: sha256 of normalized text (D3 generalized)",
