@@ -70,6 +70,24 @@ HEADLINE = [
 ]
 
 
+def _reclaim(spark) -> None:
+    """Release block-manager litter before timing a scale tier.
+
+    The headline loop leaves behind localCheckpoint blocks and broadcasts
+    from ~40 queries (ContextCleaner only reclaims them after the
+    corresponding Python/JVM references are GC'd), and that storage-memory
+    pressure measurably slows the matmul-heavy tiers that follow — the
+    16x brute-force tier ran 12-16s isolated but 25s when timed directly
+    after the grown headline.  Forcing both GCs synchronizes the cleanup
+    so tier timings match isolated runs instead of inheriting litter."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -79,15 +97,21 @@ def main() -> None:
     # warmup: touch every table + exercise codegen once
     REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
 
+    import gc
+
     times: dict[str, float] = {}
     results: dict[str, list] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         t0 = time.perf_counter()
         rows = REGISTRY[name].fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
         if name in ("cosine_topk_exact_clustered", "cosine_topk_ivf", "cosine_topk_ivfpq"):
             results[name] = rows
         del rows
+        if i % 10 == 9:
+            # drop py4j refs early so ContextCleaner reclaims checkpoint
+            # blocks CONTINUOUSLY instead of all landing on the scale tiers
+            gc.collect()
 
     # 16x scale tier: at the base SF (2k vectors) every embedding query is
     # Spark-job-overhead-bound and the IVF probe-fraction advantage cannot
@@ -105,6 +129,7 @@ def main() -> None:
     )
     from wellmeet_data_pipeline_spark.plans.queries import table  # noqa: E402
 
+    _reclaim(spark)
     e = clustered_embeddings(table(spark, sf_dir, "embeddings"))
     copies = spark.range(16).select(F.col("id").alias("copy"))
     e16 = (
@@ -174,6 +199,7 @@ def main() -> None:
     # round-4 entry.  Exact truth for recall is computed on the copy-0
     # query subset only: full brute force at dim 512 x 32k costs ~70s and
     # adds nothing statistically.
+    _reclaim(spark)
     hd_reps = 8
     e_hd = (
         e.crossJoin(F.broadcast(copies))
