@@ -411,3 +411,22 @@ def test_heavy_hitters_exact_threshold_and_bound(spark):
     got = {r["k"]: (r["n"], r["share"]) for r in heavy_hitters(df, "k", 0.25).collect()}
     assert got == {"hot": (10, 0.5), "warm": (5, 0.25)}  # >= is inclusive
     assert heavy_hitters(df, "k", 0.251).count() == 1
+
+
+def test_table_checksum_detects_content_change_not_order(spark):
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    hv = lambda c: F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "g string, v string")
+        .select("g", hv(F.col("v")).alias("h"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.bit_xor("h").alias("cs"))
+    )
+    base = [("m", "row1"), ("m", "row2"), ("m", "row3")]
+    a = {r["g"]: (r["n"], r["cs"]) for r in mk(base).collect()}
+    b = {r["g"]: (r["n"], r["cs"]) for r in mk(list(reversed(base))).collect()}
+    assert a == b  # xor-fold is order-independent
+    c = {r["g"]: (r["n"], r["cs"]) for r in mk(base[:2] + [("m", "row3x")]).collect()}
+    assert a != c  # a single changed row flips the checksum

@@ -51,3 +51,21 @@ def test_salted_join_matches_plain(spark):
     assert out.count() == 101
     labels = {r["key"]: r["label"] for r in out.dropDuplicates(["key"]).collect()}
     assert labels == {"k1": "dim1", "k2": "dim2"}
+
+
+def test_split_hot_cold_join_equals_plain_join(spark):
+    from wellmeet_data_pipeline_spark.operators.skew import split_hot_cold_join
+
+    big = spark.createDataFrame(
+        [(1, "a")] * 50 + [(2, "b")] * 3 + [(3, "c")] * 2 + [(9, "x")],
+        "k long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot-dim"), (2, "warm"), (3, "cool")], "dk long, attr string"
+    )
+    hot = spark.createDataFrame([(1,)], "k long")
+    out = split_hot_cold_join(big, dim, "k", "dk", hot)
+    plain = big.join(dim, big["k"] == dim["dk"], "inner")
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in plain.collect())
+    assert a == b and len(a) == 55  # k=9 has no dim row, dropped both ways

@@ -76,3 +76,30 @@ def salted_join_small_side(
     )
     out = big_salted.join(small_replicated, on=[key, "__salt"], how="inner")
     return out.drop("__salt")
+
+
+def split_hot_cold_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key_big: str,
+    key_dim: str,
+    hot_keys: DataFrame,
+) -> DataFrame:
+    """Hot/cold split equi join: rows whose key is in `hot_keys` (a
+    bounded frame, e.g. aggregations.heavy_hitters output — ≤ 1/phi
+    rows) take a BROADCAST join and never shuffle; the cold remainder
+    takes the normal shuffle path, now free of stragglers because the
+    heavy keys are gone from it.  The classic pre-AQE skew treatment,
+    kept relevant at 100 TB where a single key can exceed what one
+    reducer — even an AQE-split one — should absorb, and the detector
+    (heavy_hitters) is already a by-product of ingest monitoring.
+
+    Output equals the plain inner join row-for-row (oracle-proven);
+    both branches broadcast only bounded frames (hot key list, dim)."""
+    keys = hot_keys.select(F.col(hot_keys.columns[0]).alias(key_big)).distinct()
+    hot_rows = big.join(F.broadcast(keys), key_big, "left_semi")
+    cold_rows = big.join(F.broadcast(keys), key_big, "left_anti")
+    cond_hot = hot_rows[key_big] == dim[key_dim]
+    hot = hot_rows.join(F.broadcast(dim), cond_hot, "inner")
+    cold = cold_rows.join(dim, cold_rows[key_big] == dim[key_dim], "inner")
+    return hot.unionByName(cold)

@@ -3183,6 +3183,88 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "table_checksums",
+    """
+    WITH h AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             sha256(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                              CAST(round(o_totalprice * 100) AS BIGINT),
+                              strftime(o_orderdate, '%Y-%m-%d'),
+                              o_orderpriority)) AS hx
+      FROM orders
+    ),
+    v AS (
+      SELECT month,
+             CAST(list_sum(list_transform(range(1, 16),
+                    i -> CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1
+                              AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS hv
+      FROM h
+    )
+    SELECT month, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(hv) AS BIGINT) AS checksum
+    FROM v GROUP BY month
+    """,
+    "anti-entropy table checksums per month partition: 60-bit "
+    "sha256-derived row digests xor-folded per group — order- and "
+    "partitioning-independent, so two replicas (or a migration "
+    "source/target pair) compare equal iff contents match, without "
+    "moving rows; floats enter the digest as exact integer cents so "
+    "the digest is rendering-stable across engines",
+)
+def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    content = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    hv = F.conv(F.substring(F.sha2(content, 256), 1, 15), 16, 10).cast("long")
+    return (
+        o.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"), hv.alias("__h"))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor("__h").alias("checksum"),
+        )
+    )
+
+
+@_q(
+    "skew_split_join_revenue",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(round(e.value * 100)) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "hot/cold split skew join proven EQUAL to the plain-join oracle: "
+    "keys detected by heavy_hitters take a broadcast path (hot rows "
+    "never shuffle), the cold remainder takes the normal shuffle path "
+    "free of stragglers — the composition story: the skew DETECTOR "
+    "(heavy_hitter_users) feeds the skew TREATMENT; exact-integer cents",
+)
+def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import heavy_hitters
+    from wellmeet_data_pipeline_spark.operators.skew import split_hot_cold_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("__cents")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hot = heavy_hitters(ev, "user_id", min_share=0.007).select("user_id")
+    joined = split_hot_cold_join(ev, cust, "user_id", "c_custkey", hot)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum("__cents").alias("value_cents"),
+    )
+
+
+@_q(
     "orders_reconciliation",
     """
     WITH o AS (SELECT DISTINCT o_custkey FROM orders),
@@ -3278,6 +3360,77 @@ def q_unpivot_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "stack(3, 'click', n_click, 'view', n_view, 'purchase', n_purchase) AS (metric, n)"
         ),
+    )
+
+
+@_q(
+    "daily_revenue_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(sum(round(value * 100)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6) END
+             AS slope_cents_per_day,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((CAST(sy AS DOUBLE)
+                            - CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 2) END
+             AS intercept_cents
+    FROM s
+    """,
+    "per-type least-squares trend of daily revenue: slope/intercept from "
+    "the normal equations computed on EXACT integer sums (day index x "
+    "integer cents — n*Sxy - Sx*Sy etc. stay below 2^63 at bench SFs), "
+    "one double division at the end, so both engines agree bit-for-bit "
+    "where regr_slope()'s streaming-covariance accumulation order would "
+    "not; two map-side-combined aggregations, no window",
+)
+def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("slope_cents_per_day"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(intercept, 2))
+        .alias("intercept_cents"),
     )
 
 
