@@ -164,8 +164,12 @@ def run_semdedup(spark, sf_dir, factor):
     )
 
     e = clustered_embeddings(scaled_embeddings(spark, sf_dir, factor))
-    # auto ~sqrt(N) clusters: the within-cluster quadratic term stays ~N
-    return semantic_dedup(e, threshold=0.95).count()
+    # auto ~sqrt(N) clusters: the within-cluster quadratic term stays ~N.
+    # MUST be passed explicitly — the operator's own default is the
+    # oracle-pinned n_centroids=16, which at 64x means 16 clusters of
+    # ~8k rows and ~131 GFLOP of within-cluster matmuls (measured 86s;
+    # sqrt sizing: 13s)
+    return semantic_dedup(e, threshold=0.95, n_centroids=None, seed_mod=None).count()
 
 
 def run_cross_doc_spans(spark, sf_dir, factor):

@@ -1031,19 +1031,24 @@ def semantic_dedup(
          a centroid-id tie-break, so the oracle's sequential-sum dots
          and numpy's pairwise-sum dots can never disagree on a boundary
          assignment);
-      3. groupBy(cluster).applyInPandas emits within-cluster edges with
-         rounded cosine >= threshold, tiled in `max_block` row blocks so
-         a hot cluster cannot build an unbounded S matrix;
-      4. edges -> connected components (alternating large/small-star,
-         O(log n) rounds — operators/dedup.connected_components);
-      5. one row_number window per component picks the survivor.
+      3. groupBy(cluster).applyInPandas resolves the duplicate
+         components LOCALLY (edges only exist within a cluster, so the
+         graph is block-diagonal by construction): min-label
+         propagation over the thresholded similarity matrix, dense for
+         clusters <= max_block and tiled re-compute beyond — emitting
+         one (node, component) row per vector.  Routing all-pairs
+         edges through the distributed connected-components loop
+         instead re-derived, over dozens of shuffle rounds, a
+         partition this task already held in memory; together with
+         sqrt-sized clusters (the smoke runner must pass
+         n_centroids=None — the function default 16 is oracle-pinned)
+         the 64x smoke went 142s -> 14s;
+      4. one row_number window per component picks the survivor.
 
     Generalizes the reference's by-key dedup (J1/D1,
     review-crawler/naver_crawler.py:243-252) to 'same meaning, different
     bytes' — the dedup grade that text shingles (MinHash) cannot see.
     """
-    from wellmeet_data_pipeline_spark.operators.dedup import connected_components
-
     spark = data.sparkSession
     if n_centroids is None or seed_mod is None:
         n_rows = data.count()
@@ -1083,34 +1088,62 @@ def semantic_dedup(
     )
     assigned = assigned.localCheckpoint()  # pairs + survivors + output all read it
 
-    def cluster_edges(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cluster_components(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Edges exist only WITHIN a cluster (this group), so the
+        # duplicate components are computable entirely locally — the
+        # earlier design emitted all-pairs edges into the distributed
+        # connected-components loop, whose dozens of shuffle rounds
+        # dominated wall time (64x smoke: 142s, ~100 stages) while doing
+        # work this task already had in memory.  Min-label propagation
+        # over the thresholded similarity matrix converges in diameter
+        # rounds (near-dup graphs are clique-like: 1-2), and the output
+        # is one (node, component=min id) row per vector — the exact
+        # frame connected_components(edges) produced, at N rows instead
+        # of an edge set that is quadratic in duplicate-group size.
         n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
         ids = pdf["id"].to_numpy()
-        Xn = _unit_rows(_matrix(pdf["v"]))
-        out_a, out_b, out_s = [], [], []
+        if n < 2:
+            return pd.DataFrame({"node": ids, "component": ids})
+        # the survivor rule keys on MIN id per component, so order rows
+        # by id: index order == id order makes labels comparable as ids
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        Xn = _unit_rows(_matrix(pdf["v"]))[order]
+        # ONE pass over the tiled similarity matrix extracts the edge
+        # index pairs (same matmul volume the old edge-emission paid)...
+        ea_parts, eb_parts = [], []
         for lo in range(0, n, max_block):
-            q_ids, Qn = ids[lo : lo + max_block], Xn[lo : lo + max_block]
-            for lo2 in range(0, n, max_block):
-                c_ids, Cn2 = ids[lo2 : lo2 + max_block], Xn[lo2 : lo2 + max_block]
-                S = _round_half_away(Qn @ Cn2.T, round_digits)
-                a_idx, b_idx = np.nonzero((S >= threshold) & (q_ids[:, None] < c_ids[None, :]))
-                out_a.append(q_ids[a_idx])
-                out_b.append(c_ids[b_idx])
-                out_s.append(S[a_idx, b_idx])
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a) if out_a else [],
-                "id_b": np.concatenate(out_b) if out_b else [],
-                "cosine_sim": np.concatenate(out_s) if out_s else [],
-            }
-        )
+            S_blk = _round_half_away(Xn[lo : lo + max_block] @ Xn.T, round_digits)
+            a_idx, b_idx = np.nonzero(S_blk >= threshold)
+            a_idx = a_idx + lo
+            keep = a_idx < b_idx
+            ea_parts.append(a_idx[keep])
+            eb_parts.append(b_idx[keep])
+        ea = np.concatenate(ea_parts) if ea_parts else np.empty(0, np.int64)
+        eb = np.concatenate(eb_parts) if eb_parts else np.empty(0, np.int64)
+        # ...then min-label propagation over the EDGE ARRAYS with pointer
+        # jumping: O(E) per round, O(log n) rounds even on duplicate
+        # CHAINS (copy k ~ copy k+1 but not k ~ k+2), where matrix-form
+        # min-label propagation is O(diameter) full-matmul rounds —
+        # measured 690s at 64x smoke on exactly that chain topology
+        lab = np.arange(n)
+        while len(ea):
+            prev = lab.copy()
+            m = np.minimum(lab[ea], lab[eb])
+            np.minimum.at(lab, ea, m)
+            np.minimum.at(lab, eb, m)
+            while True:
+                nl = lab[lab]
+                if np.array_equal(nl, lab):
+                    break
+                lab = nl
+            if np.array_equal(lab, prev):
+                break
+        return pd.DataFrame({"node": ids, "component": ids[lab]})
 
-    edges = assigned.groupBy("cluster_id").applyInPandas(
-        cluster_edges, "id_a long, id_b long, cosine_sim double"
+    comp = assigned.groupBy("cluster_id").applyInPandas(
+        cluster_components, "node long, component long"
     )
-    comp = connected_components(edges)
     ranked = comp.join(
         assigned.select("id", "centroid_sim"), comp["node"] == F.col("id")
     ).select("node", "component", "centroid_sim")
