@@ -430,3 +430,24 @@ def test_table_checksum_detects_content_change_not_order(spark):
     assert a == b  # xor-fold is order-independent
     c = {r["g"]: (r["n"], r["cs"]) for r in mk(base[:2] + [("m", "row3x")]).collect()}
     assert a != c  # a single changed row flips the checksum
+
+
+def test_equi_depth_buckets_hand_computed(spark):
+    from wellmeet_data_pipeline_spark.operators.windows import equi_depth_buckets
+    from pyspark.sql import functions as F
+
+    # 8 rows, values 1..8 -> 4 buckets of exactly 2; plus a tie-heavy
+    # group where value 5 holds half the mass and must stay in ONE bucket
+    rows = [("u", v) for v in range(1, 9)] + [("t", 5)] * 4 + [("t", 1), ("t", 2), ("t", 9), ("t", 10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["g"], r["bucket"]): r for r in
+           equi_depth_buckets(df, "g", "v", n_buckets=4).collect()}
+    for b in range(4):
+        r = got[("u", b)]
+        assert r["n_rows"] == 2
+        assert (r["lo_value"], r["hi_value"]) == (2 * b + 1, 2 * b + 2)
+    # tie group: N=8, boundaries b1=2 (cum 2), b2=5 (cum 6), b3=5 -> no
+    # bucket 2; the tie mass lands wholly in bucket 1
+    assert got[("t", 1)]["n_rows"] == 4 and got[("t", 1)]["lo_value"] == 5
+    assert ("t", 2) not in got
+    assert got[("t", 3)]["n_rows"] == 2  # 9, 10

@@ -148,3 +148,50 @@ def test_global_rank_cumsum_property(spark):
         assert got == want
 
     check()
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_trainer_matches_pure_python_reference(spark, words):
+    """train_bpe_merges == an independent pure-Python BPE (same argmax
+    tie-break, same greedy left-to-right replacement) on arbitrary small
+    corpora — including adversarial repeat patterns like 'aaaaaa' where
+    overlap handling and merge non-cascading are easy to get wrong."""
+    from collections import Counter
+
+    from wellmeet_data_pipeline_spark.operators.tokenizer import train_bpe_merges
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    merges, vocab = train_bpe_merges(docs, n_merges=4)
+
+    freqs = Counter(words)
+    py_vocab = {w: list(w) for w in freqs}
+    py_merges = []
+    for _ in range(4):
+        c = Counter()
+        for w, f in freqs.items():
+            s = py_vocab[w]
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += f
+        if not c:
+            break
+        best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        py_merges.append(best)
+        l, r = best
+        for w, s in py_vocab.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            py_vocab[w] = out
+    assert merges == py_merges
+    got = {row["word"]: list(row["syms"]) for row in vocab.collect()}
+    assert got == py_vocab

@@ -154,3 +154,64 @@ def global_rank_cumsum(
         out = out.withColumn(cum_col, F.col("_sum_off") + F.col("_lcum"))
         drop += ["_lcum", "_sum_off"]
     return out.drop(*drop)
+
+
+def equi_depth_buckets(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram per group over an INTEGER
+    value column: discrete quantile boundaries + per-bucket count and
+    exact value range — the boundary-selection read behind
+    repartitionByRange sizing, skew diagnosis, and monotone-feature
+    binning (value_histogram is the equi-WIDTH twin).
+
+    Boundaries are computed on the (group, distinct-value) GRID — counts
+    per value, a cumulative window bounded by value-grid cardinality
+    (never row cardinality), boundary_k = smallest value whose
+    cumulative count reaches ceil(k*N/n_buckets) — all integer logic,
+    no float quantile interpolation (the perplexity_lang_buckets
+    pattern, generalized).  Rows then bucket by comparing against the
+    broadcast boundary frame; ties share a bucket, so bucket
+    populations are equal only up to tie mass (the standard equi-depth
+    contract)."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = df.select(F.col(group_col), v.cast("long").alias("__v"))
+    grid = rows.groupBy(group_col, "__v").agg(F.count("*").alias("__c"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("__cum", F.sum("__c").over(w_cum)).join(
+        grid.groupBy(group_col).agg(F.sum("__c").alias("__n")), group_col
+    )
+    cuts = cum.groupBy(group_col).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.ceil(F.col("__n") * F.lit(k) / F.lit(n_buckets)),
+                    F.col("__v"),
+                )
+            ).alias(f"__b{k}")
+            for k in range(1, n_buckets)
+        ]
+    )
+    bucketed = rows.join(F.broadcast(cuts), group_col)
+    bucket = F.lit(n_buckets - 1)
+    for k in range(n_buckets - 1, 0, -1):
+        bucket = F.when(F.col("__v") <= F.col(f"__b{k}"), F.lit(k - 1)).otherwise(
+            bucket
+        )
+    return (
+        bucketed.withColumn("bucket", bucket)
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("__v").alias("lo_value"),
+            F.max("__v").alias("hi_value"),
+        )
+    )

@@ -2056,6 +2056,60 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "equi_depth_value_buckets",
+    """
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM g
+    ),
+    cuts AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= ceil(n * 1 / 4.0) THEN v END) AS b1,
+             min(CASE WHEN cum >= ceil(n * 2 / 4.0) THEN v END) AS b2,
+             min(CASE WHEN cum >= ceil(n * 3 / 4.0) THEN v END) AS b3
+      FROM cum GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(CASE WHEN r.v <= c.b1 THEN 0
+                     WHEN r.v <= c.b2 THEN 1
+                     WHEN r.v <= c.b3 THEN 2
+                     ELSE 3 END AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(r.v) AS BIGINT) AS lo_value,
+           CAST(max(r.v) AS BIGINT) AS hi_value
+    FROM r JOIN cuts c USING (event_type)
+    GROUP BY 1, 2
+    """,
+    "equi-depth (equal-frequency) histogram per event type over exact "
+    "integer cents — the boundary-selection read behind "
+    "repartitionByRange sizing and skew diagnosis (value_histogram is "
+    "the equi-width twin); discrete quantile boundaries from the "
+    "(group, value) grid, all integer logic, no float interpolation",
+)
+def q_equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.windows import equi_depth_buckets
+
+    ev = table(spark, sf_dir, "events")
+    out = equi_depth_buckets(
+        ev, "event_type", F.round(F.col("value") * 100), n_buckets=4
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_rows",
+        F.col("lo_value").alias("lo_value"),
+        F.col("hi_value").alias("hi_value"),
+    )
+
+
+@_q(
     "cohort_retention",
     """
     WITH firsts AS (
