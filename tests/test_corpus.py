@@ -744,3 +744,29 @@ def test_char_entropy_hand_computed(spark):
         assert got[i]["n_chars_nospace"] == n
     # "abab": two chars at p=1/2 -> two grid terms of floor(.5*ln2*1e6+.5)
     assert got[2]["entropy_nats"] == 2 * math.floor(0.5 * math.log(2) * 1e6 + 0.5) / 1e6
+
+
+def test_negative_samples_never_hit_interactions_and_are_deterministic(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import negative_sample_candidates
+    from pyspark.sql import functions as F
+
+    inter = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2), (2, 3)], "u long, it long"
+    )
+    users = spark.createDataFrame([(1,), (2,), (3,)], "u long")
+    n_items = spark.createDataFrame([(4,)], "n_items long")
+    out = negative_sample_candidates(
+        inter, users, n_items, user_col="u", item_col="it", m=8, k=2
+    )
+    rows = [(r["u"], r["seq"], r["it"]) for r in out.collect()]
+    # no sampled pair collides with an interaction
+    banned = {(1, 0), (1, 1), (1, 2), (2, 3)}
+    assert not banned & {(u, it) for u, _, it in rows}
+    # all items in range, at most k per user, user 3 (no interactions) gets k
+    assert all(0 <= it < 4 for _, _, it in rows)
+    from collections import Counter
+    per_user = Counter(u for u, _, _ in rows)
+    assert per_user[3] == 2 and max(per_user.values()) <= 2
+    # deterministic across re-evaluation
+    rows2 = [(r["u"], r["seq"], r["it"]) for r in out.collect()]
+    assert sorted(rows) == sorted(rows2)

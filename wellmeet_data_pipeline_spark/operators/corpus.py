@@ -1041,3 +1041,50 @@ def char_entropy(
         F.size("__uniq").cast("long").alias("n_distinct_chars"),
         (F.col("__ent") / F.lit(scale)).alias("entropy_nats"),
     )
+
+
+def negative_sample_candidates(
+    interactions: DataFrame,
+    users: DataFrame,
+    n_items_df: DataFrame,
+    user_col: str,
+    item_col: str,
+    m: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / recsys
+    training: for every user, k items they have NOT interacted with,
+    drawn from a sha256-keyed pseudo-random candidate stream.
+
+    The naive complement (users x items anti interactions) is a
+    cartesian product; instead each user gets m candidate draws
+    (explode of a literal sequence — no cross product anywhere),
+    candidate item = sha-derived 32-bit value mod n_items (items
+    assumed 0..n-1 contiguous, the TPC-H layout), misses against the
+    interaction set are anti-joined away, and the first k survivors by
+    draw order win.  Deterministic under retries and repartitioning
+    (pure content hashing, the stratified_sample_exact idiom), and the
+    per-user window is bounded by m rows.  At 100 TB the only big
+    frames are the interaction set (one shuffle on (user, item)) and
+    the m-per-user candidate stream.  Collision caveat: a draw that
+    hits an interacted item is dropped, not redrawn — choose m with
+    headroom over k for dense users (m >> k or retry tiers)."""
+    n1 = users.select(F.col(user_col)).distinct()
+    cand = (
+        n1.crossJoin(F.broadcast(n_items_df))
+        .select(
+            user_col,
+            F.explode(F.sequence(F.lit(1), F.lit(m))).alias("seq"),
+            "n_items",
+        )
+    )
+    hx = F.sha2(F.concat_ws("|", F.col(user_col), F.col("seq")), 256)
+    hv = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    cand = cand.withColumn(item_col, F.pmod(hv, F.col("n_items"))).drop("n_items")
+    neg = cand.join(interactions, [user_col, item_col], "left_anti")
+    w = Window.partitionBy(user_col).orderBy("seq")
+    return (
+        neg.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(user_col, F.col("seq").cast("int").alias("seq"), item_col)
+    )

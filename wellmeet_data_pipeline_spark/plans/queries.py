@@ -3237,6 +3237,67 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "negative_samples_per_customer",
+    """
+    WITH purch AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    users AS (SELECT DISTINCT o_custkey FROM orders),
+    ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM part),
+    cand AS (
+      SELECT u.o_custkey, s.seq, ni.n_items,
+             sha256(concat_ws('|', u.o_custkey, s.seq)) AS hx
+      FROM users u
+      CROSS JOIN (SELECT unnest(range(1, 9)) AS seq) s
+      CROSS JOIN ni
+    ),
+    hv AS (
+      SELECT o_custkey, seq,
+             CAST(list_sum(list_transform(range(1, 9),
+                    i -> CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1
+                              AS BIGINT) << (4 * (8 - i)))) AS BIGINT)
+               % n_items AS l_partkey
+      FROM cand
+    ),
+    neg AS (
+      SELECT h.o_custkey, h.seq, h.l_partkey
+      FROM hv h
+      LEFT JOIN purch p
+        ON p.o_custkey = h.o_custkey AND p.l_partkey = h.l_partkey
+      WHERE p.o_custkey IS NULL
+    )
+    SELECT o_custkey, CAST(seq AS INTEGER) AS seq, l_partkey
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY seq) AS rk
+      FROM neg
+    ) WHERE rk <= 3
+    """,
+    "deterministic negative sampling for contrastive/recsys training: "
+    "per customer, 3 parts they never bought, drawn from a sha256-keyed "
+    "candidate stream (8 draws, anti-join misses, keep first 3) — no "
+    "users-x-items cartesian anywhere, retry/repartition-stable, "
+    "per-user window bounded by the draw count",
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import (
+        negative_sample_candidates,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    purch = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    n_items = table(spark, sf_dir, "part").agg(F.count("*").alias("n_items"))
+    return negative_sample_candidates(
+        purch, o, n_items, user_col="o_custkey", item_col="l_partkey", m=8, k=3
+    )
+
+
+@_q(
     "table_checksums",
     """
     WITH h AS (
