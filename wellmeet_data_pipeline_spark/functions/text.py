@@ -131,9 +131,13 @@ def language_guess(text: Column | str) -> Column:
     languages.  Deliberately simple and deterministic — a real model would
     be a pandas_udf, but the plumbing (one label column out) is identical."""
     c = F.col(text) if isinstance(text, str) else text
-    hangul = F.regexp_count(c, F.lit(r"[가-힣]"))
-    cjk = F.regexp_count(c, F.lit(r"[一-鿿]"))
-    cyr = F.regexp_count(c, F.lit(r"[Ѐ-ӿ]"))
+    # script classes single-sourced from SCRIPT_PATTERNS (defined below,
+    # resolved at call time) so presence-ID and proportion-stats
+    # (script_counts) cannot drift apart
+    scripts = dict(SCRIPT_PATTERNS)
+    hangul = F.regexp_count(c, F.lit(scripts["hangul"]))
+    cjk = F.regexp_count(c, F.lit(scripts["cjk"]))
+    cyr = F.regexp_count(c, F.lit(scripts["cyrillic"]))
     de_hits = F.regexp_count(c, F.lit(r"(?i)\b(der|die|das|und|nicht|ist)\b"))
     es_hits = F.regexp_count(c, F.lit(r"(?i)\b(el|la|los|las|que|es|y)\b"))
     fr_hits = F.regexp_count(c, F.lit(r"(?i)\b(le|les|des|est|une|et)\b"))
@@ -232,8 +236,9 @@ def strip_html(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
-# Unicode script classes shared by language_guess (which keys on their
-# PRESENCE) and script_mix_stats (which keys on their PROPORTIONS)
+# Unicode script classes single-sourced for language_guess (which keys
+# on their PRESENCE) and script_mix_stats (which keys on their
+# PROPORTIONS) — edit here and both detectors move together
 SCRIPT_PATTERNS: tuple[tuple[str, str], ...] = (
     ("hangul", "[가-힣]"),
     ("cjk", "[一-鿿]"),

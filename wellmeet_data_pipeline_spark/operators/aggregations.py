@@ -63,6 +63,18 @@ def heavy_hitters(
     Output is at most 1/min_share rows by construction — bounded
     regardless of corpus size."""
     counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    return threshold_heavy_hitters(counts, key_col, min_share, round_digits)
+
+
+def threshold_heavy_hitters(
+    counts: DataFrame,
+    key_col: str,
+    min_share: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The threshold/share half of heavy_hitters over a PRE-AGGREGATED
+    (key, n) frame — shared with the streaming tracker, whose counts
+    come from an incrementally-maintained store instead of a scan."""
     total = counts.agg(F.sum("n").alias("__total"))
     return (
         counts.crossJoin(F.broadcast(total))

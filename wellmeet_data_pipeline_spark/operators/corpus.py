@@ -1024,16 +1024,27 @@ def char_entropy(
     chars = F.expr("transform(sequence(1, length(__cs)), i -> substring(__cs, i, 1))")
     scale = float(10**round_digits)
     n = F.length("__cs").cast("double")
-    term = lambda u: F.floor(
-        -(F.size(F.filter(F.col("__chars"), lambda x: x == u)).cast("double") / n)
-        * F.log(F.size(F.filter(F.col("__chars"), lambda x: x == u)).cast("double") / n)
-        * F.lit(scale)
+    # counts materialize as their own array so the O(n) filter/size runs
+    # ONCE per distinct char — Catalyst does no CSE inside lambda bodies
+    # (the shingles_df pitfall), so folding -p*ln(p) directly over __uniq
+    # would evaluate the count scan twice per term
+    count_of = lambda u: F.size(F.filter(F.col("__chars"), lambda x: x == u))
+    term = lambda c: F.floor(
+        -(c.cast("double") / n) * F.log(c.cast("double") / n) * F.lit(scale)
         + F.lit(0.5)
     ).cast("long")
     out = (
         s.withColumn("__chars", chars)
         .withColumn("__uniq", F.array_distinct(F.col("__chars")))
-        .withColumn("__ent", F.aggregate(F.transform(F.col("__uniq"), term), F.lit(0).cast("long"), lambda acc, x: acc + x))
+        .withColumn("__counts", F.transform(F.col("__uniq"), count_of))
+        .withColumn(
+            "__ent",
+            F.aggregate(
+                F.transform(F.col("__counts"), term),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
     )
     return out.select(
         F.col(id_col),
@@ -1066,9 +1077,11 @@ def negative_sample_candidates(
     (pure content hashing, the stratified_sample_exact idiom), and the
     per-user window is bounded by m rows.  At 100 TB the only big
     frames are the interaction set (one shuffle on (user, item)) and
-    the m-per-user candidate stream.  Collision caveat: a draw that
+    the m-per-user candidate stream.  Collision caveats: a draw that
     hits an interacted item is dropped, not redrawn — choose m with
-    headroom over k for dense users (m >> k or retry tiers)."""
+    headroom over k for dense users (m >> k or retry tiers) — and two
+    draws colliding on the same item collapse to one candidate (lowest
+    draw order wins), so the output never repeats a (user, item)."""
     n1 = users.select(F.col(user_col)).distinct()
     cand = (
         n1.crossJoin(F.broadcast(n_items_df))
@@ -1080,7 +1093,11 @@ def negative_sample_candidates(
     )
     hx = F.sha2(F.concat_ws("|", F.col(user_col), F.col("seq")), 256)
     hv = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
-    cand = cand.withColumn(item_col, F.pmod(hv, F.col("n_items"))).drop("n_items")
+    cand = (
+        cand.withColumn(item_col, F.pmod(hv, F.col("n_items")))
+        .groupBy(user_col, item_col)
+        .agg(F.min("seq").alias("seq"))
+    )
     neg = cand.join(interactions, [user_col, item_col], "left_anti")
     w = Window.partitionBy(user_col).orderBy("seq")
     return (

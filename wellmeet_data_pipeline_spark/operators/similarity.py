@@ -1110,15 +1110,23 @@ def semantic_dedup(
         ids = ids[order]
         Xn = _unit_rows(_matrix(pdf["v"]))[order]
         # ONE pass over the tiled similarity matrix extracts the edge
-        # index pairs (same matmul volume the old edge-emission paid)...
+        # index pairs (same matmul volume the old edge-emission paid);
+        # tiles are bounded in BOTH dimensions so a hot cluster cannot
+        # build an S block wider than max_block (a 4096 x cluster_width
+        # strip would be ~4 GB on a 125k-row hot cluster)...
         ea_parts, eb_parts = [], []
         for lo in range(0, n, max_block):
-            S_blk = _round_half_away(Xn[lo : lo + max_block] @ Xn.T, round_digits)
-            a_idx, b_idx = np.nonzero(S_blk >= threshold)
-            a_idx = a_idx + lo
-            keep = a_idx < b_idx
-            ea_parts.append(a_idx[keep])
-            eb_parts.append(b_idx[keep])
+            Qb = Xn[lo : lo + max_block]
+            for lo2 in range(lo, n, max_block):  # upper triangle only
+                S_blk = _round_half_away(
+                    Qb @ Xn[lo2 : lo2 + max_block].T, round_digits
+                )
+                a_idx, b_idx = np.nonzero(S_blk >= threshold)
+                a_idx = a_idx + lo
+                b_idx = b_idx + lo2
+                keep = a_idx < b_idx
+                ea_parts.append(a_idx[keep])
+                eb_parts.append(b_idx[keep])
         ea = np.concatenate(ea_parts) if ea_parts else np.empty(0, np.int64)
         eb = np.concatenate(eb_parts) if eb_parts else np.empty(0, np.int64)
         # ...then min-label propagation over the EDGE ARRAYS with pointer

@@ -26,6 +26,8 @@ Scale posture at 100 TB:
 
 from __future__ import annotations
 
+import gc
+
 from pyspark.sql import DataFrame, functions as F
 
 from wellmeet_data_pipeline_spark.functions.text import normalized_text
@@ -143,11 +145,15 @@ def train_bpe_merges(
             break
         l, r = best[0]["l"], best[0]["r"]
         merges.append((l, r))
-        prev = vocab
+        # reassigning drops the py4j ref to the superseded checkpoint; its
+        # blocks are released by the ContextCleaner (DataFrame.unpersist is
+        # a no-op for localCheckpoint RDDs — they are not in the cache
+        # catalog).  gc.collect() keeps at most ~one stale vocab's blocks
+        # alive instead of letting all n_merges generations accumulate.
         vocab = vocab.withColumn("syms", _merge_pair_expr(l, r)).localCheckpoint(
             eager=True
         )
-        prev.unpersist()
+        gc.collect()
     return merges, vocab
 
 

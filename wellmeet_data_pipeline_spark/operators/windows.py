@@ -177,6 +177,8 @@ def equi_depth_buckets(
     broadcast boundary frame; ties share a bucket, so bucket
     populations are equal only up to tie mass (the standard equi-depth
     contract)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     rows = df.select(F.col(group_col), v.cast("long").alias("__v"))
     grid = rows.groupBy(group_col, "__v").agg(F.count("*").alias("__c"))

@@ -3260,9 +3260,13 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                % n_items AS l_partkey
       FROM cand
     ),
+    dd AS (
+      SELECT o_custkey, l_partkey, min(seq) AS seq
+      FROM hv GROUP BY o_custkey, l_partkey
+    ),
     neg AS (
       SELECT h.o_custkey, h.seq, h.l_partkey
-      FROM hv h
+      FROM dd h
       LEFT JOIN purch p
         ON p.o_custkey = h.o_custkey AND p.l_partkey = h.l_partkey
       WHERE p.o_custkey IS NULL
@@ -3275,9 +3279,10 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "deterministic negative sampling for contrastive/recsys training: "
     "per customer, 3 parts they never bought, drawn from a sha256-keyed "
-    "candidate stream (8 draws, anti-join misses, keep first 3) — no "
-    "users-x-items cartesian anywhere, retry/repartition-stable, "
-    "per-user window bounded by the draw count",
+    "candidate stream (8 draws, same-item collisions collapse to the "
+    "lowest draw, anti-join misses, keep first 3) — no users-x-items "
+    "cartesian anywhere, retry/repartition-stable, per-user window "
+    "bounded by the draw count",
 )
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.corpus import (

@@ -76,23 +76,23 @@ def current_heavy_hitters(
     key_col: str,
     min_share: float,
     round_digits: int = 6,
+    key_type: str = "string",
 ) -> DataFrame:
     """The consumer view: exactly-once totals per key (replayed partials
     deduped on (key, batch seq)), thresholded at min_share of all rows
-    seen so far — same output contract as the batch heavy_hitters."""
+    seen so far — the threshold/share stage is the SAME code as the
+    batch heavy_hitters (aggregations.threshold_heavy_hitters), so the
+    two stay contract-identical.  `key_type` pins the empty-store
+    schema: without it a long-keyed store would be string-typed before
+    the first batch lands and long-typed after."""
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        threshold_heavy_hitters,
+    )
+
     cur = read_current_or_none(spark, store_path, id_col=[key_col, "_batch_seq"])
     if cur is None:
         return spark.createDataFrame(
-            [], f"{key_col} string, n bigint, share double"
+            [], f"{key_col} {key_type}, n bigint, share double"
         )
     totals = cur.groupBy(key_col).agg(F.sum("n").alias("n"))
-    grand = totals.agg(F.sum("n").alias("__total"))
-    return (
-        totals.crossJoin(F.broadcast(grand))
-        .filter(F.col("n") >= F.col("__total") * F.lit(min_share))
-        .select(
-            key_col,
-            "n",
-            F.round(F.col("n") / F.col("__total"), round_digits).alias("share"),
-        )
-    )
+    return threshold_heavy_hitters(totals, key_col, min_share, round_digits)
