@@ -233,3 +233,26 @@ def test_perplexity_lang_buckets_terciles_per_language(spark):
             < got[(lang, "middle")]["mean_nll"]
             < got[(lang, "tail")]["mean_nll"]
         )
+
+
+def test_doremi_weight_step_upweights_high_perplexity_domain(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import doremi_weight_step
+
+    # LM trained on "a b" patterns; domain "easy" repeats them, domain
+    # "hard" is unseen vocabulary -> higher nll -> higher weight
+    rows = [
+        (0, "a b a b", "easy"),
+        (1, "a b a b a b", "easy"),
+        (2, "q r s t u v", "hard"),
+        (3, "w x y z q r", "hard"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    lm = docs.filter("doc_id = 0")
+    out = {r["source"]: r for r in doremi_weight_step(docs, lm, eta=1.0).collect()}
+    assert set(out) == {"easy", "hard"}
+    assert out["hard"]["mean_nll"] > out["easy"]["mean_nll"]
+    assert out["hard"]["weight"] > out["easy"]["weight"]
+    # weights normalize to ~1 (rounding slack only)
+    assert abs(out["easy"]["weight"] + out["hard"]["weight"] - 1.0) < 1e-5
+    # a below-baseline domain's excess clamps at 0 -> raw weight exp(0)=1
+    assert out["easy"]["weight"] > 0

@@ -600,3 +600,62 @@ def dsir_score_with_model(
             (F.col("__s") >= 0).alias("keep"),
         )
     )
+
+
+def doremi_weight_step(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    eta: float = 1.0,
+    alpha: float = 0.1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    arXiv:2305.10429, simplified): domains whose perplexity under the
+    reference LM EXCEEDS the corpus baseline get up-weighted
+    multiplicatively — weight ∝ exp(eta * excess_nll) — the
+    batch-level analogue of DoReMi's excess-loss update, runnable
+    entirely from the bigram-LM scorer this repo already has.
+
+    Exactness: per-domain sums ride the integer micro-nat grid (the
+    ngram_lm_score contract), the exp() output snaps to a 1e-9 grid
+    BEFORE normalization, and the normalizer is an exact bigint sum, so
+    domain weights are independent of aggregation order and match the
+    SQL oracle (the one libm exp() call carries the same measure-zero
+    1-ulp boundary caveat as ln() in the scorer).  Every frame past
+    the token stream is domain-cardinality — trivially broadcastable."""
+    scale = float(10**round_digits)
+    scored = ngram_lm_score(
+        docs, lm_docs, text_col, id_col, alpha=alpha, round_digits=round_digits
+    ).select(id_col, "nll")
+    by_dom = (
+        docs.select(id_col, domain_col)
+        .join(scored, id_col)
+        .withColumn("__m", F.round(F.col("nll") * F.lit(scale)).cast("long"))
+        .groupBy(domain_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("__m").alias("__sm"))
+    )
+    totals = by_dom.agg(
+        F.sum("n_docs").alias("__tn"), F.sum("__sm").alias("__tm")
+    )
+    mean_nll = F.col("__sm").cast("double") / F.col("n_docs") / F.lit(scale)
+    base_nll = F.col("__tm").cast("double") / F.col("__tn") / F.lit(scale)
+    excess = F.greatest(mean_nll - base_nll, F.lit(0.0))
+    w_int = F.floor(
+        F.exp(F.lit(eta) * excess) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    stepped = by_dom.crossJoin(F.broadcast(totals)).withColumn("__w", w_int)
+    wtot = stepped.agg(F.sum("__w").alias("__wt"))
+    return (
+        stepped.crossJoin(F.broadcast(wtot))
+        .select(
+            domain_col,
+            "n_docs",
+            F.round(mean_nll, round_digits).alias("mean_nll"),
+            F.round(
+                F.col("__w").cast("double") / F.col("__wt"), round_digits
+            ).alias("weight"),
+        )
+    )

@@ -4130,6 +4130,54 @@ def q_perplexity_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doremi_weight_step",
+    f"""
+    WITH {_LM_AGG_SQL},
+    docm AS (
+      SELECT a.doc_id, d.source,
+             CAST(floor(-CAST(s AS DOUBLE) / n_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
+      FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+    ),
+    dom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(m) AS BIGINT) AS sm
+      FROM docm GROUP BY source
+    ),
+    dtot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS tn, CAST(sum(sm) AS BIGINT) AS tm
+      FROM dom
+    ),
+    st AS (
+      SELECT d.source, d.n_docs,
+             CAST(d.sm AS DOUBLE) / d.n_docs / CAST(1000000 AS DOUBLE) AS mean_raw,
+             CAST(floor(exp(CAST(1.0 AS DOUBLE) * greatest(
+                    CAST(d.sm AS DOUBLE) / d.n_docs / CAST(1000000 AS DOUBLE)
+                    - CAST(t.tm AS DOUBLE) / t.tn / CAST(1000000 AS DOUBLE),
+                    CAST(0.0 AS DOUBLE)))
+                  * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w
+      FROM dom d CROSS JOIN dtot t
+    ),
+    wt AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM st)
+    SELECT source, n_docs, round(mean_raw, 6) AS mean_nll,
+           round(CAST(w AS DOUBLE) / wt, 6) AS weight
+    FROM st CROSS JOIN wt
+    """,
+    "DoReMi-style domain reweighting step: domains whose LM perplexity "
+    "exceeds the corpus baseline get weight ∝ exp(eta * excess_nll) — "
+    "the excess-loss mixture update runnable from the bigram scorer; "
+    "per-domain sums ride the integer micro-nat grid, exp() output "
+    "snaps to a 1e-9 grid before the exact-bigint normalizer, so "
+    "weights are aggregation-order-independent",
+)
+def q_doremi_weight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import doremi_weight_step
+
+    d = table(spark, sf_dir, "documents")
+    lm = d.filter((F.col("doc_id") % 5) == 0)
+    return doremi_weight_step(d, lm, eta=1.0, alpha=0.1)
+
+
+@_q(
     "quality_classifier_score",
     f"""
     WITH {_TOKPOS_SQL},
