@@ -67,6 +67,14 @@ HEADLINE = [
     "perplexity_lang_buckets",
     "kmeans_cluster_step",
     "heavy_hitter_users",
+    "skew_split_join_revenue",
+    "negative_samples_per_customer",
+    "equi_depth_value_buckets",
+    "table_checksums",
+    "daily_revenue_trend",
+    "doremi_weight_step",
+    "embedding_int8_stats",
+    "script_mix_stats",
 ]
 
 

@@ -2838,6 +2838,64 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_datacard",
+    f"""
+    WITH q AS (
+      SELECT source, lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+             CAST(floor(round(
+               (least(len(string_split_regex(trim(text), '\\s+')) / CAST(20 AS DOUBLE), CAST(1 AS DOUBLE))
+                + (CAST(1 AS DOUBLE) - least(len(regexp_extract_all(text, '[^\\w\\s]'))
+                        / greatest(CAST(length(text) AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)))
+                + least(len(regexp_extract_all(text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+                        / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), CAST(1 AS DOUBLE))
+                        * CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+               ) / CAST(3 AS DOUBLE), 6) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qg,
+             sha256({_NORM_SQL}) AS fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           round(CAST(sum(toks) AS DOUBLE) / count(*), 2) AS mean_tokens,
+           round(CAST(sum(qg) AS DOUBLE) / count(*) / CAST(1000000 AS DOUBLE), 6)
+             AS mean_quality,
+           round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+             AS dup_rate
+    FROM q GROUP BY source
+    """,
+    "per-source corpus data card — the summary table a dataset release "
+    "ships: doc/lang counts, token volume, mean heuristic quality "
+    "(quality_score values live on a 1e-6 grid, so the mean rides an "
+    "exact integer sum), and exact-dup rate from content fingerprints; "
+    "one scan, one map-side-combined aggregation per source",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    enriched = d.select(
+        "source",
+        "lang",
+        token_count("text").alias("toks"),
+        F.floor(quality_score("text") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("__qg"),
+        document_fingerprint("text").alias("__fp"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("toks").alias("total_tokens"),
+        F.round(F.sum("toks").cast("double") / F.count("*"), 2).alias("mean_tokens"),
+        F.round(
+            F.sum("__qg").cast("double") / F.count("*") / F.lit(1e6), 6
+        ).alias("mean_quality"),
+        F.round(
+            (F.count("*") - F.countDistinct("__fp")).cast("double") / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@_q(
     "ngram_novelty",
     f"""
     WITH norm AS (
