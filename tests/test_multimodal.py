@@ -151,3 +151,28 @@ def test_extract_features_header_path_returns_real_dimensions(spark):
     # unrecognized payloads keep flowing through the deterministic fake
     assert feats[3]["width"] > 0 and feats[3]["height"] > 0
     assert feats[3]["n_bytes"] == len(b"opaque payload")
+
+
+def test_resize_images_aspect_fit_and_determinism(spark):
+    from wellmeet_data_pipeline_spark.operators.multimodal import resize_images
+
+    rows = [
+        (1, "image", bytearray(_png(640, 480))),   # landscape 4:3
+        (2, "image", bytearray(_png(100, 400))),   # tall
+        (3, "blob", bytearray(b"opaque")),         # fake-dims path
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    out = resize_images(assets, target_w=224, target_h=224)
+    got = {r["asset_id"]: r for r in out.collect()}
+    # aspect-fit: 640x480 -> 224x168 (scale 0.35); 100x400 -> 56x224
+    assert (got[1]["src_width"], got[1]["src_height"]) == (640, 480)
+    assert (got[1]["width"], got[1]["height"]) == (224, 168)
+    assert (got[2]["width"], got[2]["height"]) == (56, 224)
+    # fake path yields stable dims within the target box
+    assert 1 <= got[3]["width"] <= 224 and 1 <= got[3]["height"] <= 224
+    # payload stand-in is binary, deterministic across re-evaluation
+    again = {r["asset_id"]: bytes(r["payload"]) for r in out.collect()}
+    assert all(bytes(got[i]["payload"]) == again[i] for i in got)
+    assert len(again[1]) == 32

@@ -158,3 +158,67 @@ def dedup_assets_exact(assets: DataFrame) -> DataFrame:
     hashed = assets.withColumn("payload_sha", F.sha2(F.col("payload"), 256))
     keep = hashed.groupBy("payload_sha").agg(F.min("asset_id").alias("asset_id"))
     return assets.join(keep.select("asset_id"), "asset_id", "left_semi")
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, media_type string, src_width int, src_height int, "
+    "width int, height int, payload binary"
+)
+
+
+def resize_images(
+    assets: DataFrame,
+    target_w: int,
+    target_h: int,
+    prefer_headers: bool = True,
+) -> DataFrame:
+    """Image resize plumbing over mapInPandas: aspect-fit every asset
+    into a (target_w, target_h) box and emit the resized payload as a
+    binary column — the preprocessing step a vision-model pipeline runs
+    before feature extraction.
+
+    Source dimensions come from the REAL container-header parse where
+    the format is recognized (PNG/GIF/BMP/JPEG), else the deterministic
+    fake (same contract as extract_features).  The RESAMPLER itself
+    needs a decode lib this container lacks, so the output payload is a
+    deterministic 32-byte digest of (source sha256, fit dims) standing
+    in for the resized bytes — the Spark-side plumbing (binary in,
+    binary out, Arrow batch shape, aspect-fit math, schema) is the real
+    thing and is what the tests pin."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                payload = rec["payload"] or b""
+                parsed = parse_image_header(payload) if prefer_headers else None
+                if parsed is not None:
+                    _, w, h = parsed
+                else:
+                    w, h, _ = _fake_dimensions(payload)
+                scale = min(target_w / w, target_h / h)
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                seed = hashlib.sha256(payload).hexdigest() + f"|{ow}x{oh}"
+                rows.append(
+                    {
+                        "asset_id": rec["asset_id"],
+                        "media_type": rec["media_type"],
+                        "src_width": w,
+                        "src_height": h,
+                        "width": ow,
+                        "height": oh,
+                        "payload": hashlib.sha256(seed.encode()).digest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "src_width", "src_height",
+                    "width", "height", "payload",
+                ],
+            )
+
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
