@@ -137,7 +137,16 @@ def main() -> None:
     )
     from wellmeet_data_pipeline_spark.plans.queries import table  # noqa: E402
 
+    # Fresh session for the matmul tiers: _reclaim's JVM GC frees block
+    # litter, but the REUSED python workers accumulate allocator state
+    # over the 50+ headline queries and the Arrow-heavy tiers measured
+    # ~2x slower inside the grown session than isolated (28s vs 12-16s,
+    # idle machine both times).  Restarting the session recycles the
+    # worker pool so tier numbers mean what isolated runs mean.
     _reclaim(spark)
+    spark.stop()
+    spark = get_spark("bench-tiers")
+    spark.sparkContext.setLogLevel("ERROR")
     e = clustered_embeddings(table(spark, sf_dir, "embeddings"))
     copies = spark.range(16).select(F.col("id").alias("copy"))
     e16 = (
@@ -207,7 +216,14 @@ def main() -> None:
     # round-4 entry.  Exact truth for recall is computed on the copy-0
     # query subset only: full brute force at dim 512 x 32k costs ~70s and
     # adds nothing statistically.
+    # same worker-pool recycling as before the 16x tier (the 16x runs
+    # themselves churn ~1 GB of Arrow batches through the workers)
     _reclaim(spark)
+    spark.stop()
+    spark = get_spark("bench-hd")
+    spark.sparkContext.setLogLevel("ERROR")
+    e = clustered_embeddings(table(spark, sf_dir, "embeddings"))
+    copies = spark.range(16).select(F.col("id").alias("copy"))
     hd_reps = 8
     e_hd = (
         e.crossJoin(F.broadcast(copies))
