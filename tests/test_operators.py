@@ -451,3 +451,32 @@ def test_equi_depth_buckets_hand_computed(spark):
     assert got[("t", 1)]["n_rows"] == 4 and got[("t", 1)]["lo_value"] == 5
     assert ("t", 2) not in got
     assert got[("t", 3)]["n_rows"] == 2  # 9, 10
+
+
+def test_daily_anomaly_exact_integer_z_test(spark):
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+    from pyspark.sql import functions as F, Window
+
+    # stable baseline of 10/day, then a 100-count spike day and a
+    # back-to-normal day; first days lack history -> NULL
+    rows = []
+    for i, n in enumerate([10, 10, 10, 10, 100, 10]):
+        for j in range(n):
+            rows.append((f"2024-01-{i+1:02d}", j))
+    df = spark.createDataFrame(rows, "day string, j long")
+    d = df.groupBy("day").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(F.lit(1)).orderBy("day").rowsBetween(-7, -1)
+    d = d.select(
+        "day", "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        F.count("n").over(w).alias("c"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    var4 = 4 * (F.col("c") * F.col("ss") - F.col("s") * F.col("s"))
+    flag = F.when(F.col("c") < 3, F.lit(None).cast("boolean")).otherwise(dev * dev > var4)
+    got = {r["day"]: r["f"] for r in d.select("day", flag.alias("f")).collect()}
+    assert got["2024-01-01"] is None and got["2024-01-02"] is None
+    assert got["2024-01-04"] is False        # flat baseline, no anomaly
+    assert got["2024-01-05"] is True         # the spike (sigma = 0 baseline)
+    assert got["2024-01-06"] is False        # 10 is within 2 sigma of {10,10,10,10,100}

@@ -3361,6 +3361,75 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             sha256(concat_ws('|', o_orderstatus, o_orderpriority,
+                              CAST(round(o_totalprice * 100) AS BIGINT))) AS h
+      FROM orders WHERE o_orderkey % 50 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             sha256(concat_ws('|', o_orderstatus, o_orderpriority,
+                              CAST(round(o_totalprice * 100)
+                                   + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END
+                                   AS BIGINT))) AS h
+      FROM orders WHERE o_orderkey % 40 <> 0
+    ),
+    j AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY status
+    """,
+    "snapshot diff for data versioning: two table versions (synthesized "
+    "here by key filters + a planted value drift) compared by FULL "
+    "OUTER join on key + content-hash equality — added / removed / "
+    "changed / unchanged counts without shipping row payloads, the "
+    "companion read to table_checksums when the checksums disagree",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def content(extra):
+        return F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+                (F.round(F.col("o_totalprice") * 100).cast("long") + extra).cast(
+                    "long"
+                ),
+            ),
+            256,
+        )
+
+    v1 = o.filter(F.col("o_orderkey") % 50 != 0).select(
+        F.col("o_orderkey").alias("k"), content(F.lit(0)).alias("h1")
+    )
+    drift = F.when(F.col("o_orderkey") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+    v2 = o.filter(F.col("o_orderkey") % 40 != 0).select(
+        F.col("o_orderkey").alias("k2"), content(drift).alias("h2")
+    )
+    j = v1.join(v2, v1["k"] == v2["k2"], "full_outer")
+    status = (
+        F.when(F.col("k").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+@_q(
     "table_checksums",
     """
     WITH h AS (
@@ -3609,6 +3678,68 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(den == 0, F.lit(None).cast("double"))
         .otherwise(F.round(intercept, 2))
         .alias("intercept_cents"),
+    )
+
+
+@_q(
+    "daily_anomaly_flags",
+    """
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s,
+             sum(n * n) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ss,
+             count(n) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS c
+      FROM d
+    )
+    SELECT event_type, day, n,
+           CASE WHEN c < 3 THEN NULL
+                ELSE (c * n - s) * (c * n - s) > 4 * (c * ss - s * s)
+           END AS is_anomaly
+    FROM w
+    """,
+    "daily volume anomaly flags: a day is anomalous when its count "
+    "deviates from the trailing-7-day baseline by more than 2 "
+    "population sigma — the test (c*n - s)^2 > 4*(c*ss - s^2) is the "
+    "z-score inequality cleared of divisions, so the flag is EXACT "
+    "integer arithmetic with no float variance/sqrt to diverge between "
+    "engines; the window is post-agg over day-grain rows (bounded, the "
+    "daily_event_delta contract), NULL until 3 days of history",
+)
+def q_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    d = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("__s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("__ss"),
+        F.count("n").over(w).alias("__c"),
+    )
+    dev = F.col("__c") * F.col("n") - F.col("__s")
+    var4 = 4 * (F.col("__c") * F.col("__ss") - F.col("__s") * F.col("__s"))
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(F.col("__c") < 3, F.lit(None).cast("boolean"))
+        .otherwise(dev * dev > var4)
+        .alias("is_anomaly"),
     )
 
 
