@@ -3361,6 +3361,75 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "basket_part_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    np AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support,
+           round(CAST(support AS DOUBLE) / na.n, 6) AS confidence,
+           round(CAST(support AS DOUBLE) * t.n_orders / (na.n * nb.n), 6) AS lift
+    FROM pairs
+    JOIN np na ON na.l_partkey = part_a
+    JOIN np nb ON nb.l_partkey = part_b
+    CROSS JOIN tot t
+    ORDER BY support DESC, part_a, part_b LIMIT 20
+    """,
+    "market-basket mining: top co-occurring part pairs with support, "
+    "confidence and lift — the within-order self-join is quadratic only "
+    "in ORDER SIZE (bounded ~7 lineitems), never in table size; counts "
+    "are exact integers, ratios divide once at the end; top-20 via "
+    "TakeOrderedAndProject",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    np_ = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a["l_orderkey"] == b["ok2"]) & (a["part_a"] < b["part_b"]))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+    )
+    na = np_.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("__na"))
+    nb = np_.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("__nb"))
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("__na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@_q(
     "snapshot_diff",
     """
     WITH v1 AS (
