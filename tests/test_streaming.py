@@ -756,3 +756,54 @@ def test_streaming_heavy_hitters_incremental_and_replay_safe(spark, tmp_path):
     got = {r["k"]: r["n"] for r in
            current_heavy_hitters(spark, store, "k", 0.5).collect()}
     assert got == {"cold": 5}
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: matched clicks pair with their
+    purchase; a click with no purchase inside the window is emitted
+    with nulls once the watermark proves no match can still arrive."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from wellmeet_data_pipeline_spark.streaming.pipeline import (
+        run_stream_stream_left_outer_join,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    clicks = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 7},  # matched
+        {"event_id": 2, "ts": "2024-01-01T02:00:00.000Z", "user_id": 7},  # abandoned
+    ]
+    purchases = [
+        {"event_id": 10, "ts": "2024-01-01T00:20:00.000Z", "user_id": 7},
+        # advances right watermark far past click 2's ts + window + watermark
+        {"event_id": 13, "ts": "2024-01-02T12:00:00.000Z", "user_id": 99},
+    ]
+    lpath, rpath = tmp_path / "lo_left", tmp_path / "lo_right"
+    lpath.mkdir(); rpath.mkdir()
+    _drop(lpath, "l.json", clicks)
+    _drop(rpath, "r.json", purchases)
+    # a second left file far in the future advances the LEFT watermark too
+    _drop(lpath, "l2.json", [{"event_id": 3, "ts": "2024-01-02T12:00:00.000Z", "user_id": 98}])
+
+    out, ckpt = str(tmp_path / "lo_out"), str(tmp_path / "lo_ckpt")
+    run_stream_stream_left_outer_join(spark, str(lpath), str(rpath), out, ckpt, schema)
+    # a second activation with one more watermark-advancing file flushes
+    # any final-state rows availableNow left pending
+    _drop(lpath, "l3.json", [{"event_id": 4, "ts": "2024-01-03T12:00:00.000Z", "user_id": 98}])
+    _drop(rpath, "r3.json", [{"event_id": 14, "ts": "2024-01-03T12:00:00.000Z", "user_id": 99}])
+    run_stream_stream_left_outer_join(spark, str(lpath), str(rpath), out, ckpt, schema)
+
+    rows = {r["l_event_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["r_event_id"] == 10 and rows[1]["delta_us"] == 20 * 60 * 1_000_000
+    assert 2 in rows and rows[2]["r_event_id"] is None  # abandoned click emitted with nulls

@@ -3361,6 +3361,56 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "supplier_concentration_hhi",
+    """
+    WITH r AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+                 / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6)
+             AS hhi
+    FROM r GROUP BY nationkey
+    """,
+    "supplier concentration per nation (Herfindahl-Hirschman index): "
+    "HHI = sum(share^2) computed as sum(rev^2)/total^2 with rev^2 "
+    "accumulated in 128-bit integer space (decimal(38,0) / HUGEINT — "
+    "cents squared overflow int64 at scale) — exact sums, one double "
+    "division; HHI -> 1 means a nation's supply rides one supplier, "
+    "the concentration read behind sourcing-risk dashboards",
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    r = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev")
+        )
+    )
+    sq = (F.col("rev").cast("decimal(38,0)") * F.col("rev")).alias("__sq")
+    return (
+        r.select("nationkey", "rev", sq)
+        .groupBy("nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("rev").alias("revenue_cents"),
+            F.round(
+                F.sum("__sq").cast("double")
+                / (F.sum("rev").cast("double") * F.sum("rev").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
+@_q(
     "basket_part_pairs",
     """
     WITH items AS (

@@ -220,3 +220,69 @@ def run_stream_stream_range_join(
         .start()
         .awaitTermination()
     )
+
+
+def run_stream_stream_left_outer_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> None:
+    """Watermarked stream-stream LEFT OUTER join: every left event is
+    emitted exactly once — matched rows as soon as the match arrives,
+    UNMATCHED rows only when the watermark proves no match can still
+    come (the engine holds the left row in state until right's
+    watermark passes left.ts + window, then emits it with nulls).  This
+    is the abandonment/attribution read (clicks with no purchase inside
+    the window) that an inner join silently drops — and the null-emit
+    timing is exactly why the time-bound + watermark are mandatory on
+    BOTH sides: without them unmatched rows could never be declared
+    final.  Output mirrors the inner twin plus nullable right columns."""
+    left = (
+        landing_stream(spark, left_dir, schema)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.col("event_id").alias("l_event_id"),
+            F.col(ts_col).alias("l_ts"),
+        )
+    )
+    right = (
+        landing_stream(spark, right_dir, schema)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("__rk"),
+            F.col("event_id").alias("r_event_id"),
+            F.col(ts_col).alias("r_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col(key_col) == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+        "left_outer",
+    ).select(
+        key_col,
+        "l_event_id",
+        "r_event_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
+    )
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
