@@ -3801,6 +3801,45 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "user_interarrival_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           round(quantile_cont(gap_us, 0.5), 1) AS p50_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    "per-user event inter-arrival gaps (integer microseconds via lag "
+    "over (ts, event_id) — the compound order key makes same-timestamp "
+    "rows deterministic): count/min/median/max — the burstiness read "
+    "behind rate-limit sizing and bot detection; the window partitions "
+    "by user (bounded per-user history), the median is the exact "
+    "interpolated percentile both engines share",
+)
+def q_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 1).alias("p50_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+@_q(
     "daily_anomaly_flags",
     """
     WITH d AS (
