@@ -2838,6 +2838,53 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "weighted_sample_docs",
+    """
+    WITH u AS (
+      SELECT doc_id, lang, source, n_chars,
+             (CAST(list_sum(list_transform(range(1, 9),
+                     i -> CAST(strpos('0123456789abcdef',
+                               substr(sha256(concat('ws|', doc_id)), i, 1)) - 1
+                               AS BIGINT) << (4 * (8 - i)))) AS DOUBLE)
+              + CAST(1 AS DOUBLE)) / CAST(4294967296 AS DOUBLE) AS unif
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars,
+           round(pow(unif, CAST(1 AS DOUBLE) / n_chars), 8) AS es_key
+    FROM u
+    ORDER BY pow(unif, CAST(1 AS DOUBLE) / n_chars) DESC, doc_id
+    LIMIT 20
+    """,
+    "deterministic weighted sampling WITHOUT replacement "
+    "(Efraimidis-Spirakis A-ES): per-doc key = u^(1/weight) with u a "
+    "sha256-derived uniform and weight = n_chars, top-k by key — "
+    "longer docs proportionally likelier, yet the sample is a pure "
+    "function of the data (retry/repartition-stable, the "
+    "stratified_sample_exact family's weighted sibling); top-k is "
+    "per-partition heaps, never a global sort",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    hx = F.sha2(F.concat(F.lit("ws|"), F.col("doc_id").cast("string")), 256)
+    hv = F.conv(F.substring(hx, 1, 8), 16, 10).cast("double")
+    unif = (hv + F.lit(1.0)) / F.lit(4294967296.0)
+    es = F.pow(unif, F.lit(1.0) / F.col("n_chars"))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.round(es, 8).alias("es_key"),
+            es.alias("__k"),
+        )
+        .orderBy(F.desc("__k"), "doc_id")
+        .limit(20)
+        .drop("__k")
+    )
+
+
+@_q(
     "corpus_datacard",
     f"""
     WITH q AS (
