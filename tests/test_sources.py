@@ -110,3 +110,39 @@ def test_format_roundtrip_csv_json_orc_parquet(spark, tmp_path):
         back = spark.read.options(**opts).schema(schema).format(fmt).load(path)
         got = {(r["id"], r["text"], r["score"]) for r in back.collect()}
         assert got == want, fmt
+
+
+def test_paginated_datasource_streaming_exactly_once(spark, tmp_path):
+    """The streaming half of the Python DataSource: availableNow drains
+    pages in offset order; a second activation with the same checkpoint
+    adds nothing once the page horizon is reached (offsets are durable)."""
+    from wellmeet_data_pipeline_spark.sources.datasource import PaginatedFeedDataSource
+
+    spark.dataSource.register(PaginatedFeedDataSource)
+    out, ckpt = str(tmp_path / "pf_out"), str(tmp_path / "pf_ckpt")
+
+    def activate():
+        q = (
+            spark.readStream.format("paginated_feed")
+            .option("keys", "p1,p2")
+            .option("rows_per_page", "3")
+            .option("pages_per_batch", "1")
+            .option("max_pages", "4")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    # each activation advances the durable {"page": n} offset by one
+    # pages_per_batch increment; counts grow 6 -> 12 -> 18 -> 24
+    counts = [activate() for _ in range(4)]
+    assert counts == [6, 12, 18, 24]
+    ids = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert len(ids) == 24 and "p1-1-0" in ids and "p2-4-2" in ids
+    # horizon reached, offset durable -> a further activation adds nothing
+    assert activate() == 24

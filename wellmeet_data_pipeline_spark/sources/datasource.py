@@ -17,7 +17,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FEED_SCHEMA = "id string, place_id string, author string, content string, visit_date string"
 
@@ -40,6 +45,9 @@ class PaginatedFeedDataSource(DataSource):
     def reader(self, schema) -> "PaginatedFeedReader":
         return PaginatedFeedReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "PaginatedFeedStreamReader":
+        return PaginatedFeedStreamReader(self.options)
+
 
 class PaginatedFeedReader(DataSourceReader):
     def __init__(self, options: dict):
@@ -60,3 +68,46 @@ class PaginatedFeedReader(DataSourceReader):
         for i in range(self.rows_per_page):
             # deterministic fake feed; a real impl fetches here
             yield (f"{key}-{page}-{i}", key, "작성자", f"내용 {i}", "7.25.금")
+
+
+class PaginatedFeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the paginated feed (Spark 4 Python DataSource
+    streaming API): the feed is an unbounded page sequence; each
+    micro-batch advances a {"page": n} offset by `pages_per_batch`,
+    bounded by `max_pages` (the in-container generator's horizon — a
+    real crawler would instead stop at the live head).  Offsets live in
+    the query checkpoint, so restarts resume exactly where the last
+    committed batch ended and `readBetweenOffsets` regenerates any
+    replayed range deterministically — exactly-once end to end with a
+    deterministic source, at-least-once with a real remote feed (the
+    same contract as the landing-stream pipelines)."""
+
+    def __init__(self, options: dict):
+        self.keys = [k for k in str(options.get("keys", "")).split(",") if k]
+        self.rows_per_page = int(options.get("rows_per_page", 3))
+        self.pages_per_batch = int(options.get("pages_per_batch", 1))
+        self.max_pages = int(options.get("max_pages", 4))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _rows(self, p0: int, p1: int):
+        # a LIST iterator, not a generator: the engine's prefetch cache
+        # copy.copy()s the returned iterator for offset replay, and
+        # generators are not copyable
+        return iter(
+            [
+                (f"{key}-{page}-{i}", key, "작성자", f"내용 {i}", "7.25.금")
+                for key in self.keys
+                for page in range(p0 + 1, p1 + 1)
+                for i in range(self.rows_per_page)
+            ]
+        )
+
+    def read(self, start: dict):
+        p0 = int(start["page"])
+        p1 = min(p0 + self.pages_per_batch, self.max_pages)
+        return self._rows(p0, p1), {"page": p1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["page"]), int(end["page"]))
