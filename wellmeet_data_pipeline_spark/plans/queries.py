@@ -1598,6 +1598,47 @@ def q_minhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "lsh_cost_estimate",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    bs AS (
+      SELECT band, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM banded GROUP BY 1, 2
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(c) AS BIGINT) AS index_rows,
+           CAST(sum(c * (c - 1) / 2) AS BIGINT) AS est_candidate_pairs,
+           CAST(max(c) AS BIGINT) AS max_bucket
+    FROM bs GROUP BY band
+    """,
+    "LSH join-cost estimator: per-band bucket histogram -> exact "
+    "candidate-pair volume sum(c choose 2) + hottest bucket, computed "
+    "from the INDEX rows alone (no pair join runs) — the planning read "
+    "that decides whether to run the bucket self-join as-is, raise the "
+    "band count, or cap hot buckets, before paying for it; the "
+    "quadratic term is never materialized, only counted",
+)
+def q_lsh_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        _sha_banded,
+        minhash_signatures_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    banded = _sha_banded(minhash_signatures_sha(d), "doc_id", 16, 4)
+    bs = banded.groupBy("band", "bucket").agg(F.count("*").alias("c"))
+    return bs.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("c").alias("index_rows"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias(
+            "est_candidate_pairs"
+        ),
+        F.max("c").alias("max_bucket"),
+    )
+
+
+@_q(
     "shipping_priority",
     """
     SELECT l_orderkey,
