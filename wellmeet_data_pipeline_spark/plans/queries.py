@@ -879,11 +879,9 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
-@_q(
-    "text_language_guess",
-    """
-    SELECT doc_id,
-           CASE
+# the language-ID heuristic as a SQL CASE — shared by the per-doc
+# text_language_guess query and the lang_id_confusion evaluation
+_LANG_GUESS_SQL = """CASE
              WHEN len(regexp_extract_all(text, '[가-힣]')) > 0 THEN 'ko'
              WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
              WHEN len(regexp_extract_all(text, '[Ѐ-ӿ]')) > 0 THEN 'ru'
@@ -894,7 +892,13 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|que|es|y)\\b')) > len(regexp_extract_all(text, '(?i)\\b(the|and|is|of|to|it)\\b')) THEN 'es'
              WHEN len(regexp_extract_all(text, '(?i)\\b(le|les|des|est|une|et)\\b')) > len(regexp_extract_all(text, '(?i)\\b(the|and|is|of|to|it)\\b')) THEN 'fr'
              ELSE 'en'
-           END AS lang_guess
+           END"""
+
+
+@_q(
+    "text_language_guess",
+    f"""
+    SELECT doc_id, {_LANG_GUESS_SQL} AS lang_guess
     FROM documents
     """,
     "n-gram/marker-word language-ID heuristic (north-star)",
@@ -902,6 +906,41 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", language_guess("text").alias("lang_guess"))
+
+
+@_q(
+    "lang_id_confusion",
+    f"""
+    WITH g AS (SELECT lang, {_LANG_GUESS_SQL} AS lang_guess FROM documents),
+    cm AS (
+      SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cm GROUP BY lang)
+    SELECT cm.lang, cm.lang_guess, cm.n,
+           round(CAST(cm.n AS DOUBLE) / t.nl, 6) AS frac_of_lang,
+           cm.lang = cm.lang_guess AS is_correct
+    FROM cm JOIN tot t USING (lang)
+    """,
+    "language-ID evaluation: confusion matrix of the heuristic against "
+    "the table's ground-truth lang label, with per-truth-language "
+    "fractions and a correctness flag — the quality report that decides "
+    "whether the cheap scan-fused detector suffices or a model "
+    "(pandas_udf) must replace it; the guess expression is the SAME "
+    "shared SQL as text_language_guess so the two cannot drift",
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    g = d.select("lang", language_guess("text").alias("lang_guess"))
+    cm = g.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("__nl"))
+    return cm.join(tot, "lang").select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__nl"), 6).alias("frac_of_lang"),
+        (F.col("lang") == F.col("lang_guess")).alias("is_correct"),
+    )
 
 
 @_q(
