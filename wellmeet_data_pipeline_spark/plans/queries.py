@@ -4481,6 +4481,76 @@ _TOKPOS_SQL = f"""
 """
 
 
+@_q(
+    "bigram_cond_entropy",
+    f"""
+    WITH {_TOKPOS_SQL},
+    bi AS (
+      SELECT term, lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM t2
+    ),
+    c2 AS (
+      SELECT prev, term, CAST(count(*) AS BIGINT) AS c2
+      FROM bi WHERE prev IS NOT NULL GROUP BY prev, term
+    ),
+    c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
+    t AS (SELECT CAST(sum(c2) AS BIGINT) AS t2 FROM c2),
+    terms AS (
+      SELECT CAST(floor(-(CAST(c2.c2 AS DOUBLE) / t.t2)
+                        * ln(CAST(c2.c2 AS DOUBLE) / c1.c1)
+                        * CAST(1000000000000 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e
+      FROM c2 JOIN c1 USING (prev) CROSS JOIN t
+    )
+    SELECT (SELECT t2 FROM t) AS n_bigrams,
+           CAST((SELECT count(*) FROM c1) AS BIGINT) AS n_contexts,
+           round(CAST(sum(e) AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 6)
+             AS cond_entropy_nats
+    FROM terms
+    """,
+    "corpus bigram conditional entropy H(w2|w1) in nats — the "
+    "information-theoretic complexity statistic behind compression/"
+    "memorization estimates (low entropy = templated/boilerplate "
+    "corpus); each -p(w1,w2)*ln p(w2|w1) term snaps to a 1e-12 grid "
+    "and integer-sums, so the scalar is aggregation-order-independent; "
+    "count frames are vocabulary-sized, the token stream shuffles once",
+)
+def q_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import _tokens_with_pos
+
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens_with_pos(d, "text", "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.withColumn("prev", F.lag("term").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    c2 = bi.groupBy("prev", "term").agg(F.count("*").alias("c2"))
+    c2 = c2.localCheckpoint(eager=True)  # feeds c1, totals, and the term sum
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    t2 = c2.agg(F.sum("c2").alias("t2"))
+    scale = 1e12
+    joined = c2.join(c1, "prev").crossJoin(F.broadcast(t2))
+    term = F.floor(
+        -(F.col("c2").cast("double") / F.col("t2"))
+        * F.log(F.col("c2").cast("double") / F.col("c1"))
+        * F.lit(scale)
+        + F.lit(0.5)
+    ).cast("long")
+    n_contexts = c1.agg(F.count("*").alias("nc"))
+    return (
+        joined.withColumn("__e", term)
+        .agg(F.sum("__e").alias("__se"), F.max("t2").alias("n_bigrams"))
+        .crossJoin(F.broadcast(n_contexts))
+        .select(
+            "n_bigrams",
+            F.col("nc").alias("n_contexts"),
+            F.round(F.col("__se").cast("double") / F.lit(scale), 6).alias(
+                "cond_entropy_nats"
+            ),
+        )
+    )
+
+
 # shared LM-scoring CTE chain (documents scored by the add-0.1-smoothed
 # bigram LM counted on the doc_id % 5 == 0 reference fifth), ending at
 # agg = (doc_id, n_tokens, s) with s the exact integer micro-nat sum —
