@@ -2965,6 +2965,45 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "column_null_profile",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+           CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS empty_text,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+           CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bad_n_chars,
+           CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_chars_mismatch
+    FROM documents
+    """,
+    "column-level data-quality profile in ONE scan: null/empty counts "
+    "per column plus a derived-column consistency check (n_chars vs "
+    "length(text)) — the ingest-gate audit that runs before any "
+    "downstream op trusts the table; pure conditional tallies, "
+    "map-side combined",
+)
+def q_column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    b = lambda c: c.cast("long")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(b(F.col("text").isNull())).alias("null_text"),
+        F.sum(b(F.col("text").isNotNull() & (F.trim("text") == ""))).alias(
+            "empty_text"
+        ),
+        F.sum(b(F.col("lang").isNull())).alias("null_lang"),
+        F.sum(b(F.col("source").isNull())).alias("null_source"),
+        F.sum(b(F.col("n_chars").isNull() | (F.col("n_chars") < 0))).alias(
+            "bad_n_chars"
+        ),
+        F.sum(b(F.col("n_chars") != F.length("text"))).alias("n_chars_mismatch"),
+    )
+
+
+@_q(
     "corpus_datacard",
     f"""
     WITH q AS (
