@@ -75,6 +75,17 @@ HEADLINE = [
     "doremi_weight_step",
     "embedding_int8_stats",
     "script_mix_stats",
+    "weighted_sample_docs",
+    "lsh_cost_estimate",
+    "lang_id_confusion",
+    "bigram_cond_entropy",
+    "column_null_profile",
+    "basket_part_pairs",
+    "supplier_concentration_hhi",
+    "snapshot_diff",
+    "daily_anomaly_flags",
+    "user_interarrival_stats",
+    "corpus_datacard",
 ]
 
 
