@@ -19,7 +19,13 @@ value hash):
   boundary, where Spark (decimal shortest-repr HALF_UP) and DuckDB
   (binary) round in different directions;
 - ops that DuckDB cannot express (xxhash64-based MinHash/SimHash, IVF)
-  register with oracle=None → driver's weaker rows-only check.
+  register with oracle=None → driver's weaker rows-only check;
+- NEVER write `\\s` in oracle regexes: Java's \\s is [ \\t\\n\\x0B\\f\\r]
+  but DuckDB's RE2 \\s excludes \\x0B, so a generator seed that emits a
+  vertical tab silently flips every token count (bit us in round 4:
+  pack_sequences/corpus_end_to_end hash-mismatched on the driver's data
+  while passing locally).  Oracles spell the Java set explicitly as
+  [ \\t\\n\\r\\f\\x0B]; the Spark side keeps \\s (identical set in Java).
 """
 
 from __future__ import annotations
@@ -620,7 +626,7 @@ def q_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "explode_flatten",
     """
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+    SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS word
     FROM documents WHERE doc_id % 10 = 0
     """,
     "P8 (submit-aws-batch-lambda:86-91): nested lists → flat rows via "
@@ -638,8 +644,8 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ADDR_SQL_PATTERN = (
-    "([가-힣]+(?:특별시|광역시|특별자치시|도|특별자치도)?\\s*"
-    "[가-힣]+(?:시|군|구)\\s*[가-힣0-9]+(?:읍|면|동|가|로|길)\\s*[0-9-]+)"
+    "([가-힣]+(?:특별시|광역시|특별자치시|도|특별자치도)?[ \\t\\n\\r\\f\\x0B]*"
+    "[가-힣]+(?:시|군|구)[ \\t\\n\\r\\f\\x0B]*[가-힣0-9]+(?:읍|면|동|가|로|길)[ \\t\\n\\r\\f\\x0B]*[0-9-]+)"
 )
 
 
@@ -826,8 +832,8 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NORM_SQL = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), "
-    "'\\s+', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w \\t\\n\\r\\f\\x0B]', '', 'g'), "
+    "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))"
 )
 
 
@@ -835,8 +841,8 @@ _NORM_SQL = (
     "text_token_stats",
     """
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z가-힣]+|[0-9]+|[^A-Za-z가-힣0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z가-힣]+|[0-9]+|[^A-Za-z가-힣0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT) AS n_bpe_tokens,
            n_chars
     FROM documents
     """,
@@ -859,8 +865,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars_d,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
-             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f\\x0B]')) AS DOUBLE) AS n_punct,
              CAST(len(regexp_extract_all(text,
                   '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
       FROM documents
@@ -2023,8 +2029,8 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars_d,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
-             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f\\x0B]')) AS DOUBLE) AS n_punct,
              CAST(len(regexp_extract_all(text,
                   '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
       FROM documents
@@ -2280,10 +2286,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
-             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_nonspace,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', '', 'g')) AS DOUBLE) AS n_nonspace,
              CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS n_symbols,
-             CAST(len(regexp_extract_all(text, '\\S*[A-Za-z가-힣]\\S*')) AS DOUBLE) AS n_alpha_words
+             CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\x0B]*[A-Za-z가-힣][^ \\t\\n\\r\\f\\x0B]*')) AS DOUBLE) AS n_alpha_words
       FROM documents
     )
     SELECT doc_id, n_words,
@@ -2600,7 +2606,7 @@ def q_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, doc_id % 8 AS stream_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     c AS (
@@ -2822,7 +2828,7 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_documents",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS words
       FROM documents WHERE trim(text) <> ''
     ),
     s AS (SELECT doc_id, words, len(words) AS n FROM w),
@@ -3008,13 +3014,13 @@ def q_column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH q AS (
       SELECT source, lang,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS toks,
              CAST(floor(round(
-               (least(len(string_split_regex(trim(text), '\\s+')) / CAST(20 AS DOUBLE), CAST(1 AS DOUBLE))
-                + (CAST(1 AS DOUBLE) - least(len(regexp_extract_all(text, '[^\\w\\s]'))
+               (least(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) / CAST(20 AS DOUBLE), CAST(1 AS DOUBLE))
+                + (CAST(1 AS DOUBLE) - least(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f\\x0B]'))
                         / greatest(CAST(length(text) AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)))
                 + least(len(regexp_extract_all(text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
-                        / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), CAST(1 AS DOUBLE))
+                        / greatest(CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE), CAST(1 AS DOUBLE))
                         * CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
                ) / CAST(3 AS DOUBLE), 6) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qg,
              sha256({_NORM_SQL}) AS fp
@@ -3100,7 +3106,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repeated_span_removal",
     """
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS words
       FROM documents WHERE trim(text) <> ''
     ),
     toks AS (
@@ -3284,8 +3290,8 @@ def q_partition_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars_d,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
-             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f\\x0B]')) AS DOUBLE) AS n_punct,
              CAST(len(regexp_extract_all(text,
                   '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
       FROM documents
@@ -4258,7 +4264,7 @@ def q_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(text, '<[^>]*>', ' ', 'g'),
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-             '\\s+', ' ', 'g')) AS clean_text
+             '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS clean_text
     FROM documents
     """,
     "web-corpus HTML cleaning: strip tags, decode predefined entities, "
@@ -4942,7 +4948,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-4 additions: training-prep and corpus-ops queries
 # ---------------------------------------------------------------------------
 
-_BPE_SQL = "regexp_extract_all(text, '[A-Za-z가-힣]+|[0-9]+|[^A-Za-z가-힣0-9\\s]')"
+_BPE_SQL = "regexp_extract_all(text, '[A-Za-z가-힣]+|[0-9]+|[^A-Za-z가-힣0-9 \\t\\n\\r\\f\\x0B]')"
 
 
 @_q(
@@ -4995,11 +5001,11 @@ def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            round(CAST(sum(n_chars) AS DOUBLE)
-                 / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS chars_per_word,
+                 / sum(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'))), 4) AS chars_per_word,
            round(CAST(sum(n_chars) AS DOUBLE)
                  / sum(len({_BPE_SQL})), 4) AS chars_per_token,
            round(CAST(sum(len({_BPE_SQL})) AS DOUBLE)
-                 / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS fertility
+                 / sum(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'))), 4) AS fertility
     FROM documents
     GROUP BY lang
     """,
@@ -5696,8 +5702,8 @@ def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q10 shape: top-20 customers by revenue lost to returned items "
     "in one quarter — the rank cut happens on the exact-integer revenue "
     "(ties broken by custkey) so the top-20 frontier is identical on "
-    "both engines; the global window ranks only the ~|customers in "
-    "window| aggregated rows, never line items",
+    "both engines; Spark side is orderBy+limit (TakeOrderedAndProject — "
+    "distributed partial top-k), never a global row_number window",
 )
 def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
@@ -5714,10 +5720,13 @@ def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_rev_cents()).cast("long").alias("rev_tt"))
     )
-    w = Window.orderBy(F.col("rev_tt").desc(), F.col("c_custkey").asc())
+    # top-20 via orderBy+limit -> TakeOrderedAndProject: a distributed
+    # per-partition partial top-k + single merge of 20-row heaps, never a
+    # row_number() window (which would single-partition the whole customer
+    # frame — unbounded at scale, exactly the WindowExec warning class)
     return (
-        per_cust.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        per_cust.orderBy(F.col("rev_tt").desc(), F.col("c_custkey").asc())
+        .limit(20)
         .select(
             "c_custkey",
             "c_name",
@@ -5970,7 +5979,7 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_source AS (
       SELECT source,
              CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                           ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END)
                   AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
@@ -6091,58 +6100,60 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # -- §2 core (driver-proven in r01-r03; the reference's own surface) --
-    "flagship_incremental_enrich",
-    "join_anti_new_rows",
-    "join_semi_existing",
-    "join_insert_if_absent",
-    "join_star_enrich",
-    "dedup_keep_first",
-    "distinct_keys",
-    "surrogate_key_sha2",
-    "union_distinct",
-    "orderby_limit",
-    "project_rename_cast",
-    "validate_required_fields",
-    "fillna_defaults",
-    "explode_flatten",
-    "clean_address_regex",
-    "extract_place_id_regex",
-    "url_decode_keys",
-    "format_keys",
-    "conditional_counts",
-    "grouped_sample",
-    "tumbling_window",
-    "sliding_window",
-    "session_window",
-    # -- never driver-checked before round 4 (oracle-backed) --
-    "dedup_vs_reference",
-    "hard_negatives_topk",
+    # -- r5 window: the two r4 hash-mismatch casualties first (the Java-\s-
+    # vs-RE2 oracle divergence, fixed this round — re-prove them green), then
+    # 48 oracle-backed queries never driver-checked through r4 (batch 1 of 2;
+    # 31 remain for the r6 window) --
     "corpus_end_to_end",
-    "line_dedup_global",
     "pack_sequences",
-    "ngram_lm_perplexity",
-    "quality_classifier_score",
-    "corpus_shuffle_shards",
-    "scrub_pii",
-    "decontaminate_benchmark",
-    "gopher_repetition",
-    "gopher_quality_rules",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "corpus_quality_filter",
-    "corpus_split",
-    "rebalance_sources",
-    "temperature_mix",
-    "unicode_nfc",
-    "chunk_documents",
-    "contamination_report",
-    "repeated_span_removal",
-    "dup_line_stats",
-    "dedup_components",
-    "dedup_cluster_survivors",
-    "vocab_coverage",
-    "user_value_quartiles",
+    "lang_id_confusion",
+    "script_mix_stats",
+    "embedding_int8_stats",
+    "kmeans_cluster_step",
+    "lsh_cost_estimate",
+    "shipping_priority",
+    "regional_volume",
+    "nation_pair_volume",
+    "stats_correlation",
+    "asof_join_last_purchase",
+    "value_percentiles",
+    "value_histogram",
+    "equi_depth_value_buckets",
+    "cohort_retention",
+    "range_join_events",
+    "top_ngrams_per_lang",
+    "corpus_length_trim",
+    "minhash_jaccard_verify",
+    "bucketed_order_revenue",
+    "char_entropy",
+    "weighted_sample_docs",
+    "column_null_profile",
+    "corpus_datacard",
+    "ngram_novelty",
+    "event_transitions",
+    "funnel_conversion",
+    "partition_pruned_week",
+    "salted_type_totals",
+    "heavy_hitter_users",
+    "order_priority_check",
+    "negative_samples_per_customer",
+    "supplier_concentration_hhi",
+    "basket_part_pairs",
+    "snapshot_diff",
+    "table_checksums",
+    "skew_split_join_revenue",
+    "orders_reconciliation",
+    "event_debounce",
+    "unpivot_user_counts",
+    "daily_revenue_trend",
+    "user_interarrival_stats",
+    "daily_anomaly_flags",
+    "daily_event_delta",
+    "event_validity_intervals",
+    "lsh_quality_metrics",
+    "embedding_mean_pool",
+    "clean_web_text",
+    "zscore_by_type",
 ]
 
 
