@@ -1,0 +1,97 @@
+"""Round-5 operators: exact AUC, margin-based bitext mining, incremental
+aggregate refresh."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.operators.aggregations import merge_agg_states
+from wellmeet_data_pipeline_spark.operators.scoring import exact_auc
+from wellmeet_data_pipeline_spark.operators.similarity import bitext_margin_mine
+
+
+def _auc(spark, rows):
+    df = spark.createDataFrame(rows, ["score", "y"])
+    return exact_auc(df, "score", "y").collect()[0]
+
+
+def test_auc_perfect_separation(spark):
+    rows = [(s, 0) for s in (1, 2, 3)] + [(s, 1) for s in (4, 5, 6)]
+    r = _auc(spark, rows)
+    assert r["auc"] == 1.0 and r["n_pos"] == 3 and r["n_neg"] == 3
+
+
+def test_auc_inverted(spark):
+    rows = [(s, 1) for s in (1, 2, 3)] + [(s, 0) for s in (4, 5, 6)]
+    assert _auc(spark, rows)["auc"] == 0.0
+
+
+def test_auc_ties_half_credit(spark):
+    # all scores identical -> every pos/neg pair ties -> AUC 0.5
+    rows = [(7, 1)] * 4 + [(7, 0)] * 6
+    assert _auc(spark, rows)["auc"] == 0.5
+
+
+def test_auc_hand_computed_mixed(spark):
+    # scores: neg {1, 3}, pos {2, 3}. Pairs (pos, neg):
+    # (2,1) win, (2,3) loss, (3,1) win, (3,3) tie -> (2 + 0.5) / 4 = 0.625
+    rows = [(1, 0), (3, 0), (2, 1), (3, 1)]
+    assert _auc(spark, rows)["auc"] == 0.625
+
+
+def test_bitext_margin_planted_pairs(spark):
+    # side A ids 0,2,4..; side B ids 1,3,5.. — B vec 2i+1 duplicates A vec 2i,
+    # so every (2i, 2i+1) is a mutual best match with cosine 1.0
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(6)]
+    a = [(2 * i, [float(x) for x in v]) for i, v in enumerate(base)]
+    b = [(2 * i + 1, [float(x) for x in v]) for i, v in enumerate(base)]
+    side_a = spark.createDataFrame(a, ["vec_id", "embedding"])
+    side_b = spark.createDataFrame(b, ["vec_id", "embedding"])
+    got = bitext_margin_mine(side_a, side_b, k=3).collect()
+    pairs = {(r["src_id"], r["tgt_id"]) for r in got}
+    assert pairs == {(2 * i, 2 * i + 1) for i in range(6)}
+    for r in got:
+        assert r["cosine_sim"] == pytest.approx(1.0)
+        # the true pair's cosine (1.0) strictly exceeds the top-k mean
+        assert r["margin"] > 1.0
+
+
+def test_bitext_margin_requires_mutual(spark):
+    # B contains a "hub" near both A vectors; A0's best is the hub, but the
+    # hub's best is A1 -> (A0, hub) must NOT be emitted
+    side_a = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.05]), (2, [0.9, 0.1, 0.0])], ["vec_id", "embedding"]
+    )
+    side_b = spark.createDataFrame(
+        [(1, [0.92, 0.08, 0.0])], ["vec_id", "embedding"]
+    )
+    got = bitext_margin_mine(side_a, side_b, k=1).collect()
+    assert len(got) == 1  # only the mutual pair survives
+    (r,) = got
+    assert r["tgt_id"] == 1 and r["src_id"] in (0, 2)
+
+
+def test_merge_agg_states_equals_full_recompute(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(5), rng.randrange(100)) for _ in range(300)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n_events"), F.sum("v").alias("value_cents")
+        )
+
+    base = rollup(df.filter(F.col("v") < 40))
+    delta = rollup(df.filter(F.col("v") >= 40))
+    merged = {
+        r["k"]: (r["n_events"], r["value_cents"])
+        for r in merge_agg_states(base, delta, ["k"]).collect()
+    }
+    full = {
+        r["k"]: (r["n_events"], r["value_cents"]) for r in rollup(df).collect()
+    }
+    assert merged == full

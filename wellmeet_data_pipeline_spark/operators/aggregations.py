@@ -85,3 +85,34 @@ def threshold_heavy_hitters(
             F.round(F.col("n") / F.col("__total"), round_digits).alias("share"),
         )
     )
+
+
+def merge_agg_states(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    count_col: str = "n_events",
+    sum_col: str = "value_cents",
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: refresh a stored
+    (count, sum) rollup with a delta batch WITHOUT rescanning the base
+    data — union the two partial-state frames and re-reduce.  Sound
+    because count/sum are commutative monoids (the same algebra Spark's
+    own partial aggregation exploits per-shuffle); avg/stddev derive from
+    (count, sum, sum-of-squares) states the same way.
+
+    This is the nightly-rollup shape at 100 TB: the base frame is
+    key-cardinality (already aggregated, typically 10^3-10^6x smaller
+    than the event log) and the delta aggregates map-side before its
+    rows move, so the refresh cost scales with |delta| + |keys|, not
+    with the full history.  MIN/MAX also merge; distinct-count requires
+    a mergeable sketch state (HLL) instead of a scalar."""
+    return (
+        base.select(*keys, count_col, sum_col)
+        .unionByName(delta.select(*keys, count_col, sum_col))
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            F.sum(sum_col).alias(sum_col),
+        )
+    )

@@ -659,3 +659,58 @@ def doremi_weight_step(
             ).alias("weight"),
         )
     )
+
+
+def exact_auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC of `score_col` against binary `label_col` by the
+    Mann-Whitney rank-sum, computed over the SCORE HISTOGRAM — the
+    model-eval step a quality-classifier pipeline runs after every
+    retrain (did the new model still separate good from bad docs?).
+
+    Scale shape: scores collapse to (score, n_pos, n_neg) first (map-side
+    combine; histogram cardinality = distinct score values, not rows),
+    then the negatives-below prefix sum runs through global_rank_cumsum —
+    the range-partitioned two-pass cumsum — so there is NO unpartitioned
+    window even when a 100 TB corpus yields 10^6+ distinct scores.  Ties
+    get the standard half credit.  All arithmetic is exact bigint up to
+    the single final division:
+
+        AUC = [ 2*sum_s n_pos(s)*negs_below(s) + sum_s n_pos(s)*n_neg(s) ]
+              / (2 * P * N)
+
+    `score_col` must already sit on an exact grid (an integer, or a
+    round()-snapped double) — rank statistics on raw accumulation-order
+    doubles would not be oracle-stable."""
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    y = F.col(label_col).cast("long")
+    hist = scored.groupBy(score_col).agg(
+        F.sum(y).alias("n_pos"),
+        F.sum(F.lit(1) - y).alias("n_neg"),
+    )
+    ranked = global_rank_cumsum(hist, [F.col(score_col).asc()], sum_col="n_neg")
+    contrib = ranked.select(
+        (
+            2 * F.col("n_pos") * (F.col("cum") - F.col("n_neg"))
+            + F.col("n_pos") * F.col("n_neg")
+        ).alias("__u2"),
+        "n_pos",
+        "n_neg",
+    )
+    tot = contrib.agg(
+        F.sum("__u2").alias("__u2"),
+        F.sum("n_pos").alias("__p"),
+        F.sum("n_neg").alias("__n"),
+    )
+    return tot.select(
+        F.round(
+            F.col("__u2") / (F.lit(2.0) * F.col("__p") * F.col("__n")), round_digits
+        ).alias("auc"),
+        F.col("__p").alias("n_pos"),
+        F.col("__n").alias("n_neg"),
+    )

@@ -1226,3 +1226,84 @@ def embedding_label_outliers(
         .filter(F.col("rank") <= k)
         .select("label", "vec_id", "centroid_sim", "rank")
     )
+
+
+def bitext_margin_mine(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding corpora
+    (Artetxe & Schwenk 2019; the CCMatrix/LASER topology for harvesting
+    translation pairs for LLM training): a pair (x, y) is emitted when x
+    and y are each other's mutual nearest neighbor, scored by the RATIO
+    margin — cosine(x,y) normalized by the mean of each side's top-k
+    neighborhood — which cancels hubness (vectors that are near
+    everything score high cosines but low margins).
+
+        margin(x,y) = cos(x,y) / ((avg_topk(x) + avg_topk(y)) / 2)
+
+    Distribution shape: two brute_force_top_k passes (A->B, B->A), each a
+    cogrouped block-nested-loop with no driver collect; everything after
+    is per-query aggregation + equi-joins on ids.  At huge N swap the
+    exact passes for ivf_top_k — the output contract (query_id,
+    neighbor_id, cosine_sim, rank) is identical.
+
+    Exactness: cosines are snapped to the 10^-round_digits grid inside
+    the tile scorer; the margin is computed from exact bigint micro-cos
+    sums — margin = 2*k_a*k_b*mc / (sum_a*k_b + sum_b*k_a) — with ONE
+    double division at the end, so the result is aggregation-order
+    independent and matches a SQL oracle bit-for-bit.  Ids of the two
+    sides must be disjoint (cross-side id collisions would be dropped by
+    the tile scorer's self-match mask)."""
+    scale = float(10**round_digits)
+
+    def micro(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__mc", F.round(F.col("cosine_sim") * F.lit(scale)).cast("long")
+        )
+
+    a2b = micro(
+        brute_force_top_k(
+            side_a, side_b, k, id_col, id_col, vec_col, round_digits, n_blocks
+        )
+    )
+    b2a = micro(
+        brute_force_top_k(
+            side_b, side_a, k, id_col, id_col, vec_col, round_digits, n_blocks
+        )
+    )
+    sums_a = a2b.groupBy("query_id").agg(
+        F.sum("__mc").alias("__sa"), F.count("*").alias("__ka")
+    )
+    sums_b = b2a.groupBy("query_id").agg(
+        F.sum("__mc").alias("__sb"), F.count("*").alias("__kb")
+    )
+    best_f = a2b.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "cosine_sim",
+        "__mc",
+    )
+    best_b = b2a.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("tgt_id"), F.col("neighbor_id").alias("src_id")
+    )
+    mutual = best_f.join(best_b, ["src_id", "tgt_id"])
+    return (
+        mutual.join(sums_a.withColumnRenamed("query_id", "src_id"), "src_id")
+        .join(sums_b.withColumnRenamed("query_id", "tgt_id"), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine_sim",
+            F.round(
+                (F.lit(2.0) * F.col("__mc") * F.col("__ka") * F.col("__kb"))
+                / (F.col("__sa") * F.col("__kb") + F.col("__sb") * F.col("__ka")),
+                round_digits,
+            ).alias("margin"),
+        )
+    )

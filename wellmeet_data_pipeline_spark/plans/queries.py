@@ -6084,6 +6084,179 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_pagerank(minhash_lsh_candidates_sha(d), iters=3)
 
 
+# Shared classifier CTEs: tokens -> sha256 feature buckets -> integer model
+# weights -> per-doc exact-bigint sum (doc_id, n_tokens, s).  Used by both
+# quality_classifier_score (the scores) and classifier_auc (the eval).
+_CLS_CTES = f"""{_TOKPOS_SQL},
+    h AS (SELECT doc_id, sha256(term) AS hx FROM t2),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS bucket
+      FROM h
+    ),
+    wtd AS (
+      SELECT doc_id,
+             CAST((bucket * 2654435761) % 65536 - 32768 AS BIGINT) AS w_int
+      FROM b
+    ),
+    cls_agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w_int) AS BIGINT) AS s
+      FROM wtd GROUP BY doc_id
+    )"""
+
+
+@_q(
+    "classifier_auc",
+    f"""
+    WITH {_CLS_CTES},
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(CAST(s AS DOUBLE) / (CAST(32768 AS DOUBLE) * n_tokens)
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS si
+      FROM cls_agg
+    ),
+    lab AS (
+      SELECT sc.si, CAST(d.lang = 'en' AS INT) AS y
+      FROM sc JOIN documents d USING (doc_id)
+    ),
+    hist AS (
+      SELECT si, CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM lab GROUP BY si
+    ),
+    c AS (
+      SELECT si, n_pos, n_neg,
+             COALESCE(sum(n_neg) OVER (ORDER BY si
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS negs_below
+      FROM hist
+    ),
+    t AS (
+      SELECT CAST(sum(2 * n_pos * negs_below + n_pos * n_neg) AS BIGINT) AS u2,
+             CAST(sum(n_pos) AS BIGINT) AS p,
+             CAST(sum(n_neg) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT round(CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE) * p * n), 6) AS auc,
+           p AS n_pos, n AS n_neg
+    FROM t
+    """,
+    "exact ROC-AUC (Mann-Whitney rank-sum) of the hashed linear classifier "
+    "against an is-English relevance label — the retrain eval gate. Scores "
+    "collapse to a (score, n_pos, n_neg) histogram before any ordering and "
+    "the negatives-below prefix sum rides global_rank_cumsum (range-"
+    "partitioned two-pass), so no unpartitioned window at any cardinality; "
+    "exact bigint numerators, one final division",
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        exact_auc,
+        hashed_linear_score,
+        model_weights_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(d, model_weights_table(spark)).select(
+        "doc_id", F.round(F.col("logit") * F.lit(1e6)).cast("long").alias("si")
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")), "doc_id"
+    )
+    return exact_auc(labeled, "si", "y")
+
+
+@_q(
+    "bitext_mine_margin",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    ),
+    a AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+    b AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+    sc AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             CAST(round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                                i -> a.e[i] * b.e[i]))
+                        / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS mc
+      FROM a JOIN b ON true
+    ),
+    ra AS (SELECT qa, qb, mc, row_number() OVER (PARTITION BY qa
+                 ORDER BY mc DESC, qb ASC) AS rk FROM sc),
+    rb AS (SELECT qa, qb, mc, row_number() OVER (PARTITION BY qb
+                 ORDER BY mc DESC, qa ASC) AS rk FROM sc),
+    suma AS (SELECT qa, CAST(sum(mc) AS BIGINT) AS sa,
+                    CAST(count(*) AS BIGINT) AS ka FROM ra WHERE rk <= 4 GROUP BY qa),
+    sumb AS (SELECT qb, CAST(sum(mc) AS BIGINT) AS sb,
+                    CAST(count(*) AS BIGINT) AS kb FROM rb WHERE rk <= 4 GROUP BY qb),
+    bf AS (SELECT qa, qb, mc FROM ra WHERE rk = 1),
+    bb AS (SELECT qa, qb FROM rb WHERE rk = 1),
+    mutual AS (SELECT bf.* FROM bf JOIN bb ON bf.qa = bb.qa AND bf.qb = bb.qb)
+    SELECT m.qa AS src_id, m.qb AS tgt_id,
+           CAST(m.mc AS DOUBLE) / 1000000 AS cosine_sim,
+           round((CAST(2 AS DOUBLE) * m.mc * suma.ka * sumb.kb)
+                 / (suma.sa * sumb.kb + sumb.sb * suma.ka), 6) AS margin
+    FROM mutual m JOIN suma ON m.qa = suma.qa JOIN sumb ON m.qb = sumb.qb
+    """,
+    "margin-based bitext mining (Artetxe & Schwenk: the CCMatrix/LASER "
+    "parallel-pair harvest): mutual nearest neighbors between two embedding "
+    "corpora scored by ratio margin — cosine over the mean of each side's "
+    "top-4 neighborhood, cancelling hubness. Two cogrouped block-nested-"
+    "loop top-k passes (no driver collect, IVF-swappable), exact bigint "
+    "micro-cos margin arithmetic with one final division",
+)
+def q_bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import bitext_margin_mine
+
+    emb = table(spark, sf_dir, "embeddings")
+    side_a = emb.filter(F.col("vec_id") % 2 == 0)
+    side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return bitext_margin_mine(side_a, side_b, k=4)
+
+
+@_q(
+    "incremental_agg_refresh",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+    "incremental materialized-aggregate maintenance: the stored per-user "
+    "rollup (events before Jan 20, localCheckpoint'ed to stand in for the "
+    "persisted MV — the base log is NOT rescanned) merged with the delta "
+    "batch by monoid re-reduction; the oracle is the full recompute the "
+    "refresh must equal. Refresh cost scales with |delta| + |keys|, not "
+    "history; exact-integer cents",
+)
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import merge_agg_states
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "__cents", F.round(F.col("value") * 100).cast("long")
+    )
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def rollup(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum("__cents").alias("value_cents")
+        )
+
+    # the stored MV: aggregated once, pinned — downstream must not re-derive
+    base = rollup(ev.filter(F.col("ts") < cutoff)).localCheckpoint(eager=False)
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))
+    return merge_agg_states(base, delta, ["user_id"])
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
