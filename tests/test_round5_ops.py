@@ -95,3 +95,82 @@ def test_merge_agg_states_equals_full_recompute(spark):
         r["k"]: (r["n_events"], r["value_cents"]) for r in rollup(df).collect()
     }
     assert merged == full
+
+
+def test_interval_overlap_join_exact_pairs(spark):
+    from wellmeet_data_pipeline_spark.operators.joins import interval_overlap_join
+
+    # key 1: [0, 100] overlaps [50, 150] and touches [100, 200] (closed),
+    # not [101, 300]; key 2 never matches key 1
+    left = spark.createDataFrame(
+        [(1, 0, 100, "a"), (2, 0, 100, "b")], ["k", "start_us", "end_us", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 150, "x"), (1, 100, 200, "y"), (1, 101, 300, "z")],
+        ["k", "start_us", "end_us", "tag"],
+    )
+    got = interval_overlap_join(
+        left, right, key="k", bucket_width_us=40
+    ).collect()
+    pairs = {(r["l_tag"], r["r_tag"]) for r in got}
+    assert pairs == {("a", "x"), ("a", "y")}
+    # exactly-once despite intervals sharing several 40us buckets
+    assert len(got) == 2
+    ov = {(r["l_tag"], r["r_tag"]): r["overlap_us"] for r in got}
+    assert ov[("a", "x")] == 50 and ov[("a", "y")] == 0
+
+
+def test_interval_overlap_join_wide_bucket(spark):
+    from wellmeet_data_pipeline_spark.operators.joins import interval_overlap_join
+
+    # bucket far wider than intervals: both land in bucket 0, still exact
+    left = spark.createDataFrame([(1, 10, 20)], ["k", "start_us", "end_us"])
+    right = spark.createDataFrame(
+        [(1, 15, 30), (1, 21, 25)], ["k", "start_us", "end_us"]
+    )
+    got = interval_overlap_join(
+        left, right, key="k", bucket_width_us=10_000
+    ).collect()
+    assert len(got) == 1 and got[0]["overlap_us"] == 5
+
+
+def test_rolling_distinct_active_hand_case(spark):
+    import datetime
+
+    from wellmeet_data_pipeline_spark.operators.windows import (
+        rolling_distinct_active,
+    )
+
+    def t(day, h=12):
+        return datetime.datetime(2024, 3, day, h, 0, 0)
+
+    # u1 active d1 and d2 (counts once per window), u2 active d1 only,
+    # u3 active d9 (outside u1/u2's 7-day reach)
+    rows = [(t(1), 1), (t(1, 13), 1), (t(2), 1), (t(1), 2), (t(9), 3)]
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {
+        str(r["as_of_day"]): r["n_active"]
+        for r in rolling_distinct_active(df, window_days=7).collect()
+    }
+    # observed days: 1, 2, 9.  day1: {u1,u2}=2; day2: {u1,u2}=2;
+    # day9: u3 only (d2+6=d8 < d9)
+    assert got == {"2024-03-01": 2, "2024-03-02": 2, "2024-03-09": 1}
+
+
+def test_calibration_bins_edges_and_means(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import calibration_bins
+
+    rows = [
+        (-1.0, 0),   # clamps into bin 0
+        (-0.95, 1),  # bin 0
+        (0.0, 1),    # bin 5 ([0, 0.2))
+        (0.1, 0),    # bin 5
+        (1.0, 1),    # clamps into bin 9
+    ]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    got = {r["bin"]: r for r in calibration_bins(df, "score", "y").collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0]["n"] == 2 and got[0]["n_pos"] == 1
+    assert got[0]["mean_score"] == pytest.approx(-0.975)
+    assert got[5]["frac_pos"] == 0.5 and got[5]["mean_score"] == pytest.approx(0.05)
+    assert got[9]["n"] == 1 and got[9]["frac_pos"] == 1.0

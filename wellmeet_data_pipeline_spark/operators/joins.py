@@ -108,3 +108,75 @@ def range_join_within(
         .withColumn("delta_us", F.col("__r_us") - F.col("__l_us"))
         .drop("__l_us", "__r_us")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_width_us: int = 3_600_000_000,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Interval x interval overlap join (closed intervals, integer
+    microseconds): emit (l, r) per key where l.start <= r.end AND
+    r.start <= l.end — the sessions-vs-campaigns / readings-vs-outages
+    shape a naive theta join executes as an O(n*m) nested loop.
+
+    Grid blocking: each interval fans out to every `bucket_width_us`-wide
+    bucket it covers (sequence(floor(s/W), floor(e/W)) — fan-out bounded
+    by interval_length/W + 1, so pick W near the typical interval
+    length), the join becomes EQUI on (key, bucket), and the exact
+    predicate filters candidates.  A pair overlapping across several
+    shared buckets would duplicate, so only the FIRST shared bucket —
+    greatest(floor(l.s/W), floor(r.s/W)), a value both sides compute
+    without seeing each other — emits the pair: exactly-once without a
+    distinct shuffle.  Work is O(pairs per (key, bucket)): local density,
+    never all-pairs."""
+    w = int(bucket_width_us)
+
+    def prep(df: DataFrame, prefix: str, s_alias: str, e_alias: str) -> DataFrame:
+        others = [c for c in df.columns if c not in (key, start_col, end_col)]
+        return df.select(
+            F.col(key),
+            F.col(start_col).cast("long").alias(s_alias),
+            F.col(end_col).cast("long").alias(e_alias),
+            *[F.col(c).alias(f"{prefix}{c}") for c in others],
+        ).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s_alias) / w).cast("long"),
+                    F.floor(F.col(e_alias) / w).cast("long"),
+                )
+            ),
+        )
+
+    l = prep(left, left_prefix, "__ls", "__le")
+    r = prep(right, right_prefix, "__rs", "__re")
+    return (
+        l.join(r, on=[key, "__bucket"])
+        .filter(
+            (F.col("__ls") <= F.col("__re"))
+            & (F.col("__rs") <= F.col("__le"))
+            & (
+                F.col("__bucket")
+                == F.greatest(
+                    F.floor(F.col("__ls") / w).cast("long"),
+                    F.floor(F.col("__rs") / w).cast("long"),
+                )
+            )
+        )
+        .withColumn(
+            "overlap_us",
+            F.least(F.col("__le"), F.col("__re"))
+            - F.greatest(F.col("__ls"), F.col("__rs")),
+        )
+        .withColumnRenamed("__ls", f"{left_prefix}{start_col}")
+        .withColumnRenamed("__le", f"{left_prefix}{end_col}")
+        .withColumnRenamed("__rs", f"{right_prefix}{start_col}")
+        .withColumnRenamed("__re", f"{right_prefix}{end_col}")
+        .drop("__bucket")
+    )

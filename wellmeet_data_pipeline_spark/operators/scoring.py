@@ -714,3 +714,53 @@ def exact_auc(
         F.col("__p").alias("n_pos"),
         F.col("__n").alias("n_neg"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = -1.0,
+    hi: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins for a classifier score in [lo, hi]: equal-
+    width bins with (count, positive fraction, mean score) — the
+    calibration read that accompanies AUC after every retrain (AUC says
+    the ranking separates; calibration says the scores MEAN something).
+
+    One groupBy on the bin id (n_bins groups — trivially broadcastable);
+    means are exact: `score_col` must sit on the 10^-round_digits grid,
+    so the per-bin sum rides an exact bigint micro-score accumulator and
+    divides once.  Bin id clamps to [0, n_bins-1] so score == hi lands in
+    the top bin instead of a phantom n_bins-th."""
+    scale = float(10**round_digits)
+    width = (hi - lo) / n_bins
+    si = F.round(F.col(score_col) * F.lit(scale)).cast("long")
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    y = F.col(label_col).cast("long")
+    return (
+        scored.select(bin_id.alias("bin"), si.alias("__si"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum("__si").alias("__ssum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("__ssum") / F.col("n") / F.lit(scale), round_digits).alias(
+                "mean_score"
+            ),
+            F.round(F.col("n_pos") / F.col("n"), round_digits).alias("frac_pos"),
+        )
+    )

@@ -217,3 +217,43 @@ def equi_depth_buckets(
             F.max("__v").alias("hi_value"),
         )
     )
+
+
+def rolling_distinct_active(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day distinct active users per observed day (the WAU/MAU
+    denominator): for each day with any activity, the count of distinct
+    users active in [day - N + 1, day].
+
+    Distinct-over-sliding-windows cannot ride an ordinary window
+    aggregate (COUNT(DISTINCT) OVER a range frame re-scans the frame per
+    row and still needs the full user set per day in one task).  Exact
+    distributed form instead: collapse to (user, day) grain first (the
+    big dedup — map-side combine, one shuffle on the pair), fan each
+    active day out to the <= N as-of days it contributes to, dedup
+    (user, as_of_day) again (a user active twice inside one window must
+    count once), and count per day.  Data volume after the first dedup
+    is users x active-days, and the fan-out is a bounded N x of THAT —
+    never of the raw event log.  Trailing fan-out days beyond the data
+    range are dropped by an inner join with the observed-day set
+    (day-cardinality, broadcast)."""
+    day = F.to_date(F.col(ts_col)).alias("__day")
+    ud = events.select(day, F.col(user_col).alias("__u")).distinct()
+    days = ud.select(F.col("__day").alias("as_of_day")).distinct()
+    covered = ud.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("__day"), F.date_add(F.col("__day"), window_days - 1)
+            )
+        ).alias("as_of_day"),
+    ).distinct()
+    return (
+        covered.join(F.broadcast(days), "as_of_day")
+        .groupBy("as_of_day")
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -6257,6 +6257,148 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_agg_states(base, delta, ["user_id"])
 
 
+@_q(
+    "interval_overlap_sessions",
+    """
+    WITH l AS (
+      SELECT user_id, CAST(ts AS DATE) AS l_day,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS l_start_us,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS l_end_us
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, CAST(ts AS DATE) AS r_day,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS r_start_us,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS r_end_us
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.user_id, CAST(l.l_day AS VARCHAR) AS l_day,
+           CAST(r.r_day AS VARCHAR) AS r_day,
+           l_start_us, l_end_us, r_start_us, r_end_us,
+           least(l_end_us, r_end_us) - greatest(l_start_us, r_start_us)
+             AS overlap_us
+    FROM l JOIN r ON l.user_id = r.user_id
+     AND l_start_us <= r_end_us AND r_start_us <= l_end_us
+    """,
+    "interval x interval overlap join (click bursts vs purchase bursts per "
+    "user-day) via grid blocking: each interval fans out to the 6h buckets "
+    "it covers, EQUI join on (user, bucket), exact predicate filter, and "
+    "first-shared-bucket emission for exactly-once — O(local density), "
+    "never the O(n*m) theta nested loop the oracle runs",
+)
+def q_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.joins import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events")
+
+    def bursts(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                "user_id",
+                F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            )
+            .agg(
+                F.min(F.unix_micros("ts")).alias("start_us"),
+                F.max(F.unix_micros("ts")).alias("end_us"),
+            )
+        )
+
+    res = interval_overlap_join(
+        bursts("click"),
+        bursts("purchase"),
+        key="user_id",
+        bucket_width_us=6 * 3_600_000_000,
+    )
+    return res.select(
+        "user_id",
+        "l_day",
+        "r_day",
+        F.col("l_start_us"),
+        F.col("l_end_us"),
+        F.col("r_start_us"),
+        F.col("r_end_us"),
+        "overlap_us",
+    )
+
+
+@_q(
+    "rolling_7day_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    cov AS (
+      SELECT DISTINCT d.day AS as_of_day, u.user_id
+      FROM ud u JOIN days d ON d.day BETWEEN u.day AND u.day + 6
+    )
+    SELECT CAST(as_of_day AS VARCHAR) AS as_of_day,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM cov GROUP BY 1
+    """,
+    "rolling 7-day distinct active users per observed day (the WAU "
+    "denominator): (user, day) dedup first, bounded 7x fan-out of THAT "
+    "frame to the as-of days each active day feeds, second pair dedup, "
+    "count per day — exact sliding distinct with no per-day re-scan and "
+    "no single-task window; the oracle's BETWEEN join is the O(days x "
+    "users) form this replaces",
+)
+def q_rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.windows import rolling_distinct_active
+
+    ev = table(spark, sf_dir, "events")
+    res = rolling_distinct_active(ev, "ts", "user_id", window_days=7)
+    return res.select(
+        F.date_format("as_of_day", "yyyy-MM-dd").alias("as_of_day"), "n_active"
+    )
+
+
+@_q(
+    "classifier_calibration",
+    f"""
+    WITH {_CLS_CTES},
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(CAST(s AS DOUBLE) / (CAST(32768 AS DOUBLE) * n_tokens)
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS si
+      FROM cls_agg
+    ),
+    lab AS (
+      SELECT sc.si,
+             least(9, greatest(0, CAST(floor((CAST(sc.si AS DOUBLE) / 1000000
+                                              - CAST(-1.0 AS DOUBLE)) / CAST(0.2 AS DOUBLE))
+                                       AS INT))) AS bin,
+             CAST(d.lang = 'en' AS INT) AS y
+      FROM sc JOIN documents d USING (doc_id)
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(si) AS DOUBLE) / count(*) / 1000000, 6) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+    FROM lab GROUP BY bin
+    """,
+    "reliability-diagram calibration bins for the hashed linear classifier "
+    "(10 equal-width logit bins over [-1, 1]): per-bin count, mean score "
+    "(exact bigint micro-score sum), and positive fraction — the companion "
+    "read to classifier_auc; one groupBy on a 10-ary key, trivially "
+    "broadcastable at any corpus size",
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        calibration_bins,
+        hashed_linear_score,
+        model_weights_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(d, model_weights_table(spark)).join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")), "doc_id"
+    )
+    return calibration_bins(scored, "logit", "y", n_bins=10, lo=-1.0, hi=1.0)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
