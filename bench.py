@@ -86,6 +86,14 @@ HEADLINE = [
     "daily_anomaly_flags",
     "user_interarrival_stats",
     "corpus_datacard",
+    # round 5 additions
+    "classifier_auc",
+    "classifier_calibration",
+    "bitext_mine_margin",
+    "incremental_agg_refresh",
+    "interval_overlap_sessions",
+    "rolling_7day_active_users",
+    "cdc_latest_state",
 ]
 
 

@@ -174,3 +174,28 @@ def test_calibration_bins_edges_and_means(spark):
     assert got[0]["mean_score"] == pytest.approx(-0.975)
     assert got[5]["frac_pos"] == 0.5 and got[5]["mean_score"] == pytest.approx(0.05)
     assert got[9]["n"] == 1 and got[9]["frac_pos"] == 1.0
+
+
+def test_cdc_apply_latest_tombstones_and_order(spark):
+    import datetime
+
+    from wellmeet_data_pipeline_spark.operators.dedup import cdc_apply_latest
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # key 1: insert then update -> survives with v=20
+        (1, t0, 1, "I", 10),
+        (1, t0, 2, "U", 20),          # same ts: event_id breaks the tie
+        # key 2: update then delete -> gone
+        (2, t0, 3, "U", 30),
+        (2, datetime.datetime(2024, 1, 2), 4, "D", 0),
+        # key 3: delete then REINSERT -> survives with v=50
+        (3, t0, 5, "D", 0),
+        (3, datetime.datetime(2024, 1, 3), 6, "I", 50),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "op", "v"])
+    got = {
+        r["k"]: (r["op"], r["v"])
+        for r in cdc_apply_latest(df, ["k"], ["ts", "seq"], "op", "D").collect()
+    }
+    assert got == {1: ("U", 20), 3: ("I", 50)}

@@ -807,3 +807,75 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(spark, tm
     rows = {r["l_event_id"]: r for r in spark.read.parquet(out).collect()}
     assert rows[1]["r_event_id"] == 10 and rows[1]["delta_us"] == 20 * 60 * 1_000_000
     assert 2 in rows and rows[2]["r_event_id"] is None  # abandoned click emitted with nulls
+
+
+def test_streaming_cdc_apply_latest_state(spark, tmp_path):
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.cdc import (
+        current_state,
+        run_streaming_cdc_apply,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    landing = tmp_path / "cdc_landing"
+    landing.mkdir()
+    store = str(tmp_path / "cdc_store")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("seq", LongType()),
+            StructField("op", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+
+    def state():
+        return {
+            r["k"]: (r["op"], r["v"])
+            for r in current_state(spark, store, "k", ["seq"], "op", "D").collect()
+        }
+
+    # batch 1: k1 insert+update (within-batch reduction), k2 insert
+    _drop(
+        landing,
+        "c1.json",
+        [
+            {"k": 1, "seq": 1, "op": "I", "v": 10},
+            {"k": 1, "seq": 2, "op": "U", "v": 20},
+            {"k": 2, "seq": 3, "op": "I", "v": 30},
+        ],
+    )
+    run_streaming_cdc_apply(spark, str(landing), store, ckpt, schema, "k", ["seq"])
+    assert state() == {1: ("U", 20), 2: ("I", 30)}
+
+    # batch 2: k2 deleted, k3 born — tombstone must erase k2 across batches
+    _drop(
+        landing,
+        "c2.json",
+        [
+            {"k": 2, "seq": 4, "op": "D", "v": 0},
+            {"k": 3, "seq": 5, "op": "I", "v": 50},
+        ],
+    )
+    run_streaming_cdc_apply(spark, str(landing), store, ckpt, schema, "k", ["seq"])
+    assert state() == {1: ("U", 20), 3: ("I", 50)}
+
+    # batch 3: k2 REINSERTED after its tombstone -> resurrected
+    _drop(landing, "c3.json", [{"k": 2, "seq": 6, "op": "I", "v": 60}])
+    run_streaming_cdc_apply(spark, str(landing), store, ckpt, schema, "k", ["seq"])
+    assert state() == {1: ("U", 20), 2: ("I", 60), 3: ("I", 50)}
+
+    # at-least-once replay of batch 1's partials (same (key, batch)
+    # identity, same rows) must not change anything — in particular it
+    # must NOT revive k1's seq-2 row above k2's later state
+    replay = spark.createDataFrame(
+        [(1, 2, "U", 20), (2, 3, "I", 30)], "k long, seq long, op string, v long"
+    )
+    merge_append(replay, store, id_col="k", partition_col=None, batch_seq=0)
+    assert state() == {1: ("U", 20), 2: ("I", 60), 3: ("I", 50)}

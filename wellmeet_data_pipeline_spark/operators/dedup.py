@@ -855,3 +855,33 @@ def graph_pagerank(
             F.round("pr", round_digits).alias("pagerank"),
         )
     )
+
+
+def cdc_apply_latest(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str,
+    delete_op: str,
+) -> DataFrame:
+    """Apply a change-data-capture log to materialize latest state: per
+    key, take the row with the greatest (order_cols) position; if that
+    final operation is a delete tombstone, the key has no current row.
+    The standard CDC-merge every warehouse ingest runs (Debezium ->
+    lakehouse), as one window + one filter.
+
+    One shuffle on the key; the window frame per key is that key's
+    change history (bounded by update frequency, not table size).  Order
+    must be a deterministic total order per key — pass the changelog's
+    (commit_ts, sequence/event_id) pair, never a timestamp alone, or
+    same-instant updates tie-break nondeterministically across retries."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("__rn")
+    )

@@ -6399,6 +6399,46 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(scored, "logit", "y", n_bins=10, lo=-1.0, hi=1.0)
 
 
+@_q(
+    "cdc_latest_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, round(value * 100) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_op,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           CAST(cents AS BIGINT) AS value_cents
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "CDC apply: materialize latest state from a changelog — per key the "
+    "greatest (ts, event_id) row wins, delete tombstones ('error' here) "
+    "erase the key. One shuffle on the key, per-key frame bounded by that "
+    "key's change history; (ts, event_id) compound order so same-instant "
+    "updates cannot tie-break nondeterministically",
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import cdc_apply_latest
+
+    ev = table(spark, sf_dir, "events")
+    latest = cdc_apply_latest(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_op="error",
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
