@@ -199,3 +199,41 @@ def test_cdc_apply_latest_tombstones_and_order(spark):
         for r in cdc_apply_latest(df, ["k"], ["ts", "seq"], "op", "D").collect()
     }
     assert got == {1: ("U", 20), 3: ("I", 50)}
+
+
+def test_hll_distinct_reasonable_estimate(spark):
+    from wellmeet_data_pipeline_spark.operators.aggregations import hll_distinct
+
+    df = spark.range(2000).select((F.col("id") % 700).alias("k"))
+    r = hll_distinct(df, "k", b=8).collect()[0]
+    assert r["n_exact"] == 700
+    # 256 registers -> standard error ~1.04/16 = 6.5%; allow 3 sigma
+    assert abs(r["rel_error"]) < 0.2
+    assert r["estimate"] == pytest.approx(
+        r["n_exact"] * (1 + r["rel_error"]), rel=1e-3
+    )
+
+
+def test_hll_distinct_small_range_linear_counting(spark):
+    from wellmeet_data_pipeline_spark.operators.aggregations import hll_distinct
+
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    r = hll_distinct(df, "k", b=8).collect()[0]
+    # 10 distinct over 256 registers: linear counting is near-exact
+    assert r["n_exact"] == 10 and abs(r["rel_error"]) < 0.05
+
+
+def test_countmin_never_undercounts(spark):
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        countmin_heavy_hitters,
+    )
+
+    rows = [(i % 7,) for i in range(500)] + [(99,)] * 50
+    df = spark.createDataFrame(rows, ["k"])
+    got = countmin_heavy_hitters(df, "k", width=1024, depth=2, top_n=5).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r["overcount"] >= 0
+        assert r["estimate"] == r["n_exact"] + r["overcount"]
+    # 8 distinct keys in 1024 buckets: no collisions, estimates exact
+    assert all(r["overcount"] == 0 for r in got)

@@ -82,6 +82,28 @@ def scaled_embeddings(spark, sf_dir: str, factor: int):
     )
 
 
+def scaled_events(spark, sf_dir: str, factor: int):
+    """Copies shift user_id/event_id into disjoint ranges and keep the
+    time axis fixed: user population grows with data (the real WAU/CDC
+    regime — more users, same calendar), so per-user interval structure
+    and per-day activity patterns are preserved copy-for-copy."""
+    ev = table(spark, sf_dir, "events")
+    if factor == 1:
+        return ev
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    return (
+        ev.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("event_id") + F.col("__copy") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("__copy") * 10_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+
+
 def run_minhash(spark, sf_dir, factor):
     from wellmeet_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
 
@@ -209,6 +231,67 @@ def run_perplexity_lang_buckets(spark, sf_dir, factor):
     return perplexity_lang_buckets(d, lm).count()
 
 
+def run_bitext_margin(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.similarity import bitext_margin_mine
+
+    e = scaled_embeddings(spark, sf_dir, factor).localCheckpoint()
+    side_a = e.filter(F.col("vec_id") % 2 == 0)
+    side_b = e.filter(F.col("vec_id") % 2 == 1)
+    # exact tier: O(|A||B|) BLAS work — quadratic by design, the smoke
+    # documents the crossover pressure toward the IVF-backed form.
+    # n_blocks grows with sqrt(factor) to hold the per-tile similarity
+    # matrix near (side/blocks)^2 ~ 250MB: at x64 (64k/side) blocks=4
+    # would make 16k x 16k float64 tiles (2 GB each) and OOM the workers
+    n_blocks = max(4, int(2 * factor**0.5))
+    return bitext_margin_mine(side_a, side_b, k=4, n_blocks=n_blocks).count()
+
+
+def run_interval_overlap(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.joins import interval_overlap_join
+
+    ev = scaled_events(spark, sf_dir, factor)
+
+    def bursts(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(
+                F.min(F.unix_micros("ts")).alias("start_us"),
+                F.max(F.unix_micros("ts")).alias("end_us"),
+            )
+        )
+
+    return interval_overlap_join(
+        bursts("click"), bursts("purchase"), key="user_id",
+        bucket_width_us=6 * 3_600_000_000,
+    ).count()
+
+
+def run_rolling_dau(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.windows import rolling_distinct_active
+
+    return rolling_distinct_active(
+        scaled_events(spark, sf_dir, factor), "ts", "user_id", window_days=7
+    ).count()
+
+
+def run_classifier_auc(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        exact_auc,
+        hashed_linear_score,
+        model_weights_table,
+    )
+
+    d = scaled_documents(spark, sf_dir, factor)
+    scored = hashed_linear_score(d, model_weights_table(spark)).select(
+        "doc_id", F.round(F.col("logit") * F.lit(1e6)).cast("long").alias("si")
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")), "doc_id"
+    )
+    return exact_auc(labeled, "si", "y").count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -224,6 +307,10 @@ OPS = {
     "ngram_novelty": run_ngram_novelty,
     "char_entropy": run_char_entropy,
     "perplexity_lang_buckets": run_perplexity_lang_buckets,
+    "bitext_mine_margin": run_bitext_margin,
+    "interval_overlap_sessions": run_interval_overlap,
+    "rolling_7day_active_users": run_rolling_dau,
+    "classifier_auc": run_classifier_auc,
 }
 
 

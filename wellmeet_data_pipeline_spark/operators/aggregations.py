@@ -116,3 +116,142 @@ def merge_agg_states(
             F.sum(sum_col).alias(sum_col),
         )
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count over `key_col` with 2^b registers —
+    the mergeable fixed-size sketch that replaces COUNT(DISTINCT) when
+    the key set itself no longer fits anywhere (every register frame is
+    2^b rows regardless of input size, and two sketches merge by
+    register-wise MAX — the property that lets per-partition/per-day
+    sketches roll up without re-touching raw data).
+
+    Hashing is sha256-derived so the DuckDB oracle reproduces the sketch
+    BIT-FOR-BIT (a production deployment swaps in xxhash64 — same shape,
+    cheaper hash; the repo's MinHash twins set the precedent): register =
+    first b bits (2 hex chars for b=8), rho = leading-zero count of the
+    next 52 bits + 1, computed via length(bin(v)) — pure integer, no
+    float log.  The harmonic mean rides an exact bigint: sum over
+    registers of 2^(52 - M_j) (M_j <= 53), one double division at the
+    end, and the standard small-range linear-counting correction when
+    E < 2.5m with empty registers.
+
+    Output: one row (n_exact, estimate, rel_error) — n_exact is included
+    for the evaluation read; a real pipeline emits only the registers."""
+    if b != 8:
+        raise ValueError("register addressing is pinned to b=8 (2 hex chars)")
+    m = 1 << b
+    hx = F.sha2(F.col(key_col).cast("string"), 256)
+    reg = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    # 52 bits after the register bits; conv -> bigint < 2^52 (exact)
+    v = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    # rho = (#leading zeros of the 52-bit string) + 1 = 53 - bit_length(v)
+    rho = F.when(F.col("__v") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("__v")))
+    )
+    regs = (
+        df.select(reg.alias("__reg"), v.alias("__v"))
+        .withColumn("__rho", rho)
+        .groupBy("__reg")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    # exact-integer harmonic accumulator: Z * 2^52 = sum(2^(52 - M_j));
+    # empty registers contribute 2^52 each (M = 0)
+    stats = regs.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - __M)")).alias("__zsum"),
+        F.count("*").alias("__nreg"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two52 = float(1 << 52)
+    est_raw = (
+        F.lit(alpha * m * m * two52)
+        / (F.col("__zsum") + (F.lit(m) - F.col("__nreg")) * F.lit(two52))
+    )
+    zeros = (F.lit(m) - F.col("__nreg")).cast("double")
+    est = F.when(
+        (est_raw < 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(est_raw)
+    exact = df.agg(F.count_distinct(F.col(key_col)).alias("n_exact"))
+    return (
+        exact.crossJoin(F.broadcast(stats))
+        .select(
+            "n_exact",
+            F.round(est, 4).alias("estimate"),
+            F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_error"
+            ),
+        )
+    )
+
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 2,
+    top_n: int = 10,
+) -> DataFrame:
+    """Count-min sketch frequency estimates, evaluated against exact
+    counts for the top-N keys — the fixed-size alternative to a full
+    groupBy when the key space explodes: the sketch is depth x width
+    cells regardless of input, merges cell-wise by +, and every estimate
+    is an UPPER bound (collisions only inflate).
+
+    sha256-derived row hashes (bucket_j = 4 hex chars of sha256(j||key)
+    mod width) keep the sketch oracle-reproducible; estimates are
+    min over rows of the collided cell sums — all integer arithmetic.
+    The exact join is evaluation scaffolding: a real deployment keeps
+    only the (depth x width) cell frame."""
+    cells = []
+    for j in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(F.sha2(F.concat(F.lit(str(j) + "|"), F.col(key_col).cast("string")), 256), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        cells.append(
+            df.select(F.lit(j).alias("__row"), bucket.alias("__bucket"))
+        )
+    from functools import reduce
+
+    sketch = (
+        reduce(lambda a, c: a.unionByName(c), cells)
+        .groupBy("__row", "__bucket")
+        .agg(F.count("*").alias("__c"))
+    )
+
+    exact = df.groupBy(key_col).agg(F.count("*").alias("n_exact"))
+    top = exact.orderBy(F.col("n_exact").desc(), F.col(key_col).asc()).limit(top_n)
+    probes = top
+    for j in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(F.sha2(F.concat(F.lit(str(j) + "|"), F.col(key_col).cast("string")), 256), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        probes = probes.withColumn(f"__b{j}", bucket)
+    est = None
+    for j in range(depth):
+        s = sketch.filter(F.col("__row") == j).select(
+            F.col("__bucket").alias(f"__b{j}"), F.col("__c").alias(f"__e{j}")
+        )
+        probes = probes.join(F.broadcast(s), f"__b{j}")
+        e = F.col(f"__e{j}")
+        est = e if est is None else F.least(est, e)
+    return probes.select(
+        key_col,
+        "n_exact",
+        est.alias("estimate"),
+        (est - F.col("n_exact")).alias("overcount"),
+    )

@@ -6439,6 +6439,112 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hex_int_sql(hx: str, start: int, n: int) -> str:
+    """DuckDB SQL decoding `n` hex chars of expression `hx` (1-based
+    `start`) into a BIGINT — DuckDB has no conv(); nibble-by-nibble
+    strpos decode, the same trick the classifier oracle uses."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hx}, {start + i}, 1)) - 1)"
+        + (f" * {16 ** (n - 1 - i)}" if n - 1 - i > 0 else "")
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_HLL_ALPHA_NUM = repr((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 52))
+
+
+@_q(
+    "hll_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT sha256(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    rv AS (
+      SELECT {_hex_int_sql('hx', 1, 2)} AS reg,
+             {_hex_int_sql('hx', 3, 13)} AS v
+      FROM h
+    ),
+    regs AS (
+      SELECT reg,
+             max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS M
+      FROM rv GROUP BY reg
+    ),
+    stats AS (
+      SELECT CAST(sum(CAST(2 AS BIGINT) ** (52 - M)) AS BIGINT) AS zsum,
+             CAST(count(*) AS BIGINT) AS nreg
+      FROM regs
+    ),
+    est AS (
+      SELECT CAST({_HLL_ALPHA_NUM} AS DOUBLE)
+               / (zsum + (256 - nreg) * CAST({float(1 << 52)!r} AS DOUBLE)) AS raw,
+             CAST(256 - nreg AS DOUBLE) AS zeros
+      FROM stats
+    ),
+    fin AS (
+      SELECT CASE WHEN raw < 640.0 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+      FROM est
+    )
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+           round(e, 4) AS estimate,
+           round((e - (SELECT count(DISTINCT user_id) FROM events))
+                 / (SELECT count(DISTINCT user_id) FROM events), 4) AS rel_error
+    FROM fin
+    """,
+    "HyperLogLog distinct-user sketch (256 registers, sha256-derived so "
+    "the oracle reproduces it bit-for-bit; production swaps xxhash64): "
+    "register-wise MAX state merges across partitions/days without raw "
+    "re-reads, harmonic mean on an exact bigint 2^(52-M) accumulator, "
+    "linear-counting small-range correction; output pairs the estimate "
+    "with the exact count for the evaluation read",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import hll_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", b=8)
+
+
+@_q(
+    "countmin_heavy_hitters",
+    f"""
+    WITH rows_ AS (
+      SELECT user_id,
+             {_hex_int_sql("sha256('0|' || CAST(user_id AS VARCHAR))", 1, 4)} % 1024 AS b0,
+             {_hex_int_sql("sha256('1|' || CAST(user_id AS VARCHAR))", 1, 4)} % 1024 AS b1
+      FROM events
+    ),
+    s0 AS (SELECT b0, CAST(count(*) AS BIGINT) AS e0 FROM rows_ GROUP BY b0),
+    s1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS e1 FROM rows_ GROUP BY b1),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact,
+             arg_min(b0, user_id) AS b0, arg_min(b1, user_id) AS b1
+      FROM rows_ GROUP BY user_id
+    ),
+    top AS (
+      SELECT * FROM exact ORDER BY n_exact DESC, user_id ASC LIMIT 10
+    )
+    SELECT t.user_id, t.n_exact,
+           least(s0.e0, s1.e1) AS estimate,
+           least(s0.e0, s1.e1) - t.n_exact AS overcount
+    FROM top t JOIN s0 ON t.b0 = s0.b0 JOIN s1 ON t.b1 = s1.b1
+    """,
+    "count-min sketch frequency estimates vs exact counts for the top-10 "
+    "users: 2 x 1024 integer cells regardless of input size, cell-wise "
+    "additive merge, min-over-rows point estimates that only ever "
+    "overcount — the fixed-state answer when the key space outgrows a "
+    "groupBy; sha256 row hashes keep the sketch oracle-reproducible",
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        countmin_heavy_hitters,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return countmin_heavy_hitters(ev, "user_id", width=1024, depth=2, top_n=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
