@@ -237,3 +237,60 @@ def test_countmin_never_undercounts(spark):
         assert r["estimate"] == r["n_exact"] + r["overcount"]
     # 8 distinct keys in 1024 buckets: no collisions, estimates exact
     assert all(r["overcount"] == 0 for r in got)
+
+
+def test_bitext_margin_ivf_method_recovers_planted_pairs(spark):
+    import random
+
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    rng = random.Random(3)
+    # 4 well-separated cluster centers, 10 vectors each; side B duplicates
+    # side A so every (2i, 2i+1) is a planted mutual pair
+    centers = [[rng.gauss(0, 1) * 5 for _ in range(16)] for _ in range(4)]
+    base = []
+    for ci, c in enumerate(centers):
+        for _ in range(10):
+            base.append([x + rng.gauss(0, 0.05) for x in c])
+    a = [(2 * i, [float(x) for x in v]) for i, v in enumerate(base)]
+    b = [(2 * i + 1, [float(x) for x in v]) for i, v in enumerate(base)]
+    side_a = spark.createDataFrame(a, ["vec_id", "embedding"])
+    side_b = spark.createDataFrame(b, ["vec_id", "embedding"])
+    got = bitext_margin_mine(
+        side_a, side_b, k=3, method="ivf", nprobe=2, n_centroids=4
+    ).collect()
+    pairs = {(r["src_id"], r["tgt_id"]) for r in got}
+    assert {(2 * i, 2 * i + 1) for i in range(len(base))} <= pairs
+    for r in got:
+        if (r["src_id"], r["tgt_id"]) in {(2 * i, 2 * i + 1) for i in range(len(base))}:
+            assert r["cosine_sim"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_ivf_cross_top_k_contract_matches_bruteforce_on_clusters(spark):
+    import random
+
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        brute_force_top_k,
+        ivf_cross_top_k,
+    )
+
+    rng = random.Random(9)
+    centers = [[rng.gauss(0, 1) * 5 for _ in range(12)] for _ in range(3)]
+    mk = lambda off: [
+        (off + i, [float(x + rng.gauss(0, 0.05)) for x in centers[i % 3]])
+        for i in range(30)
+    ]
+    q = spark.createDataFrame(mk(0), ["vec_id", "embedding"])
+    c = spark.createDataFrame(mk(1000), ["vec_id", "embedding"])
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_top_k(q, c, 3).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_cross_top_k(q, c, 3, n_centroids=3, nprobe=2).collect()
+    }
+    agree = sum(1 for k_ in exact if approx.get(k_) == exact[k_])
+    assert agree / len(exact) >= 0.95

@@ -1236,6 +1236,9 @@ def bitext_margin_mine(
     vec_col: str = "embedding",
     round_digits: int = 6,
     n_blocks: int = 4,
+    method: str = "exact",
+    nprobe: int = 4,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """Margin-based parallel-pair mining between two embedding corpora
     (Artetxe & Schwenk 2019; the CCMatrix/LASER topology for harvesting
@@ -1267,16 +1270,35 @@ def bitext_margin_mine(
             "__mc", F.round(F.col("cosine_sim") * F.lit(scale)).cast("long")
         )
 
-    a2b = micro(
-        brute_force_top_k(
-            side_a, side_b, k, id_col, id_col, vec_col, round_digits, n_blocks
-        )
-    )
-    b2a = micro(
-        brute_force_top_k(
-            side_b, side_a, k, id_col, id_col, vec_col, round_digits, n_blocks
-        )
-    )
+    if method == "exact":
+
+        def topk(q, c):
+            return brute_force_top_k(
+                q, c, k, id_col, id_col, vec_col, round_digits, n_blocks
+            )
+
+    elif method == "ivf":
+        # the 100 TB form: swap the quadratic BNL passes for two-sided IVF
+        # (index trained on the candidate side of each direction) — same
+        # output contract, margin math unchanged; recall is the only trade
+        def topk(q, c):
+            return ivf_cross_top_k(
+                q,
+                c,
+                k,
+                n_centroids=n_centroids,
+                nprobe=nprobe,
+                query_id=id_col,
+                cand_id=id_col,
+                vec_col=vec_col,
+                round_digits=round_digits,
+            )
+
+    else:
+        raise ValueError(f"unknown method {method!r}; 'exact' or 'ivf'")
+
+    a2b = micro(topk(side_a, side_b))
+    b2a = micro(topk(side_b, side_a))
     sums_a = a2b.groupBy("query_id").agg(
         F.sum("__mc").alias("__sa"), F.count("*").alias("__ka")
     )
@@ -1307,3 +1329,119 @@ def bitext_margin_mine(
             ).alias("margin"),
         )
     )
+
+
+def ivf_cross_top_k(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int | None = None,
+    round_digits: int = 6,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """IVF-flat approximate top-k of `queries` against a SEPARATE
+    candidate corpus — the two-sided generalization of ivf_top_k (same
+    output contract as brute_force_top_k, so callers swap freely).
+
+    The index is trained on the CANDIDATE side (that is the corpus being
+    searched): centroid sample + optional spherical k-means refinement.
+    One assignment pass per side — candidates land in their single
+    nearest bucket, queries fan to their `nprobe` nearest — then each
+    bucket scores its queries against its candidates in one grouped
+    Arrow pass and a per-query rank window merges the probes.  Shuffle
+    volume is (|Q| * nprobe + |C|) vector rows keyed by bucket; no pair
+    materialization anywhere.
+
+    Ids of the two sides must be disjoint (the tile scorer masks
+    id-equal pairs, a cross-side collision would silently drop a valid
+    result)."""
+    spark = candidates.sparkSession
+    if n_centroids is None or seed_mod is None:
+        n_rows = candidates.count()
+        if n_centroids is None:
+            n_centroids = default_n_centroids(n_rows)
+        if seed_mod is None:
+            seed_mod = max(1, n_rows // n_centroids)
+    cent_ids, C = _centroid_sample(candidates, n_centroids, seed_mod, cand_id, vec_col)
+    if len(cent_ids) == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    if kmeans_iters:
+        C = _kmeans_refine(
+            candidates.select(F.col(vec_col).alias("v")), cent_ids, C, kmeans_iters
+        )
+    bc = spark.sparkContext.broadcast((cent_ids, C))
+
+    def assigner(n_buckets: int):
+        def assign(batches):
+            cids, Cm = bc.value
+            Cn = Cm / np.linalg.norm(Cm, axis=1, keepdims=True)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = _matrix(pdf["v"])
+                Qn = Q / np.where(
+                    np.linalg.norm(Q, axis=1, keepdims=True) == 0,
+                    1.0,
+                    np.linalg.norm(Q, axis=1, keepdims=True),
+                )
+                S = Qn @ Cn.T
+                ids = pdf["id"].to_numpy()
+                vs = pdf["v"].to_numpy()
+                out_id, out_v, out_c = [], [], []
+                for r in range(S.shape[0]):
+                    order = np.lexsort((cids, -S[r]))[:n_buckets]
+                    for j in order:
+                        out_id.append(ids[r])
+                        out_v.append(vs[r])
+                        out_c.append(int(cids[j]))
+                yield pd.DataFrame(
+                    {"id": out_id, "v": out_v, "centroid_id": out_c}
+                )
+
+        return assign
+
+    schema = "id long, v array<double>, centroid_id long"
+
+    def vecs(df, idc):
+        return df.select(
+            F.col(idc).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+
+    q_assigned = (
+        vecs(queries, query_id)
+        .mapInPandas(assigner(nprobe), schema)
+        .withColumn("is_query", F.lit(1))
+    )
+    c_assigned = (
+        vecs(candidates, cand_id)
+        .mapInPandas(assigner(1), schema)
+        .withColumn("is_query", F.lit(0))
+    )
+
+    def bucket_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        q_pdf = pdf[pdf["is_query"] == 1]
+        c_pdf = pdf[pdf["is_query"] == 0]
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
+            )
+        return _topk_block(
+            q_pdf["id"].to_numpy(),
+            _matrix(q_pdf["v"]),
+            c_pdf["id"].to_numpy(),
+            _matrix(c_pdf["v"]),
+            k,
+            round_digits,
+        )
+
+    bucket_results = (
+        q_assigned.unionByName(c_assigned)
+        .groupBy("centroid_id")
+        .applyInPandas(bucket_topk, _TOPK_SCHEMA)
+    )
+    return _merge_tile_partials(bucket_results, k)
