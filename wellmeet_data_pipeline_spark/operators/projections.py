@@ -63,3 +63,26 @@ def flatten_nested_lists(df: DataFrame, map_col: str, out_col: str) -> DataFrame
     """P8 (submit-aws-batch-lambda/lambda_function.py:86-91): dict-of-lists ->
     flat rows; explode on the values."""
     return df.select(F.explode(F.flatten(F.map_values(F.col(map_col)))).alias(out_col))
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Re-identification audit before a dataset release: every
+    quasi-identifier combination shared by FEWER than k rows is a
+    k-anonymity violation (those rows are linkable by joining the quasi
+    columns against any outside table).  Returns the violating groups
+    with their sizes — the rows a release pipeline must suppress or
+    generalize.
+
+    One map-side-combined groupBy on the quasi tuple; output is bounded
+    by the number of RARE combinations, which is what makes the audit
+    cheap at 100 TB (the frequent groups — the overwhelming mass —
+    never leave the aggregation)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

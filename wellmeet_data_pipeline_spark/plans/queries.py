@@ -6545,6 +6545,33 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_heavy_hitters(ev, "user_id", width=1024, depth=2, top_n=10)
 
 
+@_q(
+    "k_anonymity_audit",
+    """
+    SELECT c_mktsegment, c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+    "k-anonymity release audit (k=5) over the quasi-identifier tuple "
+    "(segment, nation, account-balance band): every combination shared by "
+    "fewer than k customers is linkable against outside data and must be "
+    "suppressed/generalized before the dataset ships. Map-side-combined "
+    "groupBy; output bounded by the RARE combinations only",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.projections import k_anonymity_audit
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_audit(c, ["c_mktsegment", "c_nationkey", "bal_band"], k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
