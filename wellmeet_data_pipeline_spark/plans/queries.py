@@ -6572,6 +6572,47 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(c, ["c_mktsegment", "c_nationkey", "bal_band"], k=5)
 
 
+@_q(
+    "join_size_from_histograms",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS na
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS nb
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT CAST(sum(a.na * b.nb) AS BIGINT) AS join_rows,
+           CAST(count(*) AS BIGINT) AS matched_keys,
+           CAST(max(a.na * b.nb) AS BIGINT) AS hottest_key_rows
+    FROM a JOIN b USING (user_id)
+    """,
+    "join-size accounting from per-key histograms: |A ⋈ B| = Σ_k "
+    "cntA(k)·cntB(k) computed WITHOUT materializing the join — the "
+    "pre-flight a pipeline runs before an expensive equi-join to size "
+    "shuffle partitions and spot the hottest key (skew salting "
+    "decision). Two map-side-combined groupBys + a key-cardinality "
+    "join; the oracle proves the arithmetic equals the real join",
+)
+def q_join_size_from_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def hist(etype: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.count("*").alias(alias))
+        )
+
+    joined = hist("click", "na").join(hist("purchase", "nb"), "user_id")
+    return joined.agg(
+        F.sum(F.col("na") * F.col("nb")).alias("join_rows"),
+        F.count("*").alias("matched_keys"),
+        F.max(F.col("na") * F.col("nb")).alias("hottest_key_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
