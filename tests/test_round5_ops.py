@@ -306,3 +306,22 @@ def test_k_anonymity_audit_flags_rare_groups(spark):
         for r in k_anonymity_audit(df, ["seg", "nat"], k=5).collect()
     }
     assert got == {("b", 2): 3, ("c", 3): 1}
+
+
+def test_zorder_buckets_are_tight_boxes(spark):
+    from wellmeet_data_pipeline_spark.operators.bucketing import (
+        zorder_bucket_stats,
+    )
+
+    # uniform 2-d grid: Z-bucket boxes must be dramatically tighter than
+    # the full domain (that tightness IS the file-skipping win)
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = zorder_bucket_stats(df, "x", "y", bits=8, bucket_shift=10).collect()
+    assert sum(r["n_rows"] for r in got) == 64 * 64
+    full_area = 64 * 64
+    for r in got:
+        span = (r["x_max"] - r["x_min"] + 1) * (r["y_max"] - r["y_min"] + 1)
+        # each of the 64 buckets covers ~1/64 of the area; allow 4x slack
+        # for boundary-straddling boxes
+        assert span <= full_area / 16

@@ -6613,6 +6613,55 @@ def q_join_size_from_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from wellmeet_data_pipeline_spark.operators.bucketing import (
+        norm_to_grid_sql,
+        zorder_bits_sql,
+    )
+
+    gx = norm_to_grid_sql("user_id", "xmin", "xmax", 8)
+    gy = norm_to_grid_sql("cents", "ymin", "ymax", 8)
+    z = zorder_bits_sql(gx, gy, 8)
+    return f"""
+    WITH e AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    rng AS (
+      SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+             min(cents) AS ymin, max(cents) AS ymax
+      FROM e
+    )
+    SELECT ({z}) >> 10 AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(user_id) AS BIGINT) AS x_min,
+           CAST(max(user_id) AS BIGINT) AS x_max,
+           CAST(min(cents) AS BIGINT) AS y_min,
+           CAST(max(cents) AS BIGINT) AS y_max
+    FROM e CROSS JOIN rng
+    GROUP BY 1
+    """
+
+
+@_q(
+    "zorder_layout_stats",
+    _zorder_oracle(),
+    "Z-order (Morton) layout audit over (user_id, value_cents): rows map "
+    "onto a 256x256 equi-width grid (exact integer division), bits "
+    "interleave into a Z value, and per Z-bucket min/max bounds show the "
+    "TIGHT two-dimensional boxes that make parquet footer stats skip "
+    "files under conjunctive predicates — the multi-column layout lever "
+    "at 100 TB; the Spark plan and the oracle share ONE generated SQL "
+    "expression for the interleave",
+)
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.bucketing import zorder_bucket_stats
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return zorder_bucket_stats(ev, "user_id", "cents", bits=8, bucket_shift=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
