@@ -150,3 +150,26 @@ def test_user_value_quartiles_no_unpartitioned_window(spark):
     plan = _plan(spark, "user_value_quartiles")
     specs = _window_partition_specs(plan)
     assert specs and all(s.startswith("_pid") for s in specs), specs
+
+
+def test_returned_item_report_take_ordered_not_window(spark):
+    # r5 fix: the top-20 cut is TakeOrderedAndProject (distributed partial
+    # top-k), never a row_number window over the customer-cardinality frame
+    plan = _plan(spark, "returned_item_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_classifier_auc_no_unpartitioned_window(spark):
+    # the negatives-below prefix sum rides global_rank_cumsum: every
+    # WindowExec partitioned by _pid
+    plan = _plan(spark, "classifier_auc")
+    specs = _window_partition_specs(plan)
+    assert all(s.startswith("_pid") for s in specs), specs
+
+
+def test_interval_overlap_no_cartesian(spark):
+    # grid blocking keeps the interval join an equi join + filter
+    plan = _plan(spark, "interval_overlap_sessions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -37,6 +37,14 @@ def plan_signals(plan: str) -> dict[str, int]:
         "arrow_py": len(
             re.findall(r"MapInPandas|FlatMapCoGroupsInPandas|FlatMapGroupsInPandas", plan)
         ),
+        # windowspecdefinition whose FIRST argument is already an ordering
+        # term (col ASC/DESC) has an EMPTY partition list — the
+        # single-task global window Spark warns about ("No Partition
+        # Defined").  Want 0 outside the documented post-agg whitelist
+        # (frames bounded by day/source cardinality).
+        "global_windows": len(
+            re.findall(r"windowspecdefinition\([^,()]*#\d+L? (?:ASC|DESC)", plan)
+        ),
     }
 
 
