@@ -94,6 +94,11 @@ HEADLINE = [
     "interval_overlap_sessions",
     "rolling_7day_active_users",
     "cdc_latest_state",
+    "hll_distinct_users",
+    "countmin_heavy_hitters",
+    "k_anonymity_audit",
+    "join_size_from_histograms",
+    "zorder_layout_stats",
 ]
 
 
