@@ -6662,6 +6662,51 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_bucket_stats(ev, "user_id", "cents", bits=8, bucket_shift=10)
 
 
+@_q(
+    "dup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE {_minhash_sha_ctes()},
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM e2
+      UNION
+      SELECT e.u, r.r FROM e2 e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * (cluster_size - 1) AS BIGINT) AS removable_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    "duplicate-cluster size distribution (the standard pre-dedup corpus "
+    "report): connected components over the MinHash candidate graph → "
+    "cluster sizes → histogram with per-size removable-doc counts (size-1 "
+    "per cluster under keep-one) — the number that forecasts corpus "
+    "shrinkage BEFORE committing the destructive pass. Star-contraction "
+    "components + two tiny groupBys; oracle is the recursive-CTE fixpoint",
+)
+def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    comp = connected_components(minhash_lsh_candidates_sha(d))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * (F.col("cluster_size") - 1)).alias("removable_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
