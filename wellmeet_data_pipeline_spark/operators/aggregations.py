@@ -149,8 +149,13 @@ def hll_distinct(
     reg = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
     # 52 bits after the register bits; conv -> bigint < 2^52 (exact)
     v = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
-    # rho = (#leading zeros of the 52-bit string) + 1 = 53 - bit_length(v)
-    rho = F.when(F.col("__v") == 0, F.lit(53)).otherwise(
+    # rho = (#leading zeros of the 52-bit string) + 1 = 53 - bit_length(v),
+    # CAPPED at 52: the all-zero suffix would give rho=53, whose 2^(52-53)
+    # contribution is fractional — it would corrupt the bigint accumulator
+    # (Spark shiftleft(1, -1) wraps to Long.MIN_VALUE; DuckDB ** returns
+    # 0.5).  Capping costs a one-register bias of 2^-53 — far below the
+    # estimator's own error — and keeps both engines exactly integral.
+    rho = F.when(F.col("__v") == 0, F.lit(52)).otherwise(
         F.lit(53) - F.length(F.bin(F.col("__v")))
     )
     regs = (
@@ -206,24 +211,46 @@ def countmin_heavy_hitters(
     mod width) keep the sketch oracle-reproducible; estimates are
     min over rows of the collided cell sums — all integer arithmetic.
     The exact join is evaluation scaffolding: a real deployment keeps
-    only the (depth x width) cell frame."""
-    cells = []
-    for j in range(depth):
-        bucket = (
+    only the (depth x width) cell frame.
+
+    One input scan builds ALL depth rows (inline_outer over the per-row
+    bucket structs) — a per-depth-row union would rescan the input
+    depth times, d-1 redundant full passes at the corpus sizes this
+    operator targets."""
+
+    def bucket_expr(j: int):
+        return (
             F.conv(
-                F.substring(F.sha2(F.concat(F.lit(str(j) + "|"), F.col(key_col).cast("string")), 256), 1, 4),
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.lit(str(j) + "|"), F.col(key_col).cast("string")
+                        ),
+                        256,
+                    ),
+                    1,
+                    4,
+                ),
                 16,
                 10,
             ).cast("long")
             % width
         )
-        cells.append(
-            df.select(F.lit(j).alias("__row"), bucket.alias("__bucket"))
-        )
-    from functools import reduce
 
     sketch = (
-        reduce(lambda a, c: a.unionByName(c), cells)
+        df.select(
+            F.inline_outer(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("__row"),
+                            bucket_expr(j).alias("__bucket"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            )
+        )
         .groupBy("__row", "__bucket")
         .agg(F.count("*").alias("__c"))
     )
@@ -232,15 +259,7 @@ def countmin_heavy_hitters(
     top = exact.orderBy(F.col("n_exact").desc(), F.col(key_col).asc()).limit(top_n)
     probes = top
     for j in range(depth):
-        bucket = (
-            F.conv(
-                F.substring(F.sha2(F.concat(F.lit(str(j) + "|"), F.col(key_col).cast("string")), 256), 1, 4),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
-        probes = probes.withColumn(f"__b{j}", bucket)
+        probes = probes.withColumn(f"__b{j}", bucket_expr(j))
     est = None
     for j in range(depth):
         s = sketch.filter(F.col("__row") == j).select(

@@ -857,6 +857,24 @@ def graph_pagerank(
     )
 
 
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Greatest-(order_cols) row per key — the shared reducer under CDC
+    apply (batch and streaming twins must reduce with identical
+    tie-breaking, so the semantics live once)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def cdc_apply_latest(
     changelog: DataFrame,
     key_cols: Sequence[str],
@@ -875,13 +893,6 @@ def cdc_apply_latest(
     must be a deterministic total order per key — pass the changelog's
     (commit_ts, sequence/event_id) pair, never a timestamp alone, or
     same-instant updates tie-break nondeterministically across retries."""
-    keys = list(key_cols)
-    w = Window.partitionBy(*keys).orderBy(
-        *[F.col(c).desc() for c in order_cols]
-    )
-    return (
-        changelog.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(F.col(op_col) != delete_op)
-        .drop("__rn")
+    return latest_per_key(changelog, key_cols, order_cols).filter(
+        F.col(op_col) != delete_op
     )

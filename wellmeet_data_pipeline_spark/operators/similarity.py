@@ -442,6 +442,32 @@ def _centroid_sample(
     return cent_pd["cid"].to_numpy(), _matrix(cent_pd["v"])
 
 
+def _ivf_index_setup(
+    candidates: DataFrame,
+    n_centroids: int | None,
+    seed_mod: int | None,
+    kmeans_iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared IVF index construction (self and cross-corpus forms):
+    auto-size (n_centroids, seed_mod) from one count() when unset, take
+    the deterministic centroid sample, optionally refine with spherical
+    k-means.  Returns (cent_ids, C) — empty cent_ids means empty input."""
+    if n_centroids is None or seed_mod is None:
+        n_rows = candidates.count()
+        if n_centroids is None:
+            n_centroids = default_n_centroids(n_rows)
+        if seed_mod is None:
+            seed_mod = max(1, n_rows // n_centroids)
+    cent_ids, C = _centroid_sample(candidates, n_centroids, seed_mod, id_col, vec_col)
+    if len(cent_ids) and kmeans_iters:
+        C = _kmeans_refine(
+            candidates.select(F.col(vec_col).alias("v")), cent_ids, C, kmeans_iters
+        )
+    return cent_ids, C
+
+
 def ivf_top_k(
     data: DataFrame,
     k: int,
@@ -477,19 +503,11 @@ def ivf_top_k(
     high probe ratio.  bench.py tracks ivf_recall_at_5 against the exact
     tier every round rather than asserting it."""
     spark = data.sparkSession
-    if n_centroids is None or seed_mod is None:
-        n_rows = data.count()
-        if n_centroids is None:
-            n_centroids = default_n_centroids(n_rows)
-        if seed_mod is None:
-            seed_mod = max(1, n_rows // n_centroids)
-    cent_ids, C = _centroid_sample(data, n_centroids, seed_mod, id_col, vec_col)
+    cent_ids, C = _ivf_index_setup(
+        data, n_centroids, seed_mod, kmeans_iters, id_col, vec_col
+    )
     if len(cent_ids) == 0:
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    if kmeans_iters:
-        C = _kmeans_refine(
-            data.select(F.col(vec_col).alias("v")), cent_ids, C, kmeans_iters
-        )
     bc = spark.sparkContext.broadcast((cent_ids, C))
 
     def rank_centroids(batches):
@@ -498,12 +516,12 @@ def ivf_top_k(
         # two re-joins against the input (each re-join was a full extra
         # shuffle of the vectors; carrying v costs the same bytes once)
         cids, C = bc.value
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = _unit_rows(C)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = _matrix(pdf["v"])
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            Qn = _unit_rows(Q)  # zero rows stay zero instead of NaN-ing probes
             S = Qn @ Cn.T
             ids = pdf["id"].to_numpy()
             vs = pdf["v"].to_numpy()
@@ -1361,34 +1379,22 @@ def ivf_cross_top_k(
     id-equal pairs, a cross-side collision would silently drop a valid
     result)."""
     spark = candidates.sparkSession
-    if n_centroids is None or seed_mod is None:
-        n_rows = candidates.count()
-        if n_centroids is None:
-            n_centroids = default_n_centroids(n_rows)
-        if seed_mod is None:
-            seed_mod = max(1, n_rows // n_centroids)
-    cent_ids, C = _centroid_sample(candidates, n_centroids, seed_mod, cand_id, vec_col)
+    cent_ids, C = _ivf_index_setup(
+        candidates, n_centroids, seed_mod, kmeans_iters, cand_id, vec_col
+    )
     if len(cent_ids) == 0:
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    if kmeans_iters:
-        C = _kmeans_refine(
-            candidates.select(F.col(vec_col).alias("v")), cent_ids, C, kmeans_iters
-        )
     bc = spark.sparkContext.broadcast((cent_ids, C))
 
     def assigner(n_buckets: int):
         def assign(batches):
             cids, Cm = bc.value
-            Cn = Cm / np.linalg.norm(Cm, axis=1, keepdims=True)
+            Cn = _unit_rows(Cm)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 Q = _matrix(pdf["v"])
-                Qn = Q / np.where(
-                    np.linalg.norm(Q, axis=1, keepdims=True) == 0,
-                    1.0,
-                    np.linalg.norm(Q, axis=1, keepdims=True),
-                )
+                Qn = _unit_rows(Q)
                 S = Qn @ Cn.T
                 ids = pdf["id"].to_numpy()
                 vs = pdf["v"].to_numpy()

@@ -6466,8 +6466,11 @@ _HLL_ALPHA_NUM = repr((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 52
       FROM h
     ),
     regs AS (
+      -- rho capped at 52 (matches the Spark side): the v=0 register's
+      -- 2^(52-53) contribution is fractional and would corrupt the exact
+      -- bigint accumulator on both engines
       SELECT reg,
-             max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS M
+             max(CASE WHEN v = 0 THEN 52 ELSE 53 - length(bin(v)) END) AS M
       FROM rv GROUP BY reg
     ),
     stats AS (

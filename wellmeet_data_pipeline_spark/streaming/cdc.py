@@ -24,11 +24,13 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from wellmeet_data_pipeline_spark.operators.dedup import cdc_apply_latest
+from wellmeet_data_pipeline_spark.operators.dedup import (
+    cdc_apply_latest,
+    latest_per_key,
+)
 from wellmeet_data_pipeline_spark.sinks.merge import (
     merge_append,
     read_current_or_none,
@@ -56,14 +58,9 @@ def run_streaming_cdc_apply(
     orders = list(order_cols)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy(key_col).orderBy(
-            *[F.col(c).desc() for c in orders]
-        )
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        # same reducer (and tie-breaking) as the batch operator — the
+        # batch-vs-stream equivalence depends on sharing it
+        latest = latest_per_key(batch_df, [key_col], orders)
         if latest.isEmpty():
             return
         merge_append(
