@@ -6710,6 +6710,25 @@ def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "bitext_mine_margin_ivf",
+    None,
+    "the SCALE tier of bitext_mine_margin: the two mutual-NN top-k passes "
+    "run on two-sided IVF (index trained on each direction's candidate "
+    "corpus) instead of the quadratic exact BNL — smoke-measured 26x "
+    "cheaper at 64x with slope 0.55; approximate candidate source makes "
+    "the pair set data-dependent (rows-only check), the margin arithmetic "
+    "and the exact oracle-backed twin are unchanged",
+)
+def q_bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import bitext_margin_mine
+
+    emb = table(spark, sf_dir, "embeddings")
+    side_a = emb.filter(F.col("vec_id") % 2 == 0)
+    side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return bitext_margin_mine(side_a, side_b, k=4, method="ivf", nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
