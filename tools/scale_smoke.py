@@ -291,6 +291,43 @@ def run_classifier_auc(spark, sf_dir, factor):
     return exact_auc(labeled, "si", "y").count()
 
 
+def run_hll_distinct(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.aggregations import hll_distinct
+
+    return hll_distinct(scaled_events(spark, sf_dir, factor), "user_id").count()
+
+
+def run_countmin(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        countmin_heavy_hitters,
+    )
+
+    return countmin_heavy_hitters(
+        scaled_events(spark, sf_dir, factor), "user_id", width=4096, depth=2
+    ).count()
+
+
+def run_cdc_latest(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.dedup import cdc_apply_latest
+
+    return cdc_apply_latest(
+        scaled_events(spark, sf_dir, factor),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_op="error",
+    ).count()
+
+
+def run_zorder(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.bucketing import zorder_bucket_stats
+
+    ev = scaled_events(spark, sf_dir, factor).select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return zorder_bucket_stats(ev, "user_id", "cents").count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -310,6 +347,10 @@ OPS = {
     "interval_overlap_sessions": run_interval_overlap,
     "rolling_7day_active_users": run_rolling_dau,
     "classifier_auc": run_classifier_auc,
+    "hll_distinct": run_hll_distinct,
+    "countmin_heavy_hitters": run_countmin,
+    "cdc_latest_state": run_cdc_latest,
+    "zorder_layout_stats": run_zorder,
 }
 
 
