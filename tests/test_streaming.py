@@ -879,3 +879,59 @@ def test_streaming_cdc_apply_latest_state(spark, tmp_path):
     )
     merge_append(replay, store, id_col="k", partition_col=None, batch_seq=0)
     assert state() == {1: ("U", 20), 2: ("I", 60), 3: ("I", 50)}
+
+
+def test_streaming_rolling_active_users(spark, tmp_path):
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.analytics import (
+        current_rolling_active,
+        run_streaming_active_days,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    landing = tmp_path / "dau_landing"
+    landing.mkdir()
+    store = str(tmp_path / "dau_store")
+    ckpt = str(tmp_path / "dau_ckpt")
+    schema = StructType(
+        [StructField("u", LongType()), StructField("ts", StringType())]
+    )
+
+    # empty store -> empty frame, not an error
+    assert current_rolling_active(spark, store, 7).count() == 0
+
+    def dau():
+        return {
+            str(r["as_of_day"]): r["n_active"]
+            for r in current_rolling_active(spark, store, 7).collect()
+        }
+
+    _drop(
+        landing,
+        "d1.json",
+        [
+            {"u": 1, "ts": "2024-05-01 10:00:00"},
+            {"u": 1, "ts": "2024-05-01 11:00:00"},  # same (user, day)
+            {"u": 2, "ts": "2024-05-02 09:00:00"},
+        ],
+    )
+    run_streaming_active_days(spark, str(landing), store, ckpt, schema, "u", "ts")
+    assert dau() == {"2024-05-01": 1, "2024-05-02": 2}
+
+    # u1 again on day 9: outside u2's 7-day reach (May 2 + 6 = May 8)
+    _drop(landing, "d2.json", [{"u": 1, "ts": "2024-05-09 08:00:00"}])
+    run_streaming_active_days(spark, str(landing), store, ckpt, schema, "u", "ts")
+    assert dau() == {"2024-05-01": 1, "2024-05-02": 2, "2024-05-09": 1}
+
+    # replay of batch 0's pairs (same (user, day, batch) identity): no change
+    replay = spark.createDataFrame(
+        [("2024-05-01", 1), ("2024-05-02", 2)], "d string, u long"
+    ).select(F.col("d").cast("date").alias("__day"), F.col("u").alias("__u"))
+    merge_append(replay, store, id_col="__u", partition_col=None, batch_seq=0)
+    assert dau() == {"2024-05-01": 1, "2024-05-02": 2, "2024-05-09": 1}

@@ -243,6 +243,13 @@ def rolling_distinct_active(
     (day-cardinality, broadcast)."""
     day = F.to_date(F.col(ts_col)).alias("__day")
     ud = events.select(day, F.col(user_col).alias("__u")).distinct()
+    return rolling_distinct_from_pairs(ud, window_days)
+
+
+def rolling_distinct_from_pairs(ud: DataFrame, window_days: int) -> DataFrame:
+    """The (user, day)-pair-grain core of rolling_distinct_active —
+    shared with the streaming twin, whose store already holds deduped
+    pairs.  Input columns: __day (date), __u."""
     days = ud.select(F.col("__day").alias("as_of_day")).distinct()
     covered = ud.select(
         "__u",

@@ -96,3 +96,67 @@ def current_heavy_hitters(
         )
     totals = cur.groupBy(key_col).agg(F.sum("n").alias("n"))
     return threshold_heavy_hitters(totals, key_col, min_share, round_digits)
+
+
+def run_streaming_active_days(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    user_col: str,
+    ts_col: str,
+) -> None:
+    """Streaming twin of rolling_distinct_active's INPUT maintenance:
+    drain the landing stream (availableNow), appending each batch's
+    distinct (user, day) pairs under (user, day, batch) identity.  The
+    store is activity-set grain — O(users x active-days) rows, far below
+    the event log — and replays collapse on read exactly like every
+    merge-append store here.  The rolling read (current_rolling_active)
+    is then a pure function of the store: no window state, no event
+    rescan."""
+    stream = spark.readStream.schema(schema).option("multiLine", "true").json(
+        landing_dir
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = batch_df.select(
+            F.to_date(F.col(ts_col)).alias("__day"),
+            F.col(user_col).alias("__u"),
+        ).distinct()
+        if pairs.isEmpty():
+            return
+        merge_append(
+            pairs,
+            store_path,
+            id_col="__u",
+            partition_col=None,
+            batch_seq=batch_id,
+        )
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def current_rolling_active(
+    spark: SparkSession, store_path: str, window_days: int
+) -> DataFrame:
+    """Rolling N-day distinct actives per observed day from the streaming
+    store (empty frame shape if the store does not exist: zero rows)."""
+    from wellmeet_data_pipeline_spark.operators.windows import (
+        rolling_distinct_from_pairs,
+    )
+
+    store = read_current_or_none(
+        spark, store_path, id_col=["__u", "__day"], batch_col="_batch_seq"
+    )
+    if store is None:
+        return spark.createDataFrame([], "as_of_day date, n_active long")
+    return rolling_distinct_from_pairs(
+        store.select("__day", "__u").distinct(), window_days
+    )
