@@ -1,0 +1,147 @@
+"""Adversarial oracle gate: derive a HOSTILE variant of the test tables
+and run every oracle-backed registry query on it, Spark vs DuckDB.
+
+Round-4 lesson: the driver regenerates testdata every round, and a data
+property the current seed happens to satisfy (ASCII-only text) is one
+seed away from breaking an oracle pair (the Java-\\s-vs-RE2 \\x0B
+divergence).  This gate injects the corners a future seed could emit —
+exotic whitespace (\\x0B, NBSP, U+3000), CJK + combining marks, empty
+and whitespace-only text, SQL-hostile quoting, nulls in nullable
+columns, negative and .xx5-boundary money values — into samples of the
+REAL tables, then demands every query still hash-match its oracle.
+Rows that merely vanish from both sides (fixed-value filters) still
+pass: agreement is the contract, not non-emptiness.
+
+Usage: python tools/hostile_fixture.py [base_sf_dir] [out_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+HOSTILE_TEXTS = [
+    "a\x0bb vertical\x0btab",
+    "\x0b leading and trailing \x0b",
+    "nbsp\xa0joined\xa0words and　ideographic　space",
+    "tab\tand\r\nCRLF and\fformfeed mix",
+    "",
+    " ",
+    "\x0b",
+    "   only   spaces   ",
+    "한국어 서울특별시 강남구 테헤란로 123 문장 와 combining é marks",
+    "quotes ' \" backslash \\ percent % underscore _ pipe | dollar $",
+    "repeat repeat repeat repeat repeat repeat repeat repeat",
+    "ONE",
+    "mixed ASCII 한글 中文 123 !!! ??? ...",
+    "a" * 600,
+    ("word " * 120).strip(),
+    "\x1c\x1d\x1e control separators \x1f inside",
+]
+
+
+def build(base: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    n_texts = len(HOSTILE_TEXTS)
+    vals = ", ".join(
+        "(" + str(i) + ", " + "'" + t.replace("'", "''") + "')"
+        for i, t in enumerate(HOSTILE_TEXTS)
+    )
+    con.execute(f"CREATE TABLE hostile_texts (i INT, t TEXT); INSERT INTO hostile_texts VALUES {vals}")
+
+    # documents: real rows with every (doc_id % n) slot's text swapped for a
+    # hostile string; some lang/source nulled
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id,
+                 COALESCE(h.t, d.text) AS text,
+                 CASE WHEN d.doc_id % 17 = 3 THEN NULL ELSE d.lang END AS lang,
+                 CASE WHEN d.doc_id % 19 = 4 THEN NULL ELSE d.source END AS source,
+                 length(COALESCE(h.t, d.text)) AS n_chars
+          FROM '{base}/documents.parquet' d
+          LEFT JOIN hostile_texts h ON d.doc_id % 97 = h.i AND d.doc_id % 3 = 0
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # events: negative values, exact .xx5 rounding boundaries, null props
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id, ts, user_id, event_type,
+                 CASE
+                   WHEN event_id % 13 = 0 THEN -value
+                   WHEN event_id % 13 = 1 THEN 0.13
+                   WHEN event_id % 13 = 2 THEN -0.13
+                   WHEN event_id % 13 = 3 THEN 0.0
+                   -- NOT 0.125: exact binary half-cents sit ON the
+                   -- round() boundary where Spark (decimal shortest-repr
+                   -- HALF_UP) and DuckDB (binary) legitimately diverge —
+                   -- the documented measure-zero class in queries.py's
+                   -- header; a real generator never lands there
+                   ELSE value END AS value,
+                 CASE WHEN event_id % 11 = 5 THEN NULL ELSE props END AS props
+          FROM '{base}/events.parquet'
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    # embeddings: inject zero vectors (norm-0 guard) and flat vectors
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id,
+                 CASE
+                   WHEN vec_id % 29 = 7
+                     THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                   WHEN vec_id % 29 = 8
+                     THEN list_transform(embedding, x -> CAST(1.0 AS FLOAT))
+                   ELSE embedding END AS embedding,
+                 label
+          FROM '{base}/embeddings.parquet'
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    # customer: hostile names + boundary balances
+    con.execute(
+        f"""
+        COPY (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 23 = 9
+                      THEN 'Customer\x0b' || CAST(c_custkey AS VARCHAR)
+                      ELSE c_name END AS c_name,
+                 c_nationkey,
+                 CASE WHEN c_custkey % 31 = 2 THEN -c_acctbal
+                      WHEN c_custkey % 31 = 3 THEN 0.01
+                      ELSE c_acctbal END AS c_acctbal,
+                 c_mktsegment
+          FROM '{base}/customer.parquet'
+        ) TO '{out}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in ("region", "nation", "supplier", "part", "orders", "lineitem"):
+        con.execute(
+            f"COPY (SELECT * FROM '{base}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hostile_sf"
+    build(base, out)
+    print(f"hostile fixture written to {out}; running full gate...")
+    import subprocess
+
+    sys.exit(
+        subprocess.call(
+            [sys.executable, "tools/check_correctness.py", out, *sys.argv[3:]]
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

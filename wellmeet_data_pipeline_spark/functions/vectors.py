@@ -28,4 +28,9 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Zero-norm convention: a zero vector's cosine with anything is 0
+    (matches _unit_rows on the Arrow path and the oracles' CASE guard) —
+    a bare division would raise DIVIDE_BY_ZERO under ANSI mode."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
+    )

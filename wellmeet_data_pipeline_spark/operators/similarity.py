@@ -960,7 +960,15 @@ def embedding_near_dup_lsh(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "cosine_sim", F.round(dot / (norm(F.col("__va")) * norm(F.col("__vb"))), round_digits)
+            # zero-norm convention: cosine 0, not DIVIDE_BY_ZERO (ANSI)
+            "cosine_sim",
+            F.round(
+                F.coalesce(
+                    F.try_divide(dot, norm(F.col("__va")) * norm(F.col("__vb"))),
+                    F.lit(0.0),
+                ),
+                round_digits,
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
@@ -1232,9 +1240,14 @@ def embedding_label_outliers(
     scored = pv.join(F.broadcast(cn), "label").select(
         "label",
         "vec_id",
-        F.round(F.col("dot") / F.sqrt(F.col("v2") * F.col("c2")), round_digits).alias(
-            "centroid_sim"
-        ),
+        F.round(
+            # zero vectors (and empty-label centroids) score 0, not error
+            F.coalesce(
+                F.try_divide(F.col("dot"), F.sqrt(F.col("v2") * F.col("c2"))),
+                F.lit(0.0),
+            ),
+            round_digits,
+        ).alias("centroid_sim"),
     )
     w = Window.partitionBy("label").orderBy(
         F.col("centroid_sim").asc(), F.col("vec_id").asc()

@@ -841,7 +841,7 @@ _NORM_SQL = (
     "text_token_stats",
     """
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_tokens,
+           CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z가-힣]+|[0-9]+|[^A-Za-z가-힣0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT) AS n_bpe_tokens,
            n_chars
     FROM documents
@@ -865,7 +865,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars_d,
-             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_tokens,
+             CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) AS DOUBLE) AS n_tokens,
              CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f\\x0B]')) AS DOUBLE) AS n_punct,
              CAST(len(regexp_extract_all(text,
                   '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
@@ -2029,7 +2029,7 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars_d,
-             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_tokens,
+             CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) AS DOUBLE) AS n_tokens,
              CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f\\x0B]')) AS DOUBLE) AS n_punct,
              CAST(len(regexp_extract_all(text,
                   '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
@@ -2286,7 +2286,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_words,
+             CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) AS BIGINT) AS n_words,
              CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', '', 'g')) AS DOUBLE) AS n_nonspace,
              CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS n_symbols,
              CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\x0B]*[A-Za-z가-힣][^ \\t\\n\\r\\f\\x0B]*')) AS DOUBLE) AS n_alpha_words
@@ -2532,8 +2532,15 @@ def q_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle — the operators themselves take any delimiter.
 # ---------------------------------------------------------------------------
 
+# Spark side keeps Java \s/\S; the oracle spells the Java classes out
+# (RE2 \s lacks \x0B — the same divergence as the token-count sweep;
+# this raw-string pair was missed by the round-5 `\\s` sweep because it
+# single-backslashes)
 _CHUNK_RE = r"((\S+\s+){2}\S+)\s+"
-_CHUNK_SQL = r"regexp_replace(text, '((\S+\s+){2}\S+)\s+', '\1' || chr(10), 'g')"
+_CHUNK_SQL = (
+    r"regexp_replace(text, '(([^ \t\n\r\f\x0B]+[ \t\n\r\f\x0B]+){2}"
+    r"[^ \t\n\r\f\x0B]+)[ \t\n\r\f\x0B]+', '\1' || chr(10), 'g')"
+)
 _LINES_CTES = f"""chunked AS (
       SELECT doc_id, {_CHUNK_SQL} AS text FROM documents
     ),
@@ -2606,7 +2613,7 @@ def q_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, doc_id % 8 AS stream_id,
-             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_tokens
+             CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) AS BIGINT) AS n_tokens
       FROM documents
     ),
     c AS (
@@ -2936,9 +2943,11 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, lang, source, n_chars,
-           round(pow(unif, CAST(1 AS DOUBLE) / n_chars), 8) AS es_key
+           round(CASE WHEN n_chars <= 0 THEN 0
+                      ELSE pow(unif, CAST(1 AS DOUBLE) / n_chars) END, 8) AS es_key
     FROM u
-    ORDER BY pow(unif, CAST(1 AS DOUBLE) / n_chars) DESC, doc_id
+    ORDER BY CASE WHEN n_chars <= 0 THEN 0
+                  ELSE pow(unif, CAST(1 AS DOUBLE) / n_chars) END DESC, doc_id
     LIMIT 20
     """,
     "deterministic weighted sampling WITHOUT replacement "
@@ -2954,7 +2963,11 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hx = F.sha2(F.concat(F.lit("ws|"), F.col("doc_id").cast("string")), 256)
     hv = F.conv(F.substring(hx, 1, 8), 16, 10).cast("double")
     unif = (hv + F.lit(1.0)) / F.lit(4294967296.0)
-    es = F.pow(unif, F.lit(1.0) / F.col("n_chars"))
+    # weight-0 docs draw key 0 — never sampled ahead of any weighted doc,
+    # and no ANSI DIVIDE_BY_ZERO on a zero-length document
+    es = F.when(F.col("n_chars") <= 0, F.lit(0.0)).otherwise(
+        F.pow(unif, F.lit(1.0) / F.col("n_chars"))
+    )
     return (
         d.select(
             "doc_id",
@@ -3014,13 +3027,13 @@ def q_column_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH q AS (
       SELECT source, lang,
-             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS toks,
+             CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) AS BIGINT) AS toks,
              CAST(floor(round(
-               (least(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) / CAST(20 AS DOUBLE), CAST(1 AS DOUBLE))
+               (least((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) / CAST(20 AS DOUBLE), CAST(1 AS DOUBLE))
                 + (CAST(1 AS DOUBLE) - least(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f\\x0B]'))
                         / greatest(CAST(length(text) AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)))
                 + least(len(regexp_extract_all(text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
-                        / greatest(CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE), CAST(1 AS DOUBLE))
+                        / greatest(CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) AS DOUBLE), CAST(1 AS DOUBLE))
                         * CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
                ) / CAST(3 AS DOUBLE), 6) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qg,
              sha256({_NORM_SQL}) AS fp
@@ -3290,7 +3303,7 @@ def q_partition_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars_d,
-             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_tokens,
+             CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) AS DOUBLE) AS n_tokens,
              CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f\\x0B]')) AS DOUBLE) AS n_punct,
              CAST(len(regexp_extract_all(text,
                   '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
@@ -5001,11 +5014,11 @@ def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            round(CAST(sum(n_chars) AS DOUBLE)
-                 / sum(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'))), 4) AS chars_per_word,
+                 / sum((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END)), 4) AS chars_per_word,
            round(CAST(sum(n_chars) AS DOUBLE)
                  / sum(len({_BPE_SQL})), 4) AS chars_per_token,
            round(CAST(sum(len({_BPE_SQL})) AS DOUBLE)
-                 / sum(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'))), 4) AS fertility
+                 / sum((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END)), 4) AS fertility
     FROM documents
     GROUP BY lang
     """,
@@ -5541,8 +5554,10 @@ def q_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
     scored AS (
       SELECT a.vec_id, c.cid,
-             round(list_sum(list_transform(range(1, len(a.e)+1),
-                                           i -> a.e[i] * c.c[i])) / (a.nrm * c.cnrm), 4) AS sim
+             round(CASE WHEN a.nrm * c.cnrm = 0 THEN 0
+                        ELSE list_sum(list_transform(range(1, len(a.e)+1),
+                                      i -> a.e[i] * c.c[i])) / (a.nrm * c.cnrm)
+                   END, 4) AS sim
       FROM n a CROSS JOIN cents c
     ),
     assign AS (
@@ -5556,8 +5571,10 @@ def q_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM assign ja JOIN assign jb
         ON ja.cluster_id = jb.cluster_id AND ja.vec_id < jb.vec_id
       JOIN n a ON a.vec_id = ja.vec_id JOIN n b ON b.vec_id = jb.vec_id
-      WHERE round(list_sum(list_transform(range(1, len(a.e)+1),
-                                          i -> a.e[i]*b.e[i]))/(a.nrm*b.nrm), 4) >= 0.95
+      WHERE round(CASE WHEN a.nrm * b.nrm = 0 THEN 0
+                       ELSE list_sum(list_transform(range(1, len(a.e)+1),
+                                     i -> a.e[i]*b.e[i]))/(a.nrm*b.nrm)
+                  END, 4) >= 0.95
     ),
     e2 AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
     reach(node, r) AS (
@@ -5949,7 +5966,9 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cn AS (SELECT label, sum(m * m) AS c2 FROM cent GROUP BY label),
     scored AS (
-      SELECT pv.label, vec_id, round(dot / sqrt(v2 * c2), 4) AS centroid_sim
+      SELECT pv.label, vec_id,
+             round(CASE WHEN v2 * c2 = 0 THEN 0
+                        ELSE dot / sqrt(v2 * c2) END, 4) AS centroid_sim
       FROM pv JOIN cn ON pv.label = cn.label
     )
     SELECT label, vec_id, centroid_sim, CAST(rank AS INTEGER) AS rank
@@ -5979,7 +5998,7 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_source AS (
       SELECT source,
              CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END)
+                           ELSE (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) END)
                   AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
