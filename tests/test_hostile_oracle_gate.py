@@ -1,0 +1,80 @@
+"""Adversarial oracle-parity regression: build the hostile fixture
+(vertical tabs, empty/whitespace-only/NULL text, null lang/source/
+user_id, negative and zero money, zero vectors) and require the queries
+that have EVER diverged on it to still hash-match their oracles.
+
+The full hostile sweep lives in tools/hostile_fixture.py (run it after
+oracle-surface changes); this test pins the historical failure set at
+pytest cost."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+# every query that failed a hostile run during round 5, plus the two
+# round-4 driver casualties
+SENTINELS = [
+    "pack_sequences",
+    "corpus_end_to_end",
+    "weighted_sample_docs",
+    "corpus_datacard",
+    "text_token_stats",
+    "text_quality_score",
+    "gopher_quality_rules",
+    "line_dedup_global",
+    "dup_line_stats",
+    "tokenizer_fertility",
+    "semdedup_survivors",
+    "embedding_label_outliers",
+    "length_curriculum",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    from tools.hostile_fixture import build
+
+    out = str(tmp_path_factory.mktemp("hostile"))
+    build("/root/testdata/sf0.001", out)
+    return out
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.9g}"
+    return str(v)
+
+
+@pytest.mark.parametrize("name", SENTINELS)
+def test_hostile_oracle_parity(spark, hostile_dir, name):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{hostile_dir}/{t}.parquet'"
+        )
+    spec = REGISTRY[name]
+    sp = spec.fn(spark, hostile_dir).toPandas()
+    op = con.execute(spec.oracle).df()
+    cols = sorted(sp.columns)
+    assert cols == sorted(op.columns)
+    a = sorted(
+        tuple(_norm(v) for v in r)
+        for r in sp[cols].itertuples(index=False, name=None)
+    )
+    b = sorted(
+        tuple(_norm(v) for v in r)
+        for r in op[cols].itertuples(index=False, name=None)
+    )
+    assert a == b, f"{name}: first diffs {[x for x in zip(a, b) if x[0] != x[1]][:3]}"

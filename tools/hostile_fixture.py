@@ -60,7 +60,8 @@ def build(base: str, out: str) -> None:
         f"""
         COPY (
           SELECT d.doc_id,
-                 COALESCE(h.t, d.text) AS text,
+                 CASE WHEN d.doc_id % 41 = 11 THEN NULL
+                      ELSE COALESCE(h.t, d.text) END AS text,
                  CASE WHEN d.doc_id % 17 = 3 THEN NULL ELSE d.lang END AS lang,
                  CASE WHEN d.doc_id % 19 = 4 THEN NULL ELSE d.source END AS source,
                  length(COALESCE(h.t, d.text)) AS n_chars
@@ -73,7 +74,10 @@ def build(base: str, out: str) -> None:
     con.execute(
         f"""
         COPY (
-          SELECT event_id, ts, user_id, event_type,
+          SELECT event_id, ts,
+                 CASE WHEN event_id % 37 = 6 THEN NULL ELSE user_id END
+                   AS user_id,
+                 event_type,
                  CASE
                    WHEN event_id % 13 = 0 THEN -value
                    WHEN event_id % 13 = 1 THEN 0.13

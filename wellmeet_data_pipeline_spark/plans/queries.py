@@ -5147,7 +5147,11 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length_curriculum",
     f"""
     WITH t AS (
-      SELECT doc_id, CAST(len({_BPE_SQL}) AS BIGINT) AS n_tokens FROM documents
+      -- COALESCE 0: a NULL text is a 0-token doc on both engines — bare
+      -- NULLs would rank NULLS FIRST in Spark but NULLS LAST in DuckDB,
+      -- shifting every quartile boundary
+      SELECT doc_id, CAST(COALESCE(len({_BPE_SQL}), 0) AS BIGINT) AS n_tokens
+      FROM documents
     )
     SELECT doc_id, n_tokens,
            CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS stage
@@ -5162,7 +5166,10 @@ def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
 
     d = table(spark, sf_dir, "documents")
-    t = d.select("doc_id", bpe_ish_token_count("text").alias("n_tokens"))
+    t = d.select(
+        "doc_id",
+        F.coalesce(bpe_ish_token_count("text"), F.lit(0)).alias("n_tokens"),
+    )
     ranked = global_rank_cumsum(
         t, [F.col("n_tokens").asc(), F.col("doc_id").asc()]
     )
