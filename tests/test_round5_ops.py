@@ -325,3 +325,18 @@ def test_zorder_buckets_are_tight_boxes(spark):
         # each of the 64 buckets covers ~1/64 of the area; allow 4x slack
         # for boundary-straddling boxes
         assert span <= full_area / 16
+
+
+def test_hll_distinct_grouped_matches_per_group(spark):
+    from wellmeet_data_pipeline_spark.operators.aggregations import hll_distinct
+
+    df = spark.createDataFrame(
+        [("a", i % 40) for i in range(200)] + [("b", i % 7) for i in range(50)],
+        ["g", "k"],
+    )
+    got = {r["g"]: r for r in hll_distinct(df, "k", group_cols=["g"]).collect()}
+    assert got["a"]["n_exact"] == 40 and got["b"]["n_exact"] == 7
+    # each group's sketch must equal the sketch of that group alone
+    for g in ("a", "b"):
+        solo = hll_distinct(df.filter(F.col("g") == g), "k").collect()[0]
+        assert got[g]["estimate"] == solo["estimate"]

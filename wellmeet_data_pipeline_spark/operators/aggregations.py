@@ -122,6 +122,7 @@ def hll_distinct(
     df: DataFrame,
     key_col: str,
     b: int = 8,
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """HyperLogLog distinct-count over `key_col` with 2^b registers —
     the mergeable fixed-size sketch that replaces COUNT(DISTINCT) when
@@ -141,7 +142,10 @@ def hll_distinct(
     E < 2.5m with empty registers.
 
     Output: one row (n_exact, estimate, rel_error) — n_exact is included
-    for the evaluation read; a real pipeline emits only the registers."""
+    for the evaluation read; a real pipeline emits only the registers.
+    With `group_cols`, one row per group from per-group register frames —
+    the mergeable-rollup shape itself: group sketches ARE the daily/
+    partition units that later MAX-merge into coarser rollups."""
     if b != 8:
         raise ValueError("register addressing is pinned to b=8 (2 hex chars)")
     m = 1 << b
@@ -158,15 +162,16 @@ def hll_distinct(
     rho = F.when(F.col("__v") == 0, F.lit(52)).otherwise(
         F.lit(53) - F.length(F.bin(F.col("__v")))
     )
+    groups = list(group_cols) if group_cols else []
     regs = (
-        df.select(reg.alias("__reg"), v.alias("__v"))
+        df.select(*groups, reg.alias("__reg"), v.alias("__v"))
         .withColumn("__rho", rho)
-        .groupBy("__reg")
+        .groupBy(*groups, "__reg")
         .agg(F.max("__rho").alias("__M"))
     )
     # exact-integer harmonic accumulator: Z * 2^52 = sum(2^(52 - M_j));
     # empty registers contribute 2^52 each (M = 0)
-    stats = regs.agg(
+    stats = regs.groupBy(*groups).agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - __M)")).alias("__zsum"),
         F.count("*").alias("__nreg"),
     )
@@ -181,16 +186,21 @@ def hll_distinct(
         (est_raw < 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(est_raw)
-    exact = df.agg(F.count_distinct(F.col(key_col)).alias("n_exact"))
-    return (
-        exact.crossJoin(F.broadcast(stats))
-        .select(
-            "n_exact",
-            F.round(est, 4).alias("estimate"),
-            F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
-                "rel_error"
-            ),
-        )
+    exact = df.groupBy(*groups).agg(
+        F.count_distinct(F.col(key_col)).alias("n_exact")
+    )
+    joined = (
+        exact.join(F.broadcast(stats), groups)
+        if groups
+        else exact.crossJoin(F.broadcast(stats))
+    )
+    return joined.select(
+        *groups,
+        "n_exact",
+        F.round(est, 4).alias("estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_error"
+        ),
     )
 
 

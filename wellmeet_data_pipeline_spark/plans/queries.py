@@ -6755,6 +6755,63 @@ def q_bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_margin_mine(side_a, side_b, k=4, method="ivf", nprobe=4)
 
 
+@_q(
+    "hll_distinct_by_type",
+    f"""
+    WITH h AS (
+      SELECT event_type, sha256(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    rv AS (
+      SELECT event_type,
+             {_hex_int_sql('hx', 1, 2)} AS reg,
+             {_hex_int_sql('hx', 3, 13)} AS v
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, reg,
+             max(CASE WHEN v = 0 THEN 52 ELSE 53 - length(bin(v)) END) AS M
+      FROM rv GROUP BY event_type, reg
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(sum(CAST(2 AS BIGINT) ** (52 - M)) AS BIGINT) AS zsum,
+             CAST(count(*) AS BIGINT) AS nreg
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             CAST({_HLL_ALPHA_NUM} AS DOUBLE)
+               / (zsum + (256 - nreg) * CAST({float(1 << 52)!r} AS DOUBLE)) AS raw,
+             CAST(256 - nreg AS DOUBLE) AS zeros
+      FROM stats
+    ),
+    fin AS (
+      SELECT event_type,
+             CASE WHEN raw < 640.0 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+      FROM est
+    ),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, ex.n_exact, round(f.e, 4) AS estimate,
+           round((f.e - ex.n_exact) / ex.n_exact, 4) AS rel_error
+    FROM fin f JOIN ex ON f.event_type = ex.event_type
+    """,
+    "per-group HyperLogLog distinct users by event_type — the mergeable-"
+    "rollup shape in action: each group's 256-register frame is the "
+    "rollup unit that later MAX-merges into coarser periods without "
+    "touching raw data; same exact-bigint harmonic accumulator and "
+    "linear-counting correction as the global sketch",
+)
+def q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import hll_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", b=8, group_cols=["event_type"])
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
