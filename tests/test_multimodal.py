@@ -176,3 +176,74 @@ def test_resize_images_aspect_fit_and_determinism(spark):
     again = {r["asset_id"]: bytes(r["payload"]) for r in out.collect()}
     assert all(bytes(got[i]["payload"]) == again[i] for i in got)
     assert len(again[1]) == 32
+
+
+def test_phash_math_is_real_dct():
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import (
+        _dct8_matrix,
+        phash64,
+    )
+
+    # the DCT basis is orthonormal (M M^T = I) — the transform is the
+    # genuine JPEG/pHash DCT-II, not a stand-in
+    M = _dct8_matrix()
+    assert np.allclose(M @ M.T, np.eye(8), atol=1e-12)
+    # a constant image has zero AC energy -> hash 0; adding low-frequency
+    # structure flips bits deterministically
+    # uniform brightness shift moves ONLY the (dropped) DC coefficient:
+    # the hash is brightness-invariant on any tie-free grid (constant
+    # images are the known pathological case — their AC terms are pure
+    # fp noise around 0, as in reference pHash implementations)
+    rng = np.random.default_rng(2)
+    g = rng.uniform(0, 255, (8, 8))
+    assert phash64(g) == phash64(g + 50.0) != 0
+
+
+def test_phash_near_dup_planted_pairs(spark):
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import (
+        phash_near_dup,
+    )
+
+    rng = np.random.default_rng(5)
+    base = {
+        10: rng.uniform(0, 255, (8, 8)),
+        20: rng.uniform(0, 255, (8, 8)),
+        30: rng.uniform(0, 255, (8, 8)),
+    }
+    # payload byte value selects the grid; +1 variants get a tiny
+    # perturbation of the SAME grid (a near-dup a real decoder would see)
+    grids = {}
+    for aid, g in base.items():
+        grids[aid] = g
+        grids[aid + 1] = g + rng.normal(0, 0.4, (8, 8))
+
+    def decode(payload: bytes):
+        return grids[payload[0]]
+
+    rows = [(aid, bytes([aid])) for aid in grids]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {
+        (r["id_a"], r["id_b"]) for r in phash_near_dup(
+            assets, max_hamming=12, decode_fn=decode
+        ).collect()
+    }
+    assert {(10, 11), (20, 21), (30, 31)} <= got
+    # unrelated random grids must NOT pair up
+    assert all(b - a == 1 for a, b in got)
+
+
+def test_phash_near_dup_exact_duplicates_distance_zero(spark):
+    from wellmeet_data_pipeline_spark.operators.multimodal import (
+        phash_near_dup,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, b"same-bytes"), (2, b"same-bytes"), (3, b"other")],
+        "asset_id long, payload binary",
+    )
+    got = phash_near_dup(assets, max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
