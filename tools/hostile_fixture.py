@@ -104,6 +104,7 @@ def build(base: str, out: str) -> None:
                      THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
                    WHEN vec_id % 29 = 8
                      THEN list_transform(embedding, x -> CAST(1.0 AS FLOAT))
+                   WHEN vec_id % 29 = 9 THEN NULL
                    ELSE embedding END AS embedding,
                  label
           FROM '{base}/embeddings.parquet'

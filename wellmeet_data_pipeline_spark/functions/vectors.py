@@ -29,8 +29,9 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Zero-norm convention: a zero vector's cosine with anything is 0
-    (matches _unit_rows on the Arrow path and the oracles' CASE guard) —
-    a bare division would raise DIVIDE_BY_ZERO under ANSI mode."""
-    return F.coalesce(
-        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
-    )
+    (matches _unit_rows on the Arrow path and the oracles' CASE guard);
+    NULL vectors PROPAGATE NULL exactly like the oracles' CASE (a
+    coalesce-over-try_divide would wrongly map NULL inputs to 0 too).
+    The when() guards evaluation, so no ANSI DIVIDE_BY_ZERO."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b) / den)

@@ -145,7 +145,14 @@ def hll_distinct(
     for the evaluation read; a real pipeline emits only the registers.
     With `group_cols`, one row per group from per-group register frames —
     the mergeable-rollup shape itself: group sketches ARE the daily/
-    partition units that later MAX-merge into coarser rollups."""
+    partition units that later MAX-merge into coarser rollups.
+
+    NULL keys are excluded before hashing — COUNT(DISTINCT) ignores them
+    on both engines, and hashing them would mint a phantom register
+    (sha2(NULL) is NULL: counted into nreg but contributing NULL to the
+    harmonic sum) that biases the estimate.  A group whose keys are all
+    NULL therefore has no row in the output.  Group joins are null-SAFE,
+    so a NULL-valued group KEY (e.g. event_type NULL) keeps its row."""
     if b != 8:
         raise ValueError("register addressing is pinned to b=8 (2 hex chars)")
     m = 1 << b
@@ -163,8 +170,9 @@ def hll_distinct(
         F.lit(53) - F.length(F.bin(F.col("__v")))
     )
     groups = list(group_cols) if group_cols else []
+    dfk = df.filter(F.col(key_col).isNotNull())
     regs = (
-        df.select(*groups, reg.alias("__reg"), v.alias("__v"))
+        dfk.select(*groups, reg.alias("__reg"), v.alias("__v"))
         .withColumn("__rho", rho)
         .groupBy(*groups, "__reg")
         .agg(F.max("__rho").alias("__M"))
@@ -186,14 +194,22 @@ def hll_distinct(
         (est_raw < 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(est_raw)
-    exact = df.groupBy(*groups).agg(
+    exact = dfk.groupBy(*groups).agg(
         F.count_distinct(F.col(key_col)).alias("n_exact")
     )
-    joined = (
-        exact.join(F.broadcast(stats), groups)
-        if groups
-        else exact.crossJoin(F.broadcast(stats))
-    )
+    if groups:
+        st = stats
+        for g in groups:
+            st = st.withColumnRenamed(g, f"__st_{g}")
+        cond = None
+        for g in groups:
+            c = F.col(g).eqNullSafe(F.col(f"__st_{g}"))
+            cond = c if cond is None else (cond & c)
+        joined = exact.join(F.broadcast(st), cond).drop(
+            *[f"__st_{g}" for g in groups]
+        )
+    else:
+        joined = exact.crossJoin(F.broadcast(stats))
     return joined.select(
         *groups,
         "n_exact",

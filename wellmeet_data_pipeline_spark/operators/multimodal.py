@@ -276,8 +276,9 @@ def phash64(gray8x8) -> int:
     for i, c in enumerate(ac):
         if c > med:
             bits |= 1 << i
-    # wrap to signed 64-bit for Spark LongType
-    return bits - (1 << 64) if bits >= 1 << 63 else bits
+    # only the 63 AC bit positions (0-62) are ever set, so the value
+    # always fits a signed Spark LongType as-is
+    return bits
 
 
 def phash_assets(assets: DataFrame, decode_fn=None) -> DataFrame:
@@ -305,57 +306,33 @@ def phash_assets(assets: DataFrame, decode_fn=None) -> DataFrame:
 def phash_near_dup(
     assets: DataFrame,
     max_hamming: int = 10,
-    n_bands: int = 4,
+    n_bands: int = 16,
     decode_fn=None,
 ) -> DataFrame:
-    """Near-duplicate media pairs by perceptual hash: banded LSH over the
-    64-bit pHash (a pair within hamming distance d < n_bands must agree
-    exactly on >= 1 of the n_bands 16-bit bands — pigeonhole), candidate
-    pairs verified with the exact popcount distance JVM-side
-    (bit_count(xor)).  The same banding topology as the text SimHash
-    operator, applied to media: no all-pairs join at any corpus size,
-    candidate volume is bounded by band-bucket collision counts (the
-    lsh_cost_estimate read applies unchanged)."""
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    hashes = phash_assets(assets, decode_fn).localCheckpoint(eager=False)
-    banded = hashes.select(
-        "asset_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"shiftrightunsigned(phash, {b * width}) & {mask}"
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("asset_id", "phash", "bb.band", "bb.bucket")
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.asset_id") < F.col("b.asset_id")),
+    """Near-duplicate media pairs by perceptual hash — phash_assets piped
+    into the SAME banded-LSH pair join the text SimHash operator uses
+    (dedup.simhash_near_dup_pairs: explode band slices, equi-join on
+    (band, slice), exact bit_count(xor) verify; no all-pairs join at any
+    corpus size).  Completeness follows that operator's pigeonhole rule:
+    every pair with hamming < n_bands is guaranteed a candidate
+    collision, so the defaults keep max_hamming < n_bands (16 4-bit
+    bands / distance 10 — the embedding-LSH configuration); DO NOT lower
+    n_bands below max_hamming+1 or distant-but-qualifying pairs silently
+    drop."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"incomplete LSH: need max_hamming < n_bands, got "
+            f"{max_hamming} >= {n_bands}"
         )
-        .select(
-            F.col("a.asset_id").alias("id_a"),
-            F.col("b.asset_id").alias("id_b"),
-            F.col("a.phash").alias("ha"),
-            F.col("b.phash").alias("hb"),
-        )
-        .distinct()
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
     )
-    return (
-        pairs.withColumn(
-            "hamming", F.bit_count(F.expr("ha ^ hb")).cast("int")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+
+    hashes = phash_assets(assets, decode_fn).localCheckpoint(eager=False)
+    return simhash_near_dup_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        id_col="asset_id",
+        hash_col="phash",
+        bands=n_bands,
     )

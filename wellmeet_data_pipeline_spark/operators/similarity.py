@@ -145,7 +145,13 @@ def _blocked_sides(
     audit at sf0.1; an ordinary join would have inserted the casts).
 
     `q_carry`/`c_carry` ride extra columns along ({out_name: src_col}) —
-    e.g. the label column hard-negative mining masks on."""
+    e.g. the label column hard-negative mining masks on.
+
+    NULL-vector rows are dropped on both sides: a NULL payload cannot
+    participate in similarity (np.vstack would reject it in the tile
+    scorer), and the oracles filter identically."""
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
     all_blocks = F.array(*[F.lit(b).cast("int") for b in range(n_blocks)])
     q = (
         queries.select(
@@ -327,7 +333,10 @@ def kmeans_assign_step(
     scalar-total joins); argmin is a window over the k candidate rows
     per vector (never doc-cardinality partitions); means ride an exact
     integer grid so accumulation order cannot flip the hash."""
-    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    # NULL vectors cannot be assigned — dropped (oracle filters identically)
+    e = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
     seeds = (
         e.orderBy(id_col)
         .limit(k)
@@ -453,7 +462,10 @@ def _ivf_index_setup(
     """Shared IVF index construction (self and cross-corpus forms):
     auto-size (n_centroids, seed_mod) from one count() when unset, take
     the deterministic centroid sample, optionally refine with spherical
-    k-means.  Returns (cent_ids, C) — empty cent_ids means empty input."""
+    k-means.  Returns (cent_ids, C) — empty cent_ids means empty input.
+    NULL-vector rows are excluded (they can neither seed nor refine a
+    centroid)."""
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
     if n_centroids is None or seed_mod is None:
         n_rows = candidates.count()
         if n_centroids is None:
@@ -537,7 +549,7 @@ def ivf_top_k(
                 {"id": out_id, "v": out_v, "centroid_id": out_c, "c_rank": out_r}
             )
 
-    vecs = data.select(
+    vecs = data.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     ranked = vecs.mapInPandas(
@@ -700,6 +712,9 @@ def ivf_pq_top_k(
     spark = data.sparkSession
     if n_codes > 256:
         raise ValueError(f"n_codes must be <= 256 (uint8 codes), got {n_codes}")
+    # NULL vectors can neither train codebooks nor be encoded — dropped,
+    # like every similarity entry point
+    data = data.filter(F.col(vec_col).isNotNull())
     if n_centroids is None or seed_mod is None:
         n_rows = data.count()
         if n_centroids is None:
@@ -751,7 +766,7 @@ def ivf_pq_top_k(
                     out["c_rank"].append(rank)
             yield pd.DataFrame(out)
 
-    vecs = data.select(
+    vecs = data.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     ranked = vecs.mapInPandas(
@@ -912,7 +927,9 @@ def embedding_simhash(
             sig = (bits * weights).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({"id": pdf["id"].to_numpy(), "simhash": sig})
 
-    vecs = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vecs = data.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     return vecs.mapInPandas(sign_bits, "id long, simhash long").withColumnRenamed("id", id_col)
 
 
@@ -960,12 +977,14 @@ def embedding_near_dup_lsh(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            # zero-norm convention: cosine 0, not DIVIDE_BY_ZERO (ANSI)
+            # zero-norm cosine = 0 (ANSI-safe via conditional evaluation);
+            # NULL vectors propagate NULL, matching the oracle CASE guard
             "cosine_sim",
             F.round(
-                F.coalesce(
-                    F.try_divide(dot, norm(F.col("__va")) * norm(F.col("__vb"))),
-                    F.lit(0.0),
+                F.when(
+                    norm(F.col("__va")) * norm(F.col("__vb")) == 0, F.lit(0.0)
+                ).otherwise(
+                    dot / (norm(F.col("__va")) * norm(F.col("__vb")))
                 ),
                 round_digits,
             ),
@@ -1076,6 +1095,9 @@ def semantic_dedup(
     bytes' — the dedup grade that text shingles (MinHash) cannot see.
     """
     spark = data.sparkSession
+    # NULL vectors cannot cluster or score — dropped, like every
+    # similarity entry point (oracles filter identically)
+    data = data.filter(F.col(vec_col).isNotNull())
     if n_centroids is None or seed_mod is None:
         n_rows = data.count()
         if n_centroids is None:
@@ -1241,10 +1263,10 @@ def embedding_label_outliers(
         "label",
         "vec_id",
         F.round(
-            # zero vectors (and empty-label centroids) score 0, not error
-            F.coalesce(
-                F.try_divide(F.col("dot"), F.sqrt(F.col("v2") * F.col("c2"))),
-                F.lit(0.0),
+            # zero vectors (and empty-label centroids) score 0, not error;
+            # NULL inputs propagate NULL like the oracle CASE guard
+            F.when(F.col("v2") * F.col("c2") == 0, F.lit(0.0)).otherwise(
+                F.col("dot") / F.sqrt(F.col("v2") * F.col("c2"))
             ),
             round_digits,
         ).alias("centroid_sim"),
@@ -1427,7 +1449,7 @@ def ivf_cross_top_k(
     schema = "id long, v array<double>, centroid_id long"
 
     def vecs(df, idc):
-        return df.select(
+        return df.filter(F.col(vec_col).isNotNull()).select(
             F.col(idc).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
 

@@ -1123,7 +1123,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     n AS (
       SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
@@ -1155,13 +1155,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH anchors AS (
       SELECT label,
              list_transform(arg_min(embedding, vec_id), x -> CAST(x AS DOUBLE)) AS a
-      FROM embeddings GROUP BY label
+      FROM embeddings WHERE embedding IS NOT NULL GROUP BY label
     ),
     v AS (
       SELECT e.vec_id,
              list_transform(range(1, len(e.embedding) + 1),
                             i -> an.a[i] * 0.75 + CAST(e.embedding[i] AS DOUBLE) * 0.25) AS e
       FROM embeddings e JOIN anchors an ON e.label = an.label
+      WHERE e.embedding IS NOT NULL
     ),
     n AS (
       SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
@@ -1238,7 +1239,7 @@ def q_embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     seeds AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 8),
     d AS (
@@ -1531,7 +1532,7 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     n AS (
       SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
@@ -4925,7 +4926,7 @@ def q_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     n AS (
       SELECT vec_id, label, e,
@@ -5549,12 +5550,13 @@ def q_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE anchors AS (
       SELECT label, list_transform(arg_min(embedding, vec_id), x -> CAST(x AS DOUBLE)) AS a
-      FROM embeddings GROUP BY label
+      FROM embeddings WHERE embedding IS NOT NULL GROUP BY label
     ),
     v AS (
       SELECT e.vec_id, list_transform(range(1, len(e.embedding) + 1),
              i -> an.a[i] * 0.75 + CAST(e.embedding[i] AS DOUBLE) * 0.25) AS e
       FROM embeddings e JOIN anchors an ON e.label = an.label
+      WHERE e.embedding IS NOT NULL
     ),
     n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
     cents AS (SELECT vec_id AS cid, e AS c, nrm AS cnrm FROM n
@@ -6005,7 +6007,7 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_source AS (
       SELECT source,
              CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                           ELSE (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END) END)
+                           ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END)
                   AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
@@ -6202,7 +6204,7 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     n AS (
       SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
@@ -6484,7 +6486,9 @@ _HLL_ALPHA_NUM = repr((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 52
     "hll_distinct_users",
     f"""
     WITH h AS (
+      -- NULL keys excluded (matches the Spark side and COUNT(DISTINCT))
       SELECT sha256(CAST(user_id AS VARCHAR)) AS hx FROM events
+      WHERE user_id IS NOT NULL
     ),
     rv AS (
       SELECT {_hex_int_sql('hx', 1, 2)} AS reg,
@@ -6760,6 +6764,7 @@ def q_bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH h AS (
       SELECT event_type, sha256(CAST(user_id AS VARCHAR)) AS hx FROM events
+      WHERE user_id IS NOT NULL
     ),
     rv AS (
       SELECT event_type,
@@ -6797,7 +6802,7 @@ def q_bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.event_type, ex.n_exact, round(f.e, 4) AS estimate,
            round((f.e - ex.n_exact) / ex.n_exact, 4) AS rel_error
-    FROM fin f JOIN ex ON f.event_type = ex.event_type
+    FROM fin f JOIN ex ON f.event_type IS NOT DISTINCT FROM ex.event_type
     """,
     "per-group HyperLogLog distinct users by event_type — the mergeable-"
     "rollup shape in action: each group's 256-register frame is the "

@@ -157,6 +157,8 @@ def current_rolling_active(
     )
     if store is None:
         return spark.createDataFrame([], "as_of_day date, n_active long")
+    # read_current already dedups to one row per (__u, __day) — no
+    # second distinct shuffle needed
     return rolling_distinct_from_pairs(
-        store.select("__day", "__u").distinct(), window_days
+        store.select("__day", "__u"), window_days
     )
