@@ -6817,6 +6817,58 @@ def q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id", b=8, group_cols=["event_type"])
 
 
+@_q(
+    "decayed_user_value",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(day) AS mday FROM d),
+    wtd AS (
+      SELECT user_id,
+             cents,
+             CAST(floor(pow(0.9, date_diff('day', day, mday))
+                        * 1000000000 + 0.5) AS BIGINT) AS w9
+      FROM d CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(sum(cents * w9) AS BIGINT) AS decayed_micro,
+           round(CAST(sum(cents * w9) AS DOUBLE) / 1000000000 / 100, 2)
+             AS decayed_value
+    FROM wtd GROUP BY user_id
+    """,
+    "time-decayed per-user value (0.9^age_days half-life weighting — the "
+    "recency-weighted LTV / hot-user score every analytics stack keeps): "
+    "day-grain exact-cent sums first, then ONE decay weight per distinct "
+    "age snapped to a 1e-9 integer grid, so the weighted sum is an exact "
+    "bigint regardless of aggregation order; the lone pow() carries the "
+    "same measure-zero 1-ulp caveat as ln()/exp() elsewhere",
+)
+def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    mx = d.agg(F.max("day").alias("mday"))
+    wtd = d.crossJoin(F.broadcast(mx)).withColumn(
+        "w9",
+        F.floor(
+            F.pow(F.lit(0.9), F.datediff(F.col("mday"), F.col("day")))
+            * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    micro = F.sum(F.col("cents") * F.col("w9"))
+    return wtd.groupBy("user_id").agg(
+        micro.alias("decayed_micro"),
+        F.round(micro / F.lit(1_000_000_000.0) / F.lit(100.0), 2).alias(
+            "decayed_value"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
