@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -320,7 +321,18 @@ def main() -> None:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for prev_path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    def _round_key(p):
+        # newest round first; prefer the full DETAIL snapshot within a round
+        m = re.search(r"_r(\d+)\.json$", p)
+        return (int(m.group(1)) if m else -1, "DETAIL" in os.path.basename(p))
+
+    prev_candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+        + glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=_round_key,
+        reverse=True,
+    )
+    for prev_path in prev_candidates:
         try:
             with open(prev_path) as fh:
                 prev = json.load(fh)
@@ -347,7 +359,37 @@ def main() -> None:
         }
         break
 
-    print(json.dumps(out))
+    # The driver captures only the LAST ~2000 chars of output and JSON-parses
+    # that tail; the full per-query dict outgrew it in r4 (parsed: null in
+    # BENCH_r04/r05).  So: write the complete record to BENCH_DETAIL.json
+    # (committed; also snapshotted per-round as BENCH_DETAIL_r{N}.json so the
+    # common-subset comparison above keeps full-coverage history), and print
+    # a compact line capped well under the tail window.
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    if "common_subset_vs_prev" in compact:
+        compact["common_subset_vs_prev"] = {
+            k: v
+            for k, v in compact["common_subset_vs_prev"].items()
+            if k != "per_query_delta_sec"
+        }
+    compact["n_queries"] = len(times)
+    compact["detail"] = "BENCH_DETAIL.json"
+    # include as many slowest-first per-query times as fit the budget
+    budget = 1500 - len(json.dumps(compact)) - len('"queries": {}, ')
+    q_compact = {}
+    for q, t in sorted(times.items(), key=lambda kv: -kv[1]):
+        frag = len(json.dumps({q: t})) + 2
+        if budget - frag < 0:
+            break
+        budget -= frag
+        q_compact[q] = t
+    compact["queries"] = q_compact
+    line = json.dumps(compact)
+    assert len(line) <= 1600, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

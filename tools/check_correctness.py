@@ -28,6 +28,20 @@ def _render(df_pandas) -> list[tuple]:
     return sorted(rows)
 
 
+def _dtype_class(dt) -> str | None:
+    """'int' / 'float' for numeric dtypes, None otherwise (object, bool, ...).
+
+    Only the int-vs-float confusion is driver-visible; object columns
+    (strings, nullable mixes, decimals) are left to value rendering.
+    """
+    kind = getattr(dt, "kind", None)
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    return None
+
+
 def _norm_val(v):
     import math
 
@@ -83,6 +97,20 @@ def main() -> int:
             problems.append(f"columns spark={s_cols} duck={d_cols}")
         else:
             duck_pd = duck_pd[s_cols]
+            # Dtype-strict pre-check: an integer-typed column on one engine
+            # vs a float-typed column on the other (e.g. an uncast DuckDB
+            # HUGEINT window sum coming back as float64) renders identically
+            # ("0" vs "0.0" -> "%.9g" both "0") but hash-differs at the
+            # driver.  Fail BEFORE value rendering so the local gate can
+            # never mask that class again (r4/r5 pack_sequences regression).
+            for c in s_cols:
+                sk = _dtype_class(spark_pd[c].dtype)
+                dk = _dtype_class(duck_pd[c].dtype)
+                if sk and dk and sk != dk:
+                    problems.append(
+                        f"dtype mismatch col={c} spark={spark_pd[c].dtype} "
+                        f"duck={duck_pd[c].dtype}"
+                    )
             s_rows, d_rows = _render(spark_pd), _render(duck_pd)
             if s_rows != d_rows:
                 diff = [

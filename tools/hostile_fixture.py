@@ -74,7 +74,11 @@ def build(base: str, out: str) -> None:
     con.execute(
         f"""
         COPY (
-          SELECT event_id, ts,
+          SELECT event_id,
+                 -- null event-times: Spark windows order ASC NULLS FIRST,
+                 -- DuckDB NULLS LAST — oracles carry explicit NULLS FIRST
+                 -- so a null-ts seed cannot diverge them (r5 verdict #6)
+                 CASE WHEN event_id % 43 = 8 THEN NULL ELSE ts END AS ts,
                  CASE WHEN event_id % 37 = 6 THEN NULL ELSE user_id END
                    AS user_id,
                  event_type,

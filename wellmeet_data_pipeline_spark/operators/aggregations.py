@@ -242,7 +242,14 @@ def countmin_heavy_hitters(
     One input scan builds ALL depth rows (inline_outer over the per-row
     bucket structs) — a per-depth-row union would rescan the input
     depth times, d-1 redundant full passes at the corpus sizes this
-    operator targets."""
+    operator targets.
+
+    NULL keys are excluded up front: sha2(NULL) is NULL, so a NULL key
+    can never probe its sketch cells (the bucket equi-join drops it),
+    and Spark/DuckDB disagree on NULL placement in the top-N order-by —
+    excluding on both engines is the only consistent contract."""
+
+    df = df.filter(F.col(key_col).isNotNull())
 
     def bucket_expr(j: int):
         return (

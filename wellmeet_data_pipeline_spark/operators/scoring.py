@@ -707,9 +707,13 @@ def exact_auc(
         F.sum("n_pos").alias("__p"),
         F.sum("n_neg").alias("__n"),
     )
+    # Single-class input (P*N = 0): AUC is undefined — emit NULL rather
+    # than raising DIVIDE_BY_ZERO under ANSI (try_divide), matching the
+    # oracle where x/0 is NULL.
     return tot.select(
         F.round(
-            F.col("__u2") / (F.lit(2.0) * F.col("__p") * F.col("__n")), round_digits
+            F.try_divide(F.col("__u2"), F.lit(2.0) * F.col("__p") * F.col("__n")),
+            round_digits,
         ).alias("auc"),
         F.col("__p").alias("n_pos"),
         F.col("__n").alias("n_neg"),

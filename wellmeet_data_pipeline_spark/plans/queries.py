@@ -805,10 +805,10 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
                   THEN 1 ELSE 0 END AS is_new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ),
     sessioned AS (
-      SELECT *, CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT *, CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       FROM flagged
     )
@@ -1342,9 +1342,9 @@ def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     """
     SELECT user_id, event_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
-           coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id),
                     CAST(0 AS BIGINT)) AS gap_us
     FROM events
     """,
@@ -1990,10 +1990,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT *,
         last_value(value IGNORE NULLS) OVER (
-          PARTITION BY user_id ORDER BY ts, is_left, event_id
+          PARTITION BY user_id ORDER BY ts NULLS FIRST, is_left, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value,
         last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS) OVER (
-          PARTITION BY user_id ORDER BY ts, is_left, event_id
+          PARTITION BY user_id ORDER BY ts NULLS FIRST, is_left, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
       FROM u
     )
@@ -2624,8 +2624,8 @@ def q_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, stream_id, n_tokens,
-           cb // 64 AS pack_id,
-           cb % 64 AS pack_offset
+           CAST(cb // 64 AS BIGINT) AS pack_id,
+           CAST(cb % 64 AS BIGINT) AS pack_offset
     FROM c
     """,
     "concat-and-chunk training-sequence packing: docs shard into 8 "
@@ -3166,7 +3166,7 @@ def q_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH seq AS (
       SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_type
       FROM events
     )
     SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_transitions
@@ -3350,7 +3350,8 @@ def q_partition_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM mixed
     )
     SELECT doc_id, lang, source, stream_id, n_tokens,
-           cb // 64 AS pack_id, cb % 64 AS pack_offset
+           CAST(cb // 64 AS BIGINT) AS pack_id,
+           CAST(cb % 64 AS BIGINT) AS pack_offset
     FROM c
     """,
     "the WHOLE curation DAG as one declarative plan: quality+length gate → "
@@ -3856,7 +3857,7 @@ def q_orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT event_id, user_id, event_type,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
-                                                    ORDER BY ts, event_id) AS gap_us
+                                                    ORDER BY ts NULLS FIRST, event_id) AS gap_us
       FROM events
     )
     SELECT event_id, user_id, event_type FROM seq
@@ -3991,7 +3992,7 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
       SELECT user_id,
-             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                AS gap_us
       FROM events
     )
@@ -4116,10 +4117,10 @@ def q_daily_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
            strftime(lead(ts) OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts, event_id),
+                                   ORDER BY ts NULLS FIRST, event_id),
                     '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
            CAST(lead(ts) OVER (PARTITION BY user_id, event_type
-                               ORDER BY ts, event_id) IS NULL AS BOOLEAN) AS is_current
+                               ORDER BY ts NULLS FIRST, event_id) IS NULL AS BOOLEAN) AS is_current
     FROM events
     """,
     "SCD2-shape validity intervals: each (user, type) observation is valid "
@@ -6213,9 +6214,10 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT * FROM n WHERE vec_id % 2 = 1),
     sc AS (
       SELECT a.vec_id AS qa, b.vec_id AS qb,
-             CAST(round(list_sum(list_transform(range(1, len(a.e) + 1),
-                                                i -> a.e[i] * b.e[i]))
-                        / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS mc
+             CAST(round(CASE WHEN a.nrm * b.nrm = 0 THEN 0
+                             ELSE list_sum(list_transform(range(1, len(a.e) + 1),
+                                                          i -> a.e[i] * b.e[i]))
+                                  / (a.nrm * b.nrm) END * 1000000) AS BIGINT) AS mc
       FROM a JOIN b ON true
     ),
     ra AS (SELECT qa, qb, mc, row_number() OVER (PARTITION BY qa
@@ -6504,7 +6506,7 @@ _HLL_ALPHA_NUM = repr((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 52
       FROM rv GROUP BY reg
     ),
     stats AS (
-      SELECT CAST(sum(CAST(2 AS BIGINT) ** (52 - M)) AS BIGINT) AS zsum,
+      SELECT CAST(sum(CAST(1 AS BIGINT) << (52 - M)) AS BIGINT) AS zsum,
              CAST(count(*) AS BIGINT) AS nreg
       FROM regs
     ),
@@ -6543,10 +6545,13 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "countmin_heavy_hitters",
     f"""
     WITH rows_ AS (
+      -- NULL keys excluded on both engines: sha2(NULL) -> NULL bucket would
+      -- silently drop a NULL-key top row at the probe join while the
+      -- engines' NULL sort orders disagree on whether it enters the top-N
       SELECT user_id,
              {_hex_int_sql("sha256('0|' || CAST(user_id AS VARCHAR))", 1, 4)} % 1024 AS b0,
              {_hex_int_sql("sha256('1|' || CAST(user_id AS VARCHAR))", 1, 4)} % 1024 AS b1
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     s0 AS (SELECT b0, CAST(count(*) AS BIGINT) AS e0 FROM rows_ GROUP BY b0),
     s1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS e1 FROM rows_ GROUP BY b1),
@@ -6779,7 +6784,7 @@ def q_bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       SELECT event_type,
-             CAST(sum(CAST(2 AS BIGINT) ** (52 - M)) AS BIGINT) AS zsum,
+             CAST(sum(CAST(1 AS BIGINT) << (52 - M)) AS BIGINT) AS zsum,
              CAST(count(*) AS BIGINT) AS nreg
       FROM regs GROUP BY event_type
     ),
@@ -6885,60 +6890,61 @@ def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # -- r5 window: the two r4 hash-mismatch casualties first (the Java-\s-
-    # vs-RE2 oracle divergence, fixed this round — re-prove them green), then
-    # 48 oracle-backed queries never driver-checked through r4 (batch 1 of 2;
-    # 31 remain for the r6 window) --
-    "corpus_end_to_end",
+    # -- r6 window: the two r4/r5 hash-fail casualties FIRST (root cause:
+    # the oracles' uncast HUGEINT window sums came back float64 from DuckDB
+    # while Spark emits bigint; fixed with CAST(... AS BIGINT) and a dtype-
+    # strict local gate), then the 47 oracle-backed queries never driver-
+    # checked through r5 (NOTES.md 'r6 rotation list'), then 1 proven anchor --
     "pack_sequences",
-    "lang_id_confusion",
-    "script_mix_stats",
-    "embedding_int8_stats",
-    "kmeans_cluster_step",
-    "lsh_cost_estimate",
-    "shipping_priority",
-    "regional_volume",
-    "nation_pair_volume",
-    "stats_correlation",
-    "asof_join_last_purchase",
-    "value_percentiles",
-    "value_histogram",
-    "equi_depth_value_buckets",
-    "cohort_retention",
-    "range_join_events",
-    "top_ngrams_per_lang",
-    "corpus_length_trim",
-    "minhash_jaccard_verify",
-    "bucketed_order_revenue",
-    "char_entropy",
-    "weighted_sample_docs",
-    "column_null_profile",
-    "corpus_datacard",
-    "ngram_novelty",
-    "event_transitions",
-    "funnel_conversion",
-    "partition_pruned_week",
-    "salted_type_totals",
-    "heavy_hitter_users",
-    "order_priority_check",
-    "negative_samples_per_customer",
-    "supplier_concentration_hhi",
-    "basket_part_pairs",
-    "snapshot_diff",
-    "table_checksums",
-    "skew_split_join_revenue",
-    "orders_reconciliation",
-    "event_debounce",
-    "unpivot_user_counts",
-    "daily_revenue_trend",
-    "user_interarrival_stats",
-    "daily_anomaly_flags",
-    "daily_event_delta",
-    "event_validity_intervals",
-    "lsh_quality_metrics",
-    "embedding_mean_pool",
-    "clean_web_text",
-    "zscore_by_type",
+    "corpus_end_to_end",
+    "late_shipment_priority",
+    "small_quantity_revenue",
+    "daily_moving_average",
+    "busiest_day_per_type",
+    "sql_api_pricing",
+    "bigram_cond_entropy",
+    "perplexity_lang_buckets",
+    "doremi_weight_step",
+    "fim_split",
+    "tokenizer_fertility",
+    "bpe_pair_counts",
+    "seqlen_histogram",
+    "dup_rate_by_source",
+    "length_curriculum",
+    "pack_efficiency_by_seqlen",
+    "dsir_importance",
+    "market_share_by_year",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "large_order_customers",
+    "disjunctive_filter_revenue",
+    "inactive_rich_customers",
+    "semdedup_survivors",
+    "forecast_revenue_change",
+    "product_profit_by_nation",
+    "returned_item_report",
+    "top_supplier_revenue",
+    "waiting_supplier_orders",
+    "cross_doc_spans",
+    "decontaminate_bloom",
+    "embedding_label_outliers",
+    "epoch_budget_allocation",
+    "dedup_graph_pagerank",
+    "classifier_auc",
+    "bitext_mine_margin",
+    "incremental_agg_refresh",
+    "interval_overlap_sessions",
+    "rolling_7day_active_users",
+    "classifier_calibration",
+    "cdc_latest_state",
+    "hll_distinct_users",
+    "countmin_heavy_hitters",
+    "k_anonymity_audit",
+    "join_size_from_histograms",
+    "zorder_layout_stats",
+    "dup_cluster_size_histogram",
+    "hll_distinct_by_type",
+    "flagship_incremental_enrich",
 ]
 
 
