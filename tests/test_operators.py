@@ -480,3 +480,71 @@ def test_daily_anomaly_exact_integer_z_test(spark):
     assert got["2024-01-04"] is False        # flat baseline, no anomaly
     assert got["2024-01-05"] is True         # the spike (sigma = 0 baseline)
     assert got["2024-01-06"] is False        # 10 is within 2 sigma of {10,10,10,10,100}
+
+
+def test_simhash_sha_profile_finds_planted_near_dup(spark):
+    # repetition-heavy docs: per-bit votes are large-magnitude, so a single
+    # changed word flips ~1 bit (verified offline: hamming(base, var) = 1,
+    # hamming(base, other) = 25) — SimHash's operating regime; short docs
+    # with a proportionally large edit legitimately land outside hamming 3
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 20).strip()
+    w = base.split()
+    w[55] = "lambda"
+    rows = [
+        (1, base),
+        (2, " ".join(w)),
+        (3, ("orbital mechanics and perturbation theory for satellite "
+             "constellations " * 10).strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        simhash_sha_df,
+        simhash_sha_near_dup_profile,
+    )
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_sha_df(df).collect()}
+    # 48-bit family: always-positive BIGINT fingerprints
+    assert all(0 <= v < (1 << 48) for v in sig.values())
+    prof = {r["doc_id"]: r["n_near_dups"] for r in
+            simhash_sha_near_dup_profile(df).collect()}
+    assert prof[1] >= 1 and prof[2] >= 1  # the planted pair found each other
+    assert prof[3] == 0
+
+
+def test_simhash_near_dup_pairs_guards_incomplete_config(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    from wellmeet_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=4, bands=4)  # pigeonhole broken
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, bands=5, n_bits=48)  # 5 does not divide 48
+
+
+def test_embedding_lsh_sha_pairs_planted_dup_and_zero_vectors(spark):
+    import math
+
+    dim = 8
+    v = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4, 0.05, -0.7]
+    w = [-x for x in v]
+    rows = [
+        (1, v),
+        (2, list(v)),               # exact duplicate -> hamming 0, cosine 1
+        (3, w),                     # antipode -> opposite sig bits, no pair
+        (4, [0.0] * dim),           # zero vector
+        (5, [0.0] * dim),           # second zero vector -> pairs with 4, cos 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        embedding_lsh_sha_pairs,
+    )
+
+    got = {(r["id_a"], r["id_b"]): (r["hamming"], r["cosine_sim"])
+           for r in embedding_lsh_sha_pairs(df).collect()}
+    assert got[(1, 2)] == (0, 1.0)
+    assert (1, 3) not in got  # antipodal sigs differ in every informative bit
+    assert got[(4, 5)][1] == 0.0  # zero-norm guard: cosine 0 by convention
+    for (a, b), (h, c) in got.items():
+        assert h <= 3 and not math.isnan(c)

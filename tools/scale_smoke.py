@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -376,13 +377,23 @@ def main() -> None:
         if name not in only:
             continue
         rec = {"seconds": {}, "rows": {}, "slopes": {}}
+        # SMOKE_REPEATS > 1 records the MIN wall time over that many runs
+        # per scale: a single cold run (page cache, JIT, GC debt from the
+        # previous op) can swing small timings by 2-3x and fabricate a
+        # super-linear slope — the r5 quality_classifier_score "1.076"
+        # was exactly that artifact.  Min-of-N is the standard noise
+        # floor for wall-clock microbenchmarks.
+        repeats = max(1, int(os.environ.get("SMOKE_REPEATS", "1")))
         for s in SCALES:
-            t0 = time.perf_counter()
-            rows = fn(spark, sf_dir, s)
-            dt = round(time.perf_counter() - t0, 2)
-            rec["seconds"][str(s)] = dt
+            best, rows = None, None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir, s)
+                dt = round(time.perf_counter() - t0, 2)
+                best = dt if best is None else min(best, dt)
+            rec["seconds"][str(s)] = best
             rec["rows"][str(s)] = rows
-            print(f"{name} x{s}: {dt}s ({rows} rows)", flush=True)
+            print(f"{name} x{s}: {best}s ({rows} rows, min of {repeats})", flush=True)
         for lo, hi in zip(SCALES, SCALES[1:]):
             t_lo, t_hi = rec["seconds"][str(lo)], rec["seconds"][str(hi)]
             rec["slopes"][f"{lo}->{hi}"] = (

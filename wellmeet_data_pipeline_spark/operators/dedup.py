@@ -291,6 +291,86 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def simhash_sha_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    n_bits: int = 48,
+) -> DataFrame:
+    """(id, simhash) with a sha256-derived 48-bit hash family — the
+    oracle-checkable twin of simhash_df (which stays on xxhash64 as the
+    faster scale default).
+
+    Per shingle occurrence, h = first 12 hex chars of sha256(shingle)
+    decoded as an integer: 48 bits keeps the per-doc fingerprint an
+    always-positive BIGINT, so ANSI SQL (DuckDB) reproduces every bit
+    without two's-complement sign gymnastics (the 64-bit form's bit 63
+    is the sign bit).  Same plan shape as simhash_df: one explode, one
+    groupBy with n_bits conditional sums (per-bit votes), a single
+    shift-OR projection — all whole-stage codegen."""
+    sh = shingles_df(docs, text_col, id_col, shingle_n)
+    h = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(F.sha2(F.col("shingle"), 256), 1, n_bits // 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(n_bits)
+    ]
+    votes = h.groupBy(id_col).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for i in range(n_bits):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(id_col, acc.alias("simhash"))
+
+
+def simhash_sha_near_dup_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, simhash, n_near_dups) — every doc's sha-derived 48-bit
+    SimHash fingerprint plus its hamming-ball near-dup degree through the
+    banded-prefix candidate join.  One frame exercises the whole SimHash
+    topology (fingerprint -> banding -> bucket join -> bit_count verify)
+    with output on EVERY doc, so the oracle compare has full-corpus
+    evidence even when the corpus contains no near-dups."""
+    # pinned: the fingerprint frame feeds both sides of the banded join
+    # and the final profile join — recomputing 48 vote sums three times
+    # would triple the dominant shingle scan
+    sig = simhash_sha_df(docs, text_col, id_col).localCheckpoint(eager=False)
+    pairs = simhash_near_dup_pairs(
+        sig,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        hash_col="simhash",
+        bands=bands,
+        n_bits=48,
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__n"))
+    )
+    return sig.join(deg, id_col, "left").select(
+        id_col,
+        "simhash",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_near_dups"),
+    )
+
+
 def minhash_signatures_sha(
     docs: DataFrame,
     text_col: str = "text",
@@ -684,6 +764,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     bands: int = 4,
+    n_bits: int = 64,
 ) -> DataFrame:
     """Hamming-ball SimHash near-dup: pairs whose simhash differs in at
     most `max_hamming` bits.
@@ -693,8 +774,19 @@ def simhash_near_dup_pairs(
     agree on at least one slice, so the candidate join shuffles on
     (band, slice) and only slice-equal docs meet — never an all-pairs
     comparison.  Exact verification is bit_count(xor) <= d in codegen.
-    Complete when max_hamming < bands (standard 64/4/3 configuration)."""
-    bits = 64 // bands
+    Complete when max_hamming < bands (standard 64/4/3 configuration);
+    `n_bits` narrows the hash width for sub-64-bit families (the sha
+    twin uses 48 so the fingerprint stays an always-positive BIGINT
+    that ANSI SQL reproduces without two's-complement gymnastics)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: pigeonhole "
+            "completeness requires distance < bands (a pair could differ "
+            "in every band and never meet in the candidate join)"
+        )
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    bits = n_bits // bands
     slices = [
         F.struct(
             F.lit(b).alias("band"),

@@ -994,6 +994,138 @@ def embedding_near_dup_lsh(
     )
 
 
+def sha_hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 Rademacher hyperplanes derived from sha256: sign(p, d) is +1
+    when the first hex nibble of sha256("p|d") is even, else -1.  Pure
+    function of (plane, dim) — no RNG object, no seed state — so the
+    DuckDB oracle re-derives the identical planes from its own sha256
+    and the whole LSH pipeline becomes hash-verifiable.  Rademacher
+    planes are a standard substitute for Gaussian ones in cosine LSH
+    (Achlioptas 2003 sparse/signed random projections): the collision
+    probability keeps the 1 - angle/pi character."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.sha256(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def embedding_lsh_sha_pairs(
+    data: DataFrame,
+    n_planes: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Oracle-checkable embedding-cosine LSH twin: quantize each vector
+    to integers (q_d = floor(x_d * quant + 0.5), exact on both engines),
+    take 16 sha-derived ±1 hyperplane signatures as EXACT integer dot
+    signs, band the 16-bit signature (4 bands x 4 bits; pigeonhole-
+    complete for hamming < 4), self-join on (band, slice), and verify
+    candidates with the exact quantized cosine.
+
+    Every stage is integer arithmetic up to the single final division,
+    so DuckDB reproduces the signature, the candidate set, and the
+    verified cosine bit-for-bit — this is the hash-verified evidence row
+    for the embedding-LSH family (embedding_near_dup_lsh keeps Gaussian
+    hyperplanes + Arrow matmul as the scale default).
+
+    Plan shape: signatures are pure whole-stage-codegen expressions
+    (zip_with/aggregate over literal sign arrays — no Python, no
+    shuffle); the only shuffles are the (band, slice) candidate join and
+    the two bounded joins that fetch candidate vectors for the verify."""
+    from wellmeet_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    data = data.filter(F.col(vec_col).isNotNull())
+    # bounded model read: one row to learn the dimensionality (the sign
+    # literals need it); same class as the centroid collects
+    first = data.select(vec_col).first()
+    if first is None:
+        spark = data.sparkSession
+        return spark.createDataFrame(
+            [], f"id_a long, id_b long, hamming integer, cosine_sim double"
+        )
+    dim = len(first[0])
+    signs = sha_hyperplane_signs(n_planes, dim)
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    qd = data.select(F.col(id_col), q.alias("__q"))
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                F.array(*[F.lit(s).cast("long") for s in signs[p]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"__dot{p}")
+        for p in range(n_planes)
+    ]
+    with_dots = qd.select(id_col, "__q", *dots)
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sig = sig + F.when(F.col(f"__dot{p}") >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    # pin the signature frame: it feeds three join branches (both sides of
+    # the candidate join + the verify fetch), and recomputing 16 aggregate
+    # dots per branch would re-scan the source 4x (same localCheckpoint
+    # pattern as phash_assets)
+    sigs = with_dots.select(id_col, "__q", sig.alias("simhash")).localCheckpoint(
+        eager=False
+    )
+
+    cand = simhash_near_dup_pairs(
+        sigs.select(id_col, "simhash"),
+        max_hamming=max_hamming,
+        id_col=id_col,
+        hash_col="simhash",
+        bands=bands,
+        n_bits=n_planes,
+    )
+    qa = sigs.select(F.col(id_col).alias("id_a"), F.col("__q").alias("__qa"))
+    qb = sigs.select(F.col(id_col).alias("id_b"), F.col("__q").alias("__qb"))
+    dot_ab = F.aggregate(
+        F.zip_with("__qa", "__qb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm2 = lambda c: F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    den = F.sqrt(nrm2(F.col("__qa")).cast("double")) * F.sqrt(
+        nrm2(F.col("__qb")).cast("double")
+    )
+    return (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.round(
+                F.when(den == 0, F.lit(0.0)).otherwise(dot_ab.cast("double") / den),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     data: DataFrame,
     threshold: float,

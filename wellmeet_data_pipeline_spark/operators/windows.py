@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 
 def tumbling_window_agg(df: DataFrame, ts_col: str, minutes: int, group_cols: Sequence[str] = ()) -> DataFrame:
     """Tumbling event-time windows via F.window (epoch-aligned). Output keys:
-    window_start (string for oracle-stable hashing) + group cols."""
+    window_start (string for oracle-stable hashing) + group cols.
+
+    Rows with a NULL event time are excluded EXPLICITLY: an event-time
+    window is undefined for them (streaming watermarks drop such rows
+    too, so the batch twin matches), and leaving the filter implicit in
+    F.window's behavior would silently diverge from engines that emit a
+    NULL bucket (DuckDB date_trunc(NULL) groups them)."""
+    df = df.filter(F.col(ts_col).isNotNull())
     w = F.window(F.col(ts_col), f"{minutes} minutes")
     return (
         df.groupBy(w.alias("w"), *group_cols)
@@ -37,7 +44,9 @@ def tumbling_window_agg(df: DataFrame, ts_col: str, minutes: int, group_cols: Se
 
 
 def sliding_window_agg(df: DataFrame, ts_col: str, length_min: int, slide_min: int) -> DataFrame:
-    """Sliding windows: each event lands in length/slide windows."""
+    """Sliding windows: each event lands in length/slide windows.
+    NULL event times excluded, same contract as tumbling_window_agg."""
+    df = df.filter(F.col(ts_col).isNotNull())
     w = F.window(F.col(ts_col), f"{length_min} minutes", f"{slide_min} minutes")
     return (
         df.groupBy(w.alias("w"))

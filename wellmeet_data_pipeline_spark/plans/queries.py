@@ -764,7 +764,7 @@ def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            round(sum(value), 2) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     "T7: tumbling 60-min event-time windows (epoch-aligned = hour-aligned)",
 )
@@ -778,7 +778,7 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH anchored AS (
       SELECT date_trunc('hour', ts) + (CAST(minute(ts) AS INTEGER) // 30) * INTERVAL 30 MINUTE AS w0
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     contrib AS (
       SELECT w0 AS wstart FROM anchored
@@ -4036,11 +4036,11 @@ def q_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT event_type, day, n,
-             sum(n) OVER (PARTITION BY event_type ORDER BY day
+             sum(n) OVER (PARTITION BY event_type ORDER BY day NULLS FIRST
                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s,
-             sum(n * n) OVER (PARTITION BY event_type ORDER BY day
+             sum(n * n) OVER (PARTITION BY event_type ORDER BY day NULLS FIRST
                               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ss,
-             count(n) OVER (PARTITION BY event_type ORDER BY day
+             count(n) OVER (PARTITION BY event_type ORDER BY day NULLS FIRST
                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS c
       FROM d
     )
@@ -4095,7 +4095,7 @@ def q_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1
     )
-    SELECT day, n, n - lag(n) OVER (ORDER BY day) AS delta
+    SELECT day, n, n - lag(n) OVER (ORDER BY day NULLS FIRST) AS delta
     FROM d
     """,
     "day-over-day deltas: the lag window runs AFTER aggregation over ~30 "
@@ -4386,7 +4386,7 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT day, event_type, n,
-           round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+           round(avg(n) OVER (PARTITION BY event_type ORDER BY day NULLS FIRST
                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
     FROM d
     """,
@@ -6283,7 +6283,10 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the stored MV: aggregated once, pinned — downstream must not re-derive
     base = rollup(ev.filter(F.col("ts") < cutoff)).localCheckpoint(eager=False)
-    delta = rollup(ev.filter(F.col("ts") >= cutoff))
+    # null event times are unroutable by the cutoff predicate (NULL < x is
+    # NULL -> dropped by BOTH filters) — they ride the delta leg, so the
+    # refresh still equals the full recompute the oracle runs
+    delta = rollup(ev.filter((F.col("ts") >= cutoff) | F.col("ts").isNull()))
     return merge_agg_states(base, delta, ["user_id"])
 
 
@@ -6877,6 +6880,164 @@ def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Driver-evidence rotation (round 4).
 #
+_SIMHASH_SHA_BITS = 48
+
+
+def _simhash_sha_oracle() -> str:
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SIMHASH_SHA_BITS)
+    )
+    acc = "\n           + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_SIMHASH_SHA_BITS)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                                   i -> array_to_string(words[i:i+1], ' '))) AS shingle
+      FROM norm
+    ),
+    hx AS (SELECT doc_id, sha256(shingle) AS sx FROM sh),
+    hv AS (SELECT doc_id, {_hex_int_sql('sx', 1, 12)} AS h FROM hx),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hv GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+           CAST({acc} AS BIGINT) AS simhash
+      FROM votes
+    ),
+    banded AS (
+      SELECT doc_id, simhash, b.band,
+             ((simhash >> (b.band * 12)) & 4095) AS slice
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.slice = b.slice
+      WHERE a.doc_id < b.doc_id
+        AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    deg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_dups
+      FROM (SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.simhash, COALESCE(d.n_near_dups, 0) AS n_near_dups
+    FROM sig s LEFT JOIN deg d USING (doc_id)
+    """
+
+
+@_q(
+    "dedup_simhash_sha",
+    _simhash_sha_oracle(),
+    "sha256-derived 48-bit SimHash near-dup profile — the oracle-checkable "
+    "twin of the xxhash64 SimHash (which stays the scale default): every "
+    "doc's fingerprint + its hamming<=3 near-dup degree through the banded-"
+    "prefix candidate join (4 bands x 12 bits, pigeonhole-complete), so "
+    "the whole fingerprint->band->bucket-join->bit_count topology is hash-"
+    "verified on full-corpus output",
+)
+def q_simhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        simhash_sha_near_dup_profile,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_sha_near_dup_profile(d)
+
+
+def _embedding_lsh_sha_oracle() -> str:
+    sign_nibble = _hex_int_sql(
+        "sha256(CAST(p.p AS VARCHAR) || '|' || CAST(d.d AS VARCHAR))", 1, 1
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                      AS BIGINT)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dims AS (
+      SELECT unnest(range(0, (SELECT max(len(q)) FROM qv))) AS d
+    ),
+    signs AS (
+      SELECT p.p, d.d,
+             CASE WHEN ({sign_nibble}) % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(range(0, 16)) AS p) p, (SELECT d FROM dims) d
+    ),
+    qd AS (
+      SELECT vec_id, d.d AS d, q[CAST(d.d AS INTEGER) + 1] AS qx
+      FROM qv, dims d
+    ),
+    dots AS (
+      SELECT qd.vec_id, signs.p, CAST(sum(qd.qx * signs.s) AS BIGINT) AS dot
+      FROM qd JOIN signs ON qd.d = signs.d
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM dots GROUP BY vec_id
+    ),
+    banded AS (
+      SELECT vec_id, simhash, b.band,
+             ((simhash >> (b.band * 4)) & 15) AS slice
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM banded a JOIN banded b ON a.band = b.band AND a.slice = b.slice
+      WHERE a.vec_id < b.vec_id
+        AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    )
+    SELECT p.id_a, p.id_b, p.hamming,
+           round(CASE WHEN sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)) = 0
+                      THEN 0
+                      ELSE CAST(dq AS DOUBLE)
+                           / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+                 END, 6) AS cosine_sim
+    FROM (
+      SELECT p.id_a, p.id_b, p.hamming,
+             CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                          i -> a.q[i] * b.q[i])) AS BIGINT) AS dq,
+             CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS na2,
+             CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nb2
+      FROM pairs p JOIN qv a ON p.id_a = a.vec_id JOIN qv b ON p.id_b = b.vec_id
+    ) p
+    """
+
+
+@_q(
+    "dedup_embedding_lsh_sha",
+    _embedding_lsh_sha_oracle(),
+    "oracle-checkable embedding-cosine LSH twin: integer-quantized vectors "
+    "(floor(x*1e6 + 0.5)), 16 sha-derived ±1 Rademacher hyperplane sign "
+    "bits as EXACT integer dot signs, 4x4-bit banding (pigeonhole-complete "
+    "for hamming<4), candidate self-join, exact quantized-cosine verify — "
+    "every stage integer arithmetic up to one final division, so the "
+    "signature, candidate set, and cosine are hash-verified; the Gaussian-"
+    "hyperplane Arrow form (dedup_embedding_lsh) stays the scale default",
+)
+def q_embedding_lsh_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        embedding_lsh_sha_pairs,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_lsh_sha_pairs(e)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
