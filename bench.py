@@ -100,6 +100,10 @@ HEADLINE = [
     "k_anonymity_audit",
     "join_size_from_histograms",
     "zorder_layout_stats",
+    # round 6 additions: the oracle-backed sha twins of the approximate
+    # near-dup families
+    "dedup_simhash_sha",
+    "dedup_embedding_lsh_sha",
 ]
 
 
