@@ -1042,7 +1042,16 @@ def embedding_lsh_sha_pairs(
     Plan shape: signatures are pure whole-stage-codegen expressions
     (zip_with/aggregate over literal sign arrays — no Python, no
     shuffle); the only shuffles are the (band, slice) candidate join and
-    the two bounded joins that fetch candidate vectors for the verify."""
+    the two bounded joins that fetch candidate vectors for the verify.
+
+    Scale note: 16 planes / 4-bit slices = 16 buckets per band, so the
+    candidate join costs ~N^2/16 per band — chosen to keep the ORACLE
+    tractable and the evidence rows non-empty on near-uniform test
+    embeddings.  A production corpus raises n_planes (e.g. 64 planes,
+    8-16-bit slices — same formula, same oracle shape) or uses the
+    Gaussian 64-bit form (embedding_near_dup_lsh); size the banding with
+    lsh_cost_estimate's Σ c·(c-1)/2 pre-flight before paying for the
+    join."""
     from wellmeet_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
 
     data = data.filter(F.col(vec_col).isNotNull())
