@@ -104,6 +104,10 @@ HEADLINE = [
     # near-dup families
     "dedup_simhash_sha",
     "dedup_embedding_lsh_sha",
+    # round 6 additions: retrieval tier (lexical BM25 + hybrid RRF fusion)
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "readability_scores",
 ]
 
 

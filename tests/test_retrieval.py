@@ -1,0 +1,180 @@
+"""Retrieval operators: BM25 top-k, reciprocal-rank fusion, readability.
+
+Differential strategy mirrors test_scoring.py: every score is re-derived
+by an independent pure-Python implementation on a small corpus, and the
+degenerate corners (NULL/empty text, missing-leg fusion, ties) are pinned
+explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.operators.retrieval import (
+    MICRO,
+    bm25_scores,
+    bm25_topk,
+    readability_scores,
+    rrf_fuse,
+)
+
+DOCS = [
+    (0, "fast query scan fast table"),
+    (1, "join hash join merge join"),
+    (2, "slow scan of the big table"),
+    (3, ""),
+    (4, None),
+    (5, "fast fast fast fast fast fast fast fast"),
+]
+QUERIES = {0: ["fast", "scan"], 1: ["join"]}
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    """Independent reference: same normalization (lowercase, strip
+    punctuation, split on whitespace), exact micro-grid snapping."""
+    import re
+
+    tok = {}
+    for i, t in docs:
+        if t is None:
+            tok[i] = []
+        else:
+            norm = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", "", t.lower())).strip()
+            tok[i] = [w for w in norm.split(" ") if w]
+    n_docs = len(docs)
+    total_dl = sum(len(v) for v in tok.values())
+    df = {}
+    for ws in tok.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for q, terms in queries.items():
+        for d, ws in tok.items():
+            s = 0
+            for t in terms:
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                idf = math.floor(
+                    math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)) * MICRO + 0.5
+                ) / MICRO
+                dlr = (len(ws) * n_docs) / total_dl
+                tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dlr))
+                s += math.floor(idf * tfn * MICRO + 0.5)
+            if s:
+                out[(q, d)] = s
+    return out
+
+
+def test_bm25_matches_pure_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): r.score_int
+        for r in bm25_scores(df, QUERIES).collect()
+    }
+    assert got == _py_bm25(DOCS, QUERIES)
+
+
+def test_bm25_topk_rank_and_tiebreak(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = bm25_topk(df, QUERIES, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    ref = _py_bm25(DOCS, QUERIES)
+    for q, lst in by_q.items():
+        want = sorted(
+            [(d, s) for (qq, d), s in ref.items() if qq == q],
+            key=lambda x: (-x[1], x[0]),
+        )[:2]
+        assert [(d, s) for _, d, s in sorted(lst)] == [(d, s / MICRO) for d, s in want]
+    # doc 5 spams 'fast' but doc 0 matches two terms — both rank, scores
+    # strictly ordered (saturation keeps the spam from running away)
+    assert by_q[0][0][1] in (0, 5)
+
+
+def test_bm25_empty_and_null_docs_excluded(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs_seen = {r.doc_id for r in bm25_scores(df, QUERIES).collect()}
+    assert 3 not in docs_seen and 4 not in docs_seen
+    # ...but they still count toward N / avgdl (parity with the oracle):
+    # removing them changes scores
+    df2 = spark.createDataFrame(
+        [r for r in DOCS if r[0] not in (3, 4)], "doc_id long, text string"
+    )
+    s_all = {(r.query_id, r.doc_id): r.score_int for r in bm25_scores(df, QUERIES).collect()}
+    s_sub = {(r.query_id, r.doc_id): r.score_int for r in bm25_scores(df2, QUERIES).collect()}
+    assert s_all != s_sub
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id int, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id int, doc_id long, rank int"
+    )
+    got = {r.doc_id: r for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 11 in both: 1/62 + 1/61; doc 10 only in a: 1/61; 13 only in b: 1/62
+    assert got[11].rrf_score == pytest.approx(1 / 62 + 1 / 61, abs=0)
+    assert got[10].rrf_score == pytest.approx(1 / 61, abs=0)
+    assert got[13].rrf_score == pytest.approx(1 / 62, abs=0)
+    assert got[11].rank == 1
+    # 10 (1/61) beats 13 (1/62)
+    assert got[10].rank == 2 and got[13].rank == 3
+    assert got[10].rank_1 is None and got[13].rank_0 is None
+
+
+def test_rrf_symmetric_tie_breaks_by_doc_id(spark):
+    a = spark.createDataFrame([(0, 20, 3)], "query_id int, doc_id long, rank int")
+    b = spark.createDataFrame([(0, 7, 3)], "query_id int, doc_id long, rank int")
+    rows = sorted(rrf_fuse([a, b], k=10).collect(), key=lambda r: r.rank)
+    assert [r.doc_id for r in rows] == [7, 20]  # equal 1/63 — id asc wins
+
+
+def test_rrf_requires_two_rankings(spark):
+    a = spark.createDataFrame([(0, 1, 1)], "query_id int, doc_id long, rank int")
+    with pytest.raises(ValueError):
+        rrf_fuse([a])
+
+
+def test_readability_hand_computed(spark):
+    text = "The cat sat on the mat. It was happy! Was it?"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = readability_scores(df).collect()[0]
+    # words: 11; sentences: 3; vowel runs of lowercased text:
+    # the(1) cat(1) sat(1) on(1) the(1) mat(1) it(1) was(1) happy(2) was(1) it(1) = 12
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (11, 3, 12)
+    wps, spw = 11 / 3, 12 / 11
+    want_fl = math.floor((206.835 - 1.015 * wps - 84.6 * spw) * MICRO + 0.5) / MICRO
+    want_fk = math.floor((0.39 * wps + 11.8 * spw - 15.59) * MICRO + 0.5) / MICRO
+    assert r.flesch == want_fl and r.fk_grade == want_fk
+    assert r.readability_band == "easy"
+
+
+def test_readability_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "word word word")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in readability_scores(df).collect()}
+    assert rows[0].n_words == 0 and rows[0].flesch is None
+    assert rows[0].readability_band is None
+    assert rows[1].n_words is None and rows[1].flesch is None
+    assert rows[1].readability_band is None
+    # no sentence punctuation -> floor at 1 sentence
+    assert rows[2].n_sentences == 1 and rows[2].flesch is not None
+
+
+def test_readability_plan_has_no_exchange(spark):
+    df = spark.createDataFrame([(0, "a word.")], "doc_id long, text string")
+    plan = readability_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = bm25_topk(df, QUERIES, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

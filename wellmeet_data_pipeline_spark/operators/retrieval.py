@@ -1,0 +1,291 @@
+"""Text retrieval over the document corpus: Okapi BM25 scoring / top-k,
+hybrid lexical+vector reciprocal-rank fusion, and readability scoring.
+
+The reference repo has no retrieval engine (it is a crawler feeding an
+OLTP store — review-crawler/*); these operators extend the north-star
+RAG/corpus surface the same way the §2.11 text-analysis families do:
+BM25 is the canonical lexical ranker a 100 TB document store needs next
+to the embedding ANN tier (operators/similarity.py), and reciprocal-rank
+fusion (Cormack et al., SIGIR'09) is the standard way the two tiers are
+combined in production retrieval stacks.
+
+Scale/determinism notes shared by every operator here:
+- tokenization is the repo-wide normalized_text() convention (lowercase,
+  punctuation stripped, whitespace collapsed) so BM25, MinHash, TF-IDF
+  and the dedup family all agree on what a "term" is;
+- all floating-point score math follows the registry's exact-grid rule:
+  per-term contributions are snapped to an integer micro grid
+  (floor(x * 1e6 + 0.5) as BIGINT) and summed exactly, so scores are
+  independent of row order and reproducible bit-for-bit by the DuckDB
+  oracles (the only libm call, ln() in the idf, carries the documented
+  1-ulp / measure-zero boundary caveat of ngram_lm_score);
+- both engines COMPUTE derived constants like (k1 + 1) from the same
+  literals instead of inlining a pre-evaluated sum, so IEEE
+  tie-to-even on the literal addition can never split them;
+- rankings are ordered by the integer score (never the float), ties
+  broken by doc id — stable across partitionings and engines.
+
+Plan shape: the corpus-grain (doc, term) token stream is consumed by
+map-side-combined aggregations only — document lengths as a
+groupBy(doc) count, term stats AFTER a broadcast semi-join on the
+query's own terms — so no corpus-grain frame ever crosses a full
+shuffle; N and total_dl are 1-row broadcast scalars, and the final
+rank window partitions on query_id.  Nothing here is driver-side.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+MICRO = 1_000_000
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) rows under the repo-wide normalization; empty terms
+    dropped (empty/whitespace-only documents contribute no rows)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def _query_terms_df(docs: DataFrame, queries: Mapping[int, Sequence[str]]) -> DataFrame:
+    """Literal (query_id, term) frame from the pinned query map.  Terms
+    are lowercased through the same normalization as the corpus so a
+    caller-supplied 'Fast' matches the indexed 'fast'."""
+    spark = docs.sparkSession
+    rows = [(int(q), t) for q, terms in sorted(queries.items()) for t in terms]
+    qt = spark.createDataFrame(rows, "query_id long, term string")
+    return qt.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        normalized_text(F.col("term")).alias("term"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: Mapping[int, Sequence[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Okapi BM25 score of every document against every pinned query:
+      idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))      (always >= 0)
+      tfn(t,d)= tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+      score   = sum_t idf(t) * tfn(t, d)
+    with N = total corpus documents (empty docs count toward N and
+    avgdl's denominator), dl = document token count, avgdl = total
+    tokens / N.  dl/avgdl is computed as (dl * N) / total_dl — one
+    exact bigint product, one correctly-rounded IEEE division — so both
+    engines see bit-identical inputs.
+
+    Scale shape: the corpus-grain (doc, term) frame is NEVER shuffled —
+    dl is a map-side-combined groupBy(doc) count, and tf/df aggregate
+    only the tokens surviving the broadcast semi-join on the query's
+    own terms (a handful of terms → tiny frames).  `materialize` (the
+    repo's multi-consumer idiom, cf. ngram_lm_score) checkpoints the
+    two shared frames so the tokenize pass runs once per frame instead
+    of once per consumer.
+
+    Returns (query_id int, doc_id, score double, score_int bigint) for
+    every document sharing at least one term with the query; score_int
+    is the exact micro-grid sum the caller should rank on."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    qt = F.broadcast(_query_terms_df(docs, queries))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tfq = (
+        toks.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    if materialize:
+        dl = dl.localCheckpoint(eager=True)
+        tfq = tfq.localCheckpoint(eager=True)
+    dfreq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"))
+    )
+
+    j = (
+        qt.join(tfq, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+
+    d = lambda c: c.cast("double")  # noqa: E731
+    one = F.lit(1.0)
+    # idf snapped to the micro grid BEFORE entering the product, exactly
+    # as the oracle does, so the ln() 1-ulp caveat is confined to the
+    # snap boundary.
+    idf_int = F.floor(
+        F.log(one + (d(F.col("n_docs")) - d(F.col("df")) + F.lit(0.5)) / (d(F.col("df")) + F.lit(0.5)))
+        * F.lit(float(MICRO))
+        + F.lit(0.5)
+    ).cast("long")
+    idf_d = idf_int.cast("double") / F.lit(float(MICRO))
+    dlr = (F.col("dl") * F.col("n_docs")).cast("double") / d(F.col("total_dl"))
+    k1c = F.lit(k1) + one
+    tfn = (d(F.col("tf")) * k1c) / (
+        d(F.col("tf")) + F.lit(k1) * ((one - F.lit(b)) + F.lit(b) * dlr)
+    )
+    ci = F.floor(idf_d * tfn * F.lit(float(MICRO)) + F.lit(0.5)).cast("long")
+
+    per_doc = (
+        j.withColumn("__ci", ci)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__ci").alias("score_int"))
+    )
+    return per_doc.select(
+        "query_id",
+        id_col,
+        (F.col("score_int").cast("double") / F.lit(float(MICRO))).alias("score"),
+        "score_int",
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Mapping[int, Sequence[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 documents per query: rank on the exact integer score
+    (desc), doc id asc on ties.  Output (query_id, doc_id, score, rank)."""
+    scored = bm25_scores(docs, queries, k1=k1, b=b, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_int").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion over any number of per-query rankings:
+      rrf(d) = sum_i 1 / (k_rrf + rank_i(d))
+    over the UNION of each ranker's lists (a ranker that did not return
+    d contributes 0).  Standard Cormack'09 fusion of a lexical and a
+    vector tier; ties (symmetric rank combinations) break by item id.
+
+    Determinism: each term is one correctly-rounded IEEE division of
+    exact integers, and the terms are added in ranker-list order (a
+    fixed-width expression, not a float aggregation) — bit-identical
+    across engines.  Output keeps each source rank as rank_{i}.
+
+    Plan shape: (len(rankings) - 1) outer joins on (query, item) — the
+    inputs are top-k lists, k rows per query, so every join is
+    broadcast-sized relative to the corpus that produced them."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    fused = None
+    rank_cols = []
+    for i, r in enumerate(rankings):
+        ri = r.select(
+            F.col(query_col),
+            F.col(item_col),
+            F.col(rank_col).cast("int").alias(f"rank_{i}"),
+        )
+        rank_cols.append(f"rank_{i}")
+        fused = ri if fused is None else fused.join(ri, [query_col, item_col], "full_outer")
+    score = None
+    for rc in rank_cols:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(rc)).cast("double"), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy(query_col).orderBy(F.col("rrf_score").desc(), F.col(item_col).asc())
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_col, item_col, "rrf_score", *rank_cols, "rank")
+    )
+
+
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading ease / Flesch-Kincaid grade per document, on the
+    classic count proxies a regex can compute at corpus scale:
+      words     = whitespace tokens of the trimmed text
+      sentences = runs of [.!?] (floored at 1 when the doc has words —
+                  the standard convention for fragment text)
+      syllables = vowel-group runs [aeiouy]+ of the lowercased text
+                  (word boundaries split runs, so this is the per-word
+                  vowel-group sum)
+      flesch    = 206.835 - 1.015 * (W/S) - 84.6 * (Syl/W)
+      fk_grade  = 0.39 * (W/S) + 11.8 * (Syl/W) - 15.59
+    Scores snap to the micro grid (floor(x*1e6+0.5)/1e6) so both engines
+    emit identical doubles; NULL text and zero-word documents emit NULL
+    scores and a NULL band (division guard).  Zero shuffle: pure
+    per-row codegen over the scan.
+
+    Scale: this is the cheapest quality signal in the corpus gate —
+    regexp_count over the scan, no Python, no shuffle; at 100 TB it
+    fuses with whatever projection reads the text."""
+    c = F.col(text_col)
+    w_cnt = F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    ).cast("long")
+    s_raw = F.regexp_count(c, F.lit(r"[.!?]+")).cast("long")
+    syl = F.regexp_count(F.lower(c), F.lit("[aeiouy]+")).cast("long")
+    s_cnt = F.greatest(s_raw, F.lit(1).cast("long"))
+
+    d = lambda col: col.cast("double")  # noqa: E731
+    wps = d(F.col("n_words")) / d(F.col("n_sentences"))
+    spw = d(F.col("n_syllables")) / d(F.col("n_words"))
+    flesch_i = F.floor(
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw) * F.lit(float(MICRO))
+        + F.lit(0.5)
+    ).cast("long")
+    fk_i = F.floor(
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)) * F.lit(float(MICRO))
+        + F.lit(0.5)
+    ).cast("long")
+
+    base = docs.select(
+        F.col(id_col),
+        w_cnt.alias("n_words"),
+        F.when(w_cnt > 0, s_cnt).otherwise(F.lit(None).cast("long")).alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    scored = base.withColumn(
+        "__fl", F.when(F.col("n_words") > 0, flesch_i)
+    ).withColumn("__fk", F.when(F.col("n_words") > 0, fk_i))
+    band = (
+        F.when(F.col("__fl").isNull(), F.lit(None).cast("string"))
+        .when(F.col("__fl") >= F.lit(60 * MICRO), F.lit("easy"))
+        .when(F.col("__fl") >= F.lit(30 * MICRO), F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+    )
+    return scored.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.col("__fl").cast("double") / F.lit(float(MICRO))).alias("flesch"),
+        (F.col("__fk").cast("double") / F.lit(float(MICRO))).alias("fk_grade"),
+        band.alias("readability_band"),
+    )

@@ -7038,6 +7038,229 @@ def q_embedding_lsh_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_sha_pairs(e)
 
 
+# ---------------------------------------------------------------------------
+# North-star: retrieval over the corpus (BM25 / hybrid RRF / readability)
+# ---------------------------------------------------------------------------
+
+# Pinned query term sets for the lexical retrieval queries.  Literal and
+# tiny by design: the query side of retrieval is user input, not data —
+# pinning makes the oracle a pure VALUES clause and keeps results stable
+# across SFs (the generator vocabulary contains every term).
+_RETRIEVAL_QUERIES = {
+    0: ["fast", "query", "scan"],
+    1: ["join", "hash", "merge"],
+    2: ["stream", "window", "batch"],
+    3: ["customer", "order", "value"],
+}
+
+_RETRIEVAL_QT_VALUES = ", ".join(
+    f"({q}, '{t}')" for q, terms in sorted(_RETRIEVAL_QUERIES.items()) for t in terms
+)
+
+# Shared BM25 CTE chain (tokenize -> tf/dl/df -> exact micro-grid scores).
+# Mirrors operators/retrieval.py:bm25_scores expression-tree-for-
+# expression-tree: idf is snapped to the micro grid BEFORE the product,
+# (k1+1)/(1-b) are COMPUTED from literals on both engines (never
+# pre-evaluated, so IEEE tie-to-even on the addition cannot split them),
+# and dl/avgdl is the exact bigint product dl*N over total_dl.
+_BM25_CTES = f"""
+    tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                  (SELECT CAST(COALESCE(sum(dl), 0) AS BIGINT) FROM dl) AS total_dl),
+    qt(query_id, term) AS (VALUES {_RETRIEVAL_QT_VALUES}),
+    co AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(floor(
+               CAST(CAST(floor(ln(CAST(1 AS DOUBLE)
+                     + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+                 / CAST(1000000 AS DOUBLE)
+               * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                        + CAST(0.75 AS DOUBLE)
+                          * (CAST(dl.dl * st.n_docs AS DOUBLE) / CAST(st.total_dl AS DOUBLE)))))
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ci
+      FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+    ),
+    bs AS (
+      SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS s
+      FROM co GROUP BY query_id, doc_id
+    )"""
+
+
+@_q(
+    "bm25_topk",
+    f"""
+    WITH {_BM25_CTES}
+    SELECT query_id, doc_id,
+           CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE) AS score,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rnk
+      FROM bs)
+    WHERE rnk <= 10
+    """,
+    "Okapi BM25 top-10 per pinned query over the document corpus: one "
+    "token pass feeds tf/dl/df, query terms broadcast, scores summed on "
+    "the exact micro-integer grid, per-query rank window — the lexical "
+    "tier of a RAG retrieval stack (north-star §2.11 extension)",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(table(spark, sf_dir, "documents"), _RETRIEVAL_QUERIES, k=10)
+
+
+@_q(
+    "hybrid_rrf_topk",
+    f"""
+    WITH {_BM25_CTES},
+    bm AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id ASC) AS rnk
+        FROM bs)
+      WHERE rnk <= 20
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    nn AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    ),
+    qv AS (SELECT * FROM nn WHERE vec_id IN (0, 1, 2, 3)),
+    sc AS (
+      SELECT CAST(a.vec_id AS INTEGER) AS query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                           i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cs
+      FROM qv a JOIN nn b ON a.vec_id <> b.vec_id
+    ),
+    cosleg AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 20
+    ),
+    f AS (
+      SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+             COALESCE(b.doc_id, c.neighbor_id) AS doc_id,
+             b.rnk AS rb, c.rnk AS rc
+      FROM bm b FULL OUTER JOIN cosleg c
+        ON b.query_id = c.query_id AND b.doc_id = c.neighbor_id
+    ),
+    scored AS (
+      SELECT query_id, doc_id, rb, rc,
+             COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rb AS DOUBLE), CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rc AS DOUBLE), CAST(0 AS DOUBLE))
+               AS rrf_score
+      FROM f
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(rb AS INTEGER) AS bm25_rank,
+           CAST(rc AS INTEGER) AS cosine_rank,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    """,
+    "hybrid retrieval: BM25 top-20 (lexical) fused with exact cosine "
+    "top-20 (vector, pinned query ids 0-3 sharing the doc_id domain) by "
+    "reciprocal-rank fusion 1/(60+r) — the standard two-tier RAG serving "
+    "stack as ONE declarative plan; fusion joins are top-k-list-sized",
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from wellmeet_data_pipeline_spark.operators.similarity import brute_force_top_k
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id").isin(list(_RETRIEVAL_QUERIES)))
+    cos = brute_force_top_k(qv, e, k=20, round_digits=4).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    bm = bm25_topk(d, _RETRIEVAL_QUERIES, k=20).select("query_id", "doc_id", "rank")
+    fused = rrf_fuse([bm, cos], k=10)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        F.col("rank_0").alias("bm25_rank"),
+        F.col("rank_1").alias("cosine_rank"),
+        "rank",
+    )
+
+
+@_q(
+    "readability_scores",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             CAST((CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END)
+                  AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s_raw,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN greatest(s_raw, CAST(1 AS BIGINT)) END AS n_sentences,
+             n_syllables
+      FROM r
+    ),
+    f AS (
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             CASE WHEN n_words > 0 THEN
+               CAST(floor((CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS fl,
+             CASE WHEN n_words > 0 THEN
+               CAST(floor((CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 - CAST(15.59 AS DOUBLE))
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS fk
+      FROM g
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(fl AS DOUBLE) / CAST(1000000 AS DOUBLE) AS flesch,
+           CAST(fk AS DOUBLE) / CAST(1000000 AS DOUBLE) AS fk_grade,
+           CASE WHEN fl IS NULL THEN NULL
+                WHEN fl >= 60000000 THEN 'easy'
+                WHEN fl >= 30000000 THEN 'standard'
+                ELSE 'difficult' END AS readability_band
+    FROM f
+    """,
+    "Flesch reading ease + FK grade per document from regex count proxies "
+    "(words / sentence runs / vowel-group syllables) on the exact micro "
+    "grid — the cheapest corpus quality signal: zero shuffle, pure "
+    "codegen over the scan; NULL/empty docs emit NULL scores",
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.retrieval import readability_scores
+
+    return readability_scores(table(spark, sf_dir, "documents"))
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
