@@ -178,3 +178,77 @@ def test_bm25_broadcasts_query_terms(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     plan = bm25_topk(df, QUERIES, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lexical_index_stream_matches_batch(spark, tmp_path):
+    """Stream-built postings/doclen store scores identically to the batch
+    BM25 operator on the same corpus (shared _bm25_score_frames core)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.streaming.retrieval import (
+        bm25_topk_from_store,
+        run_lexical_index_pipeline,
+    )
+
+    landing = tmp_path / "lex_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "lex_store"), str(tmp_path / "lex_ckpt")
+    schema = StructType.fromDDL("doc_id long, text string")
+
+    batch1 = [{"doc_id": d, "text": t} for d, t in DOCS[:3]]
+    batch2 = [{"doc_id": 3, "text": ""}, {"doc_id": 5, "text": DOCS[5][1]}]
+    (landing / "b1.json").write_text(json.dumps(batch1))
+    run_lexical_index_pipeline(spark, str(landing), store, ckpt, schema)
+    (landing / "b2.json").write_text(json.dumps(batch2))
+    run_lexical_index_pipeline(spark, str(landing), store, ckpt, schema)
+
+    all_docs = [r for r in DOCS if r[0] != 4]  # null-text doc not landed
+    df = spark.createDataFrame(all_docs, "doc_id long, text string")
+    want = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk(df, QUERIES, k=10).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk_from_store(spark, store, QUERIES, k=10).collect()
+    )
+    assert got == want
+
+
+def test_lexical_index_replay_idempotent(spark, tmp_path):
+    """Re-delivering the same landing file must not change the index
+    (first version wins per posting/doc)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.sinks.merge import read_current
+    from wellmeet_data_pipeline_spark.streaming.retrieval import (
+        run_lexical_index_pipeline,
+    )
+
+    landing = tmp_path / "lex2_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "lex2_store"), str(tmp_path / "lex2_ckpt")
+    schema = StructType.fromDDL("doc_id long, text string")
+
+    payload = json.dumps([{"doc_id": 1, "text": "fast fast scan"}])
+    (landing / "b1.json").write_text(payload)
+    run_lexical_index_pipeline(spark, str(landing), store, ckpt, schema)
+    before = sorted(
+        (r.posting_key, r.tf)
+        for r in read_current(spark, store + "/postings", id_col="posting_key").collect()
+    )
+    assert before == [("1:fast", 2), ("1:scan", 1)]
+
+    (landing / "b2.json").write_text(payload)  # exact re-delivery
+    run_lexical_index_pipeline(spark, str(landing), store, ckpt, schema)
+    after = sorted(
+        (r.posting_key, r.tf)
+        for r in read_current(spark, store + "/postings", id_col="posting_key").collect()
+    )
+    assert after == before
+    dl = read_current(spark, store + "/doclen", id_col="doc_id").collect()
+    assert [(r.doc_id, r.dl) for r in dl] == [(1, 3)]

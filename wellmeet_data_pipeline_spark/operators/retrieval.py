@@ -54,11 +54,10 @@ def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).filter(F.col("term") != "")
 
 
-def _query_terms_df(docs: DataFrame, queries: Mapping[int, Sequence[str]]) -> DataFrame:
+def _query_terms_df(spark, queries: Mapping[int, Sequence[str]]) -> DataFrame:
     """Literal (query_id, term) frame from the pinned query map.  Terms
     are lowercased through the same normalization as the corpus so a
     caller-supplied 'Fast' matches the indexed 'fast'."""
-    spark = docs.sparkSession
     rows = [(int(q), t) for q, terms in sorted(queries.items()) for t in terms]
     qt = spark.createDataFrame(rows, "query_id long, term string")
     return qt.select(
@@ -98,7 +97,7 @@ def bm25_scores(
     every document sharing at least one term with the query; score_int
     is the exact micro-grid sum the caller should rank on."""
     toks = _doc_tokens(docs, text_col, id_col)
-    qt = F.broadcast(_query_terms_df(docs, queries))
+    qt = F.broadcast(_query_terms_df(docs.sparkSession, queries))
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     tfq = (
         toks.join(F.broadcast(qt.select("term").distinct()), "term")
@@ -112,7 +111,26 @@ def bm25_scores(
     stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
         dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"))
     )
+    return _bm25_score_frames(qt, tfq, dl, dfreq, stats, id_col, k1=k1, b=b)
 
+
+def _bm25_score_frames(
+    qt: DataFrame,
+    tfq: DataFrame,
+    dl: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Shared BM25 scoring core over pre-built index frames — the batch
+    path (bm25_scores) and the streaming lexical-index store
+    (streaming/retrieval.py) both route here, so the two tiers score
+    bit-identically by construction.  Frames: qt(query_id, term),
+    tfq(id, term, tf), dl(id, dl), dfreq(term, df),
+    stats(n_docs, total_dl) — tfq/dfreq need only cover the query's
+    terms."""
     j = (
         qt.join(tfq, "term")
         .join(F.broadcast(dfreq), "term")
@@ -163,6 +181,13 @@ def bm25_topk(
     """Top-k BM25 documents per query: rank on the exact integer score
     (desc), doc id asc on ties.  Output (query_id, doc_id, score, rank)."""
     scored = bm25_scores(docs, queries, k1=k1, b=b, text_col=text_col, id_col=id_col)
+    return bm25_rank_cut(scored, id_col, k)
+
+
+def bm25_rank_cut(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Per-query top-k cut over a bm25 scored frame — shared by the batch
+    operator and the streamed-index scorer so ranking semantics (integer
+    score desc, id asc on ties) can never diverge."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_int").desc(), F.col(id_col).asc()
     )
