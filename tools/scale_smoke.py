@@ -329,6 +329,29 @@ def run_zorder(spark, sf_dir, factor):
     return zorder_bucket_stats(ev, "user_id", "cents").count()
 
 
+def run_bm25(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    # query volume grows with the corpus (4 queries per copy, each
+    # targeting its own copy's suffixed vocabulary) — per-copy probe work
+    # stays constant, matching how retrieval load scales with a corpus
+    base = {
+        0: ["fast", "query", "scan"],
+        1: ["join", "hash", "merge"],
+        2: ["stream", "window", "batch"],
+        3: ["customer", "order", "value"],
+    }
+    if factor == 1:
+        qs = base
+    else:
+        qs = {
+            c * 10 + q: [f"{t}_{c}" for t in ts]
+            for c in range(factor)
+            for q, ts in base.items()
+        }
+    return bm25_topk(scaled_documents(spark, sf_dir, factor), qs, k=10).count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -352,6 +375,7 @@ OPS = {
     "countmin_heavy_hitters": run_countmin,
     "cdc_latest_state": run_cdc_latest,
     "zorder_layout_stats": run_zorder,
+    "bm25_topk": run_bm25,
 }
 
 
