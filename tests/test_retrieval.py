@@ -252,3 +252,62 @@ def test_lexical_index_replay_idempotent(spark, tmp_path):
     assert after == before
     dl = read_current(spark, store + "/doclen", id_col="doc_id").collect()
     assert [(r.doc_id, r.dl) for r in dl] == [(1, 3)]
+
+
+def test_hybrid_from_stores_matches_batch(spark, tmp_path):
+    """Hybrid retrieval served from the streamed lexical + embedding
+    stores equals the batch BM25+cosine RRF fusion on the same corpus."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.functions.enrichment import embed_text
+    from wellmeet_data_pipeline_spark.operators.similarity import brute_force_top_k
+    from wellmeet_data_pipeline_spark.streaming.embedding import run_embedding_pipeline
+    from wellmeet_data_pipeline_spark.streaming.retrieval import (
+        hybrid_topk_from_stores,
+        run_lexical_index_pipeline,
+    )
+
+    landing = tmp_path / "hyb_landing"
+    landing.mkdir()
+    lex, lex_ckpt = str(tmp_path / "hyb_lex"), str(tmp_path / "hyb_lex_ckpt")
+    emb, emb_ckpt = str(tmp_path / "hyb_emb"), str(tmp_path / "hyb_emb_ckpt")
+    schema = StructType.fromDDL("doc_id long, text string")
+
+    docs = [r for r in DOCS if r[1]]  # non-empty, non-null
+    (landing / "b1.json").write_text(
+        json.dumps([{"doc_id": d, "text": t} for d, t in docs])
+    )
+    run_lexical_index_pipeline(spark, str(landing), lex, lex_ckpt, schema)
+    run_embedding_pipeline(spark, str(landing), emb, emb_ckpt, schema,
+                           text_col="text", id_col="doc_id", dim=8)
+
+    got = sorted(
+        tuple(r) for r in hybrid_topk_from_stores(
+            spark, lex, emb, QUERIES, query_vec_ids=[0, 1], k=5,
+            k_candidates=3, vec_id_col="doc_id",
+        ).collect()
+    )
+
+    from wellmeet_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bm = bm25_topk(df, QUERIES, k=3).select("query_id", "doc_id", "rank")
+    e = embed_text(df, text_col="text", dim=8)
+    qv = e.filter(F.col("doc_id").isin([0, 1]))
+    cos = brute_force_top_k(e.sparkSession.createDataFrame(qv.collect(), qv.schema),
+                            e, k=3, query_id="doc_id", cand_id="doc_id",
+                            round_digits=4).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    want = sorted(
+        tuple(r) for r in rrf_fuse([bm, cos], k=5).select(
+            "query_id", "doc_id", "rrf_score",
+            F.col("rank_0").alias("bm25_rank"),
+            F.col("rank_1").alias("cosine_rank"), "rank",
+        ).collect()
+    )
+    assert got == want

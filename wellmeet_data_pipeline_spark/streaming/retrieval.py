@@ -125,3 +125,58 @@ def bm25_topk_from_store(
     )
     scored = _bm25_score_frames(qt, tfq, doclen, dfreq, stats, id_col, k1=k1, b=b)
     return bm25_rank_cut(scored, id_col, k)
+
+
+def hybrid_topk_from_stores(
+    spark: SparkSession,
+    lexical_store: str,
+    embedding_store: str,
+    queries,
+    query_vec_ids,
+    k: int = 10,
+    k_candidates: int = 20,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from streamed stores: BM25
+    top-k_candidates against the lexical postings/doclen store fused by
+    reciprocal rank with exact cosine top-k_candidates against the
+    embedding merge-append store (streaming/embedding.py).  The batch
+    twin is the hybrid_rrf_topk registry query; both route through
+    rrf_fuse, and each leg shares its scoring core with its batch
+    operator, so serving from the stores is bit-identical to scoring
+    the equivalent batch corpus.
+
+    `query_vec_ids` picks the query vectors out of the embedding store
+    (the serving pattern where queries are themselves indexed docs —
+    'more like this'); a caller with out-of-corpus query vectors passes
+    them through brute_force_top_k directly instead."""
+    from pyspark.sql import functions as F
+
+    from wellmeet_data_pipeline_spark.operators.retrieval import rrf_fuse
+    from wellmeet_data_pipeline_spark.operators.similarity import brute_force_top_k
+
+    bm = bm25_topk_from_store(
+        spark, lexical_store, queries, k=k_candidates, id_col=id_col
+    ).select("query_id", id_col, "rank")
+    emb = read_current(spark, embedding_store, id_col=vec_id_col)
+    qv = emb.filter(F.col(vec_id_col).isin([int(v) for v in query_vec_ids]))
+    cos = brute_force_top_k(
+        qv, emb, k=k_candidates, query_id=vec_id_col, cand_id=vec_id_col,
+        vec_col=vec_col, round_digits=round_digits,
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias(id_col),
+        "rank",
+    )
+    return rrf_fuse([bm, cos], k=k, k_rrf=k_rrf, item_col=id_col).select(
+        "query_id",
+        id_col,
+        "rrf_score",
+        F.col("rank_0").alias("bm25_rank"),
+        F.col("rank_1").alias("cosine_rank"),
+        "rank",
+    )
