@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -306,4 +306,70 @@ def countmin_heavy_hitters(
         "n_exact",
         est.alias("estimate"),
         (est - F.col("n_exact")).alias("overcount"),
+    )
+
+
+def trimmed_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_frac: float = 0.1,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Robust per-group mean: drop the floor(n*trim_frac) lowest and
+    highest ROWS of `value_col` per group, average the rest — the
+    standard outlier-resistant aggregate for quality-metric rollups
+    (a handful of junk documents shouldn't move a source's score).
+
+    Exactness and scale share one trick: rows collapse to the DISTINCT
+    VALUE GRID first (value snapped to the micro-integer grid, counted
+    per (group, value)), so the trim boundary is resolved by CUMULATIVE
+    COUNTS over distinct values — windows run over grid-sized
+    partitions, never row-sized ones, and the kept-row count per value
+    is pure integer arithmetic:
+        kept(v) = max(0, min(cum(v), n-lo) - max(cum(v)-cnt(v), lo)).
+    Ties at the boundary therefore trim deterministically (any lo
+    lowest rows share the same value multiset).  The weighted sum rides
+    an exact wide-integer accumulator (decimal 38,0 — sums of
+    micro-values stay exact far past bigint), and the single division
+    at the end makes the mean bit-identical across engines.  NULL
+    values are excluded; a group of only NULLs does not appear."""
+    mv = F.floor(F.col(value_col) * F.lit(float(micro)) + F.lit(0.5)).cast("long")
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col), mv.alias("mv"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("mv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    c = g.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    lo = F.floor(F.col("n").cast("double") * F.lit(trim_frac)).cast("long")
+    hi = F.col("n") - lo
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), hi) - F.greatest(F.col("cum") - F.col("cnt"), lo),
+    )
+    k = c.withColumn("kc", kept)
+    return (
+        k.groupBy(group_col)
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.sum("kc").alias("n_kept"),
+            F.sum(F.col("mv").cast("decimal(38,0)") * F.col("kc")).alias("__t"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            "n_kept",
+            (
+                (F.col("__t").cast("double") / F.col("n_kept").cast("double"))
+                / F.lit(float(micro))
+            ).alias("trimmed_mean"),
+        )
     )

@@ -86,3 +86,28 @@ def k_anonymity_audit(
         .agg(F.count("*").alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """The companion release audit to k_anonymity_audit: a group can be
+    k-anonymous yet still leak — if every row in a quasi-identifier
+    group shares the SAME sensitive value, linking any member reveals
+    it.  Flags groups whose sensitive attribute carries fewer than l
+    distinct (non-null) values, with group size and the distinct count.
+
+    Same scale shape as the k audit: one groupBy on the quasi tuple
+    (count-distinct adds a partial-aggregation pass), output bounded by
+    the homogeneous groups only."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").alias("group_size"),
+            F.count_distinct(F.col(sensitive_col)).alias("distinct_sensitive"),
+        )
+        .filter(F.col("distinct_sensitive") < l)
+    )

@@ -7261,6 +7261,83 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(table(spark, sf_dir, "documents"))
 
 
+@_q(
+    "l_diversity_audit",
+    """
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+             AS distinct_sensitive
+    FROM customer
+    GROUP BY 1, 2
+    HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3
+    """,
+    "l-diversity release audit (l=3), the k-anonymity companion: a "
+    "quasi-identifier group (segment, nation) whose sensitive attribute "
+    "(balance band) takes fewer than l distinct values leaks it to anyone "
+    "who can link the group — one groupBy + count-distinct, output "
+    "bounded by the homogeneous groups",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.projections import l_diversity_audit
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return l_diversity_audit(c, ["c_mktsegment", "c_nationkey"], "bal_band", l=3)
+
+
+@_q(
+    "trimmed_mean_by_type",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(floor(value * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mv
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT event_type, mv, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, mv, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY mv
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM g
+    ),
+    k AS (
+      SELECT event_type, mv, cnt, cum, n,
+             CAST(floor(CAST(n AS DOUBLE) * CAST(0.1 AS DOUBLE)) AS BIGINT) AS lo
+      FROM c
+    ),
+    kept AS (
+      SELECT event_type, mv, n,
+             greatest(CAST(0 AS BIGINT),
+                      least(cum, n - lo) - greatest(cum - cnt, lo)) AS kc
+      FROM k
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(sum(kc) AS BIGINT) AS n_kept,
+           (CAST(sum(CAST(mv AS HUGEINT) * kc) AS DOUBLE) / CAST(sum(kc) AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS trimmed_mean
+    FROM kept GROUP BY event_type
+    """,
+    "10%-trimmed per-type mean of event value — the outlier-resistant "
+    "quality rollup: rows collapse to the distinct VALUE GRID, the trim "
+    "boundary resolves via integer cumulative counts over that grid "
+    "(windows over grid-sized partitions, never row-sized), weighted sum "
+    "on an exact wide-integer accumulator, one final division",
+)
+def q_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        trimmed_mean_by_group,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return trimmed_mean_by_group(ev, "event_type", "value", trim_frac=0.1)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
