@@ -311,3 +311,62 @@ def test_hybrid_from_stores_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_readability_whitespace_only_and_padded_docs(spark):
+    """trim() strips only spaces — tab/newline-padded and whitespace-only
+    docs must still count words correctly (code-review regression pin)."""
+    df = spark.createDataFrame(
+        [(0, "\ta\t"), (1, "\n"), (2, "  a b  ")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in readability_scores(df).collect()}
+    assert rows[0].n_words == 1
+    assert rows[1].n_words == 0 and rows[1].flesch is None
+    assert rows[1].readability_band is None
+    assert rows[2].n_words == 2
+
+
+def test_lexical_index_grown_doc_keeps_first_version(spark, tmp_path):
+    """A re-crawled doc whose term set GREW must not append new postings:
+    first version wins at the doc grain (code-review regression pin)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.sinks.merge import read_current
+    from wellmeet_data_pipeline_spark.streaming.retrieval import (
+        run_lexical_index_pipeline,
+    )
+
+    landing = tmp_path / "lex3_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "lex3_store"), str(tmp_path / "lex3_ckpt")
+    schema = StructType.fromDDL("doc_id long, text string")
+
+    (landing / "b1.json").write_text(json.dumps([{"doc_id": 7, "text": "fast scan"}]))
+    run_lexical_index_pipeline(spark, str(landing), store, ckpt, schema)
+    (landing / "b2.json").write_text(
+        json.dumps([{"doc_id": 7, "text": "fast scan merge"},
+                    {"doc_id": 8, "text": "merge"}])
+    )
+    run_lexical_index_pipeline(spark, str(landing), store, ckpt, schema)
+
+    posts = sorted(
+        r.posting_key
+        for r in read_current(spark, store + "/postings", id_col="posting_key").collect()
+    )
+    assert posts == ["7:fast", "7:scan", "8:merge"]  # no chimera '7:merge'
+    dl = {r.doc_id: r.dl for r in
+          read_current(spark, store + "/doclen", id_col="doc_id").collect()}
+    assert dl == {7: 2, 8: 1}
+
+
+def test_trimmed_mean_rejects_bad_trim_frac(spark):
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        trimmed_mean_by_group,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    for bad in (0.5, -0.1, 1.0):
+        with pytest.raises(ValueError):
+            trimmed_mean_by_group(df, "g", "v", trim_frac=bad)

@@ -329,11 +329,14 @@ def trimmed_mean_by_group(
     is pure integer arithmetic:
         kept(v) = max(0, min(cum(v), n-lo) - max(cum(v)-cnt(v), lo)).
     Ties at the boundary therefore trim deterministically (any lo
-    lowest rows share the same value multiset).  The weighted sum rides
+    lowest rows share the same value multiset).  trim_frac must sit in
+    [0, 0.5) — at 0.5 every row would be trimmed.  The weighted sum rides
     an exact wide-integer accumulator (decimal 38,0 — sums of
     micro-values stay exact far past bigint), and the single division
     at the end makes the mean bit-identical across engines.  NULL
     values are excluded; a group of only NULLs does not appear."""
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError(f"trim_frac must be in [0, 0.5), got {trim_frac}")
     mv = F.floor(F.col(value_col) * F.lit(float(micro)) + F.lit(0.5)).cast("long")
     g = (
         df.filter(F.col(value_col).isNotNull())

@@ -254,7 +254,7 @@ def readability_scores(
 ) -> DataFrame:
     """Flesch reading ease / Flesch-Kincaid grade per document, on the
     classic count proxies a regex can compute at corpus scale:
-      words     = whitespace tokens of the trimmed text
+      words     = non-empty whitespace-delimited tokens
       sentences = runs of [.!?] (floored at 1 when the doc has words —
                   the standard convention for fragment text)
       syllables = vowel-group runs [aeiouy]+ of the lowercased text
@@ -271,8 +271,11 @@ def readability_scores(
     regexp_count over the scan, no Python, no shuffle; at 100 TB it
     fuses with whatever projection reads the text."""
     c = F.col(text_col)
-    w_cnt = F.when(F.trim(c) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), r"\s+"))
+    # count NON-EMPTY tokens (filter, not trim): trim() strips only
+    # spaces, so leading/trailing tabs/newlines would otherwise mint
+    # phantom empty tokens and whitespace-only docs would score
+    w_cnt = F.size(
+        F.filter(F.split(c, r"\s+"), lambda x: x != "")
     ).cast("long")
     s_raw = F.regexp_count(c, F.lit(r"[.!?]+")).cast("long")
     syl = F.regexp_count(F.lower(c), F.lit("[aeiouy]+")).cast("long")

@@ -7214,9 +7214,8 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (
       SELECT doc_id,
-             CAST((CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) END)
-                  AS BIGINT) AS n_words,
+             CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
              CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s_raw,
              CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
       FROM documents

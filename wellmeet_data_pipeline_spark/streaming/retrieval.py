@@ -16,11 +16,13 @@ micro-grid BM25 core the batch operator uses
 batch-built rankings are bit-identical on identical corpora — pinned by
 tests/test_retrieval.py::test_lexical_index_stream_matches_batch.
 
-Contract: documents are immutable once ingested (first version wins via
-dedup-on-read, the D4 store convention).  A re-crawled doc whose term
-set SHRANK would otherwise leave stale postings behind; route mutable
-corpora through the CDC operator (operators/dedup.py:cdc_apply) and
-rebuild, as with every other merge-append family.
+Contract: documents are immutable once ingested — first version wins at
+the DOC grain, enforced by an anti-join against the doclen store before
+each batch writes (posting-key dedup-on-read alone would let a
+re-crawled doc with a GROWN term set append new postings against v1's
+doclen).  Route genuinely mutable corpora through the CDC operator
+(operators/dedup.py:cdc_apply) and rebuild, as with every other
+merge-append family.
 
 Scale: postings are the classic inverted-index build — each micro-batch
 shuffles only its own (doc, term) rows (map-side combined), the store
@@ -58,8 +60,22 @@ def run_lexical_index_pipeline(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from wellmeet_data_pipeline_spark.operators.dedup import dedup_keep_first
+        from wellmeet_data_pipeline_spark.sinks.merge import read_current_or_none
 
         deduped = dedup_keep_first(batch_df, id_col, text_col)
+        # first-version-wins at the DOC grain, not just the posting-key
+        # grain: a re-crawled doc whose term set GREW would otherwise
+        # append new posting_keys while doclen kept v1's length — a
+        # chimera of both versions.  Anti-join against the doclen store
+        # (the doc registry) so re-delivered ids write nothing at all;
+        # a crash between the postings and doclen writes self-heals,
+        # because the doc stays "new" until doclen lands and
+        # dedup-on-read collapses the re-appended postings.
+        seen = read_current_or_none(spark, f"{store_path}/doclen", id_col=id_col)
+        if seen is not None:
+            deduped = deduped.join(
+                seen.select(id_col), id_col, "left_anti"
+            )
         toks = _doc_tokens(deduped, text_col, id_col)
         postings = (
             toks.groupBy(id_col, "term")
@@ -153,7 +169,14 @@ def hybrid_topk_from_stores(
     `query_vec_ids` picks the query vectors out of the embedding store
     (the serving pattern where queries are themselves indexed docs —
     'more like this'); a caller with out-of-corpus query vectors passes
-    them through brute_force_top_k directly instead."""
+    them through brute_force_top_k directly instead.
+
+    `embedding_store` must be keyed UNIQUE per `vec_id_col` — the
+    run_embedding_pipeline store (one embedding per doc).  The chunked
+    RAG store (run_rag_index_pipeline) holds many rows per doc_id with
+    the same _batch_seq, so dedup-on-read would pick an arbitrary chunk;
+    to serve from it, pass vec_id_col='chunk_key' and fuse at the chunk
+    grain (mapping chunk hits back to doc ids is the caller's policy)."""
     from pyspark.sql import functions as F
 
     from wellmeet_data_pipeline_spark.operators.retrieval import rrf_fuse
