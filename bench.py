@@ -108,6 +108,9 @@ HEADLINE = [
     "bm25_topk",
     "hybrid_rrf_topk",
     "readability_scores",
+    "l_diversity_audit",
+    "trimmed_mean_by_type",
+    "bootstrap_mean_ci",
 ]
 
 

@@ -69,3 +69,76 @@ def test_trimmed_mean_matches_numpy_reference(spark):
     want = float(np.mean(np.floor(s[lo: len(s) - lo] * 1e6 + 0.5) / 1e6))
     assert r.n_kept == len(s) - 2 * lo
     assert r.trimmed_mean == pytest.approx(want, rel=1e-12)
+
+
+def _py_bootstrap(rows, n_replicas=8, ci=0.95, salt="bb", micro=10**6):
+    """Independent reference for bootstrap_mean_ci on (group, id, value)."""
+    import hashlib
+    import math
+
+    from wellmeet_data_pipeline_spark.operators.aggregations import POISSON1_CDF
+
+    alpha = (1.0 - ci) / 2.0
+    by_g = {}
+    for g, i, v in rows:
+        if v is None or i is None:
+            continue
+        by_g.setdefault(g, []).append((i, math.floor(v * micro + 0.5)))
+    out = {}
+    for g, items in by_g.items():
+        means = []
+        for b in range(n_replicas):
+            smw = sw = 0
+            for i, mv in items:
+                hx = hashlib.sha256(f"{salt}|{i}|{b}".encode()).hexdigest()
+                u = (int(hx[:8], 16) + 1.0) / 4294967296.0
+                w = 6
+                for k, t in enumerate(POISSON1_CDF):
+                    if u < t:
+                        w = k
+                        break
+                smw += w * mv
+                sw += w
+            if sw > 0:
+                means.append((smw / sw, b))
+        means.sort()
+        nb = len(means)
+        lo = max(1, math.ceil(nb * alpha))
+        hi = math.ceil(nb * (1.0 - alpha))
+        out[g] = (
+            len(items),
+            sum(mv for _, mv in items) / len(items) / micro,
+            means[lo - 1][0] / micro,
+            means[hi - 1][0] / micro,
+            nb,
+        )
+    return out
+
+
+def test_bootstrap_ci_matches_pure_python(spark):
+    from wellmeet_data_pipeline_spark.operators.aggregations import bootstrap_mean_ci
+
+    rows = [("a", i, float(i % 13) + 0.25) for i in range(60)] + [
+        ("b", 100 + i, 5.0) for i in range(5)
+    ] + [("a", 999, None), ("c", None, 1.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        r.g: (r.n_rows, r.mean_value, r.ci_lo, r.ci_hi, r.n_replicas_used)
+        for r in bootstrap_mean_ci(df, "g", "v", "id", n_replicas=8).collect()
+    }
+    want = _py_bootstrap(rows, n_replicas=8)
+    assert set(got) == set(want)  # NULL-id group 'c' has no valid rows -> absent
+    for g in want:
+        assert got[g] == pytest.approx(want[g], rel=1e-12), g
+
+
+def test_bootstrap_ci_brackets_mean_and_validates(spark):
+    from wellmeet_data_pipeline_spark.operators.aggregations import bootstrap_mean_ci
+
+    rows = [("t", i, 10.0 + (i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    r = bootstrap_mean_ci(df, "g", "v", "id", n_replicas=40).collect()[0]
+    assert r.ci_lo <= r.mean_value <= r.ci_hi
+    assert r.n_replicas_used == 40
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "g", "v", "id", ci=1.5)

@@ -376,3 +376,127 @@ def trimmed_mean_by_group(
             ).alias("trimmed_mean"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds: P(X <= k) = e^-1 * sum_{j<=k} 1/j!.
+# Literal constants (not computed) so both engines compare against the
+# SAME doubles; weights cap at 6 (P(X > 6) ~ 8e-5 — negligible bias).
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicas: int = 40,
+    ci: float = 0.95,
+    salt: str = "bb",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-group mean with a Poisson-bootstrap confidence interval — the
+    distributed form of the bag-of-little-bootstraps: resampling with
+    replacement is simulated by giving every row an independent
+    Poisson(1) weight per replica, so no replica ever materializes a
+    resample; replica means are weighted means, and the CI is the
+    (1±ci)/2 order statistics of the replica means.
+
+    Determinism: the per-(row, replica) weight is the Poisson(1)
+    inverse CDF of a sha256-derived uniform (the A-ES sampling idiom —
+    a pure function of the data, retry/repartition-stable and
+    reproducible by the DuckDB oracle).  Replica sums ride exact
+    integer grids (weight x micro-value), so each replica mean is one
+    exact division; replicas are ranked on that double with the replica
+    id as tie-break.
+
+    Scale shape: the B-fold fan-out exists only inside the map stage —
+    it feeds a map-side-combined groupBy((group, replica)), so the
+    shuffle carries |groups| x B partial rows, never B x N.  The rank
+    window runs over B-sized partitions.  Rows with NULL values are
+    excluded; replicas whose weights all drew 0 are dropped and the
+    order statistics use the surviving replica count."""
+    if not 0.0 < ci < 1.0:
+        raise ValueError(f"ci must be in (0, 1), got {ci}")
+    alpha = (1.0 - ci) / 2.0
+    mv = F.floor(F.col(value_col) * F.lit(float(micro)) + F.lit(0.5)).cast("long")
+    # NULL ids are excluded: Spark concat() nulls out on any NULL operand
+    # while DuckDB concat() skips it, so a NULL id would draw ENGINE-
+    # DEPENDENT weights (w=6 via the NULL-comparison else-branch on one
+    # side, a real hash on the other)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(group_col), F.col(id_col).alias("__id"), mv.alias("mv"))
+
+    rep = base.select(
+        group_col,
+        "__id",
+        "mv",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_replicas) - 1))).alias("b"),
+    )
+    hx = F.sha2(
+        F.concat(
+            F.lit(f"{salt}|"),
+            F.col("__id").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        ),
+        256,
+    )
+    unif = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        4294967296.0
+    )
+    w = F.lit(6).cast("long")
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(unif < F.lit(POISSON1_CDF[k]), F.lit(k).cast("long")).otherwise(w)
+
+    per_rep = (
+        rep.withColumn("w", w)
+        .groupBy(group_col, "b")
+        .agg(
+            F.sum(F.col("w") * F.col("mv")).alias("smw"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .withColumn(
+            "mean_b", F.col("smw").cast("double") / F.col("sw").cast("double")
+        )
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(F.col("mean_b").asc(), F.col("b").asc())
+    w_all = Window.partitionBy(group_col)
+    ranked = per_rep.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "nb", F.count("*").over(w_all)
+    )
+    lo_idx = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("nb").cast("double") * F.lit(alpha)).cast("long"),
+    )
+    hi_idx = F.ceil(F.col("nb").cast("double") * F.lit(1.0 - alpha)).cast("long")
+    cis = ranked.groupBy(group_col).agg(
+        (
+            F.max(F.when(F.col("rn") == lo_idx, F.col("mean_b")))
+            / F.lit(float(micro))
+        ).alias("ci_lo"),
+        (
+            F.max(F.when(F.col("rn") == hi_idx, F.col("mean_b")))
+            / F.lit(float(micro))
+        ).alias("ci_hi"),
+        F.max("nb").alias("n_replicas_used"),
+    )
+
+    point = base.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        (
+            (F.sum("mv").cast("double") / F.count("*").cast("double"))
+            / F.lit(float(micro))
+        ).alias("mean_value"),
+    )
+    return point.join(cis, group_col, "left").select(
+        group_col, "n_rows", "mean_value", "ci_lo", "ci_hi", "n_replicas_used"
+    )

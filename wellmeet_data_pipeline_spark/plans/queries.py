@@ -7337,6 +7337,94 @@ def q_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed_mean_by_group(ev, "event_type", "value", trim_frac=0.1)
 
 
+@_q(
+    "bootstrap_mean_ci",
+    """
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mv
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    rep AS (
+      SELECT base.*, t.b
+      FROM base, LATERAL (SELECT unnest(range(0, 40)) AS b) t
+    ),
+    u AS (
+      SELECT event_type, b, mv,
+             (CAST(list_sum(list_transform(range(1, 9),
+                     i -> CAST(strpos('0123456789abcdef',
+                               substr(sha256(concat('bb|', event_id, '|', b)), i, 1)) - 1
+                               AS BIGINT) << (4 * (8 - i)))) AS DOUBLE)
+              + CAST(1 AS DOUBLE)) / CAST(4294967296 AS DOUBLE) AS unif
+      FROM rep
+    ),
+    wt AS (
+      SELECT event_type, b, mv,
+             CASE WHEN unif < CAST(0.36787944117144233 AS DOUBLE) THEN CAST(0 AS BIGINT)
+                  WHEN unif < CAST(0.7357588823428847 AS DOUBLE) THEN CAST(1 AS BIGINT)
+                  WHEN unif < CAST(0.9196986029286058 AS DOUBLE) THEN CAST(2 AS BIGINT)
+                  WHEN unif < CAST(0.9810118431238462 AS DOUBLE) THEN CAST(3 AS BIGINT)
+                  WHEN unif < CAST(0.9963401531726563 AS DOUBLE) THEN CAST(4 AS BIGINT)
+                  WHEN unif < CAST(0.9994058151824183 AS DOUBLE) THEN CAST(5 AS BIGINT)
+                  ELSE CAST(6 AS BIGINT) END AS w
+      FROM u
+    ),
+    pr AS (
+      SELECT event_type, b,
+             CAST(sum(w * mv) AS BIGINT) AS smw, CAST(sum(w) AS BIGINT) AS sw
+      FROM wt GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT event_type, b, CAST(smw AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b
+      FROM pr WHERE sw > 0
+    ),
+    rk AS (
+      SELECT event_type, b, mean_b,
+             row_number() OVER (PARTITION BY event_type ORDER BY mean_b ASC, b ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      FROM pv
+    ),
+    -- alpha is COMPUTED from the same literals as the Spark side
+    -- ((1 - 0.95)/2 in doubles is 0.025000000000000022, NOT the literal
+    -- 0.025 — at nb = 40 the two ceil() to different order statistics)
+    al AS (SELECT (CAST(1 AS DOUBLE) - CAST(0.95 AS DOUBLE)) / CAST(2 AS DOUBLE) AS alpha),
+    ci AS (
+      SELECT event_type,
+             max(CASE WHEN rn = greatest(CAST(1 AS BIGINT),
+                          CAST(ceil(CAST(nb AS DOUBLE) * alpha) AS BIGINT))
+                      THEN mean_b END) / CAST(1000000 AS DOUBLE) AS ci_lo,
+             max(CASE WHEN rn = CAST(ceil(CAST(nb AS DOUBLE)
+                          * (CAST(1 AS DOUBLE) - alpha)) AS BIGINT)
+                      THEN mean_b END) / CAST(1000000 AS DOUBLE) AS ci_hi,
+             CAST(max(nb) AS BIGINT) AS n_replicas_used
+      FROM rk CROSS JOIN al GROUP BY event_type
+    ),
+    pt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             (CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               / CAST(1000000 AS DOUBLE) AS mean_value
+      FROM base GROUP BY event_type
+    )
+    SELECT pt.event_type, pt.n_rows, pt.mean_value, ci.ci_lo, ci.ci_hi,
+           ci.n_replicas_used
+    FROM pt LEFT JOIN ci USING (event_type)
+    """,
+    "per-type mean with a Poisson-bootstrap 95% CI (bag-of-little-"
+    "bootstraps): every row draws a sha-derived Poisson(1) weight per "
+    "replica (no resample ever materializes), replica means ride exact "
+    "integer grids, CI = order statistics of the 40 replica means; the "
+    "40x fan-out feeds a map-side-combined agg so the shuffle carries "
+    "|groups| x 40 partials, never 40 x N rows",
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import bootstrap_mean_ci
+
+    ev = table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, "event_type", "value", "event_id", n_replicas=40, ci=0.95
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
