@@ -370,3 +370,40 @@ def test_trimmed_mean_rejects_bad_trim_frac(spark):
     for bad in (0.5, -0.1, 1.0):
         with pytest.raises(ValueError):
             trimmed_mean_by_group(df, "g", "v", trim_frac=bad)
+
+
+def test_hybrid_ivf_agrees_with_exact_on_clustered(spark):
+    """The IVF-backed hybrid (100 TB form) matches the exact hybrid on
+    clustered embeddings at the measured nprobe operating point."""
+    from wellmeet_data_pipeline_spark.catalog import table as cat_table
+    from wellmeet_data_pipeline_spark.operators.retrieval import (
+        hybrid_rrf_topk_ivf,
+        rrf_fuse,
+    )
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        brute_force_top_k,
+        clustered_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = cat_table(spark, sf, "documents")
+    e = clustered_embeddings(cat_table(spark, sf, "embeddings")).localCheckpoint()
+    qids = [0, 1, 2, 3]
+    queries = {0: ["fast", "query"], 1: ["join", "hash"],
+               2: ["stream", "window"], 3: ["customer", "order"]}
+
+    got = hybrid_rrf_topk_ivf(d, e, queries, qids, k=10, nprobe=4).collect()
+
+    qv = e.filter(F.col("vec_id").isin(qids))
+    cos = brute_force_top_k(qv, e, k=20, round_digits=4).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    bm = bm25_topk(d, queries, k=20).select("query_id", "doc_id", "rank")
+    want = rrf_fuse([bm, cos], k=10).select(
+        "query_id", "doc_id", "rrf_score",
+        F.col("rank_0").alias("bm25_rank"),
+        F.col("rank_1").alias("cosine_rank"), "rank",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -317,3 +317,54 @@ def readability_scores(
         (F.col("__fk").cast("double") / F.lit(float(MICRO))).alias("fk_grade"),
         band.alias("readability_band"),
     )
+
+
+def hybrid_rrf_topk_ivf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries,
+    query_vec_ids,
+    k: int = 10,
+    k_candidates: int = 20,
+    k_rrf: int = 60,
+    nprobe: int = 4,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB serving form of hybrid retrieval: BM25 lexical leg
+    fused (RRF) with an IVF-probed cosine leg instead of the exact
+    blocked brute force — same output contract as the registry's
+    hybrid_rrf_topk (swap freely), sub-linear vector cost.
+
+    Approximation lives ONLY in the cosine candidate lists (missed
+    neighbors simply contribute no RRF term); the BM25 leg and the
+    fusion arithmetic are exact.  On clustered embeddings the IVF leg's
+    agreement with exact is ~1.0 at nprobe=4 (the ivf_cross_top_k
+    operating point measured in SCALESMOKE), so fused rankings match
+    the exact form there — pinned by the agreement test."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_cross_top_k
+
+    qv = embeddings.filter(F.col(vec_id_col).isin([int(v) for v in query_vec_ids]))
+    cos = ivf_cross_top_k(
+        qv, embeddings, k=k_candidates, nprobe=nprobe,
+        query_id=vec_id_col, cand_id=vec_id_col, vec_col=vec_col, round_digits=4,
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias(id_col),
+        "rank",
+    )
+    bm = bm25_topk(docs, queries, k=k_candidates, id_col=id_col).select(
+        "query_id", id_col, "rank"
+    )
+    fused = rrf_fuse([bm, cos], k=k, k_rrf=k_rrf, item_col=id_col)
+    return fused.select(
+        "query_id",
+        id_col,
+        "rrf_score",
+        F.col("rank_0").alias("bm25_rank"),
+        F.col("rank_1").alias("cosine_rank"),
+        "rank",
+    )
