@@ -90,8 +90,9 @@ def _py_bootstrap(rows, n_replicas=8, ci=0.95, salt="bb", micro=10**6):
         for b in range(n_replicas):
             smw = sw = 0
             for i, mv in items:
-                hx = hashlib.sha256(f"{salt}|{i}|{b}".encode()).hexdigest()
-                u = (int(hx[:8], 16) + 1.0) / 4294967296.0
+                hx = hashlib.sha256(f"{salt}|{i}|{b // 8}".encode()).hexdigest()
+                o = 8 * (b % 8)
+                u = (int(hx[o:o + 8], 16) + 1.0) / 4294967296.0
                 w = 6
                 for k, t in enumerate(POISSON1_CDF):
                     if u < t:

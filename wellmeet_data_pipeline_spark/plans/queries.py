@@ -7350,10 +7350,14 @@ def q_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base, LATERAL (SELECT unnest(range(0, 40)) AS b) t
     ),
     u AS (
+      -- one sha256 = 64 hex chars = EIGHT 32-bit uniforms: replica b
+      -- reads slice (b % 8) of hash group (b // 8) — mirrors the Spark
+      -- side's 8x sha-call reduction exactly
       SELECT event_type, b, mv,
              (CAST(list_sum(list_transform(range(1, 9),
                      i -> CAST(strpos('0123456789abcdef',
-                               substr(sha256(concat('bb|', event_id, '|', b)), i, 1)) - 1
+                               substr(sha256(concat('bb|', event_id, '|', b // 8)),
+                                      CAST(1 + 8 * (b % 8) AS BIGINT) + i - 1, 1)) - 1
                                AS BIGINT) << (4 * (8 - i)))) AS DOUBLE)
               + CAST(1 AS DOUBLE)) / CAST(4294967296 AS DOUBLE) AS unif
       FROM rep
