@@ -145,7 +145,22 @@ def main() -> None:
 
     times: dict[str, float] = {}
     results: dict[str, list] = {}
+    restart_at = {len(HEADLINE) // 2}
     for i, name in enumerate(HEADLINE):
+        if i in restart_at:
+            # Recycle the session ONCE mid-headline — the same treatment
+            # the matmul tiers get below, for the same reason: reused
+            # python workers accumulate allocator state over dozens of
+            # Arrow-bearing queries, and with the headline at 85 entries
+            # that inflated the r3-common 32-query subset to 82s in-loop
+            # vs 52.9s in a fresh session (idle box both times; JVM GC
+            # every 20 queries recovered almost none of it).  OS page
+            # cache keeps the scans warm across the restart.
+            _reclaim(spark)
+            spark.stop()
+            spark = get_spark("bench-mid")
+            spark.sparkContext.setLogLevel("ERROR")
+            REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         rows = REGISTRY[name].fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
