@@ -143,3 +143,142 @@ def test_bootstrap_ci_brackets_mean_and_validates(spark):
     assert r.n_replicas_used == 40
     with pytest.raises(ValueError):
         bootstrap_mean_ci(df, "g", "v", "id", ci=1.5)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_link_edit1 — deletion-neighborhood split-block record linkage
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _link(spark, dirty_rows, clean_rows):
+    from wellmeet_data_pipeline_spark.operators.linkage import fuzzy_link_edit1
+
+    d = spark.createDataFrame(dirty_rows, "record_id long, record_name string")
+    c = spark.createDataFrame(clean_rows, "entity_id long, entity_name string")
+    return sorted(
+        (r.record_id, r.entity_id, r.edit_dist)
+        for r in fuzzy_link_edit1(d, c).collect()
+    )
+
+
+def test_fuzzy_link_covers_every_deletion_position(spark):
+    # the pigeonhole claim: EVERY single-deletion of a clean name must be
+    # found, whichever half the deleted character sat in
+    name = "abcdef"
+    dirty = [(p, name[:p] + name[p + 1 :]) for p in range(len(name))]
+    clean = [(100, name), (200, "uvwxyz")]  # decoy shares no block key
+    got = _link(spark, dirty, clean)
+    assert got == [(p, 100, 1) for p in range(len(name))]
+
+
+def test_fuzzy_link_rejects_distance_two(spark):
+    # two deletions away -> blocked candidates may appear, verify must kill
+    assert _link(spark, [(1, "abdf")], [(100, "abcdef")]) == []
+
+
+def test_fuzzy_link_empty_and_short_strings(spark):
+    # "" links to every single-char entity; "x" links to "xy" and "zx"
+    got = _link(spark, [(1, ""), (2, "x")], [(10, "a"), (11, "b"), (12, "xy"), (13, "zx")])
+    assert got == [(1, 10, 1), (1, 11, 1), (2, 12, 1), (2, 13, 1)]
+
+
+def test_fuzzy_link_matches_brute_force(spark):
+    import hashlib
+
+    clean = [
+        (i, hashlib.sha256(str(i).encode()).hexdigest()[: 8 + i % 5])
+        for i in range(40)
+    ]
+    dirty = [
+        (i, n[: i % len(n)] + n[i % len(n) + 1 :]) for i, n in clean if i % 2 == 0
+    ]
+    want = sorted(
+        (di, ci, 1)
+        for di, dn in dirty
+        for ci, cn in clean
+        if len(cn) == len(dn) + 1 and _lev(dn, cn) == 1
+    )
+    assert _link(spark, dirty, clean) == want
+
+
+# ---------------------------------------------------------------------------
+# js_divergence_by_group — per-source drift vs the corpus blend
+# ---------------------------------------------------------------------------
+
+
+def _js_reference(groups: dict[str, list[str]]) -> dict[str, float]:
+    """Exact JS(P_s || P_global) per group, plain floats."""
+    import math
+    from collections import Counter
+
+    per = {g: Counter(t for txt in docs for t in txt.split()) for g, docs in groups.items()}
+    glob = Counter()
+    for c in per.values():
+        glob.update(c)
+    B = sum(glob.values())
+    out = {}
+    for g, c in per.items():
+        A = sum(c.values())
+        kl_s = sum((a / A) * math.log((a / A) / (0.5 * (a / A + glob[t] / B))) for t, a in c.items())
+        kl_g = sum(
+            (b / B) * math.log((b / B) / (0.5 * (c.get(t, 0) / A + b / B)))
+            for t, b in glob.items()
+        )
+        out[g] = 0.5 * (kl_s + kl_g)
+    return out
+
+
+def test_js_zero_when_sources_identical(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import js_divergence_by_group
+
+    rows = [(g, "alpha beta beta gamma") for g in ("s1", "s2") for _ in range(3)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = js_divergence_by_group(df).collect()
+    assert {r.source for r in got} == {"s1", "s2"}
+    assert all(r.js_micro_nats == 0 for r in got)
+    assert all(r.n_tokens == 12 and r.n_terms == 3 for r in got)
+
+
+def test_js_matches_exact_reference(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import js_divergence_by_group
+
+    groups = {
+        "web": ["the cat sat", "the dog ran fast", "cat and dog"],
+        "code": ["def foo return", "class bar def init", "return return foo"],
+        "mixed": ["the def cat return", "dog class and"],
+    }
+    rows = [(g, t) for g, docs in groups.items() for t in docs]
+    df = spark.createDataFrame(rows, "source string, text string")
+    want = _js_reference(groups)
+    got = {r.source: r.js_divergence for r in js_divergence_by_group(df).collect()}
+    assert got.keys() == want.keys()
+    for g in want:
+        # micro-nat snapping error: <= 0.5e-6 per weighted leg + final snap
+        assert abs(got[g] - want[g]) < 5e-6, g
+
+
+def test_js_ignores_null_source_and_null_text(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import js_divergence_by_group
+
+    rows = [
+        ("s1", "alpha beta"),
+        ("s1", None),
+        (None, "should not count"),
+        ("s2", "alpha beta"),
+        ("s2", ""),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in js_divergence_by_group(df).collect()}
+    assert set(got) == {"s1", "s2"}
+    assert got["s1"].n_tokens == 2 and got["s2"].n_tokens == 2
+    assert got["s1"].js_micro_nats == 0 and got["s2"].js_micro_nats == 0

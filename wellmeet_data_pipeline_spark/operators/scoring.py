@@ -768,3 +768,100 @@ def calibration_bins(
             F.round(F.col("n_pos") / F.col("n"), round_digits).alias("frac_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between corpus slices (Jensen-Shannon divergence)
+# ---------------------------------------------------------------------------
+
+
+def js_divergence_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence between the group's unigram
+    token distribution and the whole corpus's — the standard drift /
+    mixture-shift monitor for a multi-source training corpus (a source
+    whose JS vs the blend jumps between snapshots changed its content).
+
+    JS(P_s || P_g) = 0.5·KL(P_s||M) + 0.5·KL(P_g||M), M = (P_s+P_g)/2,
+    over the corpus-wide vocabulary.  Both KL legs are evaluated only on
+    (group, term) rows that EXIST: for a term absent from the group
+    (a = 0) the P_g-leg term is b·ln(2), so the absent-term mass folds
+    into ln(2)·(B - Σ_present b) analytically — the plan never builds
+    the dense group×vocab frame.
+
+    Exactness (module docstring): with a = count(term in group),
+    A = group total, b = corpus count, B = corpus total, the log
+    arguments are ratios of exact bigints (P_s/M = 2aB/(aB+bA),
+    P_g/M = 2bA/(aB+bA)); each ln() is snapped to the integer micro-nat
+    grid, weighted by the exact integer counts, and summed as bigint;
+    one division per leg at the end.  ln(2) is computed from the
+    literal 2.0 by BOTH engines (never pre-evaluated in Python —
+    NOTES.md float-parity rule).  Output `js_micro_nats` is the exact
+    bigint grid value; `js_divergence` derives from it by one division.
+
+    Plan: one token explode -> (group, term) count -> term-keyed shuffle
+    to join the corpus counts -> group-keyed agg.  Group totals join
+    broadcast (|groups| rows); B is a 1-row broadcast cross.  Counts are
+    exact bigints, so products a·B stay in int64 up to ~4e18 — beyond
+    (true 100 TB corpora) flip the log argument to the double ratio
+    (a/A)/(m) at the cost of oracle-grade bit parity.
+    """
+    scale = 1_000_000
+    toks = (
+        docs.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    # vocab x |groups|-bounded; checkpointed so the token explode over the
+    # full corpus runs ONCE (gc/ga/gb and the join all re-consume sc)
+    sc = (
+        toks.groupBy("grp", "term")
+        .agg(F.count("*").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    gc = sc.groupBy("term").agg(F.sum("a").alias("b"))
+    ga = sc.groupBy("grp").agg(F.sum("a").alias("tot_a"))
+    gb = gc.agg(F.sum("b").alias("tot_b"))
+    j = (
+        sc.join(gc, "term")
+        .join(F.broadcast(ga), "grp")
+        .crossJoin(F.broadcast(gb))
+    )
+    den = F.col("a") * F.col("tot_b") + F.col("b") * F.col("tot_a")
+    t1 = F.floor(
+        F.log(F.lit(2) * F.col("a") * F.col("tot_b") / den) * F.lit(scale) + F.lit(0.5)
+    ).cast("long")
+    t2 = F.floor(
+        F.log(F.lit(2) * F.col("b") * F.col("tot_a") / den) * F.lit(scale) + F.lit(0.5)
+    ).cast("long")
+    ln2 = F.floor(F.log(F.lit(2.0)) * F.lit(scale) + F.lit(0.5)).cast("long")
+    per_grp = j.groupBy("grp").agg(
+        F.first("tot_a").alias("n_tokens"),
+        F.first("tot_b").alias("tot_b"),
+        F.count("*").alias("n_terms"),
+        F.sum(F.col("a") * t1).alias("s1"),
+        F.sum(F.col("b") * t2).alias("s2p"),
+        F.sum("b").alias("b_present"),
+    )
+    s2 = F.col("s2p") + ln2 * (F.col("tot_b") - F.col("b_present"))
+    js_micro = F.floor(
+        F.lit(0.5)
+        * (
+            F.col("s1") / F.col("n_tokens").cast("double")
+            + s2 / F.col("tot_b").cast("double")
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    return per_grp.select(
+        F.col("grp").alias(group_col),
+        F.col("n_tokens"),
+        F.col("n_terms"),
+        js_micro.alias("js_micro_nats"),
+        (js_micro / F.lit(1_000_000.0)).alias("js_divergence"),
+    )

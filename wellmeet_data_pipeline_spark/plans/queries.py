@@ -7429,6 +7429,148 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "fuzzy_link_records",
+    """
+    WITH clean AS (
+      SELECT c_custkey AS entity_id,
+             substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 16) AS name
+      FROM customer
+    ),
+    dirty AS (
+      SELECT entity_id AS record_id,
+             substr(name, 1, CAST(entity_id % 16 AS INTEGER))
+               || substr(name, CAST(entity_id % 16 AS INTEGER) + 2) AS name
+      FROM clean WHERE entity_id % 3 = 0
+    ),
+    dk AS (
+      SELECT record_id, name, len(name) AS m, (len(name) + 1) // 2 AS h
+      FROM dirty
+    ),
+    ck AS (
+      SELECT entity_id, name, len(name) - 1 AS m, ((len(name) - 1) + 1) // 2 AS h
+      FROM clean
+    ),
+    cand AS (
+      SELECT dk.record_id, ck.entity_id, dk.name AS dn, ck.name AS cn
+      FROM dk JOIN ck ON dk.m = ck.m
+        AND substr(dk.name, 1, CAST(dk.h AS INTEGER))
+            = substr(ck.name, 1, CAST(ck.h AS INTEGER))
+      UNION
+      SELECT dk.record_id, ck.entity_id, dk.name, ck.name
+      FROM dk JOIN ck ON dk.m = ck.m
+        AND substr(dk.name, CAST(dk.h AS INTEGER) + 1)
+            = substr(ck.name, CAST(ck.h AS INTEGER) + 2)
+    )
+    SELECT record_id, entity_id AS matched_id,
+           CAST(levenshtein(dn, cn) AS INTEGER) AS edit_dist,
+           record_id = entity_id AS is_true_match
+    FROM cand
+    WHERE levenshtein(dn, cn) <= 1
+    """,
+    "record linkage via deletion-neighborhood split-blocking: a dirty "
+    "registry (one sha-derived character deleted per name at a key-derived "
+    "position) links back to the clean entity table through TWO equi-joins "
+    "— (length, prefix half) and (length, suffix half) — which by "
+    "pigeonhole cover every single-deletion position (h + s = m < n), "
+    "then an exact levenshtein<=1 verify; the naive form is an O(n*m) "
+    "cross join with an edit-distance theta filter",
+)
+def q_fuzzy_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.linkage import fuzzy_link_edit1
+
+    c = table(spark, sf_dir, "customer")
+    clean = c.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.substring(F.sha2(F.col("c_custkey").cast("string"), 256), 1, 16).alias(
+            "entity_name"
+        ),
+    )
+    p = (F.col("entity_id") % 16).cast("int")
+    dirty = clean.filter(F.col("entity_id") % 3 == 0).select(
+        F.col("entity_id").alias("record_id"),
+        F.concat(
+            F.col("entity_name").substr(F.lit(1), p),
+            F.col("entity_name").substr(p + F.lit(2), F.lit(16)),
+        ).alias("record_name"),
+    )
+    return fuzzy_link_edit1(dirty, clean).select(
+        "record_id",
+        F.col("entity_id").alias("matched_id"),
+        "edit_dist",
+        (F.col("record_id") == F.col("entity_id")).alias("is_true_match"),
+    )
+
+
+def _source_drift_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source AS grp, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents WHERE source IS NOT NULL
+    ),
+    sc AS (
+      SELECT grp, term, CAST(count(*) AS BIGINT) AS a
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    gc AS (SELECT term, CAST(sum(a) AS BIGINT) AS b FROM sc GROUP BY 1),
+    ga AS (SELECT grp, CAST(sum(a) AS BIGINT) AS tot_a FROM sc GROUP BY 1),
+    gb AS (SELECT CAST(sum(b) AS BIGINT) AS tot_b FROM gc),
+    j AS (
+      SELECT sc.grp, sc.a, gc.b, ga.tot_a, gb.tot_b,
+             CAST(floor(ln((2 * sc.a * gb.tot_b)
+                           / CAST(sc.a * gb.tot_b + gc.b * ga.tot_a AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS t1,
+             CAST(floor(ln((2 * gc.b * ga.tot_a)
+                           / CAST(sc.a * gb.tot_b + gc.b * ga.tot_a AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS t2
+      FROM sc JOIN gc USING (term) JOIN ga USING (grp) CROSS JOIN gb
+    ),
+    agg AS (
+      SELECT grp,
+             CAST(max(tot_a) AS BIGINT) AS n_tokens,
+             CAST(max(tot_b) AS BIGINT) AS tot_b,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(a * t1) AS BIGINT) AS s1,
+             CAST(sum(b * t2) AS BIGINT) AS s2p,
+             CAST(sum(b) AS BIGINT) AS b_present
+      FROM j GROUP BY grp
+    ),
+    fin AS (
+      SELECT grp, n_tokens, n_terms, tot_b, s1,
+             s2p + CAST(floor(ln(2.0) * 1000000 + 0.5) AS BIGINT)
+                   * (tot_b - b_present) AS s2
+      FROM agg
+    ),
+    mic AS (
+      SELECT grp, n_tokens, n_terms,
+             CAST(floor(0.5 * (s1 / CAST(n_tokens AS DOUBLE)
+                               + s2 / CAST(tot_b AS DOUBLE)) + 0.5)
+                  AS BIGINT) AS js_micro_nats
+      FROM fin
+    )
+    SELECT grp AS source, n_tokens, n_terms, js_micro_nats,
+           js_micro_nats / 1000000.0 AS js_divergence
+    FROM mic
+    """
+
+
+@_q(
+    "source_drift_js",
+    _source_drift_oracle(),
+    "per-source Jensen-Shannon divergence vs the whole-corpus unigram "
+    "distribution — the mixture-drift monitor for a multi-source corpus; "
+    "absent-term mass of the P_g leg folds into ln(2)*(B - sum b_present) "
+    "analytically so the plan never builds the dense source x vocab frame; "
+    "each KL term is an exact-bigint-ratio ln() snapped to the integer "
+    "micro-nat grid, weighted and summed in bigint, divided once per leg",
+)
+def q_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import js_divergence_by_group
+
+    d = table(spark, sf_dir, "documents")
+    return js_divergence_by_group(d, "source", "text")
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
