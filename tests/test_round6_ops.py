@@ -282,3 +282,83 @@ def test_js_ignores_null_source_and_null_text(spark):
     assert set(got) == {"s1", "s2"}
     assert got["s1"].n_tokens == 2 and got["s2"].n_tokens == 2
     assert got["s1"].js_micro_nats == 0 and got["s2"].js_micro_nats == 0
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts — clustering read on the dup candidate graph
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(k4, "id_a long, id_b long")
+    got = {r.node: (r.degree, r.n_triangles) for r in triangle_counts(df).collect()}
+    # every K4 node sits in C(3,2)=3 triangles; the pendant in none
+    assert got == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3), 5: (1, 0)}
+
+
+def test_triangle_counts_square_has_none(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import triangle_counts
+
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(square, "id_a long, id_b long")
+    got = triangle_counts(df).collect()
+    assert all(r.n_triangles == 0 for r in got)
+    assert {r.node: r.degree for r in got} == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    from itertools import combinations
+
+    from wellmeet_data_pipeline_spark.operators.dedup import triangle_counts
+
+    # deterministic pseudo-random graph on 12 nodes
+    edges = sorted(
+        {(a, b) for a, b in combinations(range(12), 2) if (a * 7 + b * 13) % 3 == 0}
+    )
+    es = set(edges)
+    tri_per_node = {n: 0 for n in range(12)}
+    for a, b, c in combinations(range(12), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                tri_per_node[n] += 1
+    deg = {n: sum(1 for e in edges if n in e) for n in range(12)}
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: (r.degree, r.n_triangles) for r in triangle_counts(df).collect()}
+    want = {n: (deg[n], tri_per_node[n]) for n in range(12) if deg[n] > 0}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# vocab_overlap_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_overlap_hand_computed(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import vocab_overlap_pairs
+
+    rows = [
+        ("a", "cat dog fish"),
+        ("a", "dog bird"),          # vocab a = {cat, dog, fish, bird}
+        ("b", "dog fish lizard"),   # vocab b = {dog, fish, lizard}
+        ("c", "quartz"),            # vocab c disjoint
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r.source_a, r.source_b): (r.n_terms_a, r.n_terms_b, r.n_shared, r.jaccard_micro)
+        for r in vocab_overlap_pairs(df).collect()
+    }
+    # a∩b = {dog, fish} -> J = 2/5; pairs sharing NOTHING emit no row
+    # (the pair frame comes from the term join — never a groups^2 cross)
+    assert got == {("a", "b"): (4, 3, 2, 400000)}
+
+
+def test_vocab_overlap_identical_sources_full_jaccard(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import vocab_overlap_pairs
+
+    rows = [("x", "same words here"), ("y", "here same words")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    r = vocab_overlap_pairs(df).collect()[0]
+    assert (r.n_shared, r.jaccard_micro, r.jaccard) == (3, 1000000, 1.0)

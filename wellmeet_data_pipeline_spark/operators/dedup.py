@@ -988,3 +988,54 @@ def cdc_apply_latest(
     return latest_per_key(changelog, key_cols, order_cols).filter(
         F.col(op_col) != delete_op
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle participation + degree over an undirected edge
+    set given as ordered pairs (src < dst) — the clustering read on the
+    near-dup candidate graph that CC/PageRank don't give: a doc whose
+    neighborhood closes into triangles sits in a tight duplicate clique
+    (template spam), while the same degree with zero triangles is a hub
+    stitching unrelated docs (a bad LSH band or boilerplate shingle).
+
+    Each triangle a<b<c is enumerated exactly once by joining the
+    id-ordered edge list with itself: (a,b)x(b,c) paths verified by the
+    closing edge (a,c).  The path join is the classic sum-of-deg^2
+    term; on an LSH candidate graph it is bounded by the per-cluster
+    quadratic the verify stage already pays, so no extra asymptotics.
+    Returns (node, degree, n_triangles) for every node with an edge.
+    """
+    # the edge list is consumed FIVE times (both path legs, the closing
+    # semi-join, both degree legs); checkpoint so an expensive upstream
+    # candidate-generation lineage (LSH banding) runs once
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    paths = e.select(F.col("a"), F.col("b").alias("m")).join(
+        e.select(F.col("a").alias("m"), F.col("b").alias("c")), "m"
+    )
+    tri = paths.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("m").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(corners, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )

@@ -865,3 +865,67 @@ def js_divergence_by_group(
         js_micro.alias("js_micro_nats"),
         (js_micro / F.lit(1_000_000.0)).alias("js_divergence"),
     )
+
+
+def vocab_overlap_pairs(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices — the companion
+    read to js_divergence_by_group: JS says HOW FAR a source drifted
+    from the blend, the overlap matrix says WHICH sources share (or
+    stopped sharing) vocabulary.  One row per unordered source pair.
+
+    Shape: one token explode -> distinct (group, term) -> term-keyed
+    self-join (each term contributes its sources-containing-it pairs,
+    so the join output is sum over terms of k_t^2 — bounded by
+    |vocab| * |groups|^2, and |groups| is the small axis of any real
+    corpus) -> (g1, g2) count.  Pairs sharing NO vocabulary emit no row
+    (the pair frame is born from the term join — never a groups^2
+    cross): absence of a row IS the zero-overlap signal.  Jaccard rides
+    the micro grid:
+    jaccard_micro = floor(1e6 * shared / (n_a + n_b - shared) + 0.5),
+    exact-int inputs, one IEEE division, so both engines snap alike.
+    """
+    v = (
+        docs.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = v.groupBy("grp").agg(F.count("*").alias("n_terms"))
+    inter = (
+        v.select(F.col("grp").alias("g1"), "term")
+        .join(v.select(F.col("grp").alias("g2"), "term"), "term")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    j = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("grp").alias("g1"), F.col("n_terms").alias("n_terms_a"))),
+            "g1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("grp").alias("g2"), F.col("n_terms").alias("n_terms_b"))),
+            "g2",
+        )
+    )
+    union_sz = F.col("n_terms_a") + F.col("n_terms_b") - F.col("n_shared")
+    jm = F.floor(
+        F.lit(1_000_000) * F.col("n_shared") / union_sz.cast("double") + F.lit(0.5)
+    ).cast("long")
+    return j.select(
+        F.col("g1").alias("source_a"),
+        F.col("g2").alias("source_b"),
+        "n_terms_a",
+        "n_terms_b",
+        "n_shared",
+        jm.alias("jaccard_micro"),
+        (jm / F.lit(1_000_000.0)).alias("jaccard"),
+    )

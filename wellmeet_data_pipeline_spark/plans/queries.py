@@ -7571,6 +7571,98 @@ def q_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence_by_group(d, "source", "text")
 
 
+def _dup_triangles_oracle() -> str:
+    return f"""
+    WITH {_minhash_sha_ctes()},
+    e AS (SELECT DISTINCT id_a, id_b FROM pairs),
+    tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS m, e2.id_b AS c
+      FROM e e1
+      JOIN e e2 ON e1.id_b = e2.id_a
+      JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    tn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT m FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.degree, COALESCE(tn.n_triangles, 0) AS n_triangles
+    FROM deg LEFT JOIN tn USING (node)
+    """
+
+
+@_q(
+    "dup_triangle_count",
+    _dup_triangles_oracle(),
+    "per-doc triangle participation + degree on the MinHash-LSH candidate "
+    "graph — the clustering read CC/PageRank don't give: triangles mark "
+    "tight duplicate cliques (template spam), a high-degree zero-triangle "
+    "node marks a hub minted by a bad band/boilerplate shingle; each "
+    "triangle a<b<c enumerated once via the id-ordered edge self-join, "
+    "closing edge checked by semi-join",
+)
+def q_dup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates_sha,
+        triangle_counts,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return triangle_counts(minhash_lsh_candidates_sha(d))
+
+
+def _vocab_overlap_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source AS grp, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents WHERE source IS NOT NULL
+    ),
+    v AS (SELECT DISTINCT grp, term FROM toks WHERE term <> ''),
+    sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_terms FROM v GROUP BY grp),
+    inter AS (
+      SELECT a.grp AS g1, b.grp AS g2, CAST(count(*) AS BIGINT) AS n_shared
+      FROM v a JOIN v b ON a.term = b.term
+      WHERE a.grp < b.grp
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT g1, g2, sa.n_terms AS n_terms_a, sb.n_terms AS n_terms_b, n_shared,
+             CAST(floor(1000000 * n_shared
+                        / CAST(sa.n_terms + sb.n_terms - n_shared AS DOUBLE)
+                        + 0.5) AS BIGINT) AS jaccard_micro
+      FROM inter
+      JOIN sizes sa ON sa.grp = g1
+      JOIN sizes sb ON sb.grp = g2
+    )
+    SELECT g1 AS source_a, g2 AS source_b, n_terms_a, n_terms_b, n_shared,
+           jaccard_micro, jaccard_micro / 1000000.0 AS jaccard
+    FROM j
+    """
+
+
+@_q(
+    "source_vocab_overlap",
+    _vocab_overlap_oracle(),
+    "pairwise vocabulary Jaccard between sources — the companion to "
+    "source_drift_js (JS says how far a source drifted from the blend, "
+    "the overlap matrix says WHICH sources share vocabulary); one distinct "
+    "(source, term) frame self-joined on term, so cost is sum over terms "
+    "of k_t^2 with |sources| the small axis; Jaccard on the micro grid",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import vocab_overlap_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return vocab_overlap_pairs(d, "source", "text")
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
