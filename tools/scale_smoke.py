@@ -352,6 +352,57 @@ def run_bm25(spark, sf_dir, factor):
     return bm25_topk(scaled_documents(spark, sf_dir, factor), qs, k=10).count()
 
 
+def run_source_drift_js(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.scoring import js_divergence_by_group
+
+    return js_divergence_by_group(scaled_documents(spark, sf_dir, factor)).count()
+
+
+def run_source_vocab_overlap(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.scoring import vocab_overlap_pairs
+
+    return vocab_overlap_pairs(scaled_documents(spark, sf_dir, factor)).count()
+
+
+def run_dup_triangle_count(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates_sha,
+        triangle_counts,
+    )
+
+    # disjoint per-copy vocab keeps candidate edges (and so triangles)
+    # growing linearly with the corpus, like real growth
+    return triangle_counts(
+        minhash_lsh_candidates_sha(scaled_documents(spark, sf_dir, factor))
+    ).count()
+
+
+def run_fuzzy_link(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.linkage import fuzzy_link_edit1
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    if factor > 1:
+        copies = spark.range(factor).select(F.col("id").alias("__copy"))
+        c = c.crossJoin(F.broadcast(copies)).select(
+            (F.col("c_custkey") + F.col("__copy") * 10_000_000).alias("c_custkey")
+        )
+    clean = c.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.substring(F.sha2(F.col("c_custkey").cast("string"), 256), 1, 16).alias(
+            "entity_name"
+        ),
+    )
+    p = (F.col("entity_id") % 16).cast("int")
+    dirty = clean.filter(F.col("entity_id") % 3 == 0).select(
+        F.col("entity_id").alias("record_id"),
+        F.concat(
+            F.col("entity_name").substr(F.lit(1), p),
+            F.col("entity_name").substr(p + F.lit(2), F.lit(16)),
+        ).alias("record_name"),
+    )
+    return fuzzy_link_edit1(dirty, clean).count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -376,6 +427,10 @@ OPS = {
     "cdc_latest_state": run_cdc_latest,
     "zorder_layout_stats": run_zorder,
     "bm25_topk": run_bm25,
+    "source_drift_js": run_source_drift_js,
+    "source_vocab_overlap": run_source_vocab_overlap,
+    "dup_triangle_count": run_dup_triangle_count,
+    "fuzzy_link_records": run_fuzzy_link,
 }
 
 
