@@ -935,3 +935,65 @@ def test_streaming_rolling_active_users(spark, tmp_path):
     ).select(F.col("d").cast("date").alias("__day"), F.col("u").alias("__u"))
     merge_append(replay, store, id_col="__u", partition_col=None, batch_seq=0)
     assert dau() == {"2024-05-01": 1, "2024-05-02": 2, "2024-05-09": 1}
+
+
+def test_streaming_source_drift_matches_batch_and_replay(spark, tmp_path):
+    """Streaming drift monitor: JS from the incrementally-maintained
+    (source, term) store must equal the batch operator on the same docs
+    (shared core), and an at-least-once replayed partial must not move
+    the answer."""
+    from wellmeet_data_pipeline_spark.operators.scoring import js_divergence_by_group
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.analytics import (
+        current_source_drift,
+        run_streaming_term_counts,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    landing = tmp_path / "drift_landing"
+    landing.mkdir()
+    store = str(tmp_path / "drift_store")
+    ckpt = str(tmp_path / "drift_ckpt")
+    schema = StructType(
+        [StructField("source", StringType()), StructField("text", StringType())]
+    )
+
+    # empty store -> typed empty frame, not an error
+    assert current_source_drift(spark, store).count() == 0
+
+    b1 = [
+        {"source": "web", "text": "the cat sat on the mat"},
+        {"source": "code", "text": "def foo return foo"},
+        {"source": None, "text": "must not count"},
+    ]
+    b2 = [
+        {"source": "web", "text": "cat and dog"},
+        {"source": "code", "text": "class bar def init"},
+        {"source": "web", "text": None},
+    ]
+    _drop(landing, "b1.json", b1)
+    run_streaming_term_counts(spark, str(landing), store, ckpt, schema)
+    _drop(landing, "b2.json", b2)
+    run_streaming_term_counts(spark, str(landing), store, ckpt, schema)
+
+    docs = spark.createDataFrame(
+        [(r["source"], r["text"]) for r in b1 + b2], "source string, text string"
+    )
+    want = {
+        r.source: (r.n_tokens, r.n_terms, r.js_micro_nats)
+        for r in js_divergence_by_group(docs).collect()
+    }
+    got = {
+        r.source: (r.n_tokens, r.n_terms, r.js_micro_nats)
+        for r in current_source_drift(spark, store).collect()
+    }
+    assert got == want and set(got) == {"web", "code"}
+
+    # replayed (grp, term, batch) partial (foreachBatch contract: same
+    # batch_id => same data) must dedup on read
+    replay = spark.createDataFrame([("web", "cat", 1)], "grp string, term string, a long")
+    merge_append(replay, store, id_col="grp", partition_col=None, batch_seq=1)
+    assert {
+        r.source: (r.n_tokens, r.n_terms, r.js_micro_nats)
+        for r in current_source_drift(spark, store).collect()
+    } == want

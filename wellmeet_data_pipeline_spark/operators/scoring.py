@@ -809,7 +809,6 @@ def js_divergence_by_group(
     (true 100 TB corpora) flip the log argument to the double ratio
     (a/A)/(m) at the cost of oracle-grade bit parity.
     """
-    scale = 1_000_000
     toks = (
         docs.filter(F.col(group_col).isNotNull())
         .select(
@@ -818,13 +817,24 @@ def js_divergence_by_group(
         )
         .filter(F.col("term") != "")
     )
-    # vocab x |groups|-bounded; checkpointed so the token explode over the
-    # full corpus runs ONCE (gc/ga/gb and the join all re-consume sc)
-    sc = (
-        toks.groupBy("grp", "term")
-        .agg(F.count("*").alias("a"))
-        .localCheckpoint(eager=True)
-    )
+    sc = toks.groupBy("grp", "term").agg(F.count("*").alias("a"))
+    return js_from_group_term_counts(sc, out_group_col=group_col)
+
+
+def js_from_group_term_counts(
+    sc: DataFrame, out_group_col: str = "source"
+) -> DataFrame:
+    """JS-divergence core over a (grp, term, a) count frame — shared
+    verbatim by the batch operator above and the streaming drift monitor
+    (streaming/analytics.current_source_drift), so the two stay
+    contract-identical.  Exactness rules per js_divergence_by_group.
+
+    The input is checkpointed here: it is vocab x |groups|-bounded and
+    consumed FOUR times (gc/ga/gb and the join), so whatever lineage
+    produced it — the batch corpus token explode, the streaming store's
+    dedup-on-read — runs once."""
+    scale = 1_000_000
+    sc = sc.localCheckpoint(eager=True)
     gc = sc.groupBy("term").agg(F.sum("a").alias("b"))
     ga = sc.groupBy("grp").agg(F.sum("a").alias("tot_a"))
     gb = gc.agg(F.sum("b").alias("tot_b"))
@@ -859,7 +869,7 @@ def js_divergence_by_group(
         + F.lit(0.5)
     ).cast("long")
     return per_grp.select(
-        F.col("grp").alias(group_col),
+        F.col("grp").alias(out_group_col),
         F.col("n_tokens"),
         F.col("n_terms"),
         js_micro.alias("js_micro_nats"),

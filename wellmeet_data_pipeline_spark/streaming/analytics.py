@@ -162,3 +162,75 @@ def current_rolling_active(
     return rolling_distinct_from_pairs(
         store.select("__day", "__u"), window_days
     )
+
+
+def run_streaming_term_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Drain the landing document stream (availableNow), appending each
+    micro-batch's (group, term) partial token counts — the incremental
+    state behind the streaming drift monitor.  Same store contract as
+    run_streaming_key_counts: partials are identified by (group, term,
+    batch seq), so at-least-once replays dedup on read and the store is
+    exactly-once without read-modify-write."""
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+    stream = spark.readStream.schema(schema).option("multiLine", "true").json(
+        landing_dir
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.filter(F.col(group_col).isNotNull())
+            .select(
+                F.col(group_col).alias("grp"),
+                F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("grp", "term")
+            .agg(F.count("*").alias("a"))
+        )
+        if counts.isEmpty():
+            return
+        merge_append(
+            counts, store_path, id_col="grp", partition_col=None, batch_seq=batch_id
+        )
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def current_source_drift(
+    spark: SparkSession, store_path: str, out_group_col: str = "source"
+) -> DataFrame:
+    """The consumer view: per-source Jensen-Shannon divergence vs the
+    corpus-so-far, computed from the exactly-once (group, term) totals
+    through the SAME core as the batch operator
+    (scoring.js_from_group_term_counts) — streaming and batch stay
+    contract-identical by construction."""
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        js_from_group_term_counts,
+    )
+
+    cur = read_current_or_none(
+        spark, store_path, id_col=["grp", "term", "_batch_seq"]
+    )
+    if cur is None:
+        return spark.createDataFrame(
+            [],
+            f"{out_group_col} string, n_tokens bigint, n_terms bigint,"
+            " js_micro_nats bigint, js_divergence double",
+        )
+    totals = cur.groupBy("grp", "term").agg(F.sum("a").alias("a"))
+    return js_from_group_term_counts(totals, out_group_col=out_group_col)
