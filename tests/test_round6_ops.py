@@ -362,3 +362,53 @@ def test_vocab_overlap_identical_sources_full_jaccard(spark):
     df = spark.createDataFrame(rows, "source string, text string")
     r = vocab_overlap_pairs(df).collect()[0]
     assert (r.n_shared, r.jaccard_micro, r.jaccard) == (3, 1000000, 1.0)
+
+
+def test_triangle_counts_normalizes_unordered_edges(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import triangle_counts
+
+    # same triangle given in mixed orientation + a duplicate + a self-loop
+    edges = [(5, 3), (3, 4), (4, 5), (4, 3), (7, 7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: (r.degree, r.n_triangles) for r in triangle_counts(df).collect()}
+    assert got == {3: (2, 1), 4: (2, 1), 5: (2, 1)}
+
+
+def test_ngram_containment_catches_subset_docs_jaccard_misses(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    chunk = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, chunk),                      # short doc
+        (2, chunk + " " + filler),       # the same chunk embedded in a long doc
+        (3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r.id_a, r.id_b): (r.containment_a_in_b, r.containment_b_in_a)
+        for r in ngram_containment_pairs(df, threshold=0.9).collect()
+    }
+    # every shingle of doc 1 appears in doc 2 -> containment(1 in 2) = 1.0
+    assert set(cont) == {(1, 2)}
+    assert cont[(1, 2)][0] == 1.0 and cont[(1, 2)][1] < 0.1
+    # symmetric Jaccard never fires at any usable threshold
+    assert ngram_jaccard_pairs(df, threshold=0.15).count() == 0
+
+
+def test_ngram_containment_direction_and_threshold(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    rows = [
+        (10, "a b c d e f"),      # 4 3-shingles
+        (20, "a b c d x y z"),    # shares 'a b c' and 'b c d' -> inter=2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = ngram_containment_pairs(df, threshold=0.5).collect()
+    assert len(r) == 1 and r[0].inter == 2 and r[0].n_a == 4 and r[0].n_b == 5
+    assert r[0].containment_a_in_b == 0.5 and r[0].containment_b_in_a == 0.4
+    # raising the threshold above both directions drops the pair
+    assert ngram_containment_pairs(df, threshold=0.6).count() == 0

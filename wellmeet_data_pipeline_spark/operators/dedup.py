@@ -204,6 +204,67 @@ def ngram_jaccard_pairs(
     cap^2 rows per shingle.  The DF count rides the same shuffle
     partitioning as the self-join (both keyed on shingle).  Set
     max_shingle_df=None for the exact uncapped semantics."""
+    stats = _shingle_pair_stats(
+        docs, text_col, id_col, shingle_n, candidates, max_shingle_df
+    )
+    return (
+        stats.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle CONTAINMENT
+    c(A in B) = |A∩B| / |A| instead of symmetric Jaccard.  Catches the
+    subset-duplicate class Jaccard misses — a short doc embedded
+    verbatim in a much longer one has containment ~1 while its Jaccard
+    is ~|A|/|B| (arbitrarily small), so a Jaccard threshold never fires
+    (the RefinedWeb-style sub/superset dedup read).  Emits both
+    directions per co-occurring pair and keeps pairs where either
+    reaches `threshold`; same inverted-index topology, DF cap, and
+    candidate-driven verify tier as ngram_jaccard_pairs."""
+    stats = _shingle_pair_stats(
+        docs, text_col, id_col, shingle_n, candidates, max_shingle_df
+    )
+    c_ab = F.col("inter") / F.col("n_a")
+    c_ba = F.col("inter") / F.col("n_b")
+    return (
+        stats.filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+    )
+
+
+def _shingle_pair_stats(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    candidates: DataFrame | None,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared core of the exact shingle-overlap family: (id_a, id_b,
+    inter, n_a, n_b) for every candidate (or co-occurring) pair, with
+    the document-frequency cap applied to index AND set sizes."""
     exploded = shingles_df(docs, text_col, id_col, shingle_n).distinct()
     if max_shingle_df is not None:
         # window count (not a groupBy + anti-join): the DF filter rides
@@ -244,13 +305,7 @@ def ngram_jaccard_pairs(
         )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        co.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return co.join(sa, "id_a").join(sb, "id_b")
 
 
 # simhash bit masks as literal longs (bit 63 is the sign bit in two's
@@ -994,7 +1049,8 @@ def triangle_counts(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:
     """Per-node triangle participation + degree over an undirected edge
-    set given as ordered pairs (src < dst) — the clustering read on the
+    set (pairs in either orientation; self-loops dropped, orientation
+    normalized internally) — the clustering read on the
     near-dup candidate graph that CC/PageRank don't give: a doc whose
     neighborhood closes into triangles sits in a tight duplicate clique
     (template spam), while the same degree with zero triangles is a hub
@@ -1007,11 +1063,16 @@ def triangle_counts(
     quadratic the verify stage already pays, so no extra asymptotics.
     Returns (node, degree, n_triangles) for every node with an edge.
     """
-    # the edge list is consumed FIVE times (both path legs, the closing
-    # semi-join, both degree legs); checkpoint so an expensive upstream
+    # normalize orientation so raw undirected input is handled, then
+    # checkpoint: the edge list is consumed FIVE times (both path legs,
+    # the closing semi-join, both degree legs), so an expensive upstream
     # candidate-generation lineage (LSH banding) runs once
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )

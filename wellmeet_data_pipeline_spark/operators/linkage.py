@@ -70,18 +70,20 @@ def fuzzy_link_edit1(
     Returns (dirty_id, clean_id, edit_dist) — one row per verified
     candidate pair.  Pairs surfaced by both block keys are emitted once.
     """
+    # each side feeds BOTH block joins — checkpoint so an expensive
+    # upstream lineage (normalization, extraction) runs once per side
     d = _deletion_block_keys(
         dirty.select(F.col(dirty_id).alias("__did"), F.col(dirty_name).alias("__dn"))
         .filter(F.col("__dn").isNotNull()),
         "__dn",
         F.length("__dn"),
-    )
+    ).localCheckpoint(eager=True)
     c = _deletion_block_keys(
         clean.select(F.col(clean_id).alias("__cid"), F.col(clean_name).alias("__cn"))
         .filter(F.col("__cn").isNotNull()),
         "__cn",
         F.length("__cn") - F.lit(1),
-    )
+    ).localCheckpoint(eager=True)
     pre = d.join(c, ["__m", "__pre"]).select("__did", "__dn", "__cid", "__cn")
     suf = d.join(c, ["__m", "__suf"]).select("__did", "__dn", "__cid", "__cn")
     cand = pre.unionByName(suf).distinct()

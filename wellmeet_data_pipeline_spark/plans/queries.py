@@ -7663,6 +7663,49 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_overlap_pairs(d, "source", "text")
 
 
+@_q(
+    "ngram_containment_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM norm
+    ),
+    ex0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 10000),
+    ex AS (SELECT e.doc_id, e.shingle FROM ex0 e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(inter / sa.n_sh, 6) AS containment_a_in_b,
+           round(inter / sb.n_sh, 6) AS containment_b_in_a
+    FROM co
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(inter / sa.n_sh, inter / sb.n_sh) >= 0.5
+    """,
+    "asymmetric shingle-containment near-dup pairs — catches the subset-"
+    "duplicate class symmetric Jaccard misses (a short doc embedded in a "
+    "long one has containment ~1 but Jaccard ~|A|/|B|); same inverted-"
+    "index topology and document-frequency cap as ngram_jaccard_pairs "
+    "(shared _shingle_pair_stats core)",
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, threshold=0.5)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,

@@ -195,12 +195,22 @@ def run_streaming_term_counts(
             .filter(F.col("term") != "")
             .groupBy("grp", "term")
             .agg(F.count("*").alias("a"))
+            # the emptiness probe and the write both consume the frame —
+            # persist so the token-explode aggregation runs once per batch
+            .persist()
         )
-        if counts.isEmpty():
-            return
-        merge_append(
-            counts, store_path, id_col="grp", partition_col=None, batch_seq=batch_id
-        )
+        try:
+            if counts.isEmpty():
+                return
+            merge_append(
+                counts,
+                store_path,
+                id_col="grp",
+                partition_col=None,
+                batch_seq=batch_id,
+            )
+        finally:
+            counts.unpersist()
 
     (
         stream.writeStream.foreachBatch(write_batch)
