@@ -111,6 +111,12 @@ HEADLINE = [
     "l_diversity_audit",
     "trimmed_mean_by_type",
     "bootstrap_mean_ci",
+    # round 6 additions: linkage + corpus-slice analytics + dup-graph read
+    "fuzzy_link_records",
+    "source_drift_js",
+    "source_vocab_overlap",
+    "dup_triangle_count",
+    "ngram_containment_pairs",
 ]
 
 
