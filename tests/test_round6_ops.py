@@ -412,3 +412,38 @@ def test_ngram_containment_direction_and_threshold(spark):
     assert r[0].containment_a_in_b == 0.5 and r[0].containment_b_in_a == 0.4
     # raising the threshold above both directions drops the pair
     assert ngram_containment_pairs(df, threshold=0.6).count() == 0
+
+
+def test_vocab_growth_curve_hand_computed(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import vocab_growth_curve
+
+    # 4 docs into 2 buckets (2 docs each, doc_id order)
+    rows = [
+        (1, "a b a"),        # terms {a,b}, 3 tokens
+        (2, "b c"),          # new term c
+        (3, None),           # null text: counts as a doc, 0 tokens
+        (4, "c d d"),        # new term d
+        (None, "ignored"),   # null id excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.bucket: (r.n_docs_cum, r.n_tokens_cum, r.n_terms_cum)
+        for r in vocab_growth_curve(df, n_buckets=2).collect()
+    }
+    assert got == {1: (2, 5, 3), 2: (4, 8, 4)}
+
+
+def test_vocab_growth_curve_monotone_on_real_docs(spark):
+    from wellmeet_data_pipeline_spark.operators.corpus import vocab_growth_curve
+    from wellmeet_data_pipeline_spark.plans.queries import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    rows = sorted(
+        (r.bucket, r.n_docs_cum, r.n_tokens_cum, r.n_terms_cum)
+        for r in vocab_growth_curve(d).collect()
+    )
+    assert [b for b, *_ in rows] == list(range(1, 11))
+    for (b1, d1, t1, v1), (b2, d2, t2, v2) in zip(rows, rows[1:]):
+        assert d2 > d1 and t2 >= t1 and v2 >= v1
+    # distinct terms never exceed tokens seen
+    assert all(v <= t for _, _, t, v in rows)

@@ -1105,3 +1105,84 @@ def negative_sample_candidates(
         .filter(F.col("__rk") <= k)
         .select(user_col, F.col("seq").cast("int").alias("seq"), item_col)
     )
+
+
+def vocab_growth_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct terms vs
+    cumulative tokens over `n_buckets` equal-rank prefixes of the corpus
+    in `id_col` order — the datacard read that says whether a corpus is
+    still contributing new vocabulary as it grows (a flattening curve
+    means later data is lexically redundant; a straight one means the
+    tokenizer's OOV story keeps getting worse).
+
+    Scale shape: doc ranks come from the two-pass distributed prefix
+    rank (global_rank_cumsum — no unpartitioned window); each TERM's
+    first-appearance bucket is a min() over its postings, so cumulative
+    distinct counts at bucket b are just "terms whose first bucket <= b"
+    — no prefix re-scan per bucket.  The final cumulation runs over
+    `n_buckets` rows via the triangular broadcast join (same trick as
+    global_rank_cumsum's offset pass).  NULL ids are excluded (rank
+    order must be total and engines disagree on NULL placement).
+    """
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    base = docs.filter(F.col(id_col).isNotNull())
+    ranked = global_rank_cumsum(base.select(id_col), [F.col(id_col)])
+    n = base.agg(F.count("*").alias("__n"))
+    buckets = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            (
+                F.floor((F.col("rank") - 1) * n_buckets / F.col("__n")) + 1
+            ).cast("int").alias("bucket"),
+        )
+        # consumed by the doc-grain, token-grain AND term-grain branches
+        .localCheckpoint(eager=True)
+    )
+    toks = (
+        base.select(
+            F.col(id_col),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .join(buckets, id_col)
+    )
+    per_bucket_docs = buckets.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    per_bucket_toks = toks.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    first_seen = toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    per_bucket_new = first_seen.groupBy("bucket").agg(
+        F.count("*").alias("n_new_terms")
+    )
+    per = (
+        per_bucket_docs.join(per_bucket_toks, "bucket", "left")
+        .join(per_bucket_new, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_new_terms", F.lit(0)).alias("n_new_terms"),
+        )
+        # n_buckets rows, but its lineage is the whole token pipeline and
+        # the triangular join below consumes it TWICE
+        .localCheckpoint(eager=True)
+    )
+    cum = (
+        per.alias("hi")
+        .join(
+            F.broadcast(per.alias("lo")),
+            F.col("lo.bucket") <= F.col("hi.bucket"),
+        )
+        .groupBy(F.col("hi.bucket").alias("bucket"))
+        .agg(
+            F.sum("lo.n_docs").alias("n_docs_cum"),
+            F.sum("lo.n_tokens").alias("n_tokens_cum"),
+            F.sum("lo.n_new_terms").alias("n_terms_cum"),
+        )
+    )
+    return cum
