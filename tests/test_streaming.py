@@ -997,3 +997,81 @@ def test_streaming_source_drift_matches_batch_and_replay(spark, tmp_path):
         r.source: (r.n_tokens, r.n_terms, r.js_micro_nats)
         for r in current_source_drift(spark, store).collect()
     } == want
+
+
+def test_streaming_fuzzy_upsert_registry(spark, tmp_path):
+    """Fuzzy insert-if-absent: exact dups, 1-deletion variants (either
+    direction), and replays never mint entities; novel names do."""
+    from wellmeet_data_pipeline_spark.streaming.linkage import (
+        current_entities,
+        run_streaming_fuzzy_upsert,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    landing = tmp_path / "ent_landing"
+    landing.mkdir()
+    store = str(tmp_path / "ent_store")
+    ckpt = str(tmp_path / "ent_ckpt")
+    schema = StructType(
+        [
+            StructField("record_id", LongType()),
+            StructField("record_name", StringType()),
+        ]
+    )
+
+    assert current_entities(spark, store).count() == 0
+
+    def run():
+        run_streaming_fuzzy_upsert(spark, str(landing), store, ckpt, schema)
+
+    def reg():
+        return {
+            r.entity_name: r.entity_id for r in current_entities(spark, store).collect()
+        }
+
+    _drop(
+        landing,
+        "b1.json",
+        [
+            {"record_id": 1, "record_name": "wellmeet-gangnam"},
+            {"record_id": 2, "record_name": "wellmeet-gangnam"},  # in-batch exact dup
+            {"record_id": 3, "record_name": "seoul-branch"},
+        ],
+    )
+    run()
+    assert reg() == {"wellmeet-gangnam": 1, "seoul-branch": 3}
+
+    _drop(
+        landing,
+        "b2.json",
+        [
+            {"record_id": 10, "record_name": "wellmeet-gangnam"},   # exact -> absorbed
+            {"record_id": 11, "record_name": "wellmeetgangnam"},    # "-" lost -> absorbed
+            {"record_id": 12, "record_name": "seoul-brancha"},      # 1 longer -> absorbed
+            {"record_id": 13, "record_name": "busan-harbor"},       # novel
+            {"record_id": 14, "record_name": None},                 # dropped
+        ],
+    )
+    run()
+    assert reg() == {
+        "wellmeet-gangnam": 1,
+        "seoul-branch": 3,
+        "busan-harbor": 13,
+    }
+
+    # at-least-once replay: re-deliver batch 2's content as a new file;
+    # every record now exact- or fuzzy-matches (incl. its own insertion)
+    _drop(
+        landing,
+        "b2_replay.json",
+        [
+            {"record_id": 13, "record_name": "busan-harbor"},
+            {"record_id": 11, "record_name": "wellmeetgangnam"},
+        ],
+    )
+    run()
+    assert reg() == {
+        "wellmeet-gangnam": 1,
+        "seoul-branch": 3,
+        "busan-harbor": 13,
+    }
