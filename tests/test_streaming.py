@@ -1050,6 +1050,8 @@ def test_streaming_fuzzy_upsert_registry(spark, tmp_path):
             {"record_id": 12, "record_name": "seoul-brancha"},      # 1 longer -> absorbed
             {"record_id": 13, "record_name": "busan-harbor"},       # novel
             {"record_id": 14, "record_name": None},                 # dropped
+            {"record_id": None, "record_name": "null-id-ghost"},    # dropped
+            {"record_id": 3, "record_name": "reused-id-name"},      # id taken
         ],
     )
     run()

@@ -50,9 +50,12 @@ def run_streaming_fuzzy_upsert(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # exact within-batch dedup: keep the lowest record id per name
+        # exact within-batch dedup: keep the lowest record id per name.
+        # NULL ids are dropped too — entity_id is the registry identity
+        # (NULL join keys never match, so a NULL-id record would bypass
+        # the absent check and re-insert on every batch)
         recs = (
-            batch_df.filter(F.col(name_col).isNotNull())
+            batch_df.filter(F.col(name_col).isNotNull() & F.col(id_col).isNotNull())
             .groupBy(F.col(name_col).alias("entity_name"))
             .agg(F.min(id_col).alias("entity_id"))
             .localCheckpoint(eager=True)
@@ -87,17 +90,34 @@ def run_streaming_fuzzy_upsert(
                 dirty_id="reg_id", dirty_name="reg_name",
                 clean_id="rec_id", clean_name="rec_name",
             ).select(F.col("rec_id").alias("entity_id"))
-            matched = exact.unionByName(short).unionByName(longer).distinct()
+            # a reused entity id is absorbed as well: the registry keeps
+            # the FIRST version per id, so inserting (old id, new name)
+            # would be invisible on read and re-insert every batch
+            by_id = recs.join(
+                reg_c.select(F.col("reg_id").alias("entity_id")),
+                "entity_id",
+                "left_semi",
+            ).select("entity_id")
+            matched = (
+                exact.unionByName(short).unionByName(longer).unionByName(by_id)
+                .distinct()
+            )
             recs = recs.join(matched, "entity_id", "left_anti")
-        if recs.isEmpty():
-            return
-        merge_append(
-            recs.select("entity_id", "entity_name"),
-            store_path,
-            id_col="entity_id",
-            partition_col=None,
-            batch_seq=batch_id,
-        )
+        # the emptiness probe and the write both consume the matched
+        # frame — persist so the semi/fuzzy join pipeline runs once
+        recs = recs.persist()
+        try:
+            if recs.isEmpty():
+                return
+            merge_append(
+                recs.select("entity_id", "entity_name"),
+                store_path,
+                id_col="entity_id",
+                partition_col=None,
+                batch_seq=batch_id,
+            )
+        finally:
+            recs.unpersist()
 
     (
         stream.writeStream.foreachBatch(write_batch)
