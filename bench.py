@@ -358,12 +358,26 @@ def main() -> None:
         m = re.search(r"_r(\d+)\.json$", p)
         return (int(m.group(1)) if m else -1, "DETAIL" in os.path.basename(p))
 
-    prev_candidates = sorted(
-        glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
-        + glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=_round_key,
-        reverse=True,
-    )
+    # the CURRENT round's own detail snapshot (committed before the driver's
+    # end-of-round bench run) must not serve as "prev" — that would compare
+    # the round to itself.  The driver's BENCH_r{N}.json wrappers mark which
+    # rounds are complete; only snapshots from those rounds are eligible.
+    done_rounds = {
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    }
+    last_done = max(done_rounds, default=0)
+    prev_candidates = [
+        p
+        for p in sorted(
+            glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+            + glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=_round_key,
+            reverse=True,
+        )
+        if (m := re.search(r"_r(\d+)\.json$", p)) and int(m.group(1)) <= last_done
+    ]
     for prev_path in prev_candidates:
         try:
             with open(prev_path) as fh:
