@@ -195,3 +195,32 @@ def test_bpe_trainer_matches_pure_python_reference(spark, words):
     assert merges == py_merges
     got = {row["word"]: list(row["syms"]) for row in vocab.collect()}
     assert got == py_vocab
+
+
+NAMES = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=24
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(NAMES, st.integers(0, 1_000_000)), min_size=40, max_size=40))
+def test_fuzzy_link_always_finds_the_deletion_parent(spark, cases):
+    """Pigeonhole completeness under arbitrary names and deletion
+    positions: every single-character deletion of a registered name must
+    link back to it, whatever half the deleted character sat in."""
+    from wellmeet_data_pipeline_spark.operators.linkage import fuzzy_link_edit1
+
+    clean = [(i, name) for i, (name, _) in enumerate(cases)]
+    dirty = [
+        (i, name[: pos % len(name)] + name[pos % len(name) + 1 :])
+        for i, (name, pos) in enumerate(cases)
+    ]
+    d = spark.createDataFrame(dirty, "record_id long, record_name string")
+    c = spark.createDataFrame(clean, "entity_id long, entity_name string")
+    got = {
+        (r.record_id, r.entity_id)
+        for r in fuzzy_link_edit1(d, c).collect()
+    }
+    missing = [(i, n, p) for (i, n), (_, (nm, p)) in zip(clean, enumerate(cases))
+               if (i, i) not in got for n in [nm]]
+    assert not missing, f"parents not found: {missing[:5]}"

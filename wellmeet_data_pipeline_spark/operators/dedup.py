@@ -729,6 +729,11 @@ def connected_components(
     receive plausible-looking partial labels."""
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    # materialize the INPUT edge set once: the node frame consumes it
+    # twice and round 1 again, so an expensive candidate-generation
+    # lineage (LSH banding, shingle containment) would otherwise re-run
+    # per consumer
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

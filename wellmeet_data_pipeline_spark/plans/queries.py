@@ -7663,10 +7663,11 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_overlap_pairs(d, "source", "text")
 
 
-@_q(
-    "ngram_containment_pairs",
-    f"""
-    WITH norm AS (
+def _containment_ctes() -> str:
+    """Shared CTE chain: documents -> capped shingle index -> co-occurring
+    pair stats (`co` + `sizes`) — used by the containment pair query and
+    its connected-components rollup."""
+    return f"""norm AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
     ),
     sh AS (
@@ -7684,7 +7685,13 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex a JOIN ex b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@_q(
+    "ngram_containment_pairs",
+    f"""
+    WITH {_containment_ctes()}
     SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
            round(inter / sa.n_sh, 6) AS containment_a_in_b,
            round(inter / sb.n_sh, 6) AS containment_b_in_a
@@ -7704,6 +7711,49 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return ngram_containment_pairs(d, threshold=0.5)
+
+
+@_q(
+    "containment_components",
+    f"""
+    WITH RECURSIVE {_containment_ctes()},
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT co.id_a, co.id_b,
+               greatest(inter / sa.n_sh, inter / sb.n_sh) AS g
+        FROM co
+        JOIN sizes sa ON sa.doc_id = co.id_a
+        JOIN sizes sb ON sb.doc_id = co.id_b
+      ) WHERE g >= 0.5
+    ),
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM e2
+      UNION
+      SELECT e.u, r.r FROM e2 e JOIN reach r ON e.v = r.node
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+    "containment clusters: the asymmetric-containment pairs resolved into "
+    "connected components (same alternating-star CC core as the MinHash "
+    "family), so chunk-embedded duplicate FAMILIES — a doc plus every "
+    "superset that swallowed it — collapse to one canonical group; oracle "
+    "is the recursive-CTE fixpoint over the shared containment CTE chain",
+)
+def q_containment_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        ngram_containment_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return connected_components(
+        ngram_containment_pairs(d, threshold=0.5).select("id_a", "id_b")
+    )
 
 
 @_q(
