@@ -153,3 +153,38 @@ def test_resolve_nearby_places_normalizes_names(spark):
     )
     kept = {r["place_id"] for r in resolve_nearby_places(places, meters=50).collect()}
     assert kept == {"A1"}
+
+
+def test_grid_neighbor_pairs_matches_brute_force(spark):
+    from itertools import combinations
+
+    from wellmeet_data_pipeline_spark.operators.geo import grid_neighbor_pairs
+
+    pts = [(i, (i * 379) % 1000, (i * 613) % 1000) for i in range(60)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    want = sorted(
+        (a, b, max(abs(xa - xb), abs(ya - yb)))
+        for (a, xa, ya), (b, xb, yb) in combinations(pts, 2)
+        if max(abs(xa - xb), abs(ya - yb)) <= 150
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.chebyshev)
+        for r in grid_neighbor_pairs(df, radius=150).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_grid_neighbor_pairs_guards(spark):
+    import pytest as _pytest
+
+    from wellmeet_data_pipeline_spark.operators.geo import grid_neighbor_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 5, 5), (None, 1, 1), (3, None, 2)],
+        "id long, x long, y long",
+    )
+    got = grid_neighbor_pairs(df, radius=10).collect()
+    # NULL id / NULL coord rows dropped; the surviving pair found once
+    assert [(r.id_a, r.id_b, r.chebyshev) for r in got] == [(1, 2, 5)]
+    with _pytest.raises(ValueError):
+        grid_neighbor_pairs(df, radius=10, cell=5)

@@ -171,3 +171,71 @@ def resolve_nearby_places(
         .select(F.col("l_id").alias("id_a"), F.col("r_id").alias("id_b"))
     )
     return dedup_cluster_survivors(places, verified, id_col=id_col)
+
+
+def grid_neighbor_pairs(
+    points: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    radius: int = 10_000,
+    cell: int | None = None,
+) -> DataFrame:
+    """Within-radius pairs over exact INTEGER planar coordinates
+    (micro-degrees, metres, grid units) via 3x3 cell blocking — the
+    oracle-checkable integer twin of geo_within_km: identical
+    candidates-by-cell-equi-join topology, but the verify predicate is
+    exact integer Chebyshev distance instead of libm haversine, so both
+    engines agree bit-for-bit.  One side explodes to its 3x3 neighbor
+    cells (cell >= radius guarantees coverage), the other joins on its
+    home cell; each unordered pair meets exactly twice (A's explosion
+    finds B's home and vice versa), so id_a < id_b keeps exactly one.
+
+    Coordinates must be NON-NEGATIVE integers: integer cell ids come
+    from division, and floor-division (DuckDB //) vs truncation agree
+    only above zero.  NULL ids/coords are dropped.
+    """
+    c = cell or radius
+    if c < radius:
+        raise ValueError(f"cell {c} < radius {radius} breaks 3x3 coverage")
+    pts = (
+        points.filter(
+            F.col(id_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(x_col).cast("long").alias("__x"),
+            F.col(y_col).cast("long").alias("__y"),
+        )
+        # both join legs consume this frame
+        .localCheckpoint(eager=True)
+    )
+    home = pts.select(
+        F.col("__id").alias("id_b"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        (F.col("__x") / F.lit(c)).cast("long").alias("__cx"),
+        (F.col("__y") / F.lit(c)).cast("long").alias("__cy"),
+    )
+    off = F.explode(F.lit([-1, 0, 1]))
+    fan = (
+        pts.withColumn("__dx", off)
+        .withColumn("__dy", F.explode(F.lit([-1, 0, 1])))
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__x").alias("__xa"),
+            F.col("__y").alias("__ya"),
+            ((F.col("__x") / F.lit(c)).cast("long") + F.col("__dx")).alias("__cx"),
+            ((F.col("__y") / F.lit(c)).cast("long") + F.col("__dy")).alias("__cy"),
+        )
+    )
+    cheb = F.greatest(
+        F.abs(F.col("__xa") - F.col("__xb")), F.abs(F.col("__ya") - F.col("__yb"))
+    )
+    return (
+        fan.join(home, ["__cx", "__cy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (cheb <= F.lit(radius)))
+        .select("id_a", "id_b", cheb.alias("chebyshev"))
+    )

@@ -7807,6 +7807,54 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth_curve(d)
 
 
+@_q(
+    "geo_grid_neighbors",
+    """
+    WITH pts AS (
+      SELECT DISTINCT user_id AS id,
+             (user_id * 7919) % 500000 AS x,
+             (user_id * 104729) % 500000 AS y
+      FROM events WHERE user_id IS NOT NULL AND user_id >= 0
+    ),
+    home AS (
+      SELECT id AS id_b, x AS xb, y AS yb, x // 10000 AS cx, y // 10000 AS cy
+      FROM pts
+    ),
+    fan AS (
+      SELECT id AS id_a, x AS xa, y AS ya,
+             x // 10000 + dx.d AS cx, y // 10000 + dy.d AS cy
+      FROM pts,
+           (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy
+    )
+    SELECT id_a, id_b,
+           CAST(greatest(abs(xa - xb), abs(ya - yb)) AS BIGINT) AS chebyshev
+    FROM fan JOIN home USING (cx, cy)
+    WHERE id_a < id_b AND greatest(abs(xa - xb), abs(ya - yb)) <= 10000
+    """,
+    "the geo family's oracle row: within-radius pairs over exact integer "
+    "planar coordinates (sha-free key-derived micro-grid positions) via "
+    "the SAME 3x3 cell-blocking join topology as geo_within_km — the "
+    "scale-critical piece hash-verified; the haversine/adaptive-lon-fanout "
+    "refinement stays pytest-verified (libm trig is not oracle-exact)",
+)
+def q_geo_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.geo import grid_neighbor_pairs
+
+    ev = table(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("user_id").isNotNull() & (F.col("user_id") >= 0))
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("id"),
+            (F.col("user_id") * 7919 % 500_000).alias("x"),
+            (F.col("user_id") * 104729 % 500_000).alias("y"),
+        )
+    )
+    return grid_neighbor_pairs(pts, radius=10_000)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
