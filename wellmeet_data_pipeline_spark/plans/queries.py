@@ -7855,6 +7855,98 @@ def q_geo_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_neighbor_pairs(pts, radius=10_000)
 
 
+@_q(
+    "dedup_audit_summary",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    cn_norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    cn_sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM cn_norm
+    ),
+    cn_ex0 AS (SELECT doc_id, unnest(shs) AS shingle FROM cn_sh),
+    cn_keep AS (SELECT shingle FROM cn_ex0 GROUP BY shingle HAVING count(*) <= 10000),
+    cn_ex AS (SELECT e.doc_id, e.shingle FROM cn_ex0 e JOIN cn_keep USING (shingle)),
+    cn_sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM cn_ex GROUP BY doc_id
+    ),
+    cn_co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cn_ex a JOIN cn_ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    contained AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM cn_co
+        JOIN cn_sizes sa ON sa.doc_id = cn_co.id_a
+        WHERE inter / sa.n_sh >= 0.5
+        UNION ALL
+        SELECT id_b FROM cn_co
+        JOIN cn_sizes sb ON sb.doc_id = cn_co.id_b
+        WHERE inter / sb.n_sh >= 0.5
+      )
+    ),
+    fp AS (SELECT sha256({_NORM_SQL}) AS fingerprint FROM documents),
+    lsh_nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs
+      )
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(DISTINCT fingerprint) AS BIGINT) FROM fp)
+             AS n_exact_unique,
+           (SELECT CAST(count(*) AS BIGINT) FROM contained) AS n_contained,
+           (SELECT CAST(count(*) AS BIGINT) FROM lsh_nodes) AS n_lsh_clustered
+    """,
+    "one-row dedup audit datacard: total docs, exact-unique fingerprints, "
+    "docs >=50%-contained in another doc (asymmetric shingle containment, "
+    "either direction), and docs touching a MinHash-LSH candidate pair — "
+    "the three dedup tiers' independent reads over the full corpus, each "
+    "through its existing hash-verified machinery",
+)
+def q_dedup_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import document_fingerprint
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates_sha,
+        ngram_containment_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    n_exact = d.select(document_fingerprint("text").alias("fp")).agg(
+        F.countDistinct("fp").alias("n_exact_unique")
+    )
+    cp = ngram_containment_pairs(d, threshold=0.5)
+    contained = (
+        cp.filter(F.col("containment_a_in_b") >= 0.5)
+        .select(F.col("id_a").alias("doc_id"))
+        .unionAll(
+            cp.filter(F.col("containment_b_in_a") >= 0.5).select(
+                F.col("id_b").alias("doc_id")
+            )
+        )
+        .distinct()
+        .agg(F.count("*").alias("n_contained"))
+    )
+    lsh = minhash_lsh_candidates_sha(d)
+    nodes = (
+        lsh.select(F.col("id_a").alias("doc_id"))
+        .unionAll(lsh.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .agg(F.count("*").alias("n_lsh_clustered"))
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(contained))
+        .crossJoin(F.broadcast(nodes))
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
