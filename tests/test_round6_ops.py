@@ -447,3 +447,12 @@ def test_vocab_growth_curve_monotone_on_real_docs(spark):
         assert d2 > d1 and t2 >= t1 and v2 >= v1
     # distinct terms never exceed tokens seen
     assert all(v <= t for _, _, t, v in rows)
+
+
+def test_dedup_audit_summary_invariants(spark):
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["dedup_audit_summary"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 < r.n_exact_unique <= r.n_docs
+    assert 0 <= r.n_contained <= r.n_docs
+    assert 0 <= r.n_lsh_clustered <= r.n_docs
