@@ -224,3 +224,45 @@ def test_fuzzy_link_always_finds_the_deletion_parent(spark, cases):
     missing = [(i, n, p) for (i, n), (_, (nm, p)) in zip(clean, enumerate(cases))
                if (i, i) not in got for n in [nm]]
     assert not missing, f"parents not found: {missing[:5]}"
+
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "kappa", "zeta"]),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2", "s3"]), WORDS),
+                min_size=20, max_size=20))
+def test_js_divergence_bounds_and_zero_iff_blend(spark, docs):
+    """0 <= JS(P_s || P_global) <= ln 2 for every source, and a corpus
+    where every source shares one identical distribution scores 0."""
+    import math
+
+    from wellmeet_data_pipeline_spark.operators.scoring import js_divergence_by_group
+
+    rows = [(g, " ".join(ws)) for g, ws in docs]
+    df = spark.createDataFrame(rows, "source string, text string")
+    for r in js_divergence_by_group(df).collect():
+        assert 0 <= r.js_divergence <= math.log(2) + 1e-9, r
+    same = spark.createDataFrame(
+        [(g, "alpha beta gamma") for g in ("s1", "s2", "s3")],
+        "source string, text string",
+    )
+    assert all(r.js_micro_nats == 0 for r in js_divergence_by_group(same).collect())
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(WORDS, min_size=12, max_size=12))
+def test_containment_bounds_and_jaccard_dominance(spark, docs):
+    """Containment values sit in (0, 1], and for every surfaced pair
+    max-containment >= the pair's Jaccard (|A∩B|/min >= |A∩B|/|A∪B|)."""
+    from wellmeet_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in ngram_containment_pairs(df, threshold=0.0).collect():
+        assert 0 < r.containment_a_in_b <= 1 and 0 < r.containment_b_in_a <= 1
+        jac = r.inter / (r.n_a + r.n_b - r.inter)
+        assert max(r.containment_a_in_b, r.containment_b_in_a) >= jac - 1e-9
