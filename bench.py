@@ -423,6 +423,12 @@ def main() -> None:
         }
     compact["n_queries"] = len(times)
     compact["detail"] = "BENCH_DETAIL.json"
+    # Never let the compact line outgrow the driver's ~2000-char tail window:
+    # if the non-query metadata alone is over budget, drop optional fields
+    # (largest first) rather than crashing after the full run — the detail
+    # file already holds everything.
+    if len(json.dumps(compact)) > 1400:
+        compact.pop("common_subset_vs_prev", None)
     # include as many slowest-first per-query times as fit the budget
     budget = 1500 - len(json.dumps(compact)) - len('"queries": {}, ')
     q_compact = {}
@@ -434,7 +440,9 @@ def main() -> None:
         q_compact[q] = t
     compact["queries"] = q_compact
     line = json.dumps(compact)
-    assert len(line) <= 1600, len(line)
+    if len(line) > 1600:  # belt-and-braces: drop queries, keep the line
+        compact["queries"] = {}
+        line = json.dumps(compact)
     print(line)
 
 

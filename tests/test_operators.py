@@ -521,6 +521,9 @@ def test_simhash_near_dup_pairs_guards_incomplete_config(spark):
         simhash_near_dup_pairs(df, max_hamming=4, bands=4)  # pigeonhole broken
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(df, bands=5, n_bits=48)  # 5 does not divide 48
+    # explicit opt-in to incomplete banding is allowed (recall/cost trade)
+    out = simhash_near_dup_pairs(df, max_hamming=4, bands=4, require_complete=False)
+    assert out.count() == 0  # single row -> no pairs, but no raise
 
 
 def test_embedding_lsh_sha_pairs_planted_dup_and_zero_vectors(spark):
@@ -548,3 +551,19 @@ def test_embedding_lsh_sha_pairs_planted_dup_and_zero_vectors(spark):
     assert got[(4, 5)][1] == 0.0  # zero-norm guard: cosine 0 by convention
     for (a, b), (h, c) in got.items():
         assert h <= 3 and not math.isnan(c)
+
+
+def test_embedding_lsh_sha_pairs_drops_short_vectors(spark):
+    # Oracle contract: dim = max vector length; shorter vectors are dropped
+    # on BOTH engines (a short vector would null-pad zip_with and clear
+    # every sign bit on Spark while DuckDB's sum() skips NULLs).
+    v = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4, 0.05, -0.7]
+    rows = [(1, v), (2, list(v)), (3, v[:4])]  # 3 is short -> dropped
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        embedding_lsh_sha_pairs,
+    )
+
+    got = {(r["id_a"], r["id_b"]) for r in embedding_lsh_sha_pairs(df).collect()}
+    assert (1, 2) in got
+    assert all(3 not in pair for pair in got)

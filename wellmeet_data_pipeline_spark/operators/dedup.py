@@ -825,6 +825,7 @@ def simhash_near_dup_pairs(
     hash_col: str = "simhash",
     bands: int = 4,
     n_bits: int = 64,
+    require_complete: bool = True,
 ) -> DataFrame:
     """Hamming-ball SimHash near-dup: pairs whose simhash differs in at
     most `max_hamming` bits.
@@ -837,12 +838,19 @@ def simhash_near_dup_pairs(
     Complete when max_hamming < bands (standard 64/4/3 configuration);
     `n_bits` narrows the hash width for sub-64-bit families (the sha
     twin uses 48 so the fingerprint stays an always-positive BIGINT
-    that ANSI SQL reproduces without two's-complement gymnastics)."""
-    if max_hamming >= bands:
+    that ANSI SQL reproduces without two's-complement gymnastics).
+
+    `require_complete=True` (default) raises when max_hamming >= bands —
+    such a config silently loses pairs that differ in every band.  Pass
+    require_complete=False to opt into intentionally-incomplete banding
+    (a recall/cost trade some callers want at very large hamming radii);
+    the returned pairs remain exact-verified, just not exhaustive."""
+    if require_complete and max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} >= bands={bands}: pigeonhole "
             "completeness requires distance < bands (a pair could differ "
-            "in every band and never meet in the candidate join)"
+            "in every band and never meet in the candidate join); pass "
+            "require_complete=False to accept incomplete recall"
         )
     if n_bits % bands:
         raise ValueError(f"bands={bands} must divide n_bits={n_bits}")

@@ -944,6 +944,7 @@ def embedding_near_dup_lsh(
     bands: int = 16,
     seed: int = 42,
     round_digits: int = 4,
+    require_complete: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup at 100 TB scale: SimHash signatures ->
     banded-prefix candidate join (sub-quadratic, only slice-equal
@@ -951,13 +952,22 @@ def embedding_near_dup_lsh(
     JVM zip_with/aggregate math (candidates are few, so interpreted
     higher-order functions are fine here).  Same output contract as the
     exact embedding_near_dup_pairs; recall is tunable via
-    (n_bits, bands, max_hamming) — by pigeonhole the banding is complete
-    for pairs within hamming < bands."""
+    (n_bits, bands, max_hamming) WITHIN the completeness constraint
+    max_hamming < bands (pigeonhole: a pair may differ in every band
+    otherwise and never meet).  To intentionally trade recall for a
+    cheaper candidate join at larger hamming radii, pass
+    require_complete=False — candidates stay exact-verified, just not
+    exhaustive."""
     from wellmeet_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
 
     sig = embedding_simhash(data, dim, id_col, vec_col, n_bits, seed)
     cand = simhash_near_dup_pairs(
-        sig, max_hamming=max_hamming, id_col=id_col, hash_col="simhash", bands=bands
+        sig,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        hash_col="simhash",
+        bands=bands,
+        require_complete=require_complete,
     ).select("id_a", "id_b")
     va = data.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = data.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
@@ -1055,15 +1065,22 @@ def embedding_lsh_sha_pairs(
     from wellmeet_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
 
     data = data.filter(F.col(vec_col).isNotNull())
-    # bounded model read: one row to learn the dimensionality (the sign
-    # literals need it); same class as the centroid collects
-    first = data.select(vec_col).first()
-    if first is None:
+    # bounded model read: one scalar agg to learn the dimensionality (the
+    # sign literals need it).  ORACLE CONTRACT: dim = max vector length,
+    # and shorter vectors are DROPPED on both engines.  Deriving dim from
+    # an arbitrary first row would let a short vector make zip_with
+    # null-pad and NULL the aggregate dot (sign bit cleared for every
+    # plane) while DuckDB's sum() skips NULLs — signatures would silently
+    # diverge across engines.  The oracle filters len(embedding) = max
+    # identically, so the contract is explicit and hash-stable.
+    dim_row = data.agg(F.max(F.size(vec_col))).first()
+    dim = dim_row[0] if dim_row is not None else None
+    if dim is None:
         spark = data.sparkSession
         return spark.createDataFrame(
             [], f"id_a long, id_b long, hamming integer, cosine_sim double"
         )
-    dim = len(first[0])
+    data = data.filter(F.size(F.col(vec_col)) == dim)
     signs = sha_hyperplane_signs(n_planes, dim)
 
     q = F.transform(

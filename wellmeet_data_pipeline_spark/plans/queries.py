@@ -6964,7 +6964,10 @@ def _embedding_lsh_sha_oracle() -> str:
              list_transform(embedding,
                             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                                       AS BIGINT)) AS q
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(embedding) = (SELECT max(len(embedding)) FROM embeddings
+                              WHERE embedding IS NOT NULL)
     ),
     dims AS (
       SELECT unnest(range(0, (SELECT max(len(q)) FROM qv))) AS d
@@ -7922,11 +7925,15 @@ def q_dedup_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_exact_unique")
     )
     cp = ngram_containment_pairs(d, threshold=0.5)
+    # Filter on the UNROUNDED ratio (inter/n_a), exactly as the operator's
+    # own threshold and the oracle's inter/n_sh comparison do: the emitted
+    # containment_* columns are rounded to 6 digits, and a ratio in
+    # [0.4999995, 0.5) would round UP and pass only on the rounded side.
     contained = (
-        cp.filter(F.col("containment_a_in_b") >= 0.5)
+        cp.filter(F.col("inter") / F.col("n_a") >= 0.5)
         .select(F.col("id_a").alias("doc_id"))
         .unionAll(
-            cp.filter(F.col("containment_b_in_a") >= 0.5).select(
+            cp.filter(F.col("inter") / F.col("n_b") >= 0.5).select(
                 F.col("id_b").alias("doc_id")
             )
         )
@@ -7960,61 +7967,64 @@ def q_dedup_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # -- r6 window: the two r4/r5 hash-fail casualties FIRST (root cause:
-    # the oracles' uncast HUGEINT window sums came back float64 from DuckDB
-    # while Spark emits bigint; fixed with CAST(... AS BIGINT) and a dtype-
-    # strict local gate), then the 47 oracle-backed queries never driver-
-    # checked through r5 (NOTES.md 'r6 rotation list'), then 1 proven anchor --
+    # -- r7 window: the 18 oracle-backed queries that have NEVER had a
+    # driver-side hash row (registry minus the union of CORRECTNESS_r01-r06
+    # hash-green keys minus rows-only — the round-6 retrieval / linkage /
+    # drift / robust-stats / containment / geo additions) go first; after
+    # this window lands, every oracle-backed query in the registry has had
+    # at least one driver row.  Then 32 §2-core anchors (all r4-green) so
+    # the scoreboard keeps its reference-surface anchor on fresh data. --
+    "decayed_user_value",
+    "dedup_simhash_sha",
+    "dedup_embedding_lsh_sha",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "readability_scores",
+    "l_diversity_audit",
+    "trimmed_mean_by_type",
+    "bootstrap_mean_ci",
+    "fuzzy_link_records",
+    "source_drift_js",
+    "dup_triangle_count",
+    "source_vocab_overlap",
+    "ngram_containment_pairs",
+    "containment_components",
+    "vocab_growth_curve",
+    "geo_grid_neighbors",
+    "dedup_audit_summary",
+    # -- §2-core anchors (r4-green) --
     "pack_sequences",
     "corpus_end_to_end",
-    "late_shipment_priority",
-    "small_quantity_revenue",
-    "daily_moving_average",
-    "busiest_day_per_type",
-    "sql_api_pricing",
-    "bigram_cond_entropy",
-    "perplexity_lang_buckets",
-    "doremi_weight_step",
-    "fim_split",
-    "tokenizer_fertility",
-    "bpe_pair_counts",
-    "seqlen_histogram",
-    "dup_rate_by_source",
-    "length_curriculum",
-    "pack_efficiency_by_seqlen",
-    "dsir_importance",
-    "market_share_by_year",
-    "customer_order_distribution",
-    "promo_revenue_share",
-    "large_order_customers",
-    "disjunctive_filter_revenue",
-    "inactive_rich_customers",
-    "semdedup_survivors",
-    "forecast_revenue_change",
-    "product_profit_by_nation",
-    "returned_item_report",
-    "top_supplier_revenue",
-    "waiting_supplier_orders",
-    "cross_doc_spans",
-    "decontaminate_bloom",
-    "embedding_label_outliers",
-    "epoch_budget_allocation",
-    "dedup_graph_pagerank",
-    "classifier_auc",
-    "bitext_mine_margin",
-    "incremental_agg_refresh",
-    "interval_overlap_sessions",
-    "rolling_7day_active_users",
-    "classifier_calibration",
-    "cdc_latest_state",
-    "hll_distinct_users",
-    "countmin_heavy_hitters",
-    "k_anonymity_audit",
-    "join_size_from_histograms",
-    "zorder_layout_stats",
-    "dup_cluster_size_histogram",
-    "hll_distinct_by_type",
     "flagship_incremental_enrich",
+    "conditional_counts",
+    "grouped_sample",
+    "join_anti_new_rows",
+    "join_semi_existing",
+    "join_insert_if_absent",
+    "join_star_enrich",
+    "dedup_keep_first",
+    "distinct_keys",
+    "surrogate_key_sha2",
+    "union_distinct",
+    "orderby_limit",
+    "project_rename_cast",
+    "validate_required_fields",
+    "fillna_defaults",
+    "explode_flatten",
+    "clean_address_regex",
+    "extract_place_id_regex",
+    "url_decode_keys",
+    "format_keys",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "scrub_pii",
+    "decontaminate_benchmark",
+    "gopher_repetition",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "corpus_quality_filter",
+    "gopher_quality_rules",
 ]
 
 
