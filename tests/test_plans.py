@@ -3,6 +3,8 @@ posture depends on (DESIGN.md).  If a refactor silently turns a broadcast
 into a shuffle or un-pushes a filter, these fail before any benchmark
 does."""
 
+from pyspark.sql import functions as F
+
 from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
@@ -173,3 +175,26 @@ def test_interval_overlap_no_cartesian(spark):
     plan = _plan(spark, "interval_overlap_sessions")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_approx_distinct_sketch_within_rsd_bound(spark):
+    # rows-only holdout evidence (r6 verdict #4): the native HLL++ estimate
+    # must sit within a generous multiple of its configured rsd (2%) of the
+    # exact per-type distinct count.  5x the nominal rsd ~ 10% absorbs the
+    # estimator's tail while still catching a broken sketch outright.
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY, table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_sketch"].fn(spark, SF).collect()
+    }
+    ev = table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) <= max(0.10 * exact[et], 2), (et, est, exact[et])

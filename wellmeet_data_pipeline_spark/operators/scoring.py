@@ -421,16 +421,39 @@ def _hashed_ngram_features(docs: DataFrame, text_col: str, id_col: str) -> DataF
     normalized text — the DSIR feature space (Xie et al., "Data Selection
     for Language Models via Importance Resampling": hashed n-grams into a
     fixed bucket space).  Buckets reuse the classifier's sha256-prefix
-    hash so the oracle computes byte-identical ids."""
-    toks = _tokens_with_pos(docs, text_col, id_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    bi = toks.withColumn("prev", F.lag("term").over(w))
-    uni = toks.select(F.col(id_col), feature_bucket("term").alias("bucket"))
-    big = bi.filter(F.col("prev").isNotNull()).select(
-        F.col(id_col),
-        feature_bucket(F.concat_ws(" ", F.col("prev"), F.col("term"))).alias("bucket"),
+    hash so the oracle computes byte-identical ids.
+
+    Features are built IN-ROW from the split token array (a bigram is
+    just the adjacent pair words[i-1]+' '+words[i]), so generation is
+    pure scan-fused codegen with ZERO shuffle.  The previous form ran a
+    lag window partitioned by doc id — a full corpus-grain shuffle of
+    the token stream, with no map-side combine possible, purely to pair
+    neighbors the source row already held side by side.  That shuffle
+    was DSIR's scale bottleneck (8→64x smoke slope 0.878); in-row
+    pairing removes it for every consumer (importance weight, model
+    build, model scoring)."""
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
-    return uni.unionByName(big)
+    # materialize the array once: Catalyst does no CSE inside lambda
+    # bodies, so the bigram transform must reference a column, not the
+    # normalization regex (the shingles_df pitfall)
+    wdf = docs.select(F.col(id_col), words.alias("__w"))
+    bigrams = F.transform(
+        F.sequence(F.lit(2), F.size("__w")),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__w", i - F.lit(1)), F.element_at("__w", i)
+        ),
+    )
+    feats = F.concat(
+        F.col("__w"),
+        F.when(F.size("__w") >= 2, bigrams).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    return wdf.select(F.col(id_col), F.explode(feats).alias("__f")).select(
+        F.col(id_col), feature_bucket(F.col("__f")).alias("bucket")
+    )
 
 
 def dsir_importance_weight(
@@ -442,6 +465,7 @@ def dsir_importance_weight(
     alpha: float = 0.1,
     round_digits: int = 6,
     target_within_docs: bool = False,
+    collapse_feats: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weight: mean over the doc's hashed
     n-gram features of ln(p_target(b) / p_raw(b)), where each p is an
@@ -468,27 +492,40 @@ def dsir_importance_weight(
     checkpointed and both count frames derive from it (c_t via a
     semi-join on the target ids) instead of re-exploding the text."""
     scale = float(10**round_digits)
+    # collapse_feats trades an (id, bucket) pre-aggregation for a smaller
+    # checkpoint + downstream volume; with near-distinct keys (natural
+    # text has few within-doc repeats) the hash-agg costs more than the
+    # dedup saves, so occurrence grain is the default.  Both forms are
+    # bit-identical (all downstream sums are cnt-weighted).
     feats = _hashed_ngram_features(docs, text_col, id_col)
+    if collapse_feats:
+        feats = feats.groupBy(id_col, "bucket").agg(F.count("*").alias("__n"))
+    else:
+        feats = feats.withColumn("__n", F.lit(1).cast("long"))
     if raw_docs is None or target_within_docs:
         feats = feats.localCheckpoint(eager=True)
     t_feats = (
         feats.join(target_docs.select(id_col), id_col, "left_semi")
         if target_within_docs
-        else _hashed_ngram_features(target_docs, text_col, id_col)
+        else _hashed_ngram_features(target_docs, text_col, id_col).withColumn(
+            "__n", F.lit(1).cast("long")
+        )
     )
     c_t = (
         t_feats.groupBy("bucket")
-        .agg(F.count("*").alias("c_t"))
+        .agg(F.sum("__n").alias("c_t"))
         .localCheckpoint(eager=True)
     )
     r_feats = (
         feats
         if raw_docs is None
-        else _hashed_ngram_features(raw_docs, text_col, id_col)
+        else _hashed_ngram_features(raw_docs, text_col, id_col).withColumn(
+            "__n", F.lit(1).cast("long")
+        )
     )
     c_r = (
         r_feats.groupBy("bucket")
-        .agg(F.count("*").alias("c_r"))
+        .agg(F.sum("__n").alias("c_r"))
         .localCheckpoint(eager=True)
     )
     totals = c_t.agg(F.sum("c_t").alias("t_total")).crossJoin(
@@ -507,7 +544,10 @@ def dsir_importance_weight(
     return (
         joined.withColumn("__lr", snapped)
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_features"), F.sum("__lr").alias("__s"))
+        .agg(
+            F.sum("__n").alias("n_features"),
+            F.sum(F.col("__n") * F.col("__lr")).alias("__s"),
+        )
         .select(
             F.col(id_col),
             "n_features",
