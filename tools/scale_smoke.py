@@ -41,46 +41,64 @@ from wellmeet_data_pipeline_spark.session import get_spark
 SCALES = [1, 8, 64]
 
 
+# Copies are UNION legs, not a broadcast crossJoin with a copy-id frame:
+# the base parquet at sf0.1 is a single ~few-MB file = ONE scan split, and a
+# crossJoin preserves the left side's partitioning, so every scaled corpus
+# came out as ONE partition — the entire first stage of every smoke op
+# (scan, normalize, explode, hash) ran single-threaded, and the measured
+# "slopes" carried a serialization artifact that a real cluster (where 64x
+# data arrives as 64x splits) would never see.  A union of per-copy legs
+# yields exactly `factor` partitions with zero shuffle — the faithful
+# analogue of 64x of files.
+
+
+def _union_copies(base, factor: int, leg):
+    from functools import reduce
+
+    legs = [leg(base, k) for k in range(factor)]
+    return reduce(lambda a, b: a.unionByName(b), legs)
+
+
 def scaled_documents(spark, sf_dir: str, factor: int):
     d = table(spark, sf_dir, "documents")
     if factor == 1:
         return d
-    copies = spark.range(factor).select(F.col("id").alias("__copy"))
-    return (
-        d.crossJoin(F.broadcast(copies))
-        .select(
-            (F.col("doc_id") + F.col("__copy") * 10_000_000).alias("doc_id"),
+
+    def leg(base, k):
+        return base.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
             F.regexp_replace(
                 F.col("text"),
                 F.lit(r"(\S+)"),
-                F.concat(F.lit("$1_"), F.col("__copy").cast("string")),
+                F.lit(f"$1_{k}"),
             ).alias("text"),
             "lang",
             "source",
             "n_chars",
         )
-    )
+
+    return _union_copies(d, factor, leg)
 
 
 def scaled_embeddings(spark, sf_dir: str, factor: int):
     e = table(spark, sf_dir, "embeddings")
     if factor == 1:
         return e
-    copies = spark.range(factor).select(F.col("id").alias("__copy"))
-    return (
-        e.crossJoin(F.broadcast(copies))
-        .select(
-            (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
+
+    def leg(base, k):
+        return base.select(
+            (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
             F.transform(
                 F.col("embedding"),
                 lambda x, i: x
                 + F.lit(0.01)
-                * F.col("__copy").cast("double")
-                * F.sin(i.cast("double") * 2.3 + F.col("__copy").cast("double")),
+                * F.lit(float(k))
+                * F.sin(i.cast("double") * 2.3 + F.lit(float(k))),
             ).alias("embedding"),
             "label",
         )
-    )
+
+    return _union_copies(e, factor, leg)
 
 
 def scaled_events(spark, sf_dir: str, factor: int):
@@ -91,18 +109,18 @@ def scaled_events(spark, sf_dir: str, factor: int):
     ev = table(spark, sf_dir, "events")
     if factor == 1:
         return ev
-    copies = spark.range(factor).select(F.col("id").alias("__copy"))
-    return (
-        ev.crossJoin(F.broadcast(copies))
-        .select(
-            (F.col("event_id") + F.col("__copy") * 1_000_000_000).alias("event_id"),
+
+    def leg(base, k):
+        return base.select(
+            (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.col("__copy") * 10_000_000).alias("user_id"),
+            (F.col("user_id") + F.lit(k * 10_000_000)).alias("user_id"),
             "event_type",
             "value",
             "props",
         )
-    )
+
+    return _union_copies(ev, factor, leg)
 
 
 def run_minhash(spark, sf_dir, factor):

@@ -432,6 +432,12 @@ def _hashed_ngram_features(docs: DataFrame, text_col: str, id_col: str) -> DataF
     was DSIR's scale bottleneck (8→64x smoke slope 0.878); in-row
     pairing removes it for every consumer (importance weight, model
     build, model scoring)."""
+    # Feature STRINGS are built with cheap in-row lambdas (concat_ws of
+    # adjacent elements), but the sha bucket is computed in a PROJECTION
+    # after the explode: HOF lambda bodies run interpreted (measured
+    # ~2.5x slower for sha-per-element at 64x smoke), while the
+    # projection gets whole-stage codegen AND subexpression elimination
+    # across feature_bucket's four nibble reads of one sha2.
     words = F.filter(
         F.split(normalized_text(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
@@ -465,7 +471,6 @@ def dsir_importance_weight(
     alpha: float = 0.1,
     round_digits: int = 6,
     target_within_docs: bool = False,
-    collapse_feats: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weight: mean over the doc's hashed
     n-gram features of ln(p_target(b) / p_raw(b)), where each p is an
@@ -492,57 +497,95 @@ def dsir_importance_weight(
     checkpointed and both count frames derive from it (c_t via a
     semi-join on the target ids) instead of re-exploding the text."""
     scale = float(10**round_digits)
-    # collapse_feats trades an (id, bucket) pre-aggregation for a smaller
-    # checkpoint + downstream volume; with near-distinct keys (natural
-    # text has few within-doc repeats) the hash-agg costs more than the
-    # dedup saves, so occurrence grain is the default.  Both forms are
-    # bit-identical (all downstream sums are cnt-weighted).
-    feats = _hashed_ngram_features(docs, text_col, id_col)
-    if collapse_feats:
-        feats = feats.groupBy(id_col, "bucket").agg(F.count("*").alias("__n"))
-    else:
-        feats = feats.withColumn("__n", F.lit(1).cast("long"))
+    # Occurrence grain, materialized once for the two consumers.
+    # Measured alternatives at 64x smoke (NOTES r7): recomputing the
+    # feature pass per consumer 2.3x worse; pre-aggregating to (id,
+    # bucket, cnt) 35% worse (near-distinct keys make the hash-agg pure
+    # overhead); array-grain materialization with sha inside transform()
+    # 2.5x worse (interpreted lambda vs codegen projection).
+    feats = _hashed_ngram_features(docs, text_col, id_col).withColumn(
+        "__n", F.lit(1).cast("long")
+    )
     if raw_docs is None or target_within_docs:
         feats = feats.localCheckpoint(eager=True)
-    t_feats = (
-        feats.join(target_docs.select(id_col), id_col, "left_semi")
-        if target_within_docs
-        else _hashed_ngram_features(target_docs, text_col, id_col).withColumn(
-            "__n", F.lit(1).cast("long")
+    if raw_docs is None and target_within_docs:
+        # the common in-corpus setup: BOTH count frames come from ONE
+        # aggregation pass over the checkpoint — flag target membership
+        # with a (broadcastable, id-only) join and split the sums, instead
+        # of a semi-join + two independent scans.  A bucket with zero
+        # target features now carries an explicit c_t=0 row; downstream
+        # coalesce(c_t, 0) makes that identical to the absent-row form.
+        tids = target_docs.select(id_col).distinct().withColumn("__t", F.lit(1))
+        cb = (
+            feats.join(tids, id_col, "left")
+            .groupBy("bucket")
+            .agg(
+                F.sum("__n").alias("c_r"),
+                F.sum(
+                    F.when(F.col("__t") == 1, F.col("__n")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias("c_t"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
-    c_t = (
-        t_feats.groupBy("bucket")
-        .agg(F.sum("__n").alias("c_t"))
-        .localCheckpoint(eager=True)
-    )
-    r_feats = (
-        feats
-        if raw_docs is None
-        else _hashed_ngram_features(raw_docs, text_col, id_col).withColumn(
-            "__n", F.lit(1).cast("long")
+        c_t = cb.select("bucket", "c_t")
+        c_r = cb.select("bucket", "c_r")
+    else:
+        t_feats = (
+            feats.join(target_docs.select(id_col), id_col, "left_semi")
+            if target_within_docs
+            else _hashed_ngram_features(target_docs, text_col, id_col).withColumn(
+                "__n", F.lit(1).cast("long")
+            )
         )
-    )
-    c_r = (
-        r_feats.groupBy("bucket")
-        .agg(F.sum("__n").alias("c_r"))
-        .localCheckpoint(eager=True)
-    )
+        c_t = (
+            t_feats.groupBy("bucket")
+            .agg(F.sum("__n").alias("c_t"))
+            .localCheckpoint(eager=True)
+        )
+        r_feats = (
+            feats
+            if raw_docs is None
+            else _hashed_ngram_features(raw_docs, text_col, id_col).withColumn(
+                "__n", F.lit(1).cast("long")
+            )
+        )
+        c_r = (
+            r_feats.groupBy("bucket")
+            .agg(F.sum("__n").alias("c_r"))
+            .localCheckpoint(eager=True)
+        )
     totals = c_t.agg(F.sum("c_t").alias("t_total")).crossJoin(
         c_r.agg(F.sum("c_r").alias("r_total"))
     )
     a = F.lit(alpha)
     smooth = a * F.lit(N_FEATURE_BUCKETS)
-    joined = (
-        feats.join(F.broadcast(c_t), "bucket", "left")
-        .join(F.broadcast(c_r), "bucket", "left")
+    # Resolve the log-ratio at BUCKET grain (dense 2^16 table, the
+    # build_dsir_model shape) and broadcast-join the integer result:
+    # log() + two divisions per feature OCCURRENCE was the dominant
+    # per-row cost at 64x smoke — the ratio only depends on the bucket,
+    # so the libm work collapses from |occurrences| to 2^16 evaluations.
+    # Dense (not just observed buckets) so the else-branch's disjoint
+    # raw corpus cannot drop a bucket that appears only in `docs`.
+    spark = docs.sparkSession
+    dense = (
+        spark.range(N_FEATURE_BUCKETS)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(c_t.select("bucket", "c_t"), "bucket", "left")
+        .join(c_r.select("bucket", "c_r"), "bucket", "left")
         .crossJoin(F.broadcast(totals))
     )
     p_t = (F.coalesce(F.col("c_t"), F.lit(0)) + a) / (F.col("t_total") + smooth)
     p_r = (F.coalesce(F.col("c_r"), F.lit(0)) + a) / (F.col("r_total") + smooth)
-    snapped = F.floor(F.log(p_t / p_r) * F.lit(scale) + F.lit(0.5)).cast("long")
+    lr_tab = dense.select(
+        "bucket",
+        F.floor(F.log(p_t / p_r) * F.lit(scale) + F.lit(0.5))
+        .cast("long")
+        .alias("__lr"),
+    )
     return (
-        joined.withColumn("__lr", snapped)
+        feats.join(F.broadcast(lr_tab), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("__n").alias("n_features"),
