@@ -117,6 +117,8 @@ HEADLINE = [
     "source_vocab_overlap",
     "dup_triangle_count",
     "ngram_containment_pairs",
+    # round 7 additions
+    "exact_substring_repeats",
 ]
 
 

@@ -456,3 +456,42 @@ def test_dedup_audit_summary_invariants(spark):
     assert 0 < r.n_exact_unique <= r.n_docs
     assert 0 <= r.n_contained <= r.n_docs
     assert 0 <= r.n_lsh_clustered <= r.n_docs
+
+
+def test_exact_substring_repeats_semantics(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats
+
+    rows = [
+        (1, "a b c d e f g h i j"),                      # shares 10-token run w/ 2
+        (2, "z a b c d e f g h i j y"),
+        (3, "one two three four five six seven eight"),  # unique -> no span
+        (4, "p q r s t u v w p q r s t u v w"),          # SAME-DOC repeat
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_tokens"], r["n_windows"])
+        for r in exact_substring_repeats(df, min_tokens=8).collect()
+    }
+    assert got == {
+        (1, 0, 10, 3),   # maximal cover of starts {0,1,2}
+        (2, 1, 10, 3),
+        (4, 0, 8, 1),    # within-doc: both copies flagged, boundary windows
+        (4, 8, 8, 1),    # occur once so the two islands stay separate
+    }
+
+
+def test_exact_substring_repeats_no_pair_join(spark):
+    # duplication is a COUNT over the gram-key window, never a self-join:
+    # hot boilerplate windows must not create an O(occ^2) pair term
+    from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats
+
+    df = spark.createDataFrame(
+        [(i, "same old boilerplate line repeated verbatim here truly") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = exact_substring_repeats(df, min_tokens=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert out.count() == 40  # every doc fully covered by one span

@@ -221,6 +221,14 @@ def run_cross_doc_spans(spark, sf_dir, factor):
     ).count()
 
 
+def run_exact_substring(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats
+
+    return exact_substring_repeats(
+        scaled_documents(spark, sf_dir, factor), min_tokens=8
+    ).count()
+
+
 def run_bpe_pair_counts(spark, sf_dir, factor):
     from wellmeet_data_pipeline_spark.operators.tokenizer import bpe_pair_counts
 
@@ -432,6 +440,7 @@ OPS = {
     "dsir_importance": run_dsir,
     "semdedup_survivors": run_semdedup,
     "cross_doc_spans": run_cross_doc_spans,
+    "exact_substring_repeats": run_exact_substring,
     "bpe_pair_counts": run_bpe_pair_counts,
     "ngram_novelty": run_ngram_novelty,
     "char_entropy": run_char_entropy,
