@@ -119,6 +119,7 @@ HEADLINE = [
     "ngram_containment_pairs",
     # round 7 additions
     "exact_substring_repeats",
+    "minhash_band_plan",
 ]
 
 

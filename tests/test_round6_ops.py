@@ -495,3 +495,71 @@ def test_exact_substring_repeats_no_pair_join(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert out.count() == 40  # every doc fully covered by one span
+
+
+def test_minhash_band_plan_matches_reference_scurve(spark):
+    # independent check: brute-force the expected S-curve masses in python
+    # from the exact pairwise jaccards of a tiny corpus
+    from itertools import combinations
+
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_band_plan
+
+    texts = {
+        1: "a b c d e f",
+        2: "a b c d e g",      # high overlap with 1
+        3: "a b x y z w",      # low overlap with 1/2
+        4: "q r s t u v",      # disjoint
+    }
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    js = []
+    for x, y in combinations(sorted(texts), 2):
+        a, b = shingles(texts[x]), shingles(texts[y])
+        inter = len(a & b)
+        if inter:  # co-occurring pairs only — absent pairs have p = 0
+            j = inter / (len(a) + len(b) - inter)
+            js.append(round(j * 1e6 + 1e-9) / 1e6)  # micro snap (floor(x+.5))
+
+    import math
+
+    expected = {}
+    r = 1
+    while r <= 32:
+        b = 32 // r
+        ca = na = fc = nb = 0
+        for j in js:
+            p = 1.0 - (1.0 - j ** r) ** b
+            pi = math.floor(p * 1e6 + 0.5)
+            if j >= 0.5:
+                ca, na = ca + pi, na + 1
+            else:
+                fc, nb = fc + pi, nb + 1
+        expected[(b, r)] = (na, ca, nb, fc)
+        r *= 2
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (row["bands"], row["rows_per_band"]): (
+            row["n_pairs_above"],
+            row["caught_above_micro"],
+            row["n_pairs_below"],
+            row["false_cand_micro"],
+        )
+        for row in minhash_band_plan(df, n_hashes=32, threshold=0.5).collect()
+    }
+    assert got == expected
+    # folklore midpoint sanity: r=1/b=32 curve catches low-j pairs easily
+    # (midpoint 1/32), r=32/b=1 only near-exact dups (midpoint -> 1)
+
+
+def test_minhash_band_plan_rejects_non_power_of_two(spark):
+    import pytest as _pytest
+
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_band_plan
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        minhash_band_plan(df, n_hashes=24)

@@ -955,6 +955,107 @@ def cross_doc_spans(
     )
 
 
+def minhash_band_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_shingle_df: int | None = 10_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """MinHash band-tuning from the corpus's own MEASURED Jaccard
+    distribution (the planning read the r6 verdict asked for): for every
+    (bands b, rows-per-band r) factorization of the signature width, the
+    S-curve catch probability p(j) = 1 - (1 - j^r)^b is evaluated
+    against each co-occurring pair's exact Jaccard, yielding the
+    expected recall mass above `threshold` and the expected
+    false-candidate mass below it — pick the config whose curve knee
+    sits on your threshold BEFORE paying for the banded join, instead
+    of trusting the (1/b)^(1/r) folklore midpoint on an unmeasured
+    corpus.  Pairs sharing no shingle have j = 0 and p = 0 exactly, so
+    the inverted-index pair enumeration IS the full sum.
+
+    Cross-engine exactness (the reason this is oracle-backed rather
+    than a notebook estimate): r and b are powers of two, so j^r and
+    (1-j^r)^b are REPEATED SQUARINGS — fixed chains of IEEE
+    multiplications, bit-identical on any engine (pow()'s libm ulps
+    are not); the folklore midpoint (1/b)^(1/r) is a sqrt CHAIN
+    (correctly rounded by IEEE mandate, the temperature_mix lesson);
+    per-pair probabilities snap to the micro grid and sum as BIGINTs.
+
+    Output: one row per config — (bands, rows_per_band, midpoint_j,
+    n_pairs_above, caught_above_micro, n_pairs_below,
+    false_cand_micro); recall = caught_above_micro / (n_pairs_above *
+    10^round_digits)."""
+    if n_hashes < 2 or (n_hashes & (n_hashes - 1)) != 0:
+        raise ValueError(f"n_hashes={n_hashes} must be a power of two")
+    scale = 10**round_digits
+    stats = _shingle_pair_stats(
+        docs, text_col, id_col, shingle_n, None, max_shingle_df
+    )
+    j_raw = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    j6 = F.floor(j_raw * F.lit(float(scale)) + F.lit(0.5)) / F.lit(float(scale))
+    pairs = stats.select(j6.alias("__j"))
+
+    aggs, configs = [], []
+    r = 1
+    while r <= n_hashes:
+        b = n_hashes // r
+        x = F.col("__j")
+        for _ in range(r.bit_length() - 1):
+            x = x * x
+        y = F.lit(1.0) - x
+        for _ in range(b.bit_length() - 1):
+            y = y * y
+        p_int = F.floor((F.lit(1.0) - y) * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        )
+        above = F.col("__j") >= F.lit(threshold)
+        zero = F.lit(0).cast("long")
+        aggs += [
+            F.coalesce(F.sum(F.when(above, p_int).otherwise(zero)), zero).alias(
+                f"__ca{r}"
+            ),
+            F.coalesce(
+                F.sum(F.when(above, F.lit(1).cast("long")).otherwise(zero)), zero
+            ).alias(f"__na{r}"),
+            F.coalesce(F.sum(F.when(~above, p_int).otherwise(zero)), zero).alias(
+                f"__fc{r}"
+            ),
+            F.coalesce(
+                F.sum(F.when(~above, F.lit(1).cast("long")).otherwise(zero)), zero
+            ).alias(f"__nb{r}"),
+        ]
+        configs.append((b, r))
+        r *= 2
+    # one aggregation pass computes every config's sums; the 1-row result
+    # is checkpointed because each config leg below re-reads it
+    one = pairs.agg(*aggs).localCheckpoint(eager=True)
+
+    legs = []
+    for b, r in configs:
+        mid = F.lit(1.0) / F.lit(float(b))
+        for _ in range(r.bit_length() - 1):
+            mid = F.sqrt(mid)
+        legs.append(
+            one.select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                mid.alias("midpoint_j"),
+                F.col(f"__na{r}").alias("n_pairs_above"),
+                F.col(f"__ca{r}").alias("caught_above_micro"),
+                F.col(f"__nb{r}").alias("n_pairs_below"),
+                F.col(f"__fc{r}").alias("false_cand_micro"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 def exact_substring_repeats(
     docs: DataFrame,
     text_col: str = "text",

@@ -7954,6 +7954,99 @@ def q_dedup_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_plan_oracle(n_hashes: int = 32, threshold: str = "0.5") -> str:
+    """Config legs are generated with UNROLLED repeated-squaring
+    expressions (r and b are powers of two), so every float op is a
+    fixed IEEE multiplication chain DuckDB evaluates bit-identically to
+    Spark — pow() would diverge by libm ulps.  Midpoints are sqrt
+    chains (IEEE-exact).  Per-pair probabilities snap to the micro grid
+    and sum as BIGINTs."""
+    legs = []
+    r = 1
+    while r <= n_hashes:
+        b = n_hashes // r
+        x = "j6"
+        for _ in range(r.bit_length() - 1):
+            x = f"({x} * {x})"
+        y = f"(CAST(1 AS DOUBLE) - {x})"
+        for _ in range(b.bit_length() - 1):
+            y = f"({y} * {y})"
+        p_int = (
+            f"CAST(floor((CAST(1 AS DOUBLE) - {y}) * CAST(1000000 AS DOUBLE)"
+            f" + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
+        mid = f"(CAST(1 AS DOUBLE) / CAST({b} AS DOUBLE))"
+        for _ in range(r.bit_length() - 1):
+            mid = f"sqrt({mid})"
+        legs.append(
+            f"""
+    SELECT CAST({b} AS INTEGER) AS bands, CAST({r} AS INTEGER) AS rows_per_band,
+           {mid} AS midpoint_j,
+           CAST(coalesce(sum(CASE WHEN j6 >= CAST({threshold} AS DOUBLE)
+                                  THEN 1 END), 0) AS BIGINT) AS n_pairs_above,
+           CAST(coalesce(sum(CASE WHEN j6 >= CAST({threshold} AS DOUBLE)
+                                  THEN {p_int} END), 0) AS BIGINT)
+             AS caught_above_micro,
+           CAST(coalesce(sum(CASE WHEN j6 < CAST({threshold} AS DOUBLE)
+                                  THEN 1 END), 0) AS BIGINT) AS n_pairs_below,
+           CAST(coalesce(sum(CASE WHEN j6 < CAST({threshold} AS DOUBLE)
+                                  THEN {p_int} END), 0) AS BIGINT)
+             AS false_cand_micro
+    FROM jp"""
+        )
+        r *= 2
+    union = "\n    UNION ALL\n".join(legs)
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM norm
+    ),
+    ex0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 10000),
+    ex AS (SELECT e.doc_id, e.shingle FROM ex0 e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT CAST(floor(inter / (sa.n_sh + sb.n_sh - inter)
+                        * CAST(1000000 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / CAST(1000000 AS DOUBLE) AS j6
+      FROM co
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    {union}
+    """
+
+
+@_q(
+    "minhash_band_plan",
+    _band_plan_oracle(),
+    "MinHash band-tuning from the corpus's measured Jaccard distribution: "
+    "per (bands, rows) factorization of a 32-hash signature, the S-curve "
+    "catch probability 1-(1-j^r)^b summed over every co-occurring pair's "
+    "exact Jaccard — expected recall mass above the 0.5 threshold and "
+    "false-candidate mass below it, plus the folklore (1/b)^(1/r) "
+    "midpoint; all float work is repeated-squaring / sqrt chains on the "
+    "micro grid so both engines agree bit-for-bit",
+)
+def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_band_plan
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_band_plan(d, n_hashes=32, threshold=0.5)
+
+
 @_q(
     "exact_substring_repeats",
     f"""
