@@ -120,6 +120,7 @@ HEADLINE = [
     # round 7 additions
     "exact_substring_repeats",
     "minhash_band_plan",
+    "ivf_index_merge",
 ]
 
 

@@ -468,3 +468,49 @@ def test_embedding_int8_stats_hand_computed(spark):
     assert got[0]["mean_abs_err"] == round(err3 / 3 / 1e6, 6)
     # constant dim: span 0 -> q 0, zero error by convention
     assert (got[1]["mean_abs_err"], got[1]["max_abs_err"]) == (0.0, 0.0)
+
+
+def test_ivf_index_merge_drift_semantics(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_index_merge
+
+    # two well-separated buckets seeded by vec 1 (x-axis) and vec 2 (y-axis)
+    old = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.9, 0.1, 0.0]),   # joins bucket 1
+            (4, [0.1, 0.9, 0.0]),   # joins bucket 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # batch A: same directions -> no drift anywhere
+    same = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["centroid_id"]: r
+        for r in ivf_index_merge(old, same, k=2).collect()
+    }
+    assert got[1]["n_before"] == 2 and got[1]["n_added"] == 1
+    assert got[2]["n_before"] == 2 and got[2]["n_added"] == 1
+    assert got[1]["mean_shift_cos"] > 0.999
+    assert got[2]["mean_shift_cos"] > 0.999
+
+    # batch B: z-axis newcomers land somewhere and DRAG the mean off-axis
+    drift = spark.createDataFrame(
+        [(20, [0.6, 0.0, 0.8]), (21, [0.0, 0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    got2 = {
+        r["centroid_id"]: r for r in ivf_index_merge(old, drift, k=2).collect()
+    }
+    assert got2[1]["mean_shift_cos"] < 0.99  # retrain trigger fires
+    assert got2[2]["mean_shift_cos"] < 0.99
+    # empty new batch: index unchanged, drift exactly 1.0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    got3 = {
+        r["centroid_id"]: r for r in ivf_index_merge(old, empty, k=2).collect()
+    }
+    assert all(r["n_added"] == 0 for r in got3.values())
+    assert all(r["mean_shift_cos"] == 1.0 for r in got3.values())

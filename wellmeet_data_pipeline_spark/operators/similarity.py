@@ -365,6 +365,127 @@ def kmeans_assign_step(
     )
 
 
+def ivf_index_merge(
+    old_vecs: DataFrame,
+    new_vecs: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental IVF index maintenance (r6 verdict #7): merge a new
+    vector batch into an existing inverted-file index WITHOUT retraining
+    — assign each new vector to its nearest EXISTING centroid and report,
+    per centroid, how far the bucket's mean direction moved.  The drift
+    column is the retrain trigger a production index maintainer reads:
+    cosine(Σ old members, Σ all members) stays 1.0 while new data lands
+    where old data did, and decays as a bucket's population drifts off
+    its trained centroid (means and sums have identical cosine, so no
+    division by counts ever happens).
+
+    Exactness: vectors quantize to integers (floor(x·quant + 0.5));
+    assignment cosine is an exact bigint dot over sqrt norms with the
+    zero-norm→0 convention and (cos DESC, centroid ASC) determinism;
+    per-dimension member sums accumulate as DECIMAL(20,0) → the
+    dot/norm products as DECIMAL(38,0) exact integers (the
+    squared-cents HHI idiom — bigint would overflow at Σq ~ 3e10
+    squared), so DuckDB's HUGEINT arithmetic reproduces every bit and
+    only the final cosine touches floating point.
+
+    Plan: centroids = k lowest-id OLD vectors (TakeOrderedAndProject,
+    model-sized broadcast, the kmeans_assign_step contract); both
+    assignment passes are broadcast NL joins against k rows with a
+    vec-grain argmax window; the drift aggregation is (centroid, dim)-
+    grain — payload vectors never shuffle, only integer partials.
+
+    Output: (centroid_id, n_before, n_added, mean_shift_cos)."""
+    qexpr = lambda c: F.transform(
+        c,
+        lambda x: F.floor(x.cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    old_q = old_vecs.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), qexpr(F.col(vec_col)).alias("__q")
+    )
+    new_q = new_vecs.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), qexpr(F.col(vec_col)).alias("__q")
+    )
+    seeds = (
+        old_q.orderBy("__id")
+        .limit(k)
+        .select(F.col("__id").alias("__sid"), F.col("__q").alias("__sq"))
+    )
+
+    dot = F.aggregate(
+        F.zip_with("__q", "__sq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm2 = lambda c: F.aggregate(
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.sqrt(nrm2(F.col("__q")).cast("double")) * F.sqrt(
+        nrm2(F.col("__sq")).cast("double")
+    )
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(dot.cast("double") / den)
+
+    def assign(vdf: DataFrame, is_new: int) -> DataFrame:
+        d = vdf.crossJoin(F.broadcast(seeds)).withColumn("__cos", cos)
+        w = Window.partitionBy("__id").orderBy(
+            F.desc_nulls_last("__cos"), F.asc("__sid")
+        )
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__sid", "__id", "__q", F.lit(is_new).alias("__new"))
+        )
+
+    members = assign(old_q, 0).unionByName(assign(new_q, 1))
+    counts = members.groupBy("__sid").agg(
+        F.sum(F.when(F.col("__new") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_before"),
+        F.sum(F.when(F.col("__new") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+    )
+    dims = members.select(
+        "__sid", "__new", F.posexplode("__q").alias("__d", "__qx")
+    )
+    per_dim = dims.groupBy("__sid", "__d").agg(
+        F.sum(
+            F.when(F.col("__new") == 0, F.col("__qx")).otherwise(F.lit(0)).cast(
+                "decimal(20,0)"
+            )
+        ).alias("__so"),
+        F.sum(F.col("__qx").cast("decimal(20,0)")).alias("__sa"),
+    )
+    shift = per_dim.groupBy("__sid").agg(
+        F.sum(F.col("__so") * F.col("__sa")).alias("__dot"),
+        F.sum(F.col("__so") * F.col("__so")).alias("__n1"),
+        F.sum(F.col("__sa") * F.col("__sa")).alias("__n2"),
+    )
+    den2 = F.sqrt(F.col("__n1").cast("double")) * F.sqrt(F.col("__n2").cast("double"))
+    return (
+        counts.join(shift, "__sid")
+        .select(
+            F.col("__sid").alias("centroid_id"),
+            "n_before",
+            "n_added",
+            F.round(
+                F.when(den2 == 0, F.lit(0.0)).otherwise(
+                    F.col("__dot").cast("double") / den2
+                ),
+                round_digits,
+            ).alias("mean_shift_cos"),
+        )
+    )
+
+
 def embedding_int8_stats(
     emb: DataFrame,
     id_col: str = "vec_id",

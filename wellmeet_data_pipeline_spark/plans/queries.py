@@ -7954,6 +7954,86 @@ def q_dedup_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ivf_index_merge",
+    """
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    oldv AS (SELECT vec_id, q, 0 AS is_new FROM qv WHERE vec_id % 4 <> 0),
+    newv AS (SELECT vec_id, q, 1 AS is_new FROM qv WHERE vec_id % 4 = 0),
+    seeds AS (SELECT vec_id AS sid, q AS sq FROM oldv ORDER BY vec_id LIMIT 8),
+    allv AS (SELECT * FROM oldv UNION ALL SELECT * FROM newv),
+    d AS (
+      SELECT v.vec_id, v.q, v.is_new, s.sid,
+             CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+                                          i -> v.q[i] * s.sq[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(v.q, x -> x * x)) AS BIGINT) AS n1,
+             CAST(list_sum(list_transform(s.sq, x -> x * x)) AS BIGINT) AS n2
+      FROM allv v CROSS JOIN seeds s
+    ),
+    scored AS (
+      SELECT vec_id, q, is_new, sid,
+             CASE WHEN sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)) = 0 THEN 0
+                  ELSE CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+             END AS cosv
+      FROM d
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, sid) AS rn
+      FROM scored
+    ),
+    mem AS (SELECT sid, vec_id, q, is_new FROM best WHERE rn = 1),
+    counts AS (
+      SELECT sid,
+             CAST(sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+             CAST(sum(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+      FROM mem GROUP BY sid
+    ),
+    dims AS (
+      SELECT sid, is_new, t.i AS dim_i, q[t.i] AS qx
+      FROM mem, LATERAL unnest(generate_series(1, len(q))) t(i)
+    ),
+    per_dim AS (
+      SELECT sid, dim_i,
+             sum(CASE WHEN is_new = 0 THEN qx ELSE 0 END) AS so,
+             sum(qx) AS sa
+      FROM dims GROUP BY sid, dim_i
+    ),
+    shift AS (
+      SELECT sid, sum(so * sa) AS dd, sum(so * so) AS nn1, sum(sa * sa) AS nn2
+      FROM per_dim GROUP BY sid
+    )
+    SELECT c.sid AS centroid_id, c.n_before, c.n_added,
+           round(CASE WHEN sqrt(CAST(nn1 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE)) = 0
+                      THEN 0
+                      ELSE CAST(dd AS DOUBLE)
+                           / (sqrt(CAST(nn1 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE)))
+                 END, 6) AS mean_shift_cos
+    FROM counts c JOIN shift USING (sid)
+    """,
+    "incremental IVF index maintenance: merge a new vector batch (vec_id "
+    "% 4 = 0) into the index trained on the rest — nearest-EXISTING-"
+    "centroid assignment by exact quantized cosine, per-centroid before/"
+    "added counts, and the retrain trigger: cosine between the bucket's "
+    "old and merged mean directions, computed on exact DECIMAL(38,0) "
+    "integer sums (means and sums share a cosine) so both engines agree "
+    "bit-for-bit up to the one final division",
+)
+def q_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_index_merge
+
+    e = table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 4 != 0)
+    new = e.filter(F.col("vec_id") % 4 == 0)
+    return ivf_index_merge(old, new, k=8)
+
+
 def _band_plan_oracle(n_hashes: int = 32, threshold: str = "0.5") -> str:
     """Config legs are generated with UNROLLED repeated-squaring
     expressions (r and b are powers of two), so every float op is a
