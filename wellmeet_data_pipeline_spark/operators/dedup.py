@@ -927,7 +927,12 @@ def cross_doc_spans(
             .filter(F.col("__df") <= max_gram_df)
             .select("shingle")
         )
-        grams = grams.join(df_ok, "shingle")
+        # merge hint: df_ok is corpus-VOCABULARY-sized (the cap keeps all
+        # but boilerplate grams), but its post-aggregate size ESTIMATE can
+        # come out under the broadcast threshold — at 64x smoke Catalyst
+        # broadcast a ~2 GB gram set and OOM'd the driver.  Never let this
+        # join broadcast; sort-merge on the shingle key is the scale plan.
+        grams = grams.join(df_ok.hint("merge"), "shingle")
     a = grams.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "shingle"
     )
