@@ -1077,3 +1077,73 @@ def test_streaming_fuzzy_upsert_registry(spark, tmp_path):
         "seoul-branch": 3,
         "busan-harbor": 13,
     }
+
+
+def test_streaming_ivf_maintenance_matches_batch(spark, tmp_path):
+    """Incremental IVF: init -> stream two vector batches -> the drift
+    report must equal the BATCH ivf_index_merge of (initial, all new),
+    and replays must be no-ops."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_index_merge
+    from wellmeet_data_pipeline_spark.streaming.ivf import (
+        current_index_report,
+        init_ivf_store,
+        run_ivf_maintenance,
+    )
+
+    old_rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.9, 0.1, 0.0]),
+        (4, [0.1, 0.9, 0.0]),
+    ]
+    new_rows = [
+        (10, [1.0, 0.1, 0.0]),
+        (11, [0.0, 0.9, 0.4]),
+        (12, [0.8, 0.0, 0.6]),
+    ]
+    old = spark.createDataFrame(old_rows, "vec_id long, embedding array<double>")
+
+    landing = tmp_path / "ivf_landing"
+    landing.mkdir()
+    seeds_p = str(tmp_path / "ivf_seeds")
+    assign_p = str(tmp_path / "ivf_assign")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    schema = StructType.fromDDL("vec_id long, embedding array<double>")
+
+    init_ivf_store(old, seeds_p, assign_p, k=2)
+
+    (landing / "b1.json").write_text(
+        json.dumps([{"vec_id": i, "embedding": v} for i, v in new_rows[:2]])
+    )
+    run_ivf_maintenance(spark, str(landing), seeds_p, assign_p, ckpt, schema)
+    (landing / "b2.json").write_text(
+        json.dumps([{"vec_id": new_rows[2][0], "embedding": new_rows[2][1]}])
+    )
+    run_ivf_maintenance(spark, str(landing), seeds_p, assign_p, ckpt, schema)
+
+    got = {
+        r["centroid_id"]: (r["n_before"], r["n_added"], r["mean_shift_cos"])
+        for r in current_index_report(spark, assign_p).collect()
+    }
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    want = {
+        r["centroid_id"]: (r["n_before"], r["n_added"], r["mean_shift_cos"])
+        for r in ivf_index_merge(old, new, k=2).collect()
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) == 3
+
+    # replay the same landing files under a FRESH checkpoint: merge-append
+    # dedup-on-read keeps first arrivals, report unchanged
+    run_ivf_maintenance(
+        spark, str(landing), seeds_p, assign_p, str(tmp_path / "ivf_ckpt2"), schema
+    )
+    got2 = {
+        r["centroid_id"]: (r["n_before"], r["n_added"], r["mean_shift_cos"])
+        for r in current_index_report(spark, assign_p).collect()
+    }
+    assert got2 == want

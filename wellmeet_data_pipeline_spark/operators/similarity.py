@@ -400,24 +400,45 @@ def ivf_index_merge(
     grain — payload vectors never shuffle, only integer partials.
 
     Output: (centroid_id, n_before, n_added, mean_shift_cos)."""
-    qexpr = lambda c: F.transform(
-        c,
+    old_q = _quantized_vecs(old_vecs, id_col, vec_col, quant)
+    new_q = _quantized_vecs(new_vecs, id_col, vec_col, quant)
+    seeds = ivf_seed_centroids(old_q, k)
+    members = _ivf_assign(old_q, seeds, 0).unionByName(_ivf_assign(new_q, seeds, 1))
+    return _ivf_merge_report(members, round_digits)
+
+
+def _quantized_vecs(
+    vecs: DataFrame, id_col: str, vec_col: str, quant: int
+) -> DataFrame:
+    """(__id, __q): NULL-vector rows dropped, values quantized to exact
+    integers floor(x*quant + 0.5) — the shared entry normalization of
+    the incremental-IVF family."""
+    q = F.transform(
+        F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast(
             "long"
         ),
     )
-    old_q = old_vecs.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), qexpr(F.col(vec_col)).alias("__q")
+    return vecs.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), q.alias("__q")
     )
-    new_q = new_vecs.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), qexpr(F.col(vec_col)).alias("__q")
-    )
-    seeds = (
-        old_q.orderBy("__id")
+
+
+def ivf_seed_centroids(qvecs: DataFrame, k: int) -> DataFrame:
+    """(__sid, __sq): the k lowest-id quantized vectors as centroids —
+    deterministic (TakeOrderedAndProject), model-sized, the
+    kmeans_assign_step init contract."""
+    return (
+        qvecs.orderBy("__id")
         .limit(k)
         .select(F.col("__id").alias("__sid"), F.col("__q").alias("__sq"))
     )
 
+
+def _ivf_assign(qvecs: DataFrame, seeds: DataFrame, is_new: int) -> DataFrame:
+    """Nearest-existing-centroid assignment by exact quantized cosine:
+    broadcast NL join against the model-sized seed frame, vec-grain
+    argmax window, (cos DESC, centroid ASC) determinism, zero-norm → 0."""
     dot = F.aggregate(
         F.zip_with("__q", "__sq", lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -432,19 +453,20 @@ def ivf_index_merge(
         nrm2(F.col("__sq")).cast("double")
     )
     cos = F.when(den == 0, F.lit(0.0)).otherwise(dot.cast("double") / den)
+    d = qvecs.crossJoin(F.broadcast(seeds)).withColumn("__cos", cos)
+    w = Window.partitionBy("__id").orderBy(F.desc_nulls_last("__cos"), F.asc("__sid"))
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__sid", "__id", "__q", F.lit(is_new).alias("__new"))
+    )
 
-    def assign(vdf: DataFrame, is_new: int) -> DataFrame:
-        d = vdf.crossJoin(F.broadcast(seeds)).withColumn("__cos", cos)
-        w = Window.partitionBy("__id").orderBy(
-            F.desc_nulls_last("__cos"), F.asc("__sid")
-        )
-        return (
-            d.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__sid", "__id", "__q", F.lit(is_new).alias("__new"))
-        )
 
-    members = assign(old_q, 0).unionByName(assign(new_q, 1))
+def _ivf_merge_report(members: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Per-centroid merge report from an assignment frame (__sid, __id,
+    __q, __new): before/added counts + mean-shift cosine on exact
+    decimal(38,0) integer sums.  Shared by the batch operator and the
+    streaming maintenance read (parity-pinned)."""
     counts = members.groupBy("__sid").agg(
         F.sum(F.when(F.col("__new") == 0, 1).otherwise(0))
         .cast("long")
