@@ -921,18 +921,25 @@ def cross_doc_spans(
         docs, text_col=text_col, id_col=id_col, n=min_tokens, keep_pos=True
     )
     if max_gram_df is not None:
-        df_ok = (
-            grams.groupBy("shingle")
-            .agg(F.count_distinct(F.col(id_col)).alias("__df"))
-            .filter(F.col("__df") <= max_gram_df)
-            .select("shingle")
+        # DISTINCT-doc frequency via two chained windows, NOT a grouped
+        # frame joined back: the join form's post-aggregate size estimate
+        # landed the vocabulary-sized keep-set under the broadcast
+        # threshold at 64x and Catalyst broadcast ~2 GB of grams (driver
+        # OOM; AQE cannot demote a statically-planned BHJ).  Windows have
+        # no join to misplan, and the (shingle) exchange is the same one
+        # the seed self-join below reuses.
+        first_in_doc = F.row_number().over(
+            Window.partitionBy("shingle", id_col).orderBy("pos")
         )
-        # merge hint: df_ok is corpus-VOCABULARY-sized (the cap keeps all
-        # but boilerplate grams), but its post-aggregate size ESTIMATE can
-        # come out under the broadcast threshold — at 64x smoke Catalyst
-        # broadcast a ~2 GB gram set and OOM'd the driver.  Never let this
-        # join broadcast; sort-merge on the shingle key is the scale plan.
-        grams = grams.join(df_ok.hint("merge"), "shingle")
+        by_shingle = Window.partitionBy("shingle")
+        grams = (
+            grams.withColumn(
+                "__fst", F.when(first_in_doc == 1, F.lit(1)).otherwise(F.lit(0))
+            )
+            .withColumn("__df", F.sum("__fst").over(by_shingle))
+            .filter(F.col("__df") <= max_gram_df)
+            .drop("__fst", "__df")
+        )
     a = grams.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "shingle"
     )
