@@ -258,18 +258,60 @@ def rolling_distinct_active(
 def rolling_distinct_from_pairs(ud: DataFrame, window_days: int) -> DataFrame:
     """The (user, day)-pair-grain core of rolling_distinct_active —
     shared with the streaming twin, whose store already holds deduped
-    pairs.  Input columns: __day (date), __u."""
+    pairs.  Input columns: __day (date), __u.
+
+    Interval SWEEP, not fan-out: the previous form exploded each
+    (user, day) to its <= N covering as-of days and re-deduped — an
+    N-fold data amplification through a full shuffle (the 8→64x smoke
+    slope crept to 1.03, and at MAU windows N=30 the blow-up is 30x).
+    A user's covered as-of days are a union of intervals instead:
+    merge their active days into maximal runs (gaps > N-1 split; a
+    user-partitioned gaps-and-islands window over users×active-days),
+    emit +1 at each run start and -1 one day past run end + N - 1,
+    and prefix-sum the per-day deltas — day-cardinality work from
+    there, via the two-pass distributed rank (no unpartitioned
+    window).  Per-user runs never overlap, so no as-of day double-
+    counts a user; observed days ride the delta frame with delta 0 so
+    every as-of day has a row at its own date.  Data crossing the
+    heavy shuffles is exactly users×active-days, independent of N."""
+    ud = ud.filter(F.col("__day").isNotNull())
     days = ud.select(F.col("__day").alias("as_of_day")).distinct()
-    covered = ud.select(
-        "__u",
-        F.explode(
-            F.sequence(
-                F.col("__day"), F.date_add(F.col("__day"), window_days - 1)
+
+    w_u = Window.partitionBy("__u").orderBy("__day")
+    prev_end = F.max(F.date_add("__day", window_days - 1)).over(
+        w_u.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ud.withColumn(
+        "__new_run",
+        F.when(prev_end.isNull() | (F.col("__day") > prev_end), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "__run",
+        F.sum("__new_run").over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = flagged.groupBy("__u", "__run").agg(
+        F.min("__day").alias("__a"), F.max("__day").alias("__b")
+    )
+    deltas = (
+        runs.select(F.col("__a").alias("__d"), F.lit(1).cast("long").alias("__delta"))
+        .unionByName(
+            runs.select(
+                F.date_add("__b", window_days).alias("__d"),
+                F.lit(-1).cast("long").alias("__delta"),
             )
-        ).alias("as_of_day"),
-    ).distinct()
+        )
+        .unionByName(
+            days.select(
+                F.col("as_of_day").alias("__d"), F.lit(0).cast("long").alias("__delta")
+            )
+        )
+    )
+    by_day = deltas.groupBy("__d").agg(F.sum("__delta").alias("__delta"))
+    cum = global_rank_cumsum(
+        by_day, [F.col("__d")], sum_col="__delta", cum_col="__cum"
+    )
     return (
-        covered.join(F.broadcast(days), "as_of_day")
-        .groupBy("as_of_day")
-        .agg(F.count("*").alias("n_active"))
+        cum.join(F.broadcast(days), cum["__d"] == days["as_of_day"])
+        .select("as_of_day", F.col("__cum").alias("n_active"))
     )
