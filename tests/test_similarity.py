@@ -514,3 +514,20 @@ def test_ivf_index_merge_drift_semantics(spark):
     }
     assert all(r["n_added"] == 0 for r in got3.values())
     assert all(r["mean_shift_cos"] == 1.0 for r in got3.values())
+
+
+def test_ivf_index_merge_drops_short_vectors(spark):
+    # ragged-dim contract: dim = max length across both inputs; a short
+    # vector must be dropped, not silently mis-assigned via NULL cosine
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_index_merge
+
+    old = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.5, 0.5])],  # 11 is short -> dropped
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["centroid_id"]: r for r in ivf_index_merge(old, new, k=2).collect()}
+    assert got[1]["n_added"] == 1 and got[2]["n_added"] == 0

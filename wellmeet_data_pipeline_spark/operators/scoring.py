@@ -503,29 +503,28 @@ def dsir_importance_weight(
     # bucket, cnt) 35% worse (near-distinct keys make the hash-agg pure
     # overhead); array-grain materialization with sha inside transform()
     # 2.5x worse (interpreted lambda vs codegen projection).
-    feats = _hashed_ngram_features(docs, text_col, id_col).withColumn(
-        "__n", F.lit(1).cast("long")
-    )
+    feats = _hashed_ngram_features(docs, text_col, id_col)
     if raw_docs is None or target_within_docs:
         feats = feats.localCheckpoint(eager=True)
     if raw_docs is None and target_within_docs:
         # the common in-corpus setup: BOTH count frames come from ONE
         # aggregation pass over the checkpoint — flag target membership
-        # with a (broadcastable, id-only) join and split the sums, instead
-        # of a semi-join + two independent scans.  A bucket with zero
-        # target features now carries an explicit c_t=0 row; downstream
-        # coalesce(c_t, 0) makes that identical to the absent-row form.
+        # with a (broadcastable, id-only) join and split the counts,
+        # instead of a semi-join + two independent scans.  A bucket with
+        # zero target features now carries an explicit c_t=0 row;
+        # downstream coalesce(c_t, 0) makes that identical to the
+        # absent-row form.
         tids = target_docs.select(id_col).distinct().withColumn("__t", F.lit(1))
         cb = (
             feats.join(tids, id_col, "left")
             .groupBy("bucket")
             .agg(
-                F.sum("__n").alias("c_r"),
+                F.count("*").alias("c_r"),
                 F.sum(
-                    F.when(F.col("__t") == 1, F.col("__n")).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ).alias("c_t"),
+                    F.when(F.col("__t") == 1, F.lit(1)).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("c_t"),
             )
             .localCheckpoint(eager=True)
         )
@@ -535,62 +534,35 @@ def dsir_importance_weight(
         t_feats = (
             feats.join(target_docs.select(id_col), id_col, "left_semi")
             if target_within_docs
-            else _hashed_ngram_features(target_docs, text_col, id_col).withColumn(
-                "__n", F.lit(1).cast("long")
-            )
+            else _hashed_ngram_features(target_docs, text_col, id_col)
         )
         c_t = (
             t_feats.groupBy("bucket")
-            .agg(F.sum("__n").alias("c_t"))
+            .agg(F.count("*").alias("c_t"))
             .localCheckpoint(eager=True)
         )
         r_feats = (
             feats
             if raw_docs is None
-            else _hashed_ngram_features(raw_docs, text_col, id_col).withColumn(
-                "__n", F.lit(1).cast("long")
-            )
+            else _hashed_ngram_features(raw_docs, text_col, id_col)
         )
         c_r = (
             r_feats.groupBy("bucket")
-            .agg(F.sum("__n").alias("c_r"))
+            .agg(F.count("*").alias("c_r"))
             .localCheckpoint(eager=True)
         )
-    totals = c_t.agg(F.sum("c_t").alias("t_total")).crossJoin(
-        c_r.agg(F.sum("c_r").alias("r_total"))
-    )
-    a = F.lit(alpha)
-    smooth = a * F.lit(N_FEATURE_BUCKETS)
-    # Resolve the log-ratio at BUCKET grain (dense 2^16 table, the
-    # build_dsir_model shape) and broadcast-join the integer result:
+    # Resolve the log-ratio at BUCKET grain (the build_dsir_model dense
+    # table, shared helper) and broadcast-join the integer result:
     # log() + two divisions per feature OCCURRENCE was the dominant
     # per-row cost at 64x smoke — the ratio only depends on the bucket,
     # so the libm work collapses from |occurrences| to 2^16 evaluations.
-    # Dense (not just observed buckets) so the else-branch's disjoint
-    # raw corpus cannot drop a bucket that appears only in `docs`.
-    spark = docs.sparkSession
-    dense = (
-        spark.range(N_FEATURE_BUCKETS)
-        .select(F.col("id").cast("int").alias("bucket"))
-        .join(c_t.select("bucket", "c_t"), "bucket", "left")
-        .join(c_r.select("bucket", "c_r"), "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-    )
-    p_t = (F.coalesce(F.col("c_t"), F.lit(0)) + a) / (F.col("t_total") + smooth)
-    p_r = (F.coalesce(F.col("c_r"), F.lit(0)) + a) / (F.col("r_total") + smooth)
-    lr_tab = dense.select(
-        "bucket",
-        F.floor(F.log(p_t / p_r) * F.lit(scale) + F.lit(0.5))
-        .cast("long")
-        .alias("__lr"),
+    lr_tab = _dense_lr_table(
+        docs.sparkSession, c_t, c_r, alpha, scale, out_col="__lr"
     )
     return (
         feats.join(F.broadcast(lr_tab), "bucket")
         .groupBy(id_col)
-        .agg(
-            F.sum("__n").alias("n_features"),
-            F.sum(F.col("__n") * F.col("__lr")).alias("__s"),
-        )
+        .agg(F.count("*").alias("n_features"), F.sum("__lr").alias("__s"))
         .select(
             F.col(id_col),
             "n_features",
@@ -600,6 +572,38 @@ def dsir_importance_weight(
             ).alias("dsir_weight"),
             (F.col("__s") >= 0).alias("keep"),
         )
+    )
+
+
+def _dense_lr_table(
+    spark, c_t: DataFrame, c_r: DataFrame, alpha: float, scale: float, out_col: str
+) -> DataFrame:
+    """DENSE (bucket, snapped log-ratio) table over the full 2^16
+    feature space — THE bit-exactness-critical DSIR formula, shared by
+    the inline importance weight and the persisted model so the
+    smoothing/snap can never diverge between them (or from the DuckDB
+    oracles that encode it).  Dense on purpose: downstream scoring is
+    one broadcast join with no unseen-bucket default path, and a raw
+    corpus disjoint from the scored docs cannot drop a bucket."""
+    totals = c_t.agg(F.sum("c_t").alias("t_total")).crossJoin(
+        c_r.agg(F.sum("c_r").alias("r_total"))
+    )
+    a = F.lit(alpha)
+    smooth = a * F.lit(N_FEATURE_BUCKETS)
+    dense = (
+        spark.range(N_FEATURE_BUCKETS)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(c_t.select("bucket", "c_t"), "bucket", "left")
+        .join(c_r.select("bucket", "c_r"), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_t = (F.coalesce(F.col("c_t"), F.lit(0)) + a) / (F.col("t_total") + smooth)
+    p_r = (F.coalesce(F.col("c_r"), F.lit(0)) + a) / (F.col("r_total") + smooth)
+    return dense.select(
+        "bucket",
+        F.floor(F.log(p_t / p_r) * F.lit(scale) + F.lit(0.5))
+        .cast("long")
+        .alias(out_col),
     )
 
 
@@ -631,26 +635,8 @@ def build_dsir_model(
         .agg(F.count("*").alias("c_r"))
         .localCheckpoint(eager=True)
     )
-    totals = c_t.agg(F.sum("c_t").alias("t_total")).crossJoin(
-        c_r.agg(F.sum("c_r").alias("r_total"))
-    )
-    spark = target_docs.sparkSession
-    dense = (
-        spark.range(N_FEATURE_BUCKETS)
-        .select(F.col("id").cast("int").alias("bucket"))
-        .join(c_t, "bucket", "left")
-        .join(c_r, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-    )
-    a = F.lit(alpha)
-    smooth = a * F.lit(N_FEATURE_BUCKETS)
-    p_t = (F.coalesce(F.col("c_t"), F.lit(0)) + a) / (F.col("t_total") + smooth)
-    p_r = (F.coalesce(F.col("c_r"), F.lit(0)) + a) / (F.col("r_total") + smooth)
-    return dense.select(
-        "bucket",
-        F.floor(F.log(p_t / p_r) * F.lit(scale) + F.lit(0.5))
-        .cast("long")
-        .alias("lr_int"),
+    return _dense_lr_table(
+        target_docs.sparkSession, c_t, c_r, alpha, scale, out_col="lr_int"
     )
 
 

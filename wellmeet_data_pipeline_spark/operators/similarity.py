@@ -402,6 +402,22 @@ def ivf_index_merge(
     Output: (centroid_id, n_before, n_added, mean_shift_cos)."""
     old_q = _quantized_vecs(old_vecs, id_col, vec_col, quant)
     new_q = _quantized_vecs(new_vecs, id_col, vec_col, quant)
+    # Ragged-dim contract (same as embedding_lsh_sha_pairs): dim = max
+    # vector length across BOTH inputs, shorter vectors dropped on both
+    # engines.  Without it, a short vector makes zip_with null-pad and
+    # NULL the assignment cosine on Spark (falls to the lowest-sid
+    # centroid) while DuckDB's list_sum skips NULL products and computes
+    # a partial dot — divergent assignments, divergent report.
+    dim_row = (
+        old_q.select(F.size("__q").alias("__s"))
+        .unionAll(new_q.select(F.size("__q").alias("__s")))
+        .agg(F.max("__s"))
+        .first()
+    )
+    dim = dim_row[0] if dim_row is not None else None
+    if dim is not None:
+        old_q = old_q.filter(F.size("__q") == dim)
+        new_q = new_q.filter(F.size("__q") == dim)
     seeds = ivf_seed_centroids(old_q, k)
     members = _ivf_assign(old_q, seeds, 0).unionByName(_ivf_assign(new_q, seeds, 1))
     return _ivf_merge_report(members, round_digits)

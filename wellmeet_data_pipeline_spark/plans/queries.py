@@ -7962,7 +7962,10 @@ def q_dedup_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)
                                             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(embedding) = (SELECT max(len(embedding)) FROM embeddings
+                              WHERE embedding IS NOT NULL)
     ),
     oldv AS (SELECT vec_id, q, 0 AS is_new FROM qv WHERE vec_id % 4 <> 0),
     newv AS (SELECT vec_id, q, 1 AS is_new FROM qv WHERE vec_id % 4 = 0),
@@ -8153,13 +8156,14 @@ def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_windows
     FROM islands GROUP BY doc_id, grp
     """,
-    "TRUE ExactSubstr (Lee et al. 2021 suffix-array dedup): maximal token "
-    "spans covered by 8-token windows occurring >= 2 times anywhere in the "
-    "corpus (same doc or across docs), via distributed prefix doubling — "
-    "log2(8) rounds of integer-rank equi-joins + two-pass distributed "
-    "dense ranks, so after the one vocabulary rank no string ever crosses "
-    "a shuffle and hot windows never pay a pair join (the oracle groups "
-    "the gram strings directly — same classes, exact by construction)",
+    "ExactSubstr per-doc removal spans (Lee et al. 2021 suffix-array "
+    "dedup read): maximal token spans covered by 8-token windows "
+    "occurring >= 2 times anywhere in the corpus (same doc or across "
+    "docs).  Duplication is a COUNT over a gram-key window partition — "
+    "hot boilerplate never enters a pair join — and the key is the exact "
+    "gram content (no hashing).  A distributed prefix-doubling suffix-"
+    "rank construction was implemented, measured bit-identical and ~9x "
+    "slower at fixed L=8, and rejected (operator docstring)",
 )
 def q_exact_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats

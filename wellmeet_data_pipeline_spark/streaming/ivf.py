@@ -28,6 +28,7 @@ seed frame inside each micro-batch).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from wellmeet_data_pipeline_spark.operators.similarity import (
@@ -52,6 +53,11 @@ def init_ivf_store(
     """Train-once: persist the centroids and the initial assignments
     (batch_seq 0, __new = 0)."""
     q = _quantized_vecs(initial_vecs, id_col, vec_col, quant)
+    # ragged-dim contract (ivf_index_merge): dim = max length of the
+    # initial corpus; shorter vectors never enter the index
+    dim_row = q.agg(F.max(F.size("__q"))).first()
+    if dim_row is not None and dim_row[0] is not None:
+        q = q.filter(F.size("__q") == dim_row[0])
     seeds = ivf_seed_centroids(q, k)
     merge_append(seeds, seeds_path, id_col="__sid", partition_col=None, batch_seq=0)
     spark = initial_vecs.sparkSession
@@ -83,6 +89,11 @@ def run_ivf_maintenance(
         q = _quantized_vecs(
             batch_df.dropDuplicates([id_col]), id_col, vec_col, quant
         )
+        # the PERSISTED seeds define the index dimensionality; arrivals
+        # of any other length are dropped (the ragged-dim contract)
+        dim_row = seeds.select(F.size("__sq")).first()
+        if dim_row is not None:
+            q = q.filter(F.size("__q") == dim_row[0])
         assigned = _ivf_assign(q, seeds, 1)
         merge_append(
             assigned,
