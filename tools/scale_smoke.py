@@ -229,6 +229,21 @@ def run_exact_substring(spark, sf_dir, factor):
     ).count()
 
 
+def run_band_plan(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_band_plan
+
+    return minhash_band_plan(scaled_documents(spark, sf_dir, factor)).count()
+
+
+def run_ivf_merge(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.similarity import ivf_index_merge
+
+    e = scaled_embeddings(spark, sf_dir, factor)
+    old = e.filter(F.col("vec_id") % 4 != 0)
+    new = e.filter(F.col("vec_id") % 4 == 0)
+    return ivf_index_merge(old, new, k=8).count()
+
+
 def run_bpe_pair_counts(spark, sf_dir, factor):
     from wellmeet_data_pipeline_spark.operators.tokenizer import bpe_pair_counts
 
@@ -441,6 +456,8 @@ OPS = {
     "semdedup_survivors": run_semdedup,
     "cross_doc_spans": run_cross_doc_spans,
     "exact_substring_repeats": run_exact_substring,
+    "minhash_band_plan": run_band_plan,
+    "ivf_index_merge": run_ivf_merge,
     "bpe_pair_counts": run_bpe_pair_counts,
     "ngram_novelty": run_ngram_novelty,
     "char_entropy": run_char_entropy,
