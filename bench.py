@@ -121,6 +121,7 @@ HEADLINE = [
     "exact_substring_repeats",
     "minhash_band_plan",
     "ivf_index_merge",
+    "dup_graph_kcore",
 ]
 
 

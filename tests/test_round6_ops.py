@@ -563,3 +563,30 @@ def test_minhash_band_plan_rejects_non_power_of_two(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         minhash_band_plan(df, n_hashes=24)
+
+
+def test_kcore_decomposition_semantics(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import kcore_decomposition
+
+    # triangle {1,2,3} + pendant 4 + path 5-6: 2-core = the triangle only
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6), (2, 1)],  # dup edge reversed
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node"], r["core_degree"])
+        for r in kcore_decomposition(edges, k=2).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # 3-core of the same graph is empty
+    assert kcore_decomposition(edges, k=3).count() == 0
+    # two triangles sharing node 3: node 3's core degree counts BOTH
+    edges2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)],
+        "id_a long, id_b long",
+    )
+    got2 = {
+        (r["node"], r["core_degree"])
+        for r in kcore_decomposition(edges2, k=2).collect()
+    }
+    assert got2 == {(1, 2), (2, 2), (3, 4), (4, 2), (5, 2)}

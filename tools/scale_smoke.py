@@ -244,6 +244,17 @@ def run_ivf_merge(spark, sf_dir, factor):
     return ivf_index_merge(old, new, k=8).count()
 
 
+def run_kcore(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        kcore_decomposition,
+        minhash_lsh_candidates_sha,
+    )
+
+    return kcore_decomposition(
+        minhash_lsh_candidates_sha(scaled_documents(spark, sf_dir, factor)), k=2
+    ).count()
+
+
 def run_bpe_pair_counts(spark, sf_dir, factor):
     from wellmeet_data_pipeline_spark.operators.tokenizer import bpe_pair_counts
 
@@ -458,6 +469,7 @@ OPS = {
     "exact_substring_repeats": run_exact_substring,
     "minhash_band_plan": run_band_plan,
     "ivf_index_merge": run_ivf_merge,
+    "dup_graph_kcore": run_kcore,
     "bpe_pair_counts": run_bpe_pair_counts,
     "ngram_novelty": run_ngram_novelty,
     "char_entropy": run_char_entropy,

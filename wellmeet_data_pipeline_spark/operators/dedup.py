@@ -967,6 +967,71 @@ def cross_doc_spans(
     )
 
 
+def kcore_decomposition(
+    edges: DataFrame,
+    k: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 200,
+) -> DataFrame:
+    """k-core of the duplicate graph: the maximal subgraph in which
+    every node keeps degree >= k — the DENSITY read the other graph
+    queries don't give (connected components say "touching", PageRank
+    says "central", triangles say "locally clustered"; the k-core says
+    "this whole region survives even after stripping its fringe", i.e.
+    a boilerplate nest or template family rather than a chance pair).
+
+    Standard peeling, set-based: repeatedly drop nodes whose degree in
+    the CURRENT subgraph is < k, until a fixpoint.  Each round is one
+    degree aggregation + two semi-joins on node id, and the surviving
+    edge frame is localCheckpoint'd per round (iterative-lineage
+    discipline — the plan would double every round otherwise).
+    Convergence = edge count unchanged (peeling is monotone, so the
+    count is a complete convergence signature); rounds are bounded by
+    the graph's degeneracy ordering depth, in practice a handful.
+
+    Input edges are normalized (orientation, self-loops, duplicates)
+    so callers can hand over any pair list.  Output: (node,
+    core_degree) for members of the k-core, degree measured INSIDE the
+    core."""
+    und = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    e2 = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e2.count()
+    converged = n_prev == 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        keep = e2.groupBy("u").agg(F.count("*").alias("__d")).filter(
+            F.col("__d") >= k
+        )
+        e2 = (
+            e2.join(keep.select("u"), "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_cur = e2.count()
+        converged = n_cur == n_prev or n_cur == 0
+        n_prev = n_cur
+    if not converged:
+        # a partial peel is NOT a k-core; fail honestly (long-path graphs
+        # can peel only two nodes per round — raise the budget, don't
+        # silently report the intermediate subgraph)
+        raise RuntimeError(f"k-core peel did not converge in {max_iters} rounds")
+    return e2.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("core_degree")
+    )
+
+
 def minhash_band_plan(
     docs: DataFrame,
     text_col: str = "text",

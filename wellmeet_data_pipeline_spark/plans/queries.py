@@ -8037,6 +8037,52 @@ def q_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_merge(old, new, k=8)
 
 
+@_q(
+    "dup_graph_kcore",
+    f"""
+    WITH RECURSIVE {_minhash_sha_ctes()},
+    und AS (
+      SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM pairs WHERE id_a <> id_b
+    ),
+    e2 AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    peel(ns) AS (
+      SELECT list_sort(list(DISTINCT u)) FROM e2
+      UNION
+      SELECT list_sort(list(u)) FROM (
+        SELECT e.u FROM e2 e, peel p
+        WHERE list_contains(p.ns, e.u) AND list_contains(p.ns, e.v)
+        GROUP BY e.u HAVING count(*) >= 2
+      )
+    ),
+    fixpoint AS (
+      SELECT ns FROM peel ORDER BY coalesce(len(ns), 0) ASC LIMIT 1
+    ),
+    core AS (SELECT unnest(ns) AS node FROM fixpoint)
+    SELECT e.u AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e2 e
+    JOIN core cu ON e.u = cu.node
+    JOIN core cv ON e.v = cv.node
+    GROUP BY e.u
+    """,
+    "2-core of the MinHash-LSH duplicate graph: the maximal subgraph "
+    "where every doc keeps >= 2 near-dup neighbors after iteratively "
+    "stripping the fringe — the DENSITY read (template/boilerplate "
+    "nests, not chance pairs) that components/PageRank/triangles don't "
+    "give.  Spark side peels set-based with per-round checkpoints; the "
+    "oracle iterates the survivor LIST through a recursive CTE to the "
+    "same fixpoint (monotone, so the shortest accumulated list IS it)",
+)
+def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        kcore_decomposition,
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return kcore_decomposition(minhash_lsh_candidates_sha(d), k=2)
+
+
 def _band_plan_oracle(n_hashes: int = 32, threshold: str = "0.5") -> str:
     """Config legs are generated with UNROLLED repeated-squaring
     expressions (r and b are powers of two), so every float op is a
