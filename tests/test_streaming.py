@@ -1147,3 +1147,65 @@ def test_streaming_ivf_maintenance_matches_batch(spark, tmp_path):
         for r in current_index_report(spark, assign_p).collect()
     }
     assert got2 == want
+
+
+def test_streaming_exactsubstr_matches_batch_and_replays(spark, tmp_path):
+    """Incremental ExactSubstr: batches arriving in doc_id order must
+    reproduce the batch operator's output exactly; replays are no-ops;
+    cross-batch spans are scrubbed (the part a per-batch pass misses)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.operators.corpus import remove_repeated_spans
+    from wellmeet_data_pipeline_spark.streaming.exactsubstr import (
+        read_clean_corpus,
+        run_exactsubstr_dedup,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox ran away"),          # cross-batch span vs doc 1
+        (3, "the quick brown fox jumps again"),   # cross-batch span vs doc 1
+        (4, "completely different text entirely here"),
+    ]
+    landing = tmp_path / "xs_landing"
+    landing.mkdir()
+    grams_p = str(tmp_path / "xs_grams")
+    out_p = str(tmp_path / "xs_out")
+    ckpt = str(tmp_path / "xs_ckpt")
+    schema = StructType.fromDDL("doc_id long, text string")
+
+    (landing / "b1.json").write_text(
+        json.dumps([{"doc_id": i, "text": t} for i, t in docs[:2]])
+    )
+    run_exactsubstr_dedup(spark, str(landing), grams_p, out_p, ckpt, schema)
+    (landing / "b2.json").write_text(
+        json.dumps([{"doc_id": i, "text": t} for i, t in docs[2:]])
+    )
+    run_exactsubstr_dedup(spark, str(landing), grams_p, out_p, ckpt, schema)
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in read_clean_corpus(spark, out_p).collect()
+    }
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in remove_repeated_spans(full, span_w=3).collect()
+    }
+    assert got == want
+    assert got[2][1] > 0 and got[3][1] > 0  # cross-batch scrub happened
+    assert got[4][1] == 0
+
+    # replay both files under a fresh checkpoint: self-exclusion keeps a
+    # re-delivered doc from scrubbing itself against its own grams, and
+    # first-arrival wins in the out store
+    run_exactsubstr_dedup(
+        spark, str(landing), grams_p, out_p, str(tmp_path / "xs_ckpt2"), schema
+    )
+    got2 = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in read_clean_corpus(spark, out_p).collect()
+    }
+    assert got2 == want

@@ -770,6 +770,19 @@ def remove_repeated_spans(
     production w, substitute xxhash64(gram) to shuffle 8 bytes instead
     of ~50 tokens (kept as raw text here so ANSI SQL can replay it)."""
     out_col = out_col or text_col
+    base, toks, grams = _span_frames(docs, text_col, id_col, span_w)
+    w = Window.partitionBy("gram").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    marked = grams.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") > 1)
+    return _remove_covered(
+        base, toks, marked, span_w, id_col, out_col
+    )
+
+
+def _span_frames(docs: DataFrame, text_col: str, id_col: str, span_w: int):
+    """Shared tokenize/gram frames of the ExactSubstr removal family:
+    (base = (id, words array), toks = (id, pos, tok), grams = (id, pos,
+    gram)) — factored so the streaming incremental gate builds the
+    exact same grams the batch pass does."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = (
         docs.filter(F.trim(F.col(text_col)) != "")
@@ -791,8 +804,20 @@ def remove_repeated_spans(
             F.array_join(F.slice("__words", F.col("pos") + 1, span_w), " ").alias("gram"),
         )
     )
-    w = Window.partitionBy("gram").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    marked = grams.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") > 1)
+    return base, toks, grams
+
+
+def _remove_covered(
+    base: DataFrame,
+    toks: DataFrame,
+    marked: DataFrame,
+    span_w: int,
+    id_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Tail of the ExactSubstr removal: `marked` rows are duplicated gram
+    STARTS (id, pos); every token they cover is dropped and the doc
+    reassembles from the survivors.  Shared batch/streaming."""
     covered = (
         marked.select(
             id_col,

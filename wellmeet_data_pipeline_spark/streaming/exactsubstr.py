@@ -1,0 +1,121 @@
+"""Streaming ExactSubstr dedup — the incremental twin of
+`corpus.remove_repeated_spans`: a persisted FIRST-OCCURRENCE gram
+registry lets every micro-batch scrub spans whose text already appeared
+anywhere earlier in the stream, without ever re-scanning the corpus.
+
+Stores (standard merge-append, first-arrival-wins on read):
+
+- gram store: (gram, doc_id, pos) — the canonical first occurrence of
+  every w-token gram ever seen.  Append-only; replays dedup on read.
+- out store: (doc_id, text, n_tokens_removed) — the cleaned documents.
+
+Per batch: within-batch keep-first marking (the same gram-keyed window
+as batch), PLUS a probe of the gram store for spans first seen in
+EARLIER batches.  REPLAY SAFETY (the multi-store foreachBatch class
+from NOTES): the store probe excludes rows whose stored doc_id equals
+the probing doc's own id — a re-delivered doc would otherwise find its
+own grams in the store and scrub itself to nothing after a crash
+between the gram-store append and the out-store append.
+
+Ordering contract: the batch operator's canonical occurrence is the
+global (doc_id, pos) minimum; the stream's is FIRST ARRIVAL.  When
+batches arrive in ascending doc_id order the two are identical
+(parity-pinned in pytest); out-of-order arrival keeps a different—but
+equally valid—survivor per duplicated span, the same bounded
+divergence documented for the fuzzy upsert registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from wellmeet_data_pipeline_spark.operators.corpus import (
+    _remove_covered,
+    _span_frames,
+)
+from wellmeet_data_pipeline_spark.sinks.merge import (
+    merge_append,
+    read_current,
+    read_current_or_none,
+)
+from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
+
+
+def run_exactsubstr_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    gram_store: str,
+    out_store: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_w: int = 3,
+) -> None:
+    """Landing docs -> incremental ExactSubstr scrub -> cleaned store,
+    availableNow."""
+    stream = landing_stream(spark, landing_dir, schema)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from wellmeet_data_pipeline_spark.operators.dedup import dedup_keep_first
+
+        deduped = dedup_keep_first(batch_df, id_col, text_col)
+        base, toks, grams = _span_frames(deduped, text_col, id_col, span_w)
+        # grams feed the within-batch window, the store probe, and the
+        # first-occurrence append — pin the lineage once
+        grams = grams.localCheckpoint(eager=True)
+
+        w = Window.partitionBy("gram").orderBy(
+            F.col(id_col).asc(), F.col("pos").asc()
+        )
+        ranked = grams.withColumn("__rn", F.row_number().over(w))
+        in_batch_dups = ranked.filter(F.col("__rn") > 1).select(id_col, "pos")
+
+        stored = read_current_or_none(spark, gram_store, id_col="gram")
+        firsts = ranked.filter(F.col("__rn") == 1).select(id_col, "pos", "gram")
+        if stored is not None:
+            # self-exclusion: a replayed doc must not match its own
+            # stored grams (crash window between the two appends)
+            hits = (
+                firsts.join(
+                    stored.select(
+                        "gram", F.col(id_col).alias("__stored_doc")
+                    ),
+                    "gram",
+                )
+                .filter(F.col(id_col) != F.col("__stored_doc"))
+                .select(id_col, "pos")
+            )
+            marked = in_batch_dups.unionByName(hits)
+        else:
+            marked = in_batch_dups
+
+        cleaned = _remove_covered(base, toks, marked, span_w, id_col, text_col)
+        # at-least-once write order: gram registry FIRST, so a crash
+        # between the writes can only over-remember grams (handled by
+        # self-exclusion), never emit a doc whose spans aren't registered
+        merge_append(
+            firsts.select("gram", id_col, "pos"),
+            gram_store,
+            id_col="gram",
+            partition_col=None,
+            batch_seq=batch_id,
+        )
+        merge_append(
+            cleaned, out_store, id_col=id_col, partition_col=None, batch_seq=batch_id
+        )
+
+    (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_clean_corpus(spark: SparkSession, out_store: str, id_col: str = "doc_id"):
+    """The deduplicated corpus so far (first version per doc wins)."""
+    return read_current(spark, out_store, id_col=id_col)
