@@ -1209,3 +1209,56 @@ def test_streaming_exactsubstr_matches_batch_and_replays(spark, tmp_path):
         for r in read_clean_corpus(spark, out_p).collect()
     }
     assert got2 == want
+
+
+def test_streaming_exactsubstr_out_of_order_no_zero_survivor(spark, tmp_path):
+    """Out-of-order arrival keeps a DIFFERENT survivor than batch order,
+    but some copy of every duplicated span must survive — including
+    across a fresh-checkpoint full replay (the zero-survivor review
+    scenario: replay used to re-scrub the original survivor and tie its
+    out-store row)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.streaming.exactsubstr import (
+        read_clean_corpus,
+        run_exactsubstr_dedup,
+    )
+
+    landing = tmp_path / "oo_landing"
+    landing.mkdir()
+    grams_p = str(tmp_path / "oo_grams")
+    out_p = str(tmp_path / "oo_out")
+    schema = StructType.fromDDL("doc_id long, text string")
+    shared = "alpha beta gamma"
+
+    # doc 5 arrives FIRST, doc 3 second — reverse of the batch total order
+    (landing / "b1.json").write_text(
+        json.dumps([{"doc_id": 5, "text": f"{shared} five tail"}])
+    )
+    run_exactsubstr_dedup(
+        spark, str(landing), grams_p, out_p, str(tmp_path / "c1"), schema
+    )
+    (landing / "b2.json").write_text(
+        json.dumps([{"doc_id": 3, "text": f"{shared} three tail"}])
+    )
+    run_exactsubstr_dedup(
+        spark, str(landing), grams_p, out_p, str(tmp_path / "c2"), schema
+    )
+
+    def survivors():
+        rows = {r["doc_id"]: r["text"] for r in read_clean_corpus(spark, out_p).collect()}
+        return rows, sum(shared in t for t in rows.values())
+
+    rows1, n1 = survivors()
+    assert rows1[5] == f"{shared} five tail"  # first arrival keeps the span
+    assert n1 == 1                            # exactly one surviving copy
+
+    # full replay of both files, fresh checkpoint: already-done docs are
+    # skipped, nothing is re-scrubbed, still exactly one survivor
+    run_exactsubstr_dedup(
+        spark, str(landing), grams_p, out_p, str(tmp_path / "c3"), schema
+    )
+    rows2, n2 = survivors()
+    assert rows2 == rows1 and n2 == 1

@@ -1011,8 +1011,14 @@ def kcore_decomposition(
     for _ in range(max_iters):
         if converged:
             break
-        keep = e2.groupBy("u").agg(F.count("*").alias("__d")).filter(
-            F.col("__d") >= k
+        # keep is node-cardinality and consumed by BOTH semi-joins —
+        # without the pin the degree aggregation's shuffle runs twice
+        # per round (no CSE across plan subtrees)
+        keep = (
+            e2.groupBy("u")
+            .agg(F.count("*").alias("__d"))
+            .filter(F.col("__d") >= k)
+            .localCheckpoint(eager=True)
         )
         e2 = (
             e2.join(keep.select("u"), "u", "left_semi")

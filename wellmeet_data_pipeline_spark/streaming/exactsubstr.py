@@ -9,13 +9,15 @@ Stores (standard merge-append, first-arrival-wins on read):
   every w-token gram ever seen.  Append-only; replays dedup on read.
 - out store: (doc_id, text, n_tokens_removed) — the cleaned documents.
 
-Per batch: within-batch keep-first marking (the same gram-keyed window
-as batch), PLUS a probe of the gram store for spans first seen in
-EARLIER batches.  REPLAY SAFETY (the multi-store foreachBatch class
-from NOTES): the store probe excludes rows whose stored doc_id equals
-the probing doc's own id — a re-delivered doc would otherwise find its
-own grams in the store and scrub itself to nothing after a crash
-between the gram-store append and the out-store append.
+Per batch: docs already present in the out store are SKIPPED (their
+scrub is final — this, not tie-breaking, is what makes re-delivery a
+no-op); the rest get within-batch keep-first marking (the same
+gram-keyed window as batch) PLUS a probe of the gram store for spans
+first seen in EARLIER batches.  REPLAY SAFETY for the crash window
+between the two appends (the multi-store foreachBatch class from
+NOTES): the store probe excludes rows whose stored doc_id equals the
+probing doc's own id, so a doc whose grams were registered by a
+crashed attempt still emits its correctly-scrubbed row on retry.
 
 Ordering contract: the batch operator's canonical occurrence is the
 global (doc_id, pos) minimum; the stream's is FIRST ARRIVAL.  When
@@ -62,6 +64,17 @@ def run_exactsubstr_dedup(
         from wellmeet_data_pipeline_spark.operators.dedup import dedup_keep_first
 
         deduped = dedup_keep_first(batch_df, id_col, text_col)
+        # Docs already in the OUT store are finished — skip them before
+        # any scrubbing.  This is what makes replays true no-ops: a
+        # re-delivered doc would otherwise be re-scrubbed against the
+        # grown registry (its own grams self-excluded, but everything
+        # later-arrived matching) and its rewrite could TIE the original
+        # row's batch seq under a fresh checkpoint, letting first-wins
+        # pick a version where no copy of a duplicated span survives
+        # anywhere (review catch).
+        done = read_current_or_none(spark, out_store, id_col=id_col)
+        if done is not None:
+            deduped = deduped.join(done.select(id_col), id_col, "left_anti")
         base, toks, grams = _span_frames(deduped, text_col, id_col, span_w)
         # grams feed the within-batch window, the store probe, and the
         # first-occurrence append — pin the lineage once
@@ -93,11 +106,20 @@ def run_exactsubstr_dedup(
             marked = in_batch_dups
 
         cleaned = _remove_covered(base, toks, marked, span_w, id_col, text_col)
-        # at-least-once write order: gram registry FIRST, so a crash
-        # between the writes can only over-remember grams (handled by
-        # self-exclusion), never emit a doc whose spans aren't registered
+        # Register only grams the store does NOT already hold: appending
+        # every within-batch first would re-store recurring boilerplate
+        # grams once per batch, growing the registry with stream length
+        # instead of distinct-gram count (review catch).  at-least-once
+        # write order: gram registry FIRST, so a crash between the writes
+        # can only over-remember grams (handled by self-exclusion), never
+        # emit a doc whose spans aren't registered.
+        new_grams = firsts.select("gram", id_col, "pos")
+        if stored is not None:
+            new_grams = new_grams.join(
+                stored.select("gram"), "gram", "left_anti"
+            )
         merge_append(
-            firsts.select("gram", id_col, "pos"),
+            new_grams,
             gram_store,
             id_col="gram",
             partition_col=None,
