@@ -266,3 +266,97 @@ def test_containment_bounds_and_jaccard_dominance(spark, docs):
         assert 0 < r.containment_a_in_b <= 1 and 0 < r.containment_b_in_a <= 1
         jac = r.inter / (r.n_a + r.n_b - r.inter)
         assert max(r.containment_a_in_b, r.containment_b_in_a) >= jac - 1e-9
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=20),
+        min_size=8,
+        max_size=16,
+    )
+)
+def test_exact_substring_repeats_brute_force_parity(spark, token_lists):
+    """Every reported span is a maximal run of duplicated L-windows, and
+    every duplicated window start is covered by exactly one span —
+    pinned against a brute-force python implementation on tiny-alphabet
+    corpora (small alphabets force plenty of repeats)."""
+    from collections import Counter
+
+    from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats
+
+    L = 4
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+
+    # brute force: count every L-window across the corpus, mark duplicated
+    # starts, merge consecutive starts per doc
+    counts = Counter()
+    for _, text in docs:
+        w = text.split()
+        for p in range(len(w) - L + 1):
+            counts[" ".join(w[p:p + L])] += 1
+    want = set()
+    for i, text in docs:
+        w = text.split()
+        starts = [
+            p for p in range(len(w) - L + 1)
+            if counts[" ".join(w[p:p + L])] >= 2
+        ]
+        run = []
+        for p in starts:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((i, run[0], run[-1] - run[0] + L, len(run)))
+                run = [p]
+        if run:
+            want.add((i, run[0], run[-1] - run[0] + L, len(run)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_tokens"], r["n_windows"])
+        for r in exact_substring_repeats(df, min_tokens=L).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=5,
+        max_size=40,
+    )
+)
+def test_kcore_invariants(spark, raw_edges):
+    """k-core output invariants on random graphs: every member keeps
+    degree >= k inside the core (consistency), re-peeling the core is a
+    no-op (fixpoint), and no node outside the core could survive with
+    the core plus itself (a weak maximality probe via brute force)."""
+    from wellmeet_data_pipeline_spark.operators.dedup import kcore_decomposition
+
+    k = 2
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    if not edges:
+        edges = {(0, 1)}
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    core = {
+        r["node"]: r["core_degree"] for r in kcore_decomposition(df, k=k).collect()
+    }
+
+    # brute-force peel in python
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = {n: len(adj[n] & alive) for n in alive}
+    assert core == want
+    for n, d in core.items():
+        assert d >= k
