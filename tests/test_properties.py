@@ -277,8 +277,9 @@ def test_containment_bounds_and_jaccard_dominance(spark, docs):
     )
 )
 def test_exact_substring_repeats_brute_force_parity(spark, token_lists):
-    """Every reported span is a maximal run of duplicated L-windows, and
-    every duplicated window start is covered by exactly one span —
+    """Every reported span is a MAXIMAL cover of duplicated L-windows
+    (starts merge whenever their windows overlap or adjoin — gap <= L),
+    and every duplicated window start is covered by exactly one span —
     pinned against a brute-force python implementation on tiny-alphabet
     corpora (small alphabets force plenty of repeats)."""
     from collections import Counter
@@ -289,7 +290,7 @@ def test_exact_substring_repeats_brute_force_parity(spark, token_lists):
     docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
 
     # brute force: count every L-window across the corpus, mark duplicated
-    # starts, merge consecutive starts per doc
+    # starts, merge starts whose covers overlap or adjoin per doc
     counts = Counter()
     for _, text in docs:
         w = text.split()
@@ -304,7 +305,7 @@ def test_exact_substring_repeats_brute_force_parity(spark, token_lists):
         ]
         run = []
         for p in starts:
-            if run and p == run[-1] + 1:
+            if run and p <= run[-1] + L:
                 run.append(p)
             else:
                 if run:

@@ -476,14 +476,42 @@ def test_exact_substring_repeats_semantics(spark):
     assert got == {
         (1, 0, 10, 3),   # maximal cover of starts {0,1,2}
         (2, 1, 10, 3),
-        (4, 0, 8, 1),    # within-doc: both copies flagged, boundary windows
-        (4, 8, 8, 1),    # occur once so the two islands stay separate
+        (4, 0, 16, 2),   # within-doc: starts {0, 8} — windows [0,7] and
+    }                    # [8,15] ADJOIN (gap == L), so one maximal cover
+
+
+def test_exact_substring_repeats_overlap_merge(spark):
+    # the ADVICE r7 contract defect: starts with gap 2..L used to emit
+    # two OVERLAPPING spans (double-counting tokens on per-doc sums);
+    # maximal-cover semantics merges them into one span
+    from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats
+
+    # doc 1: duplicated 8-windows start at 0 and 2 (copies live in docs
+    # 2 and 3) — cover = tokens 0..9, ONE span of 10
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h"),          # copy of doc 1's window @0
+        (3, "c d e f g h i j"),          # copy of doc 1's window @2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_tokens"], r["n_windows"])
+        for r in exact_substring_repeats(df, min_tokens=8).collect()
     }
+    assert got == {
+        (1, 0, 10, 2),   # merged maximal cover of starts {0, 2}
+        (2, 0, 8, 1),
+        (3, 0, 8, 1),
+    }
+    # per-doc token sums are exact (no overlap double-count)
+    assert sum(s for d, _, s, _ in got if d == 1) == 10
 
 
 def test_exact_substring_repeats_no_pair_join(spark):
-    # duplication is a COUNT over the gram-key window, never a self-join:
-    # hot boilerplate windows must not create an O(occ^2) pair term
+    # duplication is a map-side-combined groupBy(gram) count + an anti
+    # join on near-unique (id, pos) keys — never a self-join, never a
+    # single-task gram-key window: hot boilerplate must create neither
+    # an O(occ^2) pair term nor a one-reducer hot spot
     from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats
 
     df = spark.createDataFrame(
@@ -493,7 +521,10 @@ def test_exact_substring_repeats_no_pair_join(spark):
     out = exact_substring_repeats(df, min_tokens=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only windows are doc-partitioned island merges; the gram key
+    # must never be a window partition (that ships every occurrence of
+    # the hottest gram to ONE task)
+    assert "windowspecdefinition(shingle" not in plan
     assert out.count() == 40  # every doc fully covered by one span
 
 

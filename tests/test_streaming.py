@@ -1262,3 +1262,69 @@ def test_streaming_exactsubstr_out_of_order_no_zero_survivor(spark, tmp_path):
     )
     rows2, n2 = survivors()
     assert rows2 == rows1 and n2 == 1
+
+def test_streaming_exactsubstr_tombstones_empty_and_consumed(spark, tmp_path):
+    """Done-ledger convergence (ADVICE r7): originally-empty docs and
+    fully-consumed docs must land in the out store as tombstones so the
+    done-skip learns them — a fresh-checkpoint replay of such a batch
+    re-processes NOTHING.  read_clean_corpus hides tombstones by
+    default (the batch operator's vanish contract) and exposes them
+    with include_empty=True."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.streaming.exactsubstr import (
+        read_clean_corpus,
+        run_exactsubstr_dedup,
+    )
+
+    landing = tmp_path / "tb_landing"
+    landing.mkdir()
+    grams_p = str(tmp_path / "tb_grams")
+    out_p = str(tmp_path / "tb_out")
+    schema = StructType.fromDDL("doc_id long, text string")
+
+    # doc 1: survivor; doc 2: exact copy -> FULLY consumed (vanishes);
+    # doc 3: empty; doc 4: whitespace-only; doc 5: null text
+    (landing / "b1.json").write_text(
+        json.dumps(
+            [
+                {"doc_id": 1, "text": "alpha beta gamma delta"},
+                {"doc_id": 2, "text": "alpha beta gamma delta"},
+                {"doc_id": 3, "text": ""},
+                {"doc_id": 4, "text": "   "},
+                {"doc_id": 5, "text": None},
+            ]
+        )
+    )
+    run_exactsubstr_dedup(
+        spark, str(landing), grams_p, out_p, str(tmp_path / "c1"), schema
+    )
+
+    visible = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in read_clean_corpus(spark, out_p).collect()
+    }
+    assert visible == {1: ("alpha beta gamma delta", 0)}
+
+    ledger = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in read_clean_corpus(spark, out_p, include_empty=True).collect()
+    }
+    # every delivered doc is in the ledger: empties/null with 0 removed,
+    # the fully-consumed copy with its whole token count
+    assert set(ledger) == {1, 2, 3, 4, 5}
+    assert ledger[2] == ("", 4)
+    assert ledger[3] == ("", 0) and ledger[4] == ("", 0) and ledger[5] == ("", 0)
+
+    # fresh-checkpoint replay: the done-skip knows every doc, so the
+    # ledger is byte-identical (no re-processing, no duplicate rows)
+    run_exactsubstr_dedup(
+        spark, str(landing), grams_p, out_p, str(tmp_path / "c2"), schema
+    )
+    ledger2 = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in read_clean_corpus(spark, out_p, include_empty=True).collect()
+    }
+    assert ledger2 == ledger

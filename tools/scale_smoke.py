@@ -229,6 +229,22 @@ def run_exact_substring(spark, sf_dir, factor):
     ).count()
 
 
+def run_exact_substring_hot_gram(spark, sf_dir, factor):
+    """Skew fixture: every doc in EVERY copy gets the same un-suffixed
+    16-token boilerplate prefix, so each boilerplate 8-gram occurs
+    n_docs*factor times (~320k at 64x) — the hot-key class that melts a
+    gram-partitioned window onto one task.  The operator's duplicated-
+    start derivation is a map-side-combined groupBy + an anti join on
+    (id, pos), so wall time must stay in line with the un-skewed smoke."""
+    from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats
+
+    boiler = "this content is provided as is without warranty of any kind either express or implied"
+    d = scaled_documents(spark, sf_dir, factor).select(
+        "doc_id", F.concat(F.lit(boiler + " "), F.col("text")).alias("text")
+    )
+    return exact_substring_repeats(d, min_tokens=8).count()
+
+
 def run_band_plan(spark, sf_dir, factor):
     from wellmeet_data_pipeline_spark.operators.dedup import minhash_band_plan
 
@@ -467,6 +483,7 @@ OPS = {
     "semdedup_survivors": run_semdedup,
     "cross_doc_spans": run_cross_doc_spans,
     "exact_substring_repeats": run_exact_substring,
+    "exact_substring_hot_gram": run_exact_substring_hot_gram,
     "minhash_band_plan": run_band_plan,
     "ivf_index_merge": run_ivf_merge,
     "dup_graph_kcore": run_kcore,

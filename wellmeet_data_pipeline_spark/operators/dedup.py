@@ -972,7 +972,7 @@ def kcore_decomposition(
     k: int = 2,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 200,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """k-core of the duplicate graph: the maximal subgraph in which
     every node keeps degree >= k — the DENSITY read the other graph
@@ -988,7 +988,14 @@ def kcore_decomposition(
     discipline — the plan would double every round otherwise).
     Convergence = edge count unchanged (peeling is monotone, so the
     count is a complete convergence signature); rounds are bounded by
-    the graph's degeneracy ordering depth, in practice a handful.
+    the graph's degeneracy ordering depth, in practice a handful.  The
+    default runs TO the fixpoint — termination is guaranteed because
+    every non-converged round strictly shrinks the edge set, so the
+    round count can never exceed the edge count (this matches the
+    unbounded recursive-CTE oracle even on pathological long-path
+    graphs that peel two nodes per round).  Pass max_iters for an
+    explicit budget; exhausting it raises rather than returning a
+    partial peel (a partial peel is NOT a k-core).
 
     Input edges are normalized (orientation, self-loops, duplicates)
     so callers can hand over any pair list.  Output: (node,
@@ -1008,9 +1015,9 @@ def kcore_decomposition(
     )
     n_prev = e2.count()
     converged = n_prev == 0
-    for _ in range(max_iters):
-        if converged:
-            break
+    rounds = 0
+    while not converged and (max_iters is None or rounds < max_iters):
+        rounds += 1
         # keep is node-cardinality and consumed by BOTH semi-joins —
         # without the pin the degree aggregation's shuffle runs twice
         # per round (no CSE across plan subtrees)
@@ -1152,16 +1159,31 @@ def exact_substring_repeats(
     output the actual dedup consumes, and it differs from
     cross_doc_spans on all three axes that matter at corpus grain:
     same-doc repeats count, duplication is a corpus-wide occurrence
-    COUNT (a window function — hot boilerplate windows never enter a
-    pair join, so there is no O(occurrences²) term and no DF cap to
-    tune), and the output is the merged per-doc cover, not pairwise
-    alignments.
+    COUNT (never a pair join, so there is no O(occurrences²) term and
+    no DF cap to tune), and the output is the merged per-doc cover,
+    not pairwise alignments.
 
-    Plan shape: positioned windows from shingles_df's lead topology
-    (one doc-grain shuffle), occurrence count over a window PARTITIONED
-    BY the gram key (one key shuffle — reused by nothing downstream
-    because starts collapse immediately to doc grain), islands merge on
-    a doc-partitioned window.  Never a self-join.
+    Plan shape — SKEW-PROOF by construction: a start is duplicated iff
+    it is NOT its gram's unique occurrence, so the duplicated-start set
+    is grams MINUS the count==1 singletons.  The count aggregation is a
+    map-side-combined groupBy(gram) (a boilerplate gram with 10⁹
+    occurrences collapses to one partial per input task — no single
+    reducer ever sees the raw occurrence list, unlike a window
+    PARTITIONED BY the gram key, which ships every occurrence of the
+    hottest gram to ONE task); since a count-1 gram has exactly one
+    occurrence, the aggregate itself carries that occurrence's (id,
+    pos), and the exclusion is a left_anti join on (id, pos) — a
+    near-unique, uniformly-hashed key with no hot-key class at all.
+    Islands then merge on a doc-partitioned window.  Never a self-join.
+
+    Island rule — MAXIMAL COVERS (Lee et al. merged-range semantics):
+    two duplicated starts belong to one span iff their length-L windows
+    overlap or adjoin, i.e. next_pos <= prev_pos + L.  Because starts
+    are scanned in pos order and window ends are monotone in pos, a
+    running sum of gap flags (gap = pos - lag(pos) > L) numbers the
+    islands exactly; the resulting covers are contiguous, disjoint, and
+    maximal, so summing span_tokens per doc never double-counts a
+    token.
 
     A true suffix-array construction (distributed prefix doubling:
     dense-rank the vocabulary, then log2(L) rounds of integer-rank
@@ -1180,14 +1202,29 @@ def exact_substring_repeats(
     grams = shingles_df(
         docs, text_col=text_col, id_col=id_col, n=min_tokens, keep_pos=True
     )
-    by_gram = Window.partitionBy("shingle")
-    starts = (
-        grams.withColumn("__c", F.count("*").over(by_gram))
-        .filter(F.col("__c") >= 2)
+    # (id, pos) identifies one gram occurrence, so a count-1 gram's
+    # aggregate row IS its only occurrence — min() over one row is exact.
+    singletons = (
+        grams.groupBy("shingle")
+        .agg(
+            F.count("*").alias("__c"),
+            F.min(id_col).alias(id_col),
+            F.min("pos").alias("pos"),
+        )
+        .filter(F.col("__c") == 1)
         .select(id_col, "pos")
     )
+    starts = grams.select(id_col, "pos").join(
+        singletons, [id_col, "pos"], "left_anti"
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
-    islands = starts.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = starts.withColumn(
+        "__gap",
+        F.when(F.col("pos") - F.lag("pos").over(w) > min_tokens, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("__grp", F.sum("__gap").over(cum))
     return (
         islands.groupBy(id_col, "__grp")
         .agg(

@@ -8192,10 +8192,18 @@ def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams AS (SELECT doc_id, pos1 - 1 AS pos, g FROM grams0),
     dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
     starts AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+    gaps AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS gap
+      FROM starts
+    ),
     islands AS (
       SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      FROM starts
+             sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+      FROM gaps
     )
     SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens,
@@ -8203,13 +8211,18 @@ def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM islands GROUP BY doc_id, grp
     """,
     "ExactSubstr per-doc removal spans (Lee et al. 2021 suffix-array "
-    "dedup read): maximal token spans covered by 8-token windows "
+    "dedup read): MAXIMAL token spans covered by 8-token windows "
     "occurring >= 2 times anywhere in the corpus (same doc or across "
-    "docs).  Duplication is a COUNT over a gram-key window partition — "
-    "hot boilerplate never enters a pair join — and the key is the exact "
-    "gram content (no hashing).  A distributed prefix-doubling suffix-"
-    "rank construction was implemented, measured bit-identical and ~9x "
-    "slower at fixed L=8, and rejected (operator docstring)",
+    "docs) — starts merge whenever their windows overlap or adjoin "
+    "(gap <= 8), so covers are contiguous, disjoint, and maximal, and "
+    "per-doc span_tokens sums never double-count.  Duplication is a "
+    "map-side-combined groupBy(gram) count with a left_anti exclusion "
+    "of the count-1 singletons on (doc, pos) — hot boilerplate never "
+    "enters a pair join OR a single-task gram-key window — and the key "
+    "is the exact gram content (no hashing).  A distributed prefix-"
+    "doubling suffix-rank construction was implemented, measured "
+    "bit-identical and ~9x slower at fixed L=8, and rejected (operator "
+    "docstring)",
 )
 def q_exact_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats
@@ -8231,64 +8244,64 @@ def q_exact_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # -- r7 window: the 18 oracle-backed queries that have NEVER had a
-    # driver-side hash row (registry minus the union of CORRECTNESS_r01-r06
-    # hash-green keys minus rows-only — the round-6 retrieval / linkage /
-    # drift / robust-stats / containment / geo additions) go first; after
-    # this window lands, every oracle-backed query in the registry has had
-    # at least one driver row.  Then 32 §2-core anchors (all r4-green) so
-    # the scoreboard keeps its reference-surface anchor on fresh data. --
-    "decayed_user_value",
-    "dedup_simhash_sha",
-    "dedup_embedding_lsh_sha",
-    "bm25_topk",
-    "hybrid_rrf_topk",
-    "readability_scores",
-    "l_diversity_audit",
-    "trimmed_mean_by_type",
-    "bootstrap_mean_ci",
-    "fuzzy_link_records",
-    "source_drift_js",
-    "dup_triangle_count",
-    "source_vocab_overlap",
-    "ngram_containment_pairs",
-    "containment_components",
-    "vocab_growth_curve",
-    "geo_grid_neighbors",
-    "dedup_audit_summary",
-    # -- §2-core anchors (r4-green) --
-    "pack_sequences",
-    "corpus_end_to_end",
-    "flagship_incremental_enrich",
-    "conditional_counts",
-    "grouped_sample",
-    "join_anti_new_rows",
-    "join_semi_existing",
-    "join_insert_if_absent",
-    "join_star_enrich",
-    "dedup_keep_first",
-    "distinct_keys",
-    "surrogate_key_sha2",
-    "union_distinct",
-    "orderby_limit",
-    "project_rename_cast",
-    "validate_required_fields",
-    "fillna_defaults",
-    "explode_flatten",
-    "clean_address_regex",
-    "extract_place_id_regex",
-    "url_decode_keys",
-    "format_keys",
-    "tumbling_window",
-    "sliding_window",
-    "session_window",
-    "scrub_pii",
-    "decontaminate_benchmark",
-    "gopher_repetition",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "corpus_quality_filter",
-    "gopher_quality_rules",
+    # -- r8 window: CORRECTNESS_r07 landed 50/50, so driver evidence now
+    # covers every oracle-backed query that existed at the START of round
+    # 7.  The four round-7 additions (ivf_index_merge, minhash_band_plan,
+    # exact_substring_repeats, dup_graph_kcore) have never had a driver
+    # row — they lead.  Then the 46 OLDEST-evidence anchors (r2/r3/r4/r5
+    # driver-green, re-proven on fresh data) so the whole registry's
+    # evidence stays recent as testdata regenerates every round. --
+    "ivf_index_merge",
+    "minhash_band_plan",
+    "exact_substring_repeats",
+    "dup_graph_kcore",
+    # -- oldest-evidence anchors (r2-r5 green) --
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_sha",
+    "json_typed_extract",
+    "cosine_topk_bruteforce",
+    "cosine_topk_exact_clustered",
+    "cube_subtotals",
+    "customer_above_avg",
+    "date_parts",
+    "date_trunc_month",
+    "dedup_exact_documents",
+    "doc_fingerprint",
+    "except_keys",
+    "grouping_sets",
+    "intersect_keys",
+    "ngram_jaccard_pairs",
+    "pivot_event_counts",
+    "pricing_summary",
+    "rollup_subtotals",
+    "stats_by_type",
+    "string_functions",
+    "text_language_guess",
+    "text_quality_score",
+    "text_token_stats",
+    "topk_per_group",
+    "window_running_sum",
+    "chunk_documents",
+    "contamination_report",
+    "corpus_shuffle_shards",
+    "corpus_split",
+    "dedup_cluster_survivors",
+    "dedup_components",
+    "dedup_vs_reference",
+    "dup_line_stats",
+    "hard_negatives_topk",
+    "line_dedup_global",
+    "ngram_lm_perplexity",
+    "quality_classifier_score",
+    "rebalance_sources",
+    "repeated_span_removal",
+    "temperature_mix",
+    "unicode_nfc",
+    "user_value_quartiles",
+    "vocab_coverage",
+    "asof_join_last_purchase",
+    "basket_part_pairs",
+    "bucketed_order_revenue",
 ]
 
 

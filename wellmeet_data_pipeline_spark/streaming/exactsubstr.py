@@ -7,7 +7,11 @@ Stores (standard merge-append, first-arrival-wins on read):
 
 - gram store: (gram, doc_id, pos) — the canonical first occurrence of
   every w-token gram ever seen.  Append-only; replays dedup on read.
-- out store: (doc_id, text, n_tokens_removed) — the cleaned documents.
+- out store: (doc_id, text, n_tokens_removed) — the cleaned documents,
+  PLUS done-ledger tombstones (empty text) for originally-empty and
+  fully-consumed docs, so the done-skip converges and fresh-checkpoint
+  replays never re-process them (read_clean_corpus filters tombstones
+  by default, matching the batch operator's vanish contract).
 
 Per batch: docs already present in the out store are SKIPPED (their
 scrub is final — this, not tie-breaking, is what makes re-delivery a
@@ -75,6 +79,19 @@ def run_exactsubstr_dedup(
         done = read_current_or_none(spark, out_store, id_col=id_col)
         if done is not None:
             deduped = deduped.join(done.select(id_col), id_col, "left_anti")
+        # Empty/whitespace-only docs never enter _span_frames (no tokens,
+        # nothing to scrub) — but they MUST still land in the out store,
+        # or the done-skip above never learns them and every
+        # fresh-checkpoint replay re-processes them forever (unbounded
+        # repeat work; review catch).  Tombstone: zero-token reassembly,
+        # n_tokens_removed = 0.
+        empties = deduped.filter(
+            F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
+        ).select(
+            id_col,
+            F.lit("").alias(text_col),
+            F.lit(0).cast("long").alias("n_tokens_removed"),
+        )
         base, toks, grams = _span_frames(deduped, text_col, id_col, span_w)
         # grams feed the within-batch window, the store probe, and the
         # first-occurrence append — pin the lineage once
@@ -106,6 +123,21 @@ def run_exactsubstr_dedup(
             marked = in_batch_dups
 
         cleaned = _remove_covered(base, toks, marked, span_w, id_col, text_col)
+        # Fully-consumed docs (every token covered) emit no reassembly
+        # row — the batch operator's documented "vanish" contract — but
+        # the DONE LEDGER needs them for the same replay-convergence
+        # reason as empties: tombstone with the full removal count.
+        cleaned = cleaned.localCheckpoint(eager=True)
+        consumed = (
+            base.select(id_col, F.size("__words").alias("__n"))
+            .join(cleaned.select(id_col), id_col, "left_anti")
+            .select(
+                id_col,
+                F.lit("").alias(text_col),
+                F.col("__n").cast("long").alias("n_tokens_removed"),
+            )
+        )
+        cleaned = cleaned.unionByName(consumed).unionByName(empties)
         # Register only grams the store does NOT already hold: appending
         # every within-batch first would re-store recurring boilerplate
         # grams once per batch, growing the registry with stream length
@@ -138,6 +170,22 @@ def run_exactsubstr_dedup(
     )
 
 
-def read_clean_corpus(spark: SparkSession, out_store: str, id_col: str = "doc_id"):
-    """The deduplicated corpus so far (first version per doc wins)."""
-    return read_current(spark, out_store, id_col=id_col)
+def read_clean_corpus(
+    spark: SparkSession,
+    out_store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_empty: bool = False,
+) -> DataFrame:
+    """The deduplicated corpus so far (first version per doc wins).
+
+    The store also holds DONE-LEDGER tombstones — originally-empty docs
+    and fully-consumed docs (empty text, n_tokens_removed = all) — so
+    fresh-checkpoint replays skip them instead of re-processing forever.
+    By default they are filtered out, matching the batch operator's
+    "fully-consumed docs vanish" contract; pass include_empty=True for
+    the raw ledger view."""
+    cur = read_current(spark, out_store, id_col=id_col)
+    if include_empty:
+        return cur
+    return cur.filter(F.col(text_col) != "")
