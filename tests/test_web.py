@@ -1,0 +1,100 @@
+"""URL canonicalization + domain-cap edge cases (round 8)."""
+
+from pyspark.sql import functions as F
+
+
+def _canon_one(spark, url):
+    from wellmeet_data_pipeline_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonical_url(F.col("url")).alias("c")).collect()[0]["c"]
+
+
+def _domain_one(spark, url):
+    from wellmeet_data_pipeline_spark.operators.web import url_domain
+
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(url_domain(F.col("url")).alias("d")).collect()[0]["d"]
+
+
+def test_canonical_url_cases(spark):
+    cases = {
+        # scheme + host case-fold
+        "HTTPS://WWW.Example.COM/A/b": "https://www.example.com/A/b",
+        # default ports dropped, either scheme
+        "http://x.com:80/p": "http://x.com/p",
+        "https://x.com:443/p": "https://x.com/p",
+        # non-default port kept
+        "https://x.com:8443/p": "https://x.com:8443/p",
+        # the OTHER scheme's default port is NOT dropped
+        "http://x.com:443/p": "http://x.com:443/p",
+        # userinfo stripped
+        "https://user:pw@x.com/p": "https://x.com/p",
+        # empty path -> "/", with and without query
+        "https://x.com": "https://x.com/",
+        "https://x.com?b=2&a=1": "https://x.com/?a=1&b=2",
+        # trailing slash runs stripped (root slash survives)
+        "https://x.com/a/b///": "https://x.com/a/b",
+        "https://x.com///": "https://x.com/",
+        # fragment dropped
+        "https://x.com/p#frag": "https://x.com/p",
+        # tracking params dropped: utm_* prefix, bare key, key=value
+        "https://x.com/p?utm_source=rss&id=3": "https://x.com/p?id=3",
+        "https://x.com/p?ref": "https://x.com/p",
+        "https://x.com/p?gclid=abc": "https://x.com/p",
+        # params byte-sorted; empty params dropped
+        "https://x.com/p?z=9&&a=1": "https://x.com/p?a=1&z=9",
+        # a NON-tracking param that merely contains a tracking substring
+        # must survive ("referrer" is not "ref")
+        "https://x.com/p?referrer=1": "https://x.com/p?referrer=1",
+    }
+    for url, want in cases.items():
+        assert _canon_one(spark, url) == want, url
+
+
+def test_canonical_url_non_urls_are_null(spark):
+    for url in ["www.x.com/p", "not a url", "", "x.com:80"]:
+        assert _canon_one(spark, url) is None, url
+    from wellmeet_data_pipeline_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame([(None,)], "url string")
+    assert df.select(canonical_url(F.col("url")).alias("c")).collect()[0]["c"] is None
+
+
+def test_canonical_url_idn_hosts_casefold_not_punycode(spark):
+    # contract: IDN hosts are case-folded, NOT punycoded (module docstring)
+    assert (
+        _canon_one(spark, "https://MÜNCHEN.example/Straße")
+        == "https://münchen.example/Straße"
+    )
+    assert _domain_one(spark, "https://WWW.MÜNCHEN.example/x") == "münchen.example"
+
+
+def test_url_domain_strips_www_and_port(spark):
+    assert _domain_one(spark, "https://WWW.News.Example.COM:8080/a") == (
+        "news.example.com"
+    )
+    assert _domain_one(spark, "https://u:p@www.x.com/a") == "x.com"
+    # www-less host unchanged; wwwx is not www.
+    assert _domain_one(spark, "https://wwwx.com/a") == "wwwx.com"
+    assert _domain_one(spark, "nota url") is None
+
+
+def test_domain_doc_caps_semantics_and_plan(spark):
+    from wellmeet_data_pipeline_spark.operators.web import domain_doc_caps
+
+    rows = [(i, f"https://{'a' if i < 5 else 'b'}.com/p{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_doc_caps(df, cap=3)
+    got = {
+        r["doc_id"]: (r["domain"], r["domain_rank"], r["n_domain_docs"], r["keep"])
+        for r in out.collect()
+    }
+    # domain a.com: ids 0-4 -> ranks 1..5, first 3 kept; b.com: 5-7 all kept
+    assert got[0] == ("a.com", 1, 5, 1) and got[2] == ("a.com", 3, 5, 1)
+    assert got[3] == ("a.com", 4, 5, 0) and got[4] == ("a.com", 5, 5, 0)
+    assert all(got[i][3] == 1 for i in (5, 6, 7))
+    # skew-free contract: no window partitioned by the domain key — every
+    # windowspecdefinition is pid-scoped (global_rank_cumsum's local pass)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(domain" not in plan

@@ -8231,6 +8231,211 @@ def q_exact_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_repeats(d, min_tokens=8)
 
 
+# ---------------------------------------------------------------------------
+# URL / domain curation family (round 8): canonical URL keys + RefinedWeb
+# domain frequency caps.  The synthesized URL recipe is deterministic from
+# (doc_id, source, lang) and deliberately exercises every clause of the
+# canonicalization contract (operators/web.py module docstring): mixed-case
+# scheme/host, userinfo, default and non-default ports, tracking params,
+# unsorted params, trailing slashes, empty paths, fragments, and a
+# scheme-less branch that must canonicalize to NULL.
+# ---------------------------------------------------------------------------
+
+
+def _synth_url_spark():
+    m = F.col("doc_id") % 5
+    src = F.coalesce(F.col("source"), F.lit("nul"))
+    lng = F.coalesce(F.col("lang"), F.lit("xx"))
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTPS://User:Pw@WWW."), src, F.lit(".Example.COM:443/Articles/"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("/?utm_source=rss&b="), lng, F.lit("&a=1#top"),
+            ),
+        )
+        .when(m == 1, F.concat(F.lit("http://"), src, F.lit(".example.com:80?gclid=abc")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://cdn."), src, F.lit(".example.org:8443/static/img_"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("HTTP://"), src, F.lit(".EXAMPLE.net/path/"),
+                (F.col("doc_id") % 7).cast("string"), F.lit("/?ref=tw&z=9&y=8"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("www."), src, F.lit(".example.com/x")))
+    )
+
+
+_URL_SYNTH_SQL = """CASE doc_id % 5
+      WHEN 0 THEN 'HTTPS://User:Pw@WWW.' || coalesce(source, 'nul')
+                  || '.Example.COM:443/Articles/' || CAST(doc_id % 50 AS VARCHAR)
+                  || '/?utm_source=rss&b=' || coalesce(lang, 'xx') || '&a=1#top'
+      WHEN 1 THEN 'http://' || coalesce(source, 'nul') || '.example.com:80?gclid=abc'
+      WHEN 2 THEN 'https://cdn.' || coalesce(source, 'nul')
+                  || '.example.org:8443/static/img_' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'HTTP://' || coalesce(source, 'nul') || '.EXAMPLE.net/path/'
+                  || CAST(doc_id % 7 AS VARCHAR) || '/?ref=tw&z=9&y=8'
+      ELSE 'www.' || coalesce(source, 'nul') || '.example.com/x'
+    END"""
+
+
+def _canon_ctes() -> str:
+    """DuckDB CTE chain mirroring operators/web.py's canonicalization
+    contract clause-for-clause (scheme case-fold, userinfo strip, default
+    ports, trailing-slash/empty path, tracking-param drop + byte-sort,
+    fragment drop, scheme-less -> NULL).  Regexes avoid both `\\s` (the
+    ledger rule) and tail-capturing `.` (Java excludes \\r, RE2 doesn't);
+    the tracking predicate is pure starts_with chains on both engines."""
+    from wellmeet_data_pipeline_spark.operators.web import TRACKING_KEYS
+
+    track = " OR ".join(
+        ["starts_with(x, 'utm_')"]
+        + [f"x = '{k}' OR starts_with(x, '{k}=')" for k in TRACKING_KEYS]
+    )
+    return f"""
+    u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+    p1 AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme
+      FROM u
+    ),
+    p2 AS (SELECT *, substr(url, length(scheme) + 4, length(url)) AS after_s FROM p1),
+    p3 AS (SELECT *, regexp_extract(after_s, '^([^/?#]*)', 1) AS authority FROM p2),
+    p4 AS (
+      SELECT *,
+             substr(after_s, length(authority) + 1, length(after_s)) AS rest,
+             regexp_replace(authority, '^[^@]*@', '') AS auth2
+      FROM p3
+    ),
+    p5 AS (
+      SELECT *,
+             lower(regexp_extract(auth2, '^([^:]*)', 1)) AS host,
+             regexp_extract(auth2, ':([0-9]+)$', 1) AS port
+      FROM p4
+    ),
+    p6 AS (
+      SELECT *,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN host ELSE host || ':' || port END AS netloc,
+             CASE WHEN regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '')
+             END AS path,
+             -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+             -- array_join([]) is '' (round-8 ledger fact)
+             coalesce(array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(rest, '\\?([^#]*)', 1), '&'),
+                 x -> x <> '' AND NOT ({track}))), '&'), '') AS qs
+      FROM p5
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             CASE WHEN scheme = '' THEN NULL
+                  ELSE scheme || '://' || netloc || path ||
+                       CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+             END AS canonical_url,
+             CASE WHEN scheme = '' THEN NULL
+                  ELSE regexp_replace(host, '^www\\.', '')
+             END AS domain
+      FROM p6
+    )"""
+
+
+@_q(
+    "url_canonicalize",
+    f"""
+    WITH {_canon_ctes()}
+    SELECT doc_id, url, canonical_url, domain FROM canon
+    """,
+    "URL canonicalization (generalizes F7's key decode, save-reviews/"
+    "lambda_function.py:43, into the RefinedWeb URL-dedup key): case-fold "
+    "scheme+host, strip userinfo/fragment/default ports/trailing slashes, "
+    "drop tracking params, byte-sort survivors; scheme-less inputs -> "
+    "NULL.  Pure codegen string/array expressions — no UDF, no regex "
+    "inside HOF lambdas",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.web import canonical_url, url_domain
+
+    d = table(spark, sf_dir, "documents")
+    u = d.select("doc_id", _synth_url_spark().alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        canonical_url(F.col("url")).alias("canonical_url"),
+        url_domain(F.col("url")).alias("domain"),
+    )
+
+
+@_q(
+    "domain_doc_caps",
+    f"""
+    WITH {_canon_ctes()},
+    d AS (SELECT doc_id, domain FROM canon WHERE domain IS NOT NULL),
+    r AS (
+      SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS domain_rank,
+             count(*) OVER (PARTITION BY domain) AS n_domain_docs
+      FROM d
+    )
+    SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank,
+           CAST(n_domain_docs AS BIGINT) AS n_domain_docs,
+           CAST(CASE WHEN domain_rank <= 3 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM r
+    """,
+    "RefinedWeb-style per-domain frequency cap (Penedo et al. 2023): at "
+    "most 3 docs per domain survive, lowest doc_id first.  The per-domain "
+    "rank is global_rank_cumsum's two-pass range-partitioned rank over "
+    "(domain, doc_id) — NO domain-partitioned window anywhere, so a "
+    "mega-domain spreads across every range partition instead of one task",
+)
+def q_domain_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.web import domain_doc_caps
+
+    d = table(spark, sf_dir, "documents")
+    u = d.select("doc_id", _synth_url_spark().alias("url"))
+    return domain_doc_caps(u, url_col="url", cap=3)
+
+
+@_q(
+    "url_dedup_by_canonical",
+    f"""
+    WITH {_canon_ctes()}
+    SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(count(*) AS BIGINT) AS n_variants
+    FROM canon WHERE canonical_url IS NOT NULL
+    GROUP BY canonical_url
+    """,
+    "Exact URL dedup on the canonical key (the RefinedWeb §3.1 URL-dedup "
+    "pass): syntactic variants (case, ports, param order, tracking "
+    "params, fragments) collapse to one key; keep-lowest-id survivor + "
+    "variant count per key.  One map-side-combined aggregation on the "
+    "canonical string",
+)
+def q_url_dedup_by_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.web import canonical_url
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", canonical_url(_synth_url_spark()).alias("canonical_url"))
+        .filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("long").alias("kept_doc_id"),
+            F.count("*").cast("long").alias("n_variants"),
+        )
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
