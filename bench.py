@@ -137,6 +137,8 @@ HEADLINE = [
     "url_canonicalize",
     "domain_doc_caps",
     "url_dedup_by_canonical",
+    "sketch_value_quantiles",
+    "sketch_merge_parity",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -361,3 +361,60 @@ def test_kcore_invariants(spark, raw_edges):
     assert core == want
     for n, d in core.items():
         assert d >= k
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.integers(-1_000_000, 1_000_000),
+        min_size=20,
+        max_size=300,
+    )
+)
+def test_quantile_sketch_error_bound_and_monoid(spark, values):
+    """DDSketch-shape guarantees, pinned generatively: (1) every quantile
+    estimate's relative error toward zero is < 2^-sub_bits vs the exact
+    order statistic (and EXACT for |v| < 2^(sub_bits+1)); (2) merging
+    split sketches is byte-identical to the one-shot sketch (monoid)."""
+    import math
+
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        quantile_sketch,
+        quantile_sketch_merge,
+        quantiles_from_sketch,
+    )
+
+    sub_bits = 5
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "rid long, v long"
+    )
+    sk = quantile_sketch(df, "v", sub_bits=sub_bits)
+
+    # monoid: 3-way split merge == one-shot, exactly
+    parts = [
+        quantile_sketch(df.filter(F.col("rid") % 3 == i), "v", sub_bits=sub_bits)
+        for i in range(3)
+    ]
+    merged = quantile_sketch_merge(parts)
+    one = {(r["bucket_lb"], r["cnt"]) for r in sk.collect()}
+    mrg = {(r["bucket_lb"], r["cnt"]) for r in merged.collect()}
+    assert one == mrg
+
+    qs = [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")]
+    got = {
+        r["quantile"]: r["est"] for r in quantiles_from_sketch(sk, quantiles=qs).collect()
+    }
+    ordered = sorted(values)
+    n = len(ordered)
+    for num, den, label in qs:
+        exact = ordered[(num * n + den - 1) // den - 1]  # rank ceil(qN), 1-based
+        est = got[label]
+        if abs(exact) < 2 ** (sub_bits + 1):
+            assert est == exact, (label, est, exact)
+        else:
+            # lower-bound representative: est between exact shrunk toward
+            # zero by < 2^-sub_bits and exact itself
+            assert abs(est) <= abs(exact) and abs(exact) - abs(est) < math.ldexp(
+                abs(exact), -sub_bits
+            ), (label, est, exact)
+            assert (est >= 0) == (exact >= 0) or exact == 0

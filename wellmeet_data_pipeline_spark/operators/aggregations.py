@@ -505,3 +505,120 @@ def bootstrap_mean_ci(
     return point.join(cis, group_col, "left").select(
         group_col, "n_rows", "mean_value", "ci_lo", "ci_hi", "n_replicas_used"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (DDSketch-shaped, integer-exact)
+# ---------------------------------------------------------------------------
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Mergeable quantile sketch frame — the 100 TB percentile answer
+    (exact grid percentiles need a global rank pass; this needs one
+    map-side-combined aggregation).
+
+    DDSketch-shaped (Masson et al., VLDB'19) but on an exact INTEGER
+    grid so both engines reproduce it bit-for-bit: a value keeps its
+    sign and its top (sub_bits+1) significant bits; the rest zero out.
+    bucket_lb = sign * (|v| - |v| mod 2^max(bitlen(|v|)-1-sub_bits, 0))
+    is monotone in v, values under 2^(sub_bits+1) are EXACT, and the
+    relative error toward zero is < 2^-sub_bits.  The sketch is the
+    (group, bucket_lb, cnt) frame itself:
+
+    - bounded: <= ~63 * 2^sub_bits buckets per group regardless of rows;
+    - a MONOID: merge = unionByName + re-aggregate (quantile_sketch_merge)
+      — per-source / per-day sketches roll up without touching raw rows;
+    - skew-free: one groupBy with partial aggregation, no windows, no
+      joins; a hot group collapses map-side like any grouped count.
+
+    Input must be integer-valued (cast upstream to cents/micros — the
+    money convention everywhere in this repo).  NULLs are dropped."""
+    v = F.col(value_col).cast("long")
+    a = F.abs(v)
+    shift = F.greatest(
+        F.length(F.bin(a)) - F.lit(1 + sub_bits), F.lit(0)
+    ).cast("int")
+    base = df.filter(v.isNotNull()).select(
+        *group_cols,
+        v.alias("__v"),
+        a.alias("__a"),
+        shift.alias("__shift"),
+    )
+    lb = F.col("__a") - F.col("__a") % F.expr(
+        "shiftleft(CAST(1 AS BIGINT), __shift)"
+    )
+    signed_lb = F.when(F.col("__v") < 0, -lb).otherwise(lb)
+    return (
+        base.select(*group_cols, signed_lb.cast("long").alias("bucket_lb"))
+        .groupBy(*group_cols, "bucket_lb")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def quantile_sketch_merge(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Monoid merge: counts add per (group, bucket).  Associative and
+    commutative by construction, so per-partition / per-source / per-day
+    sketches combine in any order and any tree shape."""
+    from functools import reduce
+
+    merged = reduce(lambda x, y: x.unionByName(y), sketches)
+    return merged.groupBy(*group_cols, "bucket_lb").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def quantiles_from_sketch(
+    sketch: DataFrame,
+    quantiles: Sequence[tuple[int, int, str]] = (
+        (1, 2, "p50"),
+        (9, 10, "p90"),
+        (99, 100, "p99"),
+    ),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile estimates from a sketch frame: per group, the smallest
+    bucket_lb whose cumulative count reaches rank ceil(q*N) (1-based,
+    lower-bound representative — the estimate is exact for values under
+    2^(sub_bits+1) and within 2^-sub_bits relative error otherwise).
+
+    Quantiles are RATIONALS (num, den, label): the rank target is
+    (num*N + den - 1) div den — integer end-to-end, no float quantile
+    interpolation to diverge between engines.  The cumulative window is
+    bucket-grain (sketch cardinality, never row cardinality) and is
+    checkpointed once for all quantile legs."""
+    n = sketch.groupBy(*group_cols).agg(F.sum("cnt").cast("long").alias("__n"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket_lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        sketch.withColumn("__cum", F.sum("cnt").over(w))
+        .join(n, list(group_cols)) if group_cols
+        else sketch.withColumn("__cum", F.sum("cnt").over(w)).crossJoin(F.broadcast(n))
+    )
+    cum = cum.localCheckpoint(eager=True)  # one layout for every leg
+    legs = []
+    for num, den, label in quantiles:
+        target = F.expr(f"(CAST({num} AS BIGINT) * __n + {den - 1}) div {den}")
+        legs.append(
+            cum.filter(F.col("__cum") >= target)
+            .groupBy(*group_cols, "__n")
+            .agg(F.min("bucket_lb").alias("est"))
+            .select(
+                *group_cols,
+                F.lit(label).alias("quantile"),
+                F.col("est").cast("long").alias("est"),
+                F.col("__n").alias("n_rows"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

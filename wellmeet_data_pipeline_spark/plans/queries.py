@@ -8436,6 +8436,137 @@ def q_url_dedup_by_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (round 8): DDSketch-shaped on the exact integer
+# grid, so the whole sketch-build + merge + quantile-read path is
+# hash-verifiable against ANSI SQL (aggregations.py:quantile_sketch).
+# ---------------------------------------------------------------------------
+
+
+def _sketch_ctes(sub_bits: int, split_filter: str = "") -> str:
+    """Shared oracle CTEs: cents grid -> signed bucket_lb -> (group,
+    bucket, cnt) sketch -> cumulative.  Integer ops only: length(bin())
+    for the bit length (the HLL rho trick), %/<< fully parenthesized
+    (DuckDB gives << >> & | equal left-assoc precedence — ledger rule)."""
+    return f"""
+    base AS (
+      SELECT event_type, CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL{split_filter}
+    ),
+    s AS (
+      SELECT event_type,
+             CASE WHEN cents < 0 THEN -1 ELSE 1 END AS sgn,
+             abs(cents) AS a,
+             greatest(length(bin(abs(cents))) - {1 + sub_bits}, 0) AS shift
+      FROM base
+    ),
+    k AS (
+      SELECT event_type,
+             CAST(sgn * (a - (a % (CAST(1 AS BIGINT) << shift))) AS BIGINT) AS bucket_lb
+      FROM s
+    ),
+    sk AS (
+      SELECT event_type, bucket_lb, CAST(count(*) AS BIGINT) AS cnt
+      FROM k GROUP BY 1, 2
+    ),
+    n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS nrows FROM sk GROUP BY 1),
+    c AS (
+      SELECT event_type, bucket_lb,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lb
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM sk
+    )"""
+
+
+def _sketch_leg_sql(num: int, den: int, label: str) -> str:
+    return f"""
+    SELECT event_type, '{label}' AS quantile,
+           CAST(min(bucket_lb) AS BIGINT) AS est,
+           CAST(nrows AS BIGINT) AS n_rows
+    FROM c JOIN n USING (event_type)
+    WHERE cum >= (CAST({num} AS BIGINT) * nrows + {den - 1}) // {den}
+    GROUP BY event_type, nrows"""
+
+
+@_q(
+    "sketch_value_quantiles",
+    f"""
+    WITH {_sketch_ctes(5)}
+    {_sketch_leg_sql(1, 2, "p50")}
+    UNION ALL
+    {_sketch_leg_sql(9, 10, "p90")}
+    UNION ALL
+    {_sketch_leg_sql(99, 100, "p99")}
+    """,
+    "Mergeable quantile sketch (DDSketch shape, Masson et al. VLDB'19, on "
+    "the exact integer cents grid): per event_type, p50/p90/p99 from a "
+    "(group, bucket, cnt) frame where a value keeps sign + top 6 "
+    "significant bits — values under 64 exact, relative error < 2^-5 "
+    "otherwise.  ONE map-side-combined aggregation builds the sketch "
+    "(bounded <= ~63*32 buckets/group at ANY row count); rank targets are "
+    "integer rationals, never float interpolation.  The 100 TB percentile "
+    "answer — exact value_percentiles needs a global rank pass",
+)
+def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    sk = quantile_sketch(cents, "cents", group_cols=("event_type",), sub_bits=5)
+    return quantiles_from_sketch(sk, group_cols=("event_type",))
+
+
+@_q(
+    "sketch_merge_parity",
+    f"""
+    WITH {_sketch_ctes(6)}
+    {_sketch_leg_sql(1, 4, "p25")}
+    UNION ALL
+    {_sketch_leg_sql(3, 4, "p75")}
+    """,
+    "Quantile-sketch MONOID evidence: Spark builds three sketches over "
+    "disjoint event_id%3 splits and merges them (unionByName + "
+    "re-aggregate) before reading p25/p75; the oracle computes the "
+    "one-shot sketch directly.  Hash-match proves merge(split sketches) "
+    "== sketch(all rows) — the property that lets per-source / per-day "
+    "sketches roll up at 100 TB without touching raw rows",
+)
+def q_sketch_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        quantile_sketch,
+        quantile_sketch_merge,
+        quantiles_from_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    parts = [
+        quantile_sketch(
+            cents.filter(F.col("event_id") % 3 == i),
+            "cents",
+            group_cols=("event_type",),
+            sub_bits=6,
+        )
+        for i in range(3)
+    ]
+    merged = quantile_sketch_merge(parts, group_cols=("event_type",))
+    return quantiles_from_sketch(
+        merged,
+        quantiles=((1, 4, "p25"), (3, 4, "p75")),
+        group_cols=("event_type",),
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
