@@ -1328,3 +1328,66 @@ def test_streaming_exactsubstr_tombstones_empty_and_consumed(spark, tmp_path):
         for r in read_clean_corpus(spark, out_p, include_empty=True).collect()
     }
     assert ledger2 == ledger
+
+def test_streaming_kcore_matches_batch_and_replays(spark, tmp_path):
+    """Streaming k-core twin: edges arriving across batches (with
+    duplicates, reversed orientation, self-loops) yield the same k-core
+    as one batch peel over all edges; a fresh-checkpoint full replay
+    leaves the edge store byte-identical (edge = its own idempotency
+    token)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.operators.dedup import kcore_decomposition
+    from wellmeet_data_pipeline_spark.streaming.kcore import (
+        current_kcore,
+        run_streaming_kcore_edges,
+    )
+
+    landing = tmp_path / "kc_landing"
+    landing.mkdir()
+    store = str(tmp_path / "kc_edges")
+    schema = StructType.fromDDL("id_a long, id_b long")
+
+    # triangle 1-2-3 plus a pendant 4; batch 2 closes a second triangle
+    # 3-4-5 (promoting 4 into the 2-core) and replays edge (1,2) reversed
+    b1 = [(1, 2), (2, 3), (3, 1), (3, 4), (7, 7)]
+    b2 = [(4, 5), (5, 3), (2, 1), (4, 3)]
+    (landing / "b1.json").write_text(
+        json.dumps([{"id_a": a, "id_b": b} for a, b in b1])
+    )
+    run_streaming_kcore_edges(
+        spark, str(landing), store, str(tmp_path / "kc_c1"), schema
+    )
+    core1 = {r["node"]: r["core_degree"] for r in current_kcore(spark, store, k=2).collect()}
+    assert core1 == {1: 2, 2: 2, 3: 2}  # pendant 4 peeled, self-loop dropped
+
+    (landing / "b2.json").write_text(
+        json.dumps([{"id_a": a, "id_b": b} for a, b in b2])
+    )
+    run_streaming_kcore_edges(
+        spark, str(landing), store, str(tmp_path / "kc_c2"), schema
+    )
+    got = {r["node"]: r["core_degree"] for r in current_kcore(spark, store, k=2).collect()}
+
+    all_edges = spark.createDataFrame(b1 + b2, "id_a long, id_b long")
+    want = {
+        r["node"]: r["core_degree"]
+        for r in kcore_decomposition(all_edges, k=2).collect()
+    }
+    assert got == want and 4 in got  # batch parity; 4 was promoted
+
+    # store rows before/after a fresh-checkpoint full replay
+    def store_rows():
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(store).select("id_a", "id_b").collect()
+        )
+
+    before = store_rows()
+    assert len(before) == len(set(before))  # no duplicate edge rows at all
+    run_streaming_kcore_edges(
+        spark, str(landing), store, str(tmp_path / "kc_c3"), schema
+    )
+    assert store_rows() == before
