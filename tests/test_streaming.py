@@ -1391,3 +1391,70 @@ def test_streaming_kcore_matches_batch_and_replays(spark, tmp_path):
         spark, str(landing), store, str(tmp_path / "kc_c3"), schema
     )
     assert store_rows() == before
+
+def test_streaming_quantile_sketch_matches_batch_and_replays(spark, tmp_path):
+    """Streaming sketch partials merged on read == one batch sketch over
+    all rows (the monoid, end-to-end through the store); replays are
+    exactly-once via (group, bucket, batch) identity."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+    from wellmeet_data_pipeline_spark.streaming.analytics import (
+        current_quantiles,
+        run_streaming_quantile_sketch,
+    )
+
+    landing = tmp_path / "qs_landing"
+    landing.mkdir()
+    store = str(tmp_path / "qs_store")
+    schema = StructType.fromDDL("grp string, cents long")
+
+    rows = [("a", v * 7 - 2000) for v in range(100)] + [("b", 2 ** (v % 20)) for v in range(60)]
+    (landing / "b1.json").write_text(
+        json.dumps([{"grp": g, "cents": c} for g, c in rows[:70]])
+    )
+    run_streaming_quantile_sketch(
+        spark, str(landing), store, str(tmp_path / "qs_c1"), schema,
+        value_col="cents", group_cols=("grp",),
+    )
+    (landing / "b2.json").write_text(
+        json.dumps([{"grp": g, "cents": c} for g, c in rows[70:]])
+    )
+    run_streaming_quantile_sketch(
+        spark, str(landing), store, str(tmp_path / "qs_c2"), schema,
+        value_col="cents", group_cols=("grp",),
+    )
+
+    got = {
+        (r["grp"], r["quantile"]): (r["est"], r["n_rows"])
+        for r in current_quantiles(
+            spark, store, group_cols=("grp",), group_ddl="grp string, "
+        ).collect()
+    }
+    df = spark.createDataFrame(rows, "grp string, cents long")
+    want = {
+        (r["grp"], r["quantile"]): (r["est"], r["n_rows"])
+        for r in quantiles_from_sketch(
+            quantile_sketch(df, "cents", group_cols=("grp",)), group_cols=("grp",)
+        ).collect()
+    }
+    assert got == want and len(got) == 6
+
+    # replay both files under the SAME checkpoint dir semantics (fresh
+    # trigger, no new files): no new partials, identical read
+    run_streaming_quantile_sketch(
+        spark, str(landing), store, str(tmp_path / "qs_c2"), schema,
+        value_col="cents", group_cols=("grp",),
+    )
+    got2 = {
+        (r["grp"], r["quantile"]): (r["est"], r["n_rows"])
+        for r in current_quantiles(
+            spark, store, group_cols=("grp",), group_ddl="grp string, "
+        ).collect()
+    }
+    assert got2 == got

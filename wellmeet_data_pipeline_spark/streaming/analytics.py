@@ -244,3 +244,84 @@ def current_source_drift(
         )
     totals = cur.groupBy("grp", "term").agg(F.sum("a").alias("a"))
     return js_from_group_term_counts(totals, out_group_col=out_group_col)
+
+
+def run_streaming_quantile_sketch(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    sub_bits: int = 5,
+) -> None:
+    """Streaming twin of the mergeable quantile sketch
+    (aggregations.quantile_sketch): each micro-batch appends its own
+    sketch PARTIAL — (group, bucket_lb, cnt) keyed by (group, bucket,
+    batch seq) — and the consumer view merges partials with the sketch's
+    own monoid.  This is the sketch family's whole point surfaced as
+    streaming state: per-batch frames are bounded (<= ~63 * 2^sub_bits
+    buckets per group regardless of batch size), the store grows with
+    batches x buckets (never rows), and no raw value is ever retained.
+
+    `value_col` must already be integer-grid valued (cents/micros — the
+    caller's contract, same as the batch operator).  Replays dedup on
+    (group, bucket, batch seq) exactly like every partial-count store
+    here."""
+    from wellmeet_data_pipeline_spark.operators.aggregations import quantile_sketch
+
+    stream = spark.readStream.schema(schema).option("multiLine", "true").json(
+        landing_dir
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = quantile_sketch(
+            batch_df, value_col, group_cols=group_cols, sub_bits=sub_bits
+        )
+        if sk.isEmpty():
+            return
+        merge_append(
+            sk,
+            store_path,
+            id_col="bucket_lb",
+            partition_col=None,
+            batch_seq=batch_id,
+        )
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def current_quantiles(
+    spark: SparkSession,
+    store_path: str,
+    group_cols: tuple[str, ...] = (),
+    quantiles=((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")),
+    group_ddl: str = "",
+) -> DataFrame:
+    """Consumer view: monoid-merge the stored per-batch partials
+    (exactly-once under replay via (group, bucket, batch) identity),
+    then read quantiles through the SAME quantiles_from_sketch core as
+    batch.  `group_ddl` pins the empty-store schema (e.g.
+    "event_type string, ")."""
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        quantiles_from_sketch,
+    )
+
+    cur = read_current_or_none(
+        spark, store_path, id_col=[*group_cols, "bucket_lb", "_batch_seq"]
+    )
+    if cur is None:
+        return spark.createDataFrame(
+            [], f"{group_ddl}quantile string, est bigint, n_rows bigint"
+        )
+    merged = cur.groupBy(*group_cols, "bucket_lb").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    return quantiles_from_sketch(merged, quantiles=quantiles, group_cols=group_cols)
