@@ -139,6 +139,7 @@ HEADLINE = [
     "url_dedup_by_canonical",
     "sketch_value_quantiles",
     "sketch_merge_parity",
+    "sample_users_bottomk",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

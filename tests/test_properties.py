@@ -418,3 +418,57 @@ def test_quantile_sketch_error_bound_and_monoid(spark, values):
                 abs(exact), -sub_bits
             ), (label, est, exact)
             assert (est >= 0) == (exact >= 0) or exact == 0
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 400)),
+        min_size=10,
+        max_size=120,
+    )
+)
+def test_bottomk_sample_duplication_invariant_and_monoid(spark, pairs):
+    """Bottom-k sample invariants: (1) duplicating every row leaves the
+    sample identical (members are sampled, not rows); (2) a 3-way
+    split-merge equals the one-shot sample (monoid); (3) per-group size
+    is min(k, distinct members)."""
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        bottomk_sample,
+        bottomk_sample_merge,
+    )
+
+    k = 4
+    df = spark.createDataFrame(
+        [(g, u, i) for i, (g, u) in enumerate(pairs)], "grp string, uid long, rid long"
+    )
+    one = {
+        (r["grp"], r["uid"], r["draw_rank"])
+        for r in bottomk_sample(df, "uid", group_cols=("grp",), k=k).collect()
+    }
+
+    doubled = df.unionByName(df)
+    two = {
+        (r["grp"], r["uid"], r["draw_rank"])
+        for r in bottomk_sample(doubled, "uid", group_cols=("grp",), k=k).collect()
+    }
+    assert one == two
+
+    parts = [
+        bottomk_sample(
+            df.filter(F.col("rid") % 3 == i), "uid", group_cols=("grp",), k=k
+        )
+        for i in range(3)
+    ]
+    merged = {
+        (r["grp"], r["uid"], r["draw_rank"])
+        for r in bottomk_sample_merge(parts, "uid", group_cols=("grp",), k=k).collect()
+    }
+    assert merged == one
+
+    from collections import Counter
+    distinct = {(g, u) for g, u in pairs}
+    per_group = Counter(g for g, _ in distinct)
+    got_sizes = Counter(g for g, _, _ in one)
+    for g, n in per_group.items():
+        assert got_sizes[g] == min(k, n)

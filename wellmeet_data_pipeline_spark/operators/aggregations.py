@@ -622,3 +622,87 @@ def quantiles_from_sketch(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bottom-k sample sketch (mergeable uniform group sample)
+# ---------------------------------------------------------------------------
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 5,
+    n_salts: int = 64,
+    salt: str = "bk1",
+) -> DataFrame:
+    """Bottom-k sampling (Cohen & Kaplan's mergeable uniform-sample
+    sketch): per group, the k DISTINCT ids with the smallest sha-derived
+    draw keys.  Because the draw key is a pure function of the id, the
+    sample is (a) deterministic across runs and engines, (b) invariant
+    to row duplication (members, not rows, are sampled), and (c) a
+    MONOID — the bottom-k of a union is the bottom-k of the union of
+    per-part bottom-ks, so per-partition / per-day samples merge without
+    seeing raw data again (bottomk_sample_merge).
+
+    Skew discipline: the per-group rank runs in TWO phases — first a
+    row_number inside (group, draw_key mod n_salts) so a hot group's
+    members spread over n_salts partitions (any global bottom-k member
+    is necessarily in its salt's bottom-k), then the final rank over the
+    <= n_salts*k survivors per group.  No unbounded group ever meets a
+    single window task.
+
+    Output: (group..., id, draw_rank) with draw_rank in 1..k."""
+    ids = (
+        df.select(*group_cols, id_col)
+        .filter(F.col(id_col).isNotNull())
+        .distinct()
+    )
+    for g in group_cols:
+        ids = ids.filter(F.col(g).isNotNull())
+    dk = F.conv(
+        F.substring(
+            F.sha2(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")), 256),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = ids.withColumn("__dk", dk)
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col("__dk"), F.lit(n_salts))
+    ).orderBy("__dk", id_col)
+    cand = (
+        keyed.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("__dk", id_col)
+    return (
+        cand.withColumn("draw_rank", F.row_number().over(w2))
+        .filter(F.col("draw_rank") <= k)
+        .select(*group_cols, id_col, F.col("draw_rank").cast("long").alias("draw_rank"))
+    )
+
+
+def bottomk_sample_merge(
+    samples: Sequence[DataFrame],
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 5,
+    salt: str = "bk1",
+) -> DataFrame:
+    """Monoid merge: union the per-part samples (each already <= k per
+    group), recompute the deterministic draw keys, and re-take the
+    bottom k.  Inputs are sample-sized, so the re-rank window is bounded
+    by parts*k rows per group."""
+    from functools import reduce
+
+    merged = reduce(
+        lambda x, y: x.unionByName(y),
+        [s.select(*group_cols, id_col) for s in samples],
+    ).distinct()
+    return bottomk_sample(
+        merged, id_col, group_cols=group_cols, k=k, n_salts=1, salt=salt
+    )
