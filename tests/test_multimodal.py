@@ -247,3 +247,66 @@ def test_phash_near_dup_exact_duplicates_distance_zero(spark):
     )
     got = phash_near_dup(assets, max_hamming=0).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
+def _wav_bytes(sr=16000, ch=2, bits=16, n_samples=16000, extra_chunk=True):
+    """Minimal real RIFF/WAVE: fmt + optional odd-sized LIST chunk (pads
+    to word alignment) + data."""
+    block = ch * bits // 8
+    fmt = (
+        (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + sr.to_bytes(4, "little") + (sr * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if extra_chunk:
+        meta = b"INFOx"  # odd length -> exercises the pad byte
+        chunks += b"LIST" + len(meta).to_bytes(4, "little") + meta + b"\x00"
+    data = bytes(n_samples * block)
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _flac_bytes(sr=44100, ch=1, bits=24, total=44100 * 3):
+    """Minimal real fLaC STREAMINFO block."""
+    packed = (sr << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+    si = (
+        (4096).to_bytes(2, "big") + (4096).to_bytes(2, "big")
+        + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+        + packed.to_bytes(8, "big") + bytes(16)  # md5 placeholder
+    )
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+
+def test_parse_audio_header_real_formats():
+    from wellmeet_data_pipeline_spark.operators.multimodal import parse_audio_header
+
+    assert parse_audio_header(_wav_bytes()) == ("wav", 16000, 2, 16, 16000)
+    # odd-size chunk alignment: parser must still find 'data' after the pad
+    assert parse_audio_header(_wav_bytes(extra_chunk=True))[4] == 16000
+    assert parse_audio_header(_flac_bytes()) == ("flac", 44100, 1, 24, 132300)
+    assert parse_audio_header(b"") is None
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00AVI LIST") is None
+    assert parse_audio_header(_wav_bytes()[:20]) is None  # truncated
+
+
+def test_extract_audio_features_batch(spark):
+    from wellmeet_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(sr=8000, ch=1, bits=8, n_samples=4000))),
+        (2, "audio", bytearray(_flac_bytes())),
+        (3, "audio", bytearray(b"not audio at all")),
+        (4, "audio", None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media_type string, payload binary")
+    got = {r["asset_id"]: r.asDict() for r in extract_audio_features(df).collect()}
+    assert got[1]["format"] == "wav" and got[1]["duration_ms"] == 500
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_channels"] == 1
+    assert got[2]["format"] == "flac" and got[2]["duration_ms"] == 3000
+    # errors-as-data: unrecognized/null payloads keep their row, null fields
+    assert got[3]["format"] is None and got[3]["n_bytes"] == 16
+    assert got[4]["format"] is None and got[4]["n_bytes"] == 0
+    assert all(len(r["sha256"]) == 64 for r in got.values())

@@ -336,3 +336,112 @@ def phash_near_dup(
         hash_col="phash",
         bands=n_bands,
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio metadata (REAL header parsers — no decode library needed)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, sha256 string, "
+    "format string, sample_rate int, n_channels int, bits_per_sample int, "
+    "n_samples long, duration_ms long"
+)
+
+
+def parse_audio_header(payload: bytes):
+    """REAL audio metadata extraction from container headers, mirroring
+    `parse_image_header` for the audio modality.  Returns (format,
+    sample_rate, n_channels, bits_per_sample, n_samples) or None for
+    unrecognized/truncated payloads (errors-as-data).
+
+    - WAV: 'RIFF'<u32 size>'WAVE', then a chunk walk — 'fmt ' carries
+      (audio_format u16le, channels u16le, sample_rate u32le, byte_rate
+      u32le, block_align u16le, bits u16le); 'data' carries the sample
+      byte count, so n_samples = data_size // block_align.  Chunks are
+      word-aligned (odd sizes pad one byte).
+    - FLAC: 'fLaC' + STREAMINFO (first metadata block, type 0): after
+      block sizes/frame sizes, 8 big-endian bytes pack sample_rate (20
+      bits), channels-1 (3), bits_per_sample-1 (5), total_samples (36).
+    """
+    if len(payload) >= 44 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12
+        fmt = None
+        data_size = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            csz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + csz]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = (
+                    int.from_bytes(body[2:4], "little"),    # channels
+                    int.from_bytes(body[4:8], "little"),    # sample rate
+                    int.from_bytes(body[12:14], "little"),  # block align
+                    int.from_bytes(body[14:16], "little"),  # bits/sample
+                )
+            elif cid == b"data":
+                data_size = csz
+            pos += 8 + csz + (csz & 1)
+        if fmt is None:
+            return None
+        ch, sr, block_align, bits = fmt
+        if sr == 0 or ch == 0:
+            return None
+        n_samples = (
+            data_size // block_align if data_size is not None and block_align else None
+        )
+        return ("wav", sr, ch, bits, n_samples)
+    if len(payload) >= 26 and payload[:4] == b"fLaC" and (payload[4] & 0x7F) == 0:
+        v = int.from_bytes(payload[18:26], "big")
+        sr = v >> 44
+        ch = ((v >> 41) & 0x7) + 1
+        bits = ((v >> 36) & 0x1F) + 1
+        total = v & ((1 << 36) - 1)
+        if sr == 0:
+            return None
+        return ("flac", sr, ch, bits, total if total else None)
+    return None
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Audio metadata over mapInPandas (one Arrow batch of payloads in,
+    one narrow feature frame out — the extract_features shape for the
+    audio modality).  Unrecognized payloads keep their row with null
+    audio fields; duration_ms is integer math (n_samples * 1000 //
+    sample_rate), no float in the contract."""
+    import hashlib as _hl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "asset_id", "media_type", "n_bytes", "sha256", "format",
+            "sample_rate", "n_channels", "bits_per_sample", "n_samples",
+            "duration_ms",
+        ]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                payload = rec["payload"] or b""
+                parsed = parse_audio_header(payload)
+                fmtv = sr = ch = bits = ns = dur = None
+                if parsed is not None:
+                    fmtv, sr, ch, bits, ns = parsed
+                    dur = ns * 1000 // sr if ns is not None and sr else None
+                rows.append(
+                    {
+                        "asset_id": rec["asset_id"],
+                        "media_type": rec["media_type"],
+                        "n_bytes": len(payload),
+                        "sha256": _hl.sha256(payload).hexdigest(),
+                        "format": fmtv,
+                        "sample_rate": sr,
+                        "n_channels": ch,
+                        "bits_per_sample": bits,
+                        "n_samples": ns,
+                        "duration_ms": dur,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )
