@@ -98,3 +98,70 @@ def test_domain_doc_caps_semantics_and_plan(spark):
     # windowspecdefinition is pid-scoped (global_rank_cumsum's local pass)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(domain" not in plan
+
+
+def test_streaming_domain_caps_matches_batch_and_replays(spark, tmp_path):
+    """In ascending-id arrival the streaming admission gate reproduces
+    batch domain_doc_caps' survivor set exactly; the cap holds ACROSS
+    batches (a domain filled in batch 1 admits nothing later); replays
+    and re-deliveries are no-ops because rejected docs are stored too."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from wellmeet_data_pipeline_spark.operators.web import domain_doc_caps
+    from wellmeet_data_pipeline_spark.streaming.web import (
+        current_domain_survivors,
+        run_streaming_domain_caps,
+    )
+
+    landing = tmp_path / "dc_landing"
+    landing.mkdir()
+    store = str(tmp_path / "dc_store")
+    schema = StructType.fromDDL("doc_id long, url string")
+
+    docs = [(i, f"https://{'a' if i % 2 == 0 else 'b'}.com/p{i}") for i in range(10)]
+    docs.append((10, "no scheme here"))  # non-URL: no decision row
+    (landing / "b1.json").write_text(
+        json.dumps([{"doc_id": i, "url": u} for i, u in docs[:4]])
+    )
+    run_streaming_domain_caps(
+        spark, str(landing), store, str(tmp_path / "dc_c1"), schema, cap=3
+    )
+    (landing / "b2.json").write_text(
+        json.dumps([{"doc_id": i, "url": u} for i, u in docs[4:]])
+    )
+    run_streaming_domain_caps(
+        spark, str(landing), store, str(tmp_path / "dc_c2"), schema, cap=3
+    )
+
+    got = {
+        (r["doc_id"], r["domain"])
+        for r in current_domain_survivors(spark, store).collect()
+    }
+    df = spark.createDataFrame(docs, "doc_id long, url string")
+    want = {
+        (r["doc_id"], r["domain"])
+        for r in domain_doc_caps(df, cap=3).filter(F.col("keep") == 1).collect()
+    }
+    assert got == want
+    # cap held across batches: ids 0,2,4 for a.com (6, 8 arrived after the
+    # domain filled), 1,3,5 for b.com
+    assert got == {(0, "a.com"), (2, "a.com"), (4, "a.com"),
+                   (1, "b.com"), (3, "b.com"), (5, "b.com")}
+
+    # fresh-checkpoint full replay: every doc already has a decision row,
+    # so the store is unchanged — including the REJECTED rows
+    rows_before = sorted(
+        (r["doc_id"], r["keep"])
+        for r in spark.read.parquet(store).select("doc_id", "keep").collect()
+    )
+    assert len(rows_before) == 10  # one decision per URL doc, none duplicated
+    run_streaming_domain_caps(
+        spark, str(landing), store, str(tmp_path / "dc_c3"), schema, cap=3
+    )
+    rows_after = sorted(
+        (r["doc_id"], r["keep"])
+        for r in spark.read.parquet(store).select("doc_id", "keep").collect()
+    )
+    assert rows_after == rows_before
