@@ -507,6 +507,27 @@ def test_exact_substring_repeats_overlap_merge(spark):
     assert sum(s for d, _, s, _ in got if d == 1) == 10
 
 
+def test_exact_substring_repeats_duplicate_doc_ids(spark):
+    # the singleton exclusion keys on (id, pos, GRAM): with duplicate
+    # doc_ids, two different grams can share coordinates, and a
+    # coordinate-only anti join would knock out the other copy's
+    # duplicated start (review catch).  Doc 1 appears twice: copy A's
+    # window @0 is corpus-unique, copy B's window @0 occurs twice.
+    from wellmeet_data_pipeline_spark.operators.dedup import exact_substring_repeats
+
+    rows = [
+        (1, "u1 u2 u3 u4 u5 u6 u7 u8"),   # copy A: unique gram @0
+        (1, "d1 d2 d3 d4 d5 d6 d7 d8"),   # copy B: duplicated gram @0
+        (2, "d1 d2 d3 d4 d5 d6 d7 d8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_tokens"], r["n_windows"])
+        for r in exact_substring_repeats(df, min_tokens=8).collect()
+    }
+    assert got == {(1, 0, 8, 1), (2, 0, 8, 1)}
+
+
 def test_exact_substring_repeats_no_pair_join(spark):
     # duplication is a map-side-combined groupBy(gram) count + an anti
     # join on near-unique (id, pos) keys — never a self-join, never a

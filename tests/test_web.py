@@ -47,6 +47,11 @@ def test_canonical_url_cases(spark):
         # a NON-tracking param that merely contains a tracking substring
         # must survive ("referrer" is not "ref")
         "https://x.com/p?referrer=1": "https://x.com/p?referrer=1",
+        # a '?' INSIDE the fragment is fragment text, not a query — the
+        # fragment strips first (review catch: fragment-only variants
+        # must share one canonical key)
+        "https://x.com/p#sec?a=1": "https://x.com/p",
+        "https://x.com/p?id=3#tab?b=2": "https://x.com/p?id=3",
     }
     for url, want in cases.items():
         assert _canon_one(spark, url) == want, url
@@ -121,9 +126,11 @@ def test_streaming_domain_caps_matches_batch_and_replays(spark, tmp_path):
     schema = StructType.fromDDL("doc_id long, url string")
 
     docs = [(i, f"https://{'a' if i % 2 == 0 else 'b'}.com/p{i}") for i in range(10)]
-    docs.append((10, "no scheme here"))  # non-URL: no decision row
+    docs.append((10, "no scheme here"))  # non-URL: rejected tombstone row
+    # doc 0 delivered TWICE in batch 1: within-batch dedup must yield one
+    # decision row, not two rows tying on _batch_seq (review catch)
     (landing / "b1.json").write_text(
-        json.dumps([{"doc_id": i, "url": u} for i, u in docs[:4]])
+        json.dumps([{"doc_id": i, "url": u} for i, u in docs[:4] + [docs[0]]])
     )
     run_streaming_domain_caps(
         spark, str(landing), store, str(tmp_path / "dc_c1"), schema, cap=3
@@ -151,12 +158,15 @@ def test_streaming_domain_caps_matches_batch_and_replays(spark, tmp_path):
                    (1, "b.com"), (3, "b.com"), (5, "b.com")}
 
     # fresh-checkpoint full replay: every doc already has a decision row,
-    # so the store is unchanged — including the REJECTED rows
+    # so the store is unchanged — including the REJECTED rows and the
+    # non-URL tombstone (doc 10: keep=0, domain NULL — without it every
+    # replay would re-examine the doc forever)
     rows_before = sorted(
         (r["doc_id"], r["keep"])
         for r in spark.read.parquet(store).select("doc_id", "keep").collect()
     )
-    assert len(rows_before) == 10  # one decision per URL doc, none duplicated
+    assert len(rows_before) == 11  # one decision per doc, none duplicated
+    assert (10, 0) in rows_before and (0, 1) in rows_before
     run_streaming_domain_caps(
         spark, str(landing), store, str(tmp_path / "dc_c3"), schema, cap=3
     )

@@ -69,30 +69,43 @@ def shingles_df(
     carry_cols: Sequence[str] = (),
     keep_pos: bool = False,
 ) -> DataFrame:
-    """(id, shingle) rows: normalize once, posexplode words, lead() window to
-    form n-grams.  This is the hot-path form — a transform() lambda over the
-    word array would re-evaluate the normalization regexes on every
-    element_at access (no CSE inside lambda bodies), which measured ~8x
-    slower.  One shuffle on id for the lead window.  `carry_cols` rides
-    extra narrow columns (e.g. lang) through the explode so downstream
-    per-group stats don't need a join back to the doc table.  `keep_pos`
-    also emits the 0-based word offset of each shingle (span detection
-    needs it; the MinHash paths don't, so it stays opt-in)."""
+    """(id, shingle) rows: normalize once into a materialized word array,
+    explode the start-offset sequence, slice+join per gram — ZERO
+    shuffle, pure codegen (the _span_frames topology).  Two rejected
+    alternatives, both measured: a transform() lambda over the word
+    array re-evaluates the normalization regexes on every element_at
+    access (no CSE inside lambda bodies, ~8x slower), and the original
+    lead()-window form costs a corpus-grain shuffle on id AND silently
+    corrupts grams when the input carries duplicate doc_ids (the window
+    interleaves both copies' words — round-8 review catch; this form is
+    per-row, so duplicate ids are safe).  The normalization regex runs
+    ONCE per doc in the projection, before the explode.  `carry_cols`
+    rides extra narrow columns (e.g. lang) through the explode so
+    downstream per-group stats don't need a join back to the doc table.
+    `keep_pos` also emits the 0-based word offset of each shingle (span
+    detection needs it; the MinHash paths don't, so it stays opt-in)."""
     carry = list(carry_cols)
-    words = docs.select(
+    base = docs.select(
         F.col(id_col),
         *carry,
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "w0"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    lead_cols = [F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, n)]
-    with_leads = words.select(id_col, *carry, "pos", "w0", *lead_cols)
+        F.split(normalized_text(F.col(text_col)), " ").alias("__words"),
+    ).filter(F.size("__words") >= n)
     pos_cols = ["pos"] if keep_pos else []
-    return with_leads.filter(F.col(f"w{n-1}").isNotNull()).select(
-        id_col,
-        *carry,
-        *pos_cols,
-        F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("shingle"),
+    return (
+        base.select(
+            id_col,
+            *carry,
+            "__words",
+            F.explode(F.sequence(F.lit(0), F.size("__words") - n)).alias("pos"),
+        )
+        .select(
+            id_col,
+            *carry,
+            *pos_cols,
+            F.array_join(F.slice("__words", F.col("pos") + 1, n), " ").alias(
+                "shingle"
+            ),
+        )
     )
 
 
@@ -1172,9 +1185,11 @@ def exact_substring_repeats(
     PARTITIONED BY the gram key, which ships every occurrence of the
     hottest gram to ONE task); since a count-1 gram has exactly one
     occurrence, the aggregate itself carries that occurrence's (id,
-    pos), and the exclusion is a left_anti join on (id, pos) — a
-    near-unique, uniformly-hashed key with no hot-key class at all.
-    Islands then merge on a doc-partitioned window.  Never a self-join.
+    pos), and the exclusion is a left_anti join on (id, pos, gram) —
+    near-unique, uniformly-hashed keys with no hot-key class at all
+    (singletons are unique by definition, so the hottest join key holds
+    exactly two rows even under duplicate doc_ids).  Islands then merge
+    on a doc-partitioned window.  Never a self-join.
 
     Island rule — MAXIMAL COVERS (Lee et al. merged-range semantics):
     two duplicated starts belong to one span iff their length-L windows
@@ -1199,11 +1214,22 @@ def exact_substring_repeats(
 
     Output: (doc_id, span_start, span_tokens, n_windows) per maximal
     repeated span, offsets 0-based in normalized-word space."""
+    # grams feed BOTH the singleton aggregation and the anti-join's left
+    # side; since shingles_df became zero-shuffle there is no exchange
+    # for Spark to reuse between the two consumers, so pin the lineage
+    # once (the multi-consumer localCheckpoint idiom) — without it the
+    # scan+normalize+slice recomputes per consumer (measured 20s -> 76s
+    # at the 64x smoke when this was left out).
     grams = shingles_df(
         docs, text_col=text_col, id_col=id_col, n=min_tokens, keep_pos=True
-    )
-    # (id, pos) identifies one gram occurrence, so a count-1 gram's
-    # aggregate row IS its only occurrence — min() over one row is exact.
+    ).localCheckpoint(eager=True)
+    # A count-1 gram's aggregate row IS its only occurrence — min() over
+    # one row is exact.  The exclusion joins on (id, pos, shingle), not
+    # (id, pos): if the input ever carries DUPLICATE doc_ids, two
+    # different grams can share coordinates, and a coordinate-only anti
+    # join would let a singleton knock out another doc-copy's duplicated
+    # start (review catch; the oracle joins on gram content, so the
+    # engines would diverge exactly there).
     singletons = (
         grams.groupBy("shingle")
         .agg(
@@ -1212,10 +1238,17 @@ def exact_substring_repeats(
             F.min("pos").alias("pos"),
         )
         .filter(F.col("__c") == 1)
-        .select(id_col, "pos")
+        .select(id_col, "pos", "shingle")
     )
-    starts = grams.select(id_col, "pos").join(
-        singletons, [id_col, "pos"], "left_anti"
+    # merge hint: singletons is a grouped-then-filtered frame on a
+    # high-cardinality key — the post-aggregate size estimate is not
+    # trustworthy (the cross_doc_spans r7 lesson), and on a corpus where
+    # most grams are unique the frame is corpus-sized; an auto-broadcast
+    # of it GC-killed the 64x hot-gram smoke (512 MB humongous allocs).
+    starts = (
+        grams.select(id_col, "pos", "shingle")
+        .join(singletons.hint("merge"), [id_col, "pos", "shingle"], "left_anti")
+        .select(id_col, "pos")  # gram text never rides the island shuffle
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

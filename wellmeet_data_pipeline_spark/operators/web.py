@@ -58,11 +58,15 @@ def _is_tracking_param(p: Column) -> Column:
 
 
 def _parts(url: Column):
-    """(scheme, netloc, path, sorted-filtered query) of a URL column."""
+    """(scheme, host, netloc, path, sorted-filtered query) of a URL
+    column — the ONE place authority/host extraction lives, so
+    canonical_url and url_domain can never disagree on the host."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     # everything after "://" — substring arithmetic, not ".*" (Java "."
-    # excludes \r   where RE2 excludes only \n: dot in a
-    # tail-capture diverges on hostile whitespace)
+    # excludes \r and U+0085/U+2028/U+2029 where RE2 excludes only \n:
+    # dot in a tail-capture diverges on hostile whitespace; negated char
+    # classes like [^#] match line terminators identically on both
+    # engines, so every capture below uses those instead)
     after = F.substring(url, F.length(scheme) + F.lit(4), F.length(url))
     authority = F.regexp_extract(after, r"^([^/?#]*)", 1)
     rest = F.substring(after, F.length(authority) + F.lit(1), F.length(after))
@@ -75,21 +79,26 @@ def _parts(url: Column):
         | ((scheme == "https") & (port == "443")),
         host,
     ).otherwise(F.concat(host, F.lit(":"), port))
+    # fragment strips FIRST: a '?' inside the fragment is fragment text,
+    # not a query (review catch — an unanchored \?-capture read
+    # '#sec?a=1' as a query and minted distinct canonical keys for
+    # fragment-only variants)
+    defrag = F.regexp_extract(rest, r"^([^#]*)", 1)
     path_stripped = F.regexp_replace(
-        F.regexp_extract(rest, r"^([^?#]*)", 1), r"/+$", ""
+        F.regexp_extract(defrag, r"^([^?]*)", 1), r"/+$", ""
     )
     path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
-    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    query = F.regexp_extract(defrag, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"), lambda x: (x != "") & ~_is_tracking_param(x)
     )
     qs = F.array_join(F.array_sort(params), "&")
-    return scheme, netloc, path, qs
+    return scheme, host, netloc, path, qs
 
 
 def canonical_url(url: Column) -> Column:
     """The canonical form per the module contract; NULL for non-URLs."""
-    scheme, netloc, path, qs = _parts(url)
+    scheme, _, netloc, path, qs = _parts(url)
     canon = F.concat(
         scheme,
         F.lit("://"),
@@ -104,13 +113,10 @@ def url_domain(url: Column, strip_www: bool = True) -> Column:
     """Grouping domain: canonical host, minus port/userinfo, minus a
     leading "www." (so www.x.com and x.com pool).  No public-suffix
     registrable-domain reduction (needs the PSL table — callers can join
-    one); NULL for non-URLs."""
-    scheme, _, _, _ = _parts(url)
-    after = F.substring(url, F.length(scheme) + F.lit(4), F.length(url))
-    auth = F.regexp_replace(
-        F.regexp_extract(after, r"^([^/?#]*)", 1), r"^[^@]*@", ""
-    )
-    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    one); NULL for non-URLs.  Host comes from the SAME _parts extraction
+    canonical_url uses (review catch: a duplicated extraction could
+    drift and make the two disagree on the host)."""
+    scheme, host, _, _, _ = _parts(url)
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(host)

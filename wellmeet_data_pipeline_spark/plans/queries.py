@@ -8318,7 +8318,10 @@ def _canon_ctes() -> str:
     p5 AS (
       SELECT *,
              lower(regexp_extract(auth2, '^([^:]*)', 1)) AS host,
-             regexp_extract(auth2, ':([0-9]+)$', 1) AS port
+             regexp_extract(auth2, ':([0-9]+)$', 1) AS port,
+             -- fragment strips FIRST: a '?' inside the fragment is
+             -- fragment text, not a query (mirrors operators/web.py)
+             regexp_extract(rest, '^([^#]*)', 1) AS defrag
       FROM p4
     ),
     p6 AS (
@@ -8326,14 +8329,14 @@ def _canon_ctes() -> str:
              CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                        OR (scheme = 'https' AND port = '443')
                   THEN host ELSE host || ':' || port END AS netloc,
-             CASE WHEN regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '') = ''
+             CASE WHEN regexp_replace(regexp_extract(defrag, '^([^?]*)', 1), '/+$', '') = ''
                   THEN '/'
-                  ELSE regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '')
+                  ELSE regexp_replace(regexp_extract(defrag, '^([^?]*)', 1), '/+$', '')
              END AS path,
              -- coalesce: DuckDB array_to_string([]) is NULL where Spark
              -- array_join([]) is '' (round-8 ledger fact)
              coalesce(array_to_string(list_sort(list_filter(
-                 string_split(regexp_extract(rest, '\\?([^#]*)', 1), '&'),
+                 string_split(regexp_extract(defrag, '\\?([^#]*)', 1), '&'),
                  x -> x <> '' AND NOT ({track}))), '&'), '') AS qs
       FROM p5
     ),
@@ -8550,9 +8553,14 @@ def q_sketch_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
+    # pmod + coalesce so the three splits PARTITION all value-non-null
+    # rows: bare % maps negative ids to negative remainders (no split)
+    # and NULL ids to NULL — either would silently drop rows from the
+    # Spark side only, faking a monoid failure (review catch)
+    split_key = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
     parts = [
         quantile_sketch(
-            cents.filter(F.col("event_id") % 3 == i),
+            cents.filter(split_key == i),
             "cents",
             group_cols=("event_type",),
             sub_bits=6,

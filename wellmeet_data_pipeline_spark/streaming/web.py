@@ -55,9 +55,16 @@ def run_streaming_domain_caps(
     stream = landing_stream(spark, landing_dir, schema)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select(
+        from wellmeet_data_pipeline_spark.operators.dedup import dedup_keep_first
+
+        # within-batch id dedup (deterministic: lowest url string wins) —
+        # a doc delivered twice in one batch must yield ONE decision row,
+        # not two rows tying on _batch_seq and burning a cap slot
+        # (review catch; the exactsubstr/kcore twins already do this)
+        deduped = dedup_keep_first(batch_df, id_col, url_col)
+        docs = deduped.select(
             id_col, url_domain(F.col(url_col)).alias("domain")
-        ).filter(F.col("domain").isNotNull())
+        )
         decided = read_current_or_none(spark, decision_store, id_col=id_col)
         if decided is not None:
             docs = docs.join(decided.select(id_col), id_col, "left_anti")
@@ -68,8 +75,16 @@ def run_streaming_domain_caps(
             )
         else:
             admitted_counts = None
+        # docs whose URL doesn't parse can never be admitted, but they
+        # MUST get a (rejected) decision row or the done-skip never
+        # learns them and every replay re-examines them forever — the
+        # same done-ledger class as the ExactSubstr empties
+        non_url = docs.filter(F.col("domain").isNull()).select(
+            id_col, "domain", F.lit(0).cast("int").alias("keep")
+        )
+        urls = docs.filter(F.col("domain").isNotNull())
         w = Window.partitionBy("domain").orderBy(id_col)  # batch-sized
-        ranked = docs.withColumn("__r", F.row_number().over(w))
+        ranked = urls.withColumn("__r", F.row_number().over(w))
         if admitted_counts is not None:
             ranked = ranked.join(admitted_counts, "domain", "left").withColumn(
                 "__r", F.col("__r") + F.coalesce(F.col("__admitted"), F.lit(0))
@@ -78,7 +93,7 @@ def run_streaming_domain_caps(
             id_col,
             "domain",
             (F.col("__r") <= cap).cast("int").alias("keep"),
-        )
+        ).unionByName(non_url)
         merge_append(
             decisions, decision_store, id_col=id_col, partition_col=None,
             batch_seq=batch_id,
