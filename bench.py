@@ -140,6 +140,8 @@ HEADLINE = [
     "sketch_value_quantiles",
     "sketch_merge_parity",
     "sample_users_bottomk",
+    "kmv_distinct_users",
+    "kmv_type_overlap",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -472,3 +472,26 @@ def test_bottomk_sample_duplication_invariant_and_monoid(spark, pairs):
     got_sizes = Counter(g for g, _, _ in one)
     for g, n in per_group.items():
         assert got_sizes[g] == min(k, n)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.integers(500, 3000))
+def test_kmv_distinct_estimate_error_bound(spark, n):
+    """KMV estimate within 5 standard errors (stderr ~ 1/sqrt(k-2)) of
+    the true distinct count, and EXACT below k."""
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        kmv_distinct_estimate,
+    )
+
+    k = 64
+    rows = [("big", i) for i in range(n)] + [("small", i) for i in range(k - 5)]
+    df = spark.createDataFrame(rows * 2, "grp string, uid long")  # dup rows
+    got = {
+        r["grp"]: (r["n_sketch"], r["est_distinct"])
+        for r in kmv_distinct_estimate(df, "uid", group_cols=("grp",), k=k).collect()
+    }
+    assert got["small"] == (k - 5, k - 5)  # under k: exact
+    n_sk, est = got["big"]
+    assert n_sk == k
+    tol = 5.0 / (k - 2) ** 0.5
+    assert abs(est - n) <= tol * n, (est, n)

@@ -706,3 +706,163 @@ def bottomk_sample_merge(
     return bottomk_sample(
         merged, id_col, group_cols=group_cols, k=k, n_salts=1, salt=salt
     )
+
+
+def _bottomk_draw_key(id_col: str, salt: str):
+    """The bottom-k family's deterministic 60-bit draw key (uniform on
+    [0, 2^60) via 15 sha256 hex chars) — pure function of the id, shared
+    by bottomk_sample and the KMV estimators so sketches and estimates
+    can never disagree on a member's key."""
+    return F.conv(
+        F.substring(
+            F.sha2(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")), 256),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+    n_salts: int = 64,
+    salt: str = "bk1",
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count estimate per group — the
+    theta-sketch read of the bottom-k sample: n_hat = (k-1) * 2^60 //
+    v_k, where v_k is the k-th smallest draw key (Bar-Yossef et al.
+    2002; relative stderr ~ 1/sqrt(k-2)).  Groups with fewer than k
+    distinct members hold ALL of them, so the estimate is their EXACT
+    count.  Deterministic end-to-end (sha keys, exact 128-bit integer
+    division), hence fully oracle-checkable — unlike HLL++, whose
+    register layout is engine-internal.  Mergeable for free: the union
+    sketch is the bottom-k of unioned samples (bottomk_sample_merge).
+
+    Output: (group..., n_sketch, est_distinct)."""
+    sample = bottomk_sample(
+        df, id_col, group_cols=group_cols, k=k, n_salts=n_salts, salt=salt
+    )
+    agg = sample.withColumn("__dk", _bottomk_draw_key(id_col, salt)).groupBy(
+        *group_cols
+    ).agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("__dk").alias("__vk"),  # ranks order by dk: max == k-th smallest
+    )
+    kmv = F.expr(
+        f"CAST(CAST({k - 1} AS DECIMAL(38,0))"
+        f" * CAST(1152921504606846976 AS DECIMAL(38,0))"  # 2^60
+        f" div CAST(greatest(__vk, 1) AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return agg.select(
+        *group_cols,
+        "n_sketch",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(kmv).alias(
+            "est_distinct"
+        ),
+    )
+
+
+def kmv_group_overlap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int = 64,
+    n_salts: int = 64,
+    salt: str = "bk1",
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups' member sets from
+    their bottom-k sketches alone (never the raw sets) — the
+    theta-sketch intersection read: for each unordered group pair, the
+    k smallest keys of the SKETCH UNION are scanned for membership in
+    both sides; jaccard_hat = n_shared / k_union on the micro grid and
+    inter_hat = jaccard_hat * union_distinct_hat (KMV estimate on the
+    union sketch).  Every frame after the sketches is sketch-grain
+    (pairs x k rows), so cost is independent of corpus size.
+
+    Output: (group_a, group_b, k_union, n_shared, jaccard_micro,
+    est_union, est_inter) for group_a < group_b."""
+    sample = bottomk_sample(
+        df, id_col, group_cols=(group_col,), k=k, n_salts=n_salts, salt=salt
+    ).withColumn("__dk", _bottomk_draw_key(id_col, salt))
+    groups = sample.select(F.col(group_col).alias("g")).distinct()
+    gp = (
+        groups.alias("x")
+        .join(groups.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("group_a"), F.col("y.g").alias("group_b"))
+    )
+    mem_a = sample.select(
+        F.col(group_col).alias("group_a"), F.col(id_col).alias("__id"), "__dk"
+    )
+    mem_b = sample.select(
+        F.col(group_col).alias("group_b"), F.col(id_col).alias("__id"), "__dk"
+    )
+    uni = (
+        gp.join(mem_a, "group_a")
+        .select("group_a", "group_b", "__id", "__dk")
+        .unionByName(
+            gp.join(mem_b, "group_b").select("group_a", "group_b", "__id", "__dk")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy("__dk", "__id")
+    topk = uni.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
+    flagged = topk.join(
+        sample.select(
+            F.col(group_col).alias("group_a"),
+            F.col(id_col).alias("__id"),
+            F.lit(1).alias("__in_a"),
+        ),
+        ["group_a", "__id"],
+        "left",
+    ).join(
+        sample.select(
+            F.col(group_col).alias("group_b"),
+            F.col(id_col).alias("__id"),
+            F.lit(1).alias("__in_b"),
+        ),
+        ["group_b", "__id"],
+        "left",
+    )
+    stats = flagged.groupBy("group_a", "group_b").agg(
+        F.count("*").cast("long").alias("k_union"),
+        F.sum(
+            F.when((F.col("__in_a") == 1) & (F.col("__in_b") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shared"),
+        F.max("__dk").alias("__vk"),
+    )
+    est_union = F.expr(
+        "CAST(CAST(k_union - 1 AS DECIMAL(38,0))"
+        " * CAST(1152921504606846976 AS DECIMAL(38,0))"
+        " div CAST(greatest(__vk, 1) AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return (
+        stats.select(
+            "group_a",
+            "group_b",
+            "k_union",
+            "n_shared",
+            F.floor(F.col("n_shared") * F.lit(1_000_000) / F.col("k_union"))
+            .cast("long")
+            .alias("jaccard_micro"),
+            F.when(F.col("k_union") < k, F.col("k_union"))
+            .otherwise(est_union)
+            .alias("est_union"),
+        )
+        .withColumn(
+            # decimal path: jaccard_micro * est_union can pass 2^53 at
+            # web-scale distinct counts, where the double product would
+            # silently lose exactness
+            "est_inter",
+            F.expr(
+                "CAST(CAST(jaccard_micro AS DECIMAL(38,0))"
+                " * CAST(est_union AS DECIMAL(38,0))"
+                " div CAST(1000000 AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+    )

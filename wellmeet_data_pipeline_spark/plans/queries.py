@@ -8611,6 +8611,125 @@ def q_sample_users_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottomk_sample(ev, "user_id", group_cols=("event_type",), k=5)
 
 
+_KMV_SK_SQL = f"""
+    ids AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    kk AS (
+      SELECT event_type, user_id,
+             {_hex_int_sql("sha256('bk1|' || CAST(user_id AS VARCHAR))", 1, 15)} AS dk
+      FROM ids
+    ),
+    rr AS (
+      SELECT event_type, user_id, dk,
+             row_number() OVER (PARTITION BY event_type ORDER BY dk, user_id) AS rk
+      FROM kk
+    ),
+    sk AS (SELECT event_type, user_id, dk FROM rr WHERE rk <= 64)"""
+
+
+@_q(
+    "kmv_distinct_users",
+    f"""
+    WITH {_KMV_SK_SQL},
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch, max(dk) AS vk
+      FROM sk GROUP BY 1
+    )
+    SELECT event_type, n_sketch,
+           CASE WHEN n_sketch < 64 THEN n_sketch
+                ELSE CAST(CAST(63 AS HUGEINT)
+                          * CAST(1152921504606846976 AS HUGEINT)
+                          // CAST(greatest(vk, 1) AS HUGEINT) AS BIGINT)
+           END AS est_distinct
+    FROM agg
+    """,
+    "KMV (k-minimum-values / theta-sketch) distinct estimate per "
+    "event_type from the bottom-k sample: n_hat = (k-1)*2^60 // v_k on "
+    "exact 128-bit integers (Bar-Yossef et al. 2002, stderr ~ "
+    "1/sqrt(k-2)); groups under k distinct members report their EXACT "
+    "count.  Deterministic sha keys make the whole estimate "
+    "hash-verifiable — the oracle-checkable complement to the "
+    "engine-internal HLL++ (approx_distinct_sketch)",
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        kmv_distinct_estimate,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return kmv_distinct_estimate(ev, "user_id", group_cols=("event_type",), k=64)
+
+
+@_q(
+    "kmv_type_overlap",
+    f"""
+    WITH {_KMV_SK_SQL},
+    gs AS (SELECT DISTINCT event_type FROM sk),
+    gp AS (
+      SELECT a.event_type AS ga, b.event_type AS gb
+      FROM gs a JOIN gs b ON a.event_type < b.event_type
+    ),
+    uni AS (
+      SELECT DISTINCT ga, gb, user_id, dk FROM (
+        SELECT gp.ga, gp.gb, s.user_id, s.dk FROM gp JOIN sk s ON s.event_type = gp.ga
+        UNION ALL
+        SELECT gp.ga, gp.gb, s.user_id, s.dk FROM gp JOIN sk s ON s.event_type = gp.gb
+      )
+    ),
+    tk AS (
+      SELECT * FROM (
+        SELECT ga, gb, user_id, dk,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY dk, user_id) AS r2
+        FROM uni
+      ) WHERE r2 <= 64
+    ),
+    fl AS (
+      SELECT t.ga, t.gb, t.dk,
+             CASE WHEN sa.user_id IS NOT NULL THEN 1 ELSE 0 END AS ia,
+             CASE WHEN sb.user_id IS NOT NULL THEN 1 ELSE 0 END AS ib
+      FROM tk t
+      LEFT JOIN sk sa ON sa.event_type = t.ga AND sa.user_id = t.user_id
+      LEFT JOIN sk sb ON sb.event_type = t.gb AND sb.user_id = t.user_id
+    ),
+    st AS (
+      SELECT ga AS group_a, gb AS group_b,
+             CAST(count(*) AS BIGINT) AS k_union,
+             CAST(sum(ia * ib) AS BIGINT) AS n_shared,
+             max(dk) AS vk
+      FROM fl GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT group_a, group_b, k_union, n_shared,
+             CAST(floor(CAST(n_shared * 1000000 AS DOUBLE) / k_union) AS BIGINT)
+               AS jaccard_micro,
+             CASE WHEN k_union < 64 THEN k_union
+                  ELSE CAST(CAST(k_union - 1 AS HUGEINT)
+                            * CAST(1152921504606846976 AS HUGEINT)
+                            // CAST(greatest(vk, 1) AS HUGEINT) AS BIGINT)
+             END AS est_union
+      FROM st
+    )
+    SELECT group_a, group_b, k_union, n_shared, jaccard_micro, est_union,
+           CAST(CAST(jaccard_micro AS HUGEINT) * CAST(est_union AS HUGEINT)
+                // CAST(1000000 AS HUGEINT) AS BIGINT) AS est_inter
+    FROM est
+    """,
+    "Theta-sketch-style pairwise set overlap between event types' user "
+    "sets, from their bottom-k sketches alone: the union sketch's k "
+    "smallest keys are scanned for two-sided membership — jaccard_hat = "
+    "shared/k on the micro grid, inter_hat = jaccard_hat * KMV(union).  "
+    "Every post-sketch frame is pairs x k rows, independent of corpus "
+    "size; 128-bit exact integer estimates keep it hash-verifiable",
+)
+def q_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.aggregations import kmv_group_overlap
+
+    ev = table(spark, sf_dir, "events")
+    return kmv_group_overlap(ev, "user_id", "event_type", k=64)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
