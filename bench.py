@@ -142,6 +142,9 @@ HEADLINE = [
     "sample_users_bottomk",
     "kmv_distinct_users",
     "kmv_type_overlap",
+    "sft_turn_stats",
+    "sft_render_template",
+    "preference_pairs",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

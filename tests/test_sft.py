@@ -1,0 +1,78 @@
+"""SFT / conversation-prep semantics (round 8)."""
+
+from pyspark.sql import functions as F
+
+
+def _stats(spark, convs):
+    from wellmeet_data_pipeline_spark.operators.sft import turn_stats
+
+    df = spark.createDataFrame(list(enumerate(convs)), "doc_id long, conv string")
+    return {r["doc_id"]: r.asDict() for r in turn_stats(df, "conv").collect()}
+
+
+def test_turn_stats_alternation_and_tokens(spark):
+    convs = [
+        # 0: proper user/assistant/user
+        '[{"role":"user","content":"a b"},{"role":"assistant","content":"c"},{"role":"user","content":"d e f"}]',
+        # 1: assistant-first -> not alternating
+        '[{"role":"assistant","content":"x"},{"role":"user","content":"y"}]',
+        # 2: adjacent same roles -> not alternating
+        '[{"role":"user","content":"x"},{"role":"user","content":"y"}]',
+        # 3: single user turn -> alternating (trivially)
+        '[{"role":"user","content":"one two three"}]',
+        # 4: empty conversation
+        "[]",
+        # 5: malformed JSON -> NULL stats
+        '[{"role":"user"',
+        # 6: empty contents count zero tokens but chars still zero
+        '[{"role":"user","content":""},{"role":"assistant","content":""}]',
+    ]
+    got = _stats(spark, convs)
+    assert got[0]["n_turns"] == 3 and got[0]["alternating"] == 1
+    assert got[0]["n_user_tokens"] == 5 and got[0]["n_assistant_tokens"] == 1
+    assert got[0]["n_content_chars"] == 3 + 1 + 5
+    assert got[1]["alternating"] == 0
+    assert got[2]["alternating"] == 0
+    assert got[3]["alternating"] == 1 and got[3]["n_user_tokens"] == 3
+    assert got[4] == {
+        "doc_id": 4, "n_turns": 0, "alternating": 0,
+        "n_user_tokens": 0, "n_assistant_tokens": 0, "n_content_chars": 0,
+    }
+    assert got[5]["n_turns"] is None and got[5]["alternating"] is None
+    assert got[6]["n_user_tokens"] == 0 and got[6]["n_content_chars"] == 0
+
+
+def test_render_chat_template(spark):
+    from wellmeet_data_pipeline_spark.operators.sft import render_chat_template
+
+    convs = [
+        '[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]',
+        "[]",
+        "not json",
+    ]
+    df = spark.createDataFrame(list(enumerate(convs)), "doc_id long, conv string")
+    got = {r["doc_id"]: r["rendered"] for r in render_chat_template(df, "conv").collect()}
+    assert got[0] == "<|user|>hi<|assistant|>yo<|end|>"
+    assert got[1] == "<|end|>"
+    assert got[2] is None
+
+
+def test_preference_pairs_margins_and_ties(spark):
+    from wellmeet_data_pipeline_spark.operators.sft import preference_pairs
+
+    rows = [
+        # prompt 1: clear margin
+        (1, 10, 500), (1, 11, 100), (1, 12, 300),
+        # prompt 2: all equal -> filtered (margin 0)
+        (2, 20, 50), (2, 21, 50),
+        # prompt 3: tied best -> highest id chosen; tied worst -> lowest id
+        (3, 30, 900), (3, 31, 900), (3, 32, 100), (3, 33, 100),
+    ]
+    df = spark.createDataFrame(rows, "prompt long, resp long, score long")
+    got = {
+        r["prompt"]: (r["chosen"], r["rejected"], r["margin"])
+        for r in preference_pairs(df, "prompt", "resp", "score").collect()
+    }
+    assert got[1] == (10, 11, 400)
+    assert 2 not in got
+    assert got[3] == (31, 32, 800)

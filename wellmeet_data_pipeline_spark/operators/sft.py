@@ -1,0 +1,155 @@
+"""SFT / conversation-data preparation: the post-pretraining half of an
+LLM data pipeline — typed parsing of chat-structured JSON, turn-grain
+structure validation, token budgeting, chat-template rendering, and
+preference-pair construction for reward modeling.
+
+Everything stays JVM-side: conversations parse once via `from_json`
+into `array<struct<role,content>>` (F8's typed-extract pattern at
+message grain) and every turn-grain read is a higher-order array
+function over the parsed column — no explode/shuffle for per-doc stats,
+no Python.  The DuckDB oracles parse the identical JSON with
+`TRY_CAST(j AS STRUCT(role VARCHAR, content VARCHAR)[])` and mirror the
+list ops (DuckDB list functions reduce sequentially, matching
+F.aggregate's left fold — the NOTES ledger).
+
+Generalizes the reference's JSON review ingestion (save-reviews/
+lambda_function.py parses reviewer/content JSON bodies) to the
+conversation-structured records an instruction-tuning corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CONV_SCHEMA = "array<struct<role:string,content:string>>"
+
+
+def parse_conversations(df: DataFrame, json_col: str, out_col: str = "turns") -> DataFrame:
+    """Typed parse of a JSON conversation column; malformed rows yield
+    NULL (errors-as-data), never a task failure."""
+    return df.withColumn(out_col, F.from_json(F.col(json_col), CONV_SCHEMA))
+
+
+def turn_stats(
+    df: DataFrame,
+    json_col: str,
+    id_col: str = "doc_id",
+    expected_first: str = "user",
+) -> DataFrame:
+    """Per-conversation structure audit: turn count, strict role
+    alternation starting from `expected_first` (the gate every SFT
+    trainer applies before packing), per-side token counts, and total
+    content chars.  All reads are array lambdas over ONE parsed column —
+    zero shuffle, zero explode; token counts split on single spaces
+    (contents are normalized upstream) and drop empty tokens, the
+    filter-split convention."""
+    parsed = parse_conversations(df, json_col)
+    t = F.col("turns")
+    roles = F.transform(t, lambda x: x["role"])
+    # adjacent-pair check zips the first n-1 roles against the last n-1:
+    # zipping the FULL array against the tail would pad with NULL and
+    # poison forall on the last pair
+    n_adj = F.greatest(F.size(t) - 1, F.lit(0))
+    alternates = F.when(
+        F.size(t) == 0, F.lit(0)
+    ).otherwise(
+        (
+            (F.element_at(roles, 1) == expected_first)
+            & F.forall(
+                F.zip_with(
+                    F.slice(roles, 1, n_adj),
+                    F.slice(roles, 2, n_adj),
+                    lambda a, b: a != b,
+                ),
+                lambda ok: ok,
+            )
+        ).cast("int")
+    )
+
+    def _side_tokens(role: str) -> Column:
+        return F.aggregate(
+            F.filter(t, lambda x: x["role"] == role),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.size(F.filter(F.split(x["content"], " "), lambda w: w != "")),
+        )
+
+    return parsed.select(
+        F.col(id_col),
+        F.size(t).cast("int").alias("n_turns"),
+        alternates.alias("alternating"),
+        _side_tokens("user").alias("n_user_tokens"),
+        _side_tokens("assistant").alias("n_assistant_tokens"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x["content"])
+        ).alias("n_content_chars"),
+    )
+
+
+def render_chat_template(
+    df: DataFrame,
+    json_col: str,
+    id_col: str = "doc_id",
+    eos: str = "<|end|>",
+) -> DataFrame:
+    """Flatten a conversation into the training string: a left fold over
+    the parsed turns emitting '<|role|>content' segments plus a final
+    eos — one codegen expression per row, no explode, no window, so the
+    render never shuffles (sequence order is the array order, exactly
+    what a distributed sort would have to re-establish)."""
+    parsed = parse_conversations(df, json_col)
+    rendered = F.concat(
+        F.aggregate(
+            F.col("turns"),
+            F.lit("").cast("string"),
+            lambda acc, x: F.concat(
+                acc, F.lit("<|"), x["role"], F.lit("|>"), x["content"]
+            ),
+        ),
+        F.lit(eos),
+    )
+    return parsed.select(
+        F.col(id_col),
+        F.when(F.col("turns").isNotNull(), rendered).alias("rendered"),
+    )
+
+
+def preference_pairs(
+    responses: DataFrame,
+    prompt_col: str,
+    response_col: str,
+    score_col: str,
+    min_margin: int = 1,
+) -> DataFrame:
+    """Reward-model pair construction: per prompt, (highest, lowest)
+    scored responses with a deterministic tie-break on the response id,
+    kept only when the margin clears `min_margin` (equal-scored pairs
+    teach nothing).  Scores must be integer-grid (cents/micros).
+
+    Two map-side-combined max_by/min_by aggregations — one shuffle at
+    prompt grain, no window, no self-join; the struct orderings make
+    re-runs byte-stable."""
+    hi = F.max_by(
+        F.col(response_col), F.struct(F.col(score_col), F.col(response_col))
+    )
+    # min_by with an ASC struct: lowest score, tie -> lowest id
+    lo = F.min_by(
+        F.col(response_col), F.struct(F.col(score_col), F.col(response_col))
+    )
+    agg = responses.groupBy(prompt_col).agg(
+        hi.alias("chosen"),
+        F.max(F.col(score_col)).alias("chosen_score"),
+        lo.alias("rejected"),
+        F.min(F.col(score_col)).alias("rejected_score"),
+    )
+    return agg.filter(
+        F.col("chosen_score") - F.col("rejected_score") >= min_margin
+    ).select(
+        prompt_col,
+        "chosen",
+        "rejected",
+        (F.col("chosen_score") - F.col("rejected_score"))
+        .cast("long")
+        .alias("margin"),
+    )

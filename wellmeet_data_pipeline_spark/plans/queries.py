@@ -8730,6 +8730,201 @@ def q_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_group_overlap(ev, "user_id", "event_type", k=64)
 
 
+# ---------------------------------------------------------------------------
+# SFT / conversation prep (round 8): synthesize a deterministic 3-turn
+# conversation JSON per document (control chars stripped, JSON-escaped),
+# parse it TYPED on both engines (from_json vs TRY_CAST(... AS STRUCT[])),
+# and read structure/tokens/template through array lambdas.
+# ---------------------------------------------------------------------------
+
+
+def _synth_conv_spark():
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+    safe = F.regexp_replace(normalized_text(F.col("text")), r"[\x00-\x1f]", "")
+    esc = F.replace(
+        F.replace(safe, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+    words = F.split(esc, " ")
+    n = F.size(words)
+    m = F.expr("(size(split(__esc, ' ')) + 2) div 3")
+    return (
+        F.concat(
+            F.lit('[{"role":"user","content":"'),
+            F.array_join(F.slice(words, 1, m), " "),
+            F.lit('"},{"role":"assistant","content":"'),
+            F.array_join(F.slice(words, m + F.lit(1), m), " "),
+            F.lit('"},{"role":"user","content":"'),
+            F.array_join(
+                F.slice(words, 2 * m + F.lit(1), F.greatest(n - 2 * m, F.lit(0))),
+                " ",
+            ),
+            F.lit('"}]'),
+        ),
+        esc,
+    )
+
+
+def _conv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    conv, esc = _synth_conv_spark()
+    return d.withColumn("__esc", esc).select("doc_id", conv.alias("conv"))
+
+
+_CONV_SQL = f"""
+    base AS (
+      SELECT doc_id,
+             replace(replace(regexp_replace({_NORM_SQL}, '[\\x00-\\x1f]', ''),
+                             '\\', '\\\\'), '"', '\\"') AS esc
+      FROM documents
+    ),
+    wd AS (
+      SELECT doc_id, string_split(esc, ' ') AS words,
+             (len(string_split(esc, ' ')) + 2) // 3 AS m,
+             len(string_split(esc, ' ')) AS n
+      FROM base
+    ),
+    conv AS (
+      -- NULL text stays NULL end-to-end (Spark's concat nulls the whole
+      -- JSON; coalescing slices here would fabricate an empty conv)
+      SELECT doc_id,
+             CASE WHEN words IS NULL THEN NULL ELSE
+             '[{{"role":"user","content":"'
+             || coalesce(array_to_string(words[1:m], ' '), '')
+             || '"}},{{"role":"assistant","content":"'
+             || coalesce(array_to_string(words[m+1:2*m], ' '), '')
+             || '"}},{{"role":"user","content":"'
+             || coalesce(array_to_string(words[2*m+1:n], ' '), '')
+             || '"}}]' END AS j
+      FROM wd
+    ),
+    parsed AS (
+      SELECT doc_id,
+             TRY_CAST(j AS STRUCT(role VARCHAR, content VARCHAR)[]) AS t
+      FROM conv
+    )"""
+
+
+@_q(
+    "sft_turn_stats",
+    f"""
+    WITH {_CONV_SQL},
+    rr AS (SELECT doc_id, t, list_transform(t, x -> x.role) AS roles FROM parsed)
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_turns,
+           CASE WHEN t IS NULL THEN NULL
+                WHEN len(t) = 0 THEN 0
+                ELSE CAST((roles[1] = 'user' AND NOT list_contains(
+                       list_transform(range(1, len(t)),
+                                      i -> roles[i] = roles[i + 1]), true))
+                     AS INTEGER)
+           END AS alternating,
+           CASE WHEN t IS NULL THEN NULL ELSE CAST(coalesce(list_sum(
+             list_transform(list_filter(t, x -> x.role = 'user'),
+               x -> len(list_filter(string_split(x.content, ' '),
+                                    w -> w <> '')))), 0) AS BIGINT)
+           END AS n_user_tokens,
+           CASE WHEN t IS NULL THEN NULL ELSE CAST(coalesce(list_sum(
+             list_transform(list_filter(t, x -> x.role = 'assistant'),
+               x -> len(list_filter(string_split(x.content, ' '),
+                                    w -> w <> '')))), 0) AS BIGINT)
+           END AS n_assistant_tokens,
+           CASE WHEN t IS NULL THEN NULL ELSE CAST(coalesce(list_sum(
+             list_transform(t, x -> length(x.content))), 0) AS BIGINT)
+           END AS n_content_chars
+    FROM rr
+    """,
+    "SFT conversation structure audit (per doc: turn count, strict "
+    "user-first role alternation — the gate every instruction-tuning "
+    "trainer applies — per-side whitespace token counts, content chars) "
+    "over a TYPED from_json parse of chat-structured JSON; every read is "
+    "an array lambda over one parsed column, zero shuffle/explode.  "
+    "Generalizes F8's typed extract to message grain",
+)
+def q_sft_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.sft import turn_stats
+
+    return turn_stats(_conv_frame(spark, sf_dir), "conv")
+
+
+@_q(
+    "sft_render_template",
+    f"""
+    WITH {_CONV_SQL}
+    SELECT doc_id,
+           CASE WHEN t IS NULL THEN NULL
+                WHEN len(t) = 0 THEN '<|end|>'
+                ELSE '<|' || array_to_string(
+                       list_transform(t, x -> x.role || '|>' || x.content),
+                       '<|') || '<|end|>'
+           END AS rendered
+    FROM parsed
+    """,
+    "Chat-template rendering: conversations flatten into the training "
+    "string ('<|role|>content' segments + eos) via a left fold over the "
+    "parsed turn array — one codegen expression per row, no explode, no "
+    "window; array order IS the sequence order a shuffle would have to "
+    "re-establish",
+)
+def q_sft_render_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.sft import render_chat_template
+
+    return render_chat_template(_conv_frame(spark, sf_dir), "conv")
+
+
+@_q(
+    "preference_pairs",
+    """
+    WITH r AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+    ),
+    hi AS (
+      SELECT user_id, event_id AS chosen, score AS chosen_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY score DESC, event_id DESC) AS rk
+        FROM r
+      ) WHERE rk = 1
+    ),
+    lo AS (
+      SELECT user_id, event_id AS rejected, score AS rejected_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY score ASC, event_id ASC) AS rk
+        FROM r
+      ) WHERE rk = 1
+    )
+    SELECT h.user_id, h.chosen, l.rejected,
+           CAST(h.chosen_score - l.rejected_score AS BIGINT) AS margin
+    FROM hi h JOIN lo l ON h.user_id = l.user_id
+    WHERE h.chosen_score - l.rejected_score >= 1
+    """,
+    "Reward-model preference-pair construction: per prompt (user), the "
+    "(highest, lowest) scored responses with deterministic struct "
+    "tie-breaks, kept when the margin clears the floor — two map-side-"
+    "combined max_by/min_by aggregations, ONE prompt-grain shuffle, no "
+    "window or self-join on the Spark side",
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.sft import preference_pairs
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("score"),
+        )
+    )
+    return preference_pairs(ev, "user_id", "event_id", "score", min_margin=1)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
