@@ -76,3 +76,35 @@ def test_preference_pairs_margins_and_ties(spark):
     assert got[1] == (10, 11, 400)
     assert 2 not in got
     assert got[3] == (31, 32, 800)
+
+
+def test_compression_ratio_exact_differential(spark):
+    import zlib
+
+    from wellmeet_data_pipeline_spark.operators.scoring import compression_ratio
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "spam spam spam spam spam spam spam spam spam spam",
+        "",
+        None,
+        "한국어 텍스트 with mixed scripts and ünïcödé",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in compression_ratio(df).collect()}
+    for i, t in enumerate(texts):
+        raw = (t or "").encode("utf-8")
+        comp = len(zlib.compress(raw, 6)) if raw else 0
+        assert got[i]["n_bytes"] == len(raw)
+        assert got[i]["n_compressed"] == comp
+        assert got[i]["ratio_micro"] == comp * 1_000_000 // max(len(raw), 1)
+    # the redundancy signal orders as expected: spam << prose
+    assert got[1]["ratio_micro"] < got[0]["ratio_micro"]
+
+
+def test_compression_ratio_registry_row_count(spark):
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    out = REGISTRY["compression_quality"].fn(spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert out.count() == docs.count()  # every doc reports, incl. null text

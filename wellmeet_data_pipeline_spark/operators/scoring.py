@@ -1008,3 +1008,55 @@ def vocab_overlap_pairs(
         jm.alias("jaccard_micro"),
         (jm / F.lit(1_000_000.0)).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib)
+# ---------------------------------------------------------------------------
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    redundancy/quality signal (highly repetitive or templated text
+    compresses far below prose; near-random strings don't compress),
+    used alongside the Gopher rules in web-curation pipelines.
+
+    Arrow-batched mapInPandas (zlib is CPU work Catalyst can't express;
+    one batch of texts in, one narrow stat frame out — the
+    multimodal-extract shape).  Deterministic for a pinned level within
+    an environment; zlib output bytes are NOT guaranteed stable across
+    zlib library versions, so this is a rows-only operator whose
+    evidence is an exact pytest differential against an independent
+    direct zlib call, not a SQL oracle.  ratio_micro is integer-exact:
+    compressed_bytes * 1e6 // max(raw_bytes, 1).
+
+    Output: (id, n_bytes, n_compressed, ratio_micro); NULL text rows
+    report 0 bytes."""
+    import pandas as pd
+
+    def run(batches):
+        import zlib
+
+        cols = [id_col, "n_bytes", "n_compressed", "ratio_micro"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                raw = (rec[text_col] or "").encode("utf-8")
+                comp = len(zlib.compress(raw, level)) if raw else 0
+                rows.append(
+                    {
+                        id_col: rec[id_col],
+                        "n_bytes": len(raw),
+                        "n_compressed": comp,
+                        "ratio_micro": comp * 1_000_000 // max(len(raw), 1),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_bytes long, n_compressed long, ratio_micro long"
+    )

@@ -8925,6 +8925,24 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(ev, "user_id", "event_id", "score", min_margin=1)
 
 
+@_q(
+    "compression_quality",
+    None,
+    "zlib compression-ratio quality signal per doc (templated/repetitive "
+    "text compresses far below prose — the classic cheap redundancy "
+    "filter next to the Gopher rules).  Rows-only by necessity: zlib "
+    "bytes are not SQL-expressible and not version-stable across zlib "
+    "builds; evidence is an exact pytest differential against an "
+    "independent direct zlib call plus ordering invariants "
+    "(tests/test_sft.py::test_compression_ratio_*)",
+)
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import compression_ratio
+
+    d = table(spark, sf_dir, "documents")
+    return compression_ratio(d)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
