@@ -108,3 +108,25 @@ def test_compression_ratio_registry_row_count(spark):
     out = REGISTRY["compression_quality"].fn(spark, "/root/testdata/sf0.001")
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert out.count() == docs.count()  # every doc reports, incl. null text
+
+
+def test_turn_stats_null_content_contributes_zero(spark):
+    # a turn missing "content" parses to NULL content on both engines;
+    # totals must skip it (the oracle's list_sum semantics), not null out
+    from wellmeet_data_pipeline_spark.operators.sft import turn_stats
+
+    conv = '[{"role":"user","content":"a b"},{"role":"assistant"}]'
+    df = spark.createDataFrame([(1, conv)], "doc_id long, conv string")
+    r = turn_stats(df, "conv").collect()[0]
+    assert r["n_turns"] == 2 and r["n_user_tokens"] == 2
+    assert r["n_assistant_tokens"] == 0 and r["n_content_chars"] == 3
+
+
+def test_compression_ratio_string_ids(spark):
+    from wellmeet_data_pipeline_spark.operators.scoring import compression_ratio
+
+    df = spark.createDataFrame(
+        [("u1", "aaa bbb"), ("u2", None)], "url string, text string"
+    )
+    got = {r["url"]: r["n_bytes"] for r in compression_ratio(df, id_col="url").collect()}
+    assert got == {"u1": 7, "u2": 0}

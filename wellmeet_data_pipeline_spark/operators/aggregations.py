@@ -660,16 +660,7 @@ def bottomk_sample(
     )
     for g in group_cols:
         ids = ids.filter(F.col(g).isNotNull())
-    dk = F.conv(
-        F.substring(
-            F.sha2(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")), 256),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    keyed = ids.withColumn("__dk", dk)
+    keyed = ids.withColumn("__dk", _bottomk_draw_key(id_col, salt))
     w1 = Window.partitionBy(
         *group_cols, F.pmod(F.col("__dk"), F.lit(n_salts))
     ).orderBy("__dk", id_col)

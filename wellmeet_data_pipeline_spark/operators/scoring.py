@@ -1035,8 +1035,11 @@ def compression_ratio(
     compressed_bytes * 1e6 // max(raw_bytes, 1).
 
     Output: (id, n_bytes, n_compressed, ratio_micro); NULL text rows
-    report 0 bytes."""
+    report 0 bytes.  The id column keeps its own type (string URLs and
+    bigint doc ids both work)."""
     import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def run(batches):
         import zlib
@@ -1058,5 +1061,6 @@ def compression_ratio(
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select(id_col, text_col).mapInPandas(
-        run, f"{id_col} long, n_bytes long, n_compressed long, ratio_micro long"
+        run,
+        f"{id_col} {id_type}, n_bytes long, n_compressed long, ratio_micro long",
     )

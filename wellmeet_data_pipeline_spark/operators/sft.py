@@ -67,12 +67,21 @@ def turn_stats(
         ).cast("int")
     )
 
+    # NULL contents (a turn missing the "content" key parses to a NULL
+    # field on both engines) contribute ZERO, not a NULL total — the
+    # DuckDB twin's list_sum skips NULL elements, and a fold without the
+    # coalesce would null the whole accumulator (review catch)
     def _side_tokens(role: str) -> Column:
         return F.aggregate(
             F.filter(t, lambda x: x["role"] == role),
             F.lit(0).cast("long"),
             lambda acc, x: acc
-            + F.size(F.filter(F.split(x["content"], " "), lambda w: w != "")),
+            + F.size(
+                F.filter(
+                    F.split(F.coalesce(x["content"], F.lit("")), " "),
+                    lambda w: w != "",
+                )
+            ),
         )
 
     return parsed.select(
@@ -82,7 +91,9 @@ def turn_stats(
         _side_tokens("user").alias("n_user_tokens"),
         _side_tokens("assistant").alias("n_assistant_tokens"),
         F.aggregate(
-            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x["content"])
+            t,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.coalesce(F.length(x["content"]), F.lit(0)),
         ).alias("n_content_chars"),
     )
 

@@ -8774,7 +8774,10 @@ def _conv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONV_SQL = f"""
     base AS (
       SELECT doc_id,
-             replace(replace(regexp_replace({_NORM_SQL}, '[\\x00-\\x1f]', ''),
+             -- 'g': DuckDB regexp_replace is first-match-only by default
+             -- where Spark replaces all (review catch — latent until
+             -- _NORM_SQL's keep-set widens past [\\w ])
+             replace(replace(regexp_replace({_NORM_SQL}, '[\\x00-\\x1f]', '', 'g'),
                              '\\', '\\\\'), '"', '\\"') AS esc
       FROM documents
     ),
