@@ -471,6 +471,77 @@ def run_fuzzy_link(spark, sf_dir, factor):
     return fuzzy_link_edit1(dirty, clean).count()
 
 
+def run_domain_caps(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.web import domain_doc_caps
+
+    # domains pool within a copy (50 hosts per copy) so per-domain ranks
+    # grow with data — the regime where a domain-keyed window would melt
+    # and the two-pass rank must not
+    d = scaled_documents(spark, sf_dir, factor).select(
+        "doc_id",
+        F.format_string(
+            "https://WWW.h%d-%d.example.com/p/%d?utm_source=x&b=2&a=1",
+            (F.col("doc_id") % 50).cast("int"),
+            (F.col("doc_id") / F.lit(10_000_000)).cast("int"),
+            F.col("doc_id"),
+        ).alias("url"),
+    ).localCheckpoint(eager=True)  # urls are a stored column in real use
+    return domain_doc_caps(d, cap=100).count()
+
+
+def run_quantile_sketch(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.aggregations import (
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    ev = scaled_events(spark, sf_dir, factor).filter(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    sk = quantile_sketch(cents, "cents", group_cols=("event_type",))
+    return quantiles_from_sketch(sk, group_cols=("event_type",)).count()
+
+
+def run_kmv_overlap(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.aggregations import kmv_group_overlap
+
+    return kmv_group_overlap(
+        scaled_events(spark, sf_dir, factor), "user_id", "event_type", k=64
+    ).count()
+
+
+def run_sft_turn_stats(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.sft import turn_stats
+    from wellmeet_data_pipeline_spark.plans.queries import _synth_conv_spark
+
+    d = scaled_documents(spark, sf_dir, factor)
+    conv, esc = _synth_conv_spark()
+    frame = d.withColumn("__esc", esc).select("doc_id", conv.alias("conv"))
+    return turn_stats(frame, "conv").count()
+
+
+def run_url_dedup(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.web import canonical_url
+    from wellmeet_data_pipeline_spark.plans.queries import _synth_url_spark
+
+    d = scaled_documents(spark, sf_dir, factor)
+    # materialized: when/otherwise branches get no CSE and CollapseProject
+    # would inline the synth CASE into every url reference (see
+    # queries._synth_url_frame)
+    u = d.select("doc_id", _synth_url_spark().alias("url")).localCheckpoint(
+        eager=True
+    )
+    return (
+        u.select("doc_id", canonical_url(F.col("url")).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .groupBy("c")
+        .agg(F.min("doc_id").alias("kept"), F.count("*").alias("n"))
+        .count()
+    )
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -504,6 +575,11 @@ OPS = {
     "source_vocab_overlap": run_source_vocab_overlap,
     "dup_triangle_count": run_dup_triangle_count,
     "fuzzy_link_records": run_fuzzy_link,
+    "domain_doc_caps": run_domain_caps,
+    "sketch_value_quantiles": run_quantile_sketch,
+    "kmv_type_overlap": run_kmv_overlap,
+    "sft_turn_stats": run_sft_turn_stats,
+    "url_dedup_by_canonical": run_url_dedup,
 }
 
 

@@ -8242,6 +8242,20 @@ def q_exact_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _synth_url_frame(d: DataFrame) -> DataFrame:
+    """Materialized (doc_id, url) frame.  The checkpoint is load-bearing:
+    canonical_url/url_domain reference their input ~8x each and sit
+    inside when/otherwise branches, where Spark DISABLES common-
+    subexpression elimination (conditional branches evaluate lazily) —
+    and CollapseProject inlines a staged select right back into the
+    consumer, so without materialization the synth CASE re-evaluates
+    per reference (measured 42s -> 0.9s on 320k rows at the 64x smoke).
+    Real pipelines read URLs as a STORED column, which this models."""
+    return d.select("doc_id", _synth_url_spark().alias("url")).localCheckpoint(
+        eager=True
+    )
+
+
 def _synth_url_spark():
     m = F.col("doc_id") % 5
     src = F.coalesce(F.col("source"), F.lit("nul"))
@@ -8370,7 +8384,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.web import canonical_url, url_domain
 
     d = table(spark, sf_dir, "documents")
-    u = d.select("doc_id", _synth_url_spark().alias("url"))
+    u = _synth_url_frame(d)
     return u.select(
         "doc_id",
         "url",
@@ -8405,8 +8419,7 @@ def q_domain_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.web import domain_doc_caps
 
     d = table(spark, sf_dir, "documents")
-    u = d.select("doc_id", _synth_url_spark().alias("url"))
-    return domain_doc_caps(u, url_col="url", cap=3)
+    return domain_doc_caps(_synth_url_frame(d), url_col="url", cap=3)
 
 
 @_q(
@@ -8428,8 +8441,9 @@ def q_url_dedup_by_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.web import canonical_url
 
     d = table(spark, sf_dir, "documents")
+    u = _synth_url_frame(d)
     return (
-        d.select("doc_id", canonical_url(_synth_url_spark()).alias("canonical_url"))
+        u.select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))
         .filter(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
