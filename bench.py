@@ -145,6 +145,7 @@ HEADLINE = [
     "sft_turn_stats",
     "sft_render_template",
     "preference_pairs",
+    "retrieval_eval_bm25",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

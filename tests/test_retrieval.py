@@ -407,3 +407,46 @@ def test_hybrid_ivf_agrees_with_exact_on_clustered(spark):
         F.col("rank_1").alias("cosine_rank"), "rank",
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ir_eval_metrics_hand_computed(spark):
+    """recall/MRR/nDCG pinned against hand math: q0 has rel docs
+    {1,2,9} with hits at ranks 1 and 3 (doc 9 missed); q1 has one rel
+    doc found at rank 2; q2 has rel docs but NO hits -> zeros."""
+    import math
+
+    from wellmeet_data_pipeline_spark.operators.retrieval import ir_eval_metrics
+
+    run = spark.createDataFrame(
+        [
+            (0, 1, 1), (0, 5, 2), (0, 2, 3), (0, 6, 4),
+            (1, 7, 1), (1, 3, 2),
+            (2, 8, 1),
+        ],
+        "query_id int, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 9), (1, 3), (2, 4)],
+        "query_id int, doc_id long",
+    )
+    got = {r["query_id"]: r.asDict() for r in ir_eval_metrics(run, qrels, k=10).collect()}
+
+    def term(r):
+        return math.floor(1e6 * (math.log(2.0) / math.log(r + 1.0)) + 0.5)
+
+    # q0: hits at ranks 1, 3 of 3 relevant
+    dcg0 = term(1) + term(3)
+    idcg0 = term(1) + term(2) + term(3)
+    assert got[0]["n_rel"] == 3 and got[0]["n_hits"] == 2
+    assert got[0]["recall_micro"] == 2 * 1_000_000 // 3
+    assert got[0]["mrr_micro"] == 1_000_000
+    assert got[0]["ndcg_micro"] == dcg0 * 1_000_000 // idcg0
+    # q1: single relevant found at rank 2
+    assert got[1]["recall_micro"] == 1_000_000
+    assert got[1]["mrr_micro"] == 500_000
+    assert got[1]["ndcg_micro"] == term(2) * 1_000_000 // term(1)
+    # q2: relevant exists, nothing found
+    assert got[2] == {
+        "query_id": 2, "n_rel": 1, "n_hits": 0,
+        "recall_micro": 0, "mrr_micro": 0, "ndcg_micro": 0,
+    }

@@ -368,3 +368,77 @@ def hybrid_rrf_topk_ivf(
         F.col("rank_1").alias("cosine_rank"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# IR evaluation metrics (recall@k / MRR@k / nDCG@k)
+# ---------------------------------------------------------------------------
+
+def _dcg_term_micro(rank_col):
+    """floor(1e6 * ln(2)/ln(rank+1) + 0.5): the binary-log DCG discount
+    snapped to the micro grid — exact-integer-argument ln() is the same
+    engine-stable recipe the BM25 idf and JS-divergence oracles lean on,
+    and the +0.5/floor snap tolerates last-ulp libm differences (the
+    only exact grid hits, rank 1 -> 1.0 and rank 3 -> 0.5, floor
+    identically under any 1-ulp wobble)."""
+    return F.floor(
+        F.lit(1_000_000.0)
+        * (F.log(F.lit(2.0)) / F.log(rank_col.cast("double") + F.lit(1.0)))
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def ir_eval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval quality of a ranked run against binary
+    relevance judgments: recall@k, MRR@k, nDCG@k — every metric an
+    exact integer on the micro grid (counts, integer divisions, and
+    micro-snapped log discounts), so the whole evaluation is
+    hash-verifiable.
+
+    Plan: the run is cut at k (top-k lists, tiny), hit-joined against
+    qrels on (query, doc), and reduced with one map-side-combined
+    aggregation per side; ideal DCG folds over sequence(1, min(n_rel,
+    k)) in-row (k-bounded).  Queries with relevant docs but no hits
+    report zeros; queries absent from qrels are out of scope (recall
+    undefined at n_rel = 0).
+
+    Output: (query, n_rel, n_hits, recall_micro, mrr_micro,
+    ndcg_micro)."""
+    run_k = run.filter(F.col(rank_col) <= k).select(query_col, doc_col, rank_col)
+    hits = run_k.join(qrels.select(query_col, doc_col), [query_col, doc_col])
+    hq = hits.groupBy(query_col).agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min(rank_col).cast("long").alias("first_rank"),
+        F.sum(_dcg_term_micro(F.col(rank_col))).cast("long").alias("dcg_micro"),
+    )
+    nrel = qrels.groupBy(query_col).agg(F.count("*").cast("long").alias("n_rel"))
+    base = nrel.join(hq, query_col, "left").select(
+        query_col,
+        "n_rel",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        "first_rank",
+        F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("long").alias("dcg_micro"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + _dcg_term_micro(r),
+    )
+    return base.withColumn("idcg_micro", idcg).select(
+        query_col,
+        "n_rel",
+        "n_hits",
+        F.expr("n_hits * 1000000 div n_rel").cast("long").alias("recall_micro"),
+        F.when(F.col("first_rank").isNull(), F.lit(0))
+        .otherwise(F.expr("1000000 div first_rank"))
+        .cast("long")
+        .alias("mrr_micro"),
+        F.expr("dcg_micro * 1000000 div idcg_micro").cast("long").alias("ndcg_micro"),
+    )

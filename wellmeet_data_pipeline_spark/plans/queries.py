@@ -8960,6 +8960,99 @@ def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(d)
 
 
+_DCG_TERM_SQL = (
+    "CAST(floor(CAST(1000000 AS DOUBLE)"
+    " * (ln(CAST(2 AS DOUBLE)) / ln(CAST({r} + 1 AS DOUBLE)))"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+@_q(
+    "retrieval_eval_bm25",
+    f"""
+    WITH {_BM25_CTES},
+    rk AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id ASC) AS rnk
+        FROM bs
+      ) WHERE rnk <= 10
+    ),
+    dt AS (SELECT DISTINCT doc_id, term FROM tk),
+    qr AS (
+      SELECT qt.query_id, dt.doc_id
+      FROM qt JOIN dt USING (term)
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM qr GROUP BY 1),
+    hits AS (
+      SELECT r.query_id, r.rnk
+      FROM rk r JOIN qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+    ),
+    hq AS (
+      SELECT query_id,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(min(rnk) AS BIGINT) AS first_rank,
+             CAST(sum({_DCG_TERM_SQL.format(r="rnk")}) AS BIGINT) AS dcg_micro
+      FROM hits GROUP BY 1
+    ),
+    base AS (
+      SELECT n.query_id, n.n_rel,
+             coalesce(h.n_hits, 0) AS n_hits,
+             h.first_rank,
+             coalesce(h.dcg_micro, 0) AS dcg_micro,
+             CAST(coalesce(list_sum(list_transform(
+               range(1, CAST(least(n.n_rel, 10) AS BIGINT) + 1),
+               r -> {_DCG_TERM_SQL.format(r="r")})), 0) AS BIGINT) AS idcg_micro
+      FROM nrel n LEFT JOIN hq h USING (query_id)
+    )
+    SELECT CAST(query_id AS INTEGER) AS query_id,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits * 1000000 // n_rel AS BIGINT) AS recall_micro,
+           CAST(CASE WHEN first_rank IS NULL THEN 0
+                     ELSE 1000000 // first_rank END AS BIGINT) AS mrr_micro,
+           CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT) AS ndcg_micro
+    FROM base
+    """,
+    "IR evaluation of the BM25 run against exact term-containment "
+    "relevance (doc relevant iff it holds >= 2 distinct query terms): "
+    "per-query recall@10, MRR@10, nDCG@10 — every metric an exact micro-"
+    "grid integer (counts, integer divisions, micro-snapped binary-log "
+    "discounts via the same ln() recipe as the BM25 idf).  The retrieval "
+    "stack's measuring twin: rankers get judged with the same "
+    "hash-verified discipline as the rankers themselves",
+)
+def q_retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+    from wellmeet_data_pipeline_spark.operators.retrieval import (
+        _query_terms_df,
+        bm25_topk,
+        ir_eval_metrics,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    run = bm25_topk(d, _RETRIEVAL_QUERIES, k=10)
+    qt = _query_terms_df(spark, _RETRIEVAL_QUERIES)
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    qrels = (
+        toks.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("__m"))
+        .filter(F.col("__m") >= 2)
+        .select("query_id", "doc_id")
+    )
+    return ir_eval_metrics(run, qrels, k=10)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
