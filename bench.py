@@ -146,6 +146,7 @@ HEADLINE = [
     "sft_render_template",
     "preference_pairs",
     "retrieval_eval_bm25",
+    "lang_id_kappa",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -130,3 +130,33 @@ def test_compression_ratio_string_ids(spark):
     )
     got = {r["url"]: r["n_bytes"] for r in compression_ratio(df, id_col="url").collect()}
     assert got == {"u1": 7, "u2": 0}
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """kappa pinned against hand math, including the perfect-agreement,
+    chance-level, and single-class-undefined cases."""
+    from wellmeet_data_pipeline_spark.operators.scoring import cohens_kappa
+
+    # 2x2: a=(x,x,x,y,y,y,x,y), b=(x,x,y,y,y,x,x,y)
+    rows = list(zip("xxxyyyxy", "xxyyyxxy"))
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n, agree = 8, 6
+    s = 4 * 4 + 4 * 4  # row/col marginals are 4/4 for both labels
+    assert r["n_docs"] == n and r["n_agree"] == agree
+    assert r["po_micro"] == agree * 1_000_000 // n
+    assert r["pe_micro"] == s * 1_000_000 // (n * n)
+    assert r["kappa_micro"] == (agree * n - s) * 1_000_000 // (n * n - s)  # 0.5
+
+    # perfect agreement -> kappa 1.0
+    perfect = spark.createDataFrame(list(zip("xyxy", "xyxy")), "a string, b string")
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa_micro"] == 1_000_000
+
+    # both raters emit ONE identical class -> pe = 1 -> kappa undefined
+    single = spark.createDataFrame([("x", "x")] * 3, "a string, b string")
+    assert cohens_kappa(single, "a", "b").collect()[0]["kappa_micro"] is None
+
+    # systematic disagreement below chance -> NEGATIVE kappa
+    anti = spark.createDataFrame(list(zip("xxyy", "yyxx")), "a string, b string")
+    k = cohens_kappa(anti, "a", "b").collect()[0]["kappa_micro"]
+    assert k == (0 * 4 - 8) * 1_000_000 // (16 - 8)  # -1.0 truncation path

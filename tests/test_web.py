@@ -175,3 +175,35 @@ def test_streaming_domain_caps_matches_batch_and_replays(spark, tmp_path):
         for r in spark.read.parquet(store).select("doc_id", "keep").collect()
     )
     assert rows_after == rows_before
+
+
+def test_canonical_url_is_idempotent(spark):
+    """Canonicalization is a FIXPOINT: canonical(canonical(u)) ==
+    canonical(u), and the grouping domain is invariant under
+    canonicalization — the contract that makes the canonical form a
+    stable dedup key across repeated pipeline passes."""
+    from wellmeet_data_pipeline_spark.operators.web import canonical_url, url_domain
+
+    urls = [
+        "HTTPS://User:Pw@WWW.Ex.COM:443/A/b///?utm_source=r&z=2&a=1#f",
+        "http://x.com:80?gclid=1",
+        "https://cdn.x.org:8443/static/img_9",
+        "HTTP://a.NET/p/3/?ref=tw&z=9&y=8",
+        "https://x.com/p#sec?a=1",
+        "https://münchen.example/Straße?b=2&a=1",
+        "https://x.com",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        url_domain(F.col("url")).alias("d1"),
+    ).localCheckpoint(eager=True)
+    twice = once.select(
+        "c1",
+        "d1",
+        canonical_url(F.col("c1")).alias("c2"),
+        url_domain(F.col("c1")).alias("d2"),
+    )
+    for r in twice.collect():
+        assert r["c2"] == r["c1"], r
+        assert r["d2"] == r["d1"], r

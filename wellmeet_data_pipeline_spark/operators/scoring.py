@@ -1064,3 +1064,78 @@ def compression_ratio(
         run,
         f"{id_col} {id_type}, n_bytes long, n_compressed long, ratio_micro long",
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two label columns — chance-corrected
+    agreement, the standard read on whether a cheap heuristic labeler
+    (or a second annotator) agrees with truth beyond what marginal
+    label frequencies guarantee.  Exact integer arithmetic end-to-end:
+    kappa = (po - pe)/(1 - pe) restated over counts as
+    (agree*N - S) / (N^2 - S) with S = sum_l row_l * col_l, evaluated
+    on the micro grid with 128-bit decimals (N^2 passes bigint at
+    web-scale row counts); both engines' integer division truncates
+    toward zero, so negative kappas render identically.
+
+    Plan: two map-side-combined scalar aggregations + one
+    label-cardinality join — no row-grain shuffle beyond the combines;
+    the three 1-row frames meet in broadcast cross joins (the scalar-
+    join pattern).  NULL labels on either side are excluded.
+
+    Output (1 row): n_docs, n_agree, po_micro, pe_micro, kappa_micro
+    (kappa NULL when pe = 1 — a single shared marginal class leaves
+    nothing for chance correction to measure)."""
+    base = df.select(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    st = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ra = base.groupBy("__a").agg(F.count("*").alias("__ra"))
+    cb = base.groupBy("__b").agg(F.count("*").alias("__cb"))
+    s = (
+        ra.join(cb, ra["__a"] == cb["__b"])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__ra").cast("decimal(38,0)") * F.col("__cb")
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("__s")
+        )
+    )
+    out = st.crossJoin(F.broadcast(s))
+    nn = "CAST(n_docs AS DECIMAL(38,0)) * n_docs"
+    return out.select(
+        "n_docs",
+        "n_agree",
+        F.when(
+            F.col("n_docs") > 0,
+            F.expr("CAST(n_agree AS DECIMAL(38,0)) * 1000000 div n_docs"),
+        )
+        .cast("long")
+        .alias("po_micro"),
+        F.when(
+            F.col("n_docs") > 0, F.expr(f"__s * 1000000 div ({nn})")
+        )
+        .cast("long")
+        .alias("pe_micro"),
+        F.when(
+            ((F.expr(nn)) - F.col("__s")) != 0,
+            F.expr(
+                f"(CAST(n_agree AS DECIMAL(38,0)) * n_docs - __s) * 1000000"
+                f" div ({nn} - __s)"
+            ),
+        )
+        .cast("long")
+        .alias("kappa_micro"),
+    )

@@ -950,6 +950,58 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "lang_id_kappa",
+    f"""
+    WITH g AS (
+      SELECT lang AS a, {_LANG_GUESS_SQL} AS b FROM documents
+      WHERE lang IS NOT NULL
+    ),
+    gg AS (SELECT a, b FROM g WHERE b IS NOT NULL),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_agree
+      FROM gg
+    ),
+    ra AS (SELECT a, CAST(count(*) AS BIGINT) AS cnt FROM gg GROUP BY 1),
+    cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM gg GROUP BY 1),
+    s AS (
+      SELECT CAST(coalesce(sum(CAST(ra.cnt AS HUGEINT) * cb.cnt), 0) AS HUGEINT)
+               AS s
+      FROM ra JOIN cb ON ra.a = cb.b
+    )
+    SELECT n_docs, n_agree,
+           CASE WHEN n_docs > 0
+                THEN CAST(CAST(n_agree AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+           END AS po_micro,
+           CASE WHEN n_docs > 0
+                THEN CAST(s * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs)
+                          AS BIGINT)
+           END AS pe_micro,
+           CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - s <> 0
+                THEN CAST((CAST(n_agree AS HUGEINT) * n_docs - s) * 1000000
+                          // (CAST(n_docs AS HUGEINT) * n_docs - s) AS BIGINT)
+           END AS kappa_micro
+    FROM st CROSS JOIN s
+    """,
+    "Cohen's kappa between the lang-ID heuristic and the ground-truth "
+    "label — chance-corrected agreement, the scalar verdict the "
+    "confusion matrix (lang_id_confusion) doesn't give: accuracy that "
+    "marginal label frequencies would produce for free scores ZERO.  "
+    "Exact integers end-to-end ((agree*N - S)/(N^2 - S) on 128-bit "
+    "decimals, micro grid; both engines' integer division truncates "
+    "toward zero so negative kappas render identically); two map-side "
+    "scalar aggs + one label-cardinality join",
+)
+def q_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import cohens_kappa
+
+    d = table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    g = d.select(F.col("lang").alias("a"), language_guess("text").alias("b"))
+    return cohens_kappa(g, "a", "b")
+
+
+@_q(
     "script_mix_stats",
     """
     WITH c AS (
