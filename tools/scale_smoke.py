@@ -524,15 +524,11 @@ def run_sft_turn_stats(spark, sf_dir, factor):
 
 def run_url_dedup(spark, sf_dir, factor):
     from wellmeet_data_pipeline_spark.operators.web import canonical_url
-    from wellmeet_data_pipeline_spark.plans.queries import _synth_url_spark
+    from wellmeet_data_pipeline_spark.plans.queries import _synth_url_frame
 
-    d = scaled_documents(spark, sf_dir, factor)
-    # materialized: when/otherwise branches get no CSE and CollapseProject
-    # would inline the synth CASE into every url reference (see
-    # queries._synth_url_frame)
-    u = d.select("doc_id", _synth_url_spark().alias("url")).localCheckpoint(
-        eager=True
-    )
+    # the SAME materialized frame the benched query uses (single home
+    # for the CSE-workaround idiom; review catch)
+    u = _synth_url_frame(scaled_documents(spark, sf_dir, factor))
     return (
         u.select("doc_id", canonical_url(F.col("url")).alias("c"))
         .filter(F.col("c").isNotNull())

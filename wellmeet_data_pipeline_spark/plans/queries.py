@@ -9087,16 +9087,17 @@ def q_retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     run = bm25_topk(d, _RETRIEVAL_QUERIES, k=10)
     qt = _query_terms_df(spark, _RETRIEVAL_QUERIES)
-    toks = (
-        d.select(
-            "doc_id",
-            F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    # broadcast semi-join on the ~12 query terms FIRST, dedup the
+    # survivors after: a corpus-grain distinct before the join would
+    # shuffle every token (the BM25 scale-shape rule; review catch)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
     qrels = (
         toks.join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id", "term")
+        .distinct()
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").alias("__m"))
         .filter(F.col("__m") >= 2)
