@@ -288,6 +288,11 @@ def test_parse_audio_header_real_formats():
     assert parse_audio_header(b"") is None
     assert parse_audio_header(b"RIFF\x00\x00\x00\x00AVI LIST") is None
     assert parse_audio_header(_wav_bytes()[:20]) is None  # truncated
+    # data chunk DECLARES 16000 samples but the payload was cut mid-data:
+    # n_samples must report the bytes present, not the claimed size
+    cut = _wav_bytes(extra_chunk=False)
+    short = cut[: len(cut) - 8000 * 4]  # drop half the sample bytes
+    assert parse_audio_header(short) == ("wav", 16000, 2, 16, 8000)
 
 
 def test_extract_audio_features_batch(spark):

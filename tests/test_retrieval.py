@@ -450,3 +450,22 @@ def test_ir_eval_metrics_hand_computed(spark):
         "query_id": 2, "n_rel": 1, "n_hits": 0,
         "recall_micro": 0, "mrr_micro": 0, "ndcg_micro": 0,
     }
+
+
+def test_ir_eval_metrics_duplicate_qrels_invariant(spark):
+    """ir_eval_metrics dedups qrels internally (ADVICE r8): replicating
+    every judgment row 3x must not change a single metric (duplicates
+    would otherwise double-count n_rel/n_hits/dcg while idcg stays
+    capped, inflating nDCG)."""
+    from wellmeet_data_pipeline_spark.operators.retrieval import ir_eval_metrics
+
+    run = spark.createDataFrame(
+        [(0, 1, 1), (0, 5, 2), (0, 2, 3), (1, 7, 1), (1, 3, 2)],
+        "query_id int, doc_id long, rank int",
+    )
+    base = [(0, 1), (0, 2), (0, 9), (1, 3)]
+    qrels = spark.createDataFrame(base, "query_id int, doc_id long")
+    qrels_dup = spark.createDataFrame(base * 3, "query_id int, doc_id long")
+    want = sorted(map(tuple, ir_eval_metrics(run, qrels, k=10).collect()))
+    got = sorted(map(tuple, ir_eval_metrics(run, qrels_dup, k=10).collect()))
+    assert got == want

@@ -57,6 +57,23 @@ def test_render_chat_template(spark):
     assert got[2] is None
 
 
+def test_render_chat_template_null_fields(spark):
+    """A turn with a missing content (or role) key parses to a NULL
+    struct field; the fold coalesces it to '' instead of letting
+    concat() NULL the entire rendered string (ADVICE r8) — same rule
+    turn_stats applies to NULL content."""
+    from wellmeet_data_pipeline_spark.operators.sft import render_chat_template
+
+    convs = [
+        '[{"role":"user"},{"role":"assistant","content":"yo"}]',
+        '[{"content":"hi"},{"role":"assistant","content":"yo"}]',
+    ]
+    df = spark.createDataFrame(list(enumerate(convs)), "doc_id long, conv string")
+    got = {r["doc_id"]: r["rendered"] for r in render_chat_template(df, "conv").collect()}
+    assert got[0] == "<|user|><|assistant|>yo<|end|>"
+    assert got[1] == "<||>hi<|assistant|>yo<|end|>"
+
+
 def test_preference_pairs_margins_and_ties(spark):
     from wellmeet_data_pipeline_spark.operators.sft import preference_pairs
 

@@ -380,7 +380,10 @@ def parse_audio_header(payload: bytes):
                     int.from_bytes(body[14:16], "little"),  # bits/sample
                 )
             elif cid == b"data":
-                data_size = csz
+                # clamp to the bytes actually present: a truncated payload
+                # must report the samples it carries, not the size the
+                # header CLAIMS (inflated n_samples/duration otherwise)
+                data_size = min(csz, max(0, len(payload) - pos - 8))
             pos += 8 + csz + (csz & 1)
         if fmt is None:
             return None

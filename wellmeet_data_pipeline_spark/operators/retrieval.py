@@ -412,7 +412,13 @@ def ir_eval_metrics(
     Output: (query, n_rel, n_hits, recall_micro, mrr_micro,
     ndcg_micro)."""
     run_k = run.filter(F.col(rank_col) <= k).select(query_col, doc_col, rank_col)
-    hits = run_k.join(qrels.select(query_col, doc_col), [query_col, doc_col])
+    # qrels grain is (query, doc): dedup here rather than trusting the
+    # caller — duplicate judgment rows would double-count n_hits/n_rel/
+    # dcg while idcg stays capped at min(n_rel, k) terms, inflating nDCG.
+    # Judgment sets are query-bounded (tiny next to the run), so the
+    # distinct costs one small-side shuffle, not a corpus-grain one.
+    qrels = qrels.select(query_col, doc_col).distinct()
+    hits = run_k.join(qrels, [query_col, doc_col])
     hq = hits.groupBy(query_col).agg(
         F.count("*").cast("long").alias("n_hits"),
         F.min(rank_col).cast("long").alias("first_rank"),

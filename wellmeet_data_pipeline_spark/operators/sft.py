@@ -114,8 +114,17 @@ def render_chat_template(
         F.aggregate(
             F.col("turns"),
             F.lit("").cast("string"),
+            # coalesce per field: concat() NULL-propagates, so one turn
+            # missing content would otherwise null the ENTIRE rendered
+            # string (and diverge from the oracle, whose array_to_string
+            # silently drops NULL elements).  A missing field renders as
+            # the empty string — same rule turn_stats applies.
             lambda acc, x: F.concat(
-                acc, F.lit("<|"), x["role"], F.lit("|>"), x["content"]
+                acc,
+                F.lit("<|"),
+                F.coalesce(x["role"], F.lit("")),
+                F.lit("|>"),
+                F.coalesce(x["content"], F.lit("")),
             ),
         ),
         F.lit(eos),

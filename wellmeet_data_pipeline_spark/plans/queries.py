@@ -8923,8 +8923,12 @@ def q_sft_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE WHEN t IS NULL THEN NULL
                 WHEN len(t) = 0 THEN '<|end|>'
+                -- coalesce per field to match the Spark fold: a NULL
+                -- role/content renders as '' (|| would NULL the element
+                -- and array_to_string would silently drop the turn)
                 ELSE '<|' || array_to_string(
-                       list_transform(t, x -> x.role || '|>' || x.content),
+                       list_transform(t, x -> coalesce(x.role, '') || '|>'
+                                              || coalesce(x.content, '')),
                        '<|') || '<|end|>'
            END AS rendered
     FROM parsed
@@ -9119,64 +9123,63 @@ def q_retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # -- r8 window: CORRECTNESS_r07 landed 50/50, so driver evidence now
+    # -- r9 window: CORRECTNESS_r08 landed 50/50, so driver evidence now
     # covers every oracle-backed query that existed at the START of round
-    # 7.  The four round-7 additions (ivf_index_merge, minhash_band_plan,
-    # exact_substring_repeats, dup_graph_kcore) have never had a driver
-    # row — they lead.  Then the 46 OLDEST-evidence anchors (r2/r3/r4/r5
-    # driver-green, re-proven on fresh data) so the whole registry's
-    # evidence stays recent as testdata regenerates every round. --
-    "ivf_index_merge",
-    "minhash_band_plan",
-    "exact_substring_repeats",
-    "dup_graph_kcore",
-    # -- oldest-evidence anchors (r2-r5 green) --
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh_sha",
-    "json_typed_extract",
-    "cosine_topk_bruteforce",
-    "cosine_topk_exact_clustered",
-    "cube_subtotals",
-    "customer_above_avg",
-    "date_parts",
-    "date_trunc_month",
-    "dedup_exact_documents",
-    "doc_fingerprint",
-    "except_keys",
-    "grouping_sets",
-    "intersect_keys",
-    "ngram_jaccard_pairs",
-    "pivot_event_counts",
-    "pricing_summary",
-    "rollup_subtotals",
-    "stats_by_type",
-    "string_functions",
-    "text_language_guess",
-    "text_quality_score",
-    "text_token_stats",
-    "topk_per_group",
-    "window_running_sum",
-    "chunk_documents",
-    "contamination_report",
-    "corpus_shuffle_shards",
-    "corpus_split",
-    "dedup_cluster_survivors",
-    "dedup_components",
-    "dedup_vs_reference",
-    "dup_line_stats",
-    "hard_negatives_topk",
-    "line_dedup_global",
-    "ngram_lm_perplexity",
-    "quality_classifier_score",
-    "rebalance_sources",
-    "repeated_span_removal",
-    "temperature_mix",
-    "unicode_nfc",
-    "user_value_quartiles",
-    "vocab_coverage",
-    "asof_join_last_purchase",
-    "basket_part_pairs",
-    "bucketed_order_revenue",
+    # 8.  The 13 round-8 additions have never had a driver row — they
+    # lead.  Then the 37 OLDEST-evidence anchors (r5 driver-green,
+    # re-proven on fresh data); the remaining r5 + all r6/r7/r8-green
+    # queries rotate in r10. --
+    "lang_id_kappa",
+    "url_canonicalize",
+    "domain_doc_caps",
+    "url_dedup_by_canonical",
+    "sketch_value_quantiles",
+    "sketch_merge_parity",
+    "sample_users_bottomk",
+    "kmv_distinct_users",
+    "kmv_type_overlap",
+    "sft_turn_stats",
+    "sft_render_template",
+    "preference_pairs",
+    "retrieval_eval_bm25",
+    # -- oldest-evidence anchors (r5 green) --
+    "char_entropy",
+    "clean_web_text",
+    "cohort_retention",
+    "column_null_profile",
+    "corpus_datacard",
+    "corpus_length_trim",
+    "daily_anomaly_flags",
+    "daily_event_delta",
+    "daily_revenue_trend",
+    "embedding_int8_stats",
+    "embedding_mean_pool",
+    "equi_depth_value_buckets",
+    "event_debounce",
+    "event_transitions",
+    "event_validity_intervals",
+    "funnel_conversion",
+    "heavy_hitter_users",
+    "kmeans_cluster_step",
+    "lang_id_confusion",
+    "lsh_cost_estimate",
+    "lsh_quality_metrics",
+    "minhash_jaccard_verify",
+    "nation_pair_volume",
+    "negative_samples_per_customer",
+    "ngram_novelty",
+    "order_priority_check",
+    "orders_reconciliation",
+    "partition_pruned_week",
+    "range_join_events",
+    "regional_volume",
+    "salted_type_totals",
+    "script_mix_stats",
+    "shipping_priority",
+    "skew_split_join_revenue",
+    "snapshot_diff",
+    "stats_correlation",
+    "supplier_concentration_hhi",
 ]
 
 
