@@ -241,6 +241,7 @@ def main() -> None:
     from wellmeet_data_pipeline_spark.operators.similarity import (  # noqa: E402
         brute_force_top_k,
         clustered_embeddings,
+        ivf_assignments,
         ivf_pq_top_k,
         ivf_top_k,
     )
@@ -284,10 +285,20 @@ def main() -> None:
     bf16, times["cosine_topk_bruteforce_16x"] = _min2(
         lambda: brute_force_top_k(e16, e16, k=5, n_blocks=32, round_digits=4).collect()
     )
+    # Shared probe-assignment pass (r8 verdict item 2): the flat and PQ
+    # variants of a tier consume IDENTICAL centroid samples + assignment
+    # matmuls, so build that frame ONCE per tier, materialize it, and
+    # time the build as its own entry — the per-variant times below are
+    # then honest INCREMENTAL costs, and the assignment cost stays
+    # visible in the total instead of vanishing from the bench.
+    t0 = time.perf_counter()
+    cids16, C16, a16 = ivf_assignments(e16, n_centroids=64, nprobe=4, seed_mod=421)
+    shared16 = (cids16, C16, a16.localCheckpoint(eager=True))
+    times["ivf_assignments_16x"] = round(time.perf_counter() - t0, 3)
     iv16, times["cosine_topk_ivf_16x"] = _min2(
         lambda: ivf_top_k(
             e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, kmeans_iters=0,
-            round_digits=4,
+            round_digits=4, shared=shared16,
         ).collect()
     )
     # oversample=64 (320 exact re-ranks per query) closes the ADC
@@ -296,7 +307,7 @@ def main() -> None:
     pq16, times["cosine_topk_ivfpq_16x"] = _min2(
         lambda: ivf_pq_top_k(
             e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
-            n_codes=256, oversample=64, round_digits=4,
+            n_codes=256, oversample=64, round_digits=4, shared=shared16,
         ).collect()
     )
 
@@ -367,16 +378,20 @@ def main() -> None:
         )
         .localCheckpoint(eager=True)
     )
+    t0 = time.perf_counter()
+    cids_hd, C_hd, a_hd = ivf_assignments(e_hd, n_centroids=64, nprobe=4, seed_mod=421)
+    shared_hd = (cids_hd, C_hd, a_hd.localCheckpoint(eager=True))
+    times["ivf_assignments_hd"] = round(time.perf_counter() - t0, 3)
     iv_hd, times["cosine_topk_ivf_hd"] = _min2(
         lambda: ivf_top_k(
             e_hd, k=5, n_centroids=64, nprobe=4, seed_mod=421, kmeans_iters=0,
-            round_digits=4,
+            round_digits=4, shared=shared_hd,
         ).collect()
     )
     pq_hd, times["cosine_topk_ivfpq_hd"] = _min2(
         lambda: ivf_pq_top_k(
             e_hd, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
-            n_codes=256, oversample=128, round_digits=4,
+            n_codes=256, oversample=128, round_digits=4, shared=shared_hd,
         ).collect()
     )
     sample_q = e_hd.filter(F.col("vec_id") < 1_000_000)  # the copy-0 originals
@@ -465,6 +480,20 @@ def main() -> None:
                 q: round(times[q] - prev["queries"][q], 3) for q in common
             },
         }
+        # Regression guard (r8 verdict item 6): flag any common-subset
+        # query > 50% slower than the previous recorded round AND > 1s
+        # absolute (sub-second entries swing whole multiples on file
+        # cache alone) so regressions surface in-round, not at judging.
+        # Reported in the detail/compact output rather than raised: the
+        # matmul tiers legitimately move ±30-50% under ambient load and
+        # a bench that dies on noise would lose the whole run's data.
+        flagged = {
+            q: {"now": times[q], "prev": prev["queries"][q]}
+            for q in common
+            if times[q] > prev["queries"][q] * 1.5 and times[q] - prev["queries"][q] > 1.0
+        }
+        if flagged:
+            out["regressions_over_50pct"] = flagged
         break
 
     # The driver captures only the LAST ~2000 chars of output and JSON-parses
@@ -477,6 +506,9 @@ def main() -> None:
         json.dump(out, fh, indent=1)
 
     compact = {k: v for k, v in out.items() if k != "queries"}
+    if "regressions_over_50pct" in compact:
+        # names only on the compact line; magnitudes live in the detail file
+        compact["regressions_over_50pct"] = sorted(compact["regressions_over_50pct"])
     if "common_subset_vs_prev" in compact:
         compact["common_subset_vs_prev"] = {
             k: v

@@ -315,3 +315,88 @@ def test_extract_audio_features_batch(spark):
     assert got[3]["format"] is None and got[3]["n_bytes"] == 16
     assert got[4]["format"] is None and got[4]["n_bytes"] == 0
     assert all(len(r["sha256"]) == 64 for r in got.values())
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _mp4_bytes(brand=b"isom", ts=1000, dur=90_000, w=640, h=360, mvhd_ver=0,
+               tkhd_ver=0, audio_track=True, largesize_moov=False):
+    """Minimal real ISO-BMFF file: ftyp + moov(mvhd + trak(tkhd) [+ audio
+    trak]) + mdat.  Spec layouts, zero-padded where fields are unparsed."""
+    ftyp = _box(b"ftyp", brand + (0).to_bytes(4, "big") + b"isomiso2")
+    if mvhd_ver == 0:
+        body = bytes([0]) + bytes(3) + bytes(8) + ts.to_bytes(4, "big") \
+            + dur.to_bytes(4, "big") + bytes(80)
+    else:
+        body = bytes([1]) + bytes(3) + bytes(16) + ts.to_bytes(4, "big") \
+            + dur.to_bytes(8, "big") + bytes(80)
+    mvhd = _box(b"mvhd", body)
+
+    def tkhd(wv, hv, ver):
+        if ver == 0:
+            tb = bytes([0]) + bytes(3) + bytes(8) + bytes(4) + bytes(4) \
+                + bytes(4) + bytes(8) + bytes(8) + bytes(36)
+        else:
+            tb = bytes([1]) + bytes(3) + bytes(16) + bytes(4) + bytes(4) \
+                + bytes(8) + bytes(8) + bytes(8) + bytes(36)
+        tb += (wv << 16).to_bytes(4, "big") + (hv << 16).to_bytes(4, "big")
+        return _box(b"trak", _box(b"tkhd", tb))
+
+    traks = tkhd(w, h, tkhd_ver)
+    if audio_track:
+        traks += tkhd(0, 0, 0)  # audio tracks carry 0x0 and must not win
+    moov_body = mvhd + traks
+    if largesize_moov:
+        moov = (1).to_bytes(4, "big") + b"moov" \
+            + (16 + len(moov_body)).to_bytes(8, "big") + moov_body
+    else:
+        moov = _box(b"moov", moov_body)
+    return ftyp + moov + _box(b"mdat", bytes(32))
+
+
+def test_parse_video_header_mp4_mov():
+    from wellmeet_data_pipeline_spark.operators.multimodal import parse_video_header
+
+    # 90s at timescale 1000 -> 90_000 ms; v0 and v1 box layouts agree
+    assert parse_video_header(_mp4_bytes()) == ("mp4", 1000, 90_000, 640, 360)
+    assert parse_video_header(
+        _mp4_bytes(mvhd_ver=1, tkhd_ver=1, ts=600, dur=1234)
+    ) == ("mp4", 600, 1234 * 1000 // 600, 640, 360)
+    assert parse_video_header(_mp4_bytes(brand=b"qt  "))[0] == "mov"
+    # 64-bit largesize moov walks identically
+    assert parse_video_header(_mp4_bytes(largesize_moov=True)) == (
+        "mp4", 1000, 90_000, 640, 360)
+    # unknown duration (all-ones sentinel) -> None duration, fields intact
+    full = parse_video_header(_mp4_bytes(dur=(1 << 32) - 1))
+    assert full == ("mp4", 1000, None, 640, 360)
+
+
+def test_parse_video_header_errors_as_data():
+    from wellmeet_data_pipeline_spark.operators.multimodal import parse_video_header
+
+    assert parse_video_header(b"") is None
+    assert parse_video_header(b"\x00\x00\x00\x08free") is None  # no ftyp
+    assert parse_video_header(_wav_bytes()) is None  # wrong container
+    # moov claims more bytes than present -> walk refuses the box -> None
+    cut = _mp4_bytes()
+    assert parse_video_header(cut[: len(cut) - 60]) is None
+    # zero timescale is meaningless -> None
+    assert parse_video_header(_mp4_bytes(ts=0)) is None
+
+
+def test_extract_video_features_batch(spark):
+    from wellmeet_data_pipeline_spark.operators.multimodal import extract_video_features
+
+    rows = [
+        (1, "video", bytearray(_mp4_bytes())),
+        (2, "video", bytearray(b"not a video")),
+        (3, "video", None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media_type string, payload binary")
+    got = {r["asset_id"]: r.asDict() for r in extract_video_features(df).collect()}
+    assert got[1]["format"] == "mp4" and got[1]["duration_ms"] == 90_000
+    assert got[1]["width"] == 640 and got[1]["height"] == 360
+    assert got[2]["format"] is None and got[2]["width"] is None
+    assert got[3]["n_bytes"] == 0 and got[3]["format"] is None

@@ -20,6 +20,72 @@ def test_merge_append_idempotent(spark, tmp_path):
     assert rows == {"r1": "v1", "r2": "v1", "r3": "v1", "r4": "v1"}
 
 
+def test_claim_batch_seq_concurrent_writers_get_distinct_seqs(tmp_path):
+    """The optimistic-commit claim under a threaded race: N writers
+    hammering the same store must each get a UNIQUE seq (the exclusive
+    marker create is the whole protocol — a shared seq would make the
+    first-version-wins read nondeterministic)."""
+    import threading
+
+    from wellmeet_data_pipeline_spark.sinks.merge import claim_batch_seq
+
+    store = str(tmp_path / "store")
+    seqs, errs = [], []
+    barrier = threading.Barrier(8)
+
+    def worker(i):
+        try:
+            barrier.wait()
+            for _ in range(5):
+                seqs.append(claim_batch_seq(store, writer_id=f"w{i}"))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sorted(seqs) == list(range(40))  # every claim unique and dense
+
+
+def test_merge_append_concurrent_double_commit(spark, tmp_path):
+    """r8 verdict item 4: two concurrent merge_append batches to the same
+    store (overlapping id, conflicting payloads) — both batches' rows
+    survive, the overlapping id resolves deterministically to the LOWER
+    claimed seq, and replay idempotency is preserved."""
+    import threading
+
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+
+    store = str(tmp_path / "store")
+    b1 = _reviews(spark, [("r1", "p1", "w1"), ("rX", "p1", "w1")])
+    b2 = _reviews(spark, [("r2", "p1", "w2"), ("rX", "p1", "w2")])
+    got = {}
+    barrier = threading.Barrier(2)
+
+    def commit(name, df):
+        barrier.wait()
+        got[name] = merge_append(df, store, batch_seq=None, writer_id=name)
+
+    t1 = threading.Thread(target=commit, args=("w1", b1))
+    t2 = threading.Thread(target=commit, args=("w2", b2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert sorted(got.values()) == [0, 1]  # distinct claimed seqs
+    cur = {r["id"]: r["content"] for r in read_current(spark, store).collect()}
+    winner = "w1" if got["w1"] < got["w2"] else "w2"
+    assert cur == {"r1": "w1", "r2": "w2", "rX": winner}
+
+    # replay of the losing batch claims a FRESH seq; the view is unchanged
+    loser_df = b1 if winner == "w2" else b2
+    seq3 = merge_append(loser_df, store, batch_seq=None, writer_id="replay")
+    assert seq3 == 2
+    cur2 = {r["id"]: r["content"] for r in read_current(spark, store).collect()}
+    assert cur2 == cur
+
+
 def test_merge_append_replay_same_batch(spark, tmp_path):
     store = str(tmp_path / "store")
     b = _reviews(spark, [("r1", "p1", "v1")])

@@ -448,3 +448,142 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "media_type", "payload").mapInPandas(
         run, AUDIO_FEATURE_SCHEMA
     )
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, sha256 string, "
+    "format string, timescale int, duration_ms long, width int, height int"
+)
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """ISO BMFF box walk over buf[start:end): yields (type, body_start,
+    box_end).  Handles 64-bit largesize (size==1) and to-end boxes
+    (size==0); stops silently at the first truncated or corrupt box —
+    errors-as-data, the caller reports whatever it found before the
+    damage."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def parse_video_header(payload: bytes):
+    """REAL video metadata extraction from MP4/MOV (ISO base media file
+    format) container headers — the video sibling of parse_image_header
+    / parse_audio_header; closes the last fake-only media family.
+    Returns (format, timescale, duration_ms, width, height) or None for
+    unrecognized/truncated payloads (errors-as-data).
+
+    - The file is a box sequence (u32 BE size + fourcc; size==1 -> u64
+      largesize, size==0 -> to EOF).  `ftyp`'s major brand picks the
+      format label ('qt  ' -> mov, else mp4).
+    - `moov`/`mvhd` (movie header, version 0 or 1) carries timescale
+      (u32) + duration (u32/u64 in timescale units); duration_ms is
+      integer math, no float in the contract.  An all-ones duration
+      means 'unknown' per the spec and reports None.
+    - `moov`/`trak`/`tkhd` carries track width/height as 16.16 fixed
+      point; the presentation size reported is the max over tracks
+      (audio tracks carry 0x0 and never win).
+
+    A payload whose moov box claims more bytes than are present parses
+    to None (the walk refuses the truncated box) rather than reporting
+    fields read past the damage."""
+    fmt = None
+    for btype, body, bend in _walk_boxes(payload, 0, len(payload)):
+        if btype == b"ftyp" and bend - body >= 4:
+            brand = payload[body : body + 4]
+            fmt = "mov" if brand == b"qt  " else "mp4"
+            break
+    if fmt is None:
+        return None
+    timescale = duration = None
+    width = height = 0
+    for btype, body, bend in _walk_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ityp, ibody, iend in _walk_boxes(payload, body, bend):
+            if ityp == b"mvhd" and iend - ibody >= 4:
+                ver = payload[ibody]
+                if ver == 1 and iend - ibody >= 4 + 16 + 12:
+                    timescale = int.from_bytes(payload[ibody + 20 : ibody + 24], "big")
+                    duration = int.from_bytes(payload[ibody + 24 : ibody + 32], "big")
+                    unknown = duration == (1 << 64) - 1
+                elif ver == 0 and iend - ibody >= 4 + 8 + 8:
+                    timescale = int.from_bytes(payload[ibody + 12 : ibody + 16], "big")
+                    duration = int.from_bytes(payload[ibody + 16 : ibody + 20], "big")
+                    unknown = duration == (1 << 32) - 1
+                else:
+                    continue
+                if unknown:
+                    duration = None
+            elif ityp == b"trak":
+                for ttyp, tbody, tend in _walk_boxes(payload, ibody, iend):
+                    if ttyp != b"tkhd":
+                        continue
+                    ver = payload[tbody]
+                    # v0 layout: ver/flags(4) times(2x4) id(4) rsvd(4)
+                    # dur(4) rsvd(8) layer/alt/vol/rsvd(8) matrix(36)
+                    # w(4) h(4) -> width at body+76; v1 widens the two
+                    # times and the duration to u64 (+12) -> body+88
+                    off = tbody + (88 if ver == 1 else 76)
+                    if off + 8 <= tend:
+                        width = max(width, int.from_bytes(payload[off : off + 4], "big") >> 16)
+                        height = max(
+                            height, int.from_bytes(payload[off + 4 : off + 8], "big") >> 16
+                        )
+    if timescale is None or timescale == 0:
+        return None
+    duration_ms = duration * 1000 // timescale if duration is not None else None
+    return (fmt, timescale, duration_ms, width or None, height or None)
+
+
+def extract_video_features(assets: DataFrame) -> DataFrame:
+    """Video metadata over mapInPandas — the extract_features shape for
+    the video modality (same contract as extract_audio_features):
+    unrecognized payloads keep their row with null video fields."""
+    import hashlib as _hl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "asset_id", "media_type", "n_bytes", "sha256", "format",
+            "timescale", "duration_ms", "width", "height",
+        ]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                payload = rec["payload"] or b""
+                parsed = parse_video_header(payload)
+                fmtv = ts = dur = w = h = None
+                if parsed is not None:
+                    fmtv, ts, dur, w, h = parsed
+                rows.append(
+                    {
+                        "asset_id": rec["asset_id"],
+                        "media_type": rec["media_type"],
+                        "n_bytes": len(payload),
+                        "sha256": _hl.sha256(payload).hexdigest(),
+                        "format": fmtv,
+                        "timescale": ts,
+                        "duration_ms": dur,
+                        "width": w,
+                        "height": h,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        run, VIDEO_FEATURE_SCHEMA
+    )

