@@ -147,6 +147,8 @@ HEADLINE = [
     "preference_pairs",
     "retrieval_eval_bm25",
     "lang_id_kappa",
+    # round 9 additions
+    "mmr_diversified_topk",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -469,3 +469,50 @@ def test_ir_eval_metrics_duplicate_qrels_invariant(spark):
     want = sorted(map(tuple, ir_eval_metrics(run, qrels, k=10).collect()))
     got = sorted(map(tuple, ir_eval_metrics(run, qrels_dup, k=10).collect()))
     assert got == want
+
+
+def test_mmr_diversify_hand_computed(spark):
+    """Greedy MMR pinned against hand math (lam=0.5, micro grid):
+    q0 has a near-duplicate pair (7, 8) — after 7 is picked, 8's high
+    relevance is beaten by the diverse doc 9; q1 has fewer candidates
+    than k and returns them all."""
+    from wellmeet_data_pipeline_spark.operators.retrieval import mmr_diversify
+
+    cand = spark.createDataFrame(
+        [
+            (0, 7, 1_000_000), (0, 8, 990_000), (0, 9, 500_000),
+            (1, 3, 1_000_000), (1, 4, 400_000),
+        ],
+        "query_id int, doc_id long, rel_norm_micro long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 7, 8, 950_000), (0, 7, 9, 10_000), (0, 8, 9, 20_000)],
+        "query_id int, a long, b long, jac_micro long",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["mmr_micro"])
+        for r in mmr_diversify(cand, pairs, k=3, lam_micro=500_000).collect()
+    }
+    M = 1_000_000
+    # q0 step 1: no picks yet -> mmr = .5*rel + .5*1.0; doc 7 wins
+    assert got[(0, 1)] == (7, 500_000 * M + 500_000 * M)
+    # step 2: 8 -> .5*.99 + .5*(1-.95)=0.52; 9 -> .5*.5 + .5*(1-.01)=0.745
+    assert got[(0, 2)] == (9, 500_000 * 500_000 + 500_000 * (M - 10_000))
+    # step 3: only 8 left; max sim to {7,9} = .95
+    assert got[(0, 3)] == (8, 500_000 * 990_000 + 500_000 * (M - 950_000))
+    # q1 exhausts its 2 candidates before k=3
+    assert got[(1, 1)] == (3, 500_000 * M + 500_000 * M)
+    assert got[(1, 2)][0] == 4 and (1, 3) not in got
+    assert len(got) == 5
+
+
+def test_mmr_diversify_tie_breaks_on_lowest_doc(spark):
+    from wellmeet_data_pipeline_spark.operators.retrieval import mmr_diversify
+
+    cand = spark.createDataFrame(
+        [(0, 20, 800_000), (0, 10, 800_000)],
+        "query_id int, doc_id long, rel_norm_micro long",
+    )
+    pairs = spark.createDataFrame([], "query_id int, a long, b long, jac_micro long")
+    got = {r["rank"]: r["doc_id"] for r in mmr_diversify(cand, pairs, k=2).collect()}
+    assert got == {1: 10, 2: 20}

@@ -1458,3 +1458,21 @@ def test_streaming_quantile_sketch_matches_batch_and_replays(spark, tmp_path):
         ).collect()
     }
     assert got2 == got
+
+
+def test_orchestration_soak_under_task_and_batch_faults(tmp_path):
+    """r8 verdict item 5: the composed §3.3 DAG across >= 3 micro-batches
+    with an induced once-failing task (absorbed by spark.task retries)
+    and an induced batch-level crash (absorbed by checkpoint replay +
+    idempotent stores + durable-first todo marks).  Subprocess: the soak
+    needs master local[4,2] (task retries), a SparkContext property the
+    shared session can't change."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tests/soak/orchestration_soak.py", str(tmp_path)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "SOAK-OK" in proc.stdout

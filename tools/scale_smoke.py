@@ -579,10 +579,38 @@ OPS = {
 }
 
 
+def _completed_stages(spark) -> dict[int, dict]:
+    """Completed-stage metrics from the REST status API, keyed by stage
+    id: the memory axis of the scale claim (r8 verdict item 8) — wall
+    slopes alone can look green while an op silently spills.  Returns {}
+    when the UI is off (the smoke enables it)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=COMPLETE", timeout=10
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return {}
+    return {
+        s["stageId"]: {
+            "mem_spill": s.get("memoryBytesSpilled", 0),
+            "disk_spill": s.get("diskBytesSpilled", 0),
+            "peak_exec_mem": s.get("peakExecutionMemory", 0),
+        }
+        for s in stages
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2:]) or set(OPS)
-    spark = get_spark("scale-smoke")
+    spark = get_spark("scale-smoke", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     table(spark, sf_dir, "documents").count()  # warm scans + JVM
     table(spark, sf_dir, "embeddings").count()
@@ -600,7 +628,7 @@ def main() -> None:
     for name, fn in OPS.items():
         if name not in only:
             continue
-        rec = {"seconds": {}, "rows": {}, "slopes": {}}
+        rec = {"seconds": {}, "rows": {}, "slopes": {}, "memory": {}}
         # SMOKE_REPEATS > 1 records the MIN wall time over that many runs
         # per scale: a single cold run (page cache, JIT, GC debt from the
         # previous op) can swing small timings by 2-3x and fabricate a
@@ -609,6 +637,7 @@ def main() -> None:
         # floor for wall-clock microbenchmarks.
         repeats = max(1, int(os.environ.get("SMOKE_REPEATS", "1")))
         for s in SCALES:
+            before = _completed_stages(spark)
             best, rows = None, None
             for _ in range(repeats):
                 t0 = time.perf_counter()
@@ -617,7 +646,27 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             rec["seconds"][str(s)] = best
             rec["rows"][str(s)] = rows
-            print(f"{name} x{s}: {best}s ({rows} rows, min of {repeats})", flush=True)
+            # memory axis over the stages this scale ran (all repeats):
+            # total spill must stay 0 and peak task memory bounded, or
+            # the wall slope is lying about the 100x story
+            new = {
+                k: v for k, v in _completed_stages(spark).items() if k not in before
+            }
+            mem = {
+                "mem_spill": sum(v["mem_spill"] for v in new.values()),
+                "disk_spill": sum(v["disk_spill"] for v in new.values()),
+                "peak_exec_mem": max(
+                    (v["peak_exec_mem"] for v in new.values()), default=0
+                ),
+                "n_stages": len(new),
+            }
+            rec["memory"][str(s)] = mem
+            print(
+                f"{name} x{s}: {best}s ({rows} rows, min of {repeats}; "
+                f"spill {mem['mem_spill']}+{mem['disk_spill']}B, "
+                f"peak {mem['peak_exec_mem']}B over {mem['n_stages']} stages)",
+                flush=True,
+            )
         for lo, hi in zip(SCALES, SCALES[1:]):
             t_lo, t_hi = rec["seconds"][str(lo)], rec["seconds"][str(hi)]
             rec["slopes"][f"{lo}->{hi}"] = (

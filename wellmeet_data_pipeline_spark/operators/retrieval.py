@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -447,4 +448,72 @@ def ir_eval_metrics(
         .cast("long")
         .alias("mrr_micro"),
         F.expr("dcg_micro * 1000000 div idcg_micro").cast("long").alias("ndcg_micro"),
+    )
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 5,
+    lam_micro: int = 500_000,
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein 1998): per query, pick k results balancing relevance
+    against redundancy with what's already picked —
+      mmr = lam * rel_norm + (1 - lam) * (1 - max_sim(selected))
+    evaluated ENTIRELY on the exact integer micro grid (lam_micro and
+    both factors in [0, 1e6]; products <= 1e12 fit bigint exactly), so
+    the greedy's argmax chain — and therefore the whole ranking — is
+    engine-reproducible and hash-verifiable.  Ties break on lowest
+    doc_id, matching the repo-wide rank convention.
+
+    Inputs: candidates (query_col, doc_id, rel_norm_micro) — the cut
+    top-n run with per-query-normalized relevance; pair_sims
+    (query_col, a, b, jac_micro) — within-query candidate-pair
+    similarity (a < b, missing pair = 0 similarity).
+
+    Scale shape: the greedy is inherently sequential PER QUERY, but
+    each query's state is n-candidates-bounded (top-n cut upstream), so
+    the cogrouped applyInPandas stage is rerank-sized — queries × n
+    rows — never corpus-sized; queries parallelize freely.  The
+    similarity frame is candidate-pairs-bounded (n·(n-1)/2 per query).
+
+    Output: (query_id, doc_id, rank, mmr_micro), rank 1..min(k, n)."""
+    out_schema = f"{query_col} int, doc_id long, rank int, mmr_micro long"
+    one = 1_000_000
+
+    def pick(key: tuple, cand: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+        rel = {
+            int(d): int(r)
+            for d, r in zip(cand["doc_id"], cand["rel_norm_micro"])
+        }
+        sim: dict[tuple[int, int], int] = {}
+        for a, b, j in zip(pairs["a"], pairs["b"], pairs["jac_micro"]):
+            sim[(int(a), int(b))] = int(j)
+            sim[(int(b), int(a))] = int(j)
+        selected: list[int] = []
+        rows = []
+        remaining = set(rel)
+        while remaining and len(selected) < k:
+            best_key, best_doc, best_sc = None, None, None
+            for d in remaining:
+                mj = max((sim.get((d, s), 0) for s in selected), default=0)
+                sc = lam_micro * rel[d] + (one - lam_micro) * (one - mj)
+                cand_key = (sc, -d)
+                if best_key is None or cand_key > best_key:
+                    best_key, best_doc, best_sc = cand_key, d, sc
+            selected.append(best_doc)
+            remaining.remove(best_doc)
+            rows.append((int(key[0]), best_doc, len(selected), best_sc))
+        return pd.DataFrame(rows, columns=[query_col, "doc_id", "rank", "mmr_micro"])
+
+    # cogroup matches keys positionally AND by type (the round-2 trap):
+    # cast both sides explicitly
+    c = candidates.withColumn(query_col, F.col(query_col).cast("int"))
+    p = pair_sims.withColumn(query_col, F.col(query_col).cast("int"))
+    return (
+        c.groupBy(query_col)
+        .cogroup(p.groupBy(query_col))
+        .applyInPandas(pick, out_schema)
     )

@@ -9122,6 +9122,190 @@ def q_retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir_eval_metrics(run, qrels, k=10)
 
 
+
+def _mmr_oracle(k: int = 5) -> str:
+    """Unrolled greedy-MMR CTE chain (the _pagerank_oracle pattern: k is
+    a bounded hyperparameter, so the iteration unrolls instead of WITH
+    RECURSIVE).  State per query = (picked list, scores list); each step
+    joins the not-yet-picked candidates, resolves max-similarity-to-
+    picked from the pair frame, and picks via a row_number window on the
+    exact-integer mmr score (DESC, doc_id ASC — ties -> lowest doc).
+    Queries whose candidates are exhausted before step k carry their
+    state through the NOT EXISTS branch unchanged."""
+    lam = "CAST(500000 AS BIGINT)"
+    m = "CAST(1000000 AS BIGINT)"
+    parts = [
+        f"""sel1 AS MATERIALIZED (
+      SELECT query_id, [doc_id] AS picked, [sc] AS scores
+      FROM (
+        SELECT query_id, doc_id, {lam} * rel_norm + {lam} * {m} AS sc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {lam} * rel_norm + {lam} * {m} DESC,
+                                           doc_id ASC) AS rk
+        FROM rn)
+      WHERE rk = 1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""step{t} AS MATERIALIZED (
+      SELECT s.query_id, s.picked, s.scores, c.doc_id,
+             any_value(c.rel_norm) AS rel_norm,
+             coalesce(max(CASE WHEN (j.a = c.doc_id AND list_contains(s.picked, j.b))
+                                 OR (j.b = c.doc_id AND list_contains(s.picked, j.a))
+                               THEN j.jac END), CAST(0 AS BIGINT)) AS mj
+      FROM sel{t-1} s
+      JOIN rn c ON c.query_id = s.query_id AND NOT list_contains(s.picked, c.doc_id)
+      LEFT JOIN jp j ON j.query_id = s.query_id
+      GROUP BY s.query_id, s.picked, s.scores, c.doc_id),
+    sel{t} AS MATERIALIZED (
+      SELECT query_id, list_append(picked, doc_id) AS picked,
+             list_append(scores, sc) AS scores
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sc DESC, doc_id ASC) AS rk
+        FROM (SELECT *, {lam} * rel_norm + {lam} * ({m} - mj) AS sc FROM step{t}))
+      WHERE rk = 1
+      UNION ALL
+      SELECT s.query_id, s.picked, s.scores FROM sel{t-1} s
+      WHERE NOT EXISTS (SELECT 1 FROM step{t} t2 WHERE t2.query_id = s.query_id))"""
+        )
+    return ",\n    ".join(parts) + f"""
+    SELECT CAST(query_id AS INTEGER) AS query_id,
+           CAST(unnest(picked) AS BIGINT) AS doc_id,
+           CAST(unnest(range(1, len(picked) + 1)) AS INTEGER) AS rank,
+           CAST(unnest(scores) AS BIGINT) AS mmr_micro
+    FROM sel{k}"""
+
+
+@_q(
+    "mmr_diversified_topk",
+    f"""
+    WITH {_BM25_CTES},
+    cand AS (
+      SELECT query_id, doc_id, s FROM (
+        SELECT query_id, doc_id, s,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id ASC) AS rnk
+        FROM bs) WHERE rnk <= 10
+    ),
+    rn AS MATERIALIZED (
+      SELECT query_id, doc_id,
+             CAST(s * 1000000 // max(s) OVER (PARTITION BY query_id) AS BIGINT)
+               AS rel_norm
+      FROM cand
+    ),
+    cd AS (SELECT DISTINCT doc_id FROM cand),
+    norm2 AS (
+      SELECT d.doc_id, string_split({_NORM_SQL}, ' ') AS words
+      FROM documents d JOIN cd USING (doc_id)
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM norm2
+    ),
+    ex2 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh2),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ex2 GROUP BY 1),
+    mco AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
+      FROM ex2 a JOIN ex2 b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS MATERIALIZED (
+      SELECT ca.query_id, ca.doc_id AS a, cb.doc_id AS b,
+             CASE WHEN coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0)
+                       - coalesce(mco.inter, 0) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(coalesce(mco.inter, 0) * 1000000
+                            // (coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0)
+                                - coalesce(mco.inter, 0)) AS BIGINT) END AS jac
+      FROM cand ca JOIN cand cb
+        ON ca.query_id = cb.query_id AND ca.doc_id < cb.doc_id
+      LEFT JOIN sz sa ON sa.doc_id = ca.doc_id
+      LEFT JOIN sz sb ON sb.doc_id = cb.doc_id
+      LEFT JOIN mco ON mco.da = ca.doc_id AND mco.db = cb.doc_id
+    ),
+    {_mmr_oracle(5)}
+    """,
+    "Greedy MMR diversified top-5 per query over the BM25 top-10 run "
+    "(Carbonell-Goldstein: lam*rel - (1-lam)*max_sim_to_picked, lam=0.5) "
+    "with 3-gram-Jaccard redundancy — relevance normalized per query and "
+    "every score an exact integer micro product, so the greedy argmax "
+    "chain is engine-reproducible.  The greedy runs per query over the "
+    "TOP-N CUT only (state is n-bounded, never corpus-bounded); the "
+    "redundancy frame is candidate-pairs-bounded via the inverted "
+    "shingle index of the candidates alone",
+)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
+    from wellmeet_data_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+        mmr_diversify,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sc = bm25_scores(d, _RETRIEVAL_QUERIES)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_int").desc(), F.col("doc_id").asc()
+    )
+    # candidates materialized once: they feed the rel-norm window, the
+    # candidate-doc semi-join AND both sides of the pair frame — without
+    # the checkpoint each consumer re-runs the whole BM25 lineage
+    cand = (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "score_int")
+        .localCheckpoint(eager=True)
+    )
+    wq = Window.partitionBy("query_id")
+    rn = cand.withColumn("max_s", F.max("score_int").over(wq)).select(
+        "query_id",
+        "doc_id",
+        F.expr("score_int * 1000000 div max_s").cast("long").alias("rel_norm_micro"),
+    )
+    cd = cand.select("doc_id").distinct()
+    sh = (
+        shingles_df(d.join(F.broadcast(cd), "doc_id"), n=3)
+        .select("doc_id", "shingle")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds sizes AND both self-join sides
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    co = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    pairs = (
+        cand.alias("ca")
+        .join(cand.alias("cb"), "query_id")
+        .filter(F.col("ca.doc_id") < F.col("cb.doc_id"))
+        .select(
+            "query_id",
+            F.col("ca.doc_id").alias("a"),
+            F.col("cb.doc_id").alias("b"),
+        )
+        .join(F.broadcast(sz).withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "sa"), "a", "left")
+        .join(F.broadcast(sz).withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "sb"), "b", "left")
+        .join(F.broadcast(co).withColumnRenamed("da", "a").withColumnRenamed("db", "b"), ["a", "b"], "left")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.expr(
+                "CASE WHEN coalesce(sa, 0) + coalesce(sb, 0) - coalesce(inter, 0) = 0 "
+                "THEN CAST(0 AS BIGINT) "
+                "ELSE coalesce(inter, 0) * 1000000 div "
+                "(coalesce(sa, 0) + coalesce(sb, 0) - coalesce(inter, 0)) END"
+            ).cast("long").alias("jac_micro"),
+        )
+    )
+    return mmr_diversify(rn, pairs, k=5, lam_micro=500_000)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,

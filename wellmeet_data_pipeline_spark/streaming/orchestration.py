@@ -154,10 +154,10 @@ def run_orchestration(
             else spark.createDataFrame([], "place_id string")
         )
         fresh = valid.join(existing, "place_id", "left_anti")
-        merge_append(fresh, restaurant_store, id_col="place_id", partition_col=None,
-                     batch_seq=batch_id)
         # K5's one-Batch-job-per-restaurant → seed frame over the NEW keys
         if max_keys_per_batch is None:
+            merge_append(fresh, restaurant_store, id_col="place_id",
+                         partition_col=None, batch_seq=batch_id)
             new_place_ids = [r["place_id"] for r in fresh.select("place_id").collect()]
             if new_place_ids:
                 ingest_reviews(
@@ -165,9 +165,17 @@ def run_orchestration(
                     batch_seq=batch_id,
                 )
             return
-        # durable first: new keys enter the append-only log before any
-        # ingest, so a crash anywhere below never loses an obligation
+        # durable FIRST — and specifically BEFORE the restaurant-store
+        # commit: `fresh` is an anti join against the store, so a crash
+        # after the store commit but before the todo-append would replay
+        # the batch with fresh EMPTY and the review obligation lost
+        # forever (caught by the r9 fault-injection soak).  Appending
+        # todo first is safe in the other direction: a crash before the
+        # store commit replays with fresh unchanged and the re-appended
+        # todo marks collapse in _read_pending's distinct.
         _append_marks(fresh.select("place_id"), backlog_store, "todo")
+        merge_append(fresh, restaurant_store, id_col="place_id", partition_col=None,
+                     batch_seq=batch_id)
         pending = _read_pending(spark, backlog_store)
         if pending is None:
             return
