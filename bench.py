@@ -149,6 +149,8 @@ HEADLINE = [
     "lang_id_kappa",
     # round 9 additions
     "mmr_diversified_topk",
+    "bloom_prefilter_stats",
+    "token_pmi_collocations",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -256,3 +256,54 @@ def test_doremi_weight_step_upweights_high_perplexity_domain(spark):
     assert abs(out["easy"]["weight"] + out["hard"]["weight"] - 1.0) < 1e-5
     # a below-baseline domain's excess clamps at 0 -> raw weight exp(0)=1
     assert out["easy"]["weight"] > 0
+
+
+def test_token_pmi_collocations_pure_python(spark, tmp_path):
+    """Third-engine differential for the PMI query: pure-python PMI over
+    a synthetic corpus written as a documents table (the query reads the
+    table contract, so the test drives the registered entry itself)."""
+    import math
+
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    texts = [
+        "new york is big and new york is far",
+        "new york has new ideas and old ideas",
+        "big data and new york data",
+        "york new is not a collocation but new york is",
+        "new york new york new york",  # pushes c(new york) over min_count
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        (tmp_path / f"{t}.parquet").mkdir(exist_ok=True)
+
+    toks = [w for t in texts for w in t.split()]
+    pairs = [p for t in texts for p in zip(t.split(), t.split()[1:])]
+    c1: dict = {}
+    for w in toks:
+        c1[w] = c1.get(w, 0) + 1
+    c2: dict = {}
+    for p in pairs:
+        c2[p] = c2.get(p, 0) + 1
+    want = []
+    for (w1, w2), cxy in c2.items():
+        if cxy < 5:
+            continue
+        pmi = math.floor(
+            math.log(cxy * len(toks) * len(toks) / (len(pairs) * c1[w1] * c1[w2]))
+            * 1e6 + 0.5
+        )
+        want.append((w1, w2, cxy, pmi))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert want, "fixture must produce at least one qualifying pair"
+
+    got = [
+        (r["w1"], r["w2"], r["c_xy"], r["pmi_micro"])
+        for r in REGISTRY["token_pmi_collocations"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == want[:30]

@@ -180,3 +180,99 @@ def interval_overlap_join(
         .withColumnRenamed("__re", f"{right_prefix}{end_col}")
         .drop("__bucket")
     )
+
+
+def bloom_bit_positions(
+    key: "F.Column", m_bits: int = 1 << 17, k_hashes: int = 4
+) -> "F.Column":
+    """k sha-derived Bloom bit positions for a key, as an array<long>:
+    position i decodes hex chars [1+8i, 8+8i) of sha256(key) mod m_bits —
+    derivation chosen because BOTH engines can reproduce it exactly
+    (sha256 is bit-identical cross-engine; xxhash64 is not), so Bloom
+    membership is a hash-verifiable fact, not an implementation detail.
+    k_hashes <= 8 (sha256 yields 64 hex chars = 8 disjoint u32 draws)."""
+    if not 1 <= k_hashes <= 8:
+        raise ValueError(f"k_hashes must be in [1, 8], got {k_hashes}")
+    sha = F.sha2(key.cast("string"), 256)
+    return F.array(
+        *[
+            F.conv(F.substring(sha, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_prefilter_stats(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter join prefilter with EXACT false-positive accounting —
+    the runtime-filter pushdown pattern (Spark's own
+    spark.sql.optimizer.runtimeFilter.bloomFilter does this opaquely;
+    here the filter is sha-derived so every count is reproducible):
+    the build side's distinct keys set k bits each; a probe key passes
+    iff ALL k of its positions are set; passes minus exact semi-join
+    matches = false positives, i.e. rows a Bloom-gated shuffle would
+    still move for nothing.
+
+    Why it matters at 100 TB: a big join's probe side ships every row to
+    the shuffle; pushing the build side's Bloom bits into the probe scan
+    drops non-matching rows BEFORE the exchange, cutting shuffle volume
+    to matches + the FP mass this operator measures.  The bit set is
+    k * |build| positions at most (a broadcast-sized frame whenever the
+    build side is broadcast-sized — exactly the regime where the
+    prefilter pays).
+
+    Plan: bit set = distinct exploded positions (broadcast); probe keys
+    distinct once (their only shuffle), positions exploded and inner-
+    joined against the bits — a probe key passes iff all k exploded rows
+    survive (duplicate positions within one key double-join and still
+    sum to k).  Output is ONE row: n_build, n_probe, n_pass,
+    n_true_match, n_false_pos, n_bits_set, fp_rate_micro (FP fraction of
+    the true negatives, micro grid)."""
+    b_keys = (
+        build.select(F.col(build_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    pos = bloom_bit_positions(F.col("k"), m_bits, k_hashes)
+    bits = b_keys.select(F.explode(pos).alias("pos")).distinct()
+    p_keys = (
+        probe.select(F.col(probe_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the pass count, the exact
+        # semi join AND n_probe — one probe-side scan, three consumers
+    )
+    passes = (
+        p_keys.select("k", F.explode(pos).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count("*").alias("__nh"))
+        .filter(F.col("__nh") == k_hashes)
+        .select("k")
+    )
+    true_match = p_keys.join(b_keys, "k", "left_semi")
+    counts = (
+        p_keys.agg(F.count("*").cast("long").alias("n_probe"))
+        .crossJoin(b_keys.agg(F.count("*").cast("long").alias("n_build")))
+        .crossJoin(bits.agg(F.count("*").cast("long").alias("n_bits_set")))
+        .crossJoin(passes.agg(F.count("*").cast("long").alias("n_pass")))
+        .crossJoin(true_match.agg(F.count("*").cast("long").alias("n_true_match")))
+    )
+    return counts.select(
+        "n_build",
+        "n_probe",
+        "n_pass",
+        "n_true_match",
+        (F.col("n_pass") - F.col("n_true_match")).cast("long").alias("n_false_pos"),
+        "n_bits_set",
+        F.expr(
+            "CASE WHEN n_probe - n_true_match = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (n_pass - n_true_match) * 1000000 div (n_probe - n_true_match) END"
+        ).cast("long").alias("fp_rate_micro"),
+    )

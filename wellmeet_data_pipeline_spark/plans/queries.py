@@ -9306,6 +9306,163 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diversify(rn, pairs, k=5, lam_micro=500_000)
 
 
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_BITS_SQL = " UNION ".join(
+    f"SELECT DISTINCT ({_hex_int_sql('hx', 1 + 8 * i, 8)}) % {_BLOOM_M} AS pos FROM bh"
+    for i in range(_BLOOM_K)
+)
+_BLOOM_PPOS_SQL = " UNION ALL ".join(
+    f"SELECT k, ({_hex_int_sql('hx', 1 + 8 * i, 8)}) % {_BLOOM_M} AS pos FROM ph"
+    for i in range(_BLOOM_K)
+)
+
+
+@_q(
+    "bloom_prefilter_stats",
+    f"""
+    WITH bk AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_acctbal < 0 AND c_custkey IS NOT NULL
+    ),
+    bh AS (SELECT k, sha256(CAST(k AS VARCHAR)) AS hx FROM bk),
+    bits AS ({_BLOOM_BITS_SQL}),
+    pk AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+    ph AS (SELECT k, sha256(CAST(k AS VARCHAR)) AS hx FROM pk),
+    ppos AS ({_BLOOM_PPOS_SQL}),
+    pass AS (
+      SELECT k FROM ppos JOIN bits USING (pos)
+      GROUP BY k HAVING count(*) = {_BLOOM_K}
+    ),
+    tm AS (SELECT pk.k FROM pk JOIN bk ON pk.k = bk.k)
+    SELECT CAST((SELECT count(*) FROM bk) AS BIGINT) AS n_build,
+           CAST((SELECT count(*) FROM pk) AS BIGINT) AS n_probe,
+           CAST((SELECT count(*) FROM pass) AS BIGINT) AS n_pass,
+           CAST((SELECT count(*) FROM tm) AS BIGINT) AS n_true_match,
+           CAST((SELECT count(*) FROM pass) - (SELECT count(*) FROM tm) AS BIGINT)
+             AS n_false_pos,
+           CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(CASE WHEN (SELECT count(*) FROM pk) = (SELECT count(*) FROM tm)
+                     THEN 0
+                     ELSE ((SELECT count(*) FROM pass) - (SELECT count(*) FROM tm))
+                          * 1000000
+                          // ((SELECT count(*) FROM pk) - (SELECT count(*) FROM tm))
+                END AS BIGINT) AS fp_rate_micro
+    """,
+    "Bloom-filter join prefilter with EXACT false-positive accounting: "
+    "delinquent customers (the build side) set 3 sha-derived bits each "
+    "in a 4096-bit filter; distinct order custkeys probe it, and passes "
+    "minus the exact semi-join matches = rows a Bloom-gated shuffle "
+    "would still move for nothing.  The runtime-filter pushdown pattern "
+    "(probe rows drop BEFORE the exchange, shuffle volume = matches + "
+    "the measured FP mass) made hash-verifiable by deriving positions "
+    "from sha256 both engines can compute; the deliberately small m "
+    "shows measurable saturation as SF grows — the sizing signal the "
+    "operator exists to provide",
+)
+def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.joins import bloom_prefilter_stats
+
+    return bloom_prefilter_stats(
+        table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0),
+        table(spark, sf_dir, "orders"),
+        build_key="c_custkey",
+        probe_key="o_custkey",
+        m_bits=_BLOOM_M,
+        k_hashes=_BLOOM_K,
+    )
+
+
+
+@_q(
+    "token_pmi_collocations",
+    f"""
+    WITH nw AS (
+      SELECT list_filter(string_split({_NORM_SQL}, ' '), w -> w <> '') AS words
+      FROM documents
+    ),
+    uni AS (SELECT unnest(words) AS term FROM nw),
+    c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    ntok AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+    bg0 AS (
+      SELECT unnest(words[1:len(words)-1]) AS w1,
+             unnest(words[2:len(words)]) AS w2
+      FROM nw WHERE len(words) >= 2
+    ),
+    npair AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg0),
+    c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg0
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT w1, w2, c_xy,
+           CAST(floor(ln((CAST(c_xy AS DOUBLE) * (SELECT n FROM ntok)
+                          * (SELECT n FROM ntok))
+                         / (CAST((SELECT n FROM npair) AS DOUBLE) * a.c * b.c))
+                      * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pmi_micro
+    FROM c2
+    JOIN c1 a ON a.term = c2.w1
+    JOIN c1 b ON b.term = c2.w2
+    ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+    LIMIT 30
+    """,
+    "Top-30 PMI collocations (pointwise mutual information of adjacent "
+    "word pairs, min count 5): pmi = ln(c_xy * N_tok^2 / (N_pairs * c_x "
+    "* c_y)) — every argument an exact bigint, one IEEE division, the "
+    "micro-grid ln() snap — the classic collocation / stop-phrase mining "
+    "read over the corpus.  Scale shape: bigrams come from the zero-"
+    "shuffle word-array zip (no lag window), both count frames are "
+    "map-side-combined vocabulary aggregations, and the min-count filter "
+    "shrinks the pair frame BEFORE the unigram joins; top-30 is a "
+    "TakeOrdered, never a global sort",
+)
+def q_token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.filter(
+            F.split(normalized_text(F.col("text")), " "), lambda x: x != ""
+        ).alias("w")
+    ).localCheckpoint(eager=True)  # words feed unigram, bigram AND scalar
+    # consumers; without this each re-runs the normalization scan
+    uni = base.select(F.explode("w").alias("term"))
+    c1 = uni.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    ntok = uni.agg(F.count("*").cast("long").alias("n_tok"))
+    bg0 = base.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(w, 1, size(w) - 1)"), F.expr("slice(w, 2, size(w) - 1)")
+            )
+        ).alias("z")
+    ).select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    npair = bg0.agg(F.count("*").cast("long").alias("n_pair"))
+    c2 = (
+        bg0.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    joined = (
+        c2.join(c1.withColumnRenamed("term", "w1").withColumnRenamed("c", "ca"), "w1")
+        .join(c1.withColumnRenamed("term", "w2").withColumnRenamed("c", "cb"), "w2")
+        .crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(npair))
+    )
+    pmi = F.floor(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("n_tok") * F.col("n_tok"))
+            / (F.col("n_pair").cast("double") * F.col("ca") * F.col("cb"))
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        joined.select("w1", "w2", "c_xy", pmi.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(30)
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
