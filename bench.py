@@ -151,6 +151,7 @@ HEADLINE = [
     "mmr_diversified_topk",
     "bloom_prefilter_stats",
     "token_pmi_collocations",
+    "calibration_ece",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -307,3 +307,24 @@ def test_token_pmi_collocations_pure_python(spark, tmp_path):
         for r in REGISTRY["token_pmi_collocations"].fn(spark, str(tmp_path)).collect()
     ]
     assert got == want[:30]
+
+
+def test_expected_calibration_error_hand_computed(spark):
+    """ECE/MCE pinned against hand math on a 2-bin fixture: bin gaps are
+    exact bigint numerators, no float summation anywhere."""
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        expected_calibration_error,
+    )
+
+    rows = [
+        # bin 0 (scores near -1): mean si = -900000, 1 of 2 positive
+        (-0.9, 1), (-0.9, 0),
+        # bin 9 (scores near 1): mean si = 800000, all 3 positive
+        (0.8, 1), (0.8, 1), (0.8, 1),
+    ]
+    df = spark.createDataFrame(rows, "logit double, y int")
+    got = expected_calibration_error(df, "logit", "y").collect()[0]
+    # bin0 gap = |1*1e6 - (-1800000)| = 2_800_000; bin9 = |3e6 - 2400000| = 600000
+    assert got["n_docs"] == 5
+    assert got["ece_micro"] == (2_800_000 + 600_000) // 5
+    assert got["mce_micro"] == max(2_800_000 // 2, 600_000 // 3)

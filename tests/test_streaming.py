@@ -1476,3 +1476,52 @@ def test_orchestration_soak_under_task_and_batch_faults(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     assert "SOAK-OK" in proc.stdout
+
+
+def test_streaming_bloom_bits_matches_batch_and_replay(spark, tmp_path):
+    """Streamed Bloom bit store == the batch operator's bit set after any
+    number of batches (bit-set union is the monoid), probe stats agree
+    frame-for-frame with bloom_prefilter_stats on the same build table,
+    and re-activating over already-seen data appends nothing."""
+    import json as _json
+
+    from wellmeet_data_pipeline_spark.operators.joins import bloom_prefilter_stats
+    from wellmeet_data_pipeline_spark.streaming.bloom import (
+        current_bloom_prefilter_stats,
+        run_streaming_bloom_bits,
+    )
+    from pyspark.sql.types import StructType
+
+    landing = tmp_path / "bloom_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "bloom_store"), str(tmp_path / "bloom_ckpt")
+    schema = StructType.fromDDL("c_custkey long")
+    M, K = 64, 3
+
+    def drop(fname, keys):
+        with open(landing / fname, "w") as fh:
+            _json.dump([{"c_custkey": k} for k in keys], fh)
+
+    drop("b1.json", [3, 7, None])
+    run_streaming_bloom_bits(spark, str(landing), store, ckpt, schema,
+                             "c_custkey", m_bits=M, k_hashes=K)
+    drop("b2.json", [11, 19, 7])  # 7 re-lands: its bits are already set
+    run_streaming_bloom_bits(spark, str(landing), store, ckpt, schema,
+                             "c_custkey", m_bits=M, k_hashes=K)
+
+    build = spark.createDataFrame([(k,) for k in [3, 7, 11, 19]], "c_custkey long")
+    probe = spark.createDataFrame([(k,) for k in range(40)], "o_custkey long")
+    want = bloom_prefilter_stats(build, probe, "c_custkey", "o_custkey",
+                                 m_bits=M, k_hashes=K).collect()
+    got = current_bloom_prefilter_stats(spark, store, probe, "o_custkey",
+                                        build, "c_custkey",
+                                        m_bits=M, k_hashes=K).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    # replay: a fresh checkpoint re-reads every file; the store's raw row
+    # count must not grow (bits are their own idempotency tokens)
+    raw_before = spark.read.parquet(store).count()
+    run_streaming_bloom_bits(spark, str(landing), store,
+                             str(tmp_path / "bloom_ckpt2"), schema,
+                             "c_custkey", m_bits=M, k_hashes=K)
+    assert spark.read.parquet(store).count() == raw_before

@@ -1139,3 +1139,61 @@ def cohens_kappa(
         .cast("long")
         .alias("kappa_micro"),
     )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = -1.0,
+    hi: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ECE/MCE scalars over the same equal-width bins as
+    calibration_bins — the single-number calibration gate a retrain
+    pipeline alerts on (the reliability diagram is the diagnostic, ECE
+    is the threshold).  Exactness: the per-bin gap n_b*|p_b - s_b|
+    algebraically equals |pos_b*10^d - ssum_b| / 10^d, an exact bigint
+    numerator, so ECE = sum_b |pos_b*10^d - ssum_b| div N and MCE =
+    max_b (|pos_b*10^d - ssum_b| div n_b) involve no float summation at
+    all — bin order cannot perturb the result on either engine.
+
+    Output: one row (n_docs, ece_micro, mce_micro)."""
+    scale = 10**round_digits
+    width = (hi - lo) / n_bins
+    si = F.round(F.col(score_col) * F.lit(float(scale))).cast("long")
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    per_bin = (
+        scored.select(
+            bin_id.alias("bin"),
+            si.alias("__si"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__y").alias("pos"),
+            F.sum("__si").alias("ssum"),
+        )
+    )
+    gap = F.abs(F.col("pos") * F.lit(scale) - F.col("ssum"))
+    return (
+        per_bin.agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(gap).cast("long").alias("__tg"),
+            F.max(F.expr(f"abs(pos * {scale} - ssum) div n"))
+            .cast("long")
+            .alias("mce_micro"),
+        ).select(
+            "n_docs",
+            F.expr("__tg div n_docs").cast("long").alias("ece_micro"),
+            "mce_micro",
+        )
+    )

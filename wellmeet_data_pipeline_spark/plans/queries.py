@@ -9463,6 +9463,58 @@ def q_token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q(
+    "calibration_ece",
+    f"""
+    WITH {_CLS_CTES},
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(CAST(s AS DOUBLE) / (CAST(32768 AS DOUBLE) * n_tokens)
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS si
+      FROM cls_agg
+    ),
+    lab AS (
+      SELECT sc.si,
+             least(9, greatest(0, CAST(floor((CAST(sc.si AS DOUBLE) / 1000000
+                                              - CAST(-1.0 AS DOUBLE)) / CAST(0.2 AS DOUBLE))
+                                       AS INT))) AS bin,
+             CAST(d.lang = 'en' AS INT) AS y
+      FROM sc JOIN documents d USING (doc_id)
+    ),
+    pb AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(si) AS BIGINT) AS ssum
+      FROM lab GROUP BY bin
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(abs(pos * 1000000 - ssum)) // sum(n) AS BIGINT) AS ece_micro,
+           CAST(max(abs(pos * 1000000 - ssum) // n) AS BIGINT) AS mce_micro
+    FROM pb
+    """,
+    "Expected / maximum calibration error of the hashed linear "
+    "classifier vs the lang='en' label — the single-number calibration "
+    "gate next to classifier_calibration's reliability diagram.  The "
+    "per-bin gap n_b*|p_b - s_b| reduces to |pos_b*1e6 - ssum_b| (exact "
+    "bigint), so ECE/MCE involve ZERO float summation; one 10-ary "
+    "groupBy then a scalar fold",
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        expected_calibration_error,
+        hashed_linear_score,
+        model_weights_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(d, model_weights_table(spark)).join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")), "doc_id"
+    )
+    return expected_calibration_error(scored, "logit", "y", n_bins=10, lo=-1.0, hi=1.0)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
