@@ -152,6 +152,8 @@ HEADLINE = [
     "bloom_prefilter_stats",
     "token_pmi_collocations",
     "calibration_ece",
+    "rag_context_pack",
+    "dedup_graph_communities",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

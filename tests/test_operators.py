@@ -567,3 +567,37 @@ def test_embedding_lsh_sha_pairs_drops_short_vectors(spark):
     got = {(r["id_a"], r["id_b"]) for r in embedding_lsh_sha_pairs(df).collect()}
     assert (1, 2) in got
     assert all(3 not in pair for pair in got)
+
+
+def test_label_propagation_splits_barbell(spark):
+    """Two triangles joined by one bridge edge: CC merges them into one
+    component; synchronous LPA (3 rounds, mode labels, lowest-label
+    ties) keeps each triangle its own community — hand-traced rounds."""
+    from wellmeet_data_pipeline_spark.operators.dedup import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=3).collect()}
+    # round-by-round hand trace: labels start as own ids; neighbor-mode
+    # with lowest-label ties pulls each triangle to its min id; node 4
+    # hears {3,5,6} (tie) -> 3 in round 1, but rounds 2-3 pull it back
+    # toward its triangle's settled label
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6]
+    assert got[4] != got[1]
+
+
+def test_label_propagation_sync_determinism(spark):
+    """Synchronous updates: result is identical across repartitionings
+    (no asynchronous race — the classic LPA nondeterminism is absent)."""
+    from wellmeet_data_pipeline_spark.operators.dedup import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)] + [(5, 15), (1, 19)],
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges.repartition(7), iters=3).collect()))
+    assert a == b

@@ -1525,3 +1525,38 @@ def test_streaming_bloom_bits_matches_batch_and_replay(spark, tmp_path):
                              str(tmp_path / "bloom_ckpt2"), schema,
                              "c_custkey", m_bits=M, k_hashes=K)
     assert spark.read.parquet(store).count() == raw_before
+
+
+def test_streaming_pagerank_matches_batch(spark, tmp_path):
+    """The streamed edge store serves PageRank through the same batch
+    core: after two activations (with a re-delivered edge), the read
+    equals graph_pagerank over the union of all edges."""
+    import json as _json
+
+    from wellmeet_data_pipeline_spark.operators.dedup import graph_pagerank
+    from wellmeet_data_pipeline_spark.streaming.kcore import (
+        current_pagerank,
+        run_streaming_kcore_edges,
+    )
+    from pyspark.sql.types import StructType
+
+    landing = tmp_path / "pr_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "pr_store"), str(tmp_path / "pr_ckpt")
+    schema = StructType.fromDDL("id_a long, id_b long")
+
+    def drop(fname, edges):
+        with open(landing / fname, "w") as fh:
+            _json.dump([{"id_a": a, "id_b": b} for a, b in edges], fh)
+
+    drop("e1.json", [(1, 2), (2, 3), (3, 1)])
+    run_streaming_kcore_edges(spark, str(landing), store, ckpt, schema)
+    drop("e2.json", [(3, 4), (2, 3), (4, 1)])  # (2,3) re-delivered
+    run_streaming_kcore_edges(spark, str(landing), store, ckpt, schema)
+
+    all_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)], "id_a long, id_b long"
+    )
+    want = sorted(map(tuple, graph_pagerank(all_edges, iters=3).collect()))
+    got = sorted(map(tuple, current_pagerank(spark, store, iters=3).collect()))
+    assert got == want

@@ -1434,3 +1434,57 @@ def triangle_counts(
         "degree",
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected candidate-pair graph — COMMUNITY detection where the
+    connected-components min-id rule is too coarse (CC merges everything
+    reachable; LPA splits a component along its sparse cuts, the natural
+    grain for 'which docs are variants of the same underlying page').
+
+    Determinism (the property plain LPA lacks): updates are synchronous
+    (round t reads only round t-1 labels) and each node adopts the mode
+    of its NEIGHBORS' labels with ties broken to the LOWEST label, so a
+    fixed iteration count yields one reproducible, engine-parity
+    labeling — no RNG order, no asynchronous races.
+
+    Plan: per round one groupBy(node, label) vote count (map-side
+    combined) + one rank window partitioned by node (labels-per-node
+    bounded by degree); the label frame is localCheckpoint'ed per round
+    (the iterative-lineage discipline every graph op here follows).
+
+    Returns (node, label) after `iters` rounds; isolated self-loop-only
+    pairs never appear (normalization drops them, as in k-core)."""
+    e2 = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(
+            edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .filter(F.col(src) != F.col(dst))
+            .select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = e2.select(F.col("u").alias("node"), F.col("u").alias("label")).distinct()
+    w = Window.partitionBy("v").orderBy(F.col("n").desc(), F.col("label").asc())
+    for _ in range(iters):
+        votes = (
+            e2.join(labels, e2["u"] == labels["node"])
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        labels = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("v").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -9515,6 +9515,119 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expected_calibration_error(scored, "logit", "y", n_bins=10, lo=-1.0, hi=1.0)
 
 
+
+@_q(
+    "rag_context_pack",
+    f"""
+    WITH {_BM25_CTES},
+    run AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id ASC) AS rnk
+        FROM bs) WHERE rnk <= 10
+    ),
+    pk AS (
+      SELECT r.query_id, r.doc_id, r.rnk,
+             CAST(d.dl AS BIGINT) AS n_tokens,
+             CAST(sum(d.dl) OVER (PARTITION BY r.query_id ORDER BY r.rnk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM run r JOIN dl d USING (doc_id)
+    )
+    SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+           CAST(rnk AS INTEGER) AS rank, n_tokens, cum_tokens
+    FROM pk WHERE cum_tokens <= 220
+    """,
+    "RAG context assembly: the BM25 top-10 run packed into a 220-token "
+    "context budget per query — documents keep rank order while the "
+    "running token total (the BM25 dl, exact integers) stays within "
+    "budget (contiguous-prefix rule: deterministic, no knapsack "
+    "reordering).  The post-retrieval step every RAG serving path runs; "
+    "token counting reuses the candidate-bounded dl frame, so packing "
+    "adds one rank-partitioned window over queries x 10 rows, nothing "
+    "corpus-grain",
+)
+def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.retrieval import (
+        _doc_tokens,
+        bm25_topk,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    run = bm25_topk(d, _RETRIEVAL_QUERIES, k=10).localCheckpoint(eager=True)
+    cand = run.select("doc_id").distinct()
+    n_tokens = (
+        _doc_tokens(d.join(F.broadcast(cand), "doc_id"), "text", "doc_id")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        run.join(n_tokens, "doc_id")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 220)
+        .select("query_id", "doc_id", "rank", "n_tokens", "cum_tokens")
+    )
+
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled synchronous label-propagation CTE chain (same pattern as
+    _pagerank_oracle): per round, each node adopts the MODE of its
+    neighbors' round-(t-1) labels, ties to the lowest label, via a
+    row_number pick.  Each lp{t} references lp{t-1} exactly once, so no
+    MATERIALIZED hints are needed (cf. the MMR oracle)."""
+    parts = ["lp0 AS (SELECT u AS node, u AS label FROM deg)"]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""lp{t} AS (
+      SELECT node, label FROM (
+        SELECT e.v AS node, p.label, count(*) AS n,
+               row_number() OVER (PARTITION BY e.v
+                                  ORDER BY count(*) DESC, p.label ASC) AS rk
+        FROM e2 e JOIN lp{t-1} p ON p.node = e.u
+        GROUP BY e.v, p.label
+      ) WHERE rk = 1)"""
+        )
+    return ",\n    ".join(parts) + f"""
+    SELECT node, label FROM lp{iters}"""
+
+
+@_q(
+    "dedup_graph_communities",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT u FROM e2 GROUP BY u),
+    {_lpa_oracle(3)}
+    """,
+    "Deterministic synchronous label propagation (3 rounds, neighbor-"
+    "mode labels, ties to lowest) over the MinHash near-dup candidate "
+    "graph — community detection at the grain BETWEEN pair and "
+    "component: CC merges everything reachable, LPA splits a component "
+    "along sparse cuts, the natural 'variants of one underlying page' "
+    "read.  Per round one map-side-combined vote count + one node-"
+    "partitioned rank window; label frame checkpointed per round",
+)
+def q_dedup_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        label_propagation,
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return label_propagation(minhash_lsh_candidates_sha(d), iters=3)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,

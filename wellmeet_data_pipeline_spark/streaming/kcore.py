@@ -103,3 +103,19 @@ def current_kcore(
 
     edges = read_current(spark, edge_store, id_col=["id_a", "id_b"])
     return kcore_decomposition(edges, k=k)
+
+
+def current_pagerank(
+    spark: SparkSession, edge_store: str, iters: int = 3
+) -> DataFrame:
+    """PageRank of every edge ever streamed, through the SAME batch core
+    (graph_pagerank) — the edge store built for k-core maintenance
+    serves every graph read (one store, N analytics; a second
+    per-analytic store would just duplicate the dedup discipline).
+    Insertions change global rank mass, so like the k-core read this
+    recomputes from the store — the fixed-iteration power method's cost
+    is O(iters x |distinct edges|), independent of stream length."""
+    from wellmeet_data_pipeline_spark.operators.dedup import graph_pagerank
+
+    edges = read_current(spark, edge_store, id_col=["id_a", "id_b"])
+    return graph_pagerank(edges, iters=iters)
