@@ -154,6 +154,7 @@ HEADLINE = [
     "calibration_ece",
     "rag_context_pack",
     "dedup_graph_communities",
+    "matryoshka_prefix_recall",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol
@@ -172,6 +173,7 @@ MATMUL_MIN2 = {
     "hard_negatives_topk",
     "kmeans_cluster_step",
     "ivf_index_merge",
+    "matryoshka_prefix_recall",
 }
 
 

@@ -531,3 +531,23 @@ def test_ivf_index_merge_drops_short_vectors(spark):
     )
     got = {r["centroid_id"]: r for r in ivf_index_merge(old, new, k=2).collect()}
     assert got[1]["n_added"] == 1 and got[2]["n_added"] == 0
+
+
+def test_matryoshka_recall_identity_at_full_dim(spark):
+    """Slicing the full dimensionality is a no-op: prefix top-k == full
+    top-k, so every query reports recall exactly 1e6 — pins the join/
+    accounting logic of matryoshka_prefix_recall independent of any
+    truncation effect."""
+    from wellmeet_data_pipeline_spark.operators.similarity import brute_force_top_k
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    ).limit(60).localCheckpoint(eager=True)
+    dim = len(e.first()["embedding"])
+    full = brute_force_top_k(e, e, k=5, round_digits=4).select("query_id", "neighbor_id")
+    pre_src = e.select("vec_id", F.expr(f"slice(embedding, 1, {dim})").alias("embedding"))
+    pre = brute_force_top_k(pre_src, pre_src, k=5, round_digits=4).select(
+        "query_id", "neighbor_id"
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pre.collect()))

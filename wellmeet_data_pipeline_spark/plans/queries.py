@@ -9628,6 +9628,101 @@ def q_dedup_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(minhash_lsh_candidates_sha(d), iters=3)
 
 
+
+@_q(
+    "matryoshka_prefix_recall",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS p
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    n AS (
+      SELECT vec_id, e, p,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS ne,
+             sqrt(list_sum(list_transform(p, x -> x * x))) AS np
+      FROM v
+    ),
+    fs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                           i -> a.e[i] * b.e[i])) / (a.ne * b.ne), 4) AS cs
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ),
+    ps AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.p) + 1),
+                                           i -> a.p[i] * b.p[i])) / (a.np * b.np), 4) AS cs
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ),
+    ft AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id ASC) AS rk
+        FROM fs) WHERE rk <= 5
+    ),
+    pt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id ASC) AS rk
+        FROM ps) WHERE rk <= 5
+    ),
+    base AS (
+      SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_full,
+             CAST(coalesce(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                                    THEN 1 END), 0) AS BIGINT) AS n_common
+      FROM ft f LEFT JOIN pt p
+        ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+      GROUP BY f.query_id
+    )
+    SELECT query_id, n_full, n_common,
+           CAST(n_common * 1000000 // n_full AS BIGINT) AS recall_micro
+    FROM base
+    """,
+    "Matryoshka prefix-search quality: exact cosine top-5 with only the "
+    "FIRST 16 of 64 dims vs the full-dim truth, per-query recall@5 on "
+    "the micro grid — the measurement behind MRL-style tiered vector "
+    "search (short prefixes drive the cheap first pass at 100 TB; this "
+    "query says what that truncation costs on YOUR corpus).  Both tiers "
+    "run the same tile-blocked exact operator, prefix slicing is a "
+    "zero-copy array slice before the matmul",
+)
+def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import brute_force_top_k
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    pre = e.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    full_tk = brute_force_top_k(e, e, k=5, round_digits=4).select(
+        "query_id", "neighbor_id"
+    )
+    pre_tk = brute_force_top_k(pre, pre, k=5, round_digits=4).select(
+        F.col("query_id").alias("pq"), F.col("neighbor_id").alias("pn")
+    )
+    joined = full_tk.join(
+        pre_tk,
+        (F.col("query_id") == F.col("pq")) & (F.col("neighbor_id") == F.col("pn")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_full"),
+            F.sum(F.when(F.col("pn").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_common"),
+        )
+        .select(
+            "query_id",
+            "n_full",
+            "n_common",
+            F.expr("n_common * 1000000 div n_full").cast("long").alias("recall_micro"),
+        )
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
