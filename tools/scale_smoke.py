@@ -538,6 +538,96 @@ def run_url_dedup(spark, sf_dir, factor):
     )
 
 
+
+def run_token_pmi(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+    # the registered query's exact plan shape (zero-shuffle bigram zip,
+    # map-side count frames, min-count filter before the unigram joins)
+    d = scaled_documents(spark, sf_dir, factor)
+    base = d.select(
+        F.filter(F.split(normalized_text(F.col("text")), " "), lambda x: x != "").alias("w")
+    ).localCheckpoint(eager=True)
+    uni = base.select(F.explode("w").alias("term"))
+    c1 = uni.groupBy("term").agg(F.count("*").alias("c"))
+    bg0 = base.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(w, 1, size(w) - 1)"), F.expr("slice(w, 2, size(w) - 1)")
+            )
+        ).alias("z")
+    ).select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    c2 = bg0.groupBy("w1", "w2").agg(F.count("*").alias("c_xy")).filter("c_xy >= 5")
+    out = (
+        c2.join(c1.withColumnRenamed("term", "w1").withColumnRenamed("c", "ca"), "w1")
+        .join(c1.withColumnRenamed("term", "w2").withColumnRenamed("c", "cb"), "w2")
+        .count()
+    )
+    return out
+
+
+def run_bloom_prefilter(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.joins import bloom_prefilter_stats
+
+    # build and probe both grow with scale (copies shift the key domain
+    # so copies stay disjoint); m grows with the build side the way a
+    # real deployment sizes it
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    if factor > 1:
+        copies = spark.range(factor).select(F.col("id").alias("copy"))
+        cust = cust.crossJoin(F.broadcast(copies)).select(
+            (F.col("c_custkey") + F.col("copy") * 10_000_000).alias("c_custkey"),
+            "c_acctbal",
+        )
+        orders = orders.crossJoin(F.broadcast(copies)).select(
+            (F.col("o_custkey") + F.col("copy") * 10_000_000).alias("o_custkey")
+        )
+    row = bloom_prefilter_stats(
+        cust.filter(F.col("c_acctbal") < 0), orders,
+        "c_custkey", "o_custkey", m_bits=4096 * factor, k_hashes=3,
+    ).collect()
+    return int(row[0]["n_pass"])
+
+
+def run_lpa_communities(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        label_propagation,
+        minhash_lsh_candidates_sha,
+    )
+
+    return label_propagation(
+        minhash_lsh_candidates_sha(scaled_documents(spark, sf_dir, factor)), iters=3
+    ).count()
+
+
+def run_mmr_rerank(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.retrieval import mmr_diversify
+
+    # candidates per query are top-n-bounded by construction; queries
+    # grow with scale — the operator's real load axis
+    n_q = 50 * factor
+    cand = (
+        spark.range(n_q * 10)
+        .select(
+            (F.col("id") % n_q).cast("int").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            (F.abs(F.xxhash64("id")) % 1_000_001).alias("rel_norm_micro"),
+        )
+    )
+    pairs = (
+        spark.range(n_q * 45)
+        .select(
+            (F.col("id") % n_q).cast("int").alias("query_id"),
+            (F.col("id") * 2).alias("a"),
+            (F.col("id") * 2 + 1).alias("b"),
+            (F.abs(F.xxhash64("id", F.lit(7))) % 1_000_001).alias("jac_micro"),
+        )
+    )
+    return mmr_diversify(cand, pairs, k=5).count()
+
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -576,6 +666,10 @@ OPS = {
     "kmv_type_overlap": run_kmv_overlap,
     "sft_turn_stats": run_sft_turn_stats,
     "url_dedup_by_canonical": run_url_dedup,
+    "token_pmi_collocations": run_token_pmi,
+    "bloom_prefilter_stats": run_bloom_prefilter,
+    "dedup_graph_communities": run_lpa_communities,
+    "mmr_diversify": run_mmr_rerank,
 }
 
 
