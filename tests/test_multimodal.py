@@ -400,3 +400,21 @@ def test_extract_video_features_batch(spark):
     assert got[1]["width"] == 640 and got[1]["height"] == 360
     assert got[2]["format"] is None and got[2]["width"] is None
     assert got[3]["n_bytes"] == 0 and got[3]["format"] is None
+
+
+def test_parse_video_header_empty_tkhd_and_overflow_duration():
+    """Review catches: an empty tkhd body at payload end must not read
+    past the box (IndexError previously); a corrupt huge v1 duration
+    must report None rather than overflow the int64 duration_ms."""
+    from wellmeet_data_pipeline_spark.operators.multimodal import parse_video_header
+
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    mvhd = _box(b"mvhd", bytes([0]) + bytes(3) + bytes(8)
+                + (1000).to_bytes(4, "big") + (5000).to_bytes(4, "big") + bytes(80))
+    empty_tkhd = _box(b"trak", _box(b"tkhd", b""))
+    payload = ftyp + _box(b"moov", mvhd + empty_tkhd)
+    assert parse_video_header(payload) == ("mp4", 1000, 5000, None, None)
+
+    huge = _mp4_bytes(mvhd_ver=1, ts=1, dur=(1 << 63) + 7)
+    got = parse_video_header(huge)
+    assert got[0] == "mp4" and got[2] is None  # duration unknown, no overflow

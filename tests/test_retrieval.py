@@ -516,3 +516,19 @@ def test_mmr_diversify_tie_breaks_on_lowest_doc(spark):
     pairs = spark.createDataFrame([], "query_id int, a long, b long, jac_micro long")
     got = {r["rank"]: r["doc_id"] for r in mmr_diversify(cand, pairs, k=2).collect()}
     assert got == {1: 10, 2: 20}
+
+
+def test_mmr_diversify_null_inputs(spark):
+    """NULL jac_micro rows honor the 'missing pair = 0' rule; a NULL
+    rel_norm_micro candidate drops instead of crashing the UDF."""
+    from wellmeet_data_pipeline_spark.operators.retrieval import mmr_diversify
+
+    cand = spark.createDataFrame(
+        [(0, 1, 900_000), (0, 2, None), (0, 3, 500_000)],
+        "query_id int, doc_id long, rel_norm_micro long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 3, None)], "query_id int, a long, b long, jac_micro long"
+    )
+    got = {r["rank"]: r["doc_id"] for r in mmr_diversify(cand, pairs, k=3).collect()}
+    assert got == {1: 1, 2: 3}  # doc 2 dropped; null pair scored as 0

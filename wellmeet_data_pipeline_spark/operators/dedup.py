@@ -1461,15 +1461,13 @@ def label_propagation(
 
     Returns (node, label) after `iters` rounds; isolated self-loop-only
     pairs never appear (normalization drops them, as in k-core)."""
-    e2 = (
+    base = (
         edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .filter(F.col(src) != F.col(dst))
         .select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(
-            edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-            .filter(F.col(src) != F.col(dst))
-            .select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
+    )
+    e2 = (
+        base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint()
     )

@@ -209,6 +209,7 @@ def bloom_prefilter_stats(
     probe_key: str,
     m_bits: int = 1 << 17,
     k_hashes: int = 4,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom-filter join prefilter with EXACT false-positive accounting —
     the runtime-filter pushdown pattern (Spark's own
@@ -233,14 +234,23 @@ def bloom_prefilter_stats(
     survive (duplicate positions within one key double-join and still
     sum to k).  Output is ONE row: n_build, n_probe, n_pass,
     n_true_match, n_false_pos, n_bits_set, fp_rate_micro (FP fraction of
-    the true negatives, micro grid)."""
+    the true negatives, micro grid).
+
+    `bits` optionally injects a prebuilt (pos) bit-set frame — the
+    streaming twin (streaming/bloom.py) passes its persisted store here
+    so the pass rule and FP accounting live in exactly ONE place and
+    stream-vs-batch parity is structural."""
     b_keys = (
         build.select(F.col(build_key).alias("k"))
         .filter(F.col("k").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)  # feeds bits, the exact semi join
+        # AND n_build — same one-scan/three-consumers discipline as p_keys
     )
     pos = bloom_bit_positions(F.col("k"), m_bits, k_hashes)
-    bits = b_keys.select(F.explode(pos).alias("pos")).distinct()
+    if bits is None:
+        bits = b_keys.select(F.explode(pos).alias("pos")).distinct()
+    bits = bits.localCheckpoint(eager=True)  # broadcast probe join + count
     p_keys = (
         probe.select(F.col(probe_key).alias("k"))
         .filter(F.col("k").isNotNull())

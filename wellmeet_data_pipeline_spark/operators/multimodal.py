@@ -531,8 +531,9 @@ def parse_video_header(payload: bytes):
                     duration = None
             elif ityp == b"trak":
                 for ttyp, tbody, tend in _walk_boxes(payload, ibody, iend):
-                    if ttyp != b"tkhd":
-                        continue
+                    if ttyp != b"tkhd" or tend - tbody < 4:
+                        continue  # empty/truncated tkhd body: skip, don't
+                        # read past it (review catch: unguarded ver byte)
                     ver = payload[tbody]
                     # v0 layout: ver/flags(4) times(2x4) id(4) rsvd(4)
                     # dur(4) rsvd(8) layer/alt/vol/rsvd(8) matrix(36)
@@ -547,6 +548,10 @@ def parse_video_header(payload: bytes):
     if timescale is None or timescale == 0:
         return None
     duration_ms = duration * 1000 // timescale if duration is not None else None
+    if duration_ms is not None and duration_ms >= 1 << 63:
+        # a corrupt (not all-ones) u64 duration can scale past int64:
+        # report unknown rather than overflow the Arrow long column
+        duration_ms = None
     return (fmt, timescale, duration_ms, width or None, height or None)
 
 

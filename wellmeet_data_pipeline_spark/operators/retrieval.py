@@ -484,12 +484,19 @@ def mmr_diversify(
     one = 1_000_000
 
     def pick(key: tuple, cand: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+        # nullable longs arrive as float64+NaN through Arrow: a NULL
+        # similarity honors the documented 'missing pair = 0' rule, a
+        # NULL relevance drops the candidate (it cannot be ranked) —
+        # bare int() would crash the whole query on one null row
         rel = {
             int(d): int(r)
             for d, r in zip(cand["doc_id"], cand["rel_norm_micro"])
+            if not pd.isna(r)
         }
         sim: dict[tuple[int, int], int] = {}
         for a, b, j in zip(pairs["a"], pairs["b"], pairs["jac_micro"]):
+            if pd.isna(j):
+                continue
             sim[(int(a), int(b))] = int(j)
             sim[(int(b), int(a))] = int(j)
         selected: list[int] = []

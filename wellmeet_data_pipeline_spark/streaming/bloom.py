@@ -82,54 +82,20 @@ def current_bloom_prefilter_stats(
     m_bits: int = 4096,
     k_hashes: int = 3,
 ) -> DataFrame:
-    """Probe a streamed bit store exactly like the batch operator probes
-    its freshly-built set: same positions derivation, same all-k pass
-    rule, same exact FP accounting against the (batch) build table —
-    so stream-vs-batch parity is a frame-level assertion, not a
-    hand-wave.  Output schema matches bloom_prefilter_stats."""
+    """Probe a streamed bit store through the batch operator ITSELF
+    (bloom_prefilter_stats with the store injected as `bits`) — the
+    pass rule and FP accounting live in one place, so stream-vs-batch
+    parity is structural, not copy-pasted (review catch).  Output
+    schema matches bloom_prefilter_stats."""
+    from wellmeet_data_pipeline_spark.operators.joins import bloom_prefilter_stats
+
     cur = read_current_or_none(spark, bits_store, id_col="pos")
     bits = (
         cur.select("pos")
         if cur is not None
         else spark.createDataFrame([], "pos long")
     )
-    b_keys = (
-        build.select(F.col(build_key).alias("k"))
-        .filter(F.col("k").isNotNull())
-        .distinct()
-    )
-    p_keys = (
-        probe.select(F.col(probe_key).alias("k"))
-        .filter(F.col("k").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    pos = bloom_bit_positions(F.col("k"), m_bits, k_hashes)
-    passes = (
-        p_keys.select("k", F.explode(pos).alias("pos"))
-        .join(F.broadcast(bits), "pos")
-        .groupBy("k")
-        .agg(F.count("*").alias("__nh"))
-        .filter(F.col("__nh") == k_hashes)
-        .select("k")
-    )
-    true_match = p_keys.join(b_keys, "k", "left_semi")
-    counts = (
-        p_keys.agg(F.count("*").cast("long").alias("n_probe"))
-        .crossJoin(b_keys.agg(F.count("*").cast("long").alias("n_build")))
-        .crossJoin(bits.agg(F.count("*").cast("long").alias("n_bits_set")))
-        .crossJoin(passes.agg(F.count("*").cast("long").alias("n_pass")))
-        .crossJoin(true_match.agg(F.count("*").cast("long").alias("n_true_match")))
-    )
-    return counts.select(
-        "n_build",
-        "n_probe",
-        "n_pass",
-        "n_true_match",
-        (F.col("n_pass") - F.col("n_true_match")).cast("long").alias("n_false_pos"),
-        "n_bits_set",
-        F.expr(
-            "CASE WHEN n_probe - n_true_match = 0 THEN CAST(0 AS BIGINT) "
-            "ELSE (n_pass - n_true_match) * 1000000 div (n_probe - n_true_match) END"
-        ).cast("long").alias("fp_rate_micro"),
+    return bloom_prefilter_stats(
+        build, probe, build_key, probe_key,
+        m_bits=m_bits, k_hashes=k_hashes, bits=bits,
     )
