@@ -174,6 +174,10 @@ MATMUL_MIN2 = {
     "kmeans_cluster_step",
     "ivf_index_merge",
     "matryoshka_prefix_recall",
+    # not Arrow-heavy, but its in-loop single-shot swung 2.8->4.5s with
+    # zero code change (r9 close gate; isolated min-of-2 reproduced the
+    # 3.0s r8 number) — position noise the min-of-2 protocol exists for
+    "minhash_band_plan",
 }
 
 
