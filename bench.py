@@ -155,6 +155,8 @@ HEADLINE = [
     "rag_context_pack",
     "dedup_graph_communities",
     "matryoshka_prefix_recall",
+    "sft_exact_dedup",
+    "quality_psi_by_source",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -328,3 +328,53 @@ def test_expected_calibration_error_hand_computed(spark):
     assert got["n_docs"] == 5
     assert got["ece_micro"] == (2_800_000 + 600_000) // 5
     assert got["mce_micro"] == max(2_800_000 // 2, 600_000 // 3)
+
+
+def test_quality_psi_pure_python(spark, tmp_path):
+    """Third-engine PSI differential: pure-python Laplace-smoothed PSI
+    over a synthetic documents table, exact micro-grid parity."""
+    import math
+
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = []
+    # source A skews short, source B skews long, C matches the blend-ish
+    for i in range(40):
+        rows.append((i, "t", "en", "A", 30 + (i % 3) * 10))
+    for i in range(40, 70):
+        rows.append((i, "t", "en", "B", 400 + (i % 4) * 30))
+    for i in range(70, 100):
+        rows.append((i, "t", "en", "C", (i * 37) % 600))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    def bin_of(n):
+        return min(9, max(0, n // 64))
+
+    from collections import Counter
+    per = {}
+    tot = Counter()
+    ns = Counter()
+    for _, _, _, s, n in rows:
+        per.setdefault(s, Counter())[bin_of(n)] += 1
+        tot[bin_of(n)] += 1
+        ns[s] += 1
+    N = len(rows)
+    want = {}
+    for s in per:
+        acc = 0
+        for b in range(10):
+            a = (per[s].get(b, 0) + 1) * (N + 10)
+            bb = (tot.get(b, 0) + 1) * (ns[s] + 10)
+            lm = math.floor(math.log(a / bb) * 1e6 + 0.5)
+            acc += (a - bb) * lm
+        want[s] = acc // ((ns[s] + 10) * (N + 10))
+
+    got = {
+        r["source"]: r["psi_micro"]
+        for r in REGISTRY["quality_psi_by_source"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert got["A"] > got["C"] and got["B"] > got["C"]  # skewed sources drift more
