@@ -1560,3 +1560,66 @@ def test_streaming_pagerank_matches_batch(spark, tmp_path):
     want = sorted(map(tuple, graph_pagerank(all_edges, iters=3).collect()))
     got = sorted(map(tuple, current_pagerank(spark, store, iters=3).collect()))
     assert got == want
+
+
+def test_streaming_psi_matches_batch_and_replay(spark, tmp_path):
+    """Streamed (source, bin) partial counts serve PSI through the SAME
+    core as the batch query: after two activations the read equals the
+    batch PSI over the union corpus; a fresh-checkpoint replay leaves
+    the current view unchanged (partials keyed by batch overwrite their
+    own contribution)."""
+    import json as _json
+
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        length_bins,
+        psi_from_source_bin_counts,
+    )
+    from wellmeet_data_pipeline_spark.streaming.analytics import (
+        current_source_psi,
+        run_streaming_length_bins,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    landing = tmp_path / "psi_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "psi_store"), str(tmp_path / "psi_ckpt")
+    schema = StructType.fromDDL("doc_id long, source string, n_chars long")
+
+    rows1 = [{"doc_id": i, "source": "A" if i % 2 else "B", "n_chars": 40 + i * 13}
+             for i in range(30)]
+    rows2 = [{"doc_id": 100 + i, "source": "C" if i % 3 else "A",
+              "n_chars": 300 + i * 9} for i in range(25)]
+    with open(landing / "d1.json", "w") as fh:
+        _json.dump(rows1, fh)
+    run_streaming_length_bins(spark, str(landing), store, ckpt, schema)
+    with open(landing / "d2.json", "w") as fh:
+        _json.dump(rows2, fh)
+    run_streaming_length_bins(spark, str(landing), store, ckpt, schema)
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["n_chars"]) for r in rows1 + rows2],
+        "doc_id long, source string, n_chars long",
+    )
+    cs = length_bins(all_docs).groupBy("source", "bin").agg(F.count("*").alias("c"))
+    want = sorted(map(tuple, psi_from_source_bin_counts(cs).collect()))
+    got = sorted(map(tuple, current_source_psi(spark, store).collect()))
+    assert got == want
+
+    # crash-replay of a batch (foreachBatch contract: same batch_id =>
+    # same data): the re-appended (source, bin, batch) partial dedups on
+    # read — the view must not move.  (A FRESH checkpoint over the same
+    # files is a different ingest with different batch boundaries and
+    # legitimately double-counts — partial-count stores are idempotent
+    # per (key, batch), not content-addressed like the bit/edge stores.)
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+
+    orig = spark.read.parquet(store).filter(F.col("__k") == "A|0|0")
+    replay = orig.select("source", "bin", "c", "__k")  # byte-identical partial
+    merge_append(replay, store, id_col="__k", partition_col=None, batch_seq=0)
+    again = sorted(map(tuple, current_source_psi(spark, store).collect()))
+    assert again == want
+
+    # same-checkpoint re-activation with no new files processes nothing
+    run_streaming_length_bins(spark, str(landing), store, ckpt, schema)
+    assert sorted(map(tuple, current_source_psi(spark, store).collect())) == want

@@ -1197,3 +1197,66 @@ def expected_calibration_error(
             "mce_micro",
         )
     )
+
+
+def psi_from_source_bin_counts(cs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Population stability index per source from a (source, bin, c)
+    count frame — the shared core the batch query and the streaming
+    drift monitor both route through (stream==batch parity by
+    construction).  Laplace +1 smoothing over the full n_bins grid;
+    every term exact: p-q = (a-b)/D with bigint a, b; ln(p/q) = ln(a/b)
+    micro-snapped; one integer division per source at the end.
+
+    All frames are (sources x bins)-bounded after the input aggregation
+    — nothing corpus-grain."""
+    spark = cs.sparkSession
+    cs = cs.select("source", "bin", F.col("c").cast("long").alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("c").alias("n"))
+    cq = cs.groupBy("bin").agg(F.sum("c").alias("cc"))
+    nq = cs.agg(F.sum("c").alias("nn"))
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        ns.crossJoin(F.broadcast(bins))
+        .join(cs, ["source", "bin"], "left")
+        .join(F.broadcast(cq), "bin", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "source",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1) * (F.col("nn") + n_bins)).alias("a"),
+            ((F.coalesce(F.col("cc"), F.lit(0)) + 1) * (F.col("n") + n_bins)).alias("bb"),
+            (F.col("n") + n_bins).alias("n10"),
+            (F.col("nn") + n_bins).alias("nn10"),
+        )
+    )
+    lm = F.floor(
+        F.log(F.col("a").cast("double") / F.col("bb").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        grid.withColumn("__lm", lm)
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("a") - F.col("bb")) * F.col("__lm")).cast("long").alias("__s"),
+            F.first("n10").alias("__n10"),
+            F.first("nn10").alias("__nn10"),
+        )
+        .select(
+            "source",
+            F.expr("__s div (__n10 * __nn10)").cast("long").alias("psi_micro"),
+        )
+    )
+
+
+def length_bins(docs: DataFrame, width: int = 64, n_bins: int = 10) -> DataFrame:
+    """(source, bin) rows under the fixed-width length-bin rule the PSI
+    family shares (batch query, streaming monitor, tests)."""
+    return docs.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        "source",
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.expr(f"n_chars div {width}").cast("int")),
+        ).alias("bin"),
+    )

@@ -9817,59 +9817,14 @@ def q_sft_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-grain shuffles",
 )
 def q_quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").filter(
-        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        length_bins,
+        psi_from_source_bin_counts,
     )
-    b = d.select(
-        "source",
-        F.least(F.lit(9), F.greatest(F.lit(0), F.expr("n_chars div 64").cast("int"))).alias("bin"),
-    ).localCheckpoint(eager=True)  # feeds per-source, per-bin AND total counts
-    cs = b.groupBy("source", "bin").agg(F.count("*").cast("long").alias("c"))
-    ns = b.groupBy("source").agg(F.count("*").cast("long").alias("n"))
-    cq = b.groupBy("bin").agg(F.count("*").cast("long").alias("cc"))
-    nq = b.agg(F.count("*").cast("long").alias("nn"))
-    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
-    grid = (
-        ns.crossJoin(F.broadcast(bins))
-        .join(cs, ["source", "bin"], "left")
-        .join(F.broadcast(cq), "bin", "left")
-        .crossJoin(F.broadcast(nq))
-        .select(
-            "source",
-            (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("c1"),
-            (F.coalesce(F.col("cc"), F.lit(0)) + 1).alias("cc1"),
-            (F.col("n") + 10).alias("n10"),
-            (F.col("nn") + 10).alias("nn10"),
-        )
-    )
-    terms = grid.select(
-        "source",
-        (F.col("c1") * F.col("nn10")).alias("a"),
-        (F.col("cc1") * F.col("n10")).alias("bb"),
-        "n10",
-        "nn10",
-    )
-    lm = F.floor(
-        F.log(F.col("a").cast("double") / F.col("bb").cast("double"))
-        * F.lit(1000000.0)
-        + F.lit(0.5)
-    ).cast("long")
-    return (
-        terms.withColumn("__lm", lm)
-        .groupBy("source")
-        .agg(
-            (
-                F.sum((F.col("a") - F.col("bb")) * F.col("__lm"))
-                .cast("long")
-            ).alias("__s"),
-            F.first("n10").alias("__n10"),
-            F.first("nn10").alias("__nn10"),
-        )
-        .select(
-            "source",
-            F.expr("__s div (__n10 * __nn10)").cast("long").alias("psi_micro"),
-        )
-    )
+
+    b = length_bins(table(spark, sf_dir, "documents"))
+    cs = b.groupBy("source", "bin").agg(F.count("*").alias("c"))
+    return psi_from_source_bin_counts(cs)
 
 
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at

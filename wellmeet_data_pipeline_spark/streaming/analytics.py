@@ -325,3 +325,57 @@ def current_quantiles(
         F.sum("cnt").cast("long").alias("cnt")
     )
     return quantiles_from_sketch(merged, quantiles=quantiles, group_cols=group_cols)
+
+
+def run_streaming_length_bins(
+    spark: SparkSession,
+    landing_dir: str,
+    bins_store: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    width: int = 64,
+    n_bins: int = 10,
+) -> None:
+    """Landing documents -> persisted (source, bin, c) partial counts,
+    availableNow — the PSI drift monitor's state (same exactly-once
+    partial-count discipline as run_streaming_term_counts: the partial
+    is keyed (source, bin, batch), so a replayed batch overwrites its
+    own contribution instead of double-counting)."""
+    from wellmeet_data_pipeline_spark.operators.scoring import length_bins
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
+
+    stream = landing_stream(spark, landing_dir, schema)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            length_bins(batch_df, width=width, n_bins=n_bins)
+            .groupBy("source", "bin")
+            .agg(F.count("*").cast("long").alias("c"))
+            .withColumn("__k", F.concat_ws("|", "source", "bin", F.lit(batch_id)))
+        )
+        merge_append(
+            partial, bins_store, id_col="__k", partition_col=None,
+            batch_seq=batch_id,
+        )
+
+    (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def current_source_psi(spark: SparkSession, bins_store: str, n_bins: int = 10) -> DataFrame:
+    """PSI of every source streamed so far, through the SAME core as the
+    batch query (psi_from_source_bin_counts) — parity by construction."""
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        psi_from_source_bin_counts,
+    )
+    from wellmeet_data_pipeline_spark.sinks.merge import read_current
+
+    cur = read_current(spark, bins_store, id_col="__k")
+    cs = cur.groupBy("source", "bin").agg(F.sum("c").alias("c"))
+    return psi_from_source_bin_counts(cs, n_bins=n_bins)
