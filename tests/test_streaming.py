@@ -1586,6 +1586,9 @@ def test_streaming_psi_matches_batch_and_replay(spark, tmp_path):
     store, ckpt = str(tmp_path / "psi_store"), str(tmp_path / "psi_ckpt")
     schema = StructType.fromDDL("doc_id long, source string, n_chars long")
 
+    # consumer view before ANY batch: empty typed frame, not an exception
+    assert current_source_psi(spark, store).count() == 0
+
     rows1 = [{"doc_id": i, "source": "A" if i % 2 else "B", "n_chars": 40 + i * 13}
              for i in range(30)]
     rows2 = [{"doc_id": 100 + i, "source": "C" if i % 3 else "A",
@@ -1614,9 +1617,11 @@ def test_streaming_psi_matches_batch_and_replay(spark, tmp_path):
     # per (key, batch), not content-addressed like the bit/edge stores.)
     from wellmeet_data_pipeline_spark.sinks.merge import merge_append
 
-    orig = spark.read.parquet(store).filter(F.col("__k") == "A|0|0")
-    replay = orig.select("source", "bin", "c", "__k")  # byte-identical partial
-    merge_append(replay, store, id_col="__k", partition_col=None, batch_seq=0)
+    orig = spark.read.parquet(store).filter(
+        (F.col("source") == "A") & (F.col("bin") == 0) & (F.col("_batch_seq") == 0)
+    )
+    replay = orig.select("source", "bin", "c")  # byte-identical partial
+    merge_append(replay, store, id_col="source", partition_col=None, batch_seq=0)
     again = sorted(map(tuple, current_source_psi(spark, store).collect()))
     assert again == want
 

@@ -8885,6 +8885,20 @@ _CONV_SQL = f"""
       FROM conv
     )"""
 
+# The rendered-training-string expression, shared by the render query and
+# the conversation-grain dedup oracle so the two can never desynchronize
+# (fingerprints must hash the exact bytes the render emits).  Coalesce per
+# field matches the Spark fold: a NULL role/content renders as '' (|| would
+# NULL the element and array_to_string would silently drop the turn).
+_RENDER_SQL = """CASE WHEN t IS NULL THEN NULL
+                WHEN len(t) = 0 THEN '<|end|>'
+                ELSE '<|' || array_to_string(
+                       list_transform(t, x -> coalesce(x.role, '') || '|>'
+                                              || coalesce(x.content, '')),
+                       '<|') || '<|end|>'
+           END"""
+
+
 
 @_q(
     "sft_turn_stats",
@@ -8933,16 +8947,7 @@ def q_sft_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_CONV_SQL}
     SELECT doc_id,
-           CASE WHEN t IS NULL THEN NULL
-                WHEN len(t) = 0 THEN '<|end|>'
-                -- coalesce per field to match the Spark fold: a NULL
-                -- role/content renders as '' (|| would NULL the element
-                -- and array_to_string would silently drop the turn)
-                ELSE '<|' || array_to_string(
-                       list_transform(t, x -> coalesce(x.role, '') || '|>'
-                                              || coalesce(x.content, '')),
-                       '<|') || '<|end|>'
-           END AS rendered
+           {_RENDER_SQL} AS rendered
     FROM parsed
     """,
     "Chat-template rendering: conversations flatten into the training "
@@ -9730,13 +9735,7 @@ def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_CONV_SQL},
     rendered AS (
       SELECT doc_id,
-             CASE WHEN t IS NULL THEN NULL
-                  WHEN len(t) = 0 THEN '<|end|>'
-                  ELSE '<|' || array_to_string(
-                         list_transform(t, x -> coalesce(x.role, '') || '|>'
-                                                || coalesce(x.content, '')),
-                         '<|') || '<|end|>'
-             END AS r
+             {_RENDER_SQL} AS r
       FROM parsed
     )
     SELECT sha256(r) AS fingerprint,

@@ -342,7 +342,6 @@ def run_streaming_length_bins(
     is keyed (source, bin, batch), so a replayed batch overwrites its
     own contribution instead of double-counting)."""
     from wellmeet_data_pipeline_spark.operators.scoring import length_bins
-    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
     from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
 
     stream = landing_stream(spark, landing_dir, schema)
@@ -352,12 +351,20 @@ def run_streaming_length_bins(
             length_bins(batch_df, width=width, n_bins=n_bins)
             .groupBy("source", "bin")
             .agg(F.count("*").cast("long").alias("c"))
-            .withColumn("__k", F.concat_ws("|", "source", "bin", F.lit(batch_id)))
+            .persist()
         )
-        merge_append(
-            partial, bins_store, id_col="__k", partition_col=None,
-            batch_seq=batch_id,
-        )
+        try:
+            if partial.isEmpty():
+                # an all-filtered batch (NULL sources/lengths) must not
+                # commit a zero-part append — the store-poisoning case
+                # read_current_or_none's docstring warns about
+                return
+            merge_append(
+                partial, bins_store, id_col="source", partition_col=None,
+                batch_seq=batch_id,
+            )
+        finally:
+            partial.unpersist()
 
     (
         stream.writeStream.foreachBatch(on_batch)
@@ -370,12 +377,18 @@ def run_streaming_length_bins(
 
 def current_source_psi(spark: SparkSession, bins_store: str, n_bins: int = 10) -> DataFrame:
     """PSI of every source streamed so far, through the SAME core as the
-    batch query (psi_from_source_bin_counts) — parity by construction."""
+    batch query (psi_from_source_bin_counts) — parity by construction.
+    Identity is the compound (source, bin, _batch_seq) key (the sibling
+    monitors' discipline — no synthetic key column); before the first
+    batch lands the view is an empty typed frame, not an exception."""
     from wellmeet_data_pipeline_spark.operators.scoring import (
         psi_from_source_bin_counts,
     )
-    from wellmeet_data_pipeline_spark.sinks.merge import read_current
 
-    cur = read_current(spark, bins_store, id_col="__k")
+    cur = read_current_or_none(
+        spark, bins_store, id_col=["source", "bin", "_batch_seq"]
+    )
+    if cur is None:
+        return spark.createDataFrame([], "source string, psi_micro bigint")
     cs = cur.groupBy("source", "bin").agg(F.sum("c").alias("c"))
     return psi_from_source_bin_counts(cs, n_bins=n_bins)
