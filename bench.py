@@ -157,6 +157,7 @@ HEADLINE = [
     "matryoshka_prefix_recall",
     "sft_exact_dedup",
     "quality_psi_by_source",
+    "daily_anomaly_mad",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

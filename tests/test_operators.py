@@ -601,3 +601,42 @@ def test_label_propagation_sync_determinism(spark):
     a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
     b = sorted(map(tuple, label_propagation(edges.repartition(7), iters=3).collect()))
     assert a == b
+
+
+def test_daily_anomaly_mad_hand_computed(spark):
+    """MAD flags pinned against hand math on a fixture where the sigma
+    rule and the MAD rule DISAGREE: one huge outlier day inflates sigma
+    enough to hide a second, smaller anomaly — MAD still flags it."""
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+    import statistics
+
+    # type A: baseline 10s, one huge day (100), one mild spike (20)
+    days = [10, 10, 10, 11, 9, 10, 100, 20]
+    rows = []
+    eid = 0
+    for i, n in enumerate(days):
+        for _ in range(n):
+            rows.append((eid, f"2024-03-{i+1:02d}T12:00:00.000Z", 1, "A", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value")
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="madtest_")
+    df.write.parquet(os.path.join(tmp, "events.parquet"))
+
+    got = {
+        r["day"]: r["is_anomaly"]
+        for r in REGISTRY["daily_anomaly_mad"].fn(spark, tmp).collect()
+    }
+    med = statistics.median(days)          # 10.0
+    mad = statistics.median([abs(n - med) for n in days])  # 0.5
+    for i, n in enumerate(days):
+        want = abs(n - med) > 3 * mad
+        assert got[f"2024-03-{i+1:02d}"] == want, (i, n)
+    # both the huge and the mild spike flag under MAD
+    assert got["2024-03-07"] is True and got["2024-03-08"] is True
+    # ...but the mild spike HIDES under the 2-sigma rule's global sigma
+    mu = statistics.mean(days)
+    sigma = statistics.pstdev(days)
+    assert abs(20 - mu) <= 2 * sigma  # the robustness argument, pinned
