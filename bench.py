@@ -158,6 +158,8 @@ HEADLINE = [
     "sft_exact_dedup",
     "quality_psi_by_source",
     "daily_anomaly_mad",
+    "dedup_best_of_cluster",
+    "benford_first_digit",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

