@@ -603,7 +603,7 @@ def test_label_propagation_sync_determinism(spark):
     assert a == b
 
 
-def test_daily_anomaly_mad_hand_computed(spark):
+def test_daily_anomaly_mad_hand_computed(spark, tmp_path):
     """MAD flags pinned against hand math on a fixture where the sigma
     rule and the MAD rule DISAGREE: one huge outlier day inflates sigma
     enough to hide a second, smaller anomaly — MAD still flags it."""
@@ -621,16 +621,15 @@ def test_daily_anomaly_mad_hand_computed(spark):
     df = spark.createDataFrame(
         rows, "event_id long, ts string, user_id long, event_type string, value double"
     ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value")
-    import tempfile, os
-    tmp = tempfile.mkdtemp(prefix="madtest_")
-    df.write.parquet(os.path.join(tmp, "events.parquet"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
 
     got = {
         r["day"]: r["is_anomaly"]
-        for r in REGISTRY["daily_anomaly_mad"].fn(spark, tmp).collect()
+        for r in REGISTRY["daily_anomaly_mad"].fn(spark, str(tmp_path)).collect()
     }
     med = statistics.median(days)          # 10.0
     mad = statistics.median([abs(n - med) for n in days])  # 0.5
+    mad = max(mad, 0.5)  # the query floors MAD at half a count
     for i, n in enumerate(days):
         want = abs(n - med) > 3 * mad
         assert got[f"2024-03-{i+1:02d}"] == want, (i, n)
@@ -643,31 +642,52 @@ def test_daily_anomaly_mad_hand_computed(spark):
 
 
 def test_dedup_best_of_cluster_picks_quality_survivor(spark):
-    """The quality-aware survivor rule on a crafted 3-member cluster:
-    max-(si, -doc) beats the min-id rule when the best copy isn't the
-    lowest id."""
-    from wellmeet_data_pipeline_spark.operators.dedup import connected_components
+    """Drive the REGISTERED query on real data and cross-check its
+    max_by(struct(si, -node)) survivor pick against an independent
+    row_number-window reference over the same components + scores
+    (review catch: the first version re-implemented the rule instead of
+    exercising the registered path)."""
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates_sha,
+    )
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        hashed_linear_score,
+        model_weights_table,
+    )
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY, table
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
-    comp = connected_components(edges)
-    si = spark.createDataFrame(
-        [(1, 5), (2, 9), (3, 9), (10, 4), (11, None)],
-        "node long, si long",
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["component"]: (r["n_members"], r["survivor_doc"], r["survivor_si"])
+        for r in REGISTRY["dedup_best_of_cluster"].fn(spark, sf).collect()
+    }
+    assert got, "fixture corpus must contain near-dup clusters"
+
+    d = table(spark, sf, "documents")
+    comp = connected_components(minhash_lsh_candidates_sha(d))
+    si = hashed_linear_score(d, model_weights_table(spark)).select(
+        "doc_id",
+        F.floor(F.col("logit") * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("si"),
     )
-    members = comp.join(si, "node", "left").select(
-        "component", "node", F.coalesce(F.col("si"), F.lit(0)).alias("si")
+    members = comp.join(si.withColumnRenamed("doc_id", "node"), "node", "left").select(
+        "component", "node", F.coalesce(F.col("si"), F.lit(0)).cast("long").alias("si")
     )
-    from pyspark.sql import Window
     w = Window.partitionBy("component").orderBy(F.col("si").desc(), F.col("node").asc())
-    best = (
-        members.withColumn("rk", F.row_number().over(w))
+    want = {
+        r["component"]: (r["nm"], r["node"], r["si"])
+        for r in members.withColumn("rk", F.row_number().over(w))
+        .withColumn("nm", F.count("*").over(Window.partitionBy("component")))
         .filter("rk = 1")
-        .select("component", "node", "si")
-    )
-    got = {r["component"]: (r["node"], r["si"]) for r in best.collect()}
-    assert got[1] == (2, 9)   # tie on si=9 -> lowest doc wins; beats min-id=1
-    assert got[10] == (10, 4)  # NULL score member coalesces to 0
+        .collect()
+    }
+    assert got == want
+    # at least one cluster's quality survivor differs from the min-id
+    # rule, or this query would be indistinguishable from
+    # dedup_cluster_survivors on this corpus
+    assert any(sd != comp_id for comp_id, (_, sd, _si) in got.items())
 
 
 def test_benford_expected_micro_sums_to_one(spark):
@@ -684,4 +704,8 @@ def test_benford_expected_micro_sums_to_one(spark):
     assert sum(es.values()) in (999999, 1000000, 1000001)
     n = sum(r["n_obs"] for r in rows)
     for r in rows:
-        assert r["dev_micro"] == int((r["n_obs"] * 1_000_000 - n * r["expected_micro"]) / n) if (r["n_obs"] * 1_000_000 - n * r["expected_micro"]) >= 0 else True
+        raw = r["n_obs"] * 1_000_000 - n * r["expected_micro"]
+        # toward-zero division on BOTH signs (Spark div == DuckDB //);
+        # raw < 2^52 at this SF so float division is exact before int()
+        assert r["dev_micro"] == int(raw / n), r
+    assert any(r["dev_micro"] < 0 for r in rows)  # the negative side is exercised

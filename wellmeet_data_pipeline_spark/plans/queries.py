@@ -9866,8 +9866,11 @@ def q_quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r2 GROUP BY event_type
     )
     SELECT v.event_type, v.day, v.n,
+           -- greatest(d4, 2) floors MAD at half a count: a degenerate
+           -- type where most days share the median (MAD = 0) must not
+           -- flag every 1-count wobble as anomalous (review catch)
            CASE WHEN v.c < 5 THEN NULL
-                ELSE 2 * v.dev2 > 3 * mad.d4 END AS is_anomaly
+                ELSE 2 * v.dev2 > 3 * greatest(mad.d4, 2) END AS is_anomaly
     FROM dev v JOIN mad USING (event_type)
     """,
     "Robust daily-volume anomaly flags: |n - median| > 3 * MAD per event "
@@ -9913,7 +9916,9 @@ def q_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n",
         F.when(F.col("c") < 5, F.lit(None).cast("boolean"))
-        .otherwise(F.lit(2) * F.col("dev2") > F.lit(3) * F.col("d4"))
+        .otherwise(
+            F.lit(2) * F.col("dev2") > F.lit(3) * F.greatest(F.col("d4"), F.lit(2))
+        )
         .alias("is_anomaly"),
     )
 
