@@ -10089,63 +10089,63 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # -- r9 window: CORRECTNESS_r08 landed 50/50, so driver evidence now
+    # -- r10 window: CORRECTNESS_r09 landed 50/50, so driver evidence now
     # covers every oracle-backed query that existed at the START of round
-    # 8.  The 13 round-8 additions have never had a driver row — they
-    # lead.  Then the 37 OLDEST-evidence anchors (r5 driver-green,
-    # re-proven on fresh data); the remaining r5 + all r6/r7/r8-green
-    # queries rotate in r10. --
-    "lang_id_kappa",
-    "url_canonicalize",
-    "domain_doc_caps",
-    "url_dedup_by_canonical",
-    "sketch_value_quantiles",
-    "sketch_merge_parity",
-    "sample_users_bottomk",
-    "kmv_distinct_users",
-    "kmv_type_overlap",
-    "sft_turn_stats",
-    "sft_render_template",
-    "preference_pairs",
-    "retrieval_eval_bm25",
-    # -- oldest-evidence anchors (r5 green) --
-    "char_entropy",
-    "clean_web_text",
-    "cohort_retention",
-    "column_null_profile",
-    "corpus_datacard",
-    "corpus_length_trim",
-    "daily_anomaly_flags",
-    "daily_event_delta",
-    "daily_revenue_trend",
-    "embedding_int8_stats",
-    "embedding_mean_pool",
-    "equi_depth_value_buckets",
-    "event_debounce",
-    "event_transitions",
-    "event_validity_intervals",
-    "funnel_conversion",
-    "heavy_hitter_users",
-    "kmeans_cluster_step",
-    "lang_id_confusion",
-    "lsh_cost_estimate",
-    "lsh_quality_metrics",
-    "minhash_jaccard_verify",
-    "nation_pair_volume",
-    "negative_samples_per_customer",
-    "ngram_novelty",
-    "order_priority_check",
-    "orders_reconciliation",
-    "partition_pruned_week",
-    "range_join_events",
-    "regional_volume",
-    "salted_type_totals",
-    "script_mix_stats",
-    "shipping_priority",
-    "skew_split_join_revenue",
-    "snapshot_diff",
-    "stats_correlation",
-    "supplier_concentration_hhi",
+    # 9.  The 12 round-9 additions have never had a driver row — they
+    # lead.  Then the 38 oldest-evidence anchors (remaining r5-green +
+    # oldest r6-green, re-proven on fresh data); the remainder rotates in
+    # r11. --
+    "mmr_diversified_topk",
+    "bloom_prefilter_stats",
+    "token_pmi_collocations",
+    "calibration_ece",
+    "rag_context_pack",
+    "dedup_graph_communities",
+    "matryoshka_prefix_recall",
+    "sft_exact_dedup",
+    "quality_psi_by_source",
+    "daily_anomaly_mad",
+    "dedup_best_of_cluster",
+    "benford_first_digit",
+    # -- oldest-evidence anchors (remaining r5-green + oldest r6) --
+    "table_checksums",
+    "top_ngrams_per_lang",
+    "unpivot_user_counts",
+    "user_interarrival_stats",
+    "value_histogram",
+    "value_percentiles",
+    "weighted_sample_docs",
+    "zscore_by_type",
+    "bigram_cond_entropy",
+    "bitext_mine_margin",
+    "bpe_pair_counts",
+    "busiest_day_per_type",
+    "cdc_latest_state",
+    "classifier_auc",
+    "classifier_calibration",
+    "countmin_heavy_hitters",
+    "cross_doc_spans",
+    "customer_order_distribution",
+    "daily_moving_average",
+    "decontaminate_bloom",
+    "dedup_graph_pagerank",
+    "disjunctive_filter_revenue",
+    "doremi_weight_step",
+    "dsir_importance",
+    "dup_cluster_size_histogram",
+    "dup_rate_by_source",
+    "embedding_label_outliers",
+    "epoch_budget_allocation",
+    "fim_split",
+    "forecast_revenue_change",
+    "hll_distinct_by_type",
+    "hll_distinct_users",
+    "inactive_rich_customers",
+    "incremental_agg_refresh",
+    "interval_overlap_sessions",
+    "join_size_from_histograms",
+    "k_anonymity_audit",
+    "large_order_customers",
 ]
 
 
