@@ -278,7 +278,25 @@ def _shingle_pair_stats(
     """Shared core of the exact shingle-overlap family: (id_a, id_b,
     inter, n_a, n_b) for every candidate (or co-occurring) pair, with
     the document-frequency cap applied to index AND set sizes."""
-    exploded = shingles_df(docs, text_col, id_col, shingle_n).distinct()
+    # One explicit shingle-keyed exchange feeds the per-doc dedup, the
+    # DF-cap window, AND the self-join below: hashpartitioning(shingle)
+    # satisfies the clustered distribution of all three, so dropDuplicates,
+    # the window sort, and the SMJ all run post-shuffle with NO further
+    # exchange (the old .distinct() paid a second (id, shingle) exchange
+    # first).  The explicit partition count scales with input splits and is
+    # exempt from AQE coalescing — at the 64x scale smoke, AQE's 64 MiB
+    # coalesce target packed the whole downstream stage into ~11 fat tasks
+    # whose window/SMJ sorts and pair shuffle-write buffers spilled GBs;
+    # proportional buckets keep every per-task working set flat as the
+    # corpus grows.
+    spark = docs.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_buckets = max(shuffle_n, docs.rdd.getNumPartitions() * 4)
+    exploded = (
+        shingles_df(docs, text_col, id_col, shingle_n)
+        .repartition(n_buckets, "shingle")
+        .dropDuplicates([id_col, "shingle"])
+    )
     if max_shingle_df is not None:
         # window count (not a groupBy + anti-join): the DF filter rides
         # ONE exchange on shingle that the self-join below reuses, whereas
@@ -310,10 +328,29 @@ def _shingle_pair_stats(
     else:
         a = exploded.alias("a")
         b = exploded.alias("b")
-        co = (
+        pair_rows = (
             a.join(b, on="shingle")
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+        )
+        # The co-occurrence count keys are nearly UNIQUE per map task (a doc
+        # pair co-occurs under ~1.1 shingles on average), so a conventional
+        # groupBy's pre-shuffle partial aggregate achieves no combining yet
+        # builds a hash table over every pair the task emits — measured at
+        # the 64x smoke: 81.0M rows in -> 80.3M out with 7.2 GiB spilled on
+        # EACH side of the exchange.  Shuffle the raw pair rows by pair key
+        # instead (explicit repartition = no pre-shuffle partial agg, and no
+        # AQE coalesce undoing the bucket count); every aggregation hash
+        # table is then post-shuffle and holds only its bucket's keys.  The
+        # bucket count scales with input splits so per-task tables stay
+        # bounded as the corpus grows — shuffle volume is unchanged because
+        # the dropped partial achieved no reduction.
+        co = (
+            pair_rows.repartition(n_buckets, "id_a", "id_b")
+            .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
