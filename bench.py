@@ -185,6 +185,23 @@ MATMUL_MIN2 = {
     "minhash_band_plan",
 }
 
+# Dup-graph family: every member consumes the SAME
+# minhash_lsh_candidates_sha(documents) edge frame, and before round 10
+# each rebuilt the whole shingle→signature→band→bucket-join pipeline from
+# scratch (the recompute shape the IVF tiers had before the r9 shared
+# probe-assignment pass).  bench builds the frame once per session,
+# localCheckpoints it, times the build as its own entry
+# ("dedup_lsh_candidates_build"), and passes it via each query's
+# shared_lsh_edges kwarg — per-query times below are honest INCREMENTAL
+# costs and the build cost stays visible in the total.  Correctness is
+# pinned by tests/test_shared_lsh_edges.py (shared == standalone, exact).
+DEDUP_SHARED = {
+    "dup_triangle_count",
+    "dup_graph_kcore",
+    "dedup_graph_communities",
+    "dedup_best_of_cluster",
+}
+
 
 def _reclaim(spark) -> None:
     """Release block-manager litter before timing a scale tier.
@@ -218,6 +235,33 @@ def main() -> None:
     times: dict[str, float] = {}
     results: dict[str, list] = {}
     restart_at = {len(HEADLINE) // 2}
+
+    # shared dup-graph edge frame (see DEDUP_SHARED): built lazily on first
+    # use and rebuilt if the mid-headline session restart invalidated its
+    # localCheckpoint blocks; build seconds accumulate into their own entry
+    dedup_shared_state: dict = {"session": None, "edges": None}
+
+    def _dedup_edges(sess):
+        if dedup_shared_state["session"] is not sess:
+            from wellmeet_data_pipeline_spark.operators.dedup import (
+                minhash_lsh_candidates_sha,
+            )
+            from wellmeet_data_pipeline_spark.plans.queries import table as _table
+
+            t0 = time.perf_counter()
+            edges = minhash_lsh_candidates_sha(
+                _table(sess, sf_dir, "documents")
+            ).localCheckpoint(eager=True)
+            times["dedup_lsh_candidates_build"] = round(
+                times.get("dedup_lsh_candidates_build", 0.0)
+                + time.perf_counter()
+                - t0,
+                3,
+            )
+            dedup_shared_state["session"] = sess
+            dedup_shared_state["edges"] = edges
+        return dedup_shared_state["edges"]
+
     for i, name in enumerate(HEADLINE):
         if i in restart_at:
             # Recycle the session ONCE mid-headline — the same treatment
@@ -233,12 +277,15 @@ def main() -> None:
             spark = get_spark("bench-mid")
             spark.sparkContext.setLogLevel("ERROR")
             REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
+        kwargs = (
+            {"shared_lsh_edges": _dedup_edges(spark)} if name in DEDUP_SHARED else {}
+        )
         t0 = time.perf_counter()
-        rows = REGISTRY[name].fn(spark, sf_dir).collect()
+        rows = REGISTRY[name].fn(spark, sf_dir, **kwargs).collect()
         times[name] = round(time.perf_counter() - t0, 3)
         if name in MATMUL_MIN2:
             t0 = time.perf_counter()
-            rows = REGISTRY[name].fn(spark, sf_dir).collect()
+            rows = REGISTRY[name].fn(spark, sf_dir, **kwargs).collect()
             times[name] = min(times[name], round(time.perf_counter() - t0, 3))
         if name in ("cosine_topk_exact_clustered", "cosine_topk_ivf", "cosine_topk_ivfpq"):
             results[name] = rows

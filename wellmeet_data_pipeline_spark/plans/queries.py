@@ -7675,14 +7675,25 @@ def _dup_triangles_oracle() -> str:
     "triangle a<b<c enumerated once via the id-ordered edge self-join, "
     "closing edge checked by semi-join",
 )
-def q_dup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dup_triangle_count(
+    spark: SparkSession, sf_dir: str, shared_lsh_edges: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import (
         minhash_lsh_candidates_sha,
         triangle_counts,
     )
 
+    # shared_lsh_edges: a pre-materialized minhash_lsh_candidates_sha(d)
+    # frame (bench.py builds it ONCE for the whole dup-graph family and
+    # times the build as its own entry); standalone calls — the driver's
+    # correctness runs — build their own.
     d = table(spark, sf_dir, "documents")
-    return triangle_counts(minhash_lsh_candidates_sha(d))
+    edges = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(d)
+    )
+    return triangle_counts(edges)
 
 
 def _vocab_overlap_oracle() -> str:
@@ -8137,14 +8148,21 @@ def q_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle iterates the survivor LIST through a recursive CTE to the "
     "same fixpoint (monotone, so the shortest accumulated list IS it)",
 )
-def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dup_graph_kcore(
+    spark: SparkSession, sf_dir: str, shared_lsh_edges: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import (
         kcore_decomposition,
         minhash_lsh_candidates_sha,
     )
 
     d = table(spark, sf_dir, "documents")
-    return kcore_decomposition(minhash_lsh_candidates_sha(d), k=2)
+    edges = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(d)
+    )
+    return kcore_decomposition(edges, k=2)
 
 
 def _band_plan_oracle(n_hashes: int = 32, threshold: str = "0.5") -> str:
@@ -9623,14 +9641,21 @@ def _lpa_oracle(iters: int = 3) -> str:
     "read.  Per round one map-side-combined vote count + one node-"
     "partitioned rank window; label frame checkpointed per round",
 )
-def q_dedup_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_graph_communities(
+    spark: SparkSession, sf_dir: str, shared_lsh_edges: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import (
         label_propagation,
         minhash_lsh_candidates_sha,
     )
 
     d = table(spark, sf_dir, "documents")
-    return label_propagation(minhash_lsh_candidates_sha(d), iters=3)
+    edges = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(d)
+    )
+    return label_propagation(edges, iters=3)
 
 
 
@@ -9971,7 +9996,9 @@ def q_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Empty-doc members score coalesce(0); per-cluster argmax on the "
     "exact (si, -doc) composite",
 )
-def q_dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_best_of_cluster(
+    spark: SparkSession, sf_dir: str, shared_lsh_edges: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import (
         connected_components,
         minhash_lsh_candidates_sha,
@@ -9982,7 +10009,12 @@ def q_dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    comp = connected_components(minhash_lsh_candidates_sha(d))
+    edges = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(d)
+    )
+    comp = connected_components(edges)
     si = hashed_linear_score(d, model_weights_table(spark)).select(
         "doc_id",
         F.floor(F.col("logit") * F.lit(1000000.0) + F.lit(0.5))
