@@ -181,3 +181,81 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         assert [r["pos_in_shard"] for r in rows] == list(range(1, len(rows) + 1))
         total += len(rows)
     assert total == 400
+
+
+def test_merge_reader_never_sees_torn_batch(spark, tmp_path):
+    """r9 verdict item 5: a reader racing a claimed-mode commit sees the
+    old snapshot or the new one, never a mix — the batch directory rename
+    is the atomic visibility point."""
+    import threading
+
+    store = str(tmp_path / "store")
+    base = _reviews(spark, [(f"r{i}", "p1", "old") for i in range(60)])
+    merge_append(base, store, batch_seq=None, writer_id="base")
+
+    new = _reviews(spark, [(f"n{i}", "p1", "new") for i in range(60)])
+    done = threading.Event()
+
+    def commit():
+        merge_append(new, store, batch_seq=None, writer_id="w2")
+        done.set()
+
+    t = threading.Thread(target=commit)
+    t.start()
+    saw_new = False
+    try:
+        while not done.is_set() or not saw_new:
+            ids = {r["id"] for r in read_current(spark, store).collect()}
+            n_new = sum(1 for i in ids if i.startswith("n"))
+            assert sum(1 for i in ids if i.startswith("r")) == 60
+            assert n_new in (0, 60)  # all-or-nothing, never a torn batch
+            if n_new == 60:
+                saw_new = True
+            if done.is_set() and not saw_new:
+                continue  # one more read now that the commit landed
+    finally:
+        t.join()
+    assert saw_new
+
+
+def test_merge_reader_pins_to_contiguous_committed_prefix(spark, tmp_path):
+    """An out-of-order commit (seq 1 lands while seq 0 is still in
+    flight) stays invisible until seq 0 commits, so the first-wins
+    survivor never flips under a reader."""
+    from wellmeet_data_pipeline_spark.sinks.merge import claim_batch_seq
+
+    store = str(tmp_path / "store")
+    slow_seq = claim_batch_seq(store, writer_id="slow")  # in-flight writer
+    assert slow_seq == 0
+    fast = _reviews(spark, [("rX", "p1", "fast"), ("r2", "p1", "fast")])
+    assert merge_append(fast, store, batch_seq=None, writer_id="fast") == 1
+    # batch 1 is committed but batch 0 is claimed and unfinished: pin = -1
+    assert read_current(spark, store).count() == 0
+    slow = _reviews(spark, [("rX", "p1", "slow")])
+    merge_append(slow, store, batch_seq=slow_seq)  # finish the claim
+    cur = {r["id"]: r["content"] for r in read_current(spark, store).collect()}
+    assert cur == {"rX": "slow", "r2": "fast"}  # seq-0 row wins rX
+
+
+def test_merge_reader_skips_stale_abandoned_claim(spark, tmp_path):
+    """A writer that died between claim and commit must not wedge the
+    store forever: claims older than the lease are skipped by the pin."""
+    import os
+
+    from wellmeet_data_pipeline_spark.sinks.merge import claim_batch_seq
+
+    store = str(tmp_path / "store")
+    dead_seq = claim_batch_seq(store, writer_id="dead")
+    claim = os.path.join(store, "_commits", f"{dead_seq:020d}.commit")
+    os.utime(claim, (1, 1))  # crashed long ago
+    live = _reviews(spark, [("r1", "p1", "v1")])
+    merge_append(live, store, batch_seq=None, writer_id="live")
+    # default lease (900s): claim 0 long stale -> skipped, batch 1 visible
+    assert read_current(spark, store).count() == 1
+    # a FRESH unfinished claim still blocks (fresh mtime)
+    claim_batch_seq(store, writer_id="slow2")
+    merge_append(
+        _reviews(spark, [("r9", "p1", "v9")]), store, batch_seq=None, writer_id="w9"
+    )
+    cur = {r["id"] for r in read_current(spark, store).collect()}
+    assert cur == {"r1"}  # seq 3 invisible while seq 2 is in flight

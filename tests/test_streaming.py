@@ -267,7 +267,8 @@ def test_corpus_store_compaction_preserves_view(spark, tmp_path):
 
     before = {(r["doc_id"], r["text"]) for r in read_corpus(spark, store).collect()}
     assert len(before) == 12
-    assert len(glob.glob(store + "/*.parquet")) >= 3  # one file set per batch
+    # one commit-unit directory per batch (r10 staged-rename protocol)
+    assert len(glob.glob(store + "/batch_commit=*/*.parquet")) >= 3
 
     compacted = str(tmp_path / "c_store_compacted")
     compact(spark, store, compacted, id_col="fingerprint", partition_col=None,

