@@ -551,3 +551,28 @@ def test_matryoshka_recall_identity_at_full_dim(spark):
         "query_id", "neighbor_id"
     )
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pre.collect()))
+
+
+def test_shared_assignment_frame_undersized_nprobe_raises(spark):
+    """r9 advice: passing a shared ivf_assignments frame built at a
+    SMALLER nprobe than the consumer's must raise, not silently degrade
+    recall by probing fewer buckets."""
+    import pytest as _pytest
+
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_top_k,
+    )
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(64)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    shared = ivf_assignments(e, n_centroids=8, nprobe=2, seed_mod=8)
+    with _pytest.raises(Exception, match="probe targets"):
+        ivf_top_k(
+            e, k=3, n_centroids=8, nprobe=4, seed_mod=8, shared=shared
+        ).collect()
+    # built wide enough -> serves a smaller nprobe fine
+    shared4 = ivf_assignments(e, n_centroids=8, nprobe=4, seed_mod=8)
+    assert ivf_top_k(
+        e, k=3, n_centroids=8, nprobe=2, seed_mod=8, shared=shared4
+    ).count() > 0

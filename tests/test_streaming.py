@@ -1629,3 +1629,32 @@ def test_streaming_psi_matches_batch_and_replay(spark, tmp_path):
     # same-checkpoint re-activation with no new files processes nothing
     run_streaming_length_bins(spark, str(landing), store, ckpt, schema)
     assert sorted(map(tuple, current_source_psi(spark, store).collect())) == want
+
+
+def test_streaming_bloom_bits_all_null_first_batch_does_not_poison(spark, tmp_path):
+    """r9 advice: a first batch whose keys are all NULL must not commit a
+    zero-part store (the UNABLE_TO_INFER_SCHEMA poisoning case the
+    analytics monitors already guard), and the guard must not swallow
+    later real batches."""
+    import json as _json
+
+    from wellmeet_data_pipeline_spark.streaming.bloom import run_streaming_bloom_bits
+    from pyspark.sql.types import StructType
+
+    landing = tmp_path / "bn_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "bn_store"), str(tmp_path / "bn_ckpt")
+    schema = StructType.fromDDL("c_custkey long")
+
+    with open(landing / "b1.json", "w") as fh:
+        _json.dump([{"c_custkey": None}, {"c_custkey": None}], fh)
+    run_streaming_bloom_bits(spark, str(landing), store, ckpt, schema,
+                             "c_custkey", m_bits=64, k_hashes=3)
+    import glob
+    assert glob.glob(store + "/batch_commit=*") == []  # nothing committed
+
+    with open(landing / "b2.json", "w") as fh:
+        _json.dump([{"c_custkey": 5}], fh)
+    run_streaming_bloom_bits(spark, str(landing), store, ckpt, schema,
+                             "c_custkey", m_bits=64, k_hashes=3)
+    assert spark.read.parquet(store).count() == 3  # k_hashes bits for key 5

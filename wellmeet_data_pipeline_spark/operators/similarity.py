@@ -696,16 +696,42 @@ def ivf_assignments(
     return cent_ids, C, vecs.mapInPandas(assign, _ASSIGN_SCHEMA)
 
 
-def _explode_probes(assigned: DataFrame, nprobe: int, *extra_cols: str) -> DataFrame:
+def _explode_probes(
+    assigned: DataFrame, nprobe: int, *extra_cols: str, required: int | None = None
+) -> DataFrame:
     """(id, v, probes[, extra]) -> (id, v[, extra], centroid_id, c_rank):
     the bucket-replicated layout both IVF scorers group on.  Slicing
     before the explode lets one shared assignment frame (computed at the
-    tier's max nprobe) serve smaller probe budgets."""
+    tier's max nprobe) serve smaller probe budgets.
+
+    `required` enforces the shared-frame contract at execution time: a
+    frame built with a SMALLER nprobe than this call's would silently
+    yield fewer probe targets and degrade recall with no error (round-9
+    advice).  Callers pass min(nprobe, n_centroids) — the probe list is
+    legitimately short when the index has fewer centroids than nprobe.
+    The guard is a JVM expression (raise_error), zero extra jobs."""
+    probes = F.col("probes")
+    if required is not None:
+        probes = F.when(F.size(probes) >= required, probes).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "shared IVF assignment frame holds only "
+                    ),
+                    F.size(F.col("probes")).cast("string"),
+                    F.lit(
+                        f" probe targets but nprobe={nprobe} needs {required}: "
+                        "rebuild ivf_assignments with nprobe >= the largest "
+                        "consumer's"
+                    ),
+                )
+            )
+        )
     return assigned.select(
         "id",
         "v",
         *extra_cols,
-        F.posexplode(F.slice(F.col("probes"), 1, nprobe)).alias("pos", "centroid_id"),
+        F.posexplode(F.slice(probes, 1, nprobe)).alias("pos", "centroid_id"),
     ).select(
         "id",
         "v",
@@ -764,7 +790,9 @@ def ivf_top_k(
     cent_ids, C, assigned = shared
     if len(cent_ids) == 0:
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    ranked = _explode_probes(assigned, nprobe)
+    ranked = _explode_probes(
+        assigned, nprobe, required=min(nprobe, len(cent_ids))
+    )
 
     def bucket_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # every ranked row IS a probe of its bucket, and the c_rank==1
@@ -974,7 +1002,9 @@ def ivf_pq_top_k(
     encoded = assigned.mapInPandas(
         encode, "id long, v array<double>, codes array<int>, probes array<bigint>"
     )
-    ranked = _explode_probes(encoded, nprobe, "codes")
+    ranked = _explode_probes(
+        encoded, nprobe, "codes", required=min(nprobe, len(cent_ids))
+    )
 
     def bucket_adc_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cids_, C_, books_ = bc.value

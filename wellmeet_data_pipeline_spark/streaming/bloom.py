@@ -58,10 +58,22 @@ def run_streaming_bloom_bits(
         cur = read_current_or_none(spark, bits_store, id_col="pos")
         if cur is not None:
             new_bits = new_bits.join(cur.select("pos"), "pos", "left_anti")
-        merge_append(
-            new_bits, bits_store, id_col="pos", partition_col=None,
-            batch_seq=batch_id,
-        )
+        # same store-poisoning guard as the analytics monitors
+        # (analytics.py run_streaming_length_bins): an all-NULL first
+        # batch would commit a zero-part store, and a fully-duplicate or
+        # saturated batch would burn an empty commit.  persist: new_bits
+        # is consumed twice (isEmpty + the write) and recomputing it
+        # re-runs the anti-join against the whole store.
+        new_bits = new_bits.persist()
+        try:
+            if new_bits.isEmpty():
+                return
+            merge_append(
+                new_bits, bits_store, id_col="pos", partition_col=None,
+                batch_seq=batch_id,
+            )
+        finally:
+            new_bits.unpersist()
 
     (
         stream.writeStream.foreachBatch(on_batch)
