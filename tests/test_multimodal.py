@@ -418,3 +418,163 @@ def test_parse_video_header_empty_tkhd_and_overflow_duration():
     huge = _mp4_bytes(mvhd_ver=1, ts=1, dur=(1 << 63) + 7)
     got = parse_video_header(huge)
     assert got[0] == "mp4" and got[2] is None  # duration unknown, no overflow
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib PNG pixel decode (r9 verdict item 4)
+# ---------------------------------------------------------------------------
+
+def _encode_png(px, ctype=2, filters=None, palette=None):
+    """Minimal test-side PNG encoder: 8-bit, non-interlaced, one IDAT.
+    `px` is (h, w, channels) uint8; `filters` assigns a PNG filter type
+    per row so the decoder's reconstruction of ALL FIVE filters is
+    exercised, not just filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    raw = bytearray()
+    bpp = ch
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = (filters or [0] * h)[y]
+        cur = px[y].reshape(-1).astype(np.int32)
+        if f == 0:
+            enc = cur.copy()
+        else:
+            enc = np.zeros_like(cur)
+            for x in range(w * ch):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_png_recovers_exact_pixels_across_all_filters():
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(10, 16, 3), dtype=np.uint8)
+    payload = _encode_png(px, ctype=2, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    luma = decode_png(payload)
+    rgb = px.astype(np.float64)
+    want = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    assert luma.shape == (10, 16)
+    assert np.allclose(luma, want)
+
+
+def test_decode_png_grayscale_and_palette_and_rgba():
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import decode_png
+
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8, 1)
+    assert np.array_equal(decode_png(_encode_png(g, ctype=0)), g[:, :, 0])
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 0]] * 4, dtype=np.uint8)[:, :, None]
+    luma = decode_png(_encode_png(idx, ctype=3, palette=pal))
+    assert round(luma[0, 0], 3) == round(0.299 * 255, 3)  # red
+    assert round(luma[0, 1], 3) == round(0.587 * 255, 3)  # green
+
+    rgba = np.zeros((4, 4, 4), dtype=np.uint8)
+    rgba[:, :, 1] = 200  # green, alpha 0
+    assert np.allclose(decode_png(_encode_png(rgba, ctype=6)), 0.587 * 200)
+
+
+def test_decode_png_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import decode_png
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _encode_png(px)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" + good)
+    # bit depth 16
+    bad = bytearray(good)
+    bad[24] = 16
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(bad))
+    # interlaced
+    bad = bytearray(good)
+    bad[28] = 1
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(bad))
+    # truncated pixel payload
+    with pytest.raises(ValueError):
+        decode_png(good[:40])
+
+
+def test_phash_on_real_png_pixels_near_and_far(spark):
+    """pHash over REAL decoded PNG pixels: a uniform brightness shift
+    (the canonical pHash invariance — DCT AC terms ignore constant
+    offsets) hashes identically; an unrelated image is far — the
+    multimodal seam is now closed end-to-end for PNG."""
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import (
+        phash_assets,
+        png_gray8x8,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = (
+        100
+        + 60 * np.sin(yy * 0.6) * np.cos(xx * 0.4)
+        + 40 * np.sin((xx + 2 * yy) * 0.23)
+    ).astype(np.uint8)
+    img_a = np.stack([base, base // 2, base // 3], axis=2)
+    img_b = np.clip(img_a.astype(np.int32) + 6, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(3)
+    img_c = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+    rows = [
+        (1, "image/png", bytearray(_encode_png(img_a, filters=[4] * 32))),
+        (2, "image/png", bytearray(_encode_png(img_b, filters=[2] * 32))),
+        (3, "image/png", bytearray(_encode_png(img_c))),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {r["asset_id"]: r["phash"] for r in phash_assets(assets, png_gray8x8).collect()}
+    d_ab = bin(got[1] ^ got[2]).count("1")
+    d_ac = bin(got[1] ^ got[3]).count("1")
+    assert d_ab <= 6  # brightness-shifted twin: near-identical hash
+    assert d_ac >= 16  # unrelated image: far

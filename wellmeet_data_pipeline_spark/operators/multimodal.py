@@ -2,11 +2,13 @@
 
 Media payloads are opaque `binary` columns + typed metadata (schemas.
 MEDIA_ASSET) — Spark shuffles the bytes untouched and all decode /
-feature-extraction runs in Arrow-batched mapInPandas.  The decode libs
-(PIL/ffmpeg/librosa) are NOT in this container, so the real decoders are
-stubbed behind NotImplementedError with a deterministic fake
-implementation that keeps every piece of Spark-side plumbing (schema,
-batch shape, partitioning) real and testable.
+feature-extraction runs in Arrow-batched mapInPandas.  PNG pixel decode
+is REAL (stdlib zlib + the five PNG row filters, `decode_png`), as are
+all the container-header parsers; only codec-entropy formats
+(JPEG/WebP pixels, compressed audio/video frames) remain stubbed behind
+NotImplementedError — PIL/ffmpeg/librosa are not in this container — with
+a deterministic fake that keeps every piece of Spark-side plumbing
+(schema, batch shape, partitioning) real and testable.
 
 Generalizes the reference's thumbnail_url handling (restaurant-crawler.py
 :217-224) from 'a URL string we never open' to a first-class media
@@ -34,10 +36,137 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> "object":
-    """Full pixel decode — requires an image library not present in this
-    container.  Header-level metadata does NOT need this: see
-    `parse_image_header`, which is a real (not stubbed) parser."""
-    raise NotImplementedError("image decode requires PIL/cv2; not available in this environment")
+    """Full pixel decode for formats whose entropy coding needs a codec
+    library (JPEG/WebP) — not present in this container.  PNG does NOT
+    need this: `decode_png` below is a real stdlib-zlib decoder.
+    Header-level metadata never needs it: see `parse_image_header`."""
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    raise NotImplementedError(
+        "JPEG/WebP decode requires PIL/cv2; not available in this environment"
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL stdlib PNG pixel decode (r9 verdict item 4): IDAT is zlib,
+    row reconstruction is the five PNG filters — no image library needed.
+    Returns an (H, W) float64 LUMA array (ITU-R BT.601 weights for color
+    images).  Supports 8-bit depth, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced — the PNG
+    variants a crawler actually meets.  Raises ValueError on anything
+    else (errors-as-data at the operator layer, never a silent wrong
+    decode)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+
+    idat = bytearray()
+    palette = None
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IDAT":
+            idat += body
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel payload size mismatch")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # neighbor — inherently sequential along x (per PIXEL, i.e.
+            # lag bpp bytes)
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:  # Sub
+                    rec = row[x] + a
+                elif ftype == 3:  # Average
+                    rec = row[x] + ((a + b) >> 1)
+                elif ftype == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec = row[x] + pred
+                else:
+                    raise ValueError(f"unknown PNG filter type {ftype}")
+                cur[x] = rec & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = out.reshape(h, w, bpp)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        px = palette[px[:, :, 0]]  # (h, w, 3)
+    if px.shape[2] == 1:
+        return px[:, :, 0].astype(np.float64)
+    if px.shape[2] == 2:  # gray + alpha: luma is the gray channel
+        return px[:, :, 0].astype(np.float64)
+    rgb = px[:, :, :3].astype(np.float64)
+    return 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+
+
+def png_gray8x8(payload: bytes):
+    """Real-pixel pHash acquisition for PNG payloads: stdlib decode to
+    luma, then average-pool onto the 8x8 grid `phash64` consumes (cells
+    are the standard near-equal block split, so any image size works).
+    Drop-in `decode_fn` for `phash_assets` / `phash_near_dup`."""
+    import numpy as np
+
+    luma = decode_png(payload)
+    h, w = luma.shape
+    ys = np.linspace(0, h, 9, dtype=int)
+    xs = np.linspace(0, w, 9, dtype=int)
+    grid = np.zeros((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            block = luma[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            grid[i, j] = float(block.mean())
+    return grid
 
 
 def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
