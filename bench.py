@@ -394,7 +394,117 @@ def main() -> None:
     truth16 = _truth_sets(bf16)
     recall16 = _recall_vs(iv16, truth16)
     recall16_pq = _recall_vs(pq16, truth16)
-    del bf16, iv16, pq16, truth16
+
+    # Matryoshka tiered search at the 16x tier (r9 verdict item 6): the
+    # MRL serving pattern — scan on the HALF-dim prefix, exact full-dim
+    # rerank of a 200-deep shortlist — gated on recall@5 vs the exact
+    # tier.  Queries are the copy-0 originals (the hd tier's sampling
+    # convention): recall statistics are identical and the scan costs
+    # 1/16th.  Prefix-only search is NOT the gate on purpose: these
+    # synthetic embeddings spread information uniformly across dims
+    # (recall@5 ~0.18 without rerank), unlike MRL-trained ones.
+    from pyspark.sql import Window  # noqa: E402
+
+    sample_q16 = e16.filter(F.col("vec_id") < 1_000_000)
+    t0 = time.perf_counter()
+    pre_q = sample_q16.select(
+        "vec_id", F.expr("slice(embedding, 1, 32)").alias("embedding")
+    )
+    pre_c = e16.select(
+        "vec_id", F.expr("slice(embedding, 1, 32)").alias("embedding")
+    )
+    shortlist = brute_force_top_k(
+        pre_q, pre_c, k=200, n_blocks=32, round_digits=4
+    ).select("query_id", "neighbor_id")
+    _vq = e16.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    _vn = e16.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    _dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    _nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    _rr_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    mat16 = (
+        shortlist.join(_vq, "query_id")
+        .join(_vn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot / (_nrm("qv") * _nrm("nv")), 4).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(_rr_w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    times["matryoshka_tiered_16x"] = round(time.perf_counter() - t0, 3)
+    recall_mat16 = _recall_vs(mat16, truth16)
+    del mat16
+
+    # MMR at the 16x tier: candidates are the exact top-5 with cosine
+    # relevance; pair similarities are exact cosines between candidate
+    # pairs.  Two gates: rank-1 must equal the relevance argmax for EVERY
+    # query (an exact invariant of the greedy — lam*rel dominates when
+    # nothing is selected yet), and the top-3 overlap with pure-relevance
+    # ranking is recorded as the diversification measure.
+    from wellmeet_data_pipeline_spark.operators.retrieval import mmr_diversify  # noqa: E402
+
+    t0 = time.perf_counter()
+    q0 = [r for r in bf16 if r["query_id"] < 1_000_000]
+    cand16 = spark.createDataFrame(
+        [
+            (
+                r["query_id"],
+                r["neighbor_id"],
+                int(round((r["cosine_sim"] + 1.0) / 2.0 * 1_000_000)),
+            )
+            for r in q0
+        ],
+        "query_id long, doc_id long, rel_norm_micro long",
+    )
+    _ca = cand16.select(F.col("query_id"), F.col("doc_id").alias("a"))
+    _cb = cand16.select(F.col("query_id"), F.col("doc_id").alias("b"))
+    pair16 = (
+        _ca.join(_cb, "query_id")
+        .filter(F.col("a") < F.col("b"))
+        .join(_vn.select(F.col("neighbor_id").alias("a"), F.col("nv").alias("qv")), "a")
+        .join(_vn.select(F.col("neighbor_id").alias("b"), "nv"), "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.floor((_dot / (_nrm("qv") * _nrm("nv")) + 1.0) / 2.0 * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("jac_micro"),
+        )
+    )
+    mmr16 = mmr_diversify(cand16, pair16, k=3, lam_micro=500_000).collect()
+    times["mmr_diversified_16x"] = round(time.perf_counter() - t0, 3)
+    _rel_best: dict[int, tuple] = {}
+    _rel_rank: dict[int, list] = {}
+    for r in q0:
+        key = (int(round((r["cosine_sim"] + 1.0) / 2.0 * 1_000_000)), -r["neighbor_id"])
+        qid = r["query_id"]
+        if qid not in _rel_best or key > _rel_best[qid][0]:
+            _rel_best[qid] = (key, r["neighbor_id"])
+        _rel_rank.setdefault(qid, []).append((key, r["neighbor_id"]))
+    _mmr_sel: dict[int, dict[int, int]] = {}
+    for r in mmr16:
+        _mmr_sel.setdefault(r["query_id"], {})[r["rank"]] = r["doc_id"]
+    n_match = n_q = 0
+    overlap_sum = 0.0
+    for qid, picks in _mmr_sel.items():
+        n_q += 1
+        n_match += picks.get(1) == _rel_best[qid][1]
+        rel3 = {d for _, d in sorted(_rel_rank[qid], reverse=True)[:3]}
+        overlap_sum += len(rel3 & set(picks.values())) / 3.0
+    mmr16_rank1 = round(n_match / n_q, 4) if n_q else None
+    mmr16_overlap = round(overlap_sum / n_q, 4) if n_q else None
+    del bf16, iv16, pq16, truth16, mmr16, q0
 
     # high-dim tier (round 4): dim 512 (realistic text-embedding width; 8
     # phase-shifted concatenations of the base vectors preserve cluster
@@ -483,6 +593,9 @@ def main() -> None:
         "ivfpq_recall_at_5": recall_pq,
         "ivf_16x_recall_at_5": recall16,
         "ivfpq_16x_recall_at_5": recall16_pq,
+        "matryoshka_16x_recall_at_5": recall_mat16,
+        "mmr_16x_rank1_match": mmr16_rank1,
+        "mmr_16x_top3_overlap": mmr16_overlap,
         "ivf_hd_recall_at_5": recall_hd,
         "ivfpq_hd_recall_at_5": recall_hd_pq,
         "sf": sf_val,
