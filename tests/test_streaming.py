@@ -1658,3 +1658,28 @@ def test_streaming_bloom_bits_all_null_first_batch_does_not_poison(spark, tmp_pa
     run_streaming_bloom_bits(spark, str(landing), store, ckpt, schema,
                              "c_custkey", m_bits=64, k_hashes=3)
     assert spark.read.parquet(store).count() == 3  # k_hashes bits for key 5
+
+
+def test_streaming_recovery_soak_after_midstream_kill(tmp_path):
+    """r9 verdict item 7: each state-store twin (Bloom bit registry,
+    PageRank edge store, PSI bin monitor) is KILLED mid-stream — after a
+    batch's store commit, before the checkpoint records it — then
+    restarted from the checkpoint; the replayed epoch must be absorbed by
+    the store's idempotency discipline and the final view must equal the
+    batch twin.  Subprocess: the kill is a literal os._exit of the
+    driver."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tests/soak/streaming_recovery_soak.py",
+            str(tmp_path),
+        ],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "SOAK-OK" in proc.stdout
+    for twin in ("bloom", "kcore", "psi"):
+        assert f"RECOVERY-OK {twin}" in proc.stdout
