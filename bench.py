@@ -160,6 +160,14 @@ HEADLINE = [
     "daily_anomaly_mad",
     "dedup_best_of_cluster",
     "benford_first_digit",
+    # round 10 additions
+    "rendezvous_sharding",
+    "reshard_movement_stats",
+    "ttr_lexical_diversity",
+    "split_leakage_audit",
+    "span_corruption_plan",
+    "quality_pareto_frontier",
+    "winnowing_fingerprints",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

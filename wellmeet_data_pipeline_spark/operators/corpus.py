@@ -1234,3 +1234,69 @@ def vocab_growth_curve(
         )
     )
     return cum
+
+
+def span_corruption_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 20,
+    span: int = 3,
+    salt: str = "span",
+) -> DataFrame:
+    """Deterministic T5-style span-corruption plan: partition each
+    document's token stream into fixed `block`-token blocks and mask one
+    `span`-token run per block, so exactly span/block of tokens are
+    masked (15% at the defaults — the T5 recipe's rate with mean span 3).
+    The span's offset inside its block is sha256(salt|doc|block)-derived:
+    the plan is a pure function of content identity — stable across
+    retries, repartitioning, and epochs, so every data-loading worker
+    regenerates the SAME masks with no coordination and no stored mask
+    table (the property that matters when the plan is petabyte-grain).
+
+    Tokens are the whitespace rule (text_token_stats): trim +
+    split-on-whitespace-runs.  Only COMPLETE blocks are masked — a tail
+    shorter than `block` is left unmasked rather than over-masking short
+    documents.
+
+    Output: (id, span_start, span_len) — 0-based token offsets, one row
+    per masked span."""
+    n_tokens = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0B]+"))
+    )
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), n_tokens.alias("__n"))
+        .filter(F.col("__n") >= block)
+    )
+    blocks = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), (F.col("__n") / block).cast("long") - 1)).alias(
+            "__b"
+        ),
+    )
+    off = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        F.col(id_col).cast("string"),
+                        F.col("__b").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(block - span + 1)
+    )
+    return blocks.select(
+        id_col,
+        (F.col("__b") * block + off).cast("long").alias("span_start"),
+        F.lit(span).cast("int").alias("span_len"),
+    )

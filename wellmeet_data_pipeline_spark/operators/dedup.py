@@ -1523,3 +1523,59 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every word k-gram, slide a w-gram window,
+    keep the RIGHTMOST minimal hash per window, dedupe the picks.  The
+    guarantee LSH can't give: any shared run of >= w + k - 1 words
+    between two documents shares at least one fingerprint — matching is
+    complete above the noise threshold, with a ~2/(w+1) selection density
+    instead of every gram.
+
+    Determinism: gram hash = first 8 hex chars of sha256('win|' + gram)
+    decoded as a 32-bit integer (the repo's cross-engine hash idiom);
+    window ties break RIGHTMOST (the paper's rule — robust positions
+    under left-context edits) via min over (hash, -pos).
+
+    Scale shape: explode of w window-memberships per gram (narrow, w
+    small), ONE groupBy (doc, window) for the per-window pick, distinct.
+    Everything integer, JVM codegen end to end.
+
+    Output: (id, pos, fp) — one row per selected fingerprint."""
+    sh = shingles_df(docs, text_col, id_col, k, keep_pos=True)
+    g = sh.select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.sha2(F.concat(F.lit("win|"), F.col("shingle")), 256), 1, 8), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    )
+    n_grams = g.groupBy(id_col).agg(F.max("pos").alias("__max_pos"))
+    ex = (
+        g.select(id_col, "pos", "fp", F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("__off"))
+        .withColumn("__w_idx", F.col("pos") - F.col("__off"))
+        .join(n_grams, id_col)
+        .filter(
+            (F.col("__w_idx") >= 0)
+            & (F.col("__w_idx") <= F.col("__max_pos") - F.lit(w - 1))
+        )
+    )
+    best = ex.groupBy(id_col, "__w_idx").agg(
+        F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("__np"))).alias("__b")
+    )
+    return (
+        best.select(
+            id_col,
+            (-F.col("__b.__np")).cast("long").alias("pos"),
+            F.col("__b.fp").alias("fp"),
+        )
+        .distinct()
+    )

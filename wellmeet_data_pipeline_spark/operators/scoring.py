@@ -1260,3 +1260,61 @@ def length_bins(docs: DataFrame, width: int = 64, n_bins: int = 10) -> DataFrame
             F.greatest(F.lit(0), F.expr(f"n_chars div {width}").cast("int")),
         ).alias("bin"),
     )
+
+
+def _frontier_pass(df: DataFrame, metric_a: str, metric_b: str, *buckets: str) -> DataFrame:
+    wa = (
+        Window.partitionBy(*buckets)
+        .orderBy(F.col(metric_a).desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    we = Window.partitionBy(*buckets, metric_a)
+    return (
+        df.withColumn("__mh", F.max(metric_b).over(wa))
+        .withColumn("__me", F.max(metric_b).over(we))
+        .filter(
+            (F.col("__mh").isNull() | (F.col("__mh") < F.col(metric_b)))
+            & (F.col("__me") <= F.col(metric_b))
+        )
+        .drop("__mh", "__me")
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    metric_a: str,
+    metric_b: str,
+    prebuckets: int = 64,
+) -> DataFrame:
+    """Rows Pareto-optimal when MAXIMIZING both integer metrics: no other
+    row is >= on both with > on at least one (ties survive together —
+    equal points don't dominate each other).  The data-selection read:
+    the frontier is the set of documents no curation rule trading the two
+    metrics can ever discard first.
+
+    Per pass the work is two windows instead of the O(n^2) dominance
+    self-join — a row is dominated iff (a) some row with STRICTLY larger
+    metric_a has metric_b >= ours (running max over the integer-valued
+    range frame a' >= a + 1), or (b) a row with EQUAL metric_a has
+    metric_b strictly larger (per-a max).  Requires integer metrics: the
+    range frame boundary -1 IS the strictness.
+
+    Scale shape: the global pass needs a TOTAL order on metric_a — a
+    single-partition window.  So prune first: the global frontier is a
+    subset of the union of bucket-local frontiers (domination within a
+    bucket implies domination globally), and a 2-D frontier is tiny
+    relative to n, so the corpus-grain work is the parallel bucketed
+    pass and only ~|frontier| * prebuckets survivors reach the serial
+    window."""
+    if prebuckets > 1:
+        local = _frontier_pass(
+            df.withColumn(
+                "__bk", F.pmod(F.xxhash64(F.col(metric_a), F.col(metric_b)), F.lit(prebuckets))
+            ),
+            metric_a,
+            metric_b,
+            "__bk",
+        ).drop("__bk")
+    else:
+        local = df
+    return _frontier_pass(local, metric_a, metric_b)

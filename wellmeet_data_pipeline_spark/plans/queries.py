@@ -10108,6 +10108,338 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 10 additions
+# ---------------------------------------------------------------------------
+
+_SHARD_SALT = "shard"
+
+
+def _rendezvous_digest_sql(shard: int) -> str:
+    return (
+        f"sha256(concat_ws('|', '{_SHARD_SALT}', '{shard}', "
+        "CAST(doc_id AS VARCHAR)))"
+    )
+
+
+def _rendezvous_case_sql(n_shards: int) -> str:
+    mx = "greatest(" + ", ".join(_rendezvous_digest_sql(s) for s in range(n_shards)) + ")"
+    whens = "\n             ".join(
+        f"WHEN {_rendezvous_digest_sql(s)} = {mx} THEN {s}"
+        for s in range(n_shards - 1)
+    )
+    return f"CASE {whens}\n             ELSE {n_shards - 1} END"
+
+
+@_q(
+    "rendezvous_sharding",
+    f"""
+    SELECT doc_id,
+           CAST({_rendezvous_case_sql(8)} AS INT) AS shard
+    FROM documents
+    """,
+    "rendezvous (highest-random-weight) shard assignment over 8 shards: "
+    "winner = argmax over shards of sha256(salt|shard|id), lowest shard "
+    "on (cryptographically impossible) ties — a PURE PROJECTION (no "
+    "join, no shuffle, whole-stage codegen), and the assignment a key "
+    "keeps as the fleet grows unless its new shard outright wins",
+)
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.sharding import rendezvous_shard
+
+    d = table(spark, sf_dir, "documents")
+    return rendezvous_shard(d, 8, salt=_SHARD_SALT).select("doc_id", "shard")
+
+
+@_q(
+    "reshard_movement_stats",
+    f"""
+    WITH s AS (
+      SELECT CAST({_rendezvous_case_sql(8)} AS INT) AS s8,
+             CAST({_rendezvous_case_sql(9)} AS INT) AS s9
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS moved_micro
+    FROM s
+    """,
+    "the reason rendezvous hashing earns its 8 digests per key: growing "
+    "the fleet 8 -> 9 shards moves only ~1/9 of keys (a key moves ONLY "
+    "if the new shard wins its rendezvous), where hash(id) % N moves "
+    "~8/9 — the difference between an incremental copy and a full "
+    "petabyte rewrite; one-row exact audit of that movement fraction",
+)
+def q_reshard_movement_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.sharding import reshard_movement
+
+    d = table(spark, sf_dir, "documents")
+    return reshard_movement(d, 8, 9, salt=_SHARD_SALT)
+
+
+@_q(
+    "ttr_lexical_diversity",
+    f"""
+    WITH norm AS (
+      SELECT lang, string_split({_NORM_SQL}, ' ') AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    per AS (
+      SELECT lang,
+             CAST(len(words) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(words)) AS BIGINT) AS n_types
+      FROM norm
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_types) AS BIGINT) AS total_types,
+           CAST(sum(n_types * 1000000 // n_tokens) // count(*) AS BIGINT)
+             AS mean_ttr_micro
+    FROM per GROUP BY lang
+    """,
+    "type-token ratio (lexical diversity) per language: distinct "
+    "normalized words / words per doc on the exact integer micro grid, "
+    "averaged per lang — the cheap richness signal quality filters pair "
+    "with length (templated/spun text scores low TTR at normal length); "
+    "narrow projection + one lang-ary groupBy",
+)
+def q_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.split(normalized_text(F.col("text")), " ")
+    per = d.select(
+        "lang",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_types"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_types").cast("long").alias("total_types"),
+        F.expr("sum(n_types * 1000000 div n_tokens) div count(*)")
+        .cast("long")
+        .alias("mean_ttr_micro"),
+    )
+
+
+@_q(
+    "split_leakage_audit",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shs
+      FROM norm
+    ),
+    ex0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 10000),
+    ex AS (SELECT e.doc_id, e.shingle FROM ex0 e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM co
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ),
+    sp AS ({_split_oracle()}),
+    lab AS (
+      SELECT least(x.split, y.split) AS split_a,
+             greatest(x.split, y.split) AS split_b
+      FROM pairs p
+      JOIN sp x ON x.doc_id = p.id_a
+      JOIN sp y ON y.doc_id = p.id_b
+    )
+    SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+    "train/eval leakage audit: near-dup pairs (exact n-gram Jaccard >= "
+    "0.5, the hash-verified inverted-index tier) labeled with each "
+    "side's corpus_split assignment and counted per split pair — the "
+    "off-diagonal rows ARE eval contamination, the check every training "
+    "run needs BEFORE the split ships (hash split makes membership a "
+    "pure id function, so the audit never materializes the split)",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import hash_split
+    from wellmeet_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    sp = hash_split(d, _SPLIT_FRACTIONS).select("doc_id", "split")
+    lab = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+    )
+    return lab.groupBy("split_a", "split_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+@_q(
+    "span_corruption_plan",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'))
+              END) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    blocks AS (
+      SELECT doc_id, unnest(range(0, n // 20)) AS b FROM base WHERE n >= 20
+    ),
+    h AS (
+      SELECT doc_id, b,
+             list_sum(list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                      substr(sha256(concat_ws('|', 'span', CAST(doc_id AS VARCHAR),
+                                              CAST(b AS VARCHAR))), i, 1)) - 1
+                      AS BIGINT) << (4 * (8 - i)))) AS hv
+      FROM blocks
+    )
+    SELECT doc_id,
+           CAST(b * 20 + hv % 18 AS BIGINT) AS span_start,
+           CAST(3 AS INT) AS span_len
+    FROM h
+    """,
+    "deterministic T5-style span-corruption plan: one 3-token mask per "
+    "complete 20-token block (exactly the 15% rate, mean span 3), offset "
+    "sha256(salt|doc|block)-derived — the plan is a pure function of "
+    "content identity, so every loader worker regenerates identical "
+    "masks with no stored mask table and no coordination; narrow "
+    "explode, zero shuffle",
+)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.corpus import span_corruption_plan
+
+    return span_corruption_plan(table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "quality_pareto_frontier",
+    f"""
+    WITH m AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(list_distinct(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+               AS n_types
+      FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    )
+    SELECT doc_id, n_chars, n_types FROM m d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m e
+      WHERE e.n_chars >= d.n_chars AND e.n_types >= d.n_types
+        AND (e.n_chars > d.n_chars OR e.n_types > d.n_types)
+    )
+    """,
+    "documents Pareto-optimal in (length, lexical richness) — the set no "
+    "curation rule trading the two can ever discard first.  Spark plan "
+    "is O(n log n): bucket-local frontiers prune the corpus in parallel "
+    "(local domination implies global), then one serial window pass over "
+    "the ~|frontier| survivors; the oracle is the O(n^2) EXISTS "
+    "definition, so the window algebra is verified against the spec",
+)
+def q_quality_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+    from wellmeet_data_pipeline_spark.operators.scoring import pareto_frontier
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    m = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(F.split(normalized_text(F.col("text")), " ")))
+        .cast("long")
+        .alias("n_types"),
+    )
+    return pareto_frontier(m, "n_chars", "n_types")
+
+
+@_q(
+    "winnowing_fingerprints",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(words) - 2, 0))) AS pos,
+             unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                    i -> array_to_string(words[i:i+2], ' '))) AS gram
+      FROM norm
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             list_sum(list_transform(range(1, 9),
+                 j -> CAST(strpos('0123456789abcdef',
+                      substr(sha256(concat('win|', gram)), j, 1)) - 1
+                      AS BIGINT) << (4 * (8 - j)))) AS fp
+      FROM g
+    ),
+    n AS (SELECT doc_id, max(pos) AS max_pos FROM h GROUP BY doc_id),
+    wins AS (
+      SELECT doc_id, unnest(range(0, max_pos - 2)) AS w
+      FROM n WHERE max_pos >= 3
+    ),
+    j AS (
+      SELECT w.doc_id, w.w, h.pos, h.fp
+      FROM wins w JOIN h ON h.doc_id = w.doc_id AND h.pos BETWEEN w.w AND w.w + 3
+    ),
+    pick AS (
+      SELECT doc_id, w, pos, fp,
+             row_number() OVER (PARTITION BY doc_id, w
+                                ORDER BY fp ASC, pos DESC) AS rn
+      FROM j
+    ),
+    fps AS (SELECT DISTINCT doc_id, pos, fp FROM pick WHERE rn = 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum(fp) AS BIGINT) AS fp_sum,
+           CAST(min(fp) AS BIGINT) AS fp_min,
+           CAST(max(fp) AS BIGINT) AS fp_max
+    FROM fps GROUP BY doc_id
+    """,
+    "winnowing fingerprints (the MOSS algorithm): rightmost-minimal gram "
+    "hash per 4-gram window, deduped — the selection guarantees any "
+    "shared run of >= 6 words between documents shares a fingerprint "
+    "(completeness LSH can't give) at ~2/(w+1) density; per-doc count/"
+    "sum/min/max digest of the selected set, everything on the exact "
+    "integer grid",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fp = winnowing_fingerprints(d)
+    return fp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fp"),
+        F.sum("fp").cast("long").alias("fp_sum"),
+        F.min("fp").cast("long").alias("fp_min"),
+        F.max("fp").cast("long").alias("fp_max"),
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
