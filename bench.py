@@ -168,6 +168,7 @@ HEADLINE = [
     "span_corruption_plan",
     "quality_pareto_frontier",
     "winnowing_fingerprints",
+    "hamming_exact_neardup",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

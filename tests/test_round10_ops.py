@@ -152,3 +152,51 @@ def test_pareto_frontier_keeps_equal_ties(spark):
     )
     got = sorted(r["id"] for r in pareto_frontier(df, "a", "b").collect())
     assert got == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Pigeonhole exact hamming pairs
+# ---------------------------------------------------------------------------
+
+def test_hamming_exact_pairs_complete_vs_bruteforce(spark):
+    """The pigeonhole join must return EXACTLY the brute-force hamming
+    pair set — completeness is the operator's whole claim."""
+    import random
+
+    from wellmeet_data_pipeline_spark.operators.similarity import hamming_exact_pairs
+
+    rng = random.Random(5)
+    vecs = []
+    for i in range(80):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        vecs.append((i, v))
+    # plant close pairs: copies of vec 0 with 1..7 flipped dims
+    for d in range(1, 8):
+        v = list(vecs[0][1])
+        for j in range(d):
+            v[j * 9] = -v[j * 9]
+        vecs.append((1000 + d, v))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_exact_pairs(df, d_max=6).collect()
+    )
+
+    def bits(v):
+        return [1 if x > 0 else 0 for x in v]
+
+    want = []
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            a, b = vecs[i], vecs[j]
+            ia, ib = sorted((a[0], b[0]))
+            va = a[1] if a[0] == ia else b[1]
+            vb = b[1] if b[0] == ib else a[1]
+            h = sum(x != y for x, y in zip(bits(va), bits(vb)))
+            if h <= 6:
+                want.append((ia, ib, h))
+    assert got == sorted(want)
+    # the d=7 plant is excluded, the d<=6 plants are all present
+    found = {(a, b) for a, b, _ in got}
+    assert all((0, 1000 + d) in found for d in range(1, 7))
+    assert (0, 1007) not in found

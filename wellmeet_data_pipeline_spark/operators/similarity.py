@@ -1876,3 +1876,104 @@ def ivf_cross_top_k(
         .applyInPandas(bucket_topk, _TOPK_SCHEMA)
     )
     return _merge_tile_partials(bucket_results, k)
+
+
+def _sign_bit(vec_col: str, i: int):
+    """Bit i of the sign quantization: 1 iff dim i is strictly positive
+    (zeros and negatives are 0 — the tie rule is pinned, not incidental)."""
+    return F.when(F.element_at(F.col(vec_col), i + 1) > 0, F.lit(1)).otherwise(
+        F.lit(0)
+    ).cast("long")
+
+
+def hamming_block_bounds(dim: int, n_blocks: int) -> list[tuple[int, int]]:
+    """[start, end) dim ranges of the pigeonhole blocks (sizes differ by
+    at most one)."""
+    base, extra = divmod(dim, n_blocks)
+    bounds, start = [], 0
+    for b in range(n_blocks):
+        end = start + base + (1 if b < extra else 0)
+        bounds.append((start, end))
+        start = end
+    return bounds
+
+
+def hamming_exact_pairs(
+    embeddings: DataFrame,
+    d_max: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT near-dup pairs of sign-quantized embeddings at hamming
+    distance <= d_max — via the pigeonhole equi-join, not a similarity
+    search: split the dim-bit signature into d_max + 1 contiguous
+    blocks; two signatures within d_max differ in at most d_max blocks,
+    so they AGREE EXACTLY on at least one block — the equi-join on
+    (block_id, block_value) yields a complete candidate set (zero
+    recall loss, the guarantee banded LSH trades away), and
+    bit_count(xor) verifies in codegen.  The oracle for this query is
+    the exhaustive O(n^2) definition, so completeness is verified
+    against the spec, not asserted.
+
+    Scale shape: candidates are bucket-bounded like every LSH tier here
+    (a block value shared by d docs costs d^2 — 9-10-bit blocks keep
+    buckets small on non-degenerate sign distributions); the packed
+    signature rides the join as two bigints (16 bytes), never the float
+    vector.  Output: (id_a, id_b, hamming)."""
+    if d_max < 0:
+        raise ValueError(f"d_max={d_max} must be >= 0")
+    n_blocks = d_max + 1
+    bounds = hamming_block_bounds(dim, n_blocks)
+    e = embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    lo = sum(
+        (F.shiftleft(_sign_bit(vec_col, i), i) for i in range(1, 32)),
+        _sign_bit(vec_col, 0),
+    )
+    hi = sum(
+        (F.shiftleft(_sign_bit(vec_col, i), i - 32) for i in range(33, dim)),
+        _sign_bit(vec_col, 32),
+    )
+    block_structs = []
+    for b, (s, t) in enumerate(bounds):
+        val = sum(
+            (F.shiftleft(_sign_bit(vec_col, i), i - s) for i in range(s + 1, t)),
+            _sign_bit(vec_col, s),
+        )
+        block_structs.append(
+            F.struct(
+                F.lit(b).cast("int").alias("block_id"), val.alias("block_val")
+            )
+        )
+    base = e.select(
+        F.col(id_col).alias("id"),
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+        F.explode(F.array(*block_structs)).alias("__blk"),
+    ).select("id", "__lo", "__hi", "__blk.block_id", "__blk.block_val")
+    a = base.alias("a")
+    b = base.alias("b")
+    cand = (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__lo").alias("__lo_a"),
+            F.col("a.__hi").alias("__hi_a"),
+            F.col("b.__lo").alias("__lo_b"),
+            F.col("b.__hi").alias("__hi_b"),
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("__lo_a").bitwiseXOR(F.col("__lo_b")))
+        + F.bit_count(F.col("__hi_a").bitwiseXOR(F.col("__hi_b")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= d_max)
+        .select("id_a", "id_b", "hamming")
+    )
