@@ -1683,3 +1683,69 @@ def test_streaming_recovery_soak_after_midstream_kill(tmp_path):
     assert "SOAK-OK" in proc.stdout
     for twin in ("bloom", "kcore", "psi"):
         assert f"RECOVERY-OK {twin}" in proc.stdout
+
+
+def test_streaming_fingerprint_registry_matches_batch_and_replays(spark, tmp_path):
+    """Streamed winnowing registry == the batch operator over all landed
+    docs after any number of batches; a probe doc embedding a >= 6-word
+    run from a registry doc is caught; replay appends nothing new to the
+    dedup view."""
+    import json as _json
+
+    from wellmeet_data_pipeline_spark.operators.dedup import winnowing_fingerprints
+    from wellmeet_data_pipeline_spark.sinks.merge import read_current
+    from wellmeet_data_pipeline_spark.streaming.fingerprints import (
+        current_fingerprint_matches,
+        run_streaming_fingerprint_registry,
+    )
+    from pyspark.sql.types import StructType
+
+    landing = tmp_path / "fpr_landing"
+    landing.mkdir()
+    store, ckpt = str(tmp_path / "fpr_store"), str(tmp_path / "fpr_ckpt")
+    schema = StructType.fromDDL("doc_id long, text string")
+
+    bench_run = "the seven benchmark answer tokens appear here verbatim"
+    b1 = [{"doc_id": 1, "text": f"reference one {bench_run} tail words"},
+          {"doc_id": 2, "text": "another reference with its own content entirely"}]
+    b2 = [{"doc_id": 3, "text": "late registered benchmark document arrives second batch"},
+          {"doc_id": 4, "text": None}]
+    with open(landing / "b1.json", "w") as fh:
+        _json.dump(b1, fh)
+    run_streaming_fingerprint_registry(spark, str(landing), store, ckpt, schema)
+    with open(landing / "b2.json", "w") as fh:
+        _json.dump(b2, fh)
+    run_streaming_fingerprint_registry(spark, str(landing), store, ckpt, schema)
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1 + b2 if r["text"] is not None],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, winnowing_fingerprints(all_docs).collect()))
+    got = sorted(
+        map(tuple, read_current(spark, store, id_col=["doc_id", "pos", "fp"]).collect())
+    )
+    assert got == want and got
+
+    # embedded-run probe: doc 100 pastes the 7-word benchmark run
+    probe = spark.createDataFrame(
+        [
+            (100, f"student essay quoting {bench_run} inside a paragraph"),
+            (101, "clean document sharing nothing with any reference text"),
+        ],
+        "doc_id long, text string",
+    )
+    m = current_fingerprint_matches(spark, store, probe).collect()
+    hits = {(r["probe_id"], r["ref_id"]) for r in m}
+    assert (100, 1) in hits
+    assert all(p != 101 for p, _ in hits)
+
+    # replay with a fresh checkpoint: view unchanged (rows are their own
+    # idempotency tokens)
+    run_streaming_fingerprint_registry(
+        spark, str(landing), store, str(tmp_path / "fpr_ckpt2"), schema
+    )
+    again = sorted(
+        map(tuple, read_current(spark, store, id_col=["doc_id", "pos", "fp"]).collect())
+    )
+    assert again == want
