@@ -169,6 +169,7 @@ HEADLINE = [
     "quality_pareto_frontier",
     "winnowing_fingerprints",
     "hamming_exact_neardup",
+    "bm25_prf_topk",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

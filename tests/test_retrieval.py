@@ -532,3 +532,38 @@ def test_mmr_diversify_null_inputs(spark):
     )
     got = {r["rank"]: r["doc_id"] for r in mmr_diversify(cand, pairs, k=3).collect()}
     assert got == {1: 1, 2: 3}  # doc 2 dropped; null pair scored as 0
+
+
+def test_bm25_prf_expansion_retrieves_term_disjoint_doc(spark):
+    """The PRF loop's point: a document sharing NO original query term
+    but rich in the feedback docs' vocabulary enters the second-pass
+    top-k; and the expansion skips quasi-stopwords (df cap)."""
+    from wellmeet_data_pipeline_spark.operators.retrieval import (
+        bm25_prf_topk,
+        bm25_topk,
+    )
+
+    # enough filler that the expansion terms clear the quasi-stopword
+    # df cap (df * 10 <= n_docs)
+    filler = [(100 + i, f"filler text number {i} about unrelated matters entirely")
+              for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            # feedback docs: match 'spark' and carry the expansion term 'catalyst'
+            (1, "spark engine catalyst catalyst optimizer"),
+            (2, "spark catalyst catalyst planning"),
+            # the term-disjoint target: only reachable via expansion
+            (3, "catalyst catalyst catalyst rewrite rules"),
+            *filler,
+        ],
+        "doc_id long, text string",
+    )
+    q = {0: ["spark"]}
+    plain = {r["doc_id"] for r in bm25_topk(docs, q, k=5).collect()}
+    assert 3 not in plain  # no shared term with the raw query
+    prf = {r["doc_id"]: r["rank"] for r in bm25_prf_topk(docs, q, k=5).collect()}
+    assert 3 in prf  # expansion pulled it in
+    # determinism under repartitioning
+    again = {r["doc_id"]: r["rank"]
+             for r in bm25_prf_topk(docs.repartition(7), q, k=5).collect()}
+    assert again == prf

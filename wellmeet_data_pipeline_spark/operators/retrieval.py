@@ -524,3 +524,82 @@ def mmr_diversify(
         .cogroup(p.groupBy(query_col))
         .applyInPandas(pick, out_schema)
     )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: Mapping[int, Sequence[str]],
+    k: int = 5,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    df_cap_denom: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 with pseudo-relevance-feedback query expansion (the Rocchio/
+    RM1 serving pattern, made deterministic): score the pinned queries,
+    take each query's top `fb_docs` documents, promote their `fb_terms`
+    most frequent terms (summed tf over the feedback docs; ties break
+    term-ascending) that are (a) not already query terms and (b) not
+    quasi-stopwords (corpus df * df_cap_denom <= n_docs), then score the
+    EXPANDED query and cut top-k.  Both passes route through
+    _bm25_score_frames, so first- and second-pass scores live on the
+    same exact micro grid.
+
+    Scale shape: the corpus (doc, term) frame is consumed three times
+    (pass-1 tf, candidate-term corpus df, pass-2 tf) — checkpointed
+    once; every join against it is a broadcast semi-join on a bounded
+    term set (query terms, then candidate terms from <= fb_docs docs per
+    query), so nothing corpus-grain ever shuffles.  Feedback-doc term
+    frames are fb_docs-bounded.  Output (query_id, doc_id, score, rank).
+    """
+    toks = _doc_tokens(docs, text_col, id_col).localCheckpoint(eager=True)
+    qt = F.broadcast(_query_terms_df(docs.sparkSession, queries))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint(eager=True)
+    stats = (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl")))
+        .localCheckpoint(eager=True)
+    )
+
+    def _score(qt_frame):
+        tfq = (
+            toks.join(F.broadcast(qt_frame.select("term").distinct()), "term")
+            .groupBy(id_col, "term")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        dfreq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+        return _bm25_score_frames(qt_frame, tfq, dl, dfreq, stats, id_col, k1=k1, b=b)
+
+    top1 = bm25_rank_cut(_score(qt), id_col, fb_docs).select("query_id", id_col)
+    cand = (
+        toks.join(top1, id_col)
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("long").alias("__stf"))
+        .join(qt, ["query_id", "term"], "left_anti")
+    )
+    df_c = (
+        toks.join(F.broadcast(cand.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("__cdf"))
+    )
+    capped = (
+        cand.join(F.broadcast(df_c), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .filter(F.col("__cdf") * df_cap_denom <= F.col("n_docs"))
+    )
+    wexp = Window.partitionBy("query_id").orderBy(
+        F.col("__stf").desc(), F.col("term").asc()
+    )
+    exp = (
+        capped.withColumn("__rn", F.row_number().over(wexp))
+        .filter(F.col("__rn") <= fb_terms)
+        .select("query_id", "term")
+    )
+    qt2 = F.broadcast(
+        qt.select("query_id", "term").unionByName(exp).distinct().localCheckpoint(eager=True)
+    )
+    return bm25_rank_cut(_score(qt2), id_col, k)

@@ -10507,6 +10507,92 @@ def q_hamming_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_exact_pairs(corpus, d_max=6, dim=64)
 
 
+def _bm25_co_sql(qt_name: str) -> str:
+    """The _BM25_CTES `co` scoring CTE body, parameterized by the query-
+    terms table so the PRF second pass scores through the SAME formula
+    text as the first (digit-for-digit the bm25_topk oracle)."""
+    return f"""
+      SELECT {qt_name}.query_id, tf.doc_id,
+             CAST(floor(
+               CAST(CAST(floor(ln(CAST(1 AS DOUBLE)
+                     + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+                 / CAST(1000000 AS DOUBLE)
+               * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                        + CAST(0.75 AS DOUBLE)
+                          * (CAST(dl.dl * st.n_docs AS DOUBLE) / CAST(st.total_dl AS DOUBLE)))))
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ci
+      FROM {qt_name} JOIN tf USING (term) JOIN dfr USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+    """
+
+
+@_q(
+    "bm25_prf_topk",
+    f"""
+    WITH {_BM25_CTES},
+    rk1 AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id ASC) AS rn
+        FROM bs) WHERE rn <= 5
+    ),
+    candtf AS (
+      SELECT r.query_id, t.term, CAST(count(*) AS BIGINT) AS stf
+      FROM rk1 r
+      JOIN tk t ON t.doc_id = r.doc_id
+      LEFT JOIN qt q0 ON q0.query_id = r.query_id AND q0.term = t.term
+      WHERE q0.term IS NULL
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT c.query_id, c.term, c.stf
+      FROM candtf c JOIN dfr USING (term) CROSS JOIN st
+      WHERE dfr.df * 10 <= st.n_docs
+    ),
+    expt AS (
+      SELECT query_id, term FROM (
+        SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY stf DESC, term ASC) AS rn
+        FROM capped) WHERE rn <= 3
+    ),
+    qt2 AS (SELECT query_id, term FROM qt
+            UNION SELECT query_id, term FROM expt),
+    co2 AS ({_bm25_co_sql("qt2")}),
+    bs2 AS (
+      SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS s
+      FROM co2 GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE) AS score,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rnk
+      FROM bs2) WHERE rnk <= 5
+    """,
+    "BM25 with pseudo-relevance-feedback expansion (deterministic "
+    "Rocchio/RM1): promote the 3 most frequent non-query, "
+    "non-quasi-stopword (corpus df <= N/10) terms from each query's "
+    "top-5 first-pass docs, rescore the expanded query, cut top-5 — "
+    "both passes on the exact micro grid through the shared scoring "
+    "core, so retrieval-with-feedback is hash-verified end to end; the "
+    "corpus (doc, term) frame never shuffles (broadcast semi-joins on "
+    "bounded term sets only)",
+)
+def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.retrieval import bm25_prf_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25_prf_topk(d, _RETRIEVAL_QUERIES, k=5, fb_docs=5, fb_terms=3)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
