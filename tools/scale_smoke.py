@@ -628,6 +628,26 @@ def run_mmr_rerank(spark, sf_dir, factor):
 
 
 
+def run_winnowing(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(scaled_documents(spark, sf_dir, factor)).count()
+
+
+def run_hamming_exact(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.similarity import hamming_exact_pairs
+
+    return hamming_exact_pairs(scaled_embeddings(spark, sf_dir, factor), d_max=6).count()
+
+
+def run_bm25_prf(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.retrieval import bm25_prf_topk
+
+    queries = {0: ["fast", "query", "scan"], 1: ["join", "hash", "merge"],
+               2: ["stream", "window", "batch"], 3: ["customer", "order", "value"]}
+    return bm25_prf_topk(scaled_documents(spark, sf_dir, factor), queries, k=5).count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -670,6 +690,9 @@ OPS = {
     "bloom_prefilter_stats": run_bloom_prefilter,
     "dedup_graph_communities": run_lpa_communities,
     "mmr_diversify": run_mmr_rerank,
+    "winnowing_fingerprints": run_winnowing,
+    "hamming_exact_neardup": run_hamming_exact,
+    "bm25_prf_topk": run_bm25_prf,
 }
 
 
