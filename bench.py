@@ -170,6 +170,8 @@ HEADLINE = [
     "winnowing_fingerprints",
     "hamming_exact_neardup",
     "bm25_prf_topk",
+    "kmeans_silhouette",
+    "cluster_label_purity",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

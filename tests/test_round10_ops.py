@@ -200,3 +200,48 @@ def test_hamming_exact_pairs_complete_vs_bruteforce(spark):
     found = {(a, b) for a, b, _ in got}
     assert all((0, 1000 + d) in found for d in range(1, 7))
     assert (0, 1007) not in found
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality reads
+# ---------------------------------------------------------------------------
+
+def test_kmeans_silhouette_separated_vs_degenerate(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import kmeans_silhouette
+
+    # two tight, well-separated blobs around the two seeds (ids 0 and 1)
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    rows += [(10 + i, [0.1 * i, 0.0]) for i in range(4)]
+    rows += [(20 + i, [10.0, 10.0 - 0.1 * i]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["cluster_id"]: r for r in kmeans_silhouette(df, k=2).collect()}
+    assert set(got) == {0, 1}
+    assert all(r["mean_silhouette_micro"] > 900_000 for r in got.values())
+    # duplicate seeds: every point equidistant to both -> s = 0 everywhere
+    dup = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    g2 = {r["cluster_id"]: r["mean_silhouette_micro"]
+          for r in kmeans_silhouette(dup, k=2).collect()}
+    assert g2 == {0: 0}  # all points tie to seed 0; a == b -> s = 0
+
+
+def test_cluster_label_purity_majority_and_ties(spark):
+    from wellmeet_data_pipeline_spark.operators.similarity import cluster_label_purity
+
+    rows = [
+        (0, [0.0, 0.0], 5),     # seed 0
+        (1, [10.0, 0.0], 7),    # seed 1
+        (2, [0.1, 0.0], 5),
+        (3, [0.2, 0.0], 5),
+        (4, [0.3, 0.0], 9),     # minority in cluster 0
+        (5, [10.1, 0.0], 3),    # cluster 1: labels {7, 3} tie 1-1
+        (6, [10.2, 0.0], None), # null label excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["cluster_id"]: r for r in cluster_label_purity(df, k=2).collect()}
+    assert got[0]["n_members"] == 4 and got[0]["top_label"] == 5
+    assert got[0]["purity_micro"] == 750_000
+    assert got[1]["n_members"] == 2 and got[1]["top_label"] == 3  # tie -> lowest label
+    assert got[1]["purity_micro"] == 500_000

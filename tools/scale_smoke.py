@@ -635,17 +635,54 @@ def run_winnowing(spark, sf_dir, factor):
 
 
 def run_hamming_exact(spark, sf_dir, factor):
+    """Copies are per-copy CIRCULAR DIM ROTATIONS, not the sinusoidal
+    perturbation scaled_embeddings uses: that perturbation is too weak
+    to move SIGNS, so every original became a 64-clique in sign space
+    (105M pairs at 64x — a pathological corpus, the exact artifact the
+    scaled_documents docstring warns about).  Rotating dims preserves
+    each copy's sign distribution while decorrelating copies' signatures
+    (~32-bit expected hamming between copies), so near-dup work scales
+    with data like a real corpus."""
     from wellmeet_data_pipeline_spark.operators.similarity import hamming_exact_pairs
 
-    return hamming_exact_pairs(scaled_embeddings(spark, sf_dir, factor), d_max=6).count()
+    e = table(spark, sf_dir, "embeddings")
+    if factor > 1:
+        def leg(base, k):
+            rot = k % 63 + 1 if k else 0
+            vec = (
+                F.col("embedding")
+                if rot == 0
+                else F.concat(
+                    F.slice("embedding", rot + 1, 64 - rot),
+                    F.slice("embedding", 1, rot),
+                )
+            )
+            return base.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+
+        e = _union_copies(e, factor, leg)
+    return hamming_exact_pairs(e, d_max=6).count()
 
 
 def run_bm25_prf(spark, sf_dir, factor):
     from wellmeet_data_pipeline_spark.operators.retrieval import bm25_prf_topk
 
-    queries = {0: ["fast", "query", "scan"], 1: ["join", "hash", "merge"],
-               2: ["stream", "window", "batch"], 3: ["customer", "order", "value"]}
-    return bm25_prf_topk(scaled_documents(spark, sf_dir, factor), queries, k=5).count()
+    # per-copy suffixed queries, the run_bm25 convention: query volume
+    # grows with the corpus, per-copy probe work stays constant
+    base = {0: ["fast", "query", "scan"], 1: ["join", "hash", "merge"],
+            2: ["stream", "window", "batch"], 3: ["customer", "order", "value"]}
+    if factor == 1:
+        qs = base
+    else:
+        qs = {
+            c * 10 + q: [f"{t}_{c}" for t in ts]
+            for c in range(factor)
+            for q, ts in base.items()
+        }
+    return bm25_prf_topk(scaled_documents(spark, sf_dir, factor), qs, k=5).count()
 
 
 OPS = {

@@ -1558,19 +1558,25 @@ def winnowing_fingerprints(
         .cast("long")
         .alias("fp"),
     )
-    n_grams = g.groupBy(id_col).agg(F.max("pos").alias("__max_pos"))
+    # Gram positions are CONTIGUOUS (shingles_df explodes 0..n_grams-1),
+    # so a window index is complete iff exactly w grams landed in it —
+    # the count filter replaces a join back to a per-doc max_pos frame
+    # (which Spark's size estimator mis-planned as a giant broadcast at
+    # the 64x smoke).  No join, one groupBy, nothing broadcast.
     ex = (
-        g.select(id_col, "pos", "fp", F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("__off"))
-        .withColumn("__w_idx", F.col("pos") - F.col("__off"))
-        .join(n_grams, id_col)
-        .filter(
-            (F.col("__w_idx") >= 0)
-            & (F.col("__w_idx") <= F.col("__max_pos") - F.lit(w - 1))
+        g.select(
+            id_col,
+            "pos",
+            "fp",
+            F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("__off"),
         )
+        .withColumn("__w_idx", F.col("pos") - F.col("__off"))
+        .filter(F.col("__w_idx") >= 0)
     )
     best = ex.groupBy(id_col, "__w_idx").agg(
-        F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("__np"))).alias("__b")
-    )
+        F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("__np"))).alias("__b"),
+        F.count("*").alias("__n"),
+    ).filter(F.col("__n") == w)
     return (
         best.select(
             id_col,

@@ -1977,3 +1977,113 @@ def hamming_exact_pairs(
         .filter(F.col("hamming") <= d_max)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _kmeans_candidate_frame(
+    emb: DataFrame, k: int, id_col: str, vec_col: str, round_digits: int
+) -> DataFrame:
+    """(id, __sid, __dist, __rn) — every vector's distance to each of the
+    k lowest-id seeds, ranked (dist, sid).  The shared core of
+    kmeans_assign_step and the cluster-quality reads below."""
+    e = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    seeds = (
+        e.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("__sid"), F.col("__v").alias("__sv"))
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("__v", "__sv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_digits,
+    )
+    d = e.crossJoin(F.broadcast(seeds)).withColumn("__dist", dist)
+    w = Window.partitionBy(id_col).orderBy("__dist", "__sid")
+    return d.withColumn("__rn", F.row_number().over(w))
+
+
+def kmeans_silhouette(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for each
+    vector, a = distance to its own seed, b = distance to the nearest
+    OTHER seed, s = (b - a) / max(a, b) on the exact micro grid (s = 0
+    when both distances are 0 — the degenerate duplicate-seed case).
+    The O(n*k) centroid form of the O(n^2) pairwise silhouette — the
+    clustering-quality number an IVF/partitioning decision actually
+    reads at scale, computable in one pass over the assignment frame.
+    Output: (cluster_id, n_members, mean_silhouette_micro)."""
+    r = _kmeans_candidate_frame(emb, k, id_col, vec_col, round_digits)
+    per = (
+        r.filter(F.col("__rn") <= 2)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("__sid"))).alias("__cid"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__dist"))).alias("__a"),
+            F.max(F.when(F.col("__rn") == 2, F.col("__dist"))).alias("__b"),
+        )
+    )
+    mx = F.greatest("__a", "__b")
+    sm = F.when(mx == 0, F.lit(0).cast("long")).otherwise(
+        F.floor((F.col("__b") - F.col("__a")) / mx * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+    )
+    return (
+        per.withColumn("__sm", sm)
+        .groupBy(F.col("__cid").cast("long").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.expr("sum(__sm) div count(*)").cast("long").alias(
+                "mean_silhouette_micro"
+            ),
+        )
+    )
+
+
+def cluster_label_purity(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Majority-label purity per k-means cluster (the label-agreement
+    read a curation pipeline uses to decide whether embedding clusters
+    track a supervised facet).  NULL-labeled vectors are excluded before
+    assignment so n_members is the labeled population.  Ties on the
+    majority label break label-ascending.  Output: (cluster_id,
+    n_members, top_label, purity_micro)."""
+    labeled = emb.filter(F.col(label_col).isNotNull())
+    r = _kmeans_candidate_frame(labeled, k, id_col, vec_col, round_digits)
+    assign = (
+        r.filter(F.col("__rn") == 1)
+        .select(id_col, F.col("__sid").alias("__cid"))
+        .join(labeled.select(id_col, label_col), id_col)
+    )
+    grp = assign.groupBy("__cid", label_col).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    w = Window.partitionBy("__cid").orderBy(
+        F.col("__c").desc(), F.col(label_col).asc()
+    )
+    top = grp.withColumn("__rn", F.row_number().over(w))
+    totals = grp.groupBy("__cid").agg(F.sum("__c").alias("__n"))
+    return (
+        top.filter(F.col("__rn") == 1)
+        .join(totals, "__cid")
+        .select(
+            F.col("__cid").cast("long").alias("cluster_id"),
+            F.col("__n").cast("long").alias("n_members"),
+            F.col(label_col).alias("top_label"),
+            F.expr("__c * 1000000 div __n").cast("long").alias("purity_micro"),
+        )
+    )

@@ -10593,6 +10593,107 @@ def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_prf_topk(d, _RETRIEVAL_QUERIES, k=5, fb_docs=5, fb_terms=3)
 
 
+@_q(
+    "kmeans_silhouette",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    seeds AS (SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 8),
+    d AS (
+      SELECT v.vec_id, s.sid,
+             round(list_sum(list_transform(range(1, len(v.e) + 1),
+                            i -> (v.e[i] - s.se[i]) * (v.e[i] - s.se[i]))), 4) AS dist
+      FROM v CROSS JOIN seeds s
+    ),
+    r AS (
+      SELECT vec_id, sid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+      FROM d
+    ),
+    per AS (
+      SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN sid END) AS cluster_id,
+             max(CASE WHEN rn = 1 THEN dist END) AS a,
+             max(CASE WHEN rn = 2 THEN dist END) AS b
+      FROM r WHERE rn <= 2 GROUP BY vec_id
+    ),
+    s AS (
+      SELECT cluster_id,
+             CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor((b - a) / greatest(a, b) * 1000000
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS sm
+      FROM per
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(sm) // count(*) AS BIGINT) AS mean_silhouette_micro
+    FROM s GROUP BY cluster_id
+    """,
+    "simplified (centroid-based) silhouette per k-means cluster: "
+    "s = (b - a)/max(a, b) with a = own-seed distance, b = nearest "
+    "other seed, on the exact micro grid (0 on the duplicate-seed "
+    "degenerate case) — the O(n*k) clustering-quality read that "
+    "replaces the O(n^2) pairwise silhouette at scale; same "
+    "model-sized seed broadcast as kmeans_cluster_step",
+)
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import kmeans_silhouette
+
+    return kmeans_silhouette(table(spark, sf_dir, "embeddings"), k=8)
+
+
+@_q(
+    "cluster_label_purity",
+    """
+    WITH lv AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    seeds AS (SELECT vec_id AS sid, e AS se FROM lv ORDER BY vec_id LIMIT 8),
+    d AS (
+      SELECT lv.vec_id, lv.label, s.sid,
+             round(list_sum(list_transform(range(1, len(lv.e) + 1),
+                            i -> (lv.e[i] - s.se[i]) * (lv.e[i] - s.se[i]))), 4) AS dist
+      FROM lv CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, label, sid FROM (
+        SELECT vec_id, label, sid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    grp AS (
+      SELECT sid, label, CAST(count(*) AS BIGINT) AS c
+      FROM best GROUP BY sid, label
+    ),
+    tot AS (SELECT sid, CAST(sum(c) AS BIGINT) AS n FROM grp GROUP BY sid),
+    top AS (
+      SELECT sid, label, c FROM (
+        SELECT sid, label, c,
+               row_number() OVER (PARTITION BY sid
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM grp) WHERE rn = 1
+    )
+    SELECT CAST(t.sid AS BIGINT) AS cluster_id,
+           CAST(tot.n AS BIGINT) AS n_members,
+           t.label AS top_label,
+           CAST(t.c * 1000000 // tot.n AS BIGINT) AS purity_micro
+    FROM top t JOIN tot ON tot.sid = t.sid
+    """,
+    "majority-label purity per k-means cluster (do embedding clusters "
+    "track the supervised facet?): NULL-labeled vectors excluded before "
+    "assignment, majority ties break label-ascending; per-cluster "
+    "(size, top label, exact purity fraction) — two tiny groupBys over "
+    "the same assignment frame as kmeans_cluster_step",
+)
+def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import cluster_label_purity
+
+    return cluster_label_purity(table(spark, sf_dir, "embeddings"), k=8)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
