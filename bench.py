@@ -172,6 +172,8 @@ HEADLINE = [
     "bm25_prf_topk",
     "kmeans_silhouette",
     "cluster_label_purity",
+    "tail_index_hill",
+    "minhash_union_parity",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -10694,6 +10694,154 @@ def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_label_purity(table(spark, sf_dir, "embeddings"), k=8)
 
 
+@_q(
+    "tail_index_hill",
+    """
+    WITH pos AS (
+      SELECT CAST(n_chars AS BIGINT) AS x
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    topk AS (
+      SELECT x, row_number() OVER (ORDER BY x DESC) AS rk FROM pos
+    ),
+    thr AS (SELECT x AS xk FROM topk WHERE rk = 100),
+    terms AS (
+      SELECT CAST(floor(ln(CAST(t.x AS DOUBLE) / CAST(thr.xk AS DOUBLE))
+                        * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lt
+      FROM topk t CROSS JOIN thr WHERE t.rk < 100
+    )
+    SELECT CAST(100 AS INT) AS k,
+           (SELECT xk FROM thr) AS x_k,
+           CAST(sum(lt) AS BIGINT) AS sum_log_micro,
+           CAST(sum(lt) // 99 AS BIGINT) AS inv_alpha_micro,
+           CAST(CASE WHEN sum(lt) // 99 = 0 THEN 0
+                     ELSE 1000000000000 // (sum(lt) // 99) END AS BIGINT)
+             AS alpha_micro
+    FROM terms
+    """,
+    "Hill tail-index estimator over document lengths: alpha-hat = "
+    "1 / mean(ln(x_(i)/x_(k))) across the top k=100 order statistics, "
+    "every log term snapped to the micro grid so the sum is "
+    "order-independent — the standard heavy-tail exponent read that "
+    "decides trimming thresholds and partition-size headroom (alpha <= 2 "
+    "means variance is infinite and mean-based capacity planning lies).  "
+    "One TakeOrderedAndProject for the top-k, everything else on a "
+    "100-row frame",
+)
+def q_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    k = 100
+    topk = (
+        d.select(F.col("n_chars").cast("long").alias("x"))
+        .orderBy(F.col("x").desc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("x").desc())
+    rk = topk.withColumn("rk", F.row_number().over(w))
+    thr = rk.filter(F.col("rk") == k).select(F.col("x").alias("xk"))
+    lt = F.floor(
+        F.log(F.col("x").cast("double") / F.col("xk").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    terms = rk.filter(F.col("rk") < k).crossJoin(F.broadcast(thr)).select(
+        lt.alias("lt"), "xk"
+    )
+    return terms.groupBy().agg(
+        F.lit(k).cast("int").alias("k"),
+        F.max("xk").cast("long").alias("x_k"),
+        F.sum("lt").cast("long").alias("sum_log_micro"),
+        F.expr(f"sum(lt) div {k - 1}").cast("long").alias("inv_alpha_micro"),
+        F.expr(
+            f"CASE WHEN sum(lt) div {k - 1} = 0 THEN 0 "
+            f"ELSE 1000000000000 div (sum(lt) div {k - 1}) END"
+        )
+        .cast("long")
+        .alias("alpha_micro"),
+    )
+
+
+@_q(
+    "minhash_union_parity",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    shl AS (
+      SELECT doc_id % 2 AS shard,
+             unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                   i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM norm
+    ),
+    g AS (SELECT unnest(range(0, 16)) AS h_idx),
+    agg AS (
+      SELECT shard, g.h_idx,
+             min(substr(sha256(concat_ws('|', shingle, CAST(g.h_idx AS VARCHAR))),
+                        1, 16)) AS h
+      FROM shl CROSS JOIN g GROUP BY shard, g.h_idx
+    ),
+    uni AS (
+      SELECT g.h_idx,
+             min(substr(sha256(concat_ws('|', shingle, CAST(g.h_idx AS VARCHAR))),
+                        1, 16)) AS h
+      FROM shl CROSS JOIN g GROUP BY g.h_idx
+    )
+    SELECT CAST(a.h_idx AS INT) AS h_idx,
+           a.h AS h_a, b.h AS h_b, u.h AS h_union,
+           CAST(CASE WHEN least(a.h, b.h) = u.h THEN 1 ELSE 0 END AS INT)
+             AS merged_matches
+    FROM agg a
+    JOIN agg b ON b.h_idx = a.h_idx AND b.shard = 1
+    JOIN uni u ON u.h_idx = a.h_idx
+    WHERE a.shard = 0
+    """,
+    "MinHash sketch MERGEABILITY, verified: the signature of a shard "
+    "UNION equals the elementwise min of the shard signatures — both "
+    "sides computed INDEPENDENTLY (union sig re-scans all shingles) and "
+    "compared per hash slot.  This is the algebra that lets a 100 TB "
+    "corpus keep per-shard sketches and answer cross-shard Jaccard / "
+    "novelty questions by merging 16 hex strings instead of re-scanning "
+    "— the same monoid discipline as the KMV/HLL family, over the "
+    "sha256 hash family the LSH tier already uses",
+)
+def q_minhash_union_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
+
+    d = table(spark, sf_dir, "documents")
+    shl = shingles_df(d).select(
+        (F.col("doc_id") % 2).alias("shard"), "shingle"
+    )
+    ex = shl.select(
+        "shard", "shingle", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("h_idx")
+    )
+    h = F.substring(
+        F.sha2(F.concat_ws("|", F.col("shingle"), F.col("h_idx").cast("string")), 256),
+        1,
+        16,
+    )
+    hashed = ex.select("shard", "h_idx", h.alias("__h"))
+    agg = hashed.groupBy("shard", "h_idx").agg(F.min("__h").alias("h"))
+    uni = hashed.groupBy("h_idx").agg(F.min("__h").alias("h_union"))
+    a = agg.filter(F.col("shard") == 0).select("h_idx", F.col("h").alias("h_a"))
+    b = agg.filter(F.col("shard") == 1).select("h_idx", F.col("h").alias("h_b"))
+    return (
+        a.join(b, "h_idx")
+        .join(uni, "h_idx")
+        .select(
+            F.col("h_idx").cast("int").alias("h_idx"),
+            "h_a",
+            "h_b",
+            "h_union",
+            F.when(F.least("h_a", "h_b") == F.col("h_union"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("merged_matches"),
+        )
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
