@@ -174,6 +174,7 @@ HEADLINE = [
     "cluster_label_purity",
     "tail_index_hill",
     "minhash_union_parity",
+    "min_k_prob_score",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

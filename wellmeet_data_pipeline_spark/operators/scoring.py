@@ -66,44 +66,19 @@ def _tokens_with_pos(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def ngram_lm_score(
+def _bigram_token_logprobs(
     docs: DataFrame,
     lm_docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    alpha: float = 0.1,
-    head_nll: float = 5.0,
-    tail_nll: float = 7.5,
-    round_digits: int = 6,
-    materialize_lm: bool = True,
+    text_col: str,
+    id_col: str,
+    alpha: float,
+    round_digits: int,
+    materialize_lm: bool,
 ) -> DataFrame:
-    """Per-document bigram-LM negative log-likelihood (nats/token) plus a
-    CCNet-style head/middle/tail band.
-
-    LM: add-alpha-smoothed bigram model counted over `lm_docs` (the
-    curated reference partition — CCNet uses a Wikipedia-trained LM):
-      p(w_0)        = (c1(w_0) + a) / (T + aV)
-      p(w_i|w_i-1)  = (c2(w_i-1, w_i) + a) / (c1(w_i-1) + aV)
-    with T = total LM tokens, V = LM vocabulary size.  Unseen words and
-    bigrams fall back to the smoothing mass via coalesce(count, 0).
-
-    Plan shape: the LM is two groupBys over the exploded reference
-    tokens (term / (prev, term)) — vocabulary-sized frames that AQE
-    broadcasts onto the corpus token stream; the per-doc previous token
-    is a lag window partitioned by doc (tiny partitions); the final
-    aggregate is one groupBy(id).  Document bodies never shuffle — only
-    (id, pos, term) rows move.
-
-    Determinism: each token's log-prob is snapped to `round_digits`
-    decimals IN INTEGER SPACE (floor(ln(p)*1e6 + 0.5) as bigint) and
-    summed exactly, so the per-doc sum is independent of row order and
-    matches the DuckDB oracle bit-for-bit (see module docstring for why
-    floor, not round).  Caveat: the snap input ln(p) itself is libm
-    output (within 1 ulp on either engine, not correctly rounded); a
-    1-ulp disagreement flips a snapped micro-nat only when ln(p)*1e6
-    lands within ~1e-9 of an integer boundary — measure-zero in
-    practice, and the driver compare's 9-significant-digit rendering
-    absorbs a single flipped micro-nat in the per-doc mean."""
+    """(id, pos, __lp) — every scored token's add-alpha bigram log-prob,
+    snapped to the integer grid.  The shared core of ngram_lm_score and
+    min_k_prob_score; the algebra and determinism notes live on
+    ngram_lm_score's docstring."""
     scale = float(10**round_digits)
     lm_tokens = _tokens_with_pos(lm_docs, text_col, id_col)
     w_lag = Window.partitionBy(id_col).orderBy("pos")
@@ -151,9 +126,94 @@ def ngram_lm_score(
         / (F.coalesce(F.col("c1_prev"), F.lit(0)) + smooth_v)
     )
     scaled = F.floor(F.log(p) * F.lit(scale) + F.lit(0.5)).cast("long")
-    per_doc = (
-        joined.withColumn("__lp", scaled)
+    return joined.select(id_col, "pos", scaled.alias("__lp"))
+
+
+def min_k_prob_score(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    k_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    round_digits: int = 6,
+    materialize_lm: bool = True,
+) -> DataFrame:
+    """Min-k% probability score (the membership-inference /
+    contamination-detection read of Shi et al.'s Min-K% Prob): mean NLL
+    of each document's k% LOWEST-probability tokens under the reference
+    bigram LM.  A document the LM has effectively memorized has no
+    low-probability outlier tokens, so its min-k% mean sits far below
+    its overall mean — the signal full-document perplexity averages
+    away.  Selection is exact-integer: tokens rank by (snapped log-prob
+    asc, pos asc), keep greatest(1, n*k_pct//100), mean by integer
+    division of positives.  Output: (id, n_tokens, n_keep,
+    min_k_nll_micro)."""
+    per_token = _bigram_token_logprobs(
+        docs, lm_docs, text_col, id_col, alpha, round_digits, materialize_lm
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__lp").asc(), F.col("pos").asc())
+    ranked = per_token.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(id_col))
+    )
+    n_keep = F.greatest(F.lit(1), F.expr(f"__n * {k_pct} div 100"))
+    return (
+        ranked.withColumn("__keep", n_keep)
         .groupBy(id_col)
+        .agg(
+            F.max("__n").cast("long").alias("n_tokens"),
+            F.max("__keep").cast("long").alias("n_keep"),
+            F.expr("(-sum(CASE WHEN __rn <= __keep THEN __lp ELSE 0 END)) div max(__keep)")
+            .cast("long")
+            .alias("min_k_nll_micro"),
+        )
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    head_nll: float = 5.0,
+    tail_nll: float = 7.5,
+    round_digits: int = 6,
+    materialize_lm: bool = True,
+) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood (nats/token) plus a
+    CCNet-style head/middle/tail band.
+
+    LM: add-alpha-smoothed bigram model counted over `lm_docs` (the
+    curated reference partition — CCNet uses a Wikipedia-trained LM):
+      p(w_0)        = (c1(w_0) + a) / (T + aV)
+      p(w_i|w_i-1)  = (c2(w_i-1, w_i) + a) / (c1(w_i-1) + aV)
+    with T = total LM tokens, V = LM vocabulary size.  Unseen words and
+    bigrams fall back to the smoothing mass via coalesce(count, 0).
+
+    Plan shape: the LM is two groupBys over the exploded reference
+    tokens (term / (prev, term)) — vocabulary-sized frames that AQE
+    broadcasts onto the corpus token stream; the per-doc previous token
+    is a lag window partitioned by doc (tiny partitions); the final
+    aggregate is one groupBy(id).  Document bodies never shuffle — only
+    (id, pos, term) rows move.
+
+    Determinism: each token's log-prob is snapped to `round_digits`
+    decimals IN INTEGER SPACE (floor(ln(p)*1e6 + 0.5) as bigint) and
+    summed exactly, so the per-doc sum is independent of row order and
+    matches the DuckDB oracle bit-for-bit (see module docstring for why
+    floor, not round).  Caveat: the snap input ln(p) itself is libm
+    output (within 1 ulp on either engine, not correctly rounded); a
+    1-ulp disagreement flips a snapped micro-nat only when ln(p)*1e6
+    lands within ~1e-9 of an integer boundary — measure-zero in
+    practice, and the driver compare's 9-significant-digit rendering
+    absorbs a single flipped micro-nat in the per-doc mean."""
+    scale = float(10**round_digits)
+    per_token = _bigram_token_logprobs(
+        docs, lm_docs, text_col, id_col, alpha, round_digits, materialize_lm
+    )
+    per_doc = (
+        per_token.groupBy(id_col)
         .agg(F.count("*").alias("n_tokens"), F.sum("__lp").alias("__s"))
         .withColumn(
             "nll",

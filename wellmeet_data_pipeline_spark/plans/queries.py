@@ -4701,7 +4701,7 @@ _LM_AGG_SQL = f"""{_TOKPOS_SQL},
       FROM t2
     ),
     lp AS (
-      SELECT d.doc_id,
+      SELECT d.doc_id, d.pos,
              CAST(floor(ln(CASE WHEN d.prev IS NULL
                THEN (coalesce(cs.c1, 0) + CAST(0.1 AS DOUBLE))
                     / (t.lm_total + CAST(0.1 AS DOUBLE) * t.lm_vocab)
@@ -10840,6 +10840,43 @@ def q_minhash_union_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merged_matches"),
         )
     )
+
+
+@_q(
+    "min_k_prob_score",
+    f"""
+    WITH {_LM_AGG_SQL},
+    rk AS (
+      SELECT doc_id, lp,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY lp ASC, pos ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      FROM lp
+    ),
+    sel AS (
+      SELECT doc_id, n, greatest(1, n * 20 // 100) AS n_keep, lp, rn FROM rk
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(max(n_keep) AS BIGINT) AS n_keep,
+           CAST((-sum(CASE WHEN rn <= n_keep THEN lp ELSE 0 END))
+                // max(n_keep) AS BIGINT) AS min_k_nll_micro
+    FROM sel GROUP BY doc_id
+    """,
+    "Min-K% Prob membership/contamination score (Shi et al.): mean NLL "
+    "of each doc's 20% lowest-probability tokens under the reference "
+    "bigram LM — memorized/benchmark text lacks low-probability outlier "
+    "tokens, the signal whole-doc perplexity averages away.  Selection "
+    "and mean are exact-integer (snapped log-prob rank, positive int "
+    "division); shares the token-logprob frame with ngram_lm_perplexity "
+    "so both reads price one LM pass",
+)
+def q_min_k_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import min_k_prob_score
+
+    d = table(spark, sf_dir, "documents")
+    lm = d.filter((F.col("doc_id") % 5) == 0)
+    return min_k_prob_score(d, lm, k_pct=20, alpha=0.1)
 
 
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
