@@ -32,6 +32,13 @@ SENTINELS = [
     "semdedup_survivors",
     "embedding_label_outliers",
     "length_curriculum",
+    # round-10 text-normalization-heavy additions: never failed, but they
+    # sit on the exact surfaces (\s-class whitespace, empty/NULL text,
+    # token-count guards) that every historical hostile failure came from
+    "ttr_lexical_diversity",
+    "winnowing_fingerprints",
+    "span_corruption_plan",
+    "min_k_prob_score",
 ]
 
 
