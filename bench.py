@@ -175,6 +175,7 @@ HEADLINE = [
     "tail_index_hill",
     "minhash_union_parity",
     "min_k_prob_score",
+    "self_bleu_pairs",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -10879,6 +10879,177 @@ def q_min_k_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_k_prob_score(d, lm, k_pct=20, alpha=0.1)
 
 
+@_q(
+    "self_bleu_pairs",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    uni AS (
+      SELECT doc_id, unnest(words) AS term FROM norm
+    ),
+    utf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      FROM uni WHERE term <> '' GROUP BY doc_id, term
+    ),
+    ulen AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n1 FROM utf GROUP BY doc_id),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                                   i -> array_to_string(words[i:i+1], ' '))) AS gram
+      FROM norm
+    ),
+    btf AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+      FROM big GROUP BY doc_id, gram
+    ),
+    c1 AS (
+      SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m1
+      FROM pairs p
+      JOIN utf a ON a.doc_id = p.id_a
+      JOIN utf b ON b.doc_id = p.id_b AND b.term = a.term
+      GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m2
+      FROM pairs p
+      JOIN btf a ON a.doc_id = p.id_a
+      JOIN btf b ON b.doc_id = p.id_b AND b.gram = a.gram
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT p.id_a, p.id_b, la.n1 AS n1_a, lb.n1 AS n1_b,
+             coalesce(c1.m1, 0) AS m1, coalesce(c2.m2, 0) AS m2
+      FROM pairs p
+      JOIN ulen la ON la.doc_id = p.id_a
+      JOIN ulen lb ON lb.doc_id = p.id_b
+      LEFT JOIN c1 ON c1.id_a = p.id_a AND c1.id_b = p.id_b
+      LEFT JOIN c2 ON c2.id_a = p.id_a AND c2.id_b = p.id_b
+      WHERE la.n1 >= 2 AND lb.n1 >= 2
+    )
+    SELECT id_a, id_b, n1_a, n1_b, m1, m2,
+           CAST(CASE WHEN m1 = 0 OR m2 = 0 THEN -99000000
+                ELSE -(((-CAST(floor(ln(CAST(m1 AS DOUBLE) / n1_a) * 1000000
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                        + (-CAST(floor(ln(CAST(m2 AS DOUBLE) / (n1_a - 1)) * 1000000
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT))) // 2)
+                     + least(CAST(0 AS BIGINT),
+                             CAST(floor((CAST(1 AS DOUBLE)
+                                         - CAST(n1_b AS DOUBLE) / n1_a) * 1000000
+                                        + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                END AS BIGINT) AS bleu_ab_log_micro,
+           CAST(CASE WHEN m1 = 0 OR m2 = 0 THEN -99000000
+                ELSE -(((-CAST(floor(ln(CAST(m1 AS DOUBLE) / n1_b) * 1000000
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                        + (-CAST(floor(ln(CAST(m2 AS DOUBLE) / (n1_b - 1)) * 1000000
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT))) // 2)
+                     + least(CAST(0 AS BIGINT),
+                             CAST(floor((CAST(1 AS DOUBLE)
+                                         - CAST(n1_a AS DOUBLE) / n1_b) * 1000000
+                                        + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                END AS BIGINT) AS bleu_ba_log_micro
+    FROM base
+    """,
+    "self-BLEU-2 over the MinHash candidate pairs (the corpus-diversity "
+    "read: high pairwise BLEU = template/boilerplate redundancy near-dup "
+    "Jaccard underweights because BLEU clips by reference counts): "
+    "clipped unigram+bigram precision and brevity penalty, entirely in "
+    "LOG space on the micro grid — geometric means and exp() never "
+    "materialize, so the score is exact-integer end to end; sentinel "
+    "-99 for zero-overlap false-positive candidates.  Negative-int "
+    "averaging is done on negated positives (DuckDB // floors, Spark "
+    "div truncates — they agree only on nonnegatives)",
+)
+def q_self_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates_sha,
+        shingles_df,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates_sha(d).localCheckpoint(eager=False)
+    words = F.split(normalized_text(F.col("text")), " ")
+    utf = (
+        d.select("doc_id", F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # both join sides below
+    )
+    ulen = utf.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n1"))
+    btf = (
+        shingles_df(d, n=2)
+        .groupBy("doc_id", F.col("shingle").alias("gram"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = (
+        pairs.join(utf.select(F.col("doc_id").alias("id_a"), "term", F.col("c").alias("__ca")), "id_a")
+        .join(
+            utf.select(F.col("doc_id").alias("id_b"), "term", F.col("c").alias("__cb")),
+            ["id_b", "term"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("__ca", "__cb")).cast("long").alias("m1"))
+    )
+    c2 = (
+        pairs.join(btf.select(F.col("doc_id").alias("id_a"), "gram", F.col("c").alias("__ca")), "id_a")
+        .join(
+            btf.select(F.col("doc_id").alias("id_b"), "gram", F.col("c").alias("__cb")),
+            ["id_b", "gram"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("__ca", "__cb")).cast("long").alias("m2"))
+    )
+    base = (
+        pairs.join(ulen.select(F.col("doc_id").alias("id_a"), F.col("n1").alias("n1_a")), "id_a")
+        .join(ulen.select(F.col("doc_id").alias("id_b"), F.col("n1").alias("n1_b")), "id_b")
+        .join(c1, ["id_a", "id_b"], "left")
+        .join(c2, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "n1_a",
+            "n1_b",
+            F.coalesce("m1", F.lit(0)).cast("long").alias("m1"),
+            F.coalesce("m2", F.lit(0)).cast("long").alias("m2"),
+        )
+        .filter((F.col("n1_a") >= 2) & (F.col("n1_b") >= 2))
+    )
+
+    def _snap_ln(num, den):
+        return F.floor(
+            F.log(num.cast("double") / den.cast("double")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    def _bleu(cand_len, ref_len):
+        lp1 = _snap_ln(F.col("m1"), cand_len)
+        lp2 = _snap_ln(F.col("m2"), cand_len - 1)
+        bp = F.least(
+            F.lit(0).cast("long"),
+            F.floor(
+                (F.lit(1.0) - ref_len.cast("double") / cand_len.cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        avg = -(F.floor(((-lp1) + (-lp2)) / F.lit(2)).cast("long"))
+        return F.when(
+            (F.col("m1") == 0) | (F.col("m2") == 0), F.lit(-99000000).cast("long")
+        ).otherwise((avg + bp).cast("long"))
+
+    return base.select(
+        "id_a",
+        "id_b",
+        "n1_a",
+        "n1_b",
+        "m1",
+        "m2",
+        _bleu(F.col("n1_a"), F.col("n1_b")).alias("bleu_ab_log_micro"),
+        _bleu(F.col("n1_b"), F.col("n1_a")).alias("bleu_ba_log_micro"),
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
