@@ -1,0 +1,168 @@
+"""Behavioral pins for operators/stats.py — known-answer tests and
+statistical properties the oracle parity gate can't see."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_ks_known_answer_and_bounds(spark):
+    """Two disjoint distributions → KS = 1; identical → KS = 0; the
+    reported argmax value is the boundary of the disjoint supports."""
+    from wellmeet_data_pipeline_spark.operators.stats import ks_drift_by_group
+
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (10, 11, 12, 13)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in ks_drift_by_group(df, "g", "v").collect()}
+    assert out["a"]["ks_micro"] == 1_000_000
+    assert out["b"]["ks_micro"] == 1_000_000
+    # sup first attained at a's largest value (F_a jumps to 1, F_b still 0)
+    assert out["a"]["ks_at_value"] == 4
+
+    same = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df2 = spark.createDataFrame(same, "g string, v long")
+    for r in ks_drift_by_group(df2, "g", "v").collect():
+        assert r["ks_micro"] == 0
+
+
+def test_ks_hand_computed(spark):
+    """a = {1,2}, rest = {2,3}: ECDF_a = [.5, 1, 1], ECDF_r = [0, .5, 1]
+    at grid 1,2,3 → sup = 0.5."""
+    from wellmeet_data_pipeline_spark.operators.stats import ks_drift_by_group
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], "g string, v long"
+    )
+    out = {r["g"]: r["ks_micro"] for r in ks_drift_by_group(df, "g", "v").collect()}
+    assert out["a"] == 500_000 and out["b"] == 500_000
+
+
+def test_mann_whitney_exact_u_and_direction(spark):
+    """Group strictly above the rest: U = n_g * n_r (all wins), z > 0;
+    strictly below: U = 0, z < 0.  Doubled-rank ties keep u2 integer."""
+    from wellmeet_data_pipeline_spark.operators.stats import mann_whitney_by_group
+
+    rows = [("hi", v) for v in (10, 11, 12)] + [("lo", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in mann_whitney_by_group(df, "g", "v").collect()}
+    assert out["hi"]["u2"] == 2 * 3 * 3 and out["hi"]["z_micro"] > 0
+    assert out["lo"]["u2"] == 0 and out["lo"]["z_micro"] < 0
+
+    # all-ties: U = n_g*n_r/2 exactly, z = NULL (zero variance)
+    ties = [("a", 5)] * 3 + [("b", 5)] * 3
+    df2 = spark.createDataFrame(ties, "g string, v long")
+    for r in mann_whitney_by_group(df2, "g", "v").collect():
+        assert r["u2"] == 9  # 2U = n_g*n_r
+        assert r["z_micro"] is None
+
+
+def test_welch_hand_computed(spark):
+    """Hand-checked Welch t on two small samples (integer grid)."""
+    from wellmeet_data_pipeline_spark.operators.stats import welch_t_pairs
+
+    a, b = [10, 12, 14], [20, 24, 28]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = welch_t_pairs(df, "g", F.col("v")).collect()[0]
+    ma, mb = sum(a) / 3, sum(b) / 3
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 2
+    se2 = va / 3 + vb / 3
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 * se2 / ((va / 3) ** 2 / 2 + (vb / 3) ** 2 / 2)
+    assert r["group_a"] == "a" and r["group_b"] == "b"
+    assert r["t_micro"] == math.floor(t * 1e6 + 0.5)
+    assert r["df_micro"] == math.floor(dof * 1e6 + 0.5)
+    assert r["mean_diff_micro"] == math.floor((ma - mb) * 1e6 + 0.5)
+
+
+def test_welch_symmetric_groups_t_zero(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import welch_t_pairs
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = welch_t_pairs(df, "g", F.col("v")).collect()[0]
+    assert r["t_micro"] == 0 and r["mean_diff_micro"] == 0
+    assert r["df_micro"] == 4_000_000  # equal n, equal var → df = n1+n2-2
+
+
+def test_conformal_coverage_guarantee(spark):
+    """On an iid integer stream the split-conformal interval at 90%
+    must cover >= ~90% of the held-out half (finite-sample guarantee
+    holds in expectation; this fixture is deterministic and dense, so
+    the realized coverage lands at or above the target index)."""
+    from wellmeet_data_pipeline_spark.operators.stats import conformal_coverage
+
+    rows = [("g", i, (i * 37) % 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    r = conformal_coverage(df, "g", F.col("v"), "id", q_pct=90).collect()[0]
+    assert r["n_cal"] == 200 and r["n_test"] == 200
+    assert r["cov_micro"] >= 880_000
+    # quantile index: k = min(ceil(0.9 * 201), 200) = 181st smallest
+    sc = sorted(abs(((i * 37) % 100) - r["pred_cents"]) for i in range(0, 400, 2))
+    assert r["q_cents"] == sc[180]
+
+
+def test_grouped_regression_exact_line(spark):
+    """y = 3x + 7 exactly → slope 3.0, intercept 7.0, r2 = 1."""
+    from wellmeet_data_pipeline_spark.operators.stats import grouped_regression
+
+    rows = [("g", x, 3 * x + 7) for x in range(1, 20)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = grouped_regression(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert r["slope_micro"] == 3_000_000
+    assert r["intercept_micro"] == 7_000_000
+    assert r["r2_micro"] == 1_000_000
+
+    # zero x-variance → NULLs, not a divide error
+    flat = spark.createDataFrame([("g", 5, y) for y in (1, 2, 3)], "g string, x long, y long")
+    r2 = grouped_regression(flat, "g", F.col("x"), F.col("y")).collect()[0]
+    assert r2["slope_micro"] is None and r2["r2_micro"] is None
+
+
+def test_cusum_finds_planted_shift(spark):
+    """Mean 10 for days 1-10, mean 50 for days 11-20: the CUSUM argmax
+    lands exactly on the last pre-shift day."""
+    from wellmeet_data_pipeline_spark.operators.stats import cusum_changepoint
+
+    rows = [("g", f"2024-01-{d:02d}", 10 if d <= 10 else 50) for d in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, day string, v long")
+    r = cusum_changepoint(df, "g", "day", F.col("v")).collect()[0]
+    assert r["cp_period"] == "2024-01-10"
+    assert r["n_periods"] == 20 and r["total"] == 100 + 500
+    # dev at k=10: |20*100 - 10*600| = 4000
+    assert r["dev_max"] == 4000
+
+
+def test_cusum_tie_resolves_earliest(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import cusum_changepoint
+
+    # symmetric bump: dev ties at the two flanks; earliest day wins
+    rows = [("g", "2024-01-01", 0), ("g", "2024-01-02", 10), ("g", "2024-01-03", 0)]
+    df = spark.createDataFrame(rows, "g string, day string, v long")
+    r = cusum_changepoint(df, "g", "day", F.col("v")).collect()[0]
+    assert r["cp_period"] == "2024-01-01"
+
+
+def test_null_domains_excluded(spark):
+    """NULL group/value/period rows vanish from KS, MWU, and CUSUM."""
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+        ks_drift_by_group,
+        mann_whitney_by_group,
+    )
+
+    rows = [("a", 1), ("a", None), (None, 2), ("b", 3), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    ks = ks_drift_by_group(df, "g", "v").collect()
+    assert {r["g"] for r in ks} == {"a", "b"}
+    assert {r["n_group"] for r in ks} == {1, 2}
+    mw = mann_whitney_by_group(df, "g", "v").collect()
+    assert {r["g"] for r in mw} == {"a", "b"}
+
+    c_rows = [("a", "2024-01-01", 1), ("a", None, 9), (None, "2024-01-02", 1)]
+    cdf = spark.createDataFrame(c_rows, "g string, day string, v long")
+    cu = cusum_changepoint(cdf, "g", "day", F.col("v")).collect()
+    assert len(cu) == 1 and cu[0]["g"] == "a" and cu[0]["n_periods"] == 1

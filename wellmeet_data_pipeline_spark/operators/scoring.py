@@ -1378,3 +1378,187 @@ def pareto_frontier(
     else:
         local = df
     return _frontier_pass(local, metric_a, metric_b)
+
+
+def average_precision(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve by
+    the step definition) of `score_col` against binary `label_col` —
+    the PR-side companion of exact_auc, and the right eval when
+    positives are rare (quality-classifier corpora are heavily
+    imbalanced, where ROC-AUC saturates).
+
+        AP = (1/P) * sum over positive rows of  cum_pos(r) / r
+
+    with r the 1-based rank under (score DESC, id ASC) — the id
+    tiebreak makes ranks exact and oracle-stable (pessimistic/
+    optimistic tie conventions differ; a pinned total order does not).
+    Each positive row's precision term snaps to the NANO grid before
+    the integer sum, so the final ap_micro = sum_nano div (1000 * P)
+    is aggregation-order-independent.  NULL labels occupy ranks but
+    are neither positives nor cum_pos contributions (SQL sum-skips-
+    null on both engines).
+
+    Scale: the global ranking runs through global_rank_cumsum — the
+    range-partitioned two-pass prefix sum — so there is no
+    unpartitioned window at any cardinality.  Emits one row:
+    (ap_micro, n_pos, n_docs); ap_micro is NULL when P = 0.
+
+    `score_col` must sit on an exact grid (integer / snapped double)."""
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    ranked = global_rank_cumsum(
+        scored.select(
+            F.col(score_col), F.col(id_col), F.col(label_col).cast("long").alias("__y")
+        ),
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        sum_col="__y",
+    )
+    term = F.floor(
+        F.col("cum").cast("double") / F.col("rank").cast("double")
+        * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__y") == 1, term).otherwise(F.lit(0))).alias("__s_nano"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return agg.select(
+        F.when(
+            F.col("n_pos") > 0,
+            F.expr("__s_nano div (1000 * n_pos)").cast("long"),
+        ).alias("ap_micro"),
+        "n_pos",
+        "n_docs",
+    )
+
+
+def stupid_backoff_nll(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document negative log-likelihood under a TRIGRAM stupid-backoff
+    LM (Brants et al. 2007, "Large Language Models in Machine
+    Translation") counted on `lm_docs` — the web-scale scoring rule that
+    skips normalization entirely: relative frequencies with a fixed 0.4
+    penalty per backoff level, which at corpus scale matches smoothed
+    Kneser-Ney closely at a fraction of the cost.  The trigram sibling
+    of ngram_lm_score (CCNet-style filtering with longer context).
+
+    Per token at position i with context (w_{i-2}, w_{i-1}):
+
+        trigram hit : p = c3(w_{i-2} w_{i-1} w_i) / c2(w_{i-2} w_{i-1})
+        bigram hit  : p = 0.4^b * c2(w_{i-1} w_i) / c1(w_{i-1})
+        unigram     : p = 0.4^b * (c1(w_i) + 1) / (N + V)
+
+    where b counts backoffs actually taken from the position's highest
+    available level (pos 0 starts at unigram with NO penalty, pos 1 at
+    bigram) and the unigram level is add-one so OOV tokens stay finite.
+    A trigram hit implies its context pair occurs in the LM, so the
+    denominator join can't miss.
+
+    Determinism: counts are exact BIGINTs; each token's ln(p) is a
+    double computed from those integers in a fixed shape, snapped to
+    the micro grid, and integer-summed per document — the scoring.py
+    module-docstring discipline.  Emits (id, n_tokens, sb_nll_micro)
+    with sb_nll_micro = (-sum lp) div n_tokens (nonnegative: p <= 1).
+
+    Scale: one token-explode pass per side; count frames are vocab- /
+    bigram- / trigram-cardinality and localCheckpointed once for their
+    multiple consumers; the score pass is four left equi-joins on the
+    token stream + one broadcast totals row — no windows beyond the
+    per-document lag."""
+    scale = float(10**round_digits)
+    w_lag = Window.partitionBy(id_col).orderBy("pos")
+
+    lm_tokens = _tokens_with_pos(lm_docs, text_col, id_col)
+    lm_ctx = lm_tokens.withColumn("p1", F.lag("term", 1).over(w_lag)).withColumn(
+        "p2", F.lag("term", 2).over(w_lag)
+    )
+    c1 = lm_tokens.groupBy("term").agg(F.count("*").cast("long").alias("c1"))
+    c1 = c1.localCheckpoint(eager=True)  # self-prob, context-prob, totals
+    c2 = (
+        lm_ctx.filter(F.col("p1").isNotNull())
+        .groupBy("p1", "term")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    c2 = c2.localCheckpoint(eager=True)  # bigram-prob and trigram-context
+    c3 = (
+        lm_ctx.filter(F.col("p2").isNotNull())
+        .groupBy("p2", "p1", "term")
+        .agg(F.count("*").cast("long").alias("c3"))
+    )
+    totals = c1.agg(
+        F.sum("c1").cast("long").alias("lm_total"),
+        F.count("*").cast("long").alias("lm_vocab"),
+    )
+
+    toks = (
+        _tokens_with_pos(docs, text_col, id_col)
+        .withColumn("p1", F.lag("term", 1).over(w_lag))
+        .withColumn("p2", F.lag("term", 2).over(w_lag))
+    )
+    joined = (
+        toks.join(c3, ["p2", "p1", "term"], "left")
+        .join(c2.select("p1", "term", "c2"), ["p1", "term"], "left")
+        .join(
+            c2.select(
+                F.col("p1").alias("p2"),
+                F.col("term").alias("p1"),
+                F.col("c2").alias("c2ctx"),
+            ),
+            ["p2", "p1"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("term").alias("p1"), F.col("c1").alias("c1ctx")),
+            ["p1"],
+            "left",
+        )
+        .join(c1.select("term", F.col("c1").alias("c1self")), ["term"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    b = F.lit(backoff)
+    uni = (F.coalesce(F.col("c1self"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("lm_total") + F.col("lm_vocab")
+    ).cast("double")
+    p = (
+        F.when(
+            F.col("p2").isNotNull() & F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2ctx").cast("double"),
+        )
+        .when(
+            F.col("p1").isNotNull() & F.col("c2").isNotNull(),
+            F.when(F.col("p2").isNotNull(), b).otherwise(F.lit(1.0))
+            * (F.col("c2").cast("double") / F.col("c1ctx").cast("double")),
+        )
+        .otherwise(
+            F.when(F.col("p2").isNotNull(), b * b)
+            .when(F.col("p1").isNotNull(), b)
+            .otherwise(F.lit(1.0))
+            * uni
+        )
+    )
+    lp = F.floor(F.log(p) * F.lit(scale) + F.lit(0.5)).cast("long")
+    return (
+        joined.select(id_col, lp.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (-F.sum("__lp")).alias("__nll"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr("__nll div n_tokens").cast("long").alias("sb_nll_micro"),
+        )
+    )

@@ -2087,3 +2087,125 @@ def cluster_label_purity(
             F.expr("__c * 1000000 div __n").cast("long").alias("purity_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization: the cheapest vector-compression tier —
+# 64-dim float32 -> 64 bits (32x), scored by XOR+popcount.  The serving
+# pattern below matryoshka/int8: scan the whole candidate set with bit ops,
+# optionally rerank survivors exactly.
+# ---------------------------------------------------------------------------
+
+
+def _sign_bit_halves(vec, dim: int) -> list:
+    """Pack sign bits (x > 0) of a `dim`-sized float array column into
+    32-bit halves, each an MSB-first fold acc*2+bit — values stay under
+    2^32, so the fold never overflows a BIGINT even under ANSI mode
+    (a single 64-bit pack would wrap on bit 63)."""
+    halves = []
+    for lo in range(0, dim, 32):
+        hi = min(lo + 32, dim)
+        idx = F.sequence(F.lit(hi - 1), F.lit(lo), F.lit(-1))
+        halves.append(
+            F.aggregate(
+                idx,
+                F.lit(0).cast("long"),
+                lambda acc, i: acc * 2
+                + F.when(F.element_at(vec, i + 1) > 0, F.lit(1)).otherwise(F.lit(0)),
+            )
+        )
+    return halves
+
+
+def binary_hamming_top_k(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest candidates per query under HAMMING distance between
+    sign-bit quantized vectors (self-matches on id equality excluded;
+    NULL vectors dropped).  Ties break neighbor-id-ascending.
+
+    Scale shape: entirely JVM-side — sign bits pack once per side into
+    32-bit halves, the (small) packed query set broadcasts onto a single
+    scan of the candidates, distance is XOR+popcount per half, and the
+    top-k cut is two windows: a partial top-k per (query, input
+    partition) first, then the global merge — never an unpartitioned
+    window, and the shuffle carries at most k rows per (query,
+    partition).  This is the binary-quantization serving scan: at 100 TB
+    the candidate pass is a sequential popcount scan, exactly what the
+    bit-packing buys."""
+    qp = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(query_id).alias("query_id"),
+        *[
+            h.alias(f"__qh{j}")
+            for j, h in enumerate(_sign_bit_halves(F.col(vec_col), dim))
+        ],
+    )
+    cp = candidates.filter(F.col(vec_col).isNotNull()).select(
+        F.col(cand_id).alias("neighbor_id"),
+        *[
+            h.alias(f"__ch{j}")
+            for j, h in enumerate(_sign_bit_halves(F.col(vec_col), dim))
+        ],
+    )
+    n_halves = (dim + 31) // 32
+    ham = None
+    for j in range(n_halves):
+        term = F.bit_count(F.col(f"__qh{j}").bitwiseXOR(F.col(f"__ch{j}")))
+        ham = term if ham is None else ham + term
+    scored = (
+        cp.join(F.broadcast(qp), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", ham.cast("int"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    pruned = scored.withColumn("__lr", F.row_number().over(w_local)).filter(
+        F.col("__lr") <= k
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", F.col("rank").cast("int"))
+    )
+
+
+def binary_quant_recall(
+    emb: DataFrame,
+    k: int = 10,
+    every: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the sign-bit Hamming scan against exact cosine top-k,
+    per query (every `every`-th id is a query; the standard quality gate
+    before shipping a quantized index tier).  Output: (query_id,
+    n_exact, n_overlap) — n_overlap of the k binary hits land in the
+    exact top-k.  Both sides use the deterministic neighbor-id tie
+    order, so the sets are exact and oracle-stable."""
+    q = emb.filter((F.col(id_col) % every) == 0)
+    exact = brute_force_top_k(
+        q, emb, k=k, query_id=id_col, cand_id=id_col, vec_col=vec_col, round_digits=4
+    ).select("query_id", "neighbor_id")
+    binary = binary_hamming_top_k(
+        q, emb, k=k, dim=dim, query_id=id_col, cand_id=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(binary, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count("*").cast("long").alias("n_exact"))
+    return (
+        n_exact.join(hits, "query_id", "left")
+        .na.fill({"n_overlap": 0})
+        .select("query_id", "n_exact", F.col("n_overlap").cast("long"))
+    )

@@ -1,0 +1,495 @@
+"""Distribution-shift tests and classical statistics over grouped data.
+
+A training-data pipeline's monitoring layer runs these reads next to
+quality scoring: "did this source's length distribution drift", "is
+variant A's metric different from variant B's", "when did the daily
+mean shift".  The reference pipeline's monitoring stops at count-style
+health checks (review-crawler's per-run summary logs,
+`review-crawler/batch_processor.py` run reports); these operators
+generalize that to proper two-sample tests and calibration reads while
+keeping the repo's exactness discipline:
+
+- ks_drift_by_group: two-sample Kolmogorov-Smirnov statistic of each
+  group against the pooled rest; the sup runs on cross-multiplied
+  BIGINTs so the argmax is exact (no ECDF doubles until the final
+  snap).
+- mann_whitney_by_group: rank-sum U of each group vs the rest from ONE
+  global average-ranking (doubled ranks stay integer under ties), with
+  the tie-corrected normal approximation snapped to the micro grid.
+- welch_t_pairs: Welch's unequal-variance t between every pair of
+  groups from per-group (n, sum, sum-of-squares) integer moments.
+- conformal_coverage: split-conformal calibration per group — the
+  calibration half's nonconformity quantile is an exact order
+  statistic, coverage is measured on the held-out half.
+- grouped_regression: per-group OLS slope/intercept/R^2 from exact
+  integer moment sums.  Spark's regr_slope/regr_r2 aggregates (and
+  DuckDB's) accumulate DOUBLES in partition order, which is not
+  oracle-stable; integer moments are, and the closed forms need
+  nothing else.
+- cusum_changepoint: CUSUM changepoint argmax_k |n*S_k - k*T| over a
+  per-group ordered series, exact BIGINT throughout (the scaled form
+  avoids the mean division entirely).
+
+Determinism rules (scoring.py module docstring): aggregate exact
+integers only; doubles appear in the final projection, computed from
+those integers with the same expression shape the oracle uses, then
+snapped with floor(x + 0.5) — never round().
+
+Scale shape: every operator pre-collapses to group-level or
+value-histogram grain before any window.  The KS/MWU value grid is
+pooled-distinct-values sized (bucket continuous measures upstream);
+the only global cumsum goes through global_rank_cumsum, the
+range-partitioned two-pass prefix sum, so no unpartitioned WindowExec
+appears at any cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+MICRO = 1_000_000
+
+
+def snap_micro(x: Column) -> Column:
+    """floor(x*1e6 + 0.5) as BIGINT — the repo's standard micro-grid snap
+    (exact on doubles; round() is not cross-engine-stable on .5 grid
+    points)."""
+    return F.floor(x * F.lit(float(MICRO)) + F.lit(0.5)).cast("long")
+
+
+def ks_drift_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample KS statistic of every group's `value_col` distribution
+    against the pooled REST of the data (the drift read: which source
+    moved away from the corpus).
+
+    sup_x |F_g(x) - F_rest(x)| is evaluated on the pooled value grid —
+    both ECDFs only jump there, so the sup is attained at a grid point.
+    With cum_g(v) and cum_all(v) the inclusive cumulative counts,
+
+        dev(g, v) = | cum_g*(N - n_g) - (cum_all - cum_g)*n_g |   (BIGINT)
+        KS(g)     = max_v dev / (n_g * (N - n_g))
+
+    dev is exact integer, so the max and its argmin-value tiebreak are
+    exact; only the final normalization is a double (from exact ints,
+    then micro-snapped).  Emits per group: n_group, n_rest, ks_micro,
+    and ks_at_value (the SMALLEST grid value attaining the sup).
+
+    Scale: the grid frame is |groups| x |distinct values| (histogram
+    grain, not row grain); the global cumulative runs through
+    global_rank_cumsum; the per-group running sum windows over the
+    value grid only.
+
+    Domain: rows with a NULL group or NULL value are excluded up front
+    (an ECDF over NULL is meaningless, and NULL ordering/equality
+    semantics differ between Spark windows and SQL joins — the oracle
+    carries the same WHERE).
+    """
+    df = df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    hist = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count("*").cast("long").alias("__cnt"))
+        .localCheckpoint(eager=False)  # feeds grid, totals, and the frame
+    )
+    groups = hist.groupBy(group_col).agg(F.sum("__cnt").alias("__n_g"))
+    vhist = hist.groupBy(value_col).agg(F.sum("__cnt").alias("__cnt_all"))
+    vcum = global_rank_cumsum(
+        vhist, [F.col(value_col).asc()], sum_col="__cnt_all", cum_col="__cum_all"
+    ).select(value_col, "__cum_all")
+    total = hist.agg(F.sum("__cnt").alias("__n_all"))
+
+    frame = (
+        vcum.crossJoin(F.broadcast(groups))
+        .join(hist, [group_col, value_col], "left")
+        .na.fill({"__cnt": 0})
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    frame = frame.withColumn("__cum_g", F.sum("__cnt").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    dev = F.abs(
+        F.col("__cum_g") * (F.col("__n_all") - F.col("__n_g"))
+        - (F.col("__cum_all") - F.col("__cum_g")) * F.col("__n_g")
+    )
+    devf = frame.select(
+        group_col,
+        value_col,
+        F.col("__n_g"),
+        (F.col("__n_all") - F.col("__n_g")).alias("__n_r"),
+        dev.alias("__dev"),
+    )
+    peak = devf.groupBy(group_col).agg(
+        F.max("__dev").alias("__dev_max"),
+        F.max("__n_g").alias("n_group"),
+        F.max("__n_r").alias("n_rest"),
+    )
+    at = (
+        devf.join(peak.select(group_col, "__dev_max"), group_col)
+        .filter(F.col("__dev") == F.col("__dev_max"))
+        .groupBy(group_col)
+        .agg(F.min(value_col).alias("ks_at_value"))
+    )
+    return (
+        peak.join(at, group_col)
+        .select(
+            group_col,
+            "n_group",
+            "n_rest",
+            snap_micro(
+                F.col("__dev_max").cast("double")
+                / (F.col("n_group").cast("double") * F.col("n_rest").cast("double"))
+            ).alias("ks_micro"),
+            "ks_at_value",
+        )
+    )
+
+
+def mann_whitney_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U of every group vs the pooled rest, from ONE global
+    average-ranking of the pooled values (ranks are shared across all
+    group-vs-rest comparisons, so the ranking is computed once).
+
+    Ties take the average rank; doubling keeps it integer:
+
+        rank2(v) = 2*cum_less(v) + cnt_all(v) + 1
+        2*R_g    = sum_v cnt_g(v) * rank2(v)
+        2*U_g    = 2*R_g - 2 * n_g*(n_g+1)/2 = 2*R_g - n_g*(n_g+1)
+
+    The normal approximation uses the tie-corrected variance
+
+        Var(U) = n_g*n_r/12 * [ (N+1) - sum_v (t^3 - t) / (N*(N-1)) ]
+
+    z = (U - n_g*n_r/2) / sqrt(Var) is computed in doubles from the
+    exact integer moments, then micro-snapped.  Emits per group:
+    n_group, u2 (= 2*U, exact), z_micro.  NULL groups/values are
+    excluded up front (see ks_drift_by_group).
+    """
+    df = df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    hist = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count("*").cast("long").alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vhist = hist.groupBy(value_col).agg(F.sum("__cnt").alias("__cnt_all"))
+    vcum = global_rank_cumsum(
+        vhist, [F.col(value_col).asc()], sum_col="__cnt_all", cum_col="__cum_all"
+    ).select(
+        value_col,
+        "__cnt_all",
+        (2 * (F.col("__cum_all") - F.col("__cnt_all")) + F.col("__cnt_all") + 1).alias(
+            "__rank2"
+        ),
+    )
+    ties = vcum.agg(
+        F.sum(
+            F.col("__cnt_all") * F.col("__cnt_all") * F.col("__cnt_all")
+            - F.col("__cnt_all")
+        ).alias("__tie_sum"),
+        F.sum("__cnt_all").alias("__n_all"),
+    )
+    per_g = (
+        hist.join(vcum.select(value_col, "__rank2"), value_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum("__cnt").alias("n_group"),
+            F.sum(F.col("__cnt") * F.col("__rank2")).alias("__r2"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
+    n_g = F.col("n_group")
+    n_r = F.col("__n_all") - n_g
+    u2 = F.col("__r2") - n_g * (n_g + 1)
+    mean2 = n_g * n_r  # = 2 * E[U]
+    nd = F.col("__n_all").cast("double")
+    var_u = (
+        n_g.cast("double")
+        * n_r.cast("double")
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("__tie_sum").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = F.try_divide((u2 - mean2).cast("double"), F.lit(2.0) * F.sqrt(var_u))
+    return per_g.select(
+        group_col, "n_group", u2.alias("u2"), snap_micro(z).alias("z_micro")
+    )
+
+
+def welch_t_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_long: Column,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between every ordered pair of
+    groups (the A/B read).  `value_long` must already sit on an exact
+    integer grid (cents).
+
+    Per group the exact moments (n, s1 = sum, s2 = sum of squares)
+    collapse map-side; the pair frame is |groups|^2 rows.  Sample
+    variance in the cross-multiplied form  var = (n*s2 - s1^2) /
+    (n*(n-1))  and the Welch statistic
+
+        t  = (s1a/na - s1b/nb) / sqrt(va/na + vb/nb)
+        df = (va/na + vb/nb)^2 / [ (va/na)^2/(na-1) + (vb/nb)^2/(nb-1) ]
+
+    are doubles computed from the exact integers, micro-snapped.  Emits
+    group_a < group_b with n_a, n_b, mean_diff_micro (in value units),
+    t_micro, df_micro.
+    """
+    m = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(value_long).cast("long").alias("__s1"),
+        F.sum(value_long * value_long).cast("long").alias("__s2"),
+    )
+    a = m.select(
+        F.col(group_col).alias("group_a"),
+        F.col("__n").alias("__na"),
+        F.col("__s1").alias("__s1a"),
+        F.col("__s2").alias("__s2a"),
+    )
+    b = m.select(
+        F.col(group_col).alias("group_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__s1").alias("__s1b"),
+        F.col("__s2").alias("__s2b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    va = F.try_divide(
+        na * F.col("__s2a").cast("double")
+        - F.col("__s1a").cast("double") * F.col("__s1a").cast("double"),
+        na * (na - F.lit(1.0)),
+    )
+    vb = F.try_divide(
+        nb * F.col("__s2b").cast("double")
+        - F.col("__s1b").cast("double") * F.col("__s1b").cast("double"),
+        nb * (nb - F.lit(1.0)),
+    )
+    sa, sb = va / na, vb / nb
+    mean_diff = F.col("__s1a").cast("double") / na - F.col("__s1b").cast("double") / nb
+    t = F.try_divide(mean_diff, F.sqrt(sa + sb))
+    dof = F.try_divide(
+        (sa + sb) * (sa + sb),
+        sa * sa / (na - F.lit(1.0)) + sb * sb / (nb - F.lit(1.0)),
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        snap_micro(mean_diff).alias("mean_diff_micro"),
+        snap_micro(t).alias("t_micro"),
+        snap_micro(dof).alias("df_micro"),
+    )
+
+
+def conformal_coverage(
+    df: DataFrame,
+    group_col: str,
+    value_long: Column,
+    id_col: str,
+    q_pct: int = 90,
+) -> DataFrame:
+    """Split-conformal calibration per group (the uncertainty read a
+    model-serving pipeline runs: does the q%-interval actually cover
+    q% of held-out points?).
+
+    Deterministic split on id parity: even ids calibrate, odd ids test.
+    The per-group point prediction is the calibration floor-mean,
+    written as floor(sum::double / n) in BOTH engines — Spark's integer
+    `div` truncates while DuckDB's `//` floors, so the two disagree on
+    negative sums (the hostile fixture injects negated values); the
+    double floor is exact for |sum| < 2^53 and floors everywhere.
+    Nonconformity is |value - pred|.
+    The calibration quantile is the exact k-th smallest nonconformity
+    with k = min(ceil(q*(n_cal+1)/100), n_cal) — the finite-sample
+    conformal index — selected by row_number, so ties are harmless (the
+    VALUE at position k is unique regardless of tie order).  Coverage on
+    the test half is exact-integer: cov_micro = 1e6 * n_covered // n_test.
+
+    `value_long` must be a NONNEGATIVE exact-integer column (cents).
+    Scale: per-group windows over the calibration half only; groups with
+    an empty half drop out (inner joins).
+    """
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col).alias("__id"),
+        value_long.cast("long").alias("__v"),
+    )
+    cal = base.filter(F.col("__id") % 2 == 0)
+    test = base.filter(F.col("__id") % 2 == 1)
+    pred = cal.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_cal"),
+        F.floor(F.sum("__v").cast("double") / F.count("*")).cast("long").alias("pred"),
+    )
+    k = F.least(
+        F.expr(f"({q_pct} * (n_cal + 1) + 99) div 100").cast("long"), F.col("n_cal")
+    )
+    pred = pred.withColumn("__k", k)
+    scored = cal.join(F.broadcast(pred), group_col).withColumn(
+        "__nc", F.abs(F.col("__v") - F.col("pred"))
+    )
+    w = Window.partitionBy(group_col).orderBy("__nc", "__id")
+    qhat = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == F.col("__k"))
+        .select(group_col, F.col("__nc").alias("q_cents"))
+    )
+    cov = (
+        test.join(F.broadcast(pred.select(group_col, "pred")), group_col)
+        .join(F.broadcast(qhat), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                (F.abs(F.col("__v") - F.col("pred")) <= F.col("q_cents")).cast("long")
+            ).alias("__n_cov"),
+        )
+    )
+    return (
+        pred.select(group_col, "n_cal", F.col("pred").alias("pred_cents"))
+        .join(qhat, group_col)
+        .join(cov, group_col)
+        .select(
+            group_col,
+            "n_cal",
+            "n_test",
+            "pred_cents",
+            "q_cents",
+            F.expr(f"(cast({MICRO} as bigint) * __n_cov) div n_test")
+            .cast("long")
+            .alias("cov_micro"),
+        )
+    )
+
+
+def grouped_regression(
+    df: DataFrame,
+    group_col: str,
+    x_long: Column,
+    y_long: Column,
+) -> DataFrame:
+    """Per-group simple OLS of y on x from exact integer moment sums.
+
+    The built-in regr_slope / regr_intercept / regr_r2 aggregates
+    accumulate double partials in partition order — not oracle-stable.
+    Here (n, sx, sy, sxx, sxy, syy) are exact BIGINTs; the closed forms
+
+        slope     = (n*sxy - sx*sy) / (n*sxx - sx^2)
+        intercept = (sy*sxx - sx*sxy) / (n*sxx - sx^2)
+        r2        = (n*sxy - sx*sy)^2 / ((n*sxx - sx^2)(n*syy - sy^2))
+
+    evaluate in doubles FROM those integers (deterministic: one final
+    projection, no distributed double accumulation), micro-snapped.
+    Zero-variance groups emit NULLs via try_divide.  x/y must sit on an
+    exact integer grid sized so the moment sums stay under 2^63 at the
+    target scale (the n*syy PRODUCT is formed in doubles, so only the
+    per-group syy sum itself must fit)."""
+    m = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x_long).cast("long").alias("__sx"),
+        F.sum(y_long).cast("long").alias("__sy"),
+        F.sum(x_long * x_long).cast("long").alias("__sxx"),
+        F.sum(x_long * y_long).cast("long").alias("__sxy"),
+        F.sum(y_long * y_long).cast("long").alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("__sxx").cast("double"),
+        F.col("__sxy").cast("double"),
+        F.col("__syy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return m.select(
+        group_col,
+        "n",
+        snap_micro(F.try_divide(cov_n, var_x)).alias("slope_micro"),
+        snap_micro(F.try_divide(sy * sxx - sx * sxy, var_x)).alias("intercept_micro"),
+        snap_micro(F.try_divide(cov_n * cov_n, var_x * var_y)).alias("r2_micro"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_long: Column,
+) -> DataFrame:
+    """CUSUM changepoint per group over a period-ordered series: the
+    period k maximizing |S_k - k*mean| where S_k is the running sum of
+    per-period totals.  Scaled by n to stay integer:
+
+        dev_k = | n * S_k - k * T |       (BIGINT, exact)
+
+    The argmax is the single most likely mean-shift point (CUSUM /
+    binary-segmentation first split).  Ties resolve to the EARLIEST
+    period.  Emits per group: cp_period, n_periods, total, dev_max —
+    all exact integers, no snapping needed.
+
+    Scale: collapses to (group, period) grain first; the running sum
+    windows per group over periods only (bounded by the calendar, not
+    the data).  NULL groups/periods are excluded up front (Spark windows
+    order NULLS FIRST, DuckDB NULLS LAST — a series point at NULL time
+    has no position anyway)."""
+    df = df.filter(F.col(group_col).isNotNull() & F.col(period_col).isNotNull())
+    daily = df.groupBy(group_col, period_col).agg(
+        F.sum(value_long).cast("long").alias("__x")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(period_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        group_col,
+        period_col,
+        F.sum("__x").over(w).alias("__s"),
+        F.row_number()
+        .over(Window.partitionBy(group_col).orderBy(period_col))
+        .cast("long")
+        .alias("__k"),
+    )
+    tot = daily.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.sum("__x").alias("total"),
+    )
+    devf = cum.join(F.broadcast(tot), group_col).select(
+        group_col,
+        period_col,
+        "n_periods",
+        "total",
+        F.abs(
+            F.col("n_periods") * F.col("__s") - F.col("__k") * F.col("total")
+        ).alias("__dev"),
+    )
+    peak = devf.groupBy(group_col).agg(F.max("__dev").alias("dev_max"))
+    return (
+        devf.join(peak, group_col)
+        .filter(F.col("__dev") == F.col("dev_max"))
+        .groupBy(group_col)
+        .agg(
+            F.min(period_col).alias("cp_period"),
+            F.max("n_periods").alias("n_periods"),
+            F.max("total").alias("total"),
+            F.max("dev_max").alias("dev_max"),
+        )
+        .select(group_col, "cp_period", "n_periods", "total", "dev_max")
+    )

@@ -11050,6 +11050,556 @@ def q_self_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Statistical monitoring family (operators/stats.py): two-sample tests,
+# conformal calibration, per-group OLS, changepoint — the reads a corpus
+# pipeline's monitoring layer runs next to quality scoring.
+# ---------------------------------------------------------------------------
+
+_EVENT_CENTS_SQL = "CAST(round(value * 100) AS BIGINT)"
+
+
+@_q(
+    "source_drift_ks",
+    f"""
+    WITH hist AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    vh AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM hist GROUP BY v),
+    vc AS (
+      SELECT v, CAST(sum(cnt_all) OVER (ORDER BY v) AS BIGINT) AS cum_all FROM vh
+    ),
+    g AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_g FROM hist GROUP BY source),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM hist),
+    frame AS (
+      SELECT g.source, vc.v, vc.cum_all, g.n_g, coalesce(h.cnt, 0) AS cnt
+      FROM vc CROSS JOIN g
+      LEFT JOIN hist h ON h.source = g.source AND h.v = vc.v
+    ),
+    cg AS (
+      SELECT source, v, n_g, cum_all,
+             CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum_g
+      FROM frame
+    ),
+    dev AS (
+      SELECT cg.source, cg.v, cg.n_g, t.n_all - cg.n_g AS n_r,
+             abs(cg.cum_g * (t.n_all - cg.n_g)
+                 - (cg.cum_all - cg.cum_g) * cg.n_g) AS dev
+      FROM cg CROSS JOIN tot t
+    ),
+    pk AS (
+      SELECT source, max(dev) AS dev_max,
+             max(n_g) AS n_group, max(n_r) AS n_rest
+      FROM dev GROUP BY source
+    )
+    SELECT p.source, p.n_group, p.n_rest,
+           CAST(floor(CAST(p.dev_max AS DOUBLE)
+                      / (CAST(p.n_group AS DOUBLE) * CAST(p.n_rest AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS ks_micro,
+           (SELECT min(d.v) FROM dev d
+            WHERE d.source = p.source AND d.dev = p.dev_max) AS ks_at_value
+    FROM pk p
+    """,
+    "two-sample Kolmogorov-Smirnov drift of each source's doc-length "
+    "distribution vs the pooled rest — the monitoring read behind 'which "
+    "source moved'.  The ECDF sup runs on cross-multiplied BIGINTs over "
+    "the pooled value grid (histogram grain, global cumsum through the "
+    "range-partitioned two-pass prefix sum), so the max and its argmin "
+    "grid value are exact; one final double division, micro-snapped",
+)
+def q_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import ks_drift_by_group
+
+    d = table(spark, sf_dir, "documents")
+    return ks_drift_by_group(d, "source", "n_chars")
+
+
+@_q(
+    "source_mann_whitney",
+    """
+    WITH hist AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    vh AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM hist GROUP BY v),
+    vc AS (
+      SELECT v, cnt_all,
+             CAST(2 * (sum(cnt_all) OVER (ORDER BY v) - cnt_all)
+                  + cnt_all + 1 AS BIGINT) AS rank2
+      FROM vh
+    ),
+    ties AS (
+      SELECT CAST(sum(cnt_all * cnt_all * cnt_all - cnt_all) AS BIGINT) AS tie_sum,
+             CAST(sum(cnt_all) AS BIGINT) AS n_all
+      FROM vh
+    ),
+    pg AS (
+      SELECT h.source, CAST(sum(h.cnt) AS BIGINT) AS n_group,
+             CAST(sum(h.cnt * vc.rank2) AS BIGINT) AS r2
+      FROM hist h JOIN vc ON vc.v = h.v GROUP BY 1
+    )
+    SELECT source, n_group,
+           CAST(r2 - n_group * (n_group + 1) AS BIGINT) AS u2,
+           CAST(floor(
+             CAST((r2 - n_group * (n_group + 1)) - n_group * (n_all - n_group)
+                  AS DOUBLE)
+             / (CAST(2 AS DOUBLE) * sqrt(
+                 CAST(n_group AS DOUBLE) * CAST(n_all - n_group AS DOUBLE)
+                 / CAST(12 AS DOUBLE)
+                 * ((CAST(n_all AS DOUBLE) + CAST(1 AS DOUBLE))
+                    - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE)
+                                                  - CAST(1 AS DOUBLE))))))
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z_micro
+    FROM pg CROSS JOIN ties
+    """,
+    "Mann-Whitney rank-sum U of each source's doc lengths vs the pooled "
+    "rest, from ONE shared global average-ranking (doubled ranks stay "
+    "integer under ties; u2 = 2*U is exact BIGINT); the tie-corrected "
+    "normal z is the only double, computed from exact integer moments "
+    "and micro-snapped — the nonparametric sibling of source_drift_ks",
+)
+def q_source_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import mann_whitney_by_group
+
+    d = table(spark, sf_dir, "documents")
+    return mann_whitney_by_group(d, "source", "n_chars")
+
+
+@_q(
+    "event_welch_ttest",
+    f"""
+    WITH m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({_EVENT_CENTS_SQL}) AS BIGINT) AS s1,
+             CAST(sum({_EVENT_CENTS_SQL} * {_EVENT_CENTS_SQL}) AS BIGINT) AS s2
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT a.event_type AS group_a, b.event_type AS group_b,
+             a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
+             b.n AS nb, b.s1 AS s1b, b.s2 AS s2b
+      FROM m a JOIN m b ON a.event_type < b.event_type
+    ),
+    v AS (
+      SELECT *,
+             (CAST(na AS DOUBLE) * CAST(s2a AS DOUBLE)
+              - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+             / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - CAST(1 AS DOUBLE))) AS va,
+             (CAST(nb AS DOUBLE) * CAST(s2b AS DOUBLE)
+              - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+             / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - CAST(1 AS DOUBLE))) AS vb,
+             CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS md
+      FROM p
+    ),
+    s AS (
+      SELECT *, va / CAST(na AS DOUBLE) AS sa, vb / CAST(nb AS DOUBLE) AS sb
+      FROM v
+    )
+    SELECT group_a, group_b, na AS n_a, nb AS n_b,
+           CAST(floor(md * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS mean_diff_micro,
+           CAST(floor(md / sqrt(sa + sb)
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS t_micro,
+           CAST(floor((sa + sb) * (sa + sb)
+                      / (sa * sa / (CAST(na AS DOUBLE) - CAST(1 AS DOUBLE))
+                         + sb * sb / (CAST(nb AS DOUBLE) - CAST(1 AS DOUBLE)))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS df_micro
+    FROM s
+    """,
+    "Welch's unequal-variance t-test between every pair of event types "
+    "on the cents-exact value (the A/B read): per-group (n, sum, sumsq) "
+    "BIGINT moments collapse map-side, the pair frame is |types|^2 "
+    "broadcast rows, and t / Welch-Satterthwaite df are doubles computed "
+    "from the exact integers only at the final projection, micro-snapped",
+)
+def q_event_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import welch_t_pairs
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return welch_t_pairs(e, "event_type", cents)
+
+
+@_q(
+    "event_conformal_coverage",
+    f"""
+    WITH b AS (
+      SELECT event_type, event_id AS id, {_EVENT_CENTS_SQL} AS v FROM events
+    ),
+    cal AS (SELECT * FROM b WHERE id % 2 = 0),
+    tst AS (SELECT * FROM b WHERE id % 2 = 1),
+    pred AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+             CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS pred
+      FROM cal GROUP BY 1
+    ),
+    pk AS (
+      SELECT *, least((90 * (n_cal + 1) + 99) // 100, n_cal) AS k FROM pred
+    ),
+    sc AS (
+      SELECT c.event_type, abs(c.v - p.pred) AS nc, c.id, p.k
+      FROM cal c JOIN pk p USING (event_type)
+    ),
+    q AS (
+      SELECT event_type, nc AS q_cents FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY nc, id) AS rn
+        FROM sc) WHERE rn = k
+    ),
+    cov AS (
+      SELECT t.event_type, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN abs(t.v - p.pred) <= q.q_cents
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ncov
+      FROM tst t JOIN pk p USING (event_type) JOIN q USING (event_type)
+      GROUP BY 1
+    )
+    SELECT p.event_type, p.n_cal, c.n_test, p.pred AS pred_cents, q.q_cents,
+           CAST((1000000 * c.ncov) // c.n_test AS BIGINT) AS cov_micro
+    FROM pk p JOIN q USING (event_type) JOIN cov c USING (event_type)
+    """,
+    "split-conformal calibration per event type: even event_ids "
+    "calibrate (integer-mean point prediction, exact k-th-smallest "
+    "nonconformity at the finite-sample 90% index), odd ids test; "
+    "coverage is exact-integer 1e6*covered//n_test.  The uncertainty "
+    "read a serving pipeline runs to check its intervals actually cover",
+)
+def q_event_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import conformal_coverage
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return conformal_coverage(e, "event_type", cents, "event_id", q_pct=90)
+
+
+@_q(
+    "brand_price_regression",
+    """
+    WITH j AS (
+      SELECT p_brand,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    m AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM j GROUP BY 1
+    )
+    SELECT p_brand, n,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS slope_micro,
+           CAST(floor((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS intercept_micro,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS r2_micro
+    FROM m
+    """,
+    "per-brand OLS of line price on quantity from exact BIGINT moment "
+    "sums (regr_slope/regr_r2 builtins accumulate doubles in partition "
+    "order — not oracle-stable); slope/intercept/R^2 close in doubles "
+    "from the integers at the final projection, micro-snapped.  Part "
+    "dimension broadcasts; y sits on the dollar grid so the syy sum "
+    "stays under 2^63 far past the benchmark scales",
+)
+def q_brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import grouped_regression
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("__x"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long").alias("__y"),
+    )
+    return grouped_regression(j, "p_brand", F.col("__x"), F.col("__y"))
+
+
+@_q(
+    "event_cusum_changepoint",
+    f"""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(sum({_EVENT_CENTS_SQL}) AS BIGINT) AS x
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, day,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS s,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS k
+      FROM d
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods,
+             CAST(sum(x) AS BIGINT) AS total
+      FROM d GROUP BY 1
+    ),
+    dv AS (
+      SELECT c.event_type, c.day, t.n_periods, t.total,
+             abs(t.n_periods * c.s - c.k * t.total) AS dev
+      FROM c JOIN t USING (event_type)
+    ),
+    pk AS (SELECT event_type, max(dev) AS dev_max FROM dv GROUP BY 1)
+    SELECT dv.event_type, min(dv.day) AS cp_period,
+           max(dv.n_periods) AS n_periods, max(dv.total) AS total,
+           CAST(max(dv.dev) AS BIGINT) AS dev_max
+    FROM dv JOIN pk ON dv.event_type = pk.event_type AND dv.dev = pk.dev_max
+    GROUP BY dv.event_type
+    """,
+    "CUSUM changepoint of each event type's daily cents total: argmax_k "
+    "|n*S_k - k*T| over the day-ordered series (the scaled form keeps "
+    "the whole statistic BIGINT-exact — no mean division, no snapping); "
+    "ties resolve to the earliest day.  Collapses to (type, day) grain "
+    "before any window, so the running sum is calendar-bounded",
+)
+def q_event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import cusum_changepoint
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("__cents"),
+    )
+    return cusum_changepoint(e, "event_type", "day", F.col("__cents"))
+
+
+@_q(
+    "classifier_avg_precision",
+    f"""
+    WITH {_CLS_CTES},
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(CAST(s AS DOUBLE) / (CAST(32768 AS DOUBLE) * n_tokens)
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS si
+      FROM cls_agg
+    ),
+    lab AS (
+      SELECT sc.doc_id, sc.si, CAST(d.lang = 'en' AS BIGINT) AS y
+      FROM sc JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY si DESC, doc_id ASC) AS rnk,
+             sum(y) OVER (ORDER BY si DESC, doc_id ASC) AS cp
+      FROM lab
+    ),
+    t AS (
+      SELECT CAST(sum(CASE WHEN y = 1 THEN
+               CAST(floor(CAST(cp AS DOUBLE) / CAST(rnk AS DOUBLE)
+                          * CAST(1000000000 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS s_nano,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM r
+    )
+    SELECT CASE WHEN n_pos > 0
+                THEN CAST(s_nano // (1000 * n_pos) AS BIGINT) END AS ap_micro,
+           n_pos, n_docs
+    FROM t
+    """,
+    "exact average precision (step-definition PR-curve area) of the "
+    "hashed-linear quality classifier against the lang='en' label — the "
+    "imbalance-robust companion of classifier_auc (same score frame, "
+    "one LM pass prices both).  Ranks pin to (score DESC, doc_id ASC) "
+    "so tie conventions can't diverge; each positive's precision term "
+    "snaps to the nano grid before the integer sum; the global ranking "
+    "runs through the range-partitioned two-pass prefix sum",
+)
+def q_classifier_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        average_precision,
+        hashed_linear_score,
+        model_weights_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(d, model_weights_table(spark)).select(
+        "doc_id", F.round(F.col("logit") * F.lit(1e6)).cast("long").alias("si")
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("y")), "doc_id"
+    )
+    return average_precision(labeled, "si", "y", "doc_id")
+
+
+@_q(
+    "embedding_binary_quant_recall",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding AS f,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    n AS (
+      SELECT vec_id, f, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    ),
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) DESC,
+                          b.vec_id ASC) AS rank
+        FROM q a JOIN n b ON a.vec_id <> b.vec_id)
+      WHERE rank <= 10
+    ),
+    bq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(a.f) + 1),
+                            i -> CASE WHEN (a.f[i] > 0) <> (b.f[i] > 0)
+                                 THEN 1 ELSE 0 END)) ASC,
+                          b.vec_id ASC) AS rank
+        FROM q a JOIN n b ON a.vec_id <> b.vec_id)
+      WHERE rank <= 10
+    ),
+    ne AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1
+    ),
+    ov AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM ex e JOIN bq b
+        ON b.query_id = e.query_id AND b.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT ne.query_id, ne.n_exact,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM ne LEFT JOIN ov USING (query_id)
+    """,
+    "recall@10 of the sign-bit binary-quantization scan (64-dim float32 "
+    "-> 64 bits, XOR+popcount distance, entirely JVM-side) against the "
+    "exact cosine top-10 on the same query set — the quality gate before "
+    "shipping the cheapest index tier.  Spark packs sign bits into "
+    "32-bit halves (ANSI-safe MSB-first fold), broadcasts the packed "
+    "queries over ONE candidate scan, and cuts top-k with a partial-"
+    "then-global window pair; both sides pin the neighbor-id tie order "
+    "so the compared sets are exact",
+)
+def q_embedding_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import binary_quant_recall
+
+    e = table(spark, sf_dir, "embeddings")
+    return binary_quant_recall(e, k=10, every=50, dim=64)
+
+
+@_q(
+    "stupid_backoff_nll",
+    f"""
+    WITH {_TOKPOS_SQL},
+    lmtok AS (SELECT * FROM t2 WHERE doc_id % 5 = 0),
+    c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM lmtok GROUP BY term),
+    lmctx AS (
+      SELECT term,
+             lag(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+             lag(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+      FROM lmtok
+    ),
+    c2 AS (
+      SELECT p1, term, CAST(count(*) AS BIGINT) AS c2
+      FROM lmctx WHERE p1 IS NOT NULL GROUP BY 1, 2
+    ),
+    c3 AS (
+      SELECT p2, p1, term, CAST(count(*) AS BIGINT) AS c3
+      FROM lmctx WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS lm_total,
+             CAST(count(*) AS BIGINT) AS lm_vocab
+      FROM c1
+    ),
+    dtok AS (
+      SELECT doc_id, pos, term,
+             lag(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+             lag(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+      FROM t2
+    ),
+    j AS (
+      SELECT d.doc_id, d.term, d.p1, d.p2,
+             c3.c3, cb.c2, cc.c2 AS c2ctx, c1p.c1 AS c1ctx, c1s.c1 AS c1self,
+             t.lm_total, t.lm_vocab
+      FROM dtok d
+      LEFT JOIN c3 ON c3.p2 = d.p2 AND c3.p1 = d.p1 AND c3.term = d.term
+      LEFT JOIN c2 cb ON cb.p1 = d.p1 AND cb.term = d.term
+      LEFT JOIN c2 cc ON cc.p1 = d.p2 AND cc.term = d.p1
+      LEFT JOIN c1 c1p ON c1p.term = d.p1
+      LEFT JOIN c1 c1s ON c1s.term = d.term
+      CROSS JOIN tot t
+    ),
+    lps AS (
+      SELECT doc_id,
+             CAST(floor(ln(
+               CASE
+                 WHEN p2 IS NOT NULL AND c3 IS NOT NULL
+                   THEN CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE)
+                 WHEN p1 IS NOT NULL AND c2 IS NOT NULL
+                   THEN (CASE WHEN p2 IS NOT NULL THEN 0.4 ELSE 1.0 END)
+                        * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE))
+                 ELSE (CASE WHEN p2 IS NOT NULL THEN 0.4 * 0.4
+                            WHEN p1 IS NOT NULL THEN 0.4 ELSE 1.0 END)
+                      * ((CAST(coalesce(c1self, 0) AS DOUBLE)
+                          + CAST(1 AS DOUBLE))
+                         / CAST(lm_total + lm_vocab AS DOUBLE))
+               END) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS lp
+      FROM j
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST((-sum(lp)) // count(*) AS BIGINT) AS sb_nll_micro
+    FROM lps GROUP BY doc_id
+    """,
+    "per-doc NLL under a TRIGRAM stupid-backoff LM (Brants et al. 2007) "
+    "counted on the doc_id %% 5 reference fifth: relative frequencies "
+    "with a fixed 0.4 penalty per backoff level, add-one only at the "
+    "unigram floor — the web-scale scoring rule that skips "
+    "normalization.  Longer-context sibling of ngram_lm_perplexity; "
+    "per-token ln(p) snaps to the micro grid from exact BIGINT counts, "
+    "so doc scores are aggregation-order-independent",
+)
+def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import stupid_backoff_nll
+
+    d = table(spark, sf_dir, "documents")
+    lm = d.filter((F.col("doc_id") % 5) == 0)
+    return stupid_backoff_nll(d, lm)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
