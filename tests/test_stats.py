@@ -166,3 +166,99 @@ def test_null_domains_excluded(spark):
     cdf = spark.createDataFrame(c_rows, "g string, day string, v long")
     cu = cusum_changepoint(cdf, "g", "day", F.col("v")).collect()
     assert len(cu) == 1 and cu[0]["g"] == "a" and cu[0]["n_periods"] == 1
+
+
+def test_spearman_known_answers(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import spearman_rho
+
+    # perfect monotone (nonlinear) relation -> rho = 1
+    rows = [(x, x * x * x) for x in range(1, 15)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    assert spearman_rho(df, "a", "b").collect()[0]["rho_micro"] == 1_000_000
+
+    # perfect anti-monotone -> rho = -1
+    rows2 = [(x, 100 - x) for x in range(1, 15)]
+    df2 = spark.createDataFrame(rows2, "a long, b long")
+    assert spearman_rho(df2, "a", "b").collect()[0]["rho_micro"] == -1_000_000
+
+    # constant column -> NULL (zero rank variance), not a divide error
+    df3 = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "a long, b long")
+    assert spearman_rho(df3, "a", "b").collect()[0]["rho_micro"] is None
+
+
+def test_spearman_ties_average_rank(spark):
+    """x = (1,2,2,3) vs y = (1,2,3,4): classic tie case; rho =
+    Pearson on average ranks = 0.9428090... -> 942809 on the grid."""
+    from wellmeet_data_pipeline_spark.operators.stats import spearman_rho
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = spearman_rho(df, "a", "b").collect()[0]["rho_micro"]
+    import math
+
+    # ranks of a: 1, 2.5, 2.5, 4; ranks of b: 1,2,3,4
+    ra, rb = [1, 2.5, 2.5, 4], [1, 2, 3, 4]
+    n = 4
+    sa, sb = sum(ra), sum(rb)
+    num = n * sum(x * y for x, y in zip(ra, rb)) - sa * sb
+    den = math.sqrt(
+        (n * sum(x * x for x in ra) - sa * sa) * (n * sum(y * y for y in rb) - sb * sb)
+    )
+    assert got == math.floor(num / den * 1e6 + 0.5)
+
+
+def test_gini_known_answers(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import gini_by_group
+
+    # perfect equality -> 0
+    eq = spark.createDataFrame([("g", i, 10) for i in range(5)], "g string, id long, x long")
+    assert gini_by_group(eq, "g", "id", F.col("x")).collect()[0]["gini_micro"] == 0
+
+    # one member owns everything among n=4 -> G = (n-1)/n = 0.75
+    mono = spark.createDataFrame(
+        [("g", 1, 0), ("g", 2, 0), ("g", 3, 0), ("g", 4, 100)],
+        "g string, id long, x long",
+    )
+    assert gini_by_group(mono, "g", "id", F.col("x")).collect()[0]["gini_micro"] == 750_000
+
+    # all-zero group -> NULL, not divide error
+    z = spark.createDataFrame([("g", 1, 0), ("g", 2, 0)], "g string, id long, x long")
+    assert gini_by_group(z, "g", "id", F.col("x")).collect()[0]["gini_micro"] is None
+
+
+def test_entropy_known_answers(spark):
+    import math
+
+    from wellmeet_data_pipeline_spark.operators.stats import shannon_entropy_by_group
+
+    rows = (
+        [("u1", "a")] * 4
+        + [("u2", t) for t in ("a", "b", "c", "d")]
+        + [("u3", "a"), ("u3", "a"), ("u3", "b")]
+    )
+    df = spark.createDataFrame(rows, "g string, t string")
+    out = {r["g"]: r for r in shannon_entropy_by_group(df, "g", "t").collect()}
+    assert out["u1"]["entropy_nats"] == 0.0 and out["u1"]["n_items"] == 1
+    assert abs(out["u2"]["entropy_nats"] - math.log(4)) < 1e-6
+    h3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert abs(out["u3"]["entropy_nats"] - h3) < 1e-6
+
+
+def test_bloom_plan_formula(spark):
+    import math
+
+    from wellmeet_data_pipeline_spark.operators.stats import bloom_parameter_plan
+
+    rows = [("t", i) for i in range(1000)] + [("s", 0)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r["g"]: r for r in bloom_parameter_plan(df, "g", "k").collect()}
+    n = 1000
+    m = math.ceil(n * 4.605170185988091 / (0.6931471805599453**2))
+    k = max(1, math.floor(m / n * 0.6931471805599453 + 0.5))
+    assert out["t"]["n_keys"] == n and out["t"]["m_bits"] == m
+    assert out["t"]["k_hashes"] == k
+    # realized fpp should sit near the 1% target
+    assert 8_000 <= out["t"]["fpp_micro"] <= 11_000
+    # single-key group: k clamps to >= 1 and the plan stays finite
+    assert out["s"]["n_keys"] == 1 and out["s"]["k_hashes"] >= 1

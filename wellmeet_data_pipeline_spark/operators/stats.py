@@ -493,3 +493,207 @@ def cusum_changepoint(
         )
         .select(group_col, "cp_period", "n_periods", "total", "dev_max")
     )
+
+
+def _avg_rank2(df: DataFrame, value_col: str, out_col: str) -> DataFrame:
+    """(value, rank2) — DOUBLED average ranks of the values in `df`
+    (one row per distinct value; ties get min+max which is integer),
+    computed on the value histogram through global_rank_cumsum.  The
+    shared rank primitive of mann_whitney_by_group and spearman_rho."""
+    vhist = df.groupBy(value_col).agg(F.count("*").cast("long").alias("__cnt"))
+    return global_rank_cumsum(
+        vhist, [F.col(value_col).asc()], sum_col="__cnt", cum_col="__cum"
+    ).select(
+        value_col,
+        (2 * (F.col("__cum") - F.col("__cnt")) + F.col("__cnt") + 1).alias(out_col),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Tie-aware Spearman rank correlation between two exact-grid
+    columns: Pearson on DOUBLED average ranks (integer under ties), so
+    every aggregate is an exact BIGINT and rho is one double expression
+    from six integers, micro-snapped:
+
+        rho = (n*sab - sa*sb) / sqrt((n*saa - sa^2) * (n*sbb - sb^2))
+
+    The monitoring read behind "does the quality score just track
+    length?" — a monotone-association check the Pearson-on-raw-values
+    correlation (stats_correlation) can't give.  NULL pairs are
+    excluded.  Emits one row (n, rho_micro); NULL rho on a constant
+    column via try_divide.
+
+    Scale: two value-histogram rankings through the range-partitioned
+    prefix sum + two broadcast-joins back onto the pair frame; the
+    moment products that would overflow int64 (n*saa at 10^8+ rows)
+    form in doubles from the exact sums."""
+    pairs = df.select(a_col, b_col).filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    )
+    ra = _avg_rank2(pairs, a_col, "__ra")
+    rb = _avg_rank2(pairs, b_col, "__rb")
+    j = pairs.join(ra, a_col).join(rb, b_col)
+    m = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__ra").cast("long").alias("__sa"),
+        F.sum("__rb").cast("long").alias("__sb"),
+        F.sum(F.col("__ra") * F.col("__ra")).cast("long").alias("__saa"),
+        F.sum(F.col("__rb") * F.col("__rb")).cast("long").alias("__sbb"),
+        F.sum(F.col("__ra") * F.col("__rb")).cast("long").alias("__sab"),
+    )
+    n = F.col("n").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    saa, sbb, sab = (
+        F.col("__saa").cast("double"),
+        F.col("__sbb").cast("double"),
+        F.col("__sab").cast("double"),
+    )
+    return m.select(
+        "n",
+        snap_micro(
+            F.try_divide(
+                n * sab - sa * sb,
+                F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            )
+        ).alias("rho_micro"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_long: Column,
+) -> DataFrame:
+    """Per-group Gini coefficient of a NONNEGATIVE exact-integer value —
+    the inequality read next to supplier_concentration_hhi's
+    concentration: how unevenly is revenue spread across a group's
+    members.  Standard rank form over values sorted ascending:
+
+        G = (2 * sum r*x - (n+1) * sum x) / (n * sum x)
+
+    Ranks come from a per-group row_number on (x, id) — equal values
+    can permute freely without changing sum r*x, so the statistic is
+    tie-stable; the id tiebreak just pins the plan.  Numerator and
+    denominator are exact BIGINTs (sum r*x stays under 2^63 through
+    ~10^5-member groups at cent grain), the division is the only
+    double, micro-snapped; an all-zero group emits NULL via
+    try_divide.  NULL groups are excluded."""
+    base = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col), F.col(id_col).alias("__id"), value_long.alias("__x")
+    )
+    w = Window.partitionBy(group_col).orderBy("__x", "__id")
+    ranked = base.withColumn("__r", F.row_number().over(w).cast("long"))
+    m = ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("__x").cast("long").alias("total"),
+        F.sum(F.col("__r") * F.col("__x")).cast("long").alias("__srx"),
+    )
+    num = (2 * F.col("__srx") - (F.col("n_members") + 1) * F.col("total")).cast(
+        "double"
+    )
+    den = (F.col("n_members") * F.col("total")).cast("double")
+    return m.select(
+        group_col,
+        "n_members",
+        "total",
+        snap_micro(F.try_divide(num, den)).alias("gini_micro"),
+    )
+
+
+def shannon_entropy_by_group(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Shannon entropy (nats) of each group's item-type mix — the
+    behavioral-diversity read (a user doing one thing has H = 0; uniform
+    over k types has H = ln k).  Each -(c/n)*ln(c/n) term snaps to the
+    1e-12 grid and integer-sums per group (the bigram_cond_entropy
+    discipline), so the scalar is aggregation-order-independent; the
+    final rounding to `round_digits` is the only visible double.  NULL
+    groups/items excluded; emits (group, n_events, n_items,
+    entropy_nats)."""
+    base = df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+    c = base.groupBy(group_col, item_col).agg(F.count("*").cast("long").alias("__c"))
+    nper = c.groupBy(group_col).agg(
+        F.sum("__c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+    scale = 1e12
+    term = F.floor(
+        -(F.col("__c").cast("double") / F.col("n_events"))
+        * F.log(F.col("__c").cast("double") / F.col("n_events"))
+        * F.lit(scale)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        c.join(nper, group_col)
+        .withColumn("__e", term)
+        .groupBy(group_col)
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_items").alias("n_items"),
+            F.round(F.sum("__e").cast("double") / F.lit(scale), round_digits).alias(
+                "entropy_nats"
+            ),
+        )
+    )
+
+
+# ln(2) and ln(0.01) as fixed literals: the planner formula must hash-match
+# the oracle, and constant-folding ln() through two engines' libm is a
+# dependency the repo doesn't otherwise take.
+_LN2 = 0.6931471805599453
+_LN_P001 = -4.605170185988091  # ln(0.01)
+
+
+def bloom_parameter_plan(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Bloom-filter sizing per group at a 1% target false-positive rate —
+    the planning read run before provisioning the streaming dedup
+    filters (streaming/bloom.py): from the EXACT distinct-key count n,
+
+        m_bits   = ceil(-n * ln(p) / ln(2)^2)
+        k_hashes = max(1, floor(m/n * ln2 + 0.5))
+        fpp      = (1 - exp(-k*n/m))^k   (the realized rate at m, k)
+
+    ln(p) and ln(2) are pinned numeric literals (not engine ln() calls)
+    so both engines compute the identical double expression from the
+    exact integer n; fpp micro-snaps.  Groups with n = 0 can't occur
+    (count-distinct of an existing group is >= 1 after the null filter).
+
+    Scale: one exact count-distinct per group (partial aggregation
+    map-side); everything downstream is |groups| rows."""
+    base = df.filter(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
+    n = base.groupBy(group_col).agg(
+        F.countDistinct(key_col).cast("long").alias("n_keys")
+    )
+    nd = F.col("n_keys").cast("double")
+    m_bits = F.ceil(-nd * F.lit(_LN_P001) / (F.lit(_LN2) * F.lit(_LN2))).cast("long")
+    out = n.withColumn("m_bits", m_bits)
+    md = F.col("m_bits").cast("double")
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(md / nd * F.lit(_LN2) + F.lit(0.5)).cast("long"),
+    )
+    out = out.withColumn("k_hashes", k)
+    kd = F.col("k_hashes").cast("double")
+    fpp = F.pow(
+        F.lit(1.0) - F.exp(-(kd * nd) / F.col("m_bits").cast("double")), kd
+    )
+    return out.select(
+        group_col,
+        "n_keys",
+        "m_bits",
+        "k_hashes",
+        snap_micro(fpp).alias("fpp_micro"),
+    )

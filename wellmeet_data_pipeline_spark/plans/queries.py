@@ -11600,6 +11600,222 @@ def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_nll(d, lm)
 
 
+@_q(
+    "nation_revenue_gini",
+    """
+    WITH cr AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(coalesce(sum(round(o.o_totalprice * 100)), 0) AS BIGINT) AS x
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT cr.*, n.n_name,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY x, c_custkey) AS BIGINT) AS r
+      FROM cr JOIN nation n ON cr.c_nationkey = n.n_nationkey
+    ),
+    m AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(x) AS BIGINT) AS total,
+             CAST(sum(r * x) AS BIGINT) AS srx
+      FROM r GROUP BY 1
+    )
+    SELECT n_name, n_members, total,
+           CAST(floor(CAST(2 * srx - (n_members + 1) * total AS DOUBLE)
+                      / CAST(n_members * total AS DOUBLE)
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS gini_micro
+    FROM m
+    """,
+    "Gini coefficient of customer lifetime revenue within each nation — "
+    "the inequality read next to supplier_concentration_hhi's "
+    "concentration.  Orders pre-aggregate to customer grain (cents-"
+    "exact) before the broadcast nation join; ranks are a per-nation "
+    "window on (revenue, custkey) — tie-stable because equal values "
+    "permute freely in sum r*x; numerator and denominator stay BIGINT "
+    "to the single snapped division.  Zero-order customers count at 0",
+)
+def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import gini_by_group
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)).alias("__rx"))
+    )
+    base = (
+        c.join(rev, c.c_custkey == rev.o_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.coalesce(F.col("__rx"), F.lit(0)).cast("long").alias("__x"),
+        )
+    )
+    return gini_by_group(base, "n_name", "c_custkey", F.col("__x"))
+
+
+@_q(
+    "quality_length_spearman",
+    f"""
+    WITH {_CLS_CTES},
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(CAST(s AS DOUBLE) / (CAST(32768 AS DOUBLE) * n_tokens)
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS si
+      FROM cls_agg
+    ),
+    pr AS (
+      SELECT d.n_chars AS a, sc.si AS b
+      FROM sc JOIN documents d USING (doc_id)
+      WHERE d.n_chars IS NOT NULL
+    ),
+    ha AS (SELECT a, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY a),
+    ra AS (
+      SELECT a, CAST(2 * (sum(c) OVER (ORDER BY a) - c) + c + 1 AS BIGINT) AS ra
+      FROM ha
+    ),
+    hb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY b),
+    rb AS (
+      SELECT b, CAST(2 * (sum(c) OVER (ORDER BY b) - c) + c + 1 AS BIGINT) AS rb
+      FROM hb
+    ),
+    j AS (SELECT ra.ra, rb.rb FROM pr JOIN ra USING (a) JOIN rb USING (b)),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+             CAST(sum(ra * ra) AS BIGINT) AS saa,
+             CAST(sum(rb * rb) AS BIGINT) AS sbb,
+             CAST(sum(ra * rb) AS BIGINT) AS sab
+      FROM j
+    )
+    SELECT n,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                       - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS rho_micro
+    FROM m
+    """,
+    "tie-aware Spearman rank correlation between doc length and the "
+    "hashed-linear quality score (does the classifier just track "
+    "length?) — Pearson on DOUBLED average ranks so every aggregate is "
+    "exact BIGINT; the two rankings run on value histograms through the "
+    "range-partitioned prefix sum; rho closes in one double expression, "
+    "micro-snapped.  Monotone-association sibling of stats_correlation",
+)
+def q_quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        hashed_linear_score,
+        model_weights_table,
+    )
+    from wellmeet_data_pipeline_spark.operators.stats import spearman_rho
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(d, model_weights_table(spark)).select(
+        "doc_id", F.round(F.col("logit") * F.lit(1e6)).cast("long").alias("si")
+    )
+    pairs = scored.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        F.col("n_chars").alias("__a"), F.col("si").alias("__b")
+    )
+    return spearman_rho(pairs, "__a", "__b")
+
+
+@_q(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    np AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM c GROUP BY 1
+    ),
+    t AS (
+      SELECT c.user_id, np.n_events, np.n_items,
+             CAST(floor(-(CAST(c.c AS DOUBLE) / np.n_events)
+                        * ln(CAST(c.c AS DOUBLE) / np.n_events)
+                        * CAST(1000000000000 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e
+      FROM c JOIN np USING (user_id)
+    )
+    SELECT user_id, max(n_events) AS n_events, max(n_items) AS n_items,
+           round(CAST(sum(e) AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 6)
+             AS entropy_nats
+    FROM t GROUP BY user_id
+    """,
+    "Shannon entropy (nats) of each user's event-type mix — the "
+    "behavioral-diversity read (H = 0 single-type, ln k uniform over "
+    "k).  Each -(c/n)ln(c/n) term snaps to the 1e-12 grid and integer-"
+    "sums per user (the bigram_cond_entropy discipline); collapses to "
+    "(user, type) grain map-side before any join",
+)
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import shannon_entropy_by_group
+
+    e = table(spark, sf_dir, "events")
+    return shannon_entropy_by_group(e, "user_id", "event_type")
+
+
+@_q(
+    "bloom_size_plan",
+    """
+    WITH n AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n_keys,
+             CAST(ceil(-CAST(n_keys AS DOUBLE) * (-4.605170185988091)
+                       / (0.6931471805599453 * 0.6931471805599453)) AS BIGINT)
+               AS m_bits
+      FROM n
+    ),
+    k AS (
+      SELECT *, greatest(CAST(1 AS BIGINT),
+                         CAST(floor(CAST(m_bits AS DOUBLE)
+                                    / CAST(n_keys AS DOUBLE)
+                                    * 0.6931471805599453
+                                    + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS k_hashes
+      FROM m
+    )
+    SELECT event_type, n_keys, m_bits, k_hashes,
+           CAST(floor(pow(CAST(1 AS DOUBLE)
+                          - exp(-(CAST(k_hashes AS DOUBLE)
+                                  * CAST(n_keys AS DOUBLE))
+                                / CAST(m_bits AS DOUBLE)),
+                          CAST(k_hashes AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS fpp_micro
+    FROM k
+    """,
+    "Bloom-filter sizing per event type at 1%% target FPP from the "
+    "EXACT distinct-user count — the planning read run before "
+    "provisioning the streaming dedup filters (streaming/bloom.py); "
+    "ln(2)/ln(0.01) are pinned numeric literals so both engines fold "
+    "the identical double constants, and the realized (1-e^{-kn/m})^k "
+    "micro-snaps.  Planning sibling of lsh_cost_estimate",
+)
+def q_bloom_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import bloom_parameter_plan
+
+    e = table(spark, sf_dir, "events")
+    return bloom_parameter_plan(e, "event_type", "user_id")
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
