@@ -1749,3 +1749,67 @@ def test_streaming_fingerprint_registry_matches_batch_and_replays(spark, tmp_pat
         map(tuple, read_current(spark, store, id_col=["doc_id", "pos", "fp"]).collect())
     )
     assert again == want
+
+
+def test_streaming_cusum_monitor_parity_and_replay(spark, tmp_path):
+    """The streaming drift monitor must (a) match the batch
+    cusum_changepoint on the same data, (b) absorb an at-least-once
+    replay of a (group, period, batch) partial, (c) return an empty
+    typed frame before the store exists."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from wellmeet_data_pipeline_spark.operators.stats import cusum_changepoint
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.analytics import (
+        current_changepoint,
+        run_streaming_period_totals,
+    )
+
+    landing = tmp_path / "cusum_landing"
+    landing.mkdir()
+    store = str(tmp_path / "cusum_store")
+    ckpt = str(tmp_path / "cusum_ckpt")
+    schema = StructType(
+        [
+            StructField("g", StringType()),
+            StructField("day", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+
+    assert current_changepoint(spark, store, "g", "day").count() == 0
+
+    rows1 = [{"g": "t", "day": f"2024-01-{d:02d}", "v": 10} for d in range(1, 8)]
+    _drop(landing, "a.json", rows1)
+    run_streaming_period_totals(
+        spark, str(landing), store, ckpt, schema, "g", "day", "v"
+    )
+    # shift arrives in a later file — including a late partial for day 7
+    rows2 = [{"g": "t", "day": f"2024-01-{d:02d}", "v": 50} for d in range(8, 15)]
+    rows2.append({"g": "t", "day": "2024-01-07", "v": 5})
+    _drop(landing, "b.json", rows2)
+    run_streaming_period_totals(
+        spark, str(landing), store, ckpt, schema, "g", "day", "v"
+    )
+
+    got = current_changepoint(spark, store, "g", "day").collect()
+    all_rows = rows1 + rows2
+    batch = cusum_changepoint(
+        spark.createDataFrame(
+            [(r["g"], r["day"], r["v"]) for r in all_rows],
+            "g string, day string, v long",
+        ),
+        "g",
+        "day",
+        F.col("v"),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+    assert got[0]["cp_period"] == "2024-01-07"  # last pre-shift day
+
+    # at-least-once replay: same (group, period, batch) identity appended
+    # again must not change the answer
+    replay = spark.createDataFrame([("t", "2024-01-07", 10)], "g string, day string, x long")
+    merge_append(replay, store, id_col="g", partition_col=None, batch_seq=0)
+    again = current_changepoint(spark, store, "g", "day").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in batch]

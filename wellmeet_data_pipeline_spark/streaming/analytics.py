@@ -392,3 +392,81 @@ def current_source_psi(spark: SparkSession, bins_store: str, n_bins: int = 10) -
         return spark.createDataFrame([], "source string, psi_micro bigint")
     cs = cur.groupBy("source", "bin").agg(F.sum("c").alias("c"))
     return psi_from_source_bin_counts(cs, n_bins=n_bins)
+
+
+def run_streaming_period_totals(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+) -> None:
+    """Drain the landing stream (availableNow), appending per-batch
+    PARTIAL (group, period) value totals — the incremental substrate of
+    the CUSUM drift monitor.  Same store contract as
+    run_streaming_key_counts: partials are identified by (group, period,
+    batch seq), replays re-append the same identity and dedup on read,
+    so period totals are exactly-once without read-modify-write."""
+    stream = spark.readStream.schema(schema).option("multiLine", "true").json(
+        landing_dir
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        totals = (
+            batch_df.filter(
+                F.col(group_col).isNotNull() & F.col(period_col).isNotNull()
+            )
+            .groupBy(group_col, period_col)
+            .agg(F.sum(value_col).cast("long").alias("x"))
+        )
+        if totals.isEmpty():
+            return
+        merge_append(
+            totals,
+            store_path,
+            id_col=group_col,
+            partition_col=None,
+            batch_seq=batch_id,
+        )
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def current_changepoint(
+    spark: SparkSession,
+    store_path: str,
+    group_col: str,
+    period_col: str,
+    group_type: str = "string",
+) -> DataFrame:
+    """The consumer view of the streaming CUSUM drift monitor: dedup the
+    partial store on (group, period, batch seq), roll partials up to
+    true period totals, and hand them to the SAME batch operator
+    (operators.stats.cusum_changepoint) — the monitor and the batch
+    read stay contract-identical by construction, exactly like
+    current_heavy_hitters vs threshold_heavy_hitters.  Empty store →
+    empty frame with the operator's schema."""
+    from wellmeet_data_pipeline_spark.operators.stats import cusum_changepoint
+
+    cur = read_current_or_none(
+        spark, store_path, id_col=[group_col, period_col, "_batch_seq"]
+    )
+    if cur is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} {group_type}, cp_period string, n_periods bigint, "
+            "total bigint, dev_max bigint",
+        )
+    totals = cur.groupBy(group_col, period_col).agg(
+        F.sum("x").cast("long").alias("__x")
+    )
+    return cusum_changepoint(totals, group_col, period_col, F.col("__x"))
