@@ -262,3 +262,43 @@ def test_bloom_plan_formula(spark):
     assert 8_000 <= out["t"]["fpp_micro"] <= 11_000
     # single-key group: k clamps to >= 1 and the plan stays finite
     assert out["s"]["n_keys"] == 1 and out["s"]["k_hashes"] >= 1
+
+
+def test_quantile_normalize_known_answer(spark):
+    """Two equal-size groups with shifted values: after normalization
+    both groups carry the SAME multiset (the pooled quantile values),
+    and within-group order is preserved."""
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        quantile_normalize_by_group,
+    )
+
+    rows = [("a", i, v) for i, v in enumerate([10, 20, 30, 40])] + [
+        ("b", 10 + i, v) for i, v in enumerate([110, 120, 130, 140])
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = quantile_normalize_by_group(df, "g", "id", "v").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["v"], r["norm_value"]))
+    for g in ("a", "b"):
+        vals = sorted(by_g[g])
+        # same normalized multiset for both groups: the pooled values at
+        # quantile positions 1/4, 2/4, 3/4, 4/4 of N=8 -> ranks 2,4,6,8
+        pooled = sorted([10, 20, 30, 40, 110, 120, 130, 140])
+        assert [n for _, n in vals] == [pooled[1], pooled[3], pooled[5], pooled[7]]
+        # order preserved
+        assert [n for _, n in vals] == sorted(n for _, n in vals)
+
+
+def test_quantile_normalize_ties_share_value(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        quantile_normalize_by_group,
+    )
+
+    rows = [("a", 1, 5), ("a", 2, 5), ("a", 3, 9), ("b", 4, 1), ("b", 5, 2), ("b", 6, 3)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = {r["id"]: r["norm_value"] for r in
+           quantile_normalize_by_group(df, "g", "id", "v").collect()}
+    assert out[1] == out[2]  # tied inputs -> one normalized value
+    # identity case: normalizing one group against itself is monotone
+    assert out[4] <= out[5] <= out[6]

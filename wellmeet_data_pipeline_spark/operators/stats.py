@@ -697,3 +697,83 @@ def bloom_parameter_plan(
         "k_hashes",
         snap_micro(fpp).alias("fpp_micro"),
     )
+
+
+def quantile_normalize_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization of `value_col` ACROSS groups: each row's
+    value is replaced by the POOLED value at the same quantile position
+    the row occupies within its own group — the batch-effect remover
+    (microarray lineage) that forces every group's marginal distribution
+    onto the pooled one while preserving within-group order.  The read a
+    curation pipeline runs to compare per-source quality/length scores
+    on one scale.
+
+    Entirely exact-integer — no interpolation, no doubles:
+
+        rank2_g  = doubled average rank of the value within its group
+        target   = ceil(rank2_g * N / (2 * n_g))        (in 1..N)
+        norm     = pooled value at inclusive rank `target`
+
+    The pooled rank->value map comes from exploding the value histogram
+    cum ranges (sum of counts = N rows, row grain, distributed); the
+    per-group ranking windows over each group's value histogram.  Ties
+    inside a group share one rank2 and therefore one normalized value.
+    NULL groups/values are excluded.  Emits (id, group, value,
+    norm_value)."""
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(id_col), F.col(group_col), F.col(value_col))
+
+    ghist = base.groupBy(group_col, value_col).agg(
+        F.count("*").cast("long").alias("__cnt")
+    )
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    granks = ghist.withColumn("__cum_g", F.sum("__cnt").over(wg)).select(
+        group_col,
+        value_col,
+        (
+            2 * (F.col("__cum_g") - F.col("__cnt")) + F.col("__cnt") + 1
+        ).alias("__rank2"),
+    )
+    gtot = base.groupBy(group_col).agg(F.count("*").cast("long").alias("__n_g"))
+
+    vhist = base.groupBy(value_col).agg(F.count("*").cast("long").alias("__cnt_all"))
+    vcum = global_rank_cumsum(
+        vhist, [F.col(value_col).asc()], sum_col="__cnt_all", cum_col="__cum_all"
+    )
+    pooled = vcum.select(
+        F.col(value_col).alias("__norm"),
+        F.explode(
+            F.sequence(
+                F.col("__cum_all") - F.col("__cnt_all") + 1, F.col("__cum_all")
+            )
+        ).alias("__target"),
+    )
+    total = base.agg(F.count("*").cast("long").alias("__n_all"))
+
+    tagged = (
+        base.join(granks, [group_col, value_col])
+        .join(F.broadcast(gtot), group_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__target",
+            F.expr("(__rank2 * __n_all + 2 * __n_g - 1) div (2 * __n_g)").cast(
+                "long"
+            ),
+        )
+    )
+    return tagged.join(pooled, "__target").select(
+        id_col,
+        group_col,
+        value_col,
+        F.col("__norm").alias("norm_value"),
+    )

@@ -11816,6 +11816,141 @@ def q_bloom_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_parameter_plan(e, "event_type", "user_id")
 
 
+@_q(
+    "weekday_seasonal_anomalies",
+    f"""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(sum({_EVENT_CENTS_SQL}) AS BIGINT) AS x
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    dd AS (SELECT *, isodow(CAST(day AS DATE)) AS dow FROM d),
+    b AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(x) AS BIGINT) AS sd
+      FROM dd GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT dd.event_type, dd.day, dd.x AS day_cents,
+             CAST(dd.dow AS BIGINT) AS dow,
+             CAST(floor(CAST(b.sd AS DOUBLE) / CAST(b.nd AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS baseline_micro,
+             CAST(floor((CAST(dd.x AS DOUBLE)
+                         - CAST(b.sd AS DOUBLE) / CAST(b.nd AS DOUBLE))
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS resid_micro
+      FROM dd JOIN b USING (event_type, dow)
+    )
+    SELECT * FROM r
+    ORDER BY abs(resid_micro) DESC, day, event_type
+    LIMIT 20
+    """,
+    "top-20 seasonality-adjusted daily anomalies: each (type, day) cents "
+    "total measured against its OWN weekday's baseline mean (Monday "
+    "compares to Mondays), the adjustment daily_anomaly_mad's raw "
+    "day-over-day read can't make.  Weekday bridges the engines as "
+    "Spark weekday()+1 == DuckDB isodow (both ISO, Monday=1); residuals "
+    "snap from exact integer sums; the cut is a deterministic "
+    "TakeOrdered on (|resid|, day, type)",
+)
+def q_weekday_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0)).cast("long").alias("x"))
+    dd = d.withColumn("dow", (F.weekday(F.to_date("day")) + 1).cast("long"))
+    b = dd.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("sd"),
+    )
+    baseline = F.col("sd").cast("double") / F.col("nd").cast("double")
+    r = dd.join(b, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        F.col("x").alias("day_cents"),
+        "dow",
+        F.floor(baseline * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("baseline_micro"),
+        F.floor(
+            (F.col("x").cast("double") - baseline) * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("resid_micro"),
+    )
+    return r.orderBy(
+        F.abs(F.col("resid_micro")).desc(), F.col("day"), F.col("event_type")
+    ).limit(20)
+
+
+@_q(
+    "length_quantile_normalize",
+    """
+    WITH base AS (
+      SELECT doc_id, source, n_chars AS v
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    gh AS (
+      SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2
+    ),
+    gr AS (
+      SELECT source, v,
+             CAST(2 * (sum(cnt) OVER (PARTITION BY source ORDER BY v) - cnt)
+                  + cnt + 1 AS BIGINT) AS rank2
+      FROM gh
+    ),
+    gt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g FROM base GROUP BY 1),
+    vh AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt_all FROM base GROUP BY v),
+    vc AS (
+      SELECT v, cnt_all,
+             CAST(sum(cnt_all) OVER (ORDER BY v) AS BIGINT) AS cum_all
+      FROM vh
+    ),
+    pooled AS (
+      SELECT v AS norm_v,
+             unnest(range(cum_all - cnt_all + 1, cum_all + 1)) AS target
+      FROM vc
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
+    tagged AS (
+      SELECT b.doc_id, b.source, b.v,
+             (gr.rank2 * t.n_all + 2 * gt.n_g - 1) // (2 * gt.n_g) AS target
+      FROM base b
+      JOIN gr ON gr.source = b.source AND gr.v = b.v
+      JOIN gt ON gt.source = b.source
+      CROSS JOIN tot t
+    )
+    SELECT tg.doc_id, tg.source, tg.v AS n_chars,
+           CAST(p.norm_v AS BIGINT) AS norm_value
+    FROM tagged tg JOIN pooled p ON p.target = tg.target
+    """,
+    "quantile normalization of doc length across sources (microarray-"
+    "lineage batch-effect remover): each doc's length maps to the "
+    "POOLED length at its within-source quantile position — exact-"
+    "integer end to end (doubled average ranks, ceil via integer "
+    "division, pooled rank->value map by exploding histogram cum "
+    "ranges; no interpolation doubles).  Puts every source's marginal "
+    "on one scale while preserving within-source order",
+)
+def q_length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        quantile_normalize_by_group,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    out = quantile_normalize_by_group(d, "source", "doc_id", "n_chars")
+    return out.select(
+        "doc_id", "source", "n_chars", F.col("norm_value").cast("long")
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
