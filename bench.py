@@ -176,6 +176,22 @@ HEADLINE = [
     "minhash_union_parity",
     "min_k_prob_score",
     "self_bleu_pairs",
+    # round 10b additions: statistical monitoring + quantized serving
+    "source_drift_ks",
+    "source_mann_whitney",
+    "event_welch_ttest",
+    "event_conformal_coverage",
+    "brand_price_regression",
+    "event_cusum_changepoint",
+    "classifier_avg_precision",
+    "embedding_binary_quant_recall",
+    "stupid_backoff_nll",
+    "nation_revenue_gini",
+    "quality_length_spearman",
+    "user_event_entropy",
+    "bloom_size_plan",
+    "weekday_seasonal_anomalies",
+    "length_quantile_normalize",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol
@@ -195,6 +211,7 @@ MATMUL_MIN2 = {
     "kmeans_cluster_step",
     "ivf_index_merge",
     "matryoshka_prefix_recall",
+    "embedding_binary_quant_recall",
     # not Arrow-heavy, but its in-loop single-shot swung 2.8->4.5s with
     # zero code change (r9 close gate; isolated min-of-2 reproduced the
     # 3.0s r8 number) — position noise the min-of-2 protocol exists for

@@ -302,3 +302,60 @@ def test_quantile_normalize_ties_share_value(spark):
     assert out[1] == out[2]  # tied inputs -> one normalized value
     # identity case: normalizing one group against itself is monotone
     assert out[4] <= out[5] <= out[6]
+
+
+def test_importance_ess_bounds(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import importance_ess_by_group
+
+    # flat weights -> ESS/n = 1
+    flat = spark.createDataFrame([("g", 0.5)] * 6, "g string, w double")
+    assert importance_ess_by_group(flat, "g", "w").collect()[0]["ess_micro"] == 1_000_000
+
+    # one dominant weight -> ESS/n near 1/n; truncation caps the ratio
+    rows = [("g", 0.0)] * 9 + [("g", 10.0)]  # exp(10) >> cap 20
+    df = spark.createDataFrame(rows, "g string, w double")
+    r = importance_ess_by_group(df, "g", "w").collect()[0]
+    # w = [1]*9 + [20] (capped, kilo grid): ESS/n = 29^2/(10*409)
+    assert r["ess_micro"] == math.floor(29_000**2 / (10 * (9 * 1000**2 + 20_000**2)) * 1e6 + 0.5)
+
+
+def test_ab_sample_size_known_answer(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        TWO_Z_SUM_SQ,
+        ab_sample_size_plan,
+    )
+
+    a, b = [10, 12, 14], [20, 24, 28]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ab_sample_size_plan(df, "g", F.col("v")).collect()[0]
+    ma, mb = sum(a) / 3, sum(b) / 3
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 2
+    exp = math.ceil(TWO_Z_SUM_SQ * ((va + vb) / 2) / (ma - mb) ** 2)
+    assert r["n_required"] == exp
+
+    # equal means -> NULL plan
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 1), ("b", 3)], "g string, v long"
+    )
+    assert ab_sample_size_plan(same, "g", F.col("v")).collect()[0]["n_required"] is None
+
+
+def test_keyness_chi2_finds_planted_term(spark):
+    """A term concentrated in one source must top that source's keyness
+    list; a uniformly-spread term must not appear for any source."""
+    from wellmeet_data_pipeline_spark.operators.scoring import keyness_chi2_top_terms
+
+    filler = "common words shared across every source here"
+    rows = [(i, f"{filler} zebra zebra", "a") for i in range(6)] + [
+        (100 + i, filler, "b") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = keyness_chi2_top_terms(df, "source", k=5, min_count=5).collect()
+    a_top = [r["term"] for r in out if r["source"] == "a"]
+    assert a_top and a_top[0] == "zebra"
+    assert all("zebra" != r["term"] for r in out if r["source"] == "b")
+    # uniformly-spread filler terms are not key for anyone (no positive
+    # association passes the exact-integer cross-multiply filter)
+    assert all(r["term"] == "zebra" for r in out if r["source"] == "a")

@@ -685,6 +685,47 @@ def run_bm25_prf(spark, sf_dir, factor):
     return bm25_prf_topk(scaled_documents(spark, sf_dir, factor), qs, k=5).count()
 
 
+def run_source_drift_ks(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.stats import ks_drift_by_group
+
+    d = scaled_documents(spark, sf_dir, factor)
+    return ks_drift_by_group(d, "source", "n_chars").count()
+
+
+def run_stupid_backoff(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.scoring import stupid_backoff_nll
+
+    d = scaled_documents(spark, sf_dir, factor)
+    lm = d.filter((F.col("doc_id") % 5) == 0)
+    return stupid_backoff_nll(d, lm).count()
+
+
+def run_binary_quant(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.similarity import binary_quant_recall
+
+    e = scaled_embeddings(spark, sf_dir, factor)
+    # keep the query set fixed-size as data grows (every = 50 * factor):
+    # the serving regime is "bounded query batch over a growing corpus"
+    return binary_quant_recall(e, k=10, every=50 * factor, dim=64).count()
+
+
+def run_quantile_normalize(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        quantile_normalize_by_group,
+    )
+
+    d = scaled_documents(spark, sf_dir, factor)
+    return quantile_normalize_by_group(d, "source", "doc_id", "n_chars").count()
+
+
+def run_conformal(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.stats import conformal_coverage
+
+    ev = scaled_events(spark, sf_dir, factor)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return conformal_coverage(ev, "event_type", cents, "event_id").count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -730,6 +771,11 @@ OPS = {
     "winnowing_fingerprints": run_winnowing,
     "hamming_exact_neardup": run_hamming_exact,
     "bm25_prf_topk": run_bm25_prf,
+    "source_drift_ks": run_source_drift_ks,
+    "stupid_backoff_nll": run_stupid_backoff,
+    "embedding_binary_quant_recall": run_binary_quant,
+    "length_quantile_normalize": run_quantile_normalize,
+    "event_conformal_coverage": run_conformal,
 }
 
 

@@ -1562,3 +1562,83 @@ def stupid_backoff_nll(
             F.expr("__nll div n_tokens").cast("long").alias("sb_nll_micro"),
         )
     )
+
+
+def keyness_chi2_top_terms(
+    docs: DataFrame,
+    group_col: str,
+    k: int = 10,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k KEY terms per group by chi-square keyness — the corpus-
+    linguistics read behind "what vocabulary characterizes this source"
+    (keyword extraction against the rest of the corpus as reference).
+    For each (term, group) the 2x2 contingency
+
+        a = term count in group       b = other tokens in group
+        c = term count elsewhere      d = other tokens elsewhere
+
+    scores chi2 = N*(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)), restricted to
+    POSITIVE association (a*N > (a+c)*n_g, exact-integer cross-multiply
+    — anti-keyness is a different question) and a >= min_count (the
+    usual chi2 validity floor).  PMI (token_pmi_collocations) ranks by
+    lift and over-rewards rare terms; chi2 weights by evidence mass.
+
+    Counts are exact BIGINTs; the chi2 products would overflow int64 at
+    corpus scale, so they form in DOUBLES from the exact integers at the
+    final projection, micro-snapped.  Top-k cuts on (chi2_micro DESC,
+    term ASC) per group — deterministic.  NULL groups excluded.
+
+    Scale: one token-explode pass; everything after is (group, term)
+    histogram grain; the rank window partitions per group over its
+    candidate terms only."""
+    base = docs.filter(F.col(group_col).isNotNull())
+    toks = _tokens_with_pos(base, text_col, id_col).join(
+        base.select(id_col, group_col), id_col
+    )
+    gt = toks.groupBy(group_col, "term").agg(F.count("*").cast("long").alias("__a"))
+    gt = gt.localCheckpoint(eager=False)  # feeds group totals, term totals, frame
+    ng = gt.groupBy(group_col).agg(F.sum("__a").alias("__n_g"))
+    tt = gt.groupBy("term").agg(F.sum("__a").alias("__t"))
+    tot = gt.agg(F.sum("__a").alias("__n"))
+    f = (
+        gt.join(F.broadcast(ng), group_col)
+        .join(tt, "term")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("__a") >= min_count)
+            & (F.col("__a") * F.col("__n") > F.col("__t") * F.col("__n_g"))
+            # degenerate-margin guards (term = whole corpus / group = whole
+            # corpus would zero a denominator factor): exact-integer
+            & (F.col("__t") < F.col("__n"))
+            & (F.col("__n_g") < F.col("__n"))
+        )
+    )
+    a = F.col("__a").cast("double")
+    b = (F.col("__n_g") - F.col("__a")).cast("double")
+    c = (F.col("__t") - F.col("__a")).cast("double")
+    d = (F.col("__n") - F.col("__n_g") - (F.col("__t") - F.col("__a"))).cast("double")
+    n = F.col("__n").cast("double")
+    chi2 = F.try_divide(
+        n * (a * d - b * c) * (a * d - b * c),
+        (a + b) * (c + d) * (a + c) * (b + d),
+    )
+    scored = f.select(
+        group_col,
+        "term",
+        F.col("__a").alias("term_count"),
+        F.floor(chi2 * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias(
+            "chi2_micro"
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("chi2_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(group_col, "term", "term_count", "chi2_micro",
+                F.col("__rk").cast("int").alias("rank"))
+    )

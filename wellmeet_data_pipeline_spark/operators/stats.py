@@ -777,3 +777,121 @@ def quantile_normalize_by_group(
         value_col,
         F.col("__norm").alias("norm_value"),
     )
+
+
+def importance_ess_by_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    cap: float = 20.0,
+) -> DataFrame:
+    """Effective sample size of exp(log-weight) per group — the
+    importance-resampling health read: ESS/n near 1 means the group's
+    weights are flat (resampling changes little), near 0 means a few
+    documents dominate (the resampled set collapses).  Standard
+    truncated importance sampling: the ratio caps at `cap` before
+    squaring (untruncated ESS is dominated by exactly the outliers it
+    is supposed to flag).
+
+        ESS/n = (sum w)^2 / (n * sum w^2)
+
+    `weight_col` must sit on the 1e-6 grid (a dsir_weight); the integer
+    is recovered exactly by the +0.5 floor snap-back, each exp(w) snaps
+    to the 1e-3 grid (a monitoring granularity that keeps sum w^2 in
+    BIGINT range far past 10^6-doc groups), and the two sums are exact
+    integers; ESS closes in one double expression, micro-snapped.  NULL
+    groups excluded."""
+    w_int = F.floor(F.col(weight_col) * F.lit(1e6) + F.lit(0.5))
+    w_milli = F.least(
+        F.floor(
+            F.exp(w_int.cast("double") / F.lit(1e6)) * F.lit(1000.0) + F.lit(0.5)
+        ).cast("long"),
+        F.lit(int(cap * 1000)).cast("long"),
+    )
+    g = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col), w_milli.alias("__w"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("__sw"),
+            F.sum(F.col("__w") * F.col("__w")).cast("long").alias("__sww"),
+        )
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        snap_micro(
+            F.try_divide(
+                F.col("__sw").cast("double") * F.col("__sw").cast("double"),
+                F.col("n_docs").cast("double") * F.col("__sww").cast("double"),
+            )
+        ).alias("ess_micro"),
+    )
+
+
+# Planning constants for the two-sided alpha=5% / 80%-power two-sample
+# design: Phi^-1(0.975), Phi^-1(0.80).  Pinned as literals (and folded in
+# Python, not the engines) so the oracle sees the identical doubles.
+Z_ALPHA_975 = 1.959963984540054
+Z_POWER_80 = 0.8416212335729143
+TWO_Z_SUM_SQ = 2.0 * (Z_ALPHA_975 + Z_POWER_80) ** 2
+
+
+def ab_sample_size_plan(
+    df: DataFrame,
+    group_col: str,
+    value_long: Column,
+) -> DataFrame:
+    """Sample size needed per arm to CONFIRM each observed pairwise
+    difference at alpha=5% (two-sided) with 80% power — the experiment-
+    planning read run after an exploratory Welch pass ("the A/B pilot
+    shows +2.1 cents; how long must the real test run?"):
+
+        n/arm = ceil( 2 * (z_a + z_b)^2 * s_pooled^2 / delta^2 )
+
+    with s_pooled^2 = (var_a + var_b)/2 and delta the observed mean
+    difference, from the same exact (n, sum, sumsq) BIGINT moments as
+    welch_t_pairs.  z constants are pinned literals folded in Python.
+    delta = 0 emits NULL (no finite test distinguishes equal means).
+    Emits group_a < group_b with n_a, n_b, delta_micro, n_required."""
+    m = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(value_long).cast("long").alias("__s1"),
+        F.sum(value_long * value_long).cast("long").alias("__s2"),
+    )
+    a = m.select(
+        F.col(group_col).alias("group_a"),
+        F.col("__n").alias("__na"),
+        F.col("__s1").alias("__s1a"),
+        F.col("__s2").alias("__s2a"),
+    )
+    b = m.select(
+        F.col(group_col).alias("group_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__s1").alias("__s1b"),
+        F.col("__s2").alias("__s2b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    va = F.try_divide(
+        na * F.col("__s2a").cast("double")
+        - F.col("__s1a").cast("double") * F.col("__s1a").cast("double"),
+        na * (na - F.lit(1.0)),
+    )
+    vb = F.try_divide(
+        nb * F.col("__s2b").cast("double")
+        - F.col("__s1b").cast("double") * F.col("__s1b").cast("double"),
+        nb * (nb - F.lit(1.0)),
+    )
+    md = F.col("__s1a").cast("double") / na - F.col("__s1b").cast("double") / nb
+    sp2 = (va + vb) / F.lit(2.0)
+    n_req = F.ceil(F.try_divide(F.lit(TWO_Z_SUM_SQ) * sp2, md * md)).cast("long")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        snap_micro(md).alias("delta_micro"),
+        n_req.alias("n_required"),
+    )

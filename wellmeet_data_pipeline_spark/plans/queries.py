@@ -5298,10 +5298,11 @@ _BUCKET_SQL = (
 )
 
 
-@_q(
-    "dsir_importance",
-    f"""
-    WITH {_TOKPOS_SQL},
+# shared DSIR CTE chain (hashed-ngram features, target = doc_id%7,
+# add-0.1-smoothed bucket log-ratios on the micro-nat grid) ending at
+# agg = (doc_id, n_features, s) — base of dsir_importance and
+# dsir_ess_by_source
+_DSIR_AGG_SQL = f"""{_TOKPOS_SQL},
     bi AS (
       SELECT doc_id, pos, term,
              lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
@@ -5339,7 +5340,13 @@ _BUCKET_SQL = (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
              CAST(sum(lr) AS BIGINT) AS s
       FROM lr GROUP BY doc_id
-    )
+    )"""
+
+
+@_q(
+    "dsir_importance",
+    f"""
+    WITH {_DSIR_AGG_SQL}
     SELECT doc_id, n_features,
            CAST(floor(CAST(s AS DOUBLE) / n_features + CAST(0.5 AS DOUBLE)) AS BIGINT)
              / CAST(1000000 AS DOUBLE) AS dsir_weight,
@@ -11949,6 +11956,174 @@ def q_length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "n_chars", F.col("norm_value").cast("long")
     )
+
+
+@_q(
+    "source_keyness_chi2",
+    f"""
+    WITH {_TOKPOS_SQL},
+    st AS (
+      SELECT t2.doc_id, t2.term, d.source
+      FROM t2 JOIN documents d USING (doc_id)
+      WHERE d.source IS NOT NULL
+    ),
+    gt AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS a
+      FROM st GROUP BY 1, 2
+    ),
+    ng AS (SELECT source, CAST(sum(a) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+    tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM gt GROUP BY 1),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM gt),
+    f AS (
+      SELECT gt.source, gt.term, gt.a, ng.n_g, tt.t, tot.n
+      FROM gt JOIN ng USING (source) JOIN tt USING (term) CROSS JOIN tot
+      WHERE gt.a >= 5 AND gt.a * tot.n > tt.t * ng.n_g
+        AND tt.t < tot.n AND ng.n_g < tot.n
+    ),
+    d2 AS (
+      SELECT source, term, a,
+             CAST(a AS DOUBLE) AS ad_,
+             CAST(n_g - a AS DOUBLE) AS bd_,
+             CAST(t - a AS DOUBLE) AS cd_,
+             CAST(n - n_g - (t - a) AS DOUBLE) AS dd_,
+             CAST(n AS DOUBLE) AS nd_
+      FROM f
+    ),
+    sc AS (
+      SELECT source, term, a AS term_count,
+             CAST(floor(nd_ * (ad_ * dd_ - bd_ * cd_) * (ad_ * dd_ - bd_ * cd_)
+                        / ((ad_ + bd_) * (cd_ + dd_) * (ad_ + cd_) * (bd_ + dd_))
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS chi2_micro
+      FROM d2
+    )
+    SELECT source, term, term_count, chi2_micro, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY chi2_micro DESC, term ASC) AS rank
+      FROM sc)
+    WHERE rank <= 10
+    """,
+    "top-10 KEY terms per source by chi-square keyness against the rest "
+    "of the corpus (corpus-linguistics keyword extraction): 2x2 "
+    "contingency per (term, source), positive-association and min-count "
+    "filters decided on exact-integer cross-multiplies, chi2 formed in "
+    "doubles from the exact counts (the products overflow int64 at "
+    "corpus scale), micro-snapped, deterministic (chi2, term) rank cut.  "
+    "Evidence-mass-weighted complement of token_pmi_collocations' lift",
+)
+def q_source_keyness_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import keyness_chi2_top_terms
+
+    d = table(spark, sf_dir, "documents")
+    return keyness_chi2_top_terms(d, "source", k=10, min_count=5)
+
+
+from wellmeet_data_pipeline_spark.operators.stats import (  # noqa: E402
+    TWO_Z_SUM_SQ as _TWO_Z_SUM_SQ,
+)
+
+
+@_q(
+    "dsir_ess_by_source",
+    f"""
+    WITH {_DSIR_AGG_SQL},
+    w AS (
+      SELECT doc_id,
+             CAST(floor(CAST(s AS DOUBLE) / n_features
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wi
+      FROM agg
+    ),
+    e AS (
+      SELECT doc_id,
+             least(CAST(floor(exp(CAST(wi AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                              * CAST(1000 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT),
+                   CAST(20000 AS BIGINT)) AS w
+      FROM w
+    ),
+    g AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(e.w) AS BIGINT) AS sw,
+             CAST(sum(e.w * e.w) AS BIGINT) AS sww
+      FROM e JOIN documents d USING (doc_id)
+      WHERE d.source IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT source, n_docs,
+           CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                      / (CAST(n_docs AS DOUBLE) * CAST(sww AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS ess_micro
+    FROM g
+    """,
+    "effective sample size (ESS/n) of the exp(DSIR) importance weights "
+    "per source — the resampling health read: near 1 = flat weights, "
+    "near 0 = a few docs dominate the resampled set.  Truncated "
+    "importance sampling (ratio capped at 20) on the 1e-3 grid keeps "
+    "both weight sums exact BIGINT; shares the DSIR CTE chain (and the "
+    "Spark-side feature pass) with dsir_importance",
+)
+def q_dsir_ess_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import dsir_importance_weight
+    from wellmeet_data_pipeline_spark.operators.stats import importance_ess_by_group
+
+    d = table(spark, sf_dir, "documents")
+    target = d.filter((F.col("doc_id") % 7) == 0)
+    weighted = dsir_importance_weight(d, target, target_within_docs=True).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return importance_ess_by_group(weighted, "source", "dsir_weight", cap=20.0)
+
+
+@_q(
+    "ab_sample_size_plan",
+    f"""
+    WITH m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({_EVENT_CENTS_SQL}) AS BIGINT) AS s1,
+             CAST(sum({_EVENT_CENTS_SQL} * {_EVENT_CENTS_SQL}) AS BIGINT) AS s2
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT a.event_type AS group_a, b.event_type AS group_b,
+             a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
+             b.n AS nb, b.s1 AS s1b, b.s2 AS s2b
+      FROM m a JOIN m b ON a.event_type < b.event_type
+    ),
+    v AS (
+      SELECT *,
+             (CAST(na AS DOUBLE) * CAST(s2a AS DOUBLE)
+              - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+             / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - CAST(1 AS DOUBLE))) AS va,
+             (CAST(nb AS DOUBLE) * CAST(s2b AS DOUBLE)
+              - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+             / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - CAST(1 AS DOUBLE))) AS vb,
+             CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS md
+      FROM p
+    )
+    SELECT group_a, group_b, na AS n_a, nb AS n_b,
+           CAST(floor(md * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS delta_micro,
+           CASE WHEN md = 0 THEN NULL
+                ELSE CAST(ceil({_TWO_Z_SUM_SQ!r} * ((va + vb) / CAST(2 AS DOUBLE))
+                               / (md * md)) AS BIGINT) END AS n_required
+    FROM v
+    """,
+    "per-arm sample size to confirm each observed pairwise mean "
+    "difference at two-sided alpha=5%% with 80%% power — the experiment-"
+    "planning read after an exploratory Welch pass; same exact BIGINT "
+    "moments as event_welch_ttest, z constants folded in Python and "
+    "injected as one pinned literal into both engines; zero observed "
+    "delta emits NULL",
+)
+def q_ab_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import ab_sample_size_plan
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ab_sample_size_plan(e, "event_type", cents)
 
 
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
