@@ -192,6 +192,12 @@ HEADLINE = [
     "bloom_size_plan",
     "weekday_seasonal_anomalies",
     "length_quantile_normalize",
+    "source_keyness_chi2",
+    "dsir_ess_by_source",
+    "ab_sample_size_plan",
+    "survival_km_conversion",
+    "dup_graph_clustering",
+    "embedding_int8_recall",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol
@@ -212,6 +218,7 @@ MATMUL_MIN2 = {
     "ivf_index_merge",
     "matryoshka_prefix_recall",
     "embedding_binary_quant_recall",
+    "embedding_int8_recall",
     # not Arrow-heavy, but its in-loop single-shot swung 2.8->4.5s with
     # zero code change (r9 close gate; isolated min-of-2 reproduced the
     # 3.0s r8 number) — position noise the min-of-2 protocol exists for
@@ -233,6 +240,7 @@ DEDUP_SHARED = {
     "dup_graph_kcore",
     "dedup_graph_communities",
     "dedup_best_of_cluster",
+    "dup_graph_clustering",
 }
 
 

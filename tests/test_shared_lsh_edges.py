@@ -22,6 +22,7 @@ FAMILY = [
     "dup_graph_kcore",
     "dedup_graph_communities",
     "dedup_best_of_cluster",
+    "dup_graph_clustering",
 ]
 
 

@@ -359,3 +359,71 @@ def test_keyness_chi2_finds_planted_term(spark):
     # uniformly-spread filler terms are not key for anyone (no positive
     # association passes the exact-integer cross-multiply filter)
     assert all(r["term"] == "zebra" for r in out if r["source"] == "a")
+
+
+def test_kaplan_meier_known_curve(spark):
+    """durations: 1 (event), 2 (censored), 3 (event).
+    S(1) = 2/3; at t=3 the risk set dies -> S = 0, log NULL."""
+    from wellmeet_data_pipeline_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1)], "t long, obs long"
+    )
+    rows = {r["t"]: r for r in kaplan_meier(df, "t", "obs").collect()}
+    assert set(rows) == {1, 3}  # censor-only times emit no row
+    l1 = math.floor(math.log(2 / 3) * 1e6 + 0.5)
+    assert rows[1]["n_risk"] == 3 and rows[1]["d_events"] == 1
+    assert rows[1]["surv_log_micro"] == l1
+    assert rows[1]["surv_micro"] == math.floor(math.exp(l1 / 1e6) * 1e6 + 0.5)
+    assert rows[3]["n_risk"] == 1 and rows[3]["surv_micro"] == 0
+    assert rows[3]["surv_log_micro"] is None
+
+
+def test_kaplan_meier_censoring_keeps_at_risk(spark):
+    """Censored-at-t subjects count as at-risk AT t (standard
+    convention): event and censor at the same time share n_risk."""
+    from wellmeet_data_pipeline_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(5, 1), (5, 0), (9, 0)], "t long, obs long"
+    )
+    r = kaplan_meier(df, "t", "obs").collect()
+    assert len(r) == 1 and r[0]["t"] == 5
+    assert r[0]["n_risk"] == 3 and r[0]["d_events"] == 1
+    # S(5) = 2/3, never drops to 0 (remaining subjects censored)
+    assert r[0]["surv_micro"] == math.floor(
+        math.exp(math.floor(math.log(2 / 3) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5
+    )
+
+
+def test_clustering_coefficient_extremes(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import triangle_counts
+
+    def gcc(edges_rows):
+        edges = spark.createDataFrame(edges_rows, "id_a long, id_b long")
+        per = triangle_counts(edges)
+        agg = per.groupBy().agg(
+            F.sum("n_triangles").alias("t3"),
+            F.sum(F.col("degree") * (F.col("degree") - 1)).alias("w2"),
+        ).collect()[0]
+        return agg["t3"], agg["w2"]
+
+    t3, w2 = gcc([(1, 2), (2, 3), (1, 3)])  # triangle
+    assert t3 == 3 and w2 == 6 and 2 * t3 / w2 == 1.0
+    t3, w2 = gcc([(1, 2), (2, 3)])  # path: one wedge, no triangle
+    assert t3 == 0 and w2 == 2
+
+
+def test_int8_recall_separated_vectors(spark):
+    """Well-separated vectors: int8 quantization preserves the exact
+    ranking, recall@k = k; and query codes come from the CANDIDATE
+    quantizer (a query outside the candidate range must still code)."""
+    from wellmeet_data_pipeline_spark.operators.similarity import int8_quant_recall
+
+    def vec(n_neg):
+        return [(-1.0 if i < n_neg else 1.0) for i in range(64)]
+
+    rows = [(0, vec(0))] + [(i, vec(6 * i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = int8_quant_recall(df, k=3, every=50).collect()
+    assert len(r) == 1 and r[0]["n_exact"] == 3 and r[0]["n_overlap"] == 3

@@ -2209,3 +2209,135 @@ def binary_quant_recall(
         .na.fill({"n_overlap": 0})
         .select("query_id", "n_exact", F.col("n_overlap").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantization serving tier: the 4x-compression middle rung
+# between binary (32x, binary_hamming_top_k) and full-precision — scored by
+# exact INTEGER dot products over 0..255 codes.
+# ---------------------------------------------------------------------------
+
+
+def _int8_stats_arrays(emb: DataFrame, vec_col: str) -> DataFrame:
+    """ONE row of (vmins, vmaxs) arrays — the per-dimension affine
+    quantizer bounds over `emb` (the same global (min, max) audit frame
+    embedding_int8_stats reports).  array_sort on (pos, ...) structs
+    gives a deterministic dimension order, not collect_list's arrival
+    order."""
+    ex = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    )
+    stats = ex.groupBy("pos").agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    return stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "vmin", "vmax"))).alias("__st")
+    ).select(
+        F.transform(F.col("__st"), lambda s: s["vmin"]).alias("__vmins"),
+        F.transform(F.col("__st"), lambda s: s["vmax"]).alias("__vmaxs"),
+    )
+
+
+def _apply_int8_codes(
+    emb: DataFrame, arrs: DataFrame, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """(out_id, c): per-dimension affine int8 codes under the broadcast
+    quantizer bounds `arrs` — q_i = floor((x_i - vmin_i)/span_i * 255
+    + 0.5), 0 on a zero-span dimension.  The TRAINED bounds apply to
+    every side (queries quantize with the candidate-set quantizer, the
+    serving contract), which is why stats and coding are split."""
+
+    def quant(x, i):
+        vmin = F.element_at(F.col("__vmins"), i + 1)
+        vmax = F.element_at(F.col("__vmaxs"), i + 1)
+        span = vmax - vmin
+        return (
+            F.when(span == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor((x - vmin) / span * F.lit(255.0) + F.lit(0.5)).cast("long")
+            )
+        )
+
+    return (
+        emb.filter(F.col(vec_col).isNotNull())
+        .crossJoin(F.broadcast(arrs))
+        .select(
+            F.col(id_col).alias(out_id),
+            F.transform(F.col(vec_col).cast("array<double>"), quant).alias("c"),
+        )
+    )
+
+
+def int8_dot_top_k(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k candidates per query by exact INTEGER dot product of int8
+    codes (self-matches excluded, ties neighbor-id-ascending).  Same
+    serving scan shape as binary_hamming_top_k: packed queries broadcast
+    over one candidate pass, partial-then-global top-k windows, all
+    JVM-side; scores are BIGINT-exact (codes <= 255, so a 64-dim dot
+    <= 64 * 255^2), hence oracle-stable with no snapping at all."""
+    arrs = _int8_stats_arrays(candidates, vec_col).localCheckpoint(eager=False)
+    qc = _apply_int8_codes(queries, arrs, query_id, vec_col, "query_id").select(
+        "query_id", F.col("c").alias("__qc")
+    )
+    cc = _apply_int8_codes(candidates, arrs, cand_id, vec_col, "neighbor_id").select(
+        "neighbor_id", F.col("c").alias("__cc")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__qc"), F.col("__cc"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cc.join(F.broadcast(qc), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot_q8", dot)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("dot_q8").desc(), F.col("neighbor_id").asc()
+    )
+    pruned = scored.withColumn("__lr", F.row_number().over(w_local)).filter(
+        F.col("__lr") <= k
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q8", F.col("rank").cast("int"))
+    )
+
+
+def int8_quant_recall(
+    emb: DataFrame,
+    k: int = 10,
+    every: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the int8 dot-product scan against exact cosine top-k
+    per query — the quality gate for the 4x tier, closing the
+    quantization ladder next to binary_quant_recall (32x) and
+    matryoshka_prefix_recall (dimension truncation).  Both sides pin the
+    neighbor-id tie order.  Output: (query_id, n_exact, n_overlap)."""
+    q = emb.filter((F.col(id_col) % every) == 0)
+    exact = brute_force_top_k(
+        q, emb, k=k, query_id=id_col, cand_id=id_col, vec_col=vec_col, round_digits=4
+    ).select("query_id", "neighbor_id")
+    quant = int8_dot_top_k(
+        q, emb, k=k, query_id=id_col, cand_id=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(quant, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count("*").cast("long").alias("n_exact"))
+    return (
+        n_exact.join(hits, "query_id", "left")
+        .na.fill({"n_overlap": 0})
+        .select("query_id", "n_exact", F.col("n_overlap").cast("long"))
+    )

@@ -895,3 +895,82 @@ def ab_sample_size_plan(
         snap_micro(md).alias("delta_micro"),
         n_req.alias("n_required"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    dur_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator over (duration,
+    observed) rows — observed=false is right-censoring (the subject left
+    the risk set without the event).  The time-to-event read behind
+    "how long until a signup converts", with censoring handled the only
+    statistically sound way (dropping censored users biases toward fast
+    converters).
+
+    At each distinct EVENT time t (d_t events, n_t at risk = rows with
+    duration >= t; censored rows at t count as at-risk at t, the
+    standard convention):
+
+        S(t) = prod_{u <= t} (1 - d_u / n_u)
+
+    The product runs in LOG space on the micro grid: each ln(1 - d/n)
+    snaps to an integer from the exact (n, d) BIGINTs, the cumulative
+    sum is exact, and S materializes once per row as exp(cum/1e6),
+    re-snapped.  d = n (the risk set dies out — only possible at the
+    last event time) pins S = 0 exactly instead of ln(0).
+
+    Scale: collapses to the duration histogram first; BOTH cumulative
+    passes (risk-set countdown, log-survival sum) run through
+    global_rank_cumsum, so no unpartitioned window at any cardinality.
+    Emits per event time: (t, n_risk, d_events, surv_log_micro,
+    surv_micro), surv_log_micro NULL on the S = 0 row."""
+    hist = (
+        df.groupBy(F.col(dur_col).alias("t"))
+        .agg(
+            F.sum(F.col(observed_col).cast("long")).alias("__d"),
+            F.count("*").cast("long").alias("__tot"),
+        )
+        .localCheckpoint(eager=False)  # two cumulative consumers + total
+    )
+    n_all = hist.agg(F.sum("__tot").alias("__n_all"))
+    cum = global_rank_cumsum(
+        hist, [F.col("t").asc()], sum_col="__tot", cum_col="__cum_tot"
+    ).crossJoin(F.broadcast(n_all))
+    at_risk = cum.select(
+        "t",
+        "__d",
+        (F.col("__n_all") - (F.col("__cum_tot") - F.col("__tot"))).alias("__n_risk"),
+    ).filter(F.col("__d") > 0)
+    li = F.when(F.col("__d") == F.col("__n_risk"), F.lit(None)).otherwise(
+        F.floor(
+            F.log(
+                (F.col("__n_risk") - F.col("__d")).cast("double")
+                / F.col("__n_risk").cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    ev = at_risk.withColumn("__li", li)
+    # the d == n_risk row (if any) is the LAST event time: its NULL log
+    # term must not poison the cumsum — sum skips NULLs in both engines,
+    # and S is pinned to 0 on that row directly.
+    sv = global_rank_cumsum(ev, [F.col("t").asc()], sum_col="__li", cum_col="__cum_l")
+    surv = F.when(F.col("__d") == F.col("__n_risk"), F.lit(0).cast("long")).otherwise(
+        F.floor(
+            F.exp(F.col("__cum_l").cast("double") / F.lit(1e6)) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return sv.select(
+        "t",
+        F.col("__n_risk").alias("n_risk"),
+        F.col("__d").alias("d_events"),
+        F.when(F.col("__d") == F.col("__n_risk"), F.lit(None))
+        .otherwise(F.col("__cum_l"))
+        .cast("long")
+        .alias("surv_log_micro"),
+        surv.alias("surv_micro"),
+    )

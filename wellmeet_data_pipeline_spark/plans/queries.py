@@ -12126,6 +12126,279 @@ def q_ab_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_sample_size_plan(e, "event_type", cents)
 
 
+@_q(
+    "survival_km_conversion",
+    """
+    WITH b AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, min(ts) AS s_ts FROM b
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT b.user_id, min(b.ts) AS p_ts
+      FROM b JOIN s USING (user_id)
+      WHERE b.event_type = 'purchase' AND b.ts >= s.s_ts
+      GROUP BY 1
+    ),
+    l AS (SELECT user_id, max(ts) AS l_ts FROM b GROUP BY 1),
+    dur AS (
+      SELECT s.user_id,
+             CAST((epoch_us(coalesce(p.p_ts, l.l_ts)) - epoch_us(s.s_ts))
+                  // 3600000000 AS BIGINT) AS t,
+             CAST(p.p_ts IS NOT NULL AS BIGINT) AS obs
+      FROM s LEFT JOIN p USING (user_id) JOIN l USING (user_id)
+    ),
+    hist AS (
+      SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS tot
+      FROM dur GROUP BY t
+    ),
+    na AS (SELECT CAST(sum(tot) AS BIGINT) AS n_all FROM hist),
+    c AS (
+      SELECT t, d, tot, CAST(sum(tot) OVER (ORDER BY t) AS BIGINT) AS cumt
+      FROM hist
+    ),
+    ar AS (
+      SELECT t, d,
+             CAST((SELECT n_all FROM na) - (cumt - tot) AS BIGINT) AS n_risk
+      FROM c WHERE d > 0
+    ),
+    ev AS (
+      SELECT t, d, n_risk,
+             CASE WHEN d = n_risk THEN NULL
+                  ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE))
+                                  * CAST(1000000 AS DOUBLE)
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS li
+      FROM ar
+    ),
+    sv AS (SELECT *, CAST(sum(li) OVER (ORDER BY t) AS BIGINT) AS cum_l FROM ev)
+    SELECT t, n_risk, d AS d_events,
+           CASE WHEN d = n_risk THEN NULL ELSE cum_l END AS surv_log_micro,
+           CASE WHEN d = n_risk THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(exp(CAST(cum_l AS DOUBLE)
+                                    / CAST(1000000 AS DOUBLE))
+                                * CAST(1000000 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS surv_micro
+    FROM sv
+    """,
+    "Kaplan-Meier survival curve of signup-to-purchase conversion on the "
+    "hour grid: per user, first signup -> first subsequent purchase, "
+    "right-censored at the user's last observed event (dropping "
+    "non-converters would bias toward fast converters).  The product-"
+    "limit estimator runs in log space on the micro grid from exact "
+    "(n_risk, d) BIGINTs; the risk-set countdown and the log-survival "
+    "cumsum both go through the range-partitioned two-pass prefix sum; "
+    "a dying risk set pins S = 0 exactly instead of ln(0)",
+)
+def q_survival_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import kaplan_meier
+
+    b = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    s = (
+        b.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        b.join(s, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("s_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    last = b.groupBy("user_id").agg(F.max("ts").alias("l_ts"))
+    dur = (
+        s.join(p, "user_id", "left")
+        .join(last, "user_id")
+        .select(
+            F.expr(
+                "(unix_micros(coalesce(p_ts, l_ts)) - unix_micros(s_ts))"
+                " div 3600000000"
+            )
+            .cast("long")
+            .alias("__t"),
+            F.col("p_ts").isNotNull().cast("long").alias("__obs"),
+        )
+    )
+    return kaplan_meier(dur, "__t", "__obs").withColumnRenamed("t", "t")
+
+
+@_q(
+    "dup_graph_clustering",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    e AS (SELECT DISTINCT id_a, id_b FROM pairs),
+    tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS m, e2.id_b AS c
+      FROM e e1
+      JOIN e e2 ON e1.id_b = e2.id_a
+      JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    tn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT m FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e
+      ) GROUP BY node
+    ),
+    per AS (
+      SELECT deg.node, deg.degree, COALESCE(tn.n_triangles, 0) AS tr
+      FROM deg LEFT JOIN tn USING (node)
+    ),
+    ag AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(degree) AS BIGINT) AS deg2,
+             CAST(sum(tr) AS BIGINT) AS tri3,
+             CAST(sum(degree * (degree - 1)) AS BIGINT) AS w2
+      FROM per
+    )
+    SELECT n_nodes,
+           CAST(deg2 // 2 AS BIGINT) AS n_edges,
+           CAST(tri3 // 3 AS BIGINT) AS n_triangles,
+           CAST(w2 // 2 AS BIGINT) AS n_wedges,
+           CASE WHEN w2 = 0 THEN NULL
+                ELSE CAST(floor(CAST(2 * tri3 AS DOUBLE) / CAST(w2 AS DOUBLE)
+                                * CAST(1000000 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS gcc_micro
+    FROM ag
+    """,
+    "global clustering coefficient of the MinHash-LSH candidate graph "
+    "(3*triangles / wedges): one scalar separating clique-like template "
+    "spam (gcc -> 1) from hub-like band pollution (gcc -> 0) — the "
+    "rollup of dup_triangle_count's per-node read, from the same "
+    "triangle/degree frame (per-node sums give exactly 3T and 2W); all "
+    "exact BIGINT to the single snapped division",
+)
+def q_dup_graph_clustering(
+    spark: SparkSession, sf_dir: str, shared_lsh_edges: DataFrame | None = None
+) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates_sha,
+        triangle_counts,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    edges = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(d)
+    )
+    per = triangle_counts(edges)
+    ag = per.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("degree").cast("long").alias("__deg2"),
+        F.sum("n_triangles").cast("long").alias("__tri3"),
+        F.sum(F.col("degree") * (F.col("degree") - 1)).cast("long").alias("__w2"),
+    )
+    return ag.select(
+        "n_nodes",
+        F.expr("__deg2 div 2").cast("long").alias("n_edges"),
+        F.expr("__tri3 div 3").cast("long").alias("n_triangles"),
+        F.expr("__w2 div 2").cast("long").alias("n_wedges"),
+        F.floor(
+            F.try_divide(
+                (2 * F.col("__tri3")).cast("double"), F.col("__w2").cast("double")
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("gcc_micro"),
+    )
+
+
+@_q(
+    "embedding_int8_recall",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    ),
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) DESC,
+                          b.vec_id ASC) AS rank
+        FROM q a JOIN n b ON a.vec_id <> b.vec_id)
+      WHERE rank <= 10
+    ),
+    st AS (
+      SELECT i, min(e[i]) AS vmin, max(e[i]) AS vmax
+      FROM v, range(1, 65) t(i) GROUP BY i
+    ),
+    sl AS (
+      SELECT list(vmin ORDER BY i) AS vmins, list(vmax ORDER BY i) AS vmaxs
+      FROM st
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN vmaxs[i] - vmins[i] = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((e[i] - vmins[i]) / (vmaxs[i] - vmins[i])
+                                    * CAST(255 AS DOUBLE)
+                                    + CAST(0.5 AS DOUBLE)) AS BIGINT) END) AS c
+      FROM v CROSS JOIN sl
+    ),
+    qq AS (SELECT * FROM q8 WHERE vec_id % 50 = 0),
+    bq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                            i -> a.c[i] * b.c[i])) DESC,
+                          b.vec_id ASC) AS rank
+        FROM qq a JOIN q8 b ON a.vec_id <> b.vec_id)
+      WHERE rank <= 10
+    ),
+    ne AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1
+    ),
+    ov AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM ex e JOIN bq b
+        ON b.query_id = e.query_id AND b.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT ne.query_id, ne.n_exact,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM ne LEFT JOIN ov USING (query_id)
+    """,
+    "recall@10 of the int8 scalar-quantized dot-product scan against "
+    "exact cosine top-10 — the 4x-compression middle rung of the "
+    "quantization ladder (binary 32x, matryoshka truncation), scored by "
+    "BIGINT-exact integer dot products over 0..255 codes (no snapping "
+    "anywhere on the quantized side).  Queries quantize with the "
+    "candidate-set quantizer (the serving contract); same per-dim "
+    "(min, max) bounds embedding_int8_stats audits",
+)
+def q_embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import int8_quant_recall
+
+    e = table(spark, sf_dir, "embeddings")
+    return int8_quant_recall(e, k=10, every=50)
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
