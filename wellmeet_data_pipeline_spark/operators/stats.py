@@ -4,10 +4,11 @@ A training-data pipeline's monitoring layer runs these reads next to
 quality scoring: "did this source's length distribution drift", "is
 variant A's metric different from variant B's", "when did the daily
 mean shift".  The reference pipeline's monitoring stops at count-style
-health checks (review-crawler's per-run summary logs,
-`review-crawler/batch_processor.py` run reports); these operators
-generalize that to proper two-sample tests and calibration reads while
-keeping the repo's exactness discipline:
+health checks (review-crawler's per-run count logs,
+`review-crawler/main.py:33,41` and the save-reviews result tallies,
+`save-reviews/lambda_function.py:96-107`); these operators generalize
+that to proper two-sample tests and calibration reads while keeping
+the repo's exactness discipline:
 
 - ks_drift_by_group: two-sample Kolmogorov-Smirnov statistic of each
   group against the pooled rest; the sup runs on cross-multiplied
