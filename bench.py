@@ -198,6 +198,8 @@ HEADLINE = [
     "survival_km_conversion",
     "dup_graph_clustering",
     "embedding_int8_recall",
+    "daily_revenue_acf",
+    "zipf_rank_frequency",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

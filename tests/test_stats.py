@@ -427,3 +427,72 @@ def test_int8_recall_separated_vectors(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     r = int8_quant_recall(df, k=3, every=50).collect()
     assert len(r) == 1 and r[0]["n_exact"] == 3 and r[0]["n_overlap"] == 3
+
+
+def test_acf_and_zipf_on_driver_parquet(spark):
+    """Range/shape pins on the real sf0.001 tables: ACF is a correlation
+    (|acf| <= 1) present for every (type, lag); the Zipf fit has a
+    negative slope and a valid R^2."""
+    import os
+
+    import pytest
+
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver parquet missing")
+    acf = REGISTRY["daily_revenue_acf"].fn(spark, sf).collect()
+    assert {r["lag"] for r in acf} == {1, 2, 3, 7}
+    assert all(-1_000_000 <= r["acf_micro"] <= 1_000_000 for r in acf)
+    assert all(r["n_pairs"] >= 2 for r in acf)
+
+    z = REGISTRY["zipf_rank_frequency"].fn(spark, sf).collect()[0]
+    assert z["slope_micro"] < 0
+    assert 0 <= z["r2_micro"] <= 1_000_000
+
+
+def test_acf_periodic_signal_logic(spark):
+    """The exact Pearson-on-lagged-pairs arithmetic: an alternating
+    series has ACF(1) = -1 and ACF(2) = +1 on the micro grid.  Drives
+    the same moment formula the query uses, via grouped_regression's
+    sibling path (pairs built by epoch-day join semantics)."""
+    from pyspark.sql import functions as F
+
+    rows = [("t", d, 100 if d % 2 == 0 else 200) for d in range(12)]
+    d = spark.createDataFrame(rows, "event_type string, di long, x long")
+    lags = spark.createDataFrame([(1,), (2,)], "lag int")
+    a = d.select("event_type", "di", F.col("x").alias("xa")).crossJoin(
+        F.broadcast(lags)
+    )
+    b = d.select(
+        F.col("event_type").alias("__et"),
+        F.col("di").alias("__dib"),
+        F.col("x").alias("xb"),
+    )
+    p = a.join(
+        b,
+        (F.col("__et") == F.col("event_type"))
+        & (F.col("__dib") == F.col("di") + F.col("lag")),
+    )
+    m = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xa").alias("sa"), F.sum("xb").alias("sb"),
+        F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("sbb"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double")
+    den = F.sqrt(
+        (n * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double"))
+        * (n * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb").cast("double"))
+    )
+    got = {
+        r["lag"]: r["acf"]
+        for r in m.select(
+            "lag",
+            F.floor(F.try_divide(num, den) * F.lit(1e6) + F.lit(0.5)).alias("acf"),
+        ).collect()
+    }
+    assert got[1] == -1_000_000 and got[2] == 1_000_000

@@ -12399,6 +12399,187 @@ def q_embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quant_recall(e, k=10, every=50)
 
 
+@_q(
+    "daily_revenue_acf",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+             CAST(sum({_EVENT_CENTS_SQL}) AS BIGINT) AS x
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 7]) AS lag),
+    p AS (
+      SELECT a.event_type, l.lag, a.x AS xa, b.x AS xb
+      FROM d a
+      CROSS JOIN lags l
+      JOIN d b ON b.event_type = a.event_type AND b.di = a.di + l.lag
+    ),
+    m AS (
+      SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb,
+             CAST(sum(xa * xa) AS BIGINT) AS saa,
+             CAST(sum(xb * xb) AS BIGINT) AS sbb,
+             CAST(sum(xa * xb) AS BIGINT) AS sab
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST(floor((CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+                       - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                      / sqrt((CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                             * (CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS acf_micro
+    FROM m
+    """,
+    "autocorrelation of each event type's daily cents total at lags "
+    "1/2/3/7 (the is-there-weekly-structure read behind forecast "
+    "residual checks): lagged pairs by exact epoch-day join, Pearson "
+    "from exact BIGINT cents moments, the correlation closed in doubles "
+    "at the final projection and micro-snapped.  Calendar-bounded "
+    "frames throughout (day grain x 4 lags)",
+)
+def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).cast("long").alias("di")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0)).cast("long").alias("x"))
+    lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], "lag int")
+    a = d.select("event_type", "di", F.col("x").alias("xa")).crossJoin(
+        F.broadcast(lags)
+    )
+    b = d.select(
+        F.col("event_type").alias("__et"),
+        F.col("di").alias("__dib"),
+        F.col("x").alias("xb"),
+    )
+    p = a.join(
+        b,
+        (F.col("__et") == F.col("event_type"))
+        & (F.col("__dib") == F.col("di") + F.col("lag")),
+    )
+    m = p.groupBy("event_type", "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("xa").cast("long").alias("__sa"),
+        F.sum("xb").cast("long").alias("__sb"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("__saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("__sbb"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("__sab"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    saa, sbb, sab = (
+        F.col("__saa").cast("double"),
+        F.col("__sbb").cast("double"),
+        F.col("__sab").cast("double"),
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("long"),
+        "n_pairs",
+        F.floor(
+            F.try_divide(
+                n * sab - sa * sb,
+                F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("acf_micro"),
+    )
+
+
+@_q(
+    "zipf_rank_frequency",
+    f"""
+    WITH {_TOKPOS_SQL},
+    tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS f FROM t2 GROUP BY term
+    ),
+    r AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS rk
+      FROM tf
+    ),
+    sel AS (
+      SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * CAST(1000000 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(f AS DOUBLE)) * CAST(1000000 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y
+      FROM r WHERE rk <= 200 AND f >= 2
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM sel
+    )
+    SELECT n,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS slope_micro,
+           CAST(floor((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS intercept_micro,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS r2_micro
+    FROM m
+    """,
+    "Zipf rank-frequency fit of the corpus vocabulary: OLS of ln(freq) "
+    "on ln(rank) over the top-200 terms with freq >= 2 — natural text "
+    "slopes near -1; templated/synthetic corpora drift, making this a "
+    "generation-artifact detector next to tail_index_hill's value-side "
+    "read.  Ranks by (freq DESC, term) through the range-partitioned "
+    "prefix sum; each ln snaps to the micro grid from exact BIGINTs and "
+    "the OLS reuses grouped_regression on those integer grids (slope is "
+    "grid-unit-free)",
+)
+def q_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import _tokens_with_pos
+    from wellmeet_data_pipeline_spark.operators.stats import grouped_regression
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    d = table(spark, sf_dir, "documents")
+    tf = _tokens_with_pos(d, "text", "doc_id").groupBy("term").agg(
+        F.count("*").cast("long").alias("f")
+    )
+    ranked = global_rank_cumsum(tf, [F.col("f").desc(), F.col("term").asc()])
+    sel = ranked.filter((F.col("rank") <= 200) & (F.col("f") >= 2)).select(
+        F.lit("all").alias("__g"),
+        F.floor(F.log(F.col("rank").cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("__x"),
+        F.floor(F.log(F.col("f").cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("__y"),
+    )
+    return grouped_regression(sel, "__g", F.col("__x"), F.col("__y")).select(
+        "n", "slope_micro", "intercept_micro", "r2_micro"
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
