@@ -200,6 +200,7 @@ HEADLINE = [
     "embedding_int8_recall",
     "daily_revenue_acf",
     "zipf_rank_frequency",
+    "dup_graph_assortativity",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol
@@ -243,6 +244,7 @@ DEDUP_SHARED = {
     "dedup_graph_communities",
     "dedup_best_of_cluster",
     "dup_graph_clustering",
+    "dup_graph_assortativity",
 }
 
 

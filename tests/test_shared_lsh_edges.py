@@ -23,6 +23,7 @@ FAMILY = [
     "dedup_graph_communities",
     "dedup_best_of_cluster",
     "dup_graph_clustering",
+    "dup_graph_assortativity",
 ]
 
 

@@ -496,3 +496,28 @@ def test_acf_periodic_signal_logic(spark):
         ).collect()
     }
     assert got[1] == -1_000_000 and got[2] == 1_000_000
+
+
+def test_assortativity_extremes(spark):
+    """A star graph is maximally disassortative (r = -1); note the
+    operator consumes raw undirected edges in either orientation."""
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+    import pytest, os
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver parquet missing")
+    # drive the registry fn with an injected star edge frame
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    r = REGISTRY["dup_graph_assortativity"].fn(
+        spark, "/root/testdata/sf0.001", shared_lsh_edges=star
+    ).collect()[0]
+    assert r["n_edges"] == 5 and r["assortativity_micro"] == -1_000_000
+    # degree-regular graph (triangle): zero degree variance -> NULL
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    r2 = REGISTRY["dup_graph_assortativity"].fn(
+        spark, "/root/testdata/sf0.001", shared_lsh_edges=tri
+    ).collect()[0]
+    assert r2["assortativity_micro"] is None

@@ -12580,6 +12580,120 @@ def q_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dup_graph_assortativity",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    e AS (SELECT DISTINCT id_a, id_b FROM pairs),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e
+      ) GROUP BY node
+    ),
+    ends AS (
+      SELECT da.degree AS ka, db.degree AS kb
+      FROM e
+      JOIN deg da ON da.node = e.id_a
+      JOIN deg db ON db.node = e.id_b
+      UNION ALL
+      SELECT db.degree AS ka, da.degree AS kb
+      FROM e
+      JOIN deg da ON da.node = e.id_a
+      JOIN deg db ON db.node = e.id_b
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ka) AS BIGINT) AS sa, CAST(sum(kb) AS BIGINT) AS sb,
+             CAST(sum(ka * ka) AS BIGINT) AS saa,
+             CAST(sum(kb * kb) AS BIGINT) AS sbb,
+             CAST(sum(ka * kb) AS BIGINT) AS sab
+      FROM ends
+    )
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) = 0 THEN NULL
+                ELSE CAST(floor((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                                 - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                                / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                                        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                                       * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                                * CAST(1000000 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) END
+             AS assortativity_micro
+    FROM m
+    """,
+    "degree assortativity of the MinHash-LSH candidate graph (Newman r: "
+    "Pearson correlation of endpoint degrees over both edge "
+    "orientations): r > 0 = clique-of-clique duplicate neighborhoods, "
+    "r < 0 = hub-and-spoke band pollution — the mixing-pattern scalar "
+    "next to dup_graph_clustering's closure read.  Exact BIGINT degree "
+    "moments, one snapped double; degree-regular graphs (zero variance) "
+    "emit NULL",
+)
+def q_dup_graph_assortativity(
+    spark: SparkSession, sf_dir: str, shared_lsh_edges: DataFrame | None = None
+) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    edges = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(d)
+    )
+    e = (
+        edges.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # degree agg + two endpoint joins
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__ka"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__kb"))
+    half = e.join(da, "a").join(db, "b").select("__ka", "__kb")
+    ends = half.unionAll(
+        half.select(F.col("__kb").alias("__ka"), F.col("__ka").alias("__kb"))
+    )
+    m = ends.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__ka").cast("long").alias("__sa"),
+        F.sum("__kb").cast("long").alias("__sb"),
+        F.sum(F.col("__ka") * F.col("__ka")).cast("long").alias("__saa"),
+        F.sum(F.col("__kb") * F.col("__kb")).cast("long").alias("__sbb"),
+        F.sum(F.col("__ka") * F.col("__kb")).cast("long").alias("__sab"),
+    )
+    n = F.col("__n").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    saa, sbb, sab = (
+        F.col("__saa").cast("double"),
+        F.col("__sbb").cast("double"),
+        F.col("__sab").cast("double"),
+    )
+    return m.select(
+        F.expr("__n div 2").cast("long").alias("n_edges"),
+        F.floor(
+            F.try_divide(
+                n * sab - sa * sb,
+                F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("assortativity_micro"),
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
