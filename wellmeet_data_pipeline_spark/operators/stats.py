@@ -147,8 +147,10 @@ def ks_drift_by_group(
             "n_group",
             "n_rest",
             snap_micro(
-                F.col("__dev_max").cast("double")
-                / (F.col("n_group").cast("double") * F.col("n_rest").cast("double"))
+                F.try_divide(
+                    F.col("__dev_max").cast("double"),
+                    F.col("n_group").cast("double") * F.col("n_rest").cast("double"),
+                )
             ).alias("ks_micro"),
             "ks_at_value",
         )
@@ -310,7 +312,9 @@ def conformal_coverage(
     model-serving pipeline runs: does the q%-interval actually cover
     q% of held-out points?).
 
-    Deterministic split on id parity: even ids calibrate, odd ids test.
+    Deterministic split on id parity (pmod, so negative ids land in a
+    half too — Spark's sign-preserving % would drop them from both):
+    even ids calibrate, odd ids test.
     The per-group point prediction is the calibration floor-mean,
     written as floor(sum::double / n) in BOTH engines — Spark's integer
     `div` truncates while DuckDB's `//` floors, so the two disagree on
@@ -332,8 +336,8 @@ def conformal_coverage(
         F.col(id_col).alias("__id"),
         value_long.cast("long").alias("__v"),
     )
-    cal = base.filter(F.col("__id") % 2 == 0)
-    test = base.filter(F.col("__id") % 2 == 1)
+    cal = base.filter(F.pmod(F.col("__id"), F.lit(2)) == 0)
+    test = base.filter(F.pmod(F.col("__id"), F.lit(2)) == 1)
     pred = cal.groupBy(group_col).agg(
         F.count("*").cast("long").alias("n_cal"),
         F.floor(F.sum("__v").cast("double") / F.count("*")).cast("long").alias("pred"),

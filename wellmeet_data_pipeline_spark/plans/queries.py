@@ -11104,7 +11104,8 @@ _EVENT_CENTS_SQL = "CAST(round(value * 100) AS BIGINT)"
     )
     SELECT p.source, p.n_group, p.n_rest,
            CAST(floor(CAST(p.dev_max AS DOUBLE)
-                      / (CAST(p.n_group AS DOUBLE) * CAST(p.n_rest AS DOUBLE))
+                      / nullif(CAST(p.n_group AS DOUBLE)
+                               * CAST(p.n_rest AS DOUBLE), 0)
                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
              AS ks_micro,
            (SELECT min(d.v) FROM dev d
@@ -11198,10 +11199,12 @@ def q_source_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *,
              (CAST(na AS DOUBLE) * CAST(s2a AS DOUBLE)
               - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
-             / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - CAST(1 AS DOUBLE))) AS va,
+             / nullif(CAST(na AS DOUBLE)
+                      * (CAST(na AS DOUBLE) - CAST(1 AS DOUBLE)), 0) AS va,
              (CAST(nb AS DOUBLE) * CAST(s2b AS DOUBLE)
               - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
-             / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - CAST(1 AS DOUBLE))) AS vb,
+             / nullif(CAST(nb AS DOUBLE)
+                      * (CAST(nb AS DOUBLE) - CAST(1 AS DOUBLE)), 0) AS vb,
              CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
              - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS md
       FROM p
@@ -11213,12 +11216,13 @@ def q_source_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT group_a, group_b, na AS n_a, nb AS n_b,
            CAST(floor(md * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
              AS mean_diff_micro,
-           CAST(floor(md / sqrt(sa + sb)
+           CAST(floor(md / nullif(sqrt(sa + sb), 0)
                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
              AS t_micro,
            CAST(floor((sa + sb) * (sa + sb)
-                      / (sa * sa / (CAST(na AS DOUBLE) - CAST(1 AS DOUBLE))
-                         + sb * sb / (CAST(nb AS DOUBLE) - CAST(1 AS DOUBLE)))
+                      / nullif(sa * sa / (CAST(na AS DOUBLE) - CAST(1 AS DOUBLE))
+                               + sb * sb / (CAST(nb AS DOUBLE) - CAST(1 AS DOUBLE)),
+                               0)
                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
              AS df_micro
     FROM s
@@ -11243,8 +11247,8 @@ def q_event_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT event_type, event_id AS id, {_EVENT_CENTS_SQL} AS v FROM events
     ),
-    cal AS (SELECT * FROM b WHERE id % 2 = 0),
-    tst AS (SELECT * FROM b WHERE id % 2 = 1),
+    cal AS (SELECT * FROM b WHERE ((id % 2) + 2) % 2 = 0),
+    tst AS (SELECT * FROM b WHERE ((id % 2) + 2) % 2 = 1),
     pred AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
              CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS pred
@@ -12095,10 +12099,12 @@ def q_dsir_ess_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *,
              (CAST(na AS DOUBLE) * CAST(s2a AS DOUBLE)
               - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
-             / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - CAST(1 AS DOUBLE))) AS va,
+             / nullif(CAST(na AS DOUBLE)
+                      * (CAST(na AS DOUBLE) - CAST(1 AS DOUBLE)), 0) AS va,
              (CAST(nb AS DOUBLE) * CAST(s2b AS DOUBLE)
               - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
-             / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - CAST(1 AS DOUBLE))) AS vb,
+             / nullif(CAST(nb AS DOUBLE)
+                      * (CAST(nb AS DOUBLE) - CAST(1 AS DOUBLE)), 0) AS vb,
              CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
              - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS md
       FROM p
@@ -12707,63 +12713,65 @@ def q_dup_graph_assortativity(
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # -- r10 window: CORRECTNESS_r09 landed 50/50, so driver evidence now
-    # covers every oracle-backed query that existed at the START of round
-    # 9.  The 12 round-9 additions have never had a driver row — they
-    # lead.  Then the 38 oldest-evidence anchors (remaining r5-green +
-    # oldest r6-green, re-proven on fresh data); the remainder rotates in
-    # r11. --
-    "mmr_diversified_topk",
-    "bloom_prefilter_stats",
-    "token_pmi_collocations",
-    "calibration_ece",
-    "rag_context_pack",
-    "dedup_graph_communities",
-    "matryoshka_prefix_recall",
-    "sft_exact_dedup",
-    "quality_psi_by_source",
-    "daily_anomaly_mad",
-    "dedup_best_of_cluster",
-    "benford_first_digit",
-    # -- oldest-evidence anchors (remaining r5-green + oldest r6) --
-    "table_checksums",
-    "top_ngrams_per_lang",
-    "unpivot_user_counts",
-    "user_interarrival_stats",
-    "value_histogram",
-    "value_percentiles",
-    "weighted_sample_docs",
-    "zscore_by_type",
-    "bigram_cond_entropy",
-    "bitext_mine_margin",
-    "bpe_pair_counts",
-    "busiest_day_per_type",
-    "cdc_latest_state",
-    "classifier_auc",
-    "classifier_calibration",
-    "countmin_heavy_hitters",
-    "cross_doc_spans",
-    "customer_order_distribution",
-    "daily_moving_average",
-    "decontaminate_bloom",
-    "dedup_graph_pagerank",
-    "disjunctive_filter_revenue",
-    "doremi_weight_step",
-    "dsir_importance",
-    "dup_cluster_size_histogram",
-    "dup_rate_by_source",
-    "embedding_label_outliers",
-    "epoch_budget_allocation",
-    "fim_split",
-    "forecast_revenue_change",
-    "hll_distinct_by_type",
-    "hll_distinct_users",
-    "inactive_rich_customers",
-    "incremental_agg_refresh",
-    "interval_overlap_sessions",
-    "join_size_from_histograms",
-    "k_anonymity_audit",
-    "large_order_customers",
+    # -- r11 window: CORRECTNESS_r10 landed 50/50, so driver evidence now
+    # covers everything through the round-9 additions.  The 39 round-10
+    # additions (stats family, quantization rungs, winnowing / hamming /
+    # PRF, dup-graph clustering + assortativity, ...) have never had a
+    # driver row — they lead.  Then the 11 oldest-evidence anchors
+    # (r6-green, re-proven on fresh data).  Precomputed at NOTES.md §r11
+    # rotation list; the anchors displaced by the round-10b wave move to
+    # the r12 rotation. --
+    "rendezvous_sharding",
+    "reshard_movement_stats",
+    "ttr_lexical_diversity",
+    "split_leakage_audit",
+    "span_corruption_plan",
+    "quality_pareto_frontier",
+    "winnowing_fingerprints",
+    "hamming_exact_neardup",
+    "bm25_prf_topk",
+    "kmeans_silhouette",
+    "cluster_label_purity",
+    "tail_index_hill",
+    "minhash_union_parity",
+    "min_k_prob_score",
+    "self_bleu_pairs",
+    "source_drift_ks",
+    "source_mann_whitney",
+    "event_welch_ttest",
+    "event_conformal_coverage",
+    "brand_price_regression",
+    "event_cusum_changepoint",
+    "classifier_avg_precision",
+    "embedding_binary_quant_recall",
+    "stupid_backoff_nll",
+    "nation_revenue_gini",
+    "quality_length_spearman",
+    "user_event_entropy",
+    "bloom_size_plan",
+    "weekday_seasonal_anomalies",
+    "length_quantile_normalize",
+    "source_keyness_chi2",
+    "dsir_ess_by_source",
+    "ab_sample_size_plan",
+    "survival_km_conversion",
+    "dup_graph_clustering",
+    "embedding_int8_recall",
+    "daily_revenue_acf",
+    "zipf_rank_frequency",
+    "dup_graph_assortativity",
+    # -- oldest-evidence anchors (oldest r6-green) --
+    "late_shipment_priority",
+    "length_curriculum",
+    "market_share_by_year",
+    "pack_efficiency_by_seqlen",
+    "perplexity_lang_buckets",
+    "product_profit_by_nation",
+    "promo_revenue_share",
+    "returned_item_report",
+    "rolling_7day_active_users",
+    "semdedup_survivors",
+    "seqlen_histogram",
 ]
 
 
