@@ -245,6 +245,30 @@ DEDUP_SHARED = {
     "dedup_best_of_cluster",
     "dup_graph_clustering",
     "dup_graph_assortativity",
+    # consumes the SAME minhash_lsh_candidates_sha(documents) edge frame
+    # as the dup-graph family (its candidate pairs), on top of LM_SHARED
+    "self_bleu_pairs",
+}
+
+# LM/token family: every member re-tokenized the corpus from scratch
+# (normalized_text regexes + posexplode — the dominant per-query CPU for
+# the scorers).  bench builds ONE _tokens_with_pos(documents) frame per
+# session, localCheckpoints it, times the build as its own entry
+# ("lm_tokens_build"), and passes it via each query's shared_tokens
+# kwarg; the LM-reference fifth (doc_id % 5 == 0) is a row filter of the
+# shared frame inside each query fn, exact because tokenization is
+# per-row.  Correctness pinned by tests/test_shared_lm_tokens.py
+# (shared == standalone, exact rows).
+LM_SHARED = {
+    "bigram_cond_entropy",
+    "ngram_lm_perplexity",
+    "perplexity_lang_buckets",
+    "doremi_weight_step",
+    "min_k_prob_score",
+    "stupid_backoff_nll",
+    "quality_length_spearman",
+    "source_keyness_chi2",
+    "self_bleu_pairs",
 }
 
 
@@ -307,6 +331,28 @@ def main() -> None:
             dedup_shared_state["edges"] = edges
         return dedup_shared_state["edges"]
 
+    # shared LM token frame (see LM_SHARED): same lifecycle as the dedup
+    # edge frame — lazy, session-keyed, build time in its own entry
+    lm_shared_state: dict = {"session": None, "tokens": None}
+
+    def _lm_tokens(sess):
+        if lm_shared_state["session"] is not sess:
+            from wellmeet_data_pipeline_spark.operators.scoring import (
+                _tokens_with_pos,
+            )
+            from wellmeet_data_pipeline_spark.plans.queries import table as _table
+
+            t0 = time.perf_counter()
+            toks = _tokens_with_pos(
+                _table(sess, sf_dir, "documents"), "text", "doc_id"
+            ).localCheckpoint(eager=True)
+            times["lm_tokens_build"] = round(
+                times.get("lm_tokens_build", 0.0) + time.perf_counter() - t0, 3
+            )
+            lm_shared_state["session"] = sess
+            lm_shared_state["tokens"] = toks
+        return lm_shared_state["tokens"]
+
     for i, name in enumerate(HEADLINE):
         if i in restart_at:
             # Recycle the session ONCE mid-headline — the same treatment
@@ -322,9 +368,11 @@ def main() -> None:
             spark = get_spark("bench-mid")
             spark.sparkContext.setLogLevel("ERROR")
             REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
-        kwargs = (
-            {"shared_lsh_edges": _dedup_edges(spark)} if name in DEDUP_SHARED else {}
-        )
+        kwargs = {}
+        if name in DEDUP_SHARED:
+            kwargs["shared_lsh_edges"] = _dedup_edges(spark)
+        if name in LM_SHARED:
+            kwargs["shared_tokens"] = _lm_tokens(spark)
         t0 = time.perf_counter()
         rows = REGISTRY[name].fn(spark, sf_dir, **kwargs).collect()
         times[name] = round(time.perf_counter() - t0, 3)

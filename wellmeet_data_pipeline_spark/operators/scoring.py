@@ -74,13 +74,25 @@ def _bigram_token_logprobs(
     alpha: float,
     round_digits: int,
     materialize_lm: bool,
+    docs_tokens: DataFrame | None = None,
+    lm_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(id, pos, __lp) — every scored token's add-alpha bigram log-prob,
     snapped to the integer grid.  The shared core of ngram_lm_score and
     min_k_prob_score; the algebra and determinism notes live on
-    ngram_lm_score's docstring."""
+    ngram_lm_score's docstring.
+
+    `docs_tokens` / `lm_tokens` optionally supply precomputed
+    `_tokens_with_pos`-shaped frames (id, pos, term) so a fused pipeline
+    (bench's shared LM-tokens frame) tokenizes the corpus once instead of
+    once per scorer; tokenization is per-row, so a filter of the corpus
+    commutes exactly through the shared frame."""
     scale = float(10**round_digits)
-    lm_tokens = _tokens_with_pos(lm_docs, text_col, id_col)
+    lm_tokens = (
+        lm_tokens
+        if lm_tokens is not None
+        else _tokens_with_pos(lm_docs, text_col, id_col)
+    )
     w_lag = Window.partitionBy(id_col).orderBy("pos")
     lm_bi = lm_tokens.withColumn("prev", F.lag("term").over(w_lag))
     c1 = lm_tokens.groupBy("term").agg(F.count("*").alias("c1"))
@@ -104,9 +116,10 @@ def _bigram_token_logprobs(
     )
 
     toks = (
-        _tokens_with_pos(docs, text_col, id_col)
-        .withColumn("prev", F.lag("term").over(w_lag))
-    )
+        docs_tokens
+        if docs_tokens is not None
+        else _tokens_with_pos(docs, text_col, id_col)
+    ).withColumn("prev", F.lag("term").over(w_lag))
     c1_self = c1.select(F.col("term"), F.col("c1").alias("c1_self"))
     c1_prev = c1.select(F.col("term").alias("prev"), F.col("c1").alias("c1_prev"))
     c2_pair = c2.select(F.col("prev"), F.col("term"), F.col("c2").alias("c2_pair"))
@@ -138,6 +151,8 @@ def min_k_prob_score(
     alpha: float = 0.1,
     round_digits: int = 6,
     materialize_lm: bool = True,
+    docs_tokens: DataFrame | None = None,
+    lm_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Min-k% probability score (the membership-inference /
     contamination-detection read of Shi et al.'s Min-K% Prob): mean NLL
@@ -150,7 +165,15 @@ def min_k_prob_score(
     division of positives.  Output: (id, n_tokens, n_keep,
     min_k_nll_micro)."""
     per_token = _bigram_token_logprobs(
-        docs, lm_docs, text_col, id_col, alpha, round_digits, materialize_lm
+        docs,
+        lm_docs,
+        text_col,
+        id_col,
+        alpha,
+        round_digits,
+        materialize_lm,
+        docs_tokens=docs_tokens,
+        lm_tokens=lm_tokens,
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__lp").asc(), F.col("pos").asc())
     ranked = per_token.withColumn("__rn", F.row_number().over(w)).withColumn(
@@ -180,6 +203,8 @@ def ngram_lm_score(
     tail_nll: float = 7.5,
     round_digits: int = 6,
     materialize_lm: bool = True,
+    docs_tokens: DataFrame | None = None,
+    lm_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bigram-LM negative log-likelihood (nats/token) plus a
     CCNet-style head/middle/tail band.
@@ -210,7 +235,15 @@ def ngram_lm_score(
     absorbs a single flipped micro-nat in the per-doc mean."""
     scale = float(10**round_digits)
     per_token = _bigram_token_logprobs(
-        docs, lm_docs, text_col, id_col, alpha, round_digits, materialize_lm
+        docs,
+        lm_docs,
+        text_col,
+        id_col,
+        alpha,
+        round_digits,
+        materialize_lm,
+        docs_tokens=docs_tokens,
+        lm_tokens=lm_tokens,
     )
     per_doc = (
         per_token.groupBy(id_col)
@@ -362,6 +395,8 @@ def perplexity_lang_buckets(
     lang_col: str = "lang",
     alpha: float = 0.1,
     round_digits: int = 6,
+    docs_tokens: DataFrame | None = None,
+    lm_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet's actual bucketing rule: per-LANGUAGE head/middle/tail
     cutoffs derived from the corpus's own perplexity distribution
@@ -380,7 +415,14 @@ def perplexity_lang_buckets(
     Output: (lang, ppl_bucket, n_docs, mean_nll); mean is an exact
     integer micro-nat sum divided once at the end."""
     scored = ngram_lm_score(
-        docs, lm_docs, text_col, id_col, alpha=alpha, round_digits=round_digits
+        docs,
+        lm_docs,
+        text_col,
+        id_col,
+        alpha=alpha,
+        round_digits=round_digits,
+        docs_tokens=docs_tokens,
+        lm_tokens=lm_tokens,
     ).select(id_col, "nll")
     scale = float(10**round_digits)
     s = (
@@ -740,6 +782,8 @@ def doremi_weight_step(
     eta: float = 1.0,
     alpha: float = 0.1,
     round_digits: int = 6,
+    docs_tokens: DataFrame | None = None,
+    lm_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """One DoReMi-style domain-reweighting step (Xie et al. 2023,
     arXiv:2305.10429, simplified): domains whose perplexity under the
@@ -757,7 +801,14 @@ def doremi_weight_step(
     the token stream is domain-cardinality — trivially broadcastable."""
     scale = float(10**round_digits)
     scored = ngram_lm_score(
-        docs, lm_docs, text_col, id_col, alpha=alpha, round_digits=round_digits
+        docs,
+        lm_docs,
+        text_col,
+        id_col,
+        alpha=alpha,
+        round_digits=round_digits,
+        docs_tokens=docs_tokens,
+        lm_tokens=lm_tokens,
     ).select(id_col, "nll")
     by_dom = (
         docs.select(id_col, domain_col)
@@ -1445,6 +1496,8 @@ def stupid_backoff_nll(
     id_col: str = "doc_id",
     backoff: float = 0.4,
     round_digits: int = 6,
+    docs_tokens: DataFrame | None = None,
+    lm_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document negative log-likelihood under a TRIGRAM stupid-backoff
     LM (Brants et al. 2007, "Large Language Models in Machine
@@ -1480,7 +1533,11 @@ def stupid_backoff_nll(
     scale = float(10**round_digits)
     w_lag = Window.partitionBy(id_col).orderBy("pos")
 
-    lm_tokens = _tokens_with_pos(lm_docs, text_col, id_col)
+    lm_tokens = (
+        lm_tokens
+        if lm_tokens is not None
+        else _tokens_with_pos(lm_docs, text_col, id_col)
+    )
     lm_ctx = lm_tokens.withColumn("p1", F.lag("term", 1).over(w_lag)).withColumn(
         "p2", F.lag("term", 2).over(w_lag)
     )
@@ -1503,7 +1560,11 @@ def stupid_backoff_nll(
     )
 
     toks = (
-        _tokens_with_pos(docs, text_col, id_col)
+        (
+            docs_tokens
+            if docs_tokens is not None
+            else _tokens_with_pos(docs, text_col, id_col)
+        )
         .withColumn("p1", F.lag("term", 1).over(w_lag))
         .withColumn("p2", F.lag("term", 2).over(w_lag))
     )
@@ -1571,6 +1632,7 @@ def keyness_chi2_top_terms(
     min_count: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k KEY terms per group by chi-square keyness — the corpus-
     linguistics read behind "what vocabulary characterizes this source"
@@ -1595,9 +1657,11 @@ def keyness_chi2_top_terms(
     histogram grain; the rank window partitions per group over its
     candidate terms only."""
     base = docs.filter(F.col(group_col).isNotNull())
-    toks = _tokens_with_pos(base, text_col, id_col).join(
-        base.select(id_col, group_col), id_col
-    )
+    # a shared corpus-wide `tokens` frame is fine: the inner join onto
+    # base(id, group) applies the group-not-null filter either way
+    toks = (
+        tokens if tokens is not None else _tokens_with_pos(base, text_col, id_col)
+    ).join(base.select(id_col, group_col), id_col)
     gt = toks.groupBy(group_col, "term").agg(F.count("*").cast("long").alias("__a"))
     gt = gt.localCheckpoint(eager=False)  # feeds group totals, term totals, frame
     ng = gt.groupBy(group_col).agg(F.sum("__a").alias("__n_g"))

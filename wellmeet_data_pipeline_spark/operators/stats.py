@@ -729,7 +729,13 @@ def quantile_normalize_by_group(
     per-group ranking windows over each group's value histogram.  Ties
     inside a group share one rank2 and therefore one normalized value.
     NULL groups/values are excluded.  Emits (id, group, value,
-    norm_value)."""
+    norm_value).
+
+    Scale bound: the target expression multiplies rank2_g (up to ~2*n_g)
+    by N in int64, so it overflows once 2*N^2 > 2^63 — total rows N
+    must stay below ~2.1e9.  Fine for per-day or per-source
+    normalization slices at 100 TB; shard the input (e.g. by date)
+    before calling it on a corpus above that row count."""
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(id_col), F.col(group_col), F.col(value_col))

@@ -4639,11 +4639,15 @@ _TOKPOS_SQL = f"""
     "and integer-sums, so the scalar is aggregation-order-independent; "
     "count frames are vocabulary-sized, the token stream shuffles once",
 )
-def q_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bigram_cond_entropy(
+    spark: SparkSession, sf_dir: str, shared_tokens: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.scoring import _tokens_with_pos
 
     d = table(spark, sf_dir, "documents")
-    toks = _tokens_with_pos(d, "text", "doc_id")
+    toks = (
+        shared_tokens if shared_tokens is not None else _tokens_with_pos(d, "text", "doc_id")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     bi = toks.withColumn("prev", F.lag("term").over(w)).filter(
         F.col("prev").isNotNull()
@@ -4741,12 +4745,24 @@ _LM_AGG_SQL = f"""{_TOKPOS_SQL},
     "vocabulary-sized broadcasts, per-token log-probs snap to an integer "
     "micro-nat grid so the sums are order-independent and oracle-stable",
 )
-def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ngram_lm_perplexity(
+    spark: SparkSession, sf_dir: str, shared_tokens: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.scoring import ngram_lm_score
 
     d = table(spark, sf_dir, "documents")
     lm = d.filter((F.col("doc_id") % 5) == 0)
-    return ngram_lm_score(d, lm, alpha=0.1, head_nll=3.42, tail_nll=3.50)
+    return ngram_lm_score(
+        d,
+        lm,
+        alpha=0.1,
+        head_nll=3.42,
+        tail_nll=3.50,
+        docs_tokens=shared_tokens,
+        lm_tokens=None
+        if shared_tokens is None
+        else shared_tokens.filter((F.col("doc_id") % 5) == 0),
+    )
 
 
 @_q(
@@ -4789,12 +4805,22 @@ def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by value-grid cardinality, never doc cardinality, so nothing "
     "resembles a global sort at 100 TB",
 )
-def q_perplexity_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_perplexity_lang_buckets(
+    spark: SparkSession, sf_dir: str, shared_tokens: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.scoring import perplexity_lang_buckets
 
     d = table(spark, sf_dir, "documents")
     lm = d.filter((F.col("doc_id") % 5) == 0)
-    return perplexity_lang_buckets(d, lm, alpha=0.1)
+    return perplexity_lang_buckets(
+        d,
+        lm,
+        alpha=0.1,
+        docs_tokens=shared_tokens,
+        lm_tokens=None
+        if shared_tokens is None
+        else shared_tokens.filter((F.col("doc_id") % 5) == 0),
+    )
 
 
 @_q(
@@ -4837,12 +4863,23 @@ def q_perplexity_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snaps to a 1e-9 grid before the exact-bigint normalizer, so "
     "weights are aggregation-order-independent",
 )
-def q_doremi_weight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doremi_weight_step(
+    spark: SparkSession, sf_dir: str, shared_tokens: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.scoring import doremi_weight_step
 
     d = table(spark, sf_dir, "documents")
     lm = d.filter((F.col("doc_id") % 5) == 0)
-    return doremi_weight_step(d, lm, eta=1.0, alpha=0.1)
+    return doremi_weight_step(
+        d,
+        lm,
+        eta=1.0,
+        alpha=0.1,
+        docs_tokens=shared_tokens,
+        lm_tokens=None
+        if shared_tokens is None
+        else shared_tokens.filter((F.col("doc_id") % 5) == 0),
+    )
 
 
 @_q(
@@ -10878,12 +10915,23 @@ def q_minhash_union_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "division); shares the token-logprob frame with ngram_lm_perplexity "
     "so both reads price one LM pass",
 )
-def q_min_k_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_min_k_prob_score(
+    spark: SparkSession, sf_dir: str, shared_tokens: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.scoring import min_k_prob_score
 
     d = table(spark, sf_dir, "documents")
     lm = d.filter((F.col("doc_id") % 5) == 0)
-    return min_k_prob_score(d, lm, k_pct=20, alpha=0.1)
+    return min_k_prob_score(
+        d,
+        lm,
+        k_pct=20,
+        alpha=0.1,
+        docs_tokens=shared_tokens,
+        lm_tokens=None
+        if shared_tokens is None
+        else shared_tokens.filter((F.col("doc_id") % 5) == 0),
+    )
 
 
 @_q(
@@ -10965,7 +11013,12 @@ def q_min_k_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "averaging is done on negated positives (DuckDB // floors, Spark "
     "div truncates — they agree only on nonnegatives)",
 )
-def q_self_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_self_bleu_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    shared_tokens: DataFrame | None = None,
+    shared_lsh_edges: DataFrame | None = None,
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.functions.text import normalized_text
     from wellmeet_data_pipeline_spark.operators.dedup import (
         minhash_lsh_candidates_sha,
@@ -10973,11 +11026,20 @@ def q_self_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates_sha(d).localCheckpoint(eager=False)
+    pairs = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(d).localCheckpoint(eager=False)
+    )
     words = F.split(normalized_text(F.col("text")), " ")
     utf = (
-        d.select("doc_id", F.explode(words).alias("term"))
-        .filter(F.col("term") != "")
+        (
+            shared_tokens.select("doc_id", "term")
+            if shared_tokens is not None
+            else d.select("doc_id", F.explode(words).alias("term")).filter(
+                F.col("term") != ""
+            )
+        )
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint(eager=False)  # both join sides below
@@ -11603,12 +11665,21 @@ def q_embedding_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFra
     "per-token ln(p) snaps to the micro grid from exact BIGINT counts, "
     "so doc scores are aggregation-order-independent",
 )
-def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stupid_backoff_nll(
+    spark: SparkSession, sf_dir: str, shared_tokens: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.scoring import stupid_backoff_nll
 
     d = table(spark, sf_dir, "documents")
     lm = d.filter((F.col("doc_id") % 5) == 0)
-    return stupid_backoff_nll(d, lm)
+    return stupid_backoff_nll(
+        d,
+        lm,
+        docs_tokens=shared_tokens,
+        lm_tokens=None
+        if shared_tokens is None
+        else shared_tokens.filter((F.col("doc_id") % 5) == 0),
+    )
 
 
 @_q(
@@ -11722,7 +11793,9 @@ def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range-partitioned prefix sum; rho closes in one double expression, "
     "micro-snapped.  Monotone-association sibling of stats_correlation",
 )
-def q_quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quality_length_spearman(
+    spark: SparkSession, sf_dir: str, shared_tokens: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.scoring import (
         hashed_linear_score,
         model_weights_table,
@@ -11730,7 +11803,15 @@ def q_quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.stats import spearman_rho
 
     d = table(spark, sf_dir, "documents")
-    scored = hashed_linear_score(d, model_weights_table(spark)).select(
+    tc = (
+        None
+        if shared_tokens is None
+        # same frame doc_term_counts builds: tokens are already non-empty
+        else shared_tokens.groupBy("doc_id", "term").agg(
+            F.count("*").alias("__tc")
+        )
+    )
+    scored = hashed_linear_score(d, model_weights_table(spark), term_counts=tc).select(
         "doc_id", F.round(F.col("logit") * F.lit(1e6)).cast("long").alias("si")
     )
     pairs = scored.join(d.select("doc_id", "n_chars"), "doc_id").select(
@@ -12016,11 +12097,13 @@ def q_length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus scale), micro-snapped, deterministic (chi2, term) rank cut.  "
     "Evidence-mass-weighted complement of token_pmi_collocations' lift",
 )
-def q_source_keyness_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_source_keyness_chi2(
+    spark: SparkSession, sf_dir: str, shared_tokens: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.scoring import keyness_chi2_top_terms
 
     d = table(spark, sf_dir, "documents")
-    return keyness_chi2_top_terms(d, "source", k=10, min_count=5)
+    return keyness_chi2_top_terms(d, "source", k=10, min_count=5, tokens=shared_tokens)
 
 
 from wellmeet_data_pipeline_spark.operators.stats import (  # noqa: E402

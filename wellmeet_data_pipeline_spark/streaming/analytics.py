@@ -447,6 +447,7 @@ def current_changepoint(
     group_col: str,
     period_col: str,
     group_type: str = "string",
+    period_type: str = "string",
 ) -> DataFrame:
     """The consumer view of the streaming CUSUM drift monitor: dedup the
     partial store on (group, period, batch seq), roll partials up to
@@ -454,7 +455,9 @@ def current_changepoint(
     (operators.stats.cusum_changepoint) — the monitor and the batch
     read stay contract-identical by construction, exactly like
     current_heavy_hitters vs threshold_heavy_hitters.  Empty store →
-    empty frame with the operator's schema."""
+    empty frame with the operator's schema (group_type / period_type
+    parameterize the empty-frame DDL so non-string group or period
+    columns keep a consistent schema either way)."""
     from wellmeet_data_pipeline_spark.operators.stats import cusum_changepoint
 
     cur = read_current_or_none(
@@ -463,8 +466,8 @@ def current_changepoint(
     if cur is None:
         return spark.createDataFrame(
             [],
-            f"{group_col} {group_type}, cp_period string, n_periods bigint, "
-            "total bigint, dev_max bigint",
+            f"{group_col} {group_type}, cp_period {period_type}, "
+            "n_periods bigint, total bigint, dev_max bigint",
         )
     totals = cur.groupBy(group_col, period_col).agg(
         F.sum("x").cast("long").alias("__x")
