@@ -802,6 +802,7 @@ def _completed_stages(spark) -> dict[int, dict]:
             "mem_spill": s.get("memoryBytesSpilled", 0),
             "disk_spill": s.get("diskBytesSpilled", 0),
             "peak_exec_mem": s.get("peakExecutionMemory", 0),
+            "n_tasks": s.get("numCompleteTasks", 0) or 1,
         }
         for s in stages
     }
@@ -852,11 +853,31 @@ def main() -> None:
             new = {
                 k: v for k, v in _completed_stages(spark).items() if k not in before
             }
+            # peak_exec_mem is the REST stage peakExecutionMemory — the SUM
+            # of per-task peaks over ALL tasks of the worst stage, most of
+            # which ran sequentially (32 concurrent slots).  It grows with
+            # task count even when every task's footprint is flat, so it is
+            # NOT residency.  peak_task_mem (worst stage's per-task mean
+            # peak) and resident_est (per-task x concurrent slots) are the
+            # numbers an executor actually has to fit — the r10 verdict
+            # read band_plan's 32 GB stage-sum as resident memory when the
+            # true concurrent footprint was ~3.6 GB.
+            worst = max(
+                new.values(), key=lambda v: v["peak_exec_mem"], default=None
+            )
+            per_task = (
+                worst["peak_exec_mem"] / worst["n_tasks"] if worst else 0
+            )
+            slots = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             mem = {
                 "mem_spill": sum(v["mem_spill"] for v in new.values()),
                 "disk_spill": sum(v["disk_spill"] for v in new.values()),
                 "peak_exec_mem": max(
                     (v["peak_exec_mem"] for v in new.values()), default=0
+                ),
+                "peak_task_mem": int(per_task),
+                "resident_est": int(
+                    per_task * min(slots, worst["n_tasks"] if worst else slots)
                 ),
                 "n_stages": len(new),
             }
