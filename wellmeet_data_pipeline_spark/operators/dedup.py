@@ -1213,20 +1213,32 @@ def exact_substring_repeats(
     no DF cap to tune), and the output is the merged per-doc cover,
     not pairwise alignments.
 
-    Plan shape — SKEW-PROOF by construction: a start is duplicated iff
-    it is NOT its gram's unique occurrence, so the duplicated-start set
-    is grams MINUS the count==1 singletons.  The count aggregation is a
-    map-side-combined groupBy(gram) (a boilerplate gram with 10⁹
-    occurrences collapses to one partial per input task — no single
-    reducer ever sees the raw occurrence list, unlike a window
-    PARTITIONED BY the gram key, which ships every occurrence of the
-    hottest gram to ONE task); since a count-1 gram has exactly one
-    occurrence, the aggregate itself carries that occurrence's (id,
+    Plan shape: a start is duplicated iff it is NOT its gram's unique
+    occurrence, so the duplicated-start set is grams MINUS the count==1
+    singletons.  The gram aggregation and the anti join both ride
+    EXPLICIT legs-proportional exchanges (repartition(n_buckets, key) —
+    the minhash_band_plan r10/r11 treatment): a conventional
+    groupBy(gram)'s map-side partial achieved only ~1.05x combining on
+    the near-unique gram tail while AQE's 64 MiB coalesce target packed
+    the final agg and the anti-join SMJ sorts into ~32 fat tasks whose
+    hash maps + double sorts spilled 2.5-7 GB at the 64x smoke;
+    proportional buckets keep every post-shuffle working set flat (zero
+    spill, wall -28%, r11 measured).  Since a count-1 gram has exactly
+    one occurrence, the aggregate itself carries that occurrence's (id,
     pos), and the exclusion is a left_anti join on (id, pos, gram) —
     near-unique, uniformly-hashed keys with no hot-key class at all
     (singletons are unique by definition, so the hottest join key holds
     exactly two rows even under duplicate doc_ids).  Islands then merge
     on a doc-partitioned window.  Never a self-join.
+
+    Hot-gram bound: all occurrences of one gram land in one bucket, and
+    the fused post-shuffle agg STREAMS them into a single (count, min,
+    min) buffer — O(1) memory per key, so a boilerplate gram is a
+    wall-clock straggler only past ~10⁸ occurrences of a single gram
+    (the hot-gram smoke's 320k-occurrence class runs faster than the
+    old map-side-combine shape did).  A corpus with a genuinely
+    astronomical boilerplate class should strip it upstream (the
+    max_gram_df discipline of cross_doc_spans).
 
     Island rule — MAXIMAL COVERS (Lee et al. merged-range semantics):
     two duplicated starts belong to one span iff their length-L windows
@@ -1260,6 +1272,11 @@ def exact_substring_repeats(
     grams = shingles_df(
         docs, text_col=text_col, id_col=id_col, n=min_tokens, keep_pos=True
     ).localCheckpoint(eager=True)
+    # explicit legs-proportional bucket count, exempt from AQE coalescing
+    # (see docstring: 32 AQE-coalesced tasks spilled GBs at 64x)
+    spark = docs.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_buckets = max(shuffle_n, docs.rdd.getNumPartitions() * 4)
     # A count-1 gram's aggregate row IS its only occurrence — min() over
     # one row is exact.  The exclusion joins on (id, pos, shingle), not
     # (id, pos): if the input ever carries DUPLICATE doc_ids, two
@@ -1268,7 +1285,8 @@ def exact_substring_repeats(
     # start (review catch; the oracle joins on gram content, so the
     # engines would diverge exactly there).
     singletons = (
-        grams.groupBy("shingle")
+        grams.repartition(n_buckets, "shingle")
+        .groupBy("shingle")
         .agg(
             F.count("*").alias("__c"),
             F.min(id_col).alias(id_col),
@@ -1282,9 +1300,18 @@ def exact_substring_repeats(
     # trustworthy (the cross_doc_spans r7 lesson), and on a corpus where
     # most grams are unique the frame is corpus-sized; an auto-broadcast
     # of it GC-killed the 64x hot-gram smoke (512 MB humongous allocs).
+    # Both sides pre-bucketed on the exact join keys so the SMJ sorts run
+    # at bucket grain instead of AQE's fat coalesced partitions.
     starts = (
         grams.select(id_col, "pos", "shingle")
-        .join(singletons.hint("merge"), [id_col, "pos", "shingle"], "left_anti")
+        .repartition(n_buckets, id_col, "pos", "shingle")
+        .join(
+            singletons.repartition(n_buckets, id_col, "pos", "shingle").hint(
+                "merge"
+            ),
+            [id_col, "pos", "shingle"],
+            "left_anti",
+        )
         .select(id_col, "pos")  # gram text never rides the island shuffle
     )
     w = Window.partitionBy(id_col).orderBy("pos")
