@@ -522,21 +522,86 @@ def main() -> None:
     _rr_w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    mat16 = (
-        shortlist.join(_vq, "query_id")
-        .join(_vn, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot / (_nrm("qv") * _nrm("nv")), 4).alias("cos"),
+
+    def _exact_rerank5(shortlist_df):
+        # exact full-dim cosine rerank of a (query_id, neighbor_id)
+        # shortlist, top-5 — the serving-tier second stage shared by the
+        # matryoshka and quantization-rung gates
+        return (
+            shortlist_df.join(_vq, "query_id")
+            .join(_vn, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(_dot / (_nrm("qv") * _nrm("nv")), 4).alias("cos"),
+            )
+            .withColumn("rk", F.row_number().over(_rr_w))
+            .filter(F.col("rk") <= 5)
+            .collect()
         )
-        .withColumn("rk", F.row_number().over(_rr_w))
-        .filter(F.col("rk") <= 5)
-        .collect()
-    )
+
+    mat16 = _exact_rerank5(shortlist)
     times["matryoshka_tiered_16x"] = round(time.perf_counter() - t0, 3)
     recall_mat16 = _recall_vs(mat16, truth16)
     del mat16
+
+    # Quantization rungs at the 16x tier (r10 verdict item 7): binary
+    # (32x compression) and int8 (4x) gates on the same 32k-vector
+    # fixture as the IVF/PQ/Matryoshka/MMR tiers, so every rung of the
+    # quantization ladder carries a scale-tier gate.  Gated as TIERED
+    # SEARCH (quantized 200-deep shortlist + exact full-dim rerank, the
+    # serving pattern) — the same matryoshka lesson pinned in NOTES r10:
+    # a raw quantized scan's recall on this fixture measures the 16
+    # near-identical perturbed copies per query (cosine gaps ~1e-3 that
+    # 1-bit/8-bit codes cannot resolve: raw-scan recall@5 is 0.205 /
+    # 0.07), not the rung's serving quality.
+    from wellmeet_data_pipeline_spark.operators.similarity import (  # noqa: E402
+        binary_hamming_top_k,
+        int8_dot_top_k,
+    )
+
+    # The dot-ranking rungs' serving contract is UNIT-NORM input (the
+    # embeddings fixture is unit-norm; every real dot-product index
+    # normalizes at ingest).  The 16x perturbation inflates high-copy
+    # norms systematically, so raw dots crowd the shortlist with
+    # large-norm vectors (int8 recall 0.40 un-normalized, a metric
+    # mismatch not a quantization loss) — re-normalize the tier fixture.
+    # Cosine is scale-invariant, so truth16 is unchanged.  Queries: the
+    # every-8 copy-0 sample (250) — the rerank joins dominate tier cost
+    # and the recall estimate is stable at that n.
+    _e16_nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    e16n = e16.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / _e16_nrm).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    quant_q16 = e16n.filter(
+        (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % 8 == 0)
+    )
+
+    bq16, times["binary_quant_16x"] = _min2(
+        lambda: _exact_rerank5(
+            binary_hamming_top_k(quant_q16, e16n, k=200, dim=64).select(
+                "query_id", "neighbor_id"
+            )
+        )
+    )
+    recall_bq16 = _recall_vs(bq16, truth16)
+    del bq16
+    i816, times["int8_quant_16x"] = _min2(
+        lambda: _exact_rerank5(
+            int8_dot_top_k(quant_q16, e16n, k=200).select(
+                "query_id", "neighbor_id"
+            )
+        )
+    )
+    recall_i816 = _recall_vs(i816, truth16)
+    del i816
 
     # MMR at the 16x tier: candidates are the exact top-5 with cosine
     # relevance; pair similarities are exact cosines between candidate
@@ -687,6 +752,8 @@ def main() -> None:
         "ivf_16x_recall_at_5": recall16,
         "ivfpq_16x_recall_at_5": recall16_pq,
         "matryoshka_16x_recall_at_5": recall_mat16,
+        "binary_quant_16x_recall": recall_bq16,
+        "int8_16x_recall": recall_i816,
         "mmr_16x_rank1_match": mmr16_rank1,
         "mmr_16x_top3_overlap": mmr16_overlap,
         "ivf_hd_recall_at_5": recall_hd,
