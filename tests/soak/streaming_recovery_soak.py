@@ -24,7 +24,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 KILL_EXIT = 17
-TWINS = ("bloom", "kcore", "psi")
+TWINS = ("bloom", "kcore", "psi", "cusum")
 
 
 def get_session():
@@ -73,12 +73,24 @@ BATCHES = {
         [{"doc_id": 200 + i, "source": "B", "n_chars": 90 + i * 31}
          for i in range(20)],
     ],
+    # CUSUM periods overlap across batches on purpose: the torn-gap
+    # replay must roll duplicate (group, period, seq) partials up to the
+    # same totals the batch operator sees
+    "cusum": [
+        [{"event_type": t, "day": f"2026-01-{d:02d}", "value": 10 + 7 * d + i}
+         for t in ("view", "click") for d in (1, 2, 3) for i in range(3)],
+        [{"event_type": t, "day": f"2026-01-{d:02d}", "value": 90 + 3 * d + i}
+         for t in ("view", "buy") for d in (3, 4, 5) for i in range(2)],
+        [{"event_type": "click", "day": f"2026-01-{d:02d}", "value": 5 * d}
+         for d in (2, 4, 6)],
+    ],
 }
 
 SCHEMAS = {
     "bloom": "c_custkey long",
     "kcore": "id_a long, id_b long",
     "psi": "doc_id long, source string, n_chars long",
+    "cusum": "event_type string, day string, value long",
 }
 
 
@@ -101,6 +113,14 @@ def activate(spark, tmp, twin):
         )
 
         run_streaming_kcore_edges(spark, landing, store, ckpt, schema)
+    elif twin == "cusum":
+        from wellmeet_data_pipeline_spark.streaming.analytics import (
+            run_streaming_period_totals,
+        )
+
+        run_streaming_period_totals(
+            spark, landing, store, ckpt, schema, "event_type", "day", "value"
+        )
     else:
         from wellmeet_data_pipeline_spark.streaming.analytics import (
             run_streaming_length_bins,
@@ -165,6 +185,34 @@ def verify_parity(spark, tmp, twin):
         )
         want = sorted(map(tuple, graph_pagerank(all_edges, iters=3).collect()))
         got = sorted(map(tuple, current_pagerank(spark, store, iters=3).collect()))
+        assert got == want, twin
+    elif twin == "cusum":
+        from wellmeet_data_pipeline_spark.operators.stats import cusum_changepoint
+        from wellmeet_data_pipeline_spark.streaming.analytics import (
+            current_changepoint,
+        )
+
+        all_events = spark.createDataFrame(
+            [(r["event_type"], r["day"], r["value"]) for r in rows],
+            "event_type string, day string, value long",
+        )
+        totals = all_events.groupBy("event_type", "day").agg(
+            F.sum("value").cast("long").alias("__x")
+        )
+        want = sorted(
+            map(
+                tuple,
+                cusum_changepoint(
+                    totals, "event_type", "day", F.col("__x")
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                current_changepoint(spark, store, "event_type", "day").collect(),
+            )
+        )
         assert got == want, twin
     else:
         from wellmeet_data_pipeline_spark.operators.scoring import (

@@ -1661,8 +1661,9 @@ def test_streaming_bloom_bits_all_null_first_batch_does_not_poison(spark, tmp_pa
 
 
 def test_streaming_recovery_soak_after_midstream_kill(tmp_path):
-    """r9 verdict item 7: each state-store twin (Bloom bit registry,
-    PageRank edge store, PSI bin monitor) is KILLED mid-stream — after a
+    """r9 verdict item 7 (+ r10 item 6: the CUSUM period-totals twin):
+    each state-store twin (Bloom bit registry, PageRank edge store, PSI
+    bin monitor, CUSUM drift monitor) is KILLED mid-stream — after a
     batch's store commit, before the checkpoint records it — then
     restarted from the checkpoint; the replayed epoch must be absorbed by
     the store's idempotency discipline and the final view must equal the
@@ -1681,7 +1682,7 @@ def test_streaming_recovery_soak_after_midstream_kill(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     assert "SOAK-OK" in proc.stdout
-    for twin in ("bloom", "kcore", "psi"):
+    for twin in ("bloom", "kcore", "psi", "cusum"):
         assert f"RECOVERY-OK {twin}" in proc.stdout
 
 
