@@ -578,3 +578,367 @@ def test_phash_on_real_png_pixels_near_and_far(spark):
     d_ac = bin(got[1] ^ got[3]).count("1")
     assert d_ab <= 6  # brightness-shifted twin: near-identical hash
     assert d_ac >= 16  # unrelated image: far
+
+
+# ---------------------------------------------------------------------------
+# Baseline-JPEG decode (r10 verdict item 8): the test-side encoder below
+# emits real baseline JPEG (DCT + quant + canonical Huffman + stuffing +
+# optional restart intervals / 4:2:0 interleave) so decode_jpeg_gray is
+# exercised against the actual bitstream format, not a fixture file.
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+    def marker(self, m):
+        self.align()
+        self.out += bytes([0xFF, m])
+
+
+def _huff_from_symbols(symbols):
+    """Canonical all-equal-length Huffman table over the distinct symbol
+    set: (bits[16], huffval, {sym: (code, len)})."""
+    syms = sorted(set(symbols))
+    n = len(syms)
+    ln = 2
+    while (1 << ln) - 1 < n:
+        ln += 1
+    bits = [0] * 16
+    bits[ln - 1] = n
+    enc = {s: (i, ln) for i, s in enumerate(syms)}
+    return bits, syms, enc
+
+
+def _jpeg_blocks(plane, q):
+    """Quantized zigzag blocks of an 8x8-padded gray plane, raster MCU
+    order (single component)."""
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import (
+        _ZIGZAG,
+        _dct8_matrix,
+    )
+
+    M = _dct8_matrix()
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.zeros((ph, pw))
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    blocks = []
+    for y in range(0, ph, 8):
+        for x in range(0, pw, 8):
+            coef = M @ (padded[y : y + 8, x : x + 8] - 128.0) @ M.T
+            flat = coef.reshape(-1)
+            blocks.append(
+                [int(round(flat[_ZIGZAG[k]] / q[k])) for k in range(64)]
+            )
+    return blocks
+
+
+def _block_symbols(zz, pred):
+    """(dc_sym, dc_bits), [(ac_sym, ac_bits)...], new_pred for one block."""
+    diff = zz[0] - pred
+
+    def mag(v):
+        t = 0
+        a = abs(v)
+        while a:
+            t += 1
+            a >>= 1
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    t, code = mag(diff)
+    dc = (t, code)
+    acs = []
+    run = 0
+    last = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, (0, 0)))
+            run -= 16
+        s, c = mag(zz[k])
+        acs.append(((run << 4) | s, (s, c)))
+        run = 0
+    if last < 63:
+        acs.append((0x00, (0, 0)))
+    return dc, acs, zz[0]
+
+
+def _encode_jpeg_gray(px, q=None, dri=0):
+    """Minimal REAL baseline-JPEG encoder, grayscale 4:4:4: the decoder's
+    fixture source.  `q` is a 64-entry zigzag quant table (default all
+    ones: quantization loss is just coefficient rounding)."""
+    import struct
+
+    q = list(q) if q is not None else [1] * 64
+    plane = px.astype(float)
+    h, w = plane.shape
+    blocks = _jpeg_blocks(plane, q)
+
+    dc_syms, ac_syms = [], []
+    pred = 0
+    per_block = []
+    for bi, zz in enumerate(blocks):
+        if dri and bi and bi % dri == 0:
+            pred = 0  # restart resets DC prediction
+        dc, acs, pred = _block_symbols(zz, pred)
+        per_block.append((dc, acs))
+        dc_syms.append(dc[0])
+        ac_syms += [a[0] for a in acs]
+    dbits, dvals, denc = _huff_from_symbols(dc_syms)
+    abits, avals, aenc = _huff_from_symbols(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 3 + 16 + len(dvals))
+        + b"\x00"
+        + bytes(dbits)
+        + bytes(dvals)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 3 + 16 + len(avals))
+        + b"\x10"
+        + bytes(abits)
+        + bytes(avals)
+    )
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+
+    bw = _BitWriter()
+    rst = 0
+    for bi, (dc_, acs) in enumerate(per_block):
+        if dri and bi and bi % dri == 0:
+            bw.marker(0xD0 + rst % 8)
+            rst += 1
+        t, code = dc_
+        c, ln = denc[t]
+        bw.write(c, ln)
+        if t:
+            bw.write(code, t)
+        for sym, (s, cc) in acs:
+            c, ln = aenc[sym]
+            bw.write(c, ln)
+            if s:
+                bw.write(cc, s)
+    bw.align()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_roundtrip_gray():
+    """Irregular dims (edge MCUs cropped), q=1: reconstruction error is
+    pure DCT rounding, bounded by a couple of gray levels."""
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import decode_jpeg_gray
+
+    yy, xx = np.mgrid[0:17, 0:24]
+    px = (96 + 80 * np.sin(yy * 0.5) * np.cos(xx * 0.3)).astype(np.uint8)
+    got = decode_jpeg_gray(_encode_jpeg_gray(px))
+    assert got.shape == (17, 24)
+    assert float(np.abs(got - px).max()) < 3.0
+
+
+def test_decode_jpeg_quant_restart_exactness():
+    """With a non-trivial quant table + restart intervals, the decoder
+    must reproduce EXACTLY the dequantized-coefficient reconstruction the
+    test recomputes in numpy — pins Huffman, RST handling, dequant, and
+    IDCT bit-for-bit (up to clipping)."""
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import (
+        _ZIGZAG,
+        _dct8_matrix,
+        decode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 32)).astype(np.uint8)
+    q = [(3 + (k * 5) % 17) for k in range(64)]
+    payload = _encode_jpeg_gray(px, q=q, dri=2)
+    got = decode_jpeg_gray(payload)
+
+    M = _dct8_matrix()
+    want = np.zeros((16, 32))
+    blocks = _jpeg_blocks(px.astype(float), q)
+    bi = 0
+    for y in range(0, 16, 8):
+        for x in range(0, 32, 8):
+            coef = np.zeros(64)
+            for k in range(64):
+                coef[_ZIGZAG[k]] = blocks[bi][k] * q[k]
+            want[y : y + 8, x : x + 8] = M.T @ coef.reshape(8, 8) @ M + 128.0
+            bi += 1
+    assert float(np.abs(got - np.clip(want, 0, 255)).max()) < 1e-9
+
+
+def test_decode_jpeg_rejects_progressive():
+    import numpy as np
+    import pytest as _pytest
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import decode_jpeg_gray
+
+    px = np.full((8, 8), 128, dtype=np.uint8)
+    payload = bytearray(_encode_jpeg_gray(px))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(bytes(payload))
+
+
+def test_phash_on_real_jpeg_pixels_near_and_far(spark):
+    """The PNG pHash seam test, second format: brightness-shifted twin
+    hashes near, unrelated image far — over REAL decoded JPEG pixels."""
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import (
+        jpeg_gray8x8,
+        phash_assets,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = (
+        100
+        + 60 * np.sin(yy * 0.6) * np.cos(xx * 0.4)
+        + 40 * np.sin((xx + 2 * yy) * 0.23)
+    ).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int32) + 6, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+
+    rows = [
+        (1, "image/jpeg", bytearray(_encode_jpeg_gray(base))),
+        (2, "image/jpeg", bytearray(_encode_jpeg_gray(shifted, dri=3))),
+        (3, "image/jpeg", bytearray(_encode_jpeg_gray(noise))),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {
+        r["asset_id"]: r["phash"]
+        for r in phash_assets(assets, jpeg_gray8x8).collect()
+    }
+    d_ab = bin(got[1] ^ got[2]).count("1")
+    d_ac = bin(got[1] ^ got[3]).count("1")
+    assert d_ab <= 6
+    assert d_ac >= 16
+
+
+def _encode_jpeg_420(y, cb, cr):
+    """3-component 4:2:0 interleaved baseline encoder (Y 2x2-sampled) —
+    exercises the decoder's chroma bitstream-sync path.  One shared
+    DC/AC Huffman table pair over all components; q=1 everywhere."""
+    import struct
+
+    import numpy as np
+
+    q = [1] * 64
+    yb = _jpeg_blocks(y.astype(float), q)
+    cbb = _jpeg_blocks(cb.astype(float), q)
+    crb = _jpeg_blocks(cr.astype(float), q)
+    h, w = y.shape
+    mcux, mcuy = w // 16, h // 16
+    ybw = w // 8  # Y block-grid width
+
+    order = []  # (component key, block) in scan order
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):
+                for bx in range(2):
+                    order.append(("y", yb[(2 * my + by) * ybw + (2 * mx + bx)]))
+            order.append(("cb", cbb[my * mcux + mx]))
+            order.append(("cr", crb[my * mcux + mx]))
+
+    dc_syms, ac_syms, per = [], [], []
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    for key, zz in order:
+        dc, acs, pred[key] = _block_symbols(zz, pred[key])
+        per.append((dc, acs))
+        dc_syms.append(dc[0])
+        ac_syms += [a[0] for a in acs]
+    dbits, dvals, denc = _huff_from_symbols(dc_syms)
+    abits, avals, aenc = _huff_from_symbols(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00"
+    )
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(dvals)) + b"\x00"
+        + bytes(dbits) + bytes(dvals)
+    )
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(avals)) + b"\x10"
+        + bytes(abits) + bytes(avals)
+    )
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + b"\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
+    )
+    bw = _BitWriter()
+    for dc_, acs in per:
+        t, code = dc_
+        c, ln = denc[t]
+        bw.write(c, ln)
+        if t:
+            bw.write(code, t)
+        for sym, (s, cc) in acs:
+            c, ln = aenc[sym]
+            bw.write(c, ln)
+            if s:
+                bw.write(cc, s)
+    bw.align()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_420_chroma_sync():
+    """Interleaved 4:2:0: the decoder must entropy-decode Cb/Cr blocks to
+    stay in sync while reconstructing only luma — a sync bug corrupts
+    every MCU after the first."""
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.multimodal import decode_jpeg_gray
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    y = (80 + 70 * np.sin(yy * 0.37 + 1) * np.cos(xx * 0.51)).astype(np.uint8)
+    cb = np.full((16, 24), 100, dtype=np.uint8)
+    cr = (128 + 40 * np.sin(np.arange(16 * 24).reshape(16, 24) * 0.7)).astype(
+        np.uint8
+    )
+    got = decode_jpeg_gray(_encode_jpeg_420(y, cb, cr))
+    assert got.shape == (32, 48)
+    assert float(np.abs(got - y).max()) < 3.0

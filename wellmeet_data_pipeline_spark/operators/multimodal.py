@@ -2,11 +2,12 @@
 
 Media payloads are opaque `binary` columns + typed metadata (schemas.
 MEDIA_ASSET) — Spark shuffles the bytes untouched and all decode /
-feature-extraction runs in Arrow-batched mapInPandas.  PNG pixel decode
-is REAL (stdlib zlib + the five PNG row filters, `decode_png`), as are
-all the container-header parsers; only codec-entropy formats
-(JPEG/WebP pixels, compressed audio/video frames) remain stubbed behind
-NotImplementedError — PIL/ffmpeg/librosa are not in this container — with
+feature-extraction runs in Arrow-batched mapInPandas.  Pixel decode is
+REAL for both dominant web formats: PNG (stdlib zlib + the five row
+filters, `decode_png`) and baseline JPEG (pure-Python Huffman + IDCT,
+`decode_jpeg_gray`), as are all the container-header parsers; only
+WebP pixels and compressed audio/video frames remain stubbed behind
+NotImplementedError — no VP8/ffmpeg/librosa in this container — with
 a deterministic fake that keeps every piece of Spark-side plumbing
 (schema, batch shape, partitioning) real and testable.
 
@@ -36,14 +37,18 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> "object":
-    """Full pixel decode for formats whose entropy coding needs a codec
-    library (JPEG/WebP) — not present in this container.  PNG does NOT
-    need this: `decode_png` below is a real stdlib-zlib decoder.
-    Header-level metadata never needs it: see `parse_image_header`."""
+    """Pixel (luma) decode for the two dominant web formats, no codec
+    library needed: PNG via `decode_png` (stdlib zlib + row filters),
+    baseline JPEG via `decode_jpeg_gray` (pure-Python Huffman + IDCT).
+    Only WebP (VP8 entropy coding) remains stubbed — no library in this
+    container.  Header-level metadata never needs any of this: see
+    `parse_image_header`."""
     if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(payload)
     raise NotImplementedError(
-        "JPEG/WebP decode requires PIL/cv2; not available in this environment"
+        "WebP decode requires a VP8 codec; not available in this environment"
     )
 
 
@@ -165,6 +170,245 @@ def png_gray8x8(payload: bytes):
     for i in range(8):
         for j in range(8):
             block = luma[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            grid[i, j] = float(block.mean())
+    return grid
+
+
+# JPEG zigzag scan order: _ZIGZAG[k] = raster index of the k-th
+# zigzag-ordered coefficient
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment: un-stuffs
+    0xFF00, byte-aligns at restart markers, raises at any other marker."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt != 0x00:
+                raise ValueError(f"marker 0xFF{nxt:02x} inside entropy data")
+        out = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1
+        return out
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.buf[self.pos] == 0xFF else 1
+        if not (
+            self.buf[self.pos] == 0xFF and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """JPEG F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 17:
+        code = (code << 1) | reader.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg_gray(payload: bytes):
+    """REAL baseline-JPEG luma decode (r10 verdict item 8), pure Python —
+    Huffman entropy decode, dequantization, orthonormal 8x8 IDCT (the
+    same _dct8_matrix pHash uses, transposed), MCU assembly with
+    sampling factors, restart intervals, 0xFF00 un-stuffing.  Returns
+    the Y plane as float64 (h, w) — chroma blocks are entropy-decoded to
+    keep the bitstream in sync but not reconstructed, since every
+    consumer here (pHash, resize audits) is luma-only.
+
+    Supported: SOF0 baseline sequential, 8-bit, any component count with
+    the luma component carrying the max sampling factors (true of 4:4:4
+    / 4:2:2 / 4:2:0 in practice).  Progressive (SOF2) and arithmetic
+    coding raise ValueError — errors-as-data at the UDF layer."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    dri = 0
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("desynced JPEG marker stream")
+        m = payload[i + 1]
+        if m == 0xFF:
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            raise ValueError("EOI before SOS")
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if prec:
+                    vals = [
+                        int.from_bytes(seg[p + 2 * k : p + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    p += 128
+                else:
+                    vals = list(seg[p : p + 64])
+                    p += 64
+                qt[tid] = vals
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = seg[p]
+                        code += 1
+                        p += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif m == 0xC0:  # SOF0 baseline
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif 0xC1 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(f"unsupported JPEG frame type 0xff{m:02x} (baseline only)")
+        elif m == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS
+            sel = {}
+            for c in range(seg[0]):
+                sel[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
+            scan = sel
+            i = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma = comps[0]
+    if (luma[1], luma[2]) != (hmax, vmax):
+        raise ValueError("luma must carry the max sampling factors")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
+
+    M = _dct8_matrix()
+    plane = np.zeros((mcuy * mcu_h, mcux * mcu_w), dtype=np.float64)
+    reader = _JpegBitReader(payload, i)
+    pred = {c[0]: 0 for c in comps}
+    lq = np.array(
+        [qt[luma[3]][k] for k in range(64)], dtype=np.float64
+    )
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                reader.restart()
+                pred = {c[0]: 0 for c in comps}
+            n_mcu += 1
+            for cid, hs, vs, tq in comps:
+                td, ta = scan[cid]
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = [0] * 64
+                        t = _huff_decode(reader, dc_tab)
+                        pred[cid] += _jpeg_extend(reader.receive(t), t)
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _jpeg_extend(reader.receive(s), s)
+                            k += 1
+                        if cid != luma[0]:
+                            continue  # chroma: bitstream-sync only
+                        coef = np.zeros(64, dtype=np.float64)
+                        deq = np.array(zz, dtype=np.float64) * lq
+                        for kk in range(64):
+                            coef[_ZIGZAG[kk]] = deq[kk]
+                        block = M.T @ coef.reshape(8, 8) @ M + 128.0
+                        y0 = my * mcu_h + by * 8
+                        x0 = mx * mcu_w + bx * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = block
+    return np.clip(plane[:h, :w], 0.0, 255.0)
+
+
+def jpeg_gray8x8(payload: bytes):
+    """Real-pixel pHash acquisition for baseline-JPEG payloads — the
+    JPEG twin of `png_gray8x8`: decode luma, average-pool onto the 8x8
+    grid `phash64` consumes."""
+    import numpy as np
+
+    luma = decode_jpeg_gray(payload)
+    h, w = luma.shape
+    ys = np.linspace(0, h, 9, dtype=int)
+    xs = np.linspace(0, w, 9, dtype=int)
+    grid = np.zeros((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            block = luma[
+                ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
+            ]
             grid[i, j] = float(block.mean())
     return grid
 
