@@ -201,6 +201,17 @@ HEADLINE = [
     "daily_revenue_acf",
     "zipf_rank_frequency",
     "dup_graph_assortativity",
+    # r11 additions: one-way tests, robust location, product analytics,
+    # corpus planning
+    "event_anova_f",
+    "event_levene_bf",
+    "event_kruskal_wallis",
+    "event_winsorized_mean",
+    "user_retention_cohorts",
+    "event_funnel_conversion",
+    "customer_rfm_segments",
+    "source_repeated_ngram_rate",
+    "dedup_char_savings",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol
@@ -245,9 +256,10 @@ DEDUP_SHARED = {
     "dedup_best_of_cluster",
     "dup_graph_clustering",
     "dup_graph_assortativity",
-    # consumes the SAME minhash_lsh_candidates_sha(documents) edge frame
-    # as the dup-graph family (its candidate pairs), on top of LM_SHARED
+    # consume the SAME minhash_lsh_candidates_sha(documents) edge frame
+    # as the dup-graph family (self_bleu also rides LM_SHARED)
     "self_bleu_pairs",
+    "dedup_char_savings",
 }
 
 # LM/token family: every member re-tokenized the corpus from scratch

@@ -985,3 +985,316 @@ def kaplan_meier(
         .alias("surv_log_micro"),
         surv.alias("surv_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way group-difference tests (r11): ANOVA F / eta^2, Brown-Forsythe
+# Levene, Kruskal-Wallis H — the multi-group siblings of welch_t_pairs /
+# mann_whitney_by_group, from the same exact-BIGINT moment discipline.
+# ---------------------------------------------------------------------------
+
+
+def _oneway_from_moments(per_g: DataFrame) -> DataFrame:
+    """One-way ANOVA F and eta^2 from per-group exact moments
+    (group, __n long, __s long, __q long) with __s = sum(x), __q =
+    sum(x^2) on an integer grid.
+
+    F and eta^2 are scale-invariant, so every intermediate is expressed
+    as a FRACTION OF Q (the raw total sum of squares, an exact BIGINT):
+    each group contributes S_g^2/(n_g*Q) in [0, 1] (Cauchy-Schwarz),
+    computed in IEEE doubles FROM EXACTLY-REPRESENTABLE integers
+    (|S_g|, Q < 2^53), micro-snapped, and BIGINT-summed — bounded ints
+    regardless of N or value scale (a raw-S^2/n micro grid overflows
+    int64 past ~10^4 cents-grain rows), and the group-sum is
+    aggregation-order-independent so it matches the SQL oracle
+    bit-for-bit.  With g = S^2/(N*Q):
+
+        ssb_frac = sum_g S_g^2/(n_g*Q) - g      sst_frac = 1 - g
+        eta2 = ssb_frac / sst_frac
+        F    = (ssb_frac/(k-1)) / ((sst_frac - ssb_frac)/(N-k))
+
+    Emits one row: (n_all, n_groups, ssb_frac_micro, sst_frac_micro,
+    f_micro, eta2_micro); degenerate inputs (k < 2, N <= k, SSW = 0,
+    Q = 0) emit NULL statistics via try_divide.
+
+    Scale bound: exactness needs |S_g| and Q below 2^53 (cents-grain
+    sums — shard upstream past ~10^10 rows per call slice)."""
+    tot = per_g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("__n").cast("long").alias("n_all"),
+        F.sum("__s").cast("long").alias("__ssum"),
+        F.sum("__q").cast("long").alias("__qsum"),
+    )
+    terms = per_g.crossJoin(F.broadcast(tot)).select(
+        "n_groups",
+        "n_all",
+        "__ssum",
+        "__qsum",
+        F.floor(
+            F.try_divide(
+                F.col("__s").cast("double") * F.col("__s").cast("double"),
+                F.col("__n").cast("double") * F.col("__qsum").cast("double"),
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__t_micro"),
+    )
+    agg = terms.groupBy("n_groups", "n_all", "__ssum", "__qsum").agg(
+        F.sum("__t_micro").cast("long").alias("__tsum_micro")
+    )
+    nd = F.col("n_all").cast("double")
+    grand_micro = F.floor(
+        F.try_divide(
+            F.col("__ssum").cast("double") * F.col("__ssum").cast("double"),
+            nd * F.col("__qsum").cast("double"),
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    a = agg.select(
+        "n_all",
+        "n_groups",
+        (F.col("__tsum_micro") - grand_micro).alias("ssb_frac_micro"),
+        (F.lit(1_000_000).cast("long") - grand_micro).alias("sst_frac_micro"),
+    )
+    k = F.col("n_groups").cast("double")
+    n = F.col("n_all").cast("double")
+    ssb = F.col("ssb_frac_micro").cast("double") / F.lit(1e6)
+    ssw = (F.col("sst_frac_micro") - F.col("ssb_frac_micro")).cast("double") / F.lit(
+        1e6
+    )
+    f = F.try_divide(
+        F.try_divide(ssb, k - F.lit(1.0)),
+        F.try_divide(ssw, n - k),
+    )
+    eta2 = F.try_divide(
+        F.col("ssb_frac_micro").cast("double"), F.col("sst_frac_micro").cast("double")
+    )
+    return a.select(
+        "n_all",
+        "n_groups",
+        "ssb_frac_micro",
+        "sst_frac_micro",
+        snap_micro(f).alias("f_micro"),
+        snap_micro(eta2).alias("eta2_micro"),
+    )
+
+
+def oneway_anova_f(df: DataFrame, group_col: str, value_long: Column) -> DataFrame:
+    """One-way ANOVA F + eta^2 of `value_long` (exact integer grid,
+    e.g. cents) across `group_col` — the parametric 'does the group
+    explain the variance' read next to welch_t_pairs' pairwise version.
+    NULL groups excluded.  See _oneway_from_moments for exactness."""
+    per_g = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), value_long.cast("long").alias("__v"))
+        .groupBy("__g")
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__v").cast("long").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__q"),
+        )
+    )
+    return _oneway_from_moments(per_g)
+
+
+def levene_brown_forsythe(
+    df: DataFrame, group_col: str, value_long: Column
+) -> DataFrame:
+    """Brown-Forsythe Levene test of variance homogeneity across groups:
+    one-way ANOVA F on Z = |x - median_g| (the median-centered variant —
+    robust to heavy tails, the recommended default).  The per-group
+    median is the exact LOWER median (smallest value whose cumulative
+    count reaches ceil(n_g/2)) read off the per-group value histogram —
+    the cumulative window is bounded by each group's VALUE-GRID
+    cardinality, never row count.  Z stays on the integer grid, so the
+    downstream moments are exact (see _oneway_from_moments)."""
+    base = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), value_long.cast("long").alias("__v")
+    )
+    hist = base.groupBy("__g", "__v").agg(F.count("*").cast("long").alias("__c"))
+    wg = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(wg)).withColumn(
+        "__n_g", F.sum("__c").over(Window.partitionBy("__g"))
+    )
+    med = (
+        cum.filter(F.col("__cum") >= F.expr("(__n_g + 1) div 2"))
+        .groupBy("__g")
+        .agg(F.min("__v").alias("__med"))
+    )
+    z = base.join(med, "__g").select(
+        "__g", F.abs(F.col("__v") - F.col("__med")).alias("__z")
+    )
+    per_g = z.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__z").cast("long").alias("__s"),
+        F.sum(F.col("__z") * F.col("__z")).cast("long").alias("__q"),
+    )
+    return _oneway_from_moments(per_g)
+
+
+def kruskal_wallis_h(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H across ALL groups — the k-sample
+    extension of mann_whitney_by_group, from the SAME one-global-
+    average-ranking machinery (doubled ranks over the pooled value
+    histogram through the range-partitioned prefix sum).
+
+        H = [ 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) ]
+            / [ 1 - sum_v (t^3 - t)/(N^3 - N) ]
+
+    2R_g = sum_v cnt_g(v)*rank2(v) is an exact BIGINT; each group's
+    CONTRIBUTION TO H — 12*R_g^2/(n_g*N*(N+1)), an O(N)-bounded
+    quantity, NOT the O(N^3) raw R_g^2/n_g term, which overflows the
+    int64 micro grid past ~10^4 rows — is a double from exactly-
+    representable integers (needs 2R_g < 2^53, i.e. N below ~6.7e7 per
+    call slice — shard by period upstream at 100 TB, same bound class
+    as quantile_normalize), micro-snapped and BIGINT-summed so group
+    aggregation order cannot move the result.  The tie sum t^3 - t
+    carries mann_whitney's int64 bound (hottest single value below
+    ~2.1e6 occurrences).  Emits one row: (n_all, n_groups, h_micro);
+    a single group or an all-tied input yields NULL via try_divide."""
+    df = df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    hist = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count("*").cast("long").alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vhist = hist.groupBy(value_col).agg(F.sum("__cnt").alias("__cnt_all"))
+    vcum = global_rank_cumsum(
+        vhist, [F.col(value_col).asc()], sum_col="__cnt_all", cum_col="__cum_all"
+    ).select(
+        value_col,
+        "__cnt_all",
+        (2 * (F.col("__cum_all") - F.col("__cnt_all")) + F.col("__cnt_all") + 1).alias(
+            "__rank2"
+        ),
+    )
+    ties = vcum.agg(
+        F.sum(
+            F.col("__cnt_all") * F.col("__cnt_all") * F.col("__cnt_all")
+            - F.col("__cnt_all")
+        ).alias("__tie_sum"),
+        F.sum("__cnt_all").alias("__n_all"),
+    )
+    per_g = (
+        hist.join(vcum.select(value_col, "__rank2"), value_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum("__cnt").cast("long").alias("__n_g"),
+            F.sum(F.col("__cnt") * F.col("__rank2")).cast("long").alias("__r2"),
+        )
+    )
+    npool = F.col("__n_all").cast("double")
+    terms = per_g.crossJoin(F.broadcast(ties)).select(
+        F.col("__n_g"),
+        F.col("__tie_sum"),
+        F.col("__n_all"),
+        F.floor(
+            F.lit(12.0)
+            * F.col("__r2").cast("double")
+            * F.col("__r2").cast("double")
+            / (
+                F.lit(4.0)
+                * F.col("__n_g").cast("double")
+                * npool
+                * (npool + F.lit(1.0))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__t_micro"),
+    )
+    agg = terms.groupBy("__n_all", "__tie_sum").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("__t_micro").cast("long").alias("__tsum_micro"),
+    )
+    nd = F.col("__n_all").cast("double")
+    h_raw = F.col("__tsum_micro").cast("double") / F.lit(1e6) - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    corr = F.lit(1.0) - F.col("__tie_sum").cast("double") / (nd * nd * nd - nd)
+    h = F.try_divide(h_raw, corr)
+    degenerate = (F.col("n_groups") < 2) | (F.col("__n_all") < 2)
+    return agg.select(
+        F.col("__n_all").alias("n_all"),
+        "n_groups",
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(snap_micro(h))
+        .alias("h_micro"),
+    )
+
+
+def winsorized_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_long: Column,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorized mean on the exact integer grid: values below
+    the lo_pct-th / above the hi_pct-th percentile are CLAMPED to those
+    percentiles (not dropped), then integer-averaged — the robust
+    location read next to daily_anomaly_mad's scale read.  Percentiles
+    are exact ECDF order statistics (smallest value whose cumulative
+    count reaches ceil(p*n/100)) off the per-group value histogram; the
+    cumulative window is bounded by value-grid cardinality.  The clamped
+    sum is an exact BIGINT, so the mean is one deterministic double
+    division, micro-snapped.  Emits (group, n, lo_cents, hi_cents,
+    wmean_micro)."""
+    base = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), value_long.cast("long").alias("__v")
+    )
+    hist = base.groupBy("__g", "__v").agg(F.count("*").cast("long").alias("__c"))
+    wg = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(wg)).withColumn(
+        "__n_g", F.sum("__c").over(Window.partitionBy("__g"))
+    )
+    cuts = cum.groupBy("__g").agg(
+        F.max("__n_g").alias("__n"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr(f"({lo_pct} * __n_g + 99) div 100"),
+                F.col("__v"),
+            )
+        ).alias("__lo"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr(f"({hi_pct} * __n_g + 99) div 100"),
+                F.col("__v"),
+            )
+        ).alias("__hi"),
+    )
+    clamped = hist.join(F.broadcast(cuts), "__g").select(
+        "__g",
+        "__n",
+        "__lo",
+        "__hi",
+        (
+            F.col("__c")
+            * F.greatest(F.least(F.col("__v"), F.col("__hi")), F.col("__lo"))
+        ).alias("__w"),
+    )
+    return (
+        clamped.groupBy("__g", "__n", "__lo", "__hi")
+        .agg(F.sum("__w").cast("long").alias("__ws"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").alias("n"),
+            F.col("__lo").alias("lo_cents"),
+            F.col("__hi").alias("hi_cents"),
+            snap_micro(
+                F.col("__ws").cast("double") / F.col("__n").cast("double")
+            ).alias("wmean_micro"),
+        )
+    )

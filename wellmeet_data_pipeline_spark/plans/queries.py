@@ -12783,6 +12783,577 @@ def q_dup_graph_assortativity(
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 11: one-way group-difference tests (the k-sample siblings of the
+# r10 pairwise stats), robust location, and the product-analytics /
+# corpus-planning reads (cohorts, funnel, RFM, repetition rate, dedup
+# savings).
+# ---------------------------------------------------------------------------
+
+_ONEWAY_TAIL_SQL = """
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(s) AS BIGINT) AS ss, CAST(sum(q) AS BIGINT) AS qq
+            FROM m),
+    t AS (SELECT k, nn, ss, qq,
+            CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / nullif(CAST(n AS DOUBLE) * CAST(qq AS DOUBLE), 0)
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              AS tm
+          FROM m CROSS JOIN tot),
+    a AS (SELECT k, nn, ss, qq, CAST(sum(tm) AS BIGINT) AS ts
+          FROM t GROUP BY 1, 2, 3, 4),
+    b AS (SELECT nn, k,
+            ts - CAST(floor(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                            / nullif(CAST(nn AS DOUBLE) * CAST(qq AS DOUBLE), 0)
+                            * CAST(1000000 AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ssb_frac_micro,
+            CAST(1000000 AS BIGINT)
+              - CAST(floor(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                           / nullif(CAST(nn AS DOUBLE) * CAST(qq AS DOUBLE), 0)
+                           * CAST(1000000 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sst_frac_micro
+          FROM a)
+    SELECT nn AS n_all, k AS n_groups, ssb_frac_micro, sst_frac_micro,
+           CAST(floor(
+             (CAST(ssb_frac_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+              / nullif(CAST(k AS DOUBLE) - CAST(1 AS DOUBLE), 0))
+             / nullif(CAST(sst_frac_micro - ssb_frac_micro AS DOUBLE)
+                      / CAST(1000000 AS DOUBLE)
+                      / nullif(CAST(nn AS DOUBLE) - CAST(k AS DOUBLE), 0), 0)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS f_micro,
+           CAST(floor(CAST(ssb_frac_micro AS DOUBLE)
+                      / nullif(CAST(sst_frac_micro AS DOUBLE), 0)
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS eta2_micro
+    FROM b
+"""
+
+
+@_q(
+    "event_anova_f",
+    f"""
+    WITH m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({_EVENT_CENTS_SQL}) AS BIGINT) AS s,
+             CAST(sum({_EVENT_CENTS_SQL} * {_EVENT_CENTS_SQL}) AS BIGINT) AS q
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    {_ONEWAY_TAIL_SQL}
+    """,
+    "one-way ANOVA F + eta^2 of the cents-exact event value across all "
+    "event types at once — the k-sample 'does the group explain the "
+    "variance' read next to event_welch_ttest's pairwise version.  "
+    "Per-group S^2/n terms are doubles from exactly-representable "
+    "BIGINTs, micro-snapped then BIGINT-summed, so group aggregation "
+    "order cannot move the result; degenerate inputs emit NULL via "
+    "try_divide / nullif",
+)
+def q_event_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import oneway_anova_f
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return oneway_anova_f(e, "event_type", cents)
+
+
+@_q(
+    "event_levene_bf",
+    f"""
+    WITH h AS (
+      SELECT event_type AS g, {_EVENT_CENTS_SQL} AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm,
+             sum(c) OVER (PARTITION BY g) AS ng
+      FROM h
+    ),
+    med AS (SELECT g, min(v) AS med FROM cum WHERE cm >= (ng + 1) // 2 GROUP BY g),
+    z AS (
+      SELECT e.event_type AS g, abs({_EVENT_CENTS_SQL} - m.med) AS z
+      FROM events e JOIN med m ON m.g = e.event_type
+    ),
+    m AS (
+      SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS BIGINT) AS s, CAST(sum(z * z) AS BIGINT) AS q
+      FROM z GROUP BY 1
+    ),
+    {_ONEWAY_TAIL_SQL}
+    """,
+    "Brown-Forsythe Levene test of variance homogeneity across event "
+    "types: one-way ANOVA F on |x - group median| (exact lower median "
+    "off the per-group value histogram; Z stays on the integer grid, so "
+    "the moment discipline of event_anova_f applies unchanged).  The "
+    "variance-difference read that decides whether Welch (not pooled t) "
+    "is required downstream",
+)
+def q_event_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import levene_brown_forsythe
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return levene_brown_forsythe(e, "event_type", cents)
+
+
+@_q(
+    "event_kruskal_wallis",
+    f"""
+    WITH hist AS (
+      SELECT event_type AS g, {_EVENT_CENTS_SQL} AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    vh AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM hist GROUP BY v),
+    vc AS (
+      SELECT v, cnt_all,
+             2 * (sum(cnt_all) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - cnt_all) + cnt_all + 1 AS rank2
+      FROM vh
+    ),
+    ties AS (
+      SELECT CAST(sum(cnt_all * cnt_all * cnt_all - cnt_all) AS BIGINT) AS tie_sum,
+             CAST(sum(cnt_all) AS BIGINT) AS n_all
+      FROM vc
+    ),
+    pg AS (
+      SELECT g, CAST(sum(cnt) AS BIGINT) AS ng,
+             CAST(sum(cnt * rank2) AS BIGINT) AS r2
+      FROM hist JOIN vc USING (v) GROUP BY g
+    ),
+    tm AS (
+      SELECT ng, tie_sum, n_all,
+             CAST(floor(CAST(12 AS DOUBLE)
+                        * CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                        / (CAST(4 AS DOUBLE) * CAST(ng AS DOUBLE)
+                           * CAST(n_all AS DOUBLE)
+                           * (CAST(n_all AS DOUBLE) + CAST(1 AS DOUBLE)))
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS t
+      FROM pg CROSS JOIN ties
+    ),
+    ag AS (SELECT n_all, tie_sum, CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(t) AS BIGINT) AS ts
+           FROM tm GROUP BY 1, 2)
+    SELECT n_all, k AS n_groups,
+           CASE WHEN k < 2 OR n_all < 2 THEN NULL ELSE
+             CAST(floor(
+               (CAST(ts AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                - CAST(3 AS DOUBLE) * (CAST(n_all AS DOUBLE) + CAST(1 AS DOUBLE)))
+               / nullif(CAST(1 AS DOUBLE)
+                        - CAST(tie_sum AS DOUBLE)
+                          / (CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE)
+                             * CAST(n_all AS DOUBLE) - CAST(n_all AS DOUBLE)), 0)
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END
+             AS h_micro
+    FROM ag
+    """,
+    "tie-corrected Kruskal-Wallis H across all event types — the "
+    "k-sample extension of source_mann_whitney from the SAME one-global-"
+    "average-ranking machinery (doubled integer ranks over the pooled "
+    "value histogram, range-partitioned prefix sum); per-group R^2/n "
+    "terms micro-snapped and BIGINT-summed so group order cannot move "
+    "the result",
+)
+def q_event_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import kruskal_wallis_h
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return kruskal_wallis_h(e.select("event_type", cents.alias("v")), "event_type", "v")
+
+
+@_q(
+    "event_winsorized_mean",
+    f"""
+    WITH h AS (
+      SELECT event_type AS g, {_EVENT_CENTS_SQL} AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm,
+             sum(c) OVER (PARTITION BY g) AS ng
+      FROM h
+    ),
+    cuts AS (
+      SELECT g, CAST(max(ng) AS BIGINT) AS n,
+             min(CASE WHEN cm >= (5 * ng + 99) // 100 THEN v END) AS lo,
+             min(CASE WHEN cm >= (95 * ng + 99) // 100 THEN v END) AS hi
+      FROM cum GROUP BY g
+    ),
+    w AS (
+      SELECT h.g, n, lo, hi, h.c * greatest(least(h.v, cuts.hi), cuts.lo) AS wv
+      FROM h JOIN cuts USING (g)
+    )
+    SELECT g AS event_type, n, CAST(lo AS BIGINT) AS lo_cents,
+           CAST(hi AS BIGINT) AS hi_cents,
+           CAST(floor(CAST(sum(wv) AS DOUBLE) / CAST(n AS DOUBLE)
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS wmean_micro
+    FROM w GROUP BY 1, 2, 3, 4
+    """,
+    "per-type 5/95-winsorized mean of the cents-exact value — the "
+    "robust location read next to daily_anomaly_mad's scale read: "
+    "exact ECDF order-statistic cutoffs off the per-group value "
+    "histogram, outliers CLAMPED (not dropped), clamped sum exact "
+    "BIGINT, one deterministic division at the end",
+)
+def q_event_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import winsorized_mean_by_group
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return winsorized_mean_by_group(e, "event_type", cents)
+
+
+@_q(
+    "user_retention_cohorts",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    coh AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort FROM coh GROUP BY 1),
+    act AS (
+      SELECT c.cohort, uw.wk - c.cohort AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM uw JOIN coh c USING (user_id) GROUP BY 1, 2
+    )
+    SELECT CAST(a.cohort AS BIGINT) AS cohort_week,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           s.n_cohort, a.n_active,
+           (1000000 * a.n_active) // s.n_cohort AS retention_micro
+    FROM act a JOIN sizes s USING (cohort)
+    """,
+    "weekly retention cohorts over the event stream: users grouped by "
+    "first-active epoch-week, retention at offset k = active users / "
+    "cohort size (exact integer micro-division).  The classic product-"
+    "analytics triangle, all integer epoch-week arithmetic — no "
+    "timestamp rendering crosses the engines.  Scale: user-grain "
+    "distinct + two group-bys; the output is cohort x offset grain",
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    uw = e.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE'1970-01-01') div 7").cast("long").alias("wk"),
+    ).distinct()
+    coh = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = coh.groupBy("cohort").agg(F.count("*").cast("long").alias("n_cohort"))
+    act = (
+        uw.join(coh, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return act.join(sizes, "cohort").select(
+        F.col("cohort").cast("long").alias("cohort_week"),
+        F.col("week_offset").cast("long"),
+        "n_cohort",
+        "n_active",
+        F.expr("(1000000 * n_active) div n_cohort").cast("long").alias("retention_micro"),
+    )
+
+
+@_q(
+    "event_funnel_conversion",
+    """
+    WITH u1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN u1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN u2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST((SELECT count(*) FROM u1) AS BIGINT) AS n1,
+             CAST((SELECT count(*) FROM u2) AS BIGINT) AS n2,
+             CAST((SELECT count(*) FROM u3) AS BIGINT) AS n3
+    )
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, n1 AS n_users,
+           (1000000 * n1) // nullif(n1, 0) AS conv_micro FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', n2, (1000000 * n2) // nullif(n1, 0) FROM c
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', n3, (1000000 * n3) // nullif(n1, 0) FROM c
+    """,
+    "ordered funnel conversion view -> click -> purchase: each step's "
+    "timestamp must STRICTLY FOLLOW the user's previous step (min-ts "
+    "per step, re-filtered per stage — the sessionless ordered-funnel "
+    "semantics).  conv_micro is exact integer division against the "
+    "step-1 population.  Scale: three user-grain aggs, each a semi-"
+    "join narrower than the last",
+)
+def q_event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    u2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c = (
+        u1.agg(F.count("*").cast("long").alias("n1"))
+        .crossJoin(u2.agg(F.count("*").cast("long").alias("n2")))
+        .crossJoin(u3.agg(F.count("*").cast("long").alias("n3")))
+    )
+    steps = []
+    for idx, name, ncol in ((1, "view", "n1"), (2, "click", "n2"), (3, "purchase", "n3")):
+        steps.append(
+            c.select(
+                F.lit(idx).cast("long").alias("step_idx"),
+                F.lit(name).alias("step"),
+                F.col(ncol).alias("n_users"),
+                F.expr(f"(1000000 * {ncol}) div nullif(n1, 0)")
+                .cast("long")
+                .alias("conv_micro"),
+            )
+        )
+    return steps[0].unionByName(steps[1]).unionByName(steps[2])
+
+
+@_q(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS fq,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mc
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(last_d) AS maxd FROM base),
+    b AS (
+      SELECT o_custkey, CAST(mx.maxd - last_d AS BIGINT) AS r, fq, mc
+      FROM base CROSS JOIN mx
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM b),
+    rh AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY r),
+    rb AS (SELECT r, (5 * sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+                      + (SELECT nt FROM n) - 1) // (SELECT nt FROM n) AS r_seg FROM rh),
+    fh AS (SELECT fq, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY fq),
+    fb AS (SELECT fq, (5 * sum(c) OVER (ORDER BY fq ROWS UNBOUNDED PRECEDING)
+                       + (SELECT nt FROM n) - 1) // (SELECT nt FROM n) AS f_seg FROM fh),
+    mh AS (SELECT mc, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY mc),
+    mb AS (SELECT mc, (5 * sum(c) OVER (ORDER BY mc ROWS UNBOUNDED PRECEDING)
+                       + (SELECT nt FROM n) - 1) // (SELECT nt FROM n) AS m_seg FROM mh)
+    SELECT CAST(r_seg AS BIGINT) AS r_seg, CAST(f_seg AS BIGINT) AS f_seg,
+           CAST(m_seg AS BIGINT) AS m_seg,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mc) AS BIGINT) AS monetary_cents
+    FROM b JOIN rb USING (r) JOIN fb USING (fq) JOIN mb USING (mc)
+    GROUP BY 1, 2, 3
+    """,
+    "RFM segmentation of customers from their orders: recency (days "
+    "since last order vs the corpus max date), frequency, monetary "
+    "(cents-exact), each quintile-bucketed by its exact ECDF rank "
+    "(bucket = ceil(5*cum/n) off the metric's value histogram — ties "
+    "share a bucket, fully deterministic, no ntile()).  The Spark "
+    "cumulatives run through the range-partitioned prefix sum, so the "
+    "monetary grid (customer-cardinality) never hits a global window",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count("*").cast("long").alias("fq"),
+        F.sum(cents).cast("long").alias("mc"),
+    )
+    mx = base.agg(F.max("last_d").alias("maxd"))
+    b = base.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff("maxd", "last_d").cast("long").alias("r"),
+        "fq",
+        "mc",
+    )
+    b = b.localCheckpoint(eager=False)  # feeds three histograms + the join
+    nt = b.agg(F.count("*").cast("long").alias("nt"))
+
+    def bucket(metric: str, seg: str) -> DataFrame:
+        hist = b.groupBy(metric).agg(F.count("*").cast("long").alias("__c"))
+        cum = global_rank_cumsum(
+            hist, [F.col(metric).asc()], sum_col="__c", cum_col="__cum"
+        )
+        return cum.crossJoin(F.broadcast(nt)).select(
+            metric,
+            F.expr("(5 * __cum + nt - 1) div nt").cast("long").alias(seg),
+        )
+
+    return (
+        b.join(bucket("r", "r_seg"), "r")
+        .join(bucket("fq", "f_seg"), "fq")
+        .join(bucket("mc", "m_seg"), "mc")
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("mc").cast("long").alias("monetary_cents"),
+        )
+    )
+
+
+@_q(
+    "source_repeated_ngram_rate",
+    f"""
+    WITH norm AS (
+      SELECT source, string_split({_NORM_SQL}, ' ') AS words
+      FROM documents WHERE source IS NOT NULL
+    ),
+    gr AS (
+      SELECT source,
+             unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                   i -> array_to_string(words[i:i+2], ' '))) AS g
+      FROM norm
+    ),
+    gc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM gr GROUP BY 1, 2)
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(floor((CAST(1 AS DOUBLE)
+                       - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS repeat_micro
+    FROM gc GROUP BY source
+    """,
+    "per-source repeated word-3gram rate (1 - distinct/total gram "
+    "occurrences) — the corpus-level memorization-risk read that "
+    "complements gopher_repetition's per-doc one and "
+    "exact_substring_repeats' span output: which SOURCE contributes "
+    "boilerplate mass.  Two-level exact distinct (gram-grain partial "
+    "collapses map-side); never a count(DISTINCT) over raw rows",
+)
+def q_source_repeated_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
+
+    d = table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    sh = shingles_df(d, n=3, carry_cols=["source"])
+    gc = sh.groupBy("source", "shingle").agg(F.count("*").cast("long").alias("__c"))
+    return gc.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_occurrences"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.count("*").cast("double") / F.sum("__c").cast("double")
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("repeat_micro"),
+    )
+
+
+@_q(
+    "dedup_char_savings",
+    f"""
+    WITH RECURSIVE {_minhash_sha_ctes()},
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM e2
+      UNION
+      SELECT e.u, r.r FROM e2 e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS total_chars
+      FROM documents WHERE source IS NOT NULL GROUP BY 1
+    ),
+    lost AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_dropped,
+             CAST(sum(coalesce(d.n_chars, 0)) AS BIGINT) AS saved_chars
+      FROM documents d JOIN losers l USING (doc_id)
+      WHERE d.source IS NOT NULL GROUP BY 1
+    )
+    SELECT t.source, t.n_docs, coalesce(l.n_dropped, 0) AS n_dropped,
+           t.total_chars, coalesce(l.saved_chars, 0) AS saved_chars,
+           (1000000 * coalesce(l.saved_chars, 0)) // nullif(t.total_chars, 0)
+             AS savings_micro
+    FROM tot t LEFT JOIN lost l USING (source)
+    """,
+    "per-source char savings if MinHash near-dup dedup keeps one doc "
+    "per cluster (min-id survivor): the capacity-planning read before "
+    "paying for the dedup pass — composes the hash-verified CC "
+    "machinery; joins the bench shared-edge family.  Integer micro-"
+    "division; sources with zero chars emit NULL",
+)
+def q_dedup_char_savings(
+    spark: SparkSession, sf_dir: str, shared_lsh_edges: DataFrame | None = None
+) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    edges = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(table(spark, sf_dir, "documents"))
+    )
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    tot = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("long").alias("total_chars"),
+    )
+    lost = (
+        d.join(losers, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_dropped"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+            .cast("long")
+            .alias("saved_chars"),
+        )
+    )
+    return (
+        tot.join(lost, "source", "left")
+        .na.fill({"n_dropped": 0, "saved_chars": 0})
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            "total_chars",
+            "saved_chars",
+            F.expr("(1000000 * saved_chars) div nullif(total_chars, 0)")
+            .cast("long")
+            .alias("savings_micro"),
+        )
+    )
+
+
 # The correctness driver snapshots the FIRST 50 entries of REGISTRY order at
 # each round. Rounds 1-3 registered queries roughly chronologically, so the 63
 # queries added in rounds 2-3 (corpus curation, scoring, cross-corpus dedup,
