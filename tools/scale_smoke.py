@@ -726,6 +726,79 @@ def run_conformal(spark, sf_dir, factor):
     return conformal_coverage(ev, "event_type", cents, "event_id").count()
 
 
+def run_kruskal_wallis(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.stats import kruskal_wallis_h
+
+    ev = scaled_events(spark, sf_dir, factor)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return kruskal_wallis_h(
+        ev.select("event_type", cents.alias("v")), "event_type", "v"
+    ).count()
+
+
+def run_rfm_segments(spark, sf_dir, factor):
+    """Scaled via the events table (orders has no scaled variant): user_id
+    plays the customer, event value the monetary amount — same histogram/
+    prefix-sum bucket topology as the registry query."""
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    ev = scaled_events(spark, sf_dir, factor).filter(F.col("user_id").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_d"),
+        F.count("*").cast("long").alias("fq"),
+        F.sum(cents).cast("long").alias("mc"),
+    )
+    mx = base.agg(F.max("last_d").alias("maxd"))
+    b = base.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("maxd", "last_d").cast("long").alias("r"),
+        "fq",
+        "mc",
+    )
+    b = b.localCheckpoint(eager=False)
+    nt = b.agg(F.count("*").cast("long").alias("nt"))
+
+    def bucket(metric, seg):
+        hist = b.groupBy(metric).agg(F.count("*").cast("long").alias("__c"))
+        cum = global_rank_cumsum(
+            hist, [F.col(metric).asc()], sum_col="__c", cum_col="__cum"
+        )
+        return cum.crossJoin(F.broadcast(nt)).select(
+            metric, F.expr("(5 * __cum + nt - 1) div nt").cast("long").alias(seg)
+        )
+
+    return (
+        b.join(bucket("r", "r_seg"), "r")
+        .join(bucket("fq", "f_seg"), "fq")
+        .join(bucket("mc", "m_seg"), "mc")
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+
+
+def run_retention_cohorts(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    ev = scaled_events(spark, sf_dir, factor).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    uw = ev.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE'1970-01-01') div 7")
+        .cast("long")
+        .alias("wk"),
+    ).distinct()
+    coh = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = (
+        uw.join(coh, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("off"))
+        .agg(F.count("*").alias("n"))
+    )
+    return act.count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -776,6 +849,9 @@ OPS = {
     "embedding_binary_quant_recall": run_binary_quant,
     "length_quantile_normalize": run_quantile_normalize,
     "event_conformal_coverage": run_conformal,
+    "event_kruskal_wallis": run_kruskal_wallis,
+    "customer_rfm_segments": run_rfm_segments,
+    "user_retention_cohorts": run_retention_cohorts,
 }
 
 
