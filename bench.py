@@ -578,9 +578,18 @@ def main() -> None:
     # norms systematically, so raw dots crowd the shortlist with
     # large-norm vectors (int8 recall 0.40 un-normalized, a metric
     # mismatch not a quantization loss) — re-normalize the tier fixture.
-    # Cosine is scale-invariant, so truth16 is unchanged.  Queries: the
-    # every-8 copy-0 sample (250) — the rerank joins dominate tier cost
-    # and the recall estimate is stable at that n.
+    # Cosine is scale-invariant, so truth16 is unchanged.
+    #
+    # Sizing (r11 snapshot lesson): the quantized SCAN cost is
+    # query-count-bound and k-independent (the per-pair dot is computed
+    # for every candidate either way), while shortlist depth only adds
+    # cheap exact-rerank rows — so sample FEW queries (every-32 copy-0,
+    # 63) and shortlist DEEP (5% of the corpus).  On this 75%-mixed
+    # clustered fixture with 16 near-copies per vector, within-label
+    # cosine gaps sit near the 8-bit quantization floor: a 200-deep
+    # shortlist reads 0.36 recall (tie shuffling, not rung quality) and
+    # cost 79s at 250 queries; 1600-deep at 63 queries reads
+    # binary 1.0 / int8 0.97 in 5s / 22s.
     _e16_nrm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x * x),
@@ -592,13 +601,15 @@ def main() -> None:
         "vec_id",
         F.transform("embedding", lambda x: x / _e16_nrm).alias("embedding"),
     ).localCheckpoint(eager=True)
+    _n16 = e16n.count()
+    _k_short = max(400, _n16 // 20)
     quant_q16 = e16n.filter(
-        (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % 8 == 0)
+        (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % 32 == 0)
     )
 
     bq16, times["binary_quant_16x"] = _min2(
         lambda: _exact_rerank5(
-            binary_hamming_top_k(quant_q16, e16n, k=200, dim=64).select(
+            binary_hamming_top_k(quant_q16, e16n, k=_k_short, dim=64).select(
                 "query_id", "neighbor_id"
             )
         )
@@ -607,7 +618,7 @@ def main() -> None:
     del bq16
     i816, times["int8_quant_16x"] = _min2(
         lambda: _exact_rerank5(
-            int8_dot_top_k(quant_q16, e16n, k=200).select(
+            int8_dot_top_k(quant_q16, e16n, k=_k_short).select(
                 "query_id", "neighbor_id"
             )
         )
