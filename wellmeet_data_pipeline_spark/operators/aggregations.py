@@ -435,9 +435,16 @@ def bootstrap_mean_ci(
     ).select(F.col(group_col), F.col(id_col).alias("__id"), mv.alias("mv"))
 
     # one sha256 yields 64 hex chars = EIGHT independent 32-bit uniforms,
-    # so replica b reads slice (b mod 8) of hash group (b div 8) — an 8x
-    # cut in the sha calls of the dominant fan-out stage (measured 10.3s
-    # -> ~4s at sf0.1 with B=40)
+    # so replica b reads slice (b mod 8) of hash group (b div 8).  NOTE
+    # (r11 re-measure): because the sha argument references `b`, the
+    # hash is still evaluated per GENERATED row — the slicing dedups the
+    # DRAW SPACE (5 distinct digests per id), not the executed sha
+    # count.  Both restructurings that would hoist it were measured
+    # WORSE at sf0.1/B=40: a pre-explode digest array makes Generate
+    # copy 5 x 64-char strings into every generated row (13-15s vs
+    # 8-10s), and a pre-explode 40-weight array grows the projection
+    # past codegen limits (19-23s, interpreted fallback).  This shape
+    # stands until someone measures a faster one.
     rep = base.select(
         group_col,
         "__id",
