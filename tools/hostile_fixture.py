@@ -81,8 +81,14 @@ def build(base: str, out: str) -> None:
                  CASE WHEN event_id % 43 = 8 THEN NULL ELSE ts END AS ts,
                  CASE WHEN event_id % 37 = 6 THEN NULL ELSE user_id END
                    AS user_id,
-                 event_type,
+                 -- null types AND values (r11): the per-group histogram
+                 -- windows (winsorized/levene medians) order NULL values
+                 -- at opposite ends in Spark vs DuckDB — every event
+                 -- query must carry explicit null handling on BOTH sides
+                 CASE WHEN event_id % 41 = 7 THEN NULL ELSE event_type END
+                   AS event_type,
                  CASE
+                   WHEN event_id % 29 = 11 THEN NULL
                    WHEN event_id % 13 = 0 THEN -value
                    WHEN event_id % 13 = 1 THEN 0.13
                    WHEN event_id % 13 = 2 THEN -0.13

@@ -327,11 +327,14 @@ def conformal_coverage(
     VALUE at position k is unique regardless of tie order).  Coverage on
     the test half is exact-integer: cov_micro = 1e6 * n_covered // n_test.
 
-    `value_long` must be a NONNEGATIVE exact-integer column (cents).
-    Scale: per-group windows over the calibration half only; groups with
-    an empty half drop out (inner joins).
+    `value_long` must be a NONNEGATIVE exact-integer column (cents);
+    NULL values are excluded — a NULL nonconformity would sit at a
+    different end of the rank window's order in Spark (nulls first) vs
+    SQL (nulls last), shifting the calibration quantile (r11 hostile
+    catch).  Scale: per-group windows over the calibration half only;
+    groups with an empty half drop out (inner joins).
     """
-    base = df.select(
+    base = df.filter(value_long.isNotNull()).select(
         F.col(group_col),
         F.col(id_col).alias("__id"),
         value_long.cast("long").alias("__v"),
@@ -1086,9 +1089,11 @@ def oneway_anova_f(df: DataFrame, group_col: str, value_long: Column) -> DataFra
     """One-way ANOVA F + eta^2 of `value_long` (exact integer grid,
     e.g. cents) across `group_col` — the parametric 'does the group
     explain the variance' read next to welch_t_pairs' pairwise version.
-    NULL groups excluded.  See _oneway_from_moments for exactness."""
+    NULL groups and NULL values excluded (a NULL value would inflate n
+    while contributing nothing to the moments).  See _oneway_from_moments
+    for exactness."""
     per_g = (
-        df.filter(F.col(group_col).isNotNull())
+        df.filter(F.col(group_col).isNotNull() & value_long.isNotNull())
         .select(F.col(group_col).alias("__g"), value_long.cast("long").alias("__v"))
         .groupBy("__g")
         .agg(
@@ -1110,9 +1115,13 @@ def levene_brown_forsythe(
     count reaches ceil(n_g/2)) read off the per-group value histogram —
     the cumulative window is bounded by each group's VALUE-GRID
     cardinality, never row count.  Z stays on the integer grid, so the
-    downstream moments are exact (see _oneway_from_moments)."""
-    base = df.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("__g"), value_long.cast("long").alias("__v")
+    downstream moments are exact (see _oneway_from_moments).  NULL
+    groups AND values are excluded: a NULL value row would sit at a
+    different end of the histogram window's order in Spark (nulls
+    first) vs SQL (nulls last), shifting the median cutoff."""
+    base = (
+        df.filter(F.col(group_col).isNotNull() & value_long.isNotNull())
+        .select(F.col(group_col).alias("__g"), value_long.cast("long").alias("__v"))
     )
     hist = base.groupBy("__g", "__v").agg(F.count("*").cast("long").alias("__c"))
     wg = (
@@ -1246,10 +1255,12 @@ def winsorized_mean_by_group(
     count reaches ceil(p*n/100)) off the per-group value histogram; the
     cumulative window is bounded by value-grid cardinality.  The clamped
     sum is an exact BIGINT, so the mean is one deterministic double
-    division, micro-snapped.  Emits (group, n, lo_cents, hi_cents,
-    wmean_micro)."""
-    base = df.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("__g"), value_long.cast("long").alias("__v")
+    division, micro-snapped.  NULL groups AND values are excluded (the
+    nulls-ordering hazard levene_brown_forsythe documents).  Emits
+    (group, n, lo_cents, hi_cents, wmean_micro)."""
+    base = (
+        df.filter(F.col(group_col).isNotNull() & value_long.isNotNull())
+        .select(F.col(group_col).alias("__g"), value_long.cast("long").alias("__v"))
     )
     hist = base.groupBy("__g", "__v").agg(F.count("*").cast("long").alias("__c"))
     wg = (

@@ -185,11 +185,16 @@ def equi_depth_buckets(
     pattern, generalized).  Rows then bucket by comparing against the
     broadcast boundary frame; ties share a bucket, so bucket
     populations are equal only up to tie mass (the standard equi-depth
-    contract)."""
+    contract).  NULL values are excluded — a NULL row would sit at a
+    different end of the cumulative window's order in Spark (nulls
+    first) vs SQL (nulls last), shifting every boundary (r11 hostile
+    catch)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    rows = df.select(F.col(group_col), v.cast("long").alias("__v"))
+    rows = df.filter(v.isNotNull()).select(
+        F.col(group_col), v.cast("long").alias("__v")
+    )
     grid = rows.groupBy(group_col, "__v").agg(F.count("*").alias("__c"))
     w_cum = (
         Window.partitionBy(group_col)

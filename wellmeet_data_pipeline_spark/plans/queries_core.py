@@ -223,11 +223,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_total,
            CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
-           CAST(sum(CASE WHEN value >= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_failed
+           -- NOT (v >= 50), not (v < 50): a NULL value is NEITHER success
+           -- nor failure (mirrors Spark's when(~flag).otherwise(0) — the
+           -- ELSE-branch form counted NULLs as failures, r11 hostile catch)
+           CAST(sum(CASE WHEN NOT (value >= 50) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_failed
     FROM events GROUP BY event_type
     """,
     "A2 (save-reviews/lambda_function.py:60-98): success/failure tallies as "
-    "one-pass sum(when)",
+    "one-pass sum(when); NULL values count in n_total but in neither tally",
 )
 def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -2210,7 +2214,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equi_depth_value_buckets",
     """
     WITH r AS (
-      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
     ),
     g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
     cum AS (

@@ -1184,7 +1184,8 @@ def q_event_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_conformal_coverage",
     f"""
     WITH b AS (
-      SELECT event_type, event_id AS id, {_EVENT_CENTS_SQL} AS v FROM events
+      SELECT event_type, event_id AS id, {_EVENT_CENTS_SQL} AS v
+      FROM events WHERE value IS NOT NULL
     ),
     cal AS (SELECT * FROM b WHERE ((id % 2) + 2) % 2 = 0),
     tst AS (SELECT * FROM b WHERE ((id % 2) + 2) % 2 = 1),
@@ -2714,7 +2715,7 @@ _ONEWAY_TAIL_SQL = """
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              CAST(sum({_EVENT_CENTS_SQL}) AS BIGINT) AS s,
              CAST(sum({_EVENT_CENTS_SQL} * {_EVENT_CENTS_SQL}) AS BIGINT) AS q
-      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1
     ),
     {_ONEWAY_TAIL_SQL}
     """,
@@ -2739,7 +2740,8 @@ def q_event_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH h AS (
       SELECT event_type AS g, {_EVENT_CENTS_SQL} AS v, CAST(count(*) AS BIGINT) AS c
-      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
     ),
     cum AS (
       SELECT g, v, c,
@@ -2751,6 +2753,7 @@ def q_event_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT e.event_type AS g, abs({_EVENT_CENTS_SQL} - m.med) AS z
       FROM events e JOIN med m ON m.g = e.event_type
+      WHERE e.value IS NOT NULL
     ),
     m AS (
       SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2846,7 +2849,8 @@ def q_event_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH h AS (
       SELECT event_type AS g, {_EVENT_CENTS_SQL} AS v, CAST(count(*) AS BIGINT) AS c
-      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
     ),
     cum AS (
       SELECT g, v, c,
