@@ -1205,7 +1205,12 @@ def cohens_kappa(
     ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
     st = base.agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0))
+        # coalesce: sum over an EMPTY frame is NULL, the oracle's 0
+        # (r11 empty-fixture catch — also keeps the column integral)
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_agree"),
     )

@@ -260,6 +260,9 @@ def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
            round(sum(l_quantity), 2) AS sum_measure
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- HAVING: on EMPTY input DuckDB emits the () grouping-set row
+    -- (ANSI) while Spark emits none — no-op on non-empty input
+    HAVING count(*) > 0
     """,
     "hierarchical subtotals — free Catalyst extension over the reference's "
     "flat tallies (§2.7)",
@@ -275,6 +278,9 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
            round(sum(l_quantity), 2) AS sum_measure
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- HAVING: on EMPTY input DuckDB emits the () grouping-set row
+    -- (ANSI) while Spark emits none — no-op on non-empty input
+    HAVING count(*) > 0
     """,
     "cube over both dims (§2.7 extension)",
 )
@@ -1468,6 +1474,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice), 2) AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    -- HAVING: empty-input () row, see rollup_subtotals
+    HAVING count(*) > 0
     """,
     "explicit grouping sets via the SQL surface (spark.sql over registered "
     "views) — §2.7 extension",

@@ -71,7 +71,15 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
 )
 def q_partition_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_partitioned_events(spark, sf_dir)
-    ev = spark.read.parquet(path)
+    # explicit schema: an EMPTY source writes only _SUCCESS (no partition
+    # dirs), and a bare read then fails UNABLE_TO_INFER_SCHEMA (r11
+    # empty-fixture catch); partition pruning is unaffected
+    src_schema = (
+        table(spark, sf_dir, "events")
+        .withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .schema
+    )
+    ev = spark.read.schema(src_schema).parquet(path)
     return (
         ev.filter(F.col("event_date").between("2024-01-08", "2024-01-14"))
         .groupBy("event_date", "event_type")

@@ -3143,7 +3143,7 @@ def q_dedup_best_of_cluster(
                    * CAST(floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / g.digit)
                                 / ln(CAST(10 AS DOUBLE)) * 1000000
                                 + CAST(0.5 AS DOUBLE)) AS BIGINT))
-                // (SELECT nn FROM n) AS BIGINT) AS dev_micro
+                // nullif((SELECT nn FROM n), 0) AS BIGINT) AS dev_micro
     FROM grid g LEFT JOIN obs o ON o.digit = g.digit
     """,
     "Benford first-digit audit of order totals: observed leading-digit "
@@ -3181,7 +3181,9 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digit",
             "n_obs",
             "expected_micro",
-            F.expr("(n_obs * 1000000 - nn * expected_micro) div nn")
+            # nullif: an EMPTY table has nn = 0 — ANSI `div` would raise
+            # where DuckDB's // returns NULL (r11 empty-fixture catch)
+            F.expr("(n_obs * 1000000 - nn * expected_micro) div nullif(nn, 0)")
             .cast("long")
             .alias("dev_micro"),
         )

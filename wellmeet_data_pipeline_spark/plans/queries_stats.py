@@ -2513,6 +2513,7 @@ def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
              AS r2_micro
     FROM m
+    WHERE n > 0
     """,
     "Zipf rank-frequency fit of the corpus vocabulary: OLS of ln(freq) "
     "on ln(rank) over the top-200 terms with freq >= 2 — natural text "
