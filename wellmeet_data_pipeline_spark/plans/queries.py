@@ -29,65 +29,64 @@ from wellmeet_data_pipeline_spark.plans.queries_retrieval import _synth_conv_spa
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # -- r11 window: CORRECTNESS_r10 landed 50/50, so driver evidence now
-    # covers everything through the round-9 additions.  The 39 round-10
-    # additions (stats family, quantization rungs, winnowing / hamming /
-    # PRF, dup-graph clustering + assortativity, ...) have never had a
-    # driver row — they lead.  Then the 11 oldest-evidence anchors
-    # (r6-green, re-proven on fresh data).  Precomputed at NOTES.md §r11
-    # rotation list; the anchors displaced by the round-10b wave move to
-    # the r12 rotation. --
-    "rendezvous_sharding",
-    "reshard_movement_stats",
-    "ttr_lexical_diversity",
-    "split_leakage_audit",
-    "span_corruption_plan",
-    "quality_pareto_frontier",
-    "winnowing_fingerprints",
-    "hamming_exact_neardup",
-    "bm25_prf_topk",
-    "kmeans_silhouette",
-    "cluster_label_purity",
-    "tail_index_hill",
-    "minhash_union_parity",
-    "min_k_prob_score",
-    "self_bleu_pairs",
-    "source_drift_ks",
-    "source_mann_whitney",
-    "event_welch_ttest",
-    "event_conformal_coverage",
-    "brand_price_regression",
-    "event_cusum_changepoint",
-    "classifier_avg_precision",
-    "embedding_binary_quant_recall",
-    "stupid_backoff_nll",
-    "nation_revenue_gini",
-    "quality_length_spearman",
-    "user_event_entropy",
-    "bloom_size_plan",
-    "weekday_seasonal_anomalies",
-    "length_quantile_normalize",
-    "source_keyness_chi2",
-    "dsir_ess_by_source",
-    "ab_sample_size_plan",
-    "survival_km_conversion",
-    "dup_graph_clustering",
-    "embedding_int8_recall",
-    "daily_revenue_acf",
-    "zipf_rank_frequency",
-    "dup_graph_assortativity",
-    # -- oldest-evidence anchors (oldest r6-green) --
-    "late_shipment_priority",
-    "length_curriculum",
-    "market_share_by_year",
-    "pack_efficiency_by_seqlen",
-    "perplexity_lang_buckets",
-    "product_profit_by_nation",
-    "promo_revenue_share",
-    "returned_item_report",
-    "rolling_7day_active_users",
-    "semdedup_survivors",
-    "seqlen_histogram",
+    # -- r12 window (precomputed at NOTES.md §r11 close, validated by the
+    # r11 VERDICT): CORRECTNESS_r11 landed 50/50, so the only queries
+    # without driver evidence are the 9 round-11 additions — they lead.
+    # Then the 41 oldest-evidence anchors (remaining r6/r7-green,
+    # alphabetical within age bucket).  After this window lands, every
+    # oracle-backed query has driver evidence and rotation is pure
+    # refresh. --
+    "event_anova_f",
+    "event_levene_bf",
+    "event_kruskal_wallis",
+    "event_winsorized_mean",
+    "user_retention_cohorts",
+    "event_funnel_conversion",
+    "customer_rfm_segments",
+    "source_repeated_ngram_rate",
+    "dedup_char_savings",
+    # -- oldest-evidence anchors (r6/r7-green) --
+    "small_quantity_revenue",
+    "sql_api_pricing",
+    "tokenizer_fertility",
+    "top_supplier_revenue",
+    "waiting_supplier_orders",
+    "zorder_layout_stats",
+    "bm25_topk",
+    "bootstrap_mean_ci",
+    "clean_address_regex",
+    "conditional_counts",
+    "containment_components",
+    "corpus_end_to_end",
+    "corpus_quality_filter",
+    "decayed_user_value",
+    "decontaminate_benchmark",
+    "dedup_audit_summary",
+    "dedup_embedding_lsh_sha",
+    "dedup_keep_first",
+    "dedup_simhash_sha",
+    "distinct_keys",
+    "dup_triangle_count",
+    "explode_flatten",
+    "extract_place_id_regex",
+    "fillna_defaults",
+    "flagship_incremental_enrich",
+    "format_keys",
+    "fuzzy_link_records",
+    "geo_grid_neighbors",
+    "gopher_quality_rules",
+    "gopher_repetition",
+    "grouped_sample",
+    "hybrid_rrf_topk",
+    "join_anti_new_rows",
+    "join_insert_if_absent",
+    "join_semi_existing",
+    "join_star_enrich",
+    "l_diversity_audit",
+    "ngram_containment_pairs",
+    "orderby_limit",
+    "pack_sequences",
+    "project_rename_cast",
 ]
 
 
