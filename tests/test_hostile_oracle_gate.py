@@ -39,7 +39,36 @@ SENTINELS = [
     "winnowing_fingerprints",
     "span_corruption_plan",
     "min_k_prob_score",
+    # round-12 degenerate-group injection (fixture now forces a 1-row
+    # group, a zero-variance group, and an all-NULL-value group into
+    # events.event_type): the one-way k-sample tests passed on first
+    # contact, pinned here so the edges stay exercised at pytest cost
+    "event_anova_f",
+    "event_levene_bf",
+    "event_kruskal_wallis",
+    "event_winsorized_mean",
 ]
+
+
+def test_degenerate_groups_present(hostile_dir):
+    """The r12 degenerate-group injection must survive fixture edits:
+    exactly one '__singleton__' row, '__constval__' all one value,
+    '__allnull__' with zero valid values."""
+    con = duckdb.connect()
+    rows = dict(
+        (r[0], r[1:])
+        for r in con.execute(
+            f"""SELECT event_type, count(*), count(value),
+                       count(DISTINCT value)
+                FROM '{hostile_dir}/events.parquet'
+                WHERE event_type IN ('__singleton__', '__constval__',
+                                     '__allnull__')
+                GROUP BY 1"""
+        ).fetchall()
+    )
+    assert rows["__singleton__"][0] == 1
+    assert rows["__constval__"][0] > 1 and rows["__constval__"][2] == 1
+    assert rows["__allnull__"][0] > 1 and rows["__allnull__"][1] == 0
 
 
 @pytest.fixture(scope="module")

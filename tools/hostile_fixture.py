@@ -85,9 +85,27 @@ def build(base: str, out: str) -> None:
                  -- windows (winsorized/levene medians) order NULL values
                  -- at opposite ends in Spark vs DuckDB — every event
                  -- query must carry explicit null handling on BOTH sides
-                 CASE WHEN event_id % 41 = 7 THEN NULL ELSE event_type END
+                 --
+                 -- degenerate groups (r12, verdict item 5): the one-way
+                 -- k-sample tests (ANOVA F / Brown-Forsythe / Kruskal-
+                 -- Wallis) have edges a natural seed rarely forces —
+                 -- a single-row group (within-group df contribution 0),
+                 -- a zero-variance group (|x-median| all 0; KW all-tie
+                 -- correction), and a group whose values are ALL NULL
+                 -- (must vanish from the valid-observation set entirely,
+                 -- not surface as an n=0 group)
+                 CASE WHEN event_id = (SELECT min(event_id)
+                                       FROM '{base}/events.parquet'
+                                       WHERE event_id % 41 <> 7)
+                        THEN '__singleton__'
+                      WHEN event_id % 41 = 7 THEN NULL
+                      WHEN event_id % 53 IN (2, 19, 31) THEN '__constval__'
+                      WHEN event_id % 59 IN (4, 23) THEN '__allnull__'
+                      ELSE event_type END
                    AS event_type,
                  CASE
+                   WHEN event_id % 59 IN (4, 23) THEN NULL
+                   WHEN event_id % 53 IN (2, 19, 31) THEN 7.25
                    WHEN event_id % 29 = 11 THEN NULL
                    WHEN event_id % 13 = 0 THEN -value
                    WHEN event_id % 13 = 1 THEN 0.13
