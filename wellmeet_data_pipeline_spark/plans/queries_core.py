@@ -2324,7 +2324,10 @@ def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     "HLL++ approximate distinct users + approximate percentile per "
     "event_type — the sketch tier for 100 TB cardinality questions "
-    "(estimates are engine-specific → rows-only)",
+    "(estimates are engine-specific → rows-only).  Paired evidence: "
+    "tests/test_plans.py::test_approx_distinct_sketch_within_rsd_bound "
+    "holds every per-type estimate within 5x the configured 2% rsd of "
+    "the exact countDistinct on the same data",
 )
 def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")

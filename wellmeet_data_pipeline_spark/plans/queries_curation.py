@@ -3592,7 +3592,11 @@ def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus) instead of the quadratic exact BNL — smoke-measured 26x "
     "cheaper at 64x with slope 0.55; approximate candidate source makes "
     "the pair set data-dependent (rows-only check), the margin arithmetic "
-    "and the exact oracle-backed twin are unchanged",
+    "and the exact oracle-backed twin are unchanged.  Paired evidence: "
+    "tests/test_round5_ops.py::"
+    "test_bitext_margin_ivf_method_recovers_planted_pairs (IVF tier "
+    "recovers the planted mutual-NN pairs the exact tier finds) next to "
+    "the fully oracle-backed exact twin bitext_mine_margin",
 )
 def q_bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.similarity import bitext_margin_mine
