@@ -17,6 +17,21 @@ position effects that vanished in fresh-session A/Bs); the second run is
 warm by construction, so min-of-2 removes the position term without
 needing manual fresh-session adjudication each round.  JVM-codegen
 entries stay single-shot — their variance is file-cache-bound and small.
+
+Noise sentinel (round 12): the driver's r11 snapshot flagged 15 phantom
+"regressions" because environment contention inflated every sub-second
+JVM query by a ~1.5-2s additive term, and nothing in the emitted JSON
+distinguished contention from code.  The bench now re-times ONE pinned
+JVM-codegen query (pricing_summary, always warm — it is also the warmup
+query) at four points through the run and emits `sentinel_times` (run
+order) plus `noise_ratio` (max/min).  How to read it: pricing_summary
+has no Arrow/python-worker stage, so its warm time moves only with
+ambient load.  noise_ratio <= ~1.5 → quiet box, per-query times are
+comparable across rounds.  noise_ratio > ~2 → the run was contended;
+treat inflated per-query times (especially the sub-second JVM entries)
+as environment noise and prefer a converged min-of-N
+BENCH_DETAIL_r{N}.json for regression reads.  Sentinel runs are NOT
+billed into `value` or `queries`.
 """
 
 from __future__ import annotations
@@ -317,6 +332,17 @@ def main() -> None:
     results: dict[str, list] = {}
     restart_at = {len(HEADLINE) // 2}
 
+    # noise sentinel (module docstring): warm re-times of the pinned
+    # JVM-codegen query at fixed points through the run; not billed
+    sentinel_times: list[float] = []
+
+    def _sentinel(sess):
+        t0 = time.perf_counter()
+        REGISTRY["pricing_summary"].fn(sess, sf_dir).collect()
+        sentinel_times.append(round(time.perf_counter() - t0, 3))
+
+    _sentinel(spark)  # point 1: fresh warm session, before the headline
+
     # shared dup-graph edge frame (see DEDUP_SHARED): built lazily on first
     # use and rebuilt if the mid-headline session restart invalidated its
     # localCheckpoint blocks; build seconds accumulate into their own entry
@@ -380,6 +406,9 @@ def main() -> None:
             spark = get_spark("bench-mid")
             spark.sparkContext.setLogLevel("ERROR")
             REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
+            _sentinel(spark)  # point 2: mid-run, right after the restart
+        elif i == (3 * len(HEADLINE)) // 4:
+            _sentinel(spark)  # point 3: deep in the grown session
         kwargs = {}
         if name in DEDUP_SHARED:
             kwargs["shared_lsh_edges"] = _dedup_edges(spark)
@@ -416,6 +445,8 @@ def main() -> None:
         ivf_top_k,
     )
     from wellmeet_data_pipeline_spark.plans.queries import table  # noqa: E402
+
+    _sentinel(spark)  # point 4: end of headline, before the scale tiers
 
     # Fresh session for the matmul tiers: _reclaim's JVM GC frees block
     # litter, but the REUSED python workers accumulate allocator state
@@ -781,6 +812,12 @@ def main() -> None:
         "mmr_16x_top3_overlap": mmr16_overlap,
         "ivf_hd_recall_at_5": recall_hd,
         "ivfpq_hd_recall_at_5": recall_hd_pq,
+        "sentinel_times": sentinel_times,
+        "noise_ratio": (
+            round(max(sentinel_times) / min(sentinel_times), 3)
+            if sentinel_times and min(sentinel_times) > 0
+            else None
+        ),
         "sf": sf_val,
     }
 
