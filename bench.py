@@ -252,6 +252,14 @@ MATMUL_MIN2 = {
     # zero code change (r9 close gate; isolated min-of-2 reproduced the
     # 3.0s r8 number) — position noise the min-of-2 protocol exists for
     "minhash_band_plan",
+    # r11 watch item, adjudicated r12: fresh-session min-of-3 A/B vs the
+    # r10 tree reads 3.78s (HEAD) vs 4.09s (r10) — identical warm cost,
+    # no code regression (its whole dependency path is byte-identical
+    # across the rounds).  The in-loop swing (3.40 -> 4.36 -> 5.88 across
+    # snapshots) is first-execution variance of its applyInPandas greedy
+    # + BM25 lineage (~11-12s cold, ~4s warm on BOTH trees), i.e. the
+    # exact noise class this protocol section exists for
+    "mmr_diversified_topk",
 }
 
 # Dup-graph family: every member consumes the SAME
