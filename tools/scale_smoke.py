@@ -854,6 +854,78 @@ OPS = {
     "user_retention_cohorts": run_retention_cohorts,
 }
 
+# Expected complexity class per op (r11 verdict item 7): what the wall
+# slope SHOULD converge to once the 32 local slots saturate, so a
+# superlinear-looking step can be read against its bound instead of
+# eyeballed.  Notation: N = input rows; slopes are log8(t_hi/t_lo), so
+# O(N) work → slope 1.0 ceiling, O(N^1.5) → 1.5, O(N log N) → 1.0+eps.
+# Observed slopes BELOW the class bound at 64x mean parallel headroom
+# is still absorbing growth — expected on a 32-slot box where the 1x
+# point is overhead-dominated; they are only a problem ABOVE the bound.
+# The three steepest 8->64 steps as of r12 are all within bound:
+#   bitext_mine_margin   0.936 vs 1.5 (IVF path; exact tier is the
+#     documented 1.51-measured quadratic, see run_bitext_margin)
+#   cosine_topk_ivfpq    0.899 vs 1.5 (auto ~sqrt(N) centroids: self
+#     top-k scans N x sqrt(N) pairs; ADC cuts the constant by dim/m,
+#     not the exponent)
+#   pack_sequences       0.854 vs 1.0 (greedy pack is one pass; streams
+#     scale with N via rows_per_stream, so the step is the linear work
+#     emerging from under fixed job overhead)
+COMPLEXITY = {
+    "minhash_lsh_candidates": "O(N + candidate pairs): linear sig/band build; pairs linear on a disjoint-copy corpus",
+    "line_dedup_global": "O(N log N): keep-first window at line-hash grain (shuffle + per-key sort)",
+    "pack_sequences": "O(N): single greedy pass per stream; n_streams grows with N (rows_per_stream fixed)",
+    "cosine_topk_ivf": "O(N^1.5): self top-k over ~sqrt(N) centroids -> N probes x sqrt(N) bucket rows",
+    "ngram_lm_perplexity": "O(N) tokens; count frames vocab-bounded",
+    "quality_classifier_score": "O(N): hashed linear features, weights broadcast",
+    "cosine_topk_ivfpq": "O(N^1.5) pairs via ADC (constant /(dim/m) vs flat IVF) + oversample*k exact re-ranks per query",
+    "dsir_importance": "O(N) tokens; 2^16-bounded feature frames",
+    "semdedup_survivors": "O(N^1.5): ~sqrt(N) clusters x within-cluster quadratic",
+    "cross_doc_spans": "O(N) grams under max_gram_df caps",
+    "exact_substring_repeats": "O(N log N): gram agg + anti join on legs-proportional exchanges",
+    "exact_substring_hot_gram": "O(N log N); hot gram streams through one O(1)-memory agg buffer",
+    "minhash_band_plan": "O(N): signature build + per-band candidate counts",
+    "ivf_index_merge": "O(N): per-bucket partial stats merged associatively",
+    "dup_graph_kcore": "O(E x iters): iterative peel, E linear on disjoint-copy corpus",
+    "bpe_pair_counts": "O(N) adjacent-pair counts",
+    "ngram_novelty": "O(N) n-gram hashes vs reference set",
+    "char_entropy": "O(N) chars",
+    "perplexity_lang_buckets": "O(N) tokens",
+    "bitext_mine_margin": "O(N^1.5) two-sided IVF path (exact tier O(|A||B|), measured once: slope 1.51 — see run_bitext_margin)",
+    "interval_overlap_sessions": "O(N + overlaps): grid-blocked equi join, no cartesian",
+    "rolling_7day_active_users": "O(N log N): day-grain window",
+    "classifier_auc": "O(N log N): global rank via range-partitioned prefix sum",
+    "hll_distinct": "O(N): sketch fold",
+    "countmin_heavy_hitters": "O(N): sketch fold",
+    "cdc_latest_state": "O(N log N): latest-per-key window",
+    "zorder_layout_stats": "O(N log N): interleaved-bit sort",
+    "bm25_topk": "O(N) postings + bounded top-k merge",
+    "source_drift_js": "O(N) histogram grain",
+    "source_vocab_overlap": "O(N) term sets",
+    "dup_triangle_count": "O(E^1.5) worst case; E linear here (banded LSH edges, disjoint copies)",
+    "fuzzy_link_records": "O(N + candidate pairs): blocked candidates, never all-pairs",
+    "domain_doc_caps": "O(N log N): per-domain rank window",
+    "sketch_value_quantiles": "O(N): KLL-style fold",
+    "kmv_type_overlap": "O(N): bottom-k union",
+    "sft_turn_stats": "O(N) turns",
+    "url_dedup_by_canonical": "O(N log N): keep-first per canonical key",
+    "token_pmi_collocations": "O(N) bigram counts, vocab-bounded tails",
+    "bloom_prefilter_stats": "O(N): bit-position joins at filter grain",
+    "dedup_graph_communities": "O(E x iters): label propagation, checkpointed",
+    "mmr_diversify": "O(Q x k^2): candidates-bounded greedy, never corpus-bounded",
+    "winnowing_fingerprints": "O(N): rolling window min",
+    "hamming_exact_neardup": "O(N + candidate pairs): banded-prefix Hamming ball, no cross join",
+    "bm25_prf_topk": "O(N) + bounded feedback expansion",
+    "source_drift_ks": "O(N log N): pooled ECDF ranks",
+    "stupid_backoff_nll": "O(N) tokens",
+    "embedding_binary_quant_recall": "O(N^2/every): recall gate scans Q=N/every queries x N candidates (gate, not serving path)",
+    "length_quantile_normalize": "O(N log N): two-pass ranks",
+    "event_conformal_coverage": "O(N log N): calibration quantile grid",
+    "event_kruskal_wallis": "O(N log N) at value-histogram grain",
+    "customer_rfm_segments": "O(N log N): ECDF quintiles via range-partitioned prefix sum",
+    "user_retention_cohorts": "O(N): cohort-week agg",
+}
+
 
 def _completed_stages(spark) -> dict[int, dict]:
     """Completed-stage metrics from the REST status API, keyed by stage
@@ -970,6 +1042,11 @@ def main() -> None:
                 round(math.log(t_hi / t_lo) / math.log(hi / lo), 3) if t_lo > 0 else None
             )
         out["ops"][name] = rec
+    # annotate every op (fresh AND merged-from-prev) with its expected
+    # complexity class so slopes read against a bound, not an eyeball
+    for name, rec in out["ops"].items():
+        if name in COMPLEXITY:
+            rec["complexity"] = COMPLEXITY[name]
     with open("/root/repo/SCALESMOKE.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
