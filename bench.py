@@ -345,9 +345,15 @@ def main() -> None:
     sentinel_times: list[float] = []
 
     def _sentinel(sess):
-        t0 = time.perf_counter()
-        REGISTRY["pricing_summary"].fn(sess, sf_dir).collect()
-        sentinel_times.append(round(time.perf_counter() - t0, 3))
+        # min-of-2 so a one-off GC pause or scheduling hiccup can't fake
+        # a contention reading — only SUSTAINED ambient load survives min
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY["pricing_summary"].fn(sess, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        sentinel_times.append(round(best, 3))
 
     _sentinel(spark)  # point 1: fresh warm session, before the headline
 
@@ -451,6 +457,7 @@ def main() -> None:
         ivf_assignments,
         ivf_pq_top_k,
         ivf_top_k,
+        pq_encoded_frame,
     )
     from wellmeet_data_pipeline_spark.plans.queries import table  # noqa: E402
 
@@ -512,11 +519,22 @@ def main() -> None:
     )
     # oversample=64 (320 exact re-ranks per query) closes the ADC
     # shortlist gap at 32k vectors: recall 0.9536 -> 0.9974, matching
-    # flat IVF's 0.9976 — the residual codebooks were never the loss
+    # flat IVF's 0.9974 — the residual codebooks were never the loss.
+    # r12 (verdict item 4): PQ codebook training + residual encoding is
+    # shared across the min-of-2 runs the same way the probe assignments
+    # are (r9) — built once, localCheckpointed, billed to its own entry;
+    # shared == standalone pinned by tests/test_shared_quant_builds.py
+    t0 = time.perf_counter()
+    books16, enc16 = pq_encoded_frame(
+        e16, shared16, m_subspaces=16, n_codes=256
+    )
+    enc16 = enc16.localCheckpoint(eager=True)
+    times["pq_encode_build_16x"] = round(time.perf_counter() - t0, 3)
     pq16, times["cosine_topk_ivfpq_16x"] = _min2(
         lambda: ivf_pq_top_k(
             e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
             n_codes=256, oversample=64, round_digits=4, shared=shared16,
+            shared_pq=(books16, enc16),
         ).collect()
     )
 
@@ -608,6 +626,8 @@ def main() -> None:
     # 0.07), not the rung's serving quality.
     from wellmeet_data_pipeline_spark.operators.similarity import (  # noqa: E402
         binary_hamming_top_k,
+        binary_packed_candidates,
+        int8_candidate_codes,
         int8_dot_top_k,
     )
 
@@ -646,20 +666,34 @@ def main() -> None:
         (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % 32 == 0)
     )
 
+    # r12 (verdict item 4): the candidate-side index builds — sign-bit
+    # packs and int8 quantizer bounds + codes — are shared across the
+    # min-of-2 scans like the PQ encode above, billed to their own
+    # entries; shared == standalone pinned by test_shared_quant_builds
+    t0 = time.perf_counter()
+    bpack16 = binary_packed_candidates(e16n, dim=64).localCheckpoint(eager=True)
+    times["binary_pack_build_16x"] = round(time.perf_counter() - t0, 3)
     bq16, times["binary_quant_16x"] = _min2(
         lambda: _exact_rerank5(
-            binary_hamming_top_k(quant_q16, e16n, k=_k_short, dim=64).select(
-                "query_id", "neighbor_id"
-            )
+            binary_hamming_top_k(
+                quant_q16, e16n, k=_k_short, dim=64, shared_packed=bpack16
+            ).select("query_id", "neighbor_id")
         )
     )
     recall_bq16 = _recall_vs(bq16, truth16)
     del bq16
+    t0 = time.perf_counter()
+    arrs16, cc16 = int8_candidate_codes(e16n)
+    i8codes16 = (
+        arrs16.localCheckpoint(eager=True),
+        cc16.localCheckpoint(eager=True),
+    )
+    times["int8_codes_build_16x"] = round(time.perf_counter() - t0, 3)
     i816, times["int8_quant_16x"] = _min2(
         lambda: _exact_rerank5(
-            int8_dot_top_k(quant_q16, e16n, k=_k_short).select(
-                "query_id", "neighbor_id"
-            )
+            int8_dot_top_k(
+                quant_q16, e16n, k=_k_short, shared_codes=i8codes16
+            ).select("query_id", "neighbor_id")
         )
     )
     recall_i816 = _recall_vs(i816, truth16)
@@ -783,10 +817,17 @@ def main() -> None:
             round_digits=4, shared=shared_hd,
         ).collect()
     )
+    t0 = time.perf_counter()
+    books_hd, enc_hd = pq_encoded_frame(
+        e_hd, shared_hd, m_subspaces=16, n_codes=256
+    )
+    enc_hd = enc_hd.localCheckpoint(eager=True)
+    times["pq_encode_build_hd"] = round(time.perf_counter() - t0, 3)
     pq_hd, times["cosine_topk_ivfpq_hd"] = _min2(
         lambda: ivf_pq_top_k(
             e_hd, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
             n_codes=256, oversample=128, round_digits=4, shared=shared_hd,
+            shared_pq=(books_hd, enc_hd),
         ).collect()
     )
     sample_q = e_hd.filter(F.col("vec_id") < 1_000_000)  # the copy-0 originals
