@@ -227,6 +227,17 @@ HEADLINE = [
     "customer_rfm_segments",
     "source_repeated_ngram_rate",
     "dedup_char_savings",
+    # r12 additions: time-series tests, session paths, sampling design,
+    # privacy EMD, dup-graph centrality, LM retrieval, SFT masking
+    "daily_revenue_mann_kendall",
+    "daily_revenue_theil_sen",
+    "daily_revenue_runs_test",
+    "event_markov_transitions",
+    "stratified_sample_plan",
+    "t_closeness_audit",
+    "dup_graph_pagerank",
+    "qld_topk",
+    "sft_loss_masking_plan",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol
@@ -283,6 +294,7 @@ DEDUP_SHARED = {
     # as the dup-graph family (self_bleu also rides LM_SHARED)
     "self_bleu_pairs",
     "dedup_char_savings",
+    "dup_graph_pagerank",
 }
 
 # LM/token family: every member re-tokenized the corpus from scratch

@@ -1,0 +1,177 @@
+"""Round-12 operators: time-series trend/randomness tests, Neyman
+allocation, Markov transitions, t-closeness EMD, integer PageRank, QLD
+retrieval, SFT loss masking — known-answer and invariant tests on micro
+frames (the oracle gate covers the driver-parquet parity)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from wellmeet_data_pipeline_spark.operators.dedup import pagerank_integer
+from wellmeet_data_pipeline_spark.operators.projections import t_closeness_audit
+from wellmeet_data_pipeline_spark.operators.retrieval import qld_topk
+from wellmeet_data_pipeline_spark.operators.sft import loss_masking_plan
+from wellmeet_data_pipeline_spark.operators.stats import (
+    mann_kendall_by_group,
+    markov_transition_probs,
+    neyman_allocation_plan,
+    runs_test_by_group,
+    theil_sen_by_group,
+)
+
+
+def _series(spark, vals, g="a"):
+    return spark.createDataFrame(
+        [(g, i, v) for i, v in enumerate(vals)], "g string, i long, v long"
+    )
+
+
+def test_mann_kendall_strict_trend(spark):
+    # strictly increasing, no ties: S = n(n-1)/2, tau_b = 1
+    n = 6
+    r = mann_kendall_by_group(_series(spark, [1, 3, 7, 9, 12, 20]), "g", "i", "v").collect()[0]
+    assert r["n_periods"] == n and r["s_stat"] == n * (n - 1) // 2
+    assert r["tau_b_micro"] == 1_000_000
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    z = (n * (n - 1) // 2 - 1) / math.sqrt(var_s)
+    assert r["z_micro"] == math.floor(z * 1_000_000 + 0.5)
+
+
+def test_mann_kendall_all_tied_is_null(spark):
+    # all values tied: tau denominator and var(S) are both 0 → the
+    # repo's degenerate-input convention (NULL via try_divide), never
+    # a divide error
+    r = mann_kendall_by_group(_series(spark, [5, 5, 5, 5]), "g", "i", "v").collect()[0]
+    assert r["s_stat"] == 0 and r["tau_b_micro"] is None and r["z_micro"] is None
+
+
+def test_theil_sen_exact_line(spark):
+    # v = 5*i exactly: every pairwise slope is 5e6 micro
+    r = theil_sen_by_group(_series(spark, [0, 5, 10, 15, 20]), "g", "i", "v").collect()[0]
+    assert r["slope_micro"] == 5_000_000 and r["n_pairs"] == 10
+
+
+def test_theil_sen_outlier_robust(spark):
+    # one wild outlier leaves the median slope on the line (OLS would not)
+    r = theil_sen_by_group(
+        _series(spark, [0, 5, 10, 1000, 20, 25]), "g", "i", "v"
+    ).collect()[0]
+    assert r["slope_micro"] == 5_000_000
+
+
+def test_runs_test_known_answer(spark):
+    # values [1,10,2,11,3,12]: lower median 3 (dropped), signs -,+,-,+,+
+    r = runs_test_by_group(_series(spark, [1, 10, 2, 11, 3, 12]), "g", "i", "v").collect()[0]
+    assert (r["n_above"], r["n_below"], r["n_runs"]) == (3, 2, 4)
+    mu = 2 * 3 * 2 / 5 + 1
+    var = (2 * 3 * 2) * (2 * 3 * 2 - 5) / (25 * 4)
+    assert r["z_micro"] == math.floor((4 - mu) / math.sqrt(var) * 1_000_000 + 0.5)
+
+
+def test_neyman_zero_variance_stratum_gets_nothing(spark):
+    df = spark.createDataFrame(
+        [("flat", v) for v in [7, 7, 7, 7]] + [("wide", v) for v in [0, 100, 0, 100]],
+        "g string, v long",
+    )
+    rows = {r["g"]: r for r in neyman_allocation_plan(df, "g", F.col("v"), 100).collect()}
+    assert rows["flat"]["weight_scaled"] == 0 and rows["flat"]["alloc_n"] == 0
+    assert rows["wide"]["alloc_n"] == 100
+
+
+def test_markov_transitions_counts_and_probs(spark):
+    df = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("ABAB")] + [(2, i, t) for i, t in enumerate("ABB")],
+        "u long, o long, s string",
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_trans"], r["p_micro"])
+        for r in markov_transition_probs(df, "u", F.col("o"), "s").collect()
+    }
+    # A->B: 3 of 3 A-transitions; B->A: 1, B->B: 1 of 2 B-transitions
+    assert got[("A", "B")] == (3, 1_000_000)
+    assert got[("B", "A")] == (1, 500_000)
+    assert got[("B", "B")] == (1, 500_000)
+
+
+def test_t_closeness_flags_skewed_group_only(spark):
+    # global (incl. the skewed group): 10@0, 20@1 → cumQ_0 = 1/3.  The
+    # balanced groups read |1/2 - 1/3| = 1/6; 'skew' (all at 1) reads
+    # |0 - 1/3| = 1/3 — only it crosses t=0.2
+    rows = (
+        [("a", 0)] * 5 + [("a", 1)] * 5
+        + [("b", 0)] * 5 + [("b", 1)] * 5
+        + [("skew", 1)] * 10
+    )
+    df = spark.createDataFrame([(g, v) for g, v in rows], "g string, sv long")
+    out = {r["g"]: r["emd_micro"] for r in t_closeness_audit(df, ["g"], "sv", 200_000).collect()}
+    assert out == {"skew": 333333}
+
+
+def test_pagerank_integer_star_matches_reference_formula(spark):
+    # K1,3 star: exact integer differential against the same recurrence
+    # computed in plain python
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["pr_micro12"] for r in pagerank_integer(edges, iters=4).collect()}
+    G = 1_000_000_000_000
+    deg = {1: 3, 2: 1, 3: 1, 4: 1}
+    pr = {v: G // 4 for v in deg}
+    for _ in range(4):
+        base = (15 * G) // (100 * 4)
+        nxt = {}
+        for v in deg:
+            if v == 1:
+                mass = sum((85 * pr[u]) // (100 * deg[u]) for u in (2, 3, 4))
+            else:
+                mass = (85 * pr[1]) // (100 * deg[1])
+            nxt[v] = base + mass
+        pr = nxt
+    assert got == pr
+    # centrality sanity: the hub outranks every leaf
+    assert got[1] > got[2] == got[3] == got[4]
+
+
+def test_qld_ranks_heavier_term_match_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "fast fast fast query"),
+            (2, "fast query and other words here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = qld_topk(docs, {0: ["fast", "query"]}, k=3).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in rows}
+    assert by_rank[1] == 1  # highest tf on both terms
+    assert 3 not in {r["doc_id"] for r in rows}  # no term match → no candidate
+    assert all(r["query_id"] == 0 for r in rows)
+
+
+def test_loss_masking_plan_multi_span(spark):
+    conv = (
+        '[{"role":"user","content":"a b c"},'
+        '{"role":"assistant","content":"d d"},'
+        '{"role":"user","content":"e"},'
+        '{"role":"assistant","content":"f g h"}]'
+    )
+    df = spark.createDataFrame([(1, conv)], "doc_id long, conv string")
+    r = loss_masking_plan(df, "conv").collect()[0]
+    assert r["n_total_tokens"] == 9 and r["n_loss_tokens"] == 5
+    assert r["n_spans"] == 2 and r["first_loss_start"] == 3
+    assert r["mask_ratio_micro"] == 5 * 1_000_000 // 9
+
+
+def test_loss_masking_plan_edges(spark):
+    rows = [
+        (1, '[{"role":"assistant","content":"x y"}]'),  # leading assistant
+        (2, '[{"role":"user","content":"x"}]'),  # no assistant
+        (3, "not json"),  # malformed → NULLs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, conv string")
+    got = {r["doc_id"]: r for r in loss_masking_plan(df, "conv").collect()}
+    assert got[1]["first_loss_start"] == 0 and got[1]["n_spans"] == 1
+    assert got[2]["n_loss_tokens"] == 0 and got[2]["first_loss_start"] is None
+    assert got[3]["n_total_tokens"] is None and got[3]["mask_ratio_micro"] is None

@@ -24,6 +24,7 @@ FAMILY = [
     "dedup_best_of_cluster",
     "dup_graph_clustering",
     "dup_graph_assortativity",
+    "dup_graph_pagerank",
 ]
 
 

@@ -1612,3 +1612,74 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected candidate-pair graph
+    (the dup-graph family's edge frame), computed ENTIRELY on a 1e-12
+    integer grid so a SQL oracle can unroll the identical iterations:
+
+      pr_0(v)   = G div N                       (G = 10^12)
+      pr_k+1(v) = (15 * G) div (100 * N)
+                  + sum_{u ~ v} (85 * pr_k(u)) div (100 * deg(u))
+
+    Every quantity is a non-negative BIGINT, and Spark's `div` and
+    DuckDB's `//` truncate identically on non-negative operands, so the
+    result is bit-exact across engines at any iteration count (the mass
+    the floors leak is deterministic and identical on both sides —
+    this is a RANKING signal, not a probability measure).  Max value is
+    G * (node degree share) << 2^63; products bounded by 85 * G < 2^50.
+
+    Why in the dedup module: centrality over the near-dup graph ranks
+    TEMPLATE hubs — the doc connected to everything is boilerplate the
+    cluster survivors logic should not crown as the canonical copy.
+
+    Scale shape: one degree aggregation, then per-iteration one
+    (edge join + groupBy sum) pair — the same legs-proportional
+    shuffle-linear shape as the label-propagation pass; iterations are
+    a fixed small constant, and the frame never exceeds edge grain.
+    Each iteration localCheckpoints so lineage stays flat.
+
+    Returns (node, pr_micro12) for every node with at least one edge."""
+    G = 1_000_000_000_000
+    e2 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e2.unionAll(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n"))
+    pr = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "u", "deg", "n", F.expr(f"CAST({G} AS BIGINT) div n").alias("pr")
+    ).localCheckpoint(eager=False)
+    for _ in range(iters):
+        contrib = (
+            und.join(pr, "u")
+            .select(
+                F.col("v").alias("u"),
+                F.expr("(85 * pr) div (100 * deg)").cast("long").alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").cast("long").alias("in_mass"))
+        )
+        pr = (
+            pr.select("u", "deg", "n")
+            .join(contrib, "u", "left")
+            .select(
+                "u",
+                "deg",
+                "n",
+                (
+                    F.expr(f"(15 * CAST({G} AS BIGINT)) div (100 * n)")
+                    + F.coalesce(F.col("in_mass"), F.lit(0).cast("long"))
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(F.col("u").alias("node"), F.col("pr").alias("pr_micro12"))

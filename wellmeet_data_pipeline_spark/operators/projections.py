@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wellmeet_data_pipeline_spark.functions.text import cast_with_default, review_surrogate_id
@@ -110,4 +110,96 @@ def l_diversity_audit(
             F.count_distinct(F.col(sensitive_col)).alias("distinct_sensitive"),
         )
         .filter(F.col("distinct_sensitive") < l)
+    )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t_micro: int,
+) -> DataFrame:
+    """The third release audit after k_anonymity_audit and
+    l_diversity_audit: a group can be k-anonymous AND l-diverse yet
+    still leak if its sensitive-value DISTRIBUTION differs sharply from
+    the table's (the attacker learns "this group skews rich").
+    t-closeness (Li et al., ICDE'07) bounds the Earth Mover's Distance
+    between each quasi-identifier group's sensitive distribution and
+    the global one; for an ORDERED attribute over an m-value domain,
+
+      EMD(P, Q) = sum_{i=1}^{m-1} |cumP_i - cumQ_i| / (m - 1).
+
+    Exactness: with c_i the group's count at domain value i (n total)
+    and C_i the global count (N total), |cumP - cumQ| at value i is
+    |cum_c * N - cum_C * n| / (n * N) — one exact BIGINT bilinear form
+    per (group, domain value); the sum closes in doubles at the final
+    projection and micro-snaps.  Flags groups with emd_micro > t_micro.
+
+    Scale shape: group histograms aggregate map-side; the cumulative
+    walk runs on the (groups x domain) grid — domain is the sensitive
+    attribute's distinct values, which the caller bands upstream
+    (bal_band-style) exactly as for the k/l audits, so the grid is
+    bounded regardless of row count."""
+    gcols = [F.col(c) for c in quasi_cols]
+    d = df.filter(F.col(sensitive_col).isNotNull())
+    # per-(group, value) and global-(value) histograms
+    gh = d.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    dom = d.groupBy(sensitive_col).agg(F.count("*").cast("long").alias("__cg"))
+    groups = d.groupBy(*quasi_cols).agg(F.count("*").cast("long").alias("__n"))
+    tot = d.agg(
+        F.count("*").cast("long").alias("__nn"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("__m"),
+    )
+    # full (group x domain) grid so missing values contribute 0 increment
+    grid = (
+        groups.crossJoin(F.broadcast(dom))
+        .join(gh, [*quasi_cols, sensitive_col], "left")
+        .na.fill({"__c": 0})
+    )
+    wcum = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(sensitive_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        *quasi_cols,
+        sensitive_col,
+        "__n",
+        F.sum("__c").over(wcum).cast("long").alias("__cum_c"),
+        F.sum("__cg").over(wcum).cast("long").alias("__cum_g"),
+    ).crossJoin(F.broadcast(tot))
+    # drop the last domain value: both cumulatives are 1 there by
+    # construction (the EMD sum runs to m-1)
+    steps = (
+        cum.withColumn("__r", F.row_number().over(
+            Window.partitionBy(*gcols).orderBy(F.col(sensitive_col).asc())
+        ))
+        .filter(F.col("__r") < F.col("__m"))
+        .select(
+            *quasi_cols,
+            "__n",
+            "__nn",
+            "__m",
+            F.abs(
+                F.col("__cum_c") * F.col("__nn") - F.col("__cum_g") * F.col("__n")
+            ).cast("long").alias("__num"),
+        )
+    )
+    return (
+        steps.groupBy(*quasi_cols, "__n", "__nn", "__m")
+        .agg(F.sum("__num").cast("long").alias("__s"))
+        .select(
+            *quasi_cols,
+            F.col("__n").alias("group_size"),
+            F.floor(
+                F.col("__s").cast("double")
+                / (F.col("__n").cast("double") * F.col("__nn").cast("double"))
+                / (F.col("__m").cast("double") - F.lit(1.0))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("emd_micro"),
+        )
+        .filter(F.col("emd_micro") > t_micro)
     )

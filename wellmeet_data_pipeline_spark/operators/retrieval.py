@@ -603,3 +603,111 @@ def bm25_prf_topk(
         qt.select("query_id", "term").unionByName(exp).distinct().localCheckpoint(eager=True)
     )
     return bm25_rank_cut(_score(qt2), id_col, k)
+
+
+def qld_topk(
+    docs: DataFrame,
+    queries: Mapping[int, Sequence[str]],
+    k: int = 10,
+    mu: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR'01) — the language-modeling tier next to bm25_topk,
+    ranking by log P(q|d) decomposed into a sparse matching part plus a
+    length-only part:
+
+      score(q, d) = sum_{t in q, tf>0} ln(1 + tf * T / (mu * cf_t))
+                    + n_q * ln(mu / (dl + mu))
+
+    with cf_t the term's collection frequency, T total corpus tokens,
+    dl the document length, and n_q the query's terms with cf_t > 0
+    (unseen terms are skipped — the standard convention, since p(t|C)=0
+    makes the likelihood undefined).  Candidates are docs sharing at
+    least one query term (the bm25_topk contract: scoring runs on the
+    term-match candidate set, not the corpus).
+
+    Exactness: tf * T and mu * cf_t are exact BIGINT products; each ln
+    is snapped to the micro grid BEFORE summation (the bm25 idf
+    discipline — the 1-ulp ln caveat confined to the snap boundary);
+    score_int = sum of matched micro terms + n_q * micro length term is
+    a pure BIGINT.
+
+    Scale shape identical to bm25_scores: the corpus (doc, term) frame
+    is never shuffled — dl is a map-side-combined count, tf/cf aggregate
+    only tokens surviving the broadcast semi-join on query terms.
+
+    Returns (query_id, doc_id, score double, rank int), rank 1..k by
+    score_int desc, doc_id asc."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    qt = F.broadcast(_query_terms_df(docs.sparkSession, queries))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint(
+        eager=True
+    )
+    tfq = (
+        toks.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    cf = tfq.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    tot = dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_tok"))
+    nq = (
+        qt.join(F.broadcast(cf), "term")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_q"))
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    matched = (
+        qt.join(tfq, "term")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            id_col,
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + d(F.col("tf") * F.col("total_tok"))
+                    / d(F.lit(mu) * F.col("cf"))
+                )
+                * F.lit(float(MICRO))
+                + F.lit(0.5)
+            ).cast("long").alias("__mi"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__mi").cast("long").alias("__match"))
+    )
+    scored = (
+        matched.join(dl, id_col)
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("__match")
+                + F.col("n_q")
+                * F.floor(
+                    F.log(d(F.lit(mu)) / d(F.col("dl") + F.lit(mu)))
+                    * F.lit(float(MICRO))
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("score_int"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_int").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            (F.col("score_int").cast("double") / F.lit(float(MICRO))).alias(
+                "score"
+            ),
+            F.col("rank").cast("int"),
+        )
+    )

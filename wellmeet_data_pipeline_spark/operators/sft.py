@@ -173,3 +173,55 @@ def preference_pairs(
         .cast("long")
         .alias("margin"),
     )
+
+
+def loss_masking_plan(df: DataFrame, json_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Per-conversation loss-mask token budget: an SFT trainer computes
+    loss only on ASSISTANT tokens, so before packing it needs, per
+    conversation, how many tokens carry gradient (n_loss_tokens), where
+    the first trainable span starts (first_loss_start, the prompt-prefix
+    cost), how many contiguous assistant spans there are (n_spans —
+    multi-span conversations can't be truncated at one cut), and the
+    trainable fraction (mask_ratio_micro, cnt*1e6 div total — exact
+    integer division, both engines truncate non-negatives identically).
+
+    Token counts use the repo's filter-split convention (single-space
+    split, empty tokens dropped, NULL content counts 0); malformed JSON
+    rows yield NULL turns and propagate NULL stats (errors-as-data).
+    All reads are array lambdas over one parsed column — zero shuffle,
+    zero explode, exactly the turn_stats scale shape."""
+    parsed = parse_conversations(df, json_col)
+    tc = "transform(turns, x -> CAST(size(filter(split(coalesce(x.content, ''), ' '), w -> w <> '')) AS BIGINT))"
+    mask = "transform(turns, x -> CAST(CASE WHEN x.role = 'assistant' THEN 1 ELSE 0 END AS BIGINT))"
+    return parsed.select(
+        id_col,
+        F.expr(f"CAST(aggregate({tc}, 0L, (a, x) -> a + x) AS BIGINT)").alias(
+            "n_total_tokens"
+        ),
+        F.expr(
+            f"CAST(aggregate(zip_with({tc}, {mask}, (a, b) -> a * b), 0L,"
+            " (a, x) -> a + x) AS BIGINT)"
+        ).alias("n_loss_tokens"),
+        F.expr(
+            # size=0 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) and
+            # element_at(..., 0) errors — empty conversations short-circuit
+            "CAST(CASE WHEN size(turns) = 0 THEN 0L ELSE"
+            f" aggregate(transform(sequence(1, size(turns)), i ->"
+            f" CASE WHEN element_at({mask}, i) = 1 AND"
+            f" (i = 1 OR element_at({mask}, i - 1) = 0)"
+            " THEN 1L ELSE 0L END), 0L, (a, x) -> a + x) END AS BIGINT)"
+        ).alias("n_spans"),
+        F.expr(
+            f"CAST(CASE WHEN coalesce(array_position({mask}, 1L), 0) = 0"
+            " THEN NULL ELSE"
+            f" aggregate(slice({tc}, 1,"
+            f" CAST(array_position({mask}, 1L) AS INT) - 1), 0L,"
+            " (a, x) -> a + x) END AS BIGINT)"
+        ).alias("first_loss_start"),
+        F.expr(
+            f"CAST(CASE WHEN aggregate({tc}, 0L, (a, x) -> a + x) = 0 THEN 0"
+            f" ELSE aggregate(zip_with({tc}, {mask}, (a, b) -> a * b), 0L,"
+            f" (a, x) -> a + x) * 1000000 div aggregate({tc}, 0L,"
+            " (a, x) -> a + x) END AS BIGINT)"
+        ).alias("mask_ratio_micro"),
+    )

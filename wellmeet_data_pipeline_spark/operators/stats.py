@@ -1309,3 +1309,309 @@ def winsorized_mean_by_group(
             ).alias("wmean_micro"),
         )
     )
+
+
+def mann_kendall_by_group(
+    df: DataFrame, group_col: str, idx_col: str, value_col: str
+) -> DataFrame:
+    """Tie-corrected Mann-Kendall trend test per group over an ordered
+    series (idx_col an integer period index with no duplicates per
+    group, value_col an exact integer measure — cents, counts):
+
+      S     = sum_{i<j} sign(v_j - v_i)                 (exact BIGINT)
+      tau_b = S / sqrt((n0 - n1) * n0),  n0 = n(n-1)/2,
+              n1 = sum_t t(t-1)/2 over value-tie groups (idx has none)
+      var S = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18
+      z     = (S -/+ 1) / sqrt(var S)   (continuity-corrected; 0 at S=0)
+
+    The monotone-trend read behind "is this metric drifting" next to
+    cusum_changepoint's "where did it jump".  All pair and tie sums are
+    exact BIGINTs; tau/z close in doubles at the final projection and
+    micro-snap (the daily_revenue_acf discipline).
+
+    Scale shape: the pair frame is a per-group self-join at PERIOD grain
+    (calendar-bounded — days, not rows), the same bounded-frame contract
+    as the ACF lags; tie counts ride the value histogram."""
+    d = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(idx_col).cast("long").alias("__i"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), "__g")
+        .filter(F.col("b.__i") > F.col("a.__i"))
+        .select(
+            "__g",
+            F.signum(
+                (F.col("b.__v") - F.col("a.__v")).cast("double")
+            ).cast("long").alias("__sgn"),
+        )
+    )
+    s = pairs.groupBy("__g").agg(F.sum("__sgn").cast("long").alias("__s"))
+    nrec = d.groupBy("__g").agg(F.count("*").cast("long").alias("__n"))
+    ties = (
+        d.groupBy("__g", "__v")
+        .agg(F.count("*").cast("long").alias("__t"))
+        .groupBy("__g")
+        .agg(
+            F.sum(F.expr("__t * (__t - 1) div 2")).cast("long").alias("__n1"),
+            F.sum(F.expr("__t * (__t - 1) * (2 * __t + 5)"))
+            .cast("long")
+            .alias("__tv"),
+        )
+    )
+    m = nrec.join(s, "__g").join(ties, "__g")
+    n = F.col("__n").cast("double")
+    sd = F.col("__s").cast("double")
+    n0 = F.expr("__n * (__n - 1) div 2").cast("double")
+    denom = F.sqrt((n0 - F.col("__n1").cast("double")) * n0)
+    var_s = (
+        n * (n - F.lit(1.0)) * (F.lit(2.0) * n + F.lit(5.0))
+        - F.col("__tv").cast("double")
+    ) / F.lit(18.0)
+    z_num = F.when(F.col("__s") > 0, sd - F.lit(1.0)).when(
+        F.col("__s") < 0, sd + F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n_periods"),
+        F.col("__s").alias("s_stat"),
+        snap_micro(F.try_divide(sd, denom)).alias("tau_b_micro"),
+        snap_micro(F.try_divide(z_num, F.sqrt(var_s))).alias("z_micro"),
+    )
+
+
+def theil_sen_by_group(
+    df: DataFrame, group_col: str, idx_col: str, value_col: str
+) -> DataFrame:
+    """Theil-Sen robust trend slope per group: the LOWER MEDIAN of all
+    pairwise slopes (v_j - v_i) / (i_j - i_i) over the ordered series —
+    the outlier-proof companion to grouped_regression's OLS slope.
+
+    Exactness: each pair slope is floor((dv * 1e6) / di) — dv*1e6 is an
+    exact-integer double (|dv| cents bounded well under 2^53/1e6), the
+    division is one correctly-rounded IEEE op, and a non-integer true
+    quotient sits >= 1/di >= 1/4096 away from the nearest integer while
+    the double error is < 1 ulp (~1e-4 at 1e12), so floor is exact in
+    both engines; the median is an order statistic of those BIGINTs
+    (row_number at slope grain), no interpolation.
+
+    Scale shape: same calendar-bounded pair frame as mann_kendall (the
+    window below partitions by group over period-pair cardinality,
+    never row cardinality)."""
+    d = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(idx_col).cast("long").alias("__i"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    slopes = (
+        d.alias("a")
+        .join(d.alias("b"), "__g")
+        .filter(F.col("b.__i") > F.col("a.__i"))
+        .select(
+            "__g",
+            F.floor(
+                ((F.col("b.__v") - F.col("a.__v")) * F.lit(1_000_000)).cast(
+                    "double"
+                )
+                / (F.col("b.__i") - F.col("a.__i")).cast("double")
+            )
+            .cast("long")
+            .alias("__sl"),
+        )
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__sl").asc())
+    wn = Window.partitionBy("__g")
+    ranked = slopes.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__np", F.count("*").over(wn)
+    )
+    return (
+        ranked.filter(F.col("__r") == F.expr("(__np + 1) div 2"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__np").cast("long").alias("n_pairs"),
+            F.col("__sl").alias("slope_micro"),
+        )
+    )
+
+
+def runs_test_by_group(
+    df: DataFrame, group_col: str, idx_col: str, value_col: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per group: randomness of the sequence of
+    above/below-median signs over the ordered series.  Values equal to
+    the (lower) median are dropped (the standard convention); R = number
+    of sign runs, and under H0
+
+      mu    = 2 n1 n2 / (n1 + n2) + 1
+      var   = 2 n1 n2 (2 n1 n2 - n1 - n2) / ((n1+n2)^2 (n1+n2-1))
+      z     = (R - mu) / sqrt(var)
+
+    The "is the daily metric oscillating or streaky" read that catches
+    autocorrelated residuals the mean-level tests miss.  Median is an
+    exact order statistic off the per-group value histogram; R counts
+    sign changes with a lag over the period index (calendar-bounded
+    window); n1/n2/R exact BIGINTs, mu/var/z closed in doubles at the
+    final projection and micro-snapped."""
+    d = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(idx_col).cast("long").alias("__i"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    hist = d.groupBy("__g", "__v").agg(F.count("*").cast("long").alias("__c"))
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("__g")
+    med = (
+        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        .withColumn("__n", F.sum("__c").over(wg))
+        .filter(F.col("__cum") >= F.expr("(__n + 1) div 2"))
+        .groupBy("__g")
+        .agg(F.min("__v").alias("__med"))
+    )
+    signs = (
+        d.join(F.broadcast(med), "__g")
+        .filter(F.col("__v") != F.col("__med"))
+        .select(
+            "__g",
+            "__i",
+            F.when(F.col("__v") > F.col("__med"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("__sgn"),
+        )
+    )
+    wlag = Window.partitionBy("__g").orderBy(F.col("__i").asc())
+    runs = signs.withColumn("__prev", F.lag("__sgn").over(wlag)).select(
+        "__g",
+        "__sgn",
+        F.when(
+            F.col("__prev").isNull() | (F.col("__prev") != F.col("__sgn")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new_run"),
+    )
+    m = runs.groupBy("__g").agg(
+        F.sum(F.when(F.col("__sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        F.sum(F.when(F.col("__sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum("__new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    two_n1n2 = F.lit(2.0) * n1 * n2
+    mu = F.try_divide(two_n1n2, nn) + F.lit(1.0)
+    var = F.try_divide(
+        two_n1n2 * (two_n1n2 - n1 - n2), nn * nn * (nn - F.lit(1.0))
+    )
+    return m.select(
+        F.col("__g").alias(group_col),
+        "n_above",
+        "n_below",
+        "n_runs",
+        snap_micro(
+            F.try_divide(F.col("n_runs").cast("double") - mu, F.sqrt(var))
+        ).alias("z_micro"),
+    )
+
+
+def neyman_allocation_plan(
+    df: DataFrame, stratum_col: str, value_long: Column, total_n: int
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: given a sampling
+    budget of total_n rows, allocate n_h proportional to N_h * S_h (the
+    stratum's size times its value standard deviation) — the planner a
+    pipeline runs before drawing a stratified eval/labeling sample so
+    high-variance strata get the labels (companion to
+    ab_sample_size_plan, which sizes the experiment; this sizes the
+    sample).
+
+    Exactness: per-stratum (n, sum, sum-sq) are exact BIGINT moments;
+    N_h*S_h is closed in doubles from those integers with one fixed
+    expression shape, micro-snapped to a BIGINT weight, and the
+    allocation closes entirely on the integer grid:
+    n_h = (total_n * w_h) div sum(w) (floor; the remainder stays
+    unallocated rather than introducing a largest-remainder tie-break
+    that the oracle would have to replicate).  Degenerate strata
+    (n_h=1 or zero variance) carry weight 0 via try_divide."""
+    d = df.select(F.col(stratum_col).alias("__g"), value_long.alias("__v"))
+    m = d.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__v").cast("long").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__q"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    q = F.col("__q").cast("double")
+    sd = F.sqrt(F.try_divide(n * q - s * s, n * (n - F.lit(1.0))))
+    wtd = m.select(
+        "__g",
+        "__n",
+        F.coalesce(
+            F.floor(n * sd + F.lit(0.5)).cast("long"), F.lit(0).cast("long")
+        ).alias("__w"),
+    )
+    tot = wtd.agg(F.sum("__w").cast("long").alias("__wt"))
+    return (
+        wtd.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__g").alias(stratum_col),
+            F.col("__n").alias("n_rows"),
+            F.col("__w").alias("weight_scaled"),
+            F.expr(f"CAST({total_n} AS BIGINT) * __w div __wt")
+            .cast("long")
+            .alias("alloc_n"),
+        )
+    )
+
+
+def markov_transition_probs(
+    df: DataFrame,
+    entity_col: str,
+    order_col: Column,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity state
+    sequences: for each entity, order its events and count (state ->
+    next state) transitions; probabilities are row-normalized counts on
+    the exact integer grid (cnt * 1e6 div row_total — both engines
+    truncate identically on non-negative BIGINTs).  The session-path
+    read behind funnel design: "after a click, what happens next".
+
+    The ordering window partitions by entity (bounded by per-entity
+    event counts); the transition matrix is |states|^2-bounded.
+    `tiebreak_col` pins a total order under timestamp ties (pass the
+    event's unique id)."""
+    order_cols = [order_col.asc()]
+    if tiebreak_col is not None:
+        order_cols.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    trans = (
+        df.withColumn("__next", F.lead(state_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("__next").alias("to_state"),
+        )
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    wrow = Window.partitionBy("from_state")
+    return trans.withColumn(
+        "__row_total", F.sum("n_trans").over(wrow)
+    ).select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        F.expr("n_trans * 1000000 div __row_total")
+        .cast("long")
+        .alias("p_micro"),
+    )
