@@ -238,6 +238,10 @@ HEADLINE = [
     "dup_graph_pagerank",
     "qld_topk",
     "sft_loss_masking_plan",
+    "embedding_pca_power",
+    "lineitem_pareto_abc",
+    "order_cycle_percentiles",
+    "term_burstiness_top_df",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -175,3 +175,106 @@ def test_loss_masking_plan_edges(spark):
     assert got[1]["first_loss_start"] == 0 and got[1]["n_spans"] == 1
     assert got[2]["n_loss_tokens"] == 0 and got[2]["first_loss_start"] is None
     assert got[3]["n_total_tokens"] is None and got[3]["mask_ratio_micro"] is None
+
+
+def test_exact_percentiles_known_answer(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        exact_percentiles_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1, 101)], "g string, v long"
+    )
+    r = exact_percentiles_by_group(df, "g", F.col("v"), pcts=(50, 90, 99)).collect()[0]
+    assert (r["n"], r["p50"], r["p90"], r["p99"]) == (100, 50, 90, 99)
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    import numpy as np
+
+    # anisotropic cloud: variance concentrated along a planted direction
+    rng = np.random.default_rng(42)
+    d = 16
+    u = np.zeros(d)
+    u[2], u[7] = 3.0, 4.0
+    u /= np.linalg.norm(u)
+    X = rng.normal(size=(400, d)) * 0.05 + np.outer(rng.normal(size=400), u)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from wellmeet_data_pipeline_spark.operators.similarity import pca_power_integer
+
+    got = {r["dim"]: r["loading_micro"] for r in pca_power_integer(emb, dims=d, iters=6).collect()}
+    v = np.array([got[j + 1] for j in range(d)], dtype=float)
+    v /= np.linalg.norm(v)
+    # numpy reference: top eigenvector of X^T X (on the same snapped grid
+    # the operator uses, but the planted direction dominates either way)
+    C = (np.floor(X * 1e6 + 0.5).T @ np.floor(X * 1e6 + 0.5))
+    w_np, v_np = np.linalg.eigh(C)
+    top = v_np[:, -1]
+    assert abs(float(v @ top)) > 0.999
+
+
+def test_pareto_abc_known_classes(spark, tmp_path):
+    # crafted part revenues 80/15/5 (e4 grid): exactly one part per class
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 3],
+            "l_extendedprice": [80.0, 15.0, 5.0],
+            "l_discount": [0.0, 0.0, 0.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "lineitem.parquet"))
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    got = {
+        r["abc_class"]: (r["n_parts"], r["share_micro"])
+        for r in REGISTRY["lineitem_pareto_abc"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["A"] == (1, 800_000)
+    assert got["B"] == (1, 150_000)
+    assert got["C"] == (1, 50_000)
+
+
+def test_term_burstiness_bursty_beats_uniform(spark):
+    from wellmeet_data_pipeline_spark.plans.queries_r12 import q_term_burstiness  # noqa: F401
+    from wellmeet_data_pipeline_spark.operators.retrieval import _doc_tokens
+    from wellmeet_data_pipeline_spark.operators.stats import snap_micro
+
+    # 'flat' appears once per doc (fano ~0); 'burst' appears 1 or 9 times
+    docs = spark.createDataFrame(
+        [
+            (1, "flat burst"),
+            (2, "flat " + "burst " * 9),
+            (3, "flat burst"),
+            (4, "flat " + "burst " * 9),
+        ],
+        "doc_id long, text string",
+    )
+    tf = _doc_tokens(docs, "text", "doc_id").groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    m = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("q"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    out = {
+        r["term"]: r["fano"]
+        for r in m.select(
+            "term",
+            snap_micro(
+                F.try_divide(
+                    dd("df") * dd("q") - dd("s") * dd("s"),
+                    (dd("df") - F.lit(1.0)) * dd("s"),
+                )
+            ).alias("fano"),
+        ).collect()
+    }
+    assert out["flat"] == 0
+    # burst: tf in {1,9,1,9}: var = 64/3, mean 5 → fano = 64/15
+    assert out["burst"] == math.floor(64 / 15 * 1_000_000 + 0.5)

@@ -799,6 +799,38 @@ def run_retention_cohorts(spark, sf_dir, factor):
     return act.count()
 
 
+
+def run_pagerank(spark, sf_dir, factor):
+    """Integer PageRank at edge grain: edges from the xxhash64 LSH
+    candidate pass (the scale default — the sha family exists for the
+    oracle), 4 iterations; per-iteration one edge join + one groupBy."""
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        pagerank_integer,
+    )
+
+    d = scaled_documents(spark, sf_dir, factor)
+    return pagerank_integer(minhash_lsh_candidates(d), iters=4).count()
+
+
+def run_qld_topk(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.retrieval import qld_topk
+
+    d = scaled_documents(spark, sf_dir, factor)
+    return qld_topk(
+        d,
+        {0: ["fast", "query", "scan"], 1: ["join", "hash", "merge"]},
+        k=10,
+    ).count()
+
+
+def run_pca_power(spark, sf_dir, factor):
+    from wellmeet_data_pipeline_spark.operators.similarity import pca_power_integer
+
+    e = scaled_embeddings(spark, sf_dir, factor)
+    return pca_power_integer(e, dims=16, iters=4).count()
+
+
 OPS = {
     "minhash_lsh_candidates": run_minhash,
     "line_dedup_global": run_line_dedup,
@@ -852,6 +884,9 @@ OPS = {
     "event_kruskal_wallis": run_kruskal_wallis,
     "customer_rfm_segments": run_rfm_segments,
     "user_retention_cohorts": run_retention_cohorts,
+    "dup_graph_pagerank": run_pagerank,
+    "qld_topk": run_qld_topk,
+    "embedding_pca_power": run_pca_power,
 }
 
 # Expected complexity class per op (r11 verdict item 7): what the wall
@@ -924,6 +959,9 @@ COMPLEXITY = {
     "event_kruskal_wallis": "O(N log N) at value-histogram grain",
     "customer_rfm_segments": "O(N log N): ECDF quintiles via range-partitioned prefix sum",
     "user_retention_cohorts": "O(N): cohort-week agg",
+    "dup_graph_pagerank": "O(E x iters): fixed-iteration integer power method; E linear here (banded LSH edges)",
+    "qld_topk": "O(N) tokens: one index pass; scoring bounded by the query-term broadcast semi-join",
+    "embedding_pca_power": "O(N x dims^2) covariance build (one map-side-combined agg), then dims-row iterations",
 }
 
 

@@ -2437,3 +2437,87 @@ def int8_quant_recall(
         .na.fill({"n_overlap": 0})
         .select("query_id", "n_exact", F.col("n_overlap").cast("long"))
     )
+
+
+def pca_power_integer(
+    emb: DataFrame,
+    dims: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the embedding corpus (a dims-prefix
+    slice) by fixed-iteration power method, computed ENTIRELY on integer
+    grids so a SQL oracle can unroll identical iterations (the
+    pagerank_integer treatment applied to a dense spectral read):
+
+      c[r,j]  = floor(x[r,j] * 1e6 + 0.5)                (component grid)
+      C[j,k]  = sum_r c[r,j] * c[r,k]                    (exact BIGINT)
+      Cn      = C div max(1, max|C| div 1e5)             (~1e5 scale)
+      v_0     = [1e6] * dims
+      v_{t+1} = (Cn v_t * 1e6) div max(1, max|Cn v_t|)   (re-scale each step)
+
+    Integer division truncates toward zero identically in Spark (div)
+    and DuckDB (//) for SIGNED operands (verified -7//2 = -3 in both),
+    so the signed iteration is bit-exact cross-engine.  Overflow bounds:
+    |Cn v| <= dims * 1e5 * 1e6 = 1.6e12, * 1e6 = 1.6e18 < 2^63.
+
+    Why a pipeline wants it: the leading PCA direction drives whitening,
+    embedding-drift reads ("did the index's principal axis move after
+    re-embedding") and Matryoshka-style dimension auditing — and the
+    usual implementation (numpy eig on a collected matrix) has no
+    distributed, oracle-checkable form.
+
+    Scale shape: ONE self-join at (row x dims^2) grain builds C —
+    map-side combined to a dims^2-row frame, broadcast everywhere after
+    — then `iters` joins over dims-row frames (driver never collects).
+    dims is the 100 TB knob: cost is linear in rows at fixed dims.
+
+    Returns (dim 1-based, loading_micro) — the unnormalized direction
+    on a 1e6 grid; callers normalize/sign-flip as needed."""
+    ex = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.expr(f"slice({vec_col}, 1, {dims})")).alias(
+                "__p", "__x"
+            ),
+        )
+        .select(
+            "__id",
+            (F.col("__p") + 1).alias("j"),
+            F.floor(F.col("__x").cast("double") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    cm = (
+        ex.alias("a")
+        .join(ex.alias("b"), "__id")
+        .groupBy(F.col("a.j").alias("j"), F.col("b.j").alias("k"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("cv"))
+    )
+    mx = cm.agg(F.max(F.abs(F.col("cv"))).cast("long").alias("m"))
+    cn = (
+        cm.crossJoin(F.broadcast(mx))
+        .select(
+            "j", "k",
+            F.expr("cv div greatest(m div 100000, 1L)").cast("long").alias("cn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = cn.select("j").distinct().select(
+        "j", F.lit(1_000_000).cast("long").alias("v")
+    )
+    for _ in range(iters):
+        w = (
+            cn.join(v.withColumnRenamed("j", "k"), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("cn") * F.col("v")).cast("long").alias("w"))
+        )
+        mw = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("mw"))
+        v = w.crossJoin(F.broadcast(mw)).select(
+            "j",
+            F.expr("(w * 1000000) div greatest(mw, 1L)").cast("long").alias("v"),
+        )
+    return v.select(F.col("j").cast("long").alias("dim"), F.col("v").alias("loading_micro"))

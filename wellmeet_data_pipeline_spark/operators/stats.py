@@ -1615,3 +1615,42 @@ def markov_transition_probs(
         .cast("long")
         .alias("p_micro"),
     )
+
+
+def exact_percentiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_long: Column,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact lower-percentile order statistics per group off the value
+    HISTOGRAM (the winsorized_mean_by_group cut discipline: the p-th
+    percentile is the smallest value whose cumulative count reaches
+    ceil(p*n/100), computed as (p*n + 99) div 100 — pure integers, no
+    interpolation doubles anywhere).  Returns (group, n, p<p> ...).
+
+    Scale shape: one map-side-combined histogram aggregation, then a
+    window over (group x distinct values) — value-histogram grain, never
+    row grain."""
+    d = df.select(F.col(group_col).alias("__g"), value_long.alias("__v"))
+    hist = d.groupBy("__g", "__v").agg(F.count("*").cast("long").alias("__c"))
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("__g")
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(wg)
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for p in pcts:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.expr(f"({p} * __n + 99) div 100"),
+                    F.col("__v"),
+                )
+            ).alias(f"p{p}")
+        )
+    return cum.groupBy("__g").agg(*aggs).withColumnRenamed("__g", group_col)

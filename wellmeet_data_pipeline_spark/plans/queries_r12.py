@@ -338,9 +338,9 @@ def q_stratified_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS emd_micro
       FROM e
     )
-    SELECT * FROM f WHERE emd_micro > 100000
+    SELECT * FROM f WHERE emd_micro > 50000
     """,
-    "t-closeness release audit (t=0.1) over the (segment, nation) "
+    "t-closeness release audit (t=0.05) over the (segment, nation) "
     "quasi-identifier groups vs the balance-band sensitive attribute — "
     "the third privacy gate after k_anonymity_audit and "
     "l_diversity_audit: ordered-attribute Earth Mover's Distance as the "
@@ -357,7 +357,7 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
     )
     return t_closeness_audit(
-        c, ["c_mktsegment", "c_nationkey"], "bal_band", t_micro=100_000
+        c, ["c_mktsegment", "c_nationkey"], "bal_band", t_micro=50_000
     )
 
 
@@ -366,11 +366,11 @@ def _pagerank_oracle(iters: int) -> str:
     steps = []
     for k in range(1, iters + 1):
         steps.append(
-            f"""it{k} AS (
+            f"""it{k} AS MATERIALIZED (
       SELECT e.v AS u, CAST(sum((85 * p.pr) // (100 * p.deg)) AS BIGINT) AS im
       FROM e2 e JOIN pr{k - 1} p ON p.u = e.u GROUP BY 1
     ),
-    pr{k} AS (
+    pr{k} AS MATERIALIZED (
       SELECT p.u, p.deg, p.n,
              CAST((15 * CAST({g} AS BIGINT)) // (100 * p.n)
                   + coalesce(i.im, 0) AS BIGINT) AS pr
@@ -380,14 +380,14 @@ def _pagerank_oracle(iters: int) -> str:
     chain = ",\n    ".join(steps)
     return f"""
     WITH {_minhash_sha_ctes()},
-    e2 AS (
+    e2 AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs WHERE id_a <> id_b
       UNION ALL
       SELECT id_b, id_a FROM pairs WHERE id_a <> id_b
     ),
-    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY 1),
+    deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY 1),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-    pr0 AS (
+    pr0 AS MATERIALIZED (
       SELECT u, deg, n, CAST(CAST({g} AS BIGINT) // n AS BIGINT) AS pr
       FROM deg CROSS JOIN nn
     ),
@@ -543,3 +543,263 @@ def q_sft_loss_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.sft import loss_masking_plan
 
     return loss_masking_plan(_conv_frame(spark, sf_dir), "conv")
+
+
+# ---------------------------------------------------------------------------
+# Round-12 second wave: integer spectral read, warehouse ABC classes,
+# cycle-time percentiles, term burstiness.
+# ---------------------------------------------------------------------------
+
+
+def _pca_oracle(dims: int, iters: int) -> str:
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""w{t} AS (
+      SELECT cn.j, CAST(sum(cn.cn * v.v) AS BIGINT) AS w
+      FROM cn JOIN v{t - 1} v ON v.j = cn.k GROUP BY 1
+    ),
+    m{t} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mw FROM w{t}),
+    v{t} AS (
+      SELECT j, CAST((w * 1000000) // greatest(mw, 1) AS BIGINT) AS v
+      FROM w{t} CROSS JOIN m{t}
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, i AS j,
+             CAST(floor(CAST(embedding[i] AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+      FROM embeddings, range(1, {dims + 1}) t(i)
+      WHERE embedding IS NOT NULL
+    ),
+    cm AS (
+      SELECT a.j, b.j AS k, CAST(sum(a.c * b.c) AS BIGINT) AS cv
+      FROM ex a JOIN ex b ON b.vec_id = a.vec_id GROUP BY 1, 2
+    ),
+    mx AS (SELECT CAST(max(abs(cv)) AS BIGINT) AS m FROM cm),
+    cn AS (
+      SELECT j, k, CAST(cv // greatest(m // 100000, 1) AS BIGINT) AS cn
+      FROM cm CROSS JOIN mx
+    ),
+    v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS v FROM cn),
+    {chain}
+    SELECT CAST(j AS BIGINT) AS dim, v AS loading_micro FROM v{iters}
+    """
+
+
+@_q(
+    "embedding_pca_power",
+    _pca_oracle(16, 4),
+    "top principal direction of the embedding corpus (16-dim prefix) by "
+    "4 integer power iterations — components snapped to a 1e6 grid, the "
+    "covariance an exact BIGINT bilinear form, every iteration a "
+    "re-scaled signed integer matvec (Spark div and DuckDB // truncate "
+    "identically on signed operands, verified) so the SQL oracle "
+    "unrolls the IDENTICAL spectral computation.  The whitening / "
+    "embedding-drift / dimension-audit read, with cost linear in rows "
+    "at fixed dims; covariance build is one map-side-combined "
+    "(rows x dims^2) aggregation, iterations are dims-row joins, the "
+    "driver never collects",
+)
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.similarity import pca_power_integer
+
+    return pca_power_integer(table(spark, sf_dir, "embeddings"), dims=16, iters=4)
+
+
+@_q(
+    "lineitem_pareto_abc",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(round(l_extendedprice * 100)
+                      * (100 - round(l_discount * 100))) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM pr),
+    c AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM pr
+    ),
+    k AS (
+      SELECT rev,
+             CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c CROSS JOIN t
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS class_rev_e4,
+           CAST(sum(rev) // greatest((SELECT tot FROM t) // 1000000, 1)
+                AS BIGINT) AS share_micro
+    FROM k GROUP BY 1
+    """,
+    "ABC / Pareto classification of parts by discounted revenue (A = "
+    "parts covering the first 80% of revenue, B to 95%, C the tail) — "
+    "the inventory-priority read every warehouse runs.  Revenue exact "
+    "on the cents x pct e4 grid; the cumulative ranking goes through "
+    "global_rank_cumsum (range-partitioned two-pass prefix sum), so no "
+    "unpartitioned WindowExec appears over the part-cardinality frame; "
+    "class thresholds compare exact integer cross-products",
+)
+def q_lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.windows import global_rank_cumsum
+
+    li = table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            * (F.lit(100) - F.round(F.col("l_discount") * 100, 0))
+        )
+        .cast("long")
+        .alias("rev")
+    )
+    ranked = global_rank_cumsum(
+        pr,
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        sum_col="rev",
+        cum_col="cum",
+    )
+    tot = pr.agg(F.sum("rev").cast("long").alias("tot"))
+    k = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev",
+        "tot",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return (
+        k.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("class_rev_e4"),
+            F.max("tot").alias("__tot"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_rev_e4",
+            F.expr("class_rev_e4 div greatest(__tot div 1000000, 1L)")
+            .cast("long")
+            .alias("share_micro"),
+        )
+    )
+
+
+@_q(
+    "order_cycle_percentiles",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority AS g,
+             CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS BIGINT) AS v
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    ),
+    h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+    cw AS (
+      SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM h
+    )
+    SELECT g AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN v END)
+                AS BIGINT) AS p90,
+           CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END)
+                AS BIGINT) AS p99
+    FROM cw GROUP BY 1
+    """,
+    "order-to-ship cycle-time percentiles (p50/p90/p99 days) per "
+    "order priority — the fulfillment-SLA read: exact lower-percentile "
+    "order statistics off the per-priority day-delay histogram (the "
+    "winsorized-cut discipline, ceil(p*n/100) as (p*n+99) div 100 — no "
+    "interpolation doubles).  Histogram grain: the window runs over "
+    "(priority x distinct day counts), never row grain",
+)
+def q_order_cycle_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        exact_percentiles_by_group,
+    )
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("delay"),
+    )
+    return exact_percentiles_by_group(
+        d, "o_orderpriority", F.col("delay"), pcts=(50, 90, 99)
+    )
+
+
+@_q(
+    "term_burstiness_top_df",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY 1, 2),
+    m AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS s, CAST(sum(tf * tf) AS BIGINT) AS q
+      FROM tf GROUP BY 1
+    ),
+    top AS (SELECT * FROM m ORDER BY df DESC, term ASC LIMIT 20)
+    SELECT term, df,
+           CAST(floor(CAST(s AS DOUBLE) / CAST(df AS DOUBLE)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS mean_tf_micro,
+           CAST(floor((CAST(df AS DOUBLE) * CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / nullif((CAST(df AS DOUBLE) - 1) * CAST(s AS DOUBLE), 0)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS fano_micro
+    FROM top
+    """,
+    "term burstiness (Fano factor: within-document tf variance over "
+    "mean, among documents containing the term) for the corpus's 20 "
+    "highest-df terms — the Church-Gale content-vs-function-word signal "
+    "(bursty terms are topical, fano ~ 1 is Poisson/functional) next to "
+    "token_pmi_collocations.  BIGINT (df, s, q) moments, ratios closed "
+    "in doubles at the final projection and micro-snapped; the top-20 "
+    "cut is a bounded TakeOrdered over the vocab-grain aggregate",
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.retrieval import _doc_tokens
+
+    d = table(spark, sf_dir, "documents")
+    tf = _doc_tokens(d, "text", "doc_id").groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    m = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("q"),
+    )
+    top = m.orderBy(F.col("df").desc(), F.col("term").asc()).limit(20)
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    from wellmeet_data_pipeline_spark.operators.stats import snap_micro
+
+    return top.select(
+        "term",
+        "df",
+        snap_micro(dd("s") / dd("df")).alias("mean_tf_micro"),
+        snap_micro(
+            F.try_divide(
+                dd("df") * dd("q") - dd("s") * dd("s"),
+                (dd("df") - F.lit(1.0)) * dd("s"),
+            )
+        ).alias("fano_micro"),
+    )
