@@ -816,10 +816,15 @@ def run_pagerank(spark, sf_dir, factor):
 def run_qld_topk(spark, sf_dir, factor):
     from wellmeet_data_pipeline_spark.operators.retrieval import qld_topk
 
+    # scaled copies suffix every word with _K — match copy 0's tokens so
+    # the scoring joins actually run (0-candidate runs would measure only
+    # the index build)
+    sfx = "" if factor == 1 else "_0"
     d = scaled_documents(spark, sf_dir, factor)
     return qld_topk(
         d,
-        {0: ["fast", "query", "scan"], 1: ["join", "hash", "merge"]},
+        {0: [f"fast{sfx}", f"query{sfx}", f"scan{sfx}"],
+         1: [f"join{sfx}", f"hash{sfx}", f"merge{sfx}"]},
         k=10,
     ).count()
 
