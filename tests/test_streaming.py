@@ -1814,3 +1814,87 @@ def test_streaming_cusum_monitor_parity_and_replay(spark, tmp_path):
     merge_append(replay, store, id_col="g", partition_col=None, batch_seq=0)
     again = current_changepoint(spark, store, "g", "day").collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in batch]
+
+
+def test_streaming_transitions_parity_and_replay(spark, tmp_path):
+    """The streaming Markov session-path monitor must (a) match the
+    batch markov_transition_probs on the same data — including the
+    transition that SPANS two micro-batches (user state carries the
+    last event across the batch boundary), (b) absorb an at-least-once
+    replay of a (from, to, batch) partial, (c) return an empty typed
+    frame before the store exists."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from wellmeet_data_pipeline_spark.operators.stats import markov_transition_probs
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.stateful import (
+        current_transition_probs,
+        run_streaming_transitions,
+    )
+
+    landing = tmp_path / "trans_landing"
+    landing.mkdir()
+    store = str(tmp_path / "trans_store")
+    ckpt = str(tmp_path / "trans_ckpt")
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", LongType()),  # unix micros
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    assert current_transition_probs(spark, store).count() == 0
+
+    # user 1's path A->B->C is SPLIT across the two files (A,B | C): the
+    # B->C transition exists only via carried state.  user 2 has a
+    # same-timestamp tie broken by event_id (B before A).
+    rows1 = [
+        {"user_id": 1, "ts": 10, "event_id": 1, "event_type": "A"},
+        {"user_id": 1, "ts": 20, "event_id": 2, "event_type": "B"},
+        {"user_id": 2, "ts": 10, "event_id": 3, "event_type": "B"},
+        {"user_id": 2, "ts": 10, "event_id": 4, "event_type": "A"},
+    ]
+    _drop(landing, "a.json", rows1)
+    run_streaming_transitions(spark, str(landing), store, ckpt, schema)
+    rows2 = [
+        {"user_id": 1, "ts": 30, "event_id": 5, "event_type": "C"},
+        {"user_id": 2, "ts": 40, "event_id": 6, "event_type": "B"},
+    ]
+    _drop(landing, "b.json", rows2)
+    run_streaming_transitions(spark, str(landing), store, ckpt, schema)
+
+    got = sorted(map(tuple, current_transition_probs(spark, store).collect()))
+    all_rows = rows1 + rows2
+    batch = sorted(
+        map(
+            tuple,
+            markov_transition_probs(
+                spark.createDataFrame(
+                    [
+                        (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+                        for r in all_rows
+                    ],
+                    "user_id long, ts long, event_id long, event_type string",
+                ),
+                "user_id",
+                F.col("ts"),
+                "event_type",
+                tiebreak_col="event_id",
+            ).collect(),
+        )
+    )
+    assert got == batch and len(got) > 0
+    # the cross-batch B->C transition is present
+    assert any(r[0] == "B" and r[1] == "C" for r in got)
+
+    # at-least-once replay: same (from, to, batch) identity appended again
+    # must not change the probabilities
+    replay = spark.createDataFrame(
+        [("A", "B", 1)], "from_state string, to_state string, n_trans long"
+    )
+    merge_append(replay, store, id_col="from_state", partition_col=None, batch_seq=0)
+    again = sorted(map(tuple, current_transition_probs(spark, store).collect()))
+    assert again == got

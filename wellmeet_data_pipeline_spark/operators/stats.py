@@ -1604,8 +1604,17 @@ def markov_transition_probs(
         )
         .agg(F.count("*").cast("long").alias("n_trans"))
     )
+    return transition_probs_from_counts(trans)
+
+
+def transition_probs_from_counts(counts: DataFrame) -> DataFrame:
+    """Row-normalize a (from_state, to_state, n_trans) count frame to the
+    exact integer probability grid — shared by the batch operator above
+    and the streaming transition monitor's consumer view
+    (streaming/stateful.current_transition_probs), so the two stay
+    contract-identical by construction (the CUSUM-twin discipline)."""
     wrow = Window.partitionBy("from_state")
-    return trans.withColumn(
+    return counts.withColumn(
         "__row_total", F.sum("n_trans").over(wrow)
     ).select(
         "from_state",

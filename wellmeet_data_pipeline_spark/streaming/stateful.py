@@ -16,6 +16,7 @@ from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _STATE_SCHEMA = "seen integer"
@@ -144,3 +145,139 @@ def debounce_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TRANS_STATE_SCHEMA = "last_ts long, last_id long, last_state string"
+
+
+def transition_stream(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Per-entity (from_state, to_state) transition rows over a stream —
+    the incremental substrate of the Markov session-path monitor
+    (batch twin: operators/stats.markov_transition_probs).
+
+    Per-key state is the entity's LAST event (ts, id, state): each batch
+    sorts the entity's new events by (ts, id) — the batch twin's exact
+    total order — emits the boundary transition from the stored last
+    event into the batch's first, then the within-batch adjacencies, and
+    advances the state.  Cross-batch transitions therefore need no
+    rescan and no raw-event store: state is ONE row per entity.
+
+    Ordering contract: per-entity EVENT-TIME-ordered arrival across
+    micro-batches (the landing-stream norm; within a batch any order is
+    fine — we sort).  An out-of-order source needs a watermark-delayed
+    reorder upstream; the monitor documents rather than hides that,
+    matching the batch twin's declared (ts, id) order."""
+
+    def emit(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in pdfs if len(pdf) > 0]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        # ts_col must be an integer event-time column (unix micros) so the
+        # state tuple round-trips exactly; null ts/id/state rows can't
+        # take part in an ordered transition and drop here (the batch
+        # twin's NOT NULL filters)
+        batch = batch.dropna(subset=[ts_col, id_col, state_col])
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values([ts_col, id_col], kind="mergesort")
+        states = batch[state_col].tolist()
+        prev = state.get if state.exists else None
+        froms, tos = [], []
+        last = prev[2] if prev is not None else None
+        for s in states:
+            if last is not None:
+                froms.append(last)
+                tos.append(s)
+            last = s
+        tail = batch.iloc[-1]
+        state.update((int(tail[ts_col]), int(tail[id_col]), str(tail[state_col])))
+        if froms:
+            yield pd.DataFrame({"from_state": froms, "to_state": tos})
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        emit,
+        outputStructType="from_state string, to_state string",
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_transitions(
+    spark,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+) -> None:
+    """availableNow pipeline: landing JSON -> stateful per-entity
+    transition emission -> per-batch (from, to) partial counts appended
+    to a dedup-on-read store keyed by (from, to, batch seq).  Replays
+    re-append the same identity and vanish on read — the exactly-once
+    partial-count store contract shared with the CUSUM / PSI / hot-key
+    monitors (streaming/analytics.py)."""
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.pipeline import landing_stream
+
+    stream = landing_stream(spark, landing_dir, schema)
+    trans = transition_stream(stream, entity_col, ts_col, id_col, state_col)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts = batch_df.groupBy("from_state", "to_state").agg(
+            F.count("*").cast("long").alias("n_trans")
+        )
+        if counts.isEmpty():
+            return
+        merge_append(
+            counts,
+            store_path,
+            id_col="from_state",
+            partition_col=None,
+            batch_seq=batch_id,
+        )
+
+    (
+        trans.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def current_transition_probs(spark, store_path: str) -> DataFrame:
+    """Consumer view of the streaming Markov monitor: dedup the partial
+    store on (from, to, batch seq), roll partials up to true counts, and
+    row-normalize through the SAME helper the batch operator uses
+    (operators/stats.transition_probs_from_counts) — monitor and batch
+    read contract-identical by construction.  Empty store → empty typed
+    frame."""
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        transition_probs_from_counts,
+    )
+    from wellmeet_data_pipeline_spark.sinks.merge import read_current_or_none
+
+    cur = read_current_or_none(
+        spark, store_path, id_col=["from_state", "to_state", "_batch_seq"]
+    )
+    if cur is None:
+        return spark.createDataFrame(
+            [], "from_state string, to_state string, n_trans bigint, p_micro bigint"
+        )
+    counts = cur.groupBy("from_state", "to_state").agg(
+        F.sum("n_trans").cast("long").alias("n_trans")
+    )
+    return transition_probs_from_counts(counts)
