@@ -3,9 +3,11 @@ importing the family submodules IN ORDER — queries_core (flagship,
 TPC-H shapes, joins/aggs/windows, dedup core), queries_curation
 (corpus curation, scoring, layout), queries_retrieval (rotation-era
 families: URL, sketches, SFT, retrieval), queries_stats (statistical
-monitoring, quantized serving, round-10/11 families) — so REGISTRY
-insertion order is exactly the old single-file order.  The driver
-window rotation below then pins the first 50 entries explicitly.
+monitoring, quantized serving, round-10/11 families), queries_r12
+(time-series tests, session paths, privacy EMD, integer spectral /
+graph iterations, QLD retrieval, loss masking) — so REGISTRY insertion
+order is exactly the old single-file order.  The driver window
+rotation below then pins the first 50 entries explicitly.
 External surface (driver, bench, tests): REGISTRY, QuerySpec, table.
 """
 
