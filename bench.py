@@ -242,6 +242,9 @@ HEADLINE = [
     "lineitem_pareto_abc",
     "order_cycle_percentiles",
     "term_burstiness_top_df",
+    "returnflag_status_chi2",
+    "dedup_threshold_sweep",
+    "event_acf_portmanteau",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -278,3 +278,70 @@ def test_term_burstiness_bursty_beats_uniform(spark):
     assert out["flat"] == 0
     # burst: tf in {1,9,1,9}: var = 64/3, mean 5 → fano = 64/15
     assert out["burst"] == math.floor(64 / 15 * 1_000_000 + 0.5)
+
+
+def test_chi2_independence_extremes(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import chi2_independence
+
+    # perfectly independent 2x2 (uniform cells): chi2 = 0
+    indep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5 + [("y", "q")] * 5,
+        "a string, b string",
+    )
+    r = chi2_independence(indep, "a", "b").collect()[0]
+    assert r["chi2_micro"] == 0 and r["cramers_v_micro"] == 0 and r["dof"] == 1
+    # perfectly dependent (diagonal): Cramér's V = 1, chi2 = n*min(r-1,c-1)
+    dep = spark.createDataFrame(
+        [("x", "p")] * 6 + [("y", "q")] * 6, "a string, b string"
+    )
+    r = chi2_independence(dep, "a", "b").collect()[0]
+    assert r["cramers_v_micro"] == 1_000_000
+    assert r["chi2_micro"] == 12 * 1_000_000  # chi2 = n for a 2x2 diagonal
+
+
+def test_minhash_verify_raw_counts_match_ratios(spark):
+    """raw_counts=True must carry exactly the integers behind the default
+    output's rounded ratios, pair-for-pair, on the driver's parquet."""
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_verify_sha
+    from wellmeet_data_pipeline_spark.plans.queries import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    ratios = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in minhash_verify_sha(d).collect()
+    }
+    counts = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_verify_sha(d, raw_counts=True).collect()
+    }
+    assert set(ratios) == set(counts) and len(ratios) > 0
+    for k, (est, jac) in ratios.items():
+        c = counts[k]
+        assert round(c["agree"] / 16.0, 6) == est
+        assert round(c["i"] / (c["na"] + c["nb"] - c["i"]), 6) == jac
+
+
+def test_portmanteau_alternating_series(spark, tmp_path):
+    # strict daily alternation: rho = -1e6 at odd lags, +1e6 at even ones
+    # (all pair correlations are exactly +/-1) — Q is then pure integer
+    # arithmetic reproducible in-line
+    import duckdb
+
+    con = duckdb.connect()
+    n = 20
+    con.execute(
+        f"""COPY (
+          SELECT i AS event_id,
+                 TIMESTAMP '2024-01-01' + INTERVAL (i) DAY AS ts,
+                 1 AS user_id, 'alt' AS event_type,
+                 CASE WHEN i % 2 = 0 THEN 1.0 ELSE 3.0 END AS value,
+                 NULL::VARCHAR AS props
+          FROM range({n}) t(i)
+        ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"""
+    )
+    from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["event_acf_portmanteau"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_periods"] == n and r["m_lags"] == 7
+    t_sum = sum((1_000_000 * 1_000_000) // (n - k) for k in range(1, 8))
+    assert r["q_micro"] == (n * (n + 2) * t_sum) // 1_000_000

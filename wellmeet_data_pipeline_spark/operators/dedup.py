@@ -671,6 +671,7 @@ def minhash_verify_sha(
     shingle_n: int = 3,
     round_digits: int = 6,
     materialize: bool = True,
+    raw_counts: bool = False,
 ) -> DataFrame:
     """The MinHash VERIFY stage the LSH candidate generator feeds: for each
     candidate pair, the signature-agreement estimate
@@ -694,7 +695,13 @@ def minhash_verify_sha(
     passes with one — measured 3.5x at sf0.1.  Both frames are tiny
     next to the corpus (n_docs × 16 hex prefixes; (doc, shingle)
     pairs), which is why persist-the-signatures is the standard step in
-    every production MinHash pipeline."""
+    every production MinHash pipeline.
+
+    `raw_counts` returns the pre-rounding integers (id_a, id_b, agree,
+    na, nb, i) instead of the rounded ratios, so downstream threshold
+    logic can compare with exact cross-multiplications (the
+    dedup_threshold_sweep consumer) — agree/k >= t and i/(na+nb-i) >= t
+    become pure BIGINT inequalities with no snap anywhere."""
     sig = minhash_signatures_sha(docs, text_col, id_col, num_hashes, shingle_n)
     sh = shingles_df(docs, text_col, id_col, shingle_n).distinct()
     if materialize:
@@ -708,15 +715,12 @@ def minhash_verify_sha(
         F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
     )
     agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes))
-    est = (
-        pairs.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(agree / F.lit(float(num_hashes)), round_digits).alias("est_jaccard"),
-        )
+    est_cols = (
+        [agree.cast("long").alias("agree")]
+        if raw_counts
+        else [F.round(agree / F.lit(float(num_hashes)), round_digits).alias("est_jaccard")]
     )
+    est = pairs.join(sig_a, "id_a").join(sig_b, "id_b").select("id_a", "id_b", *est_cols)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
@@ -724,20 +728,29 @@ def minhash_verify_sha(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("i"))
     )
-    return (
+    joined = (
         est.join(inter, ["id_a", "id_b"], "left")
         .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .select(
+    )
+    if raw_counts:
+        return joined.select(
             "id_a",
             "id_b",
-            "est_jaccard",
-            F.round(
-                F.coalesce(F.col("i"), F.lit(0))
-                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
-                round_digits,
-            ).alias("jaccard"),
+            "agree",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.coalesce(F.col("i"), F.lit(0)).cast("long").alias("i"),
         )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        F.round(
+            F.coalesce(F.col("i"), F.lit(0))
+            / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+            round_digits,
+        ).alias("jaccard"),
     )
 
 

@@ -1663,3 +1663,68 @@ def exact_percentiles_by_group(
             ).alias(f"p{p}")
         )
     return cum.groupBy("__g").agg(*aggs).withColumnRenamed("__g", group_col)
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square test of independence between two categoricals plus
+    Cramér's V effect size — the r x c generalization of
+    keyness_chi2_top_terms' 2x2 form ("are these two labelings
+    related at all", the pre-flight before using one column to
+    stratify the other).
+
+    Exactness: with n_ij the cell counts, r_i/c_j the margins and n the
+    total (all exact BIGINTs over the FULL r x c grid — zero cells
+    contribute their expected mass), each cell's statistic is
+    (n*n_ij - r_i*c_j)^2 / (n * r_i * c_j): the numerator's operands
+    are exact integers in double, the square is one correctly-rounded
+    op on identical inputs in both engines, and each cell is
+    micro-snapped BEFORE the BIGINT sum so cell order cannot move the
+    total.  Output: one row (n, n_rows, n_cols, dof, chi2_micro,
+    cramers_v_micro).
+
+    Scale shape: two map-side-combined margin aggregations + one cell
+    aggregation; the grid is category-bounded, never row-bounded."""
+    d0 = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull()).select(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    )
+    cells = d0.groupBy("__a", "__b").agg(F.count("*").cast("long").alias("__nij"))
+    rows = d0.groupBy("__a").agg(F.count("*").cast("long").alias("__r"))
+    cols = d0.groupBy("__b").agg(F.count("*").cast("long").alias("__c"))
+    tot = d0.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.count_distinct("__a").cast("long").alias("__nr"),
+        F.count_distinct("__b").cast("long").alias("__nc"),
+    )
+    grid = (
+        rows.crossJoin(cols)
+        .join(cells, ["__a", "__b"], "left")
+        .na.fill({"__nij": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    dlt = (F.col("__n") * F.col("__nij") - F.col("__r") * F.col("__c")).cast("double")
+    denom = (
+        F.col("__n").cast("double")
+        * F.col("__r").cast("double")
+        * F.col("__c").cast("double")
+    )
+    per_cell = grid.select(
+        "__n",
+        "__nr",
+        "__nc",
+        snap_micro(dlt * dlt / denom).alias("__chi"),
+    )
+    agg = per_cell.groupBy("__n", "__nr", "__nc").agg(
+        F.sum("__chi").cast("long").alias("__chi2")
+    )
+    chi2_d = F.col("__chi2").cast("double") / F.lit(1_000_000.0)
+    vmin = F.least(F.col("__nr") - 1, F.col("__nc") - 1).cast("double")
+    return agg.select(
+        F.col("__n").alias("n"),
+        F.col("__nr").alias("n_rows"),
+        F.col("__nc").alias("n_cols"),
+        ((F.col("__nr") - 1) * (F.col("__nc") - 1)).cast("long").alias("dof"),
+        F.col("__chi2").alias("chi2_micro"),
+        snap_micro(
+            F.sqrt(F.try_divide(chi2_d, F.col("__n").cast("double") * vmin))
+        ).alias("cramers_v_micro"),
+    )

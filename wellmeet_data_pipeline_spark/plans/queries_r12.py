@@ -803,3 +803,273 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fano_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 third wave: r x c independence, LSH operating curve, the
+# portmanteau whiteness read over the daily ACF.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "returnflag_status_chi2",
+    """
+    WITH d0 AS (
+      SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+    ),
+    cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nij FROM d0 GROUP BY 1, 2),
+    r AS (SELECT a, CAST(count(*) AS BIGINT) AS r FROM d0 GROUP BY 1),
+    c AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM d0 GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT a) AS BIGINT) AS nr,
+                 CAST(count(DISTINCT b) AS BIGINT) AS nc FROM d0),
+    grid AS (
+      SELECT r.a, c.b, r.r, c.c, coalesce(cells.nij, 0) AS nij, t.n, t.nr, t.nc
+      FROM r CROSS JOIN c LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b
+      CROSS JOIN t
+    ),
+    pc AS (
+      SELECT n, nr, nc,
+             CAST(floor(CAST(n * nij - r * c AS DOUBLE)
+                        * CAST(n * nij - r * c AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS chi
+      FROM grid
+    ),
+    ag AS (SELECT n, nr, nc, CAST(sum(chi) AS BIGINT) AS chi2
+           FROM pc GROUP BY 1, 2, 3)
+    SELECT n, nr AS n_rows, nc AS n_cols,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           chi2 AS chi2_micro,
+           CAST(floor(sqrt((CAST(chi2 AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                / nullif(CAST(n AS DOUBLE)
+                         * CAST(least(nr - 1, nc - 1) AS DOUBLE), 0))
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS cramers_v_micro
+    FROM ag
+    """,
+    "chi-square independence test + Cramér's V between return flag and "
+    "line status — the r x c contingency read ('are these labelings "
+    "related') behind every stratification decision; full-grid expected "
+    "mass (zero cells included), each cell's exact cross-multiplied "
+    "statistic micro-snapped BEFORE the BIGINT sum so cell order cannot "
+    "move the total.  Category-bounded grid, two margin aggregations",
+)
+def q_returnflag_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import chi2_independence
+
+    return chi2_independence(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus"
+    )
+
+
+_SWEEP_THRESHOLDS = [400000, 500000, 600000, 700000, 800000]
+_SWEEP_VALUES = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+
+
+@_q(
+    "dedup_threshold_sweep",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    agree AS (
+      SELECT p.id_a, p.id_b,
+             CAST(({" + ".join(f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(16))})
+               AS BIGINT) AS agree
+      FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    pairsx AS (
+      SELECT ag.id_a, ag.id_b, ag.agree, sa.n AS na, sb.n AS nb,
+             coalesce(i.i, 0) AS i
+      FROM agree ag
+      JOIN sizes sa ON sa.doc_id = ag.id_a
+      JOIN sizes sb ON sb.doc_id = ag.id_b
+      LEFT JOIN inter i ON i.id_a = ag.id_a AND i.id_b = ag.id_b
+    ),
+    th(t_micro) AS (VALUES {_SWEEP_VALUES}),
+    judged AS (
+      SELECT th.t_micro,
+             CAST(p.agree * 1000000 >= th.t_micro * 16 AS INT) AS est_pos,
+             CAST(p.i * 1000000 >= th.t_micro * (p.na + p.nb - p.i) AS INT)
+               AS true_pos
+      FROM pairsx p CROSS JOIN th
+    )
+    SELECT CAST(t_micro AS BIGINT) AS t_micro,
+           CAST(sum(est_pos * true_pos) AS BIGINT) AS n_tp,
+           CAST(sum(est_pos * (1 - true_pos)) AS BIGINT) AS n_fp,
+           CAST(sum((1 - est_pos) * true_pos) AS BIGINT) AS n_fn,
+           CAST(CASE WHEN sum(est_pos) = 0 THEN NULL
+                ELSE sum(est_pos * true_pos) * 1000000 // sum(est_pos) END
+             AS BIGINT) AS precision_micro,
+           CAST(CASE WHEN sum(true_pos) = 0 THEN NULL
+                ELSE sum(est_pos * true_pos) * 1000000 // sum(true_pos) END
+             AS BIGINT) AS recall_micro
+    FROM judged GROUP BY 1
+    """,
+    "LSH threshold operating curve: for Jaccard cutoffs 0.4-0.8, how the "
+    "MinHash signature estimate's keep/drop decision agrees with the "
+    "exact shingle Jaccard over the candidate pairs (TP/FP/FN + "
+    "precision/recall WITHIN the banded candidate set — the tuning read "
+    "for picking a verify threshold).  Every comparison is an exact "
+    "BIGINT cross-multiplication (agree*1e6 >= t*k; i*1e6 >= t*(union)) "
+    "— no ratio is ever materialized, so no snap boundary exists at all",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import minhash_verify_sha
+
+    d = table(spark, sf_dir, "documents")
+    counts = minhash_verify_sha(d, raw_counts=True)
+    th = spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS], "t_micro long")
+    judged = counts.crossJoin(F.broadcast(th)).select(
+        "t_micro",
+        (F.col("agree") * 1_000_000 >= F.col("t_micro") * 16)
+        .cast("int")
+        .alias("est_pos"),
+        (
+            F.col("i") * 1_000_000
+            >= F.col("t_micro") * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .cast("int")
+        .alias("true_pos"),
+    )
+    agg = judged.groupBy("t_micro").agg(
+        F.sum(F.col("est_pos") * F.col("true_pos")).cast("long").alias("n_tp"),
+        F.sum(F.col("est_pos") * (1 - F.col("true_pos"))).cast("long").alias("n_fp"),
+        F.sum((1 - F.col("est_pos")) * F.col("true_pos")).cast("long").alias("n_fn"),
+        F.sum("est_pos").cast("long").alias("__ep"),
+        F.sum("true_pos").cast("long").alias("__tp"),
+    )
+    return agg.select(
+        "t_micro",
+        "n_tp",
+        "n_fp",
+        "n_fn",
+        F.when(F.col("__ep") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("n_tp * 1000000 div __ep"))
+        .cast("long")
+        .alias("precision_micro"),
+        F.when(F.col("__tp") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("n_tp * 1000000 div __tp"))
+        .cast("long")
+        .alias("recall_micro"),
+    )
+
+
+@_q(
+    "event_acf_portmanteau",
+    f"""
+    WITH {_DAILY_SQL},
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+    p AS (
+      SELECT a.g, l.lag, a.v AS xa, b.v AS xb
+      FROM d a CROSS JOIN lags l
+      JOIN d b ON b.g = a.g AND b.di = a.di + l.lag
+    ),
+    m AS (
+      SELECT g, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb,
+             CAST(sum(xa * xa) AS BIGINT) AS saa,
+             CAST(sum(xb * xb) AS BIGINT) AS sbb,
+             CAST(sum(xa * xb) AS BIGINT) AS sab
+      FROM p GROUP BY 1, 2
+    ),
+    acf AS (
+      SELECT g, lag,
+             CAST(floor((CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                         * (CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS rho_micro
+      FROM m
+    ),
+    nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+    SELECT nn.g AS event_type, nn.n AS n_periods,
+           CAST(count(acf.rho_micro) AS BIGINT) AS m_lags,
+           CAST((nn.n * (nn.n + 2)
+                 * sum(acf.rho_micro * acf.rho_micro // (nn.n - acf.lag)))
+                // 1000000 AS BIGINT) AS q_micro
+    FROM nn JOIN acf ON acf.g = nn.g AND acf.lag < nn.n
+    GROUP BY 1, 2
+    """,
+    "Ljung-Box-form portmanteau whiteness statistic over the daily "
+    "cents series per event type: Q = n(n+2) * sum_k rho_k^2/(n-k) for "
+    "lags 1..7, computed from the SAME micro-snapped lagged-pair Pearson "
+    "correlations daily_revenue_acf reports (so the omnibus read and the "
+    "per-lag read can never disagree) — and from the snap onward Q is "
+    "PURE integer arithmetic (rho_micro^2 div (n-k), BIGINT-summed, one "
+    "final div): no doubles, no summation-order exposure.  The 'is there "
+    "ANY autocorrelation' gate run before trusting i.i.d.-assuming tests",
+)
+def q_event_acf_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_cents(spark, sf_dir)
+    lags = spark.createDataFrame([(k,) for k in range(1, 8)], "lag long")
+    a = d.select("event_type", "di", F.col("v").alias("xa")).crossJoin(
+        F.broadcast(lags)
+    )
+    b = d.select(
+        F.col("event_type").alias("__et"),
+        F.col("di").alias("__dib"),
+        F.col("v").alias("xb"),
+    )
+    p = a.join(
+        b,
+        (F.col("__et") == F.col("event_type"))
+        & (F.col("__dib") == F.col("di") + F.col("lag")),
+    )
+    m = p.groupBy("event_type", "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("xa").cast("long").alias("sa"),
+        F.sum("xb").cast("long").alias("sb"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("sbb"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sab"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    acf = m.select(
+        "event_type",
+        "lag",
+        F.floor(
+            (dd("n_pairs") * dd("sab") - dd("sa") * dd("sb"))
+            / F.sqrt(
+                (dd("n_pairs") * dd("saa") - dd("sa") * dd("sa"))
+                * (dd("n_pairs") * dd("sbb") - dd("sb") * dd("sb"))
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rho_micro"),
+    )
+    nn = d.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    return (
+        nn.join(acf, "event_type")
+        .filter(F.col("lag") < F.col("n"))
+        .groupBy("event_type", "n")
+        .agg(
+            F.count("rho_micro").cast("long").alias("m_lags"),
+            F.expr(
+                "(n * (n + 2) * sum(rho_micro * rho_micro div (n - lag)))"
+                " div 1000000"
+            )
+            .cast("long")
+            .alias("q_micro"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_periods"),
+            "m_lags",
+            "q_micro",
+        )
+    )
