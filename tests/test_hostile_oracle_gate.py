@@ -47,6 +47,10 @@ SENTINELS = [
     "event_levene_bf",
     "event_kruskal_wallis",
     "event_winsorized_mean",
+    # failed the r12 hostile sweep: the zero-variance '__constval__'
+    # group made the bare (x - mu)/sigma an ANSI DIVIDE_BY_ZERO; fixed
+    # with try_divide/nullif (NULL z for zero-sd groups) and pinned
+    "zscore_by_type",
 ]
 
 

@@ -1094,12 +1094,15 @@ def q_clean_web_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           round((e.value - s.mu) / s.sigma, 6) AS zscore
+           round((e.value - s.mu) / nullif(s.sigma, 0), 6) AS zscore
     FROM events e JOIN s USING (event_type)
     """,
     "per-group z-score standardization (feature scaling): one stats "
     "groupBy broadcast back onto the fact — mean/std computed once per "
-    "group, never a per-row window over the full table",
+    "group, never a per-row window over the full table.  Zero-variance "
+    "groups z-score to NULL (try_divide / nullif — the r12 hostile "
+    "fixture's constant-value group turned the bare division into an "
+    "ANSI DIVIDE_BY_ZERO)",
 )
 def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -1109,7 +1112,9 @@ def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
-        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+        F.round(
+            F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")), 6
+        ).alias("zscore"),
     )
 
 
