@@ -245,6 +245,9 @@ HEADLINE = [
     "returnflag_status_chi2",
     "dedup_threshold_sweep",
     "event_acf_portmanteau",
+    "embedding_quantile_clip_plan",
+    "weekly_cohort_ltv",
+    "hot_key_salt_plan",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

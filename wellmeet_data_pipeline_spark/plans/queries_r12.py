@@ -1073,3 +1073,170 @@ def q_event_acf_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 fourth wave: quantizer clip planning, cohort LTV, salt planning.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_quantile_clip_plan",
+    """
+    WITH ex AS (
+      SELECT i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE)
+                        * CAST(1000000 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+      FROM embeddings, range(1, 65) t(i)
+      WHERE embedding IS NOT NULL
+    ),
+    h AS (SELECT dim, c, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY 1, 2),
+    cw AS (
+      SELECT dim, c, cnt,
+             sum(cnt) OVER (PARTITION BY dim ORDER BY c ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY dim) AS n
+      FROM h
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= (1 * n + 99) // 100 THEN c END)
+                AS BIGINT) AS p1,
+           CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN c END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN c END)
+                AS BIGINT) AS p99
+    FROM cw GROUP BY 1
+    """,
+    "per-dimension p1/p50/p99 clip bounds for the int8 quantizer (the "
+    "robust alternative to embedding_int8_stats' raw min/max, which one "
+    "outlier component stretches until every code collapses onto a few "
+    "buckets — percentile clipping is the standard fix before affine "
+    "quantization).  Components micro-snapped, exact lower-percentile "
+    "order statistics off the per-dim histogram, the winsorized-cut "
+    "discipline; (dim x distinct values) grain, never row grain",
+)
+def q_embedding_quantile_clip_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import (
+        exact_percentiles_by_group,
+    )
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    ex = e.select(F.posexplode("embedding").alias("__p", "__x")).select(
+        (F.col("__p") + 1).cast("long").alias("dim"),
+        F.floor(F.col("__x").cast("double") * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    return exact_percentiles_by_group(ex, "dim", F.col("c"), pcts=(1, 50, 99))
+
+
+@_q(
+    "weekly_cohort_ltv",
+    f"""
+    WITH ev AS (
+      SELECT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+             {_EVENT_CENTS_SQL} AS cents
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    coh AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort FROM ev GROUP BY 1),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort FROM coh GROUP BY 1),
+    rev AS (
+      SELECT c.cohort, CAST(e.wk - c.cohort AS BIGINT) AS week_offset,
+             CAST(sum(e.cents) AS BIGINT) AS cents
+      FROM ev e JOIN coh c USING (user_id) GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, week_offset,
+             CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY week_offset
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM rev
+    )
+    SELECT cum.cohort, cum.week_offset, s.n_cohort, cum.cum_cents,
+           CAST(cum.cum_cents // s.n_cohort AS BIGINT) AS cum_per_user_cents
+    FROM cum JOIN sizes s USING (cohort)
+    """,
+    "weekly cohort LTV curve: cumulative cents per signup cohort by week "
+    "offset, absolute and per cohort member — the value companion to "
+    "user_retention_cohorts' activity triangle (retention says who came "
+    "back; this says what they were worth).  Exact cents throughout, "
+    "per-user division one floor at the end; windows partition by "
+    "cohort over the calendar-bounded offset axis",
+)
+def q_weekly_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.expr("unix_date(to_date(ts)) div 7").cast("long").alias("wk"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    coh = ev.groupBy("user_id").agg(F.min("wk").cast("long").alias("cohort"))
+    sizes = coh.groupBy("cohort").agg(F.count("*").cast("long").alias("n_cohort"))
+    rev = (
+        ev.join(coh, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).cast("long").alias("week_offset"))
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy(F.col("week_offset").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort",
+        "week_offset",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "week_offset",
+        "n_cohort",
+        "cum_cents",
+        F.expr("cum_cents div n_cohort").cast("long").alias("cum_per_user_cents"),
+    )
+
+
+@_q(
+    "hot_key_salt_plan",
+    """
+    WITH kc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_rows,
+           CAST((n_rows + 63) // 64 AS BIGINT) AS salt_n,
+           CAST((n_rows + ((n_rows + 63) // 64) - 1)
+                // ((n_rows + 63) // 64) AS BIGINT) AS post_salt_max
+    FROM kc WHERE n_rows > 64
+    """,
+    "skew salting planner: for every key exceeding the rows-per-task "
+    "target (64 here — sized to the test corpus' per-user distribution; "
+    "a cluster run sets it from bytes-per-task), the salt fan-out "
+    "ceil(n/target) and the resulting "
+    "post-salt worst slice ceil(n/salt_n) — the pre-flight that turns "
+    "heavy_hitter_users' 'which keys are hot' into 'what salt factor to "
+    "apply' before a skewed join (the decision skew_split_join_revenue "
+    "then executes).  Pure integer ceilings; output bounded by the hot "
+    "keys only",
+)
+def q_hot_key_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    kc = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n_rows"))
+    return kc.filter(F.col("n_rows") > 64).select(
+        "user_id",
+        "n_rows",
+        F.expr("(n_rows + 63) div 64").cast("long").alias("salt_n"),
+        F.expr(
+            "(n_rows + ((n_rows + 63) div 64) - 1) div ((n_rows + 63) div 64)"
+        )
+        .cast("long")
+        .alias("post_salt_max"),
+    )
