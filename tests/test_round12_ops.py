@@ -357,12 +357,28 @@ def test_quantile_clip_plan_bounds_order(spark):
         .collect()
     }
     assert len(rows) == 64
-    for r in rows.values():
-        assert r["p1"] <= r["p50"] <= r["p99"]
-        # clip bounds must be strictly inside a raw min/max quantizer's
-        # range on any non-degenerate dim — i.e. actual percentiles, not
-        # copies of the extremes (p1 == min would defeat the plan)
+    # recompute each dim's raw min/max on the same 1e6 grid; the clip
+    # bounds must sit strictly inside them on a continuous synthetic
+    # corpus (p1 == min would defeat the plan), and ordered p1<=p50<=p99
+    import duckdb
+
+    ext = {
+        int(dim): (lo, hi)
+        for dim, lo, hi in duckdb.sql(
+            """SELECT i AS dim,
+                      min(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+                               AS BIGINT)),
+                      max(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+                               AS BIGINT))
+               FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet'),
+                    range(1, 65) t(i)
+               WHERE embedding IS NOT NULL GROUP BY 1"""
+        ).fetchall()
+    }
+    for dim, r in rows.items():
+        lo, hi = ext[int(dim)]
         assert r["n"] > 0
+        assert lo < r["p1"] <= r["p50"] <= r["p99"] < hi
 
 
 def test_weekly_cohort_ltv_monotone_cumulative(spark):
@@ -372,13 +388,39 @@ def test_weekly_cohort_ltv_monotone_cumulative(spark):
     assert len(out) > 0
     by_cohort: dict = {}
     for r in out:
-        by_cohort.setdefault(r["cohort"], []).append((r["week_offset"], r["cum_cents"]))
-    # cum_cents monotone in offset iff weekly cents are non-negative —
-    # not guaranteed with refunds, so assert the exact invariant instead:
-    # per-user cents is cum div n, and offsets are unique per cohort
+        assert r["cum_per_user_cents"] == r["cum_cents"] // r["n_cohort"]
+        by_cohort.setdefault(r["cohort"], []).append(
+            (r["week_offset"], r["cum_cents"])
+        )
+    # the cumulative invariant, checked against independently recomputed
+    # per-week partials (duckdb on the same parquet): cum_cents at each
+    # offset must equal the running sum of weekly cents — NOT mere
+    # monotonicity, which refunds (negative cents) legitimately break
+    import duckdb
+
+    partials: dict = {}
+    for coh, off, cents in duckdb.sql(
+        """WITH ev AS (
+             SELECT user_id,
+                    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+                    CAST(round(value * 100) AS BIGINT) AS cents
+             FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               AND value IS NOT NULL
+           ),
+           coh AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1)
+           SELECT c.cohort, e.wk - c.cohort AS week_offset, sum(e.cents)
+           FROM ev e JOIN coh c USING (user_id) GROUP BY 1, 2"""
+    ).fetchall():
+        partials.setdefault(coh, {})[off] = cents
+    assert set(by_cohort) == set(partials)
     for coh, pairs in by_cohort.items():
         offs = [o for o, _ in pairs]
-        assert len(offs) == len(set(offs))
+        assert len(offs) == len(set(offs)) == len(partials[coh])
+        run = 0
+        for off, cum in sorted(pairs):
+            run += partials[coh][off]
+            assert cum == run
 
 
 def test_hot_key_salt_plan_ceilings(spark):

@@ -2445,6 +2445,7 @@ def pca_power_integer(
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grid: int = 1_000_000,
 ) -> DataFrame:
     """Top principal direction of the embedding corpus (a dims-prefix
     slice) by fixed-iteration power method, computed ENTIRELY on integer
@@ -2460,7 +2461,18 @@ def pca_power_integer(
     Integer division truncates toward zero identically in Spark (div)
     and DuckDB (//) for SIGNED operands (verified -7//2 = -3 in both),
     so the signed iteration is bit-exact cross-engine.  Overflow bounds:
-    |Cn v| <= dims * 1e5 * 1e6 = 1.6e12, * 1e6 = 1.6e18 < 2^63.
+    the iteration matvec is |Cn v| <= dims * 1e5 * 1e6 = 1.6e12,
+    * 1e6 = 1.6e18 < 2^63 at any corpus size; the COVARIANCE BUILD is
+    the row-count-bounded leg — each per-row product is <= grid^2 for
+    unit-scale components, so the exact BIGINT sum holds up to
+    rows <= 2^63 / grid^2 (~9.2e6 rows at the default 1e6 grid).
+    `grid` is therefore the row-count knob, traded against component
+    resolution: grid=1e3 bounds ~9.2e12 rows (a 100 TB corpus) at 1e-3
+    component resolution — still ~1e3x finer than the int8 serving
+    tier.  Both engines take the grid as the same literal, so any
+    choice stays bit-exact cross-engine; pick it per corpus size rather
+    than per run (a data-dependent grid would make results
+    row-count-sensitive).
 
     Why a pipeline wants it: the leading PCA direction drives whitening,
     embedding-drift reads ("did the index's principal axis move after
@@ -2489,8 +2501,8 @@ def pca_power_integer(
                     f"flatten(transform(slice({vec_col}, 1, {dims}), (xj, j) -> "
                     f"transform(slice({vec_col}, 1, {dims}), (xk, k) -> "
                     "struct(j + 1 AS j, k + 1 AS k, "
-                    "CAST(floor(CAST(xj AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
-                    " * CAST(floor(CAST(xk AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+                    f"CAST(floor(CAST(xj AS DOUBLE) * {float(grid)} + 0.5) AS BIGINT)"
+                    f" * CAST(floor(CAST(xk AS DOUBLE) * {float(grid)} + 0.5) AS BIGINT)"
                     " AS p))))"
                 )
             ).alias("__e")

@@ -1541,7 +1541,11 @@ def neyman_allocation_plan(
     n_h = (total_n * w_h) div sum(w) (floor; the remainder stays
     unallocated rather than introducing a largest-remainder tie-break
     that the oracle would have to replicate).  Degenerate strata
-    (n_h=1 or zero variance) carry weight 0 via try_divide."""
+    (n_h=1 or zero variance) carry weight 0 via try_divide; if EVERY
+    stratum is degenerate the weight total is 0, so the divisor is
+    clamped with greatest(__wt, 1) — every numerator is 0 then, so
+    alloc_n degrades to 0 instead of an ANSI DIVIDE_BY_ZERO (the
+    lineitem_pareto_abc guard pattern)."""
     d = df.select(F.col(stratum_col).alias("__g"), value_long.alias("__v"))
     m = d.groupBy("__g").agg(
         F.count("*").cast("long").alias("__n"),
@@ -1566,7 +1570,7 @@ def neyman_allocation_plan(
             F.col("__g").alias(stratum_col),
             F.col("__n").alias("n_rows"),
             F.col("__w").alias("weight_scaled"),
-            F.expr(f"CAST({total_n} AS BIGINT) * __w div __wt")
+            F.expr(f"CAST({total_n} AS BIGINT) * __w div greatest(__wt, CAST(1 AS BIGINT))")
             .cast("long")
             .alias("alloc_n"),
         )

@@ -267,7 +267,7 @@ def q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w)
     SELECT g AS event_type, n AS n_rows, w AS weight_scaled,
-           CAST(CAST(1000 AS BIGINT) * w // wt AS BIGINT) AS alloc_n
+           CAST(CAST(1000 AS BIGINT) * w // greatest(wt, 1) AS BIGINT) AS alloc_n
     FROM w CROSS JOIN t
     """,
     "Neyman-optimal stratified sampling allocation of a 1000-row "
@@ -1037,14 +1037,22 @@ def q_event_acf_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sab"),
     )
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    # try_divide, not bare /: a zero-variance (constant) series has
+    # Pearson denominator 0 — ANSI Spark errors on the division while
+    # DuckDB's / yields NULL, so the guard is both a crash fix and the
+    # cross-engine agreement (rho NULL -> the lag drops from m_lags and
+    # the Q sum on BOTH sides; caught by the r13 hostile __constdaily__
+    # injection, the daily_revenue_acf guard pattern applied here)
     acf = m.select(
         "event_type",
         "lag",
         F.floor(
-            (dd("n_pairs") * dd("sab") - dd("sa") * dd("sb"))
-            / F.sqrt(
-                (dd("n_pairs") * dd("saa") - dd("sa") * dd("sa"))
-                * (dd("n_pairs") * dd("sbb") - dd("sb") * dd("sb"))
+            F.try_divide(
+                dd("n_pairs") * dd("sab") - dd("sa") * dd("sb"),
+                F.sqrt(
+                    (dd("n_pairs") * dd("saa") - dd("sa") * dd("sa"))
+                    * (dd("n_pairs") * dd("sbb") - dd("sb") * dd("sb"))
+                ),
             )
             * F.lit(1_000_000.0)
             + F.lit(0.5)
