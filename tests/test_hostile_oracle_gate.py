@@ -51,6 +51,18 @@ SENTINELS = [
     # group made the bare (x - mu)/sigma an ANSI DIVIDE_BY_ZERO; fixed
     # with try_divide/nullif (NULL z for zero-sd groups) and pinned
     "zscore_by_type",
+    # round-13 time-series corner injection (fixture now forces a
+    # constant daily series, a 1-day series, a gap-heavy series, and a
+    # 4-day series shorter than the 7-lag ACF window into the daily
+    # event_type frame): event_acf_portmanteau failed on first contact
+    # (zero-variance Pearson denominator = ANSI DIVIDE_BY_ZERO; fixed
+    # with try_divide matching DuckDB's NULL-on-zero-divide), the trend
+    # trio passed — all five pinned so the edges stay exercised
+    "daily_revenue_mann_kendall",
+    "daily_revenue_theil_sen",
+    "daily_revenue_runs_test",
+    "event_acf_portmanteau",
+    "daily_revenue_acf",
 ]
 
 
@@ -73,6 +85,39 @@ def test_degenerate_groups_present(hostile_dir):
     assert rows["__singleton__"][0] == 1
     assert rows["__constval__"][0] > 1 and rows["__constval__"][2] == 1
     assert rows["__allnull__"][0] > 1 and rows["__allnull__"][1] == 0
+
+
+def test_timeseries_corners_present(hostile_dir):
+    """The r13 time-series corner injection must survive fixture edits:
+    __constdaily__ has one event per unique day and ONE distinct daily
+    total; __oneday__ sits on a single calendar day; __gappy__ spans
+    multi-year gaps with every pair gap under Theil-Sen's documented
+    di < 4096 floor-exactness bound; __shortdense__ is dense but
+    shorter than the 7-lag ACF window."""
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT event_type,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_days,
+                   count(DISTINCT dv) AS n_totals,
+                   max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS span
+            FROM (SELECT event_type, ts,
+                         sum(CAST(round(value * 100) AS BIGINT))
+                           OVER (PARTITION BY event_type, CAST(ts AS DATE))
+                           AS dv
+                  FROM '{hostile_dir}/events.parquet'
+                  WHERE ts IS NOT NULL AND value IS NOT NULL)
+            WHERE event_type IN ('__constdaily__', '__oneday__',
+                                 '__gappy__', '__shortdense__')
+            GROUP BY 1"""
+    ).fetchall()
+    rows = {r[0]: r[1:] for r in daily}
+    n_days, n_totals, _ = rows["__constdaily__"]
+    assert n_days > 2 and n_totals == 1
+    assert rows["__oneday__"][0] == 1
+    g_days, _, g_span = rows["__gappy__"]
+    assert g_days > 2 and g_span > 365 and g_span < 4096
+    s_days, _, s_span = rows["__shortdense__"]
+    assert 1 < s_days <= 4 and s_span <= 3
 
 
 @pytest.fixture(scope="module")

@@ -70,7 +70,36 @@ def build(base: str, out: str) -> None:
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
     )
-    # events: negative values, exact .xx5 rounding boundaries, null props
+    # events: negative values, exact .xx5 rounding boundaries, null props.
+    # A priority-ordered `cls` column keeps the per-column CASEs
+    # consistent (a row classified __constdaily__ gets the constdaily
+    # type AND ts AND value — three independent CASEs on different
+    # moduli would disagree on CRT collisions).
+    #
+    # degenerate groups (r12, verdict item 5): the one-way k-sample
+    # tests (ANOVA F / Brown-Forsythe / Kruskal-Wallis) have edges a
+    # natural seed rarely forces — a single-row group (within-group df
+    # contribution 0), a zero-variance group (|x-median| all 0; KW
+    # all-tie correction), and a group whose values are ALL NULL (must
+    # vanish from the valid-observation set entirely, not surface as an
+    # n=0 group).
+    #
+    # time-series corners (r13, r12 verdict item 4), for the trend /
+    # autocorrelation family over the daily event_type series:
+    #   __constdaily__  one event per UNIQUE day (day = event_id // 61
+    #                   is injective on the %61 residue class), constant
+    #                   value — a constant daily series: Mann-Kendall
+    #                   S = 0 (all ties), runs test fully degenerate
+    #                   (every value equals the median), ACF variance 0
+    #   __oneday__      every event on ONE calendar day — a 1-point
+    #                   series: no MK/Theil-Sen pairs, no ACF lags
+    #   __gappy__       11 day-slots 335 days apart — gap-heavy indices
+    #                   near (under) Theil-Sen's documented di < 4096
+    #                   floor-exactness bound; no lag-1..7 ACF pairs at
+    #                   all, so the group must vanish from the
+    #                   portmanteau on both sides identically
+    #   __shortdense__  4 CONSECUTIVE days — a dense series shorter than
+    #                   the 7-lag ACF window (only lags 1..3 exist)
     con.execute(
         f"""
         COPY (
@@ -78,34 +107,43 @@ def build(base: str, out: str) -> None:
                  -- null event-times: Spark windows order ASC NULLS FIRST,
                  -- DuckDB NULLS LAST — oracles carry explicit NULLS FIRST
                  -- so a null-ts seed cannot diverge them (r5 verdict #6)
-                 CASE WHEN event_id % 43 = 8 THEN NULL ELSE ts END AS ts,
+                 -- outer CAST keeps the column TIMESTAMP_NS: the parquet
+                 -- stays physical NANOS, the type catalog.table()'s
+                 -- nanos rebuild expects (a TIMESTAMP promotion here
+                 -- would silently change the Spark read path)
+                 CAST(CASE
+                   WHEN event_id % 43 = 8 THEN NULL
+                   WHEN cls = 'constdaily' THEN
+                     TIMESTAMP '2030-01-01' + INTERVAL (event_id // 61) DAY
+                   WHEN cls = 'oneday' THEN TIMESTAMP '2029-06-15 12:00:00'
+                   WHEN cls = 'gappy' THEN
+                     TIMESTAMP '2031-01-01'
+                     + INTERVAL (((event_id // 71) % 11) * 335) DAY
+                   WHEN cls = 'shortdense' THEN
+                     TIMESTAMP '2028-03-01'
+                     + INTERVAL ((event_id // 73) % 4) DAY
+                   ELSE ts END AS TIMESTAMP_NS) AS ts,
                  CASE WHEN event_id % 37 = 6 THEN NULL ELSE user_id END
                    AS user_id,
                  -- null types AND values (r11): the per-group histogram
                  -- windows (winsorized/levene medians) order NULL values
                  -- at opposite ends in Spark vs DuckDB — every event
                  -- query must carry explicit null handling on BOTH sides
-                 --
-                 -- degenerate groups (r12, verdict item 5): the one-way
-                 -- k-sample tests (ANOVA F / Brown-Forsythe / Kruskal-
-                 -- Wallis) have edges a natural seed rarely forces —
-                 -- a single-row group (within-group df contribution 0),
-                 -- a zero-variance group (|x-median| all 0; KW all-tie
-                 -- correction), and a group whose values are ALL NULL
-                 -- (must vanish from the valid-observation set entirely,
-                 -- not surface as an n=0 group)
-                 CASE WHEN event_id = (SELECT min(event_id)
-                                       FROM '{base}/events.parquet'
-                                       WHERE event_id % 41 <> 7)
-                        THEN '__singleton__'
-                      WHEN event_id % 41 = 7 THEN NULL
-                      WHEN event_id % 53 IN (2, 19, 31) THEN '__constval__'
-                      WHEN event_id % 59 IN (4, 23) THEN '__allnull__'
-                      ELSE event_type END
+                 CASE cls
+                   WHEN 'singleton' THEN '__singleton__'
+                   WHEN 'nulltype' THEN NULL
+                   WHEN 'constval' THEN '__constval__'
+                   WHEN 'allnull' THEN '__allnull__'
+                   WHEN 'constdaily' THEN '__constdaily__'
+                   WHEN 'oneday' THEN '__oneday__'
+                   WHEN 'gappy' THEN '__gappy__'
+                   WHEN 'shortdense' THEN '__shortdense__'
+                   ELSE event_type END
                    AS event_type,
                  CASE
-                   WHEN event_id % 59 IN (4, 23) THEN NULL
-                   WHEN event_id % 53 IN (2, 19, 31) THEN 7.25
+                   WHEN cls = 'allnull' THEN NULL
+                   WHEN cls = 'constval' THEN 7.25
+                   WHEN cls = 'constdaily' THEN 3.0
                    WHEN event_id % 29 = 11 THEN NULL
                    WHEN event_id % 13 = 0 THEN -value
                    WHEN event_id % 13 = 1 THEN 0.13
@@ -118,7 +156,23 @@ def build(base: str, out: str) -> None:
                    -- header; a real generator never lands there
                    ELSE value END AS value,
                  CASE WHEN event_id % 11 = 5 THEN NULL ELSE props END AS props
-          FROM '{base}/events.parquet'
+          FROM (
+            SELECT *,
+                   CASE
+                     WHEN event_id = (SELECT min(event_id)
+                                      FROM '{base}/events.parquet'
+                                      WHERE event_id % 41 <> 7)
+                       THEN 'singleton'
+                     WHEN event_id % 41 = 7 THEN 'nulltype'
+                     WHEN event_id % 53 IN (2, 19, 31) THEN 'constval'
+                     WHEN event_id % 59 IN (4, 23) THEN 'allnull'
+                     WHEN event_id % 61 = 5 THEN 'constdaily'
+                     WHEN event_id % 67 = 13 THEN 'oneday'
+                     WHEN event_id % 71 = 17 THEN 'gappy'
+                     WHEN event_id % 73 = 21 THEN 'shortdense'
+                     ELSE 'base' END AS cls
+            FROM '{base}/events.parquet'
+          )
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
     )
