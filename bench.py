@@ -77,7 +77,6 @@ HEADLINE = [
     "line_dedup_global",
     "pack_sequences",
     "corpus_end_to_end",
-    "ngram_lm_perplexity",
     "quality_classifier_score",
     "dedup_vs_reference",
     "hard_negatives_topk",
@@ -91,7 +90,6 @@ HEADLINE = [
     "bpe_pair_counts",
     "ngram_novelty",
     "char_entropy",
-    "perplexity_lang_buckets",
     "kmeans_cluster_step",
     "heavy_hitter_users",
     "skew_split_join_revenue",
@@ -99,13 +97,11 @@ HEADLINE = [
     "equi_depth_value_buckets",
     "table_checksums",
     "daily_revenue_trend",
-    "doremi_weight_step",
     "embedding_int8_stats",
     "script_mix_stats",
     "weighted_sample_docs",
     "lsh_cost_estimate",
     "lang_id_confusion",
-    "bigram_cond_entropy",
     "column_null_profile",
     "basket_part_pairs",
     "supplier_concentration_hhi",
@@ -141,13 +137,11 @@ HEADLINE = [
     "fuzzy_link_records",
     "source_drift_js",
     "source_vocab_overlap",
-    "dup_triangle_count",
     "ngram_containment_pairs",
     # round 7 additions
     "exact_substring_repeats",
     "minhash_band_plan",
     "ivf_index_merge",
-    "dup_graph_kcore",
     # round 8 additions: URL/domain curation
     "url_canonicalize",
     "domain_doc_caps",
@@ -168,6 +162,10 @@ HEADLINE = [
     "token_pmi_collocations",
     "calibration_ece",
     "rag_context_pack",
+    # moved next to their family (r13): every DEDUP_SHARED consumer now
+    # sits in ONE session segment, so the shared edge frame builds once
+    "dup_graph_kcore",
+    "dup_triangle_count",
     "dedup_graph_communities",
     "matryoshka_prefix_recall",
     "sft_exact_dedup",
@@ -189,6 +187,12 @@ HEADLINE = [
     "cluster_label_purity",
     "tail_index_hill",
     "minhash_union_parity",
+    # moved next to their family (r13): every LM_SHARED consumer now
+    # sits in ONE session segment, so the token frame builds once
+    "ngram_lm_perplexity",
+    "perplexity_lang_buckets",
+    "doremi_weight_step",
+    "bigram_cond_entropy",
     "min_k_prob_score",
     "self_bleu_pairs",
     # round 10b additions: statistical monitoring + quantized serving
@@ -405,11 +409,19 @@ def main() -> None:
             edges = minhash_lsh_candidates_sha(
                 _table(sess, sf_dir, "documents")
             ).localCheckpoint(eager=True)
-            times["dedup_lsh_candidates_build"] = round(
-                times.get("dedup_lsh_candidates_build", 0.0)
-                + time.perf_counter()
-                - t0,
-                3,
+            # r12 verdict item 3: the first build and any post-restart
+            # rebuilds bill to DISTINCT entries — accumulating rebuilds
+            # into the build entry made its round-over-round comparison
+            # depend on the restart cadence (the r12 "regression" flag
+            # was two builds billed as one), while the rebuild cost
+            # stays visible in the total under its own key
+            key = (
+                "dedup_lsh_candidates_build"
+                if "dedup_lsh_candidates_build" not in times
+                else "dedup_lsh_candidates_rebuild"
+            )
+            times[key] = round(
+                times.get(key, 0.0) + time.perf_counter() - t0, 3
             )
             dedup_shared_state["session"] = sess
             dedup_shared_state["edges"] = edges
@@ -430,8 +442,14 @@ def main() -> None:
             toks = _tokens_with_pos(
                 _table(sess, sf_dir, "documents"), "text", "doc_id"
             ).localCheckpoint(eager=True)
-            times["lm_tokens_build"] = round(
-                times.get("lm_tokens_build", 0.0) + time.perf_counter() - t0, 3
+            # same rebuild-vs-build split as the dedup edge frame above
+            key = (
+                "lm_tokens_build"
+                if "lm_tokens_build" not in times
+                else "lm_tokens_rebuild"
+            )
+            times[key] = round(
+                times.get(key, 0.0) + time.perf_counter() - t0, 3
             )
             lm_shared_state["session"] = sess
             lm_shared_state["tokens"] = toks
@@ -519,6 +537,16 @@ def main() -> None:
                 * F.sin(d.cast("double") * 1.7 + F.col("copy").cast("double")),
             ).alias("embedding"),
         )
+        # r13: spread the fixture across the worker cores BEFORE
+        # checkpointing.  The 2k-row embeddings parquet is a 1-partition
+        # scan, crossJoin(broadcast) preserves it, and every downstream
+        # serving scan that doesn't re-shuffle internally (the int8 /
+        # binary candidate passes) was running its 2M-pair dot loop on
+        # ONE core — int8_quant_16x read 18s where the same shape on 32
+        # partitions costs ~2s.  A real corpus is never 1 partition, so
+        # the 1-partition timing measured the synthetic fixture's
+        # lineage, not the operator.
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
     def _min2(run):
@@ -837,6 +865,8 @@ def main() -> None:
                 )
             ).alias("embedding"),
         )
+        # same fixture-partitioning fix as the 16x tier above
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
     t0 = time.perf_counter()

@@ -1,0 +1,56 @@
+"""Structural pins for bench.py's measurement protocol (no Spark).
+
+The r12 driver snapshot flagged a phantom ">50% regression" on
+dedup_lsh_candidates_build because the shared edge frame straddled the
+88-entry session-restart cadence and its rebuild was accumulated into
+the build entry (r12 verdict item 3).  These pins keep the protocol
+honest as the headline grows:
+
+- every name in HEADLINE resolves in REGISTRY (a typo'd entry would
+  crash the driver's bench run, discovered only per-round);
+- each shared-frame family's consumers sit inside ONE restart segment,
+  so the session-keyed frame builds exactly once per run and the
+  *_rebuild entries stay absent on a normal run.
+"""
+
+from __future__ import annotations
+
+import bench
+from wellmeet_data_pipeline_spark.plans.queries import REGISTRY
+
+
+def _segments() -> list[int]:
+    restart_at = sorted(set(range(88, len(bench.HEADLINE), 88)))
+    return restart_at
+
+
+def _segment_of(i: int) -> int:
+    seg = 0
+    for b in _segments():
+        if i >= b:
+            seg += 1
+    return seg
+
+
+def test_headline_names_resolve():
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_shared_families_single_segment():
+    idx = {n: i for i, n in enumerate(bench.HEADLINE)}
+    for fam_name, fam in (
+        ("DEDUP_SHARED", bench.DEDUP_SHARED),
+        ("LM_SHARED", bench.LM_SHARED),
+    ):
+        segs = {_segment_of(idx[n]) for n in fam if n in idx}
+        assert len(segs) == 1, (
+            f"{fam_name} consumers straddle a session restart (segments "
+            f"{sorted(segs)}): the shared frame would rebuild mid-run and "
+            f"bill a *_rebuild entry — keep the family inside one segment"
+        )
+
+
+def test_min2_set_members_exist():
+    assert bench.MATMUL_MIN2 <= set(bench.HEADLINE)
