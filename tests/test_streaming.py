@@ -1898,3 +1898,116 @@ def test_streaming_transitions_parity_and_replay(spark, tmp_path):
     merge_append(replay, store, id_col="from_state", partition_col=None, batch_seq=0)
     again = sorted(map(tuple, current_transition_probs(spark, store).collect()))
     assert again == got
+
+
+def test_streaming_trend_monitor_parity_and_replay(spark, tmp_path):
+    """The streaming Mann-Kendall trend monitor (r13) must (a) match
+    the batch mann_kendall_by_group on the same data — under BOTH index
+    conventions, since S/tau/z only depend on period ORDER, (b) honor
+    the trailing-window variant, (c) absorb an at-least-once replay of
+    a (group, period, batch) partial, (d) return an empty typed frame
+    before the store exists."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from wellmeet_data_pipeline_spark.operators.stats import mann_kendall_by_group
+    from wellmeet_data_pipeline_spark.sinks.merge import merge_append
+    from wellmeet_data_pipeline_spark.streaming.analytics import (
+        current_trend,
+        run_streaming_period_totals,
+    )
+
+    landing = tmp_path / "trend_landing"
+    landing.mkdir()
+    store = str(tmp_path / "trend_store")
+    ckpt = str(tmp_path / "trend_ckpt")
+    schema = StructType(
+        [
+            StructField("g", StringType()),
+            StructField("day", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+
+    assert current_trend(spark, store, "g", "day").count() == 0
+
+    # rising series with a tie pair and a dip; plus a constant series
+    # (the hostile __constdaily__ shape: S=0, tau/z NULL-safe)
+    vals = [10, 12, 12, 11, 15, 18, 21]
+    rows1 = [
+        {"g": "up", "day": f"2024-02-{d + 1:02d}", "v": vals[d]} for d in range(5)
+    ] + [{"g": "flat", "day": f"2024-02-{d + 1:02d}", "v": 7} for d in range(5)]
+    _drop(landing, "a.json", rows1)
+    run_streaming_period_totals(
+        spark, str(landing), store, ckpt, schema, "g", "day", "v"
+    )
+    rows2 = [
+        {"g": "up", "day": f"2024-02-{d + 1:02d}", "v": vals[d]} for d in range(5, 7)
+    ] + [
+        {"g": "flat", "day": f"2024-02-{d + 1:02d}", "v": 7} for d in range(5, 7)
+    ] + [
+        # late partial for an already-seen day
+        {"g": "up", "day": "2024-02-03", "v": 2}
+    ]
+    _drop(landing, "b.json", rows2)
+    run_streaming_period_totals(
+        spark, str(landing), store, ckpt, schema, "g", "day", "v"
+    )
+
+    got = sorted(map(tuple, current_trend(spark, store, "g", "day").collect()))
+
+    all_rows = rows1 + rows2
+    batch_totals = (
+        spark.createDataFrame(
+            [(r["g"], r["day"], r["v"]) for r in all_rows],
+            "g string, day string, v long",
+        )
+        .groupBy("g", "day")
+        .agg(F.sum("v").cast("long").alias("x"))
+    )
+    # index convention 1: per-group rank (the monitor's)
+    from pyspark.sql import Window
+
+    wi = Window.partitionBy("g").orderBy(F.col("day").asc())
+    by_rank = sorted(
+        map(
+            tuple,
+            mann_kendall_by_group(
+                batch_totals.withColumn("i", F.row_number().over(wi)), "g", "i", "x"
+            ).collect(),
+        )
+    )
+    # index convention 2: epoch day (the daily_revenue_mann_kendall
+    # batch query's) — same stats, S is order-only
+    by_epoch = sorted(
+        map(
+            tuple,
+            mann_kendall_by_group(
+                batch_totals.withColumn(
+                    "i", F.unix_date(F.to_date("day")).cast("long")
+                ),
+                "g",
+                "i",
+                "x",
+            ).collect(),
+        )
+    )
+    assert got == by_rank == by_epoch
+    flat = [r for r in got if r[0] == "flat"][0]
+    assert flat[2] == 0  # s_stat on the constant series
+
+    # trailing window: last 3 days of 'up' are strictly rising -> S = 3
+    w3 = {
+        r["g"]: r["s_stat"]
+        for r in current_trend(spark, store, "g", "day", window_periods=3).collect()
+    }
+    assert w3["up"] == 3 and w3["flat"] == 0
+
+    # at-least-once replay: same (group, period, batch) identity must
+    # not change the answer
+    replay = spark.createDataFrame(
+        [("up", "2024-02-03", 2)], "g string, day string, x long"
+    )
+    merge_append(replay, store, id_col="g", partition_col=None, batch_seq=1)
+    again = sorted(map(tuple, current_trend(spark, store, "g", "day").collect()))
+    assert again == got

@@ -473,3 +473,63 @@ def current_changepoint(
         F.sum("x").cast("long").alias("__x")
     )
     return cusum_changepoint(totals, group_col, period_col, F.col("__x"))
+
+
+def current_trend(
+    spark: SparkSession,
+    store_path: str,
+    group_col: str,
+    period_col: str,
+    group_type: str = "string",
+    window_periods: int | None = None,
+) -> DataFrame:
+    """The consumer view of the streaming Mann-Kendall trend monitor
+    (r12 verdict item 8 — the one batch family without a streaming
+    twin): dedup the SAME (group, period, batch-seq) partial store the
+    CUSUM monitor writes via run_streaming_period_totals, roll partials
+    up to true period totals, and hand them to the batch operator
+    (operators.stats.mann_kendall_by_group) — monitor and batch read
+    stay contract-identical by construction (the CUSUM-twin
+    discipline; streaming ingest maintains the day-grain substrate
+    incrementally, and S needs the full in-window day history anyway
+    since a new day pairs against every prior day).
+
+    `window_periods` makes it the trailing-window drift gate: keep only
+    each group's most recent W period indices (periods sort by their
+    string form — ISO dates do — so "last W" is well-defined without a
+    calendar parse).  None = all history, the exact batch twin.
+
+    Scale shape: the store is partial-total grain (groups x periods x
+    batches, calendar-bounded), the rollup is one hash aggregate, and
+    the MK pair frame is per-group period-pair-bounded — day grain, not
+    event grain."""
+    from wellmeet_data_pipeline_spark.operators.stats import mann_kendall_by_group
+
+    cur = read_current_or_none(
+        spark, store_path, id_col=[group_col, period_col, "_batch_seq"]
+    )
+    if cur is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} {group_type}, n_periods bigint, s_stat bigint, "
+            "tau_b_micro bigint, z_micro bigint",
+        )
+    totals = cur.groupBy(group_col, period_col).agg(
+        F.sum("x").cast("long").alias("__x")
+    )
+    if window_periods is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(F.col(period_col).desc())
+        totals = (
+            totals.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= window_periods)
+            .drop("__rk")
+        )
+    # the period index for MK is the per-group rank of the period (the
+    # pair signs only need the ORDER of periods, not their spacing)
+    from pyspark.sql import Window
+
+    wi = Window.partitionBy(group_col).orderBy(F.col(period_col).asc())
+    idx = totals.withColumn("__i", F.row_number().over(wi))
+    return mann_kendall_by_group(idx, group_col, "__i", "__x")
