@@ -54,3 +54,35 @@ def test_shared_families_single_segment():
 
 def test_min2_set_members_exist():
     assert bench.MATMUL_MIN2 <= set(bench.HEADLINE)
+
+
+def test_stable_class_excludes_arrow_and_slow():
+    # stable-class tiering (r12 verdict item 6): the snapshot tool's
+    # class assignment must never hand an Arrow-bearing or >cutoff entry
+    # to the skip list, and must only name headline entries bench.py can
+    # actually skip
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_snapshot
+
+    detail = {
+        "queries": {
+            "pricing_summary": 0.3,  # stable JVM
+            "cosine_topk_ivf": 0.2,  # fast but Arrow (MATMUL_MIN2)
+            "corpus_end_to_end": 2.4,  # slow JVM
+            "int8_quant_16x": 3.0,  # tier entry, not in HEADLINE
+        }
+    }
+    stable = bench_snapshot.stable_class(detail)
+    assert stable == {"pricing_summary"}
+
+
+def test_skip_env_is_opt_in():
+    # a plain driver run (no env) must bench every headline entry: the
+    # skip set is only ever populated from $SPARK_GRAFT_BENCH_SKIP
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "SPARK_GRAFT_BENCH_SKIP" in src
+    assert 'os.environ.get("SPARK_GRAFT_BENCH_SKIP")' in src
