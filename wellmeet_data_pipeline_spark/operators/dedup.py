@@ -1696,3 +1696,160 @@ def pagerank_integer(
             .localCheckpoint(eager=False)
         )
     return pr.select(F.col("u").alias("node"), F.col("pr").alias("pr_micro12"))
+
+
+def hits_integer(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs/authorities) over the
+    near-dup candidate graph, oriented DETERMINISTICALLY from the lower
+    doc_id to the higher (ingest order: an edge means "the later doc
+    duplicates the earlier") — on that orientation authority mass
+    accumulates on the heavily-RE-duplicated late copies and hub mass on
+    the early templates that spawned many of them, the directional read
+    PageRank's undirected centrality can't give.
+
+    Computed entirely on a 1e6 integer grid so a SQL oracle unrolls the
+    identical iterations (the pagerank_integer treatment, dedup.py:1630):
+
+      h_0(u)   = 1e6
+      a_k(v)   = sum_{u -> v} h_{k-1}(u), renormalized to max = 1e6 by
+                 (a * 1e6) div max(a)   [exact BIGINT floor division]
+      h_k(u)   = sum_{u -> v} a_k(v), renormalized the same way
+
+    max-norm (not L2) keeps every quantity a non-negative BIGINT, where
+    Spark div and DuckDB // truncate identically.  Bounds: scores ≤ 1e6,
+    in-degree sums ≤ 1e6 * max_deg, * 1e6 for the renorm < 2^63 for any
+    max_deg < 9.2e6.  The global max is a 1-row agg broadcast, not a
+    collect.  Per iteration: two edge joins + two groupBy sums —
+    shuffle-linear in edges, lineage flattened per round.
+
+    Returns (node, hub_micro, auth_micro) for every node with an edge
+    (nodes with no in-edge carry authority 0; no out-edge, hub 0)."""
+    G = 1_000_000
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("node", F.lit(G).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h, e["u"] == h["node"])
+            .groupBy("v")
+            .agg(F.sum("h").cast("long").alias("a_raw"))
+        )
+        a_max = a_raw.agg(
+            F.greatest(F.max("a_raw"), F.lit(1).cast("long")).alias("mx")
+        )
+        a = (
+            nodes.join(a_raw, nodes["node"] == a_raw["v"], "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.expr(f"(coalesce(a_raw, 0L) * {G}) div mx")
+                .cast("long")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e.join(a, e["v"] == a["node"])
+            .groupBy("u")
+            .agg(F.sum("a").cast("long").alias("h_raw"))
+        )
+        h_max = h_raw.agg(
+            F.greatest(F.max("h_raw"), F.lit(1).cast("long")).alias("mx")
+        )
+        h = (
+            nodes.join(h_raw, nodes["node"] == h_raw["u"], "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.expr(f"(coalesce(h_raw, 0L) * {G}) div mx")
+                .cast("long")
+                .alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return h.join(a, "node").select(
+        "node", F.col("h").alias("hub_micro"), F.col("a").alias("auth_micro")
+    )
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    top_k: int = 50,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Neighbor-Jaccard link prediction over the near-dup candidate
+    graph: for every NON-adjacent pair reachable in two hops, score
+    |N(a) ∩ N(c)| / |N(a) ∪ N(c)| and keep the global top-k — the
+    candidate edges the LSH banding plausibly MISSED (two docs sharing
+    most of their duplicate neighborhoods but never landing in a common
+    band).  The quality-control read on LSH recall that
+    lsh_quality_metrics (in-band precision) can't see.
+
+    Same two-hop path-join shape as triangle_counts (dedup.py:1459):
+    candidate pairs are bounded by the sum-of-deg² the LSH verify stage
+    already pays, never all-pairs; the existing-edge exclusion is one
+    anti join; scores are exact BIGINTs closed by one integer floor
+    division to a micro grid (bit-exact cross-engine); top-k is a
+    TakeOrdered, not a global sort.
+
+    Returns (id_a, id_b, common, union_deg, jaccard_micro) with id_a <
+    id_b, ordered by (jaccard_micro desc, id_a, id_b), limit top_k."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = e.union(e.select(F.col("b"), F.col("a"))).toDF("u", "v")
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    # two-hop pairs through shared neighbor m, canonical a < c
+    paths = (
+        und.select(F.col("v").alias("m"), F.col("u").alias("a"))
+        .join(und.select(F.col("u").alias("m"), F.col("v").alias("c")), "m")
+        .filter(F.col("a") < F.col("c"))
+    )
+    common = paths.groupBy("a", "c").agg(
+        F.count("*").cast("long").alias("common")
+    )
+    non_adj = common.join(
+        e, (common["a"] == e["a"]) & (common["c"] == e["b"]), "left_anti"
+    )
+    scored = (
+        non_adj.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("c"), F.col("deg").alias("dc")), "c")
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("c").alias("id_b"),
+            "common",
+            (F.col("da") + F.col("dc") - F.col("common")).alias("union_deg"),
+            F.expr("(common * 1000000) div (da + dc - common)")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_micro").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(top_k)

@@ -990,6 +990,57 @@ def kaplan_meier(
     )
 
 
+def nelson_aalen(
+    df: DataFrame,
+    dur_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the SAME (duration,
+    observed) frame kaplan_meier consumes — H(t) = sum_{u <= t} d_u/n_u,
+    the additive-hazard read whose slope changes localize WHEN the event
+    rate shifts (KM's product form shows the survival level, not the
+    rate).  Unlike KM it needs no log/exp at all: each step is the exact
+    BIGINT floor (d * 1e6) div n_risk, the cumulative sum is exact
+    integer arithmetic, so the estimate is bit-exact cross-engine with
+    no transcendental anywhere (r12 round: kaplan_meier at stats.py:914
+    is the log-space sibling).
+
+    Scale shape is identical to kaplan_meier: collapse to the duration
+    histogram, then both cumulative passes (risk-set countdown, hazard
+    cumsum) ride global_rank_cumsum — no unpartitioned window at any
+    cardinality.  Emits per event time: (t, n_risk, d_events,
+    hazard_step_micro, cum_hazard_micro)."""
+    hist = (
+        df.groupBy(F.col(dur_col).alias("t"))
+        .agg(
+            F.sum(F.col(observed_col).cast("long")).alias("__d"),
+            F.count("*").cast("long").alias("__tot"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_all = hist.agg(F.sum("__tot").alias("__n_all"))
+    cum = global_rank_cumsum(
+        hist, [F.col("t").asc()], sum_col="__tot", cum_col="__cum_tot"
+    ).crossJoin(F.broadcast(n_all))
+    at_risk = cum.select(
+        "t",
+        "__d",
+        (F.col("__n_all") - (F.col("__cum_tot") - F.col("__tot"))).alias("__n_risk"),
+    ).filter(F.col("__d") > 0)
+    step = F.expr("(__d * 1000000) div __n_risk").cast("long")
+    ev = at_risk.withColumn("__step", step)
+    cumh = global_rank_cumsum(
+        ev, [F.col("t").asc()], sum_col="__step", cum_col="__cum_h"
+    )
+    return cumh.select(
+        "t",
+        F.col("__n_risk").alias("n_risk"),
+        F.col("__d").alias("d_events"),
+        F.col("__step").alias("hazard_step_micro"),
+        F.col("__cum_h").cast("long").alias("cum_hazard_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # One-way group-difference tests (r11): ANOVA F / eta^2, Brown-Forsythe
 # Levene, Kruskal-Wallis H — the multi-group siblings of welch_t_pairs /
@@ -1731,4 +1782,78 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         snap_micro(
             F.sqrt(F.try_divide(chi2_d, F.col("__n").cast("double") * vmin))
         ).alias("cramers_v_micro"),
+    )
+
+
+def dp_contribution_clip_plan(
+    contribs: DataFrame,
+    group_col: str = "event_type",
+    count_col: str = "c",
+    pct: int = 95,
+) -> DataFrame:
+    """Per-group contribution-bounding plan for a user-level
+    differentially-private count release: pick the clip bound C as the
+    exact nearest-rank p{pct} of per-unit contribution counts, then
+    report what clipping at C costs — the L1 sensitivity of the clipped
+    query IS C (each unit moves the total by at most its bound), and
+    clipped_share is the mass the release gives up for it.  The
+    calibration step every DP aggregate needs BEFORE noise is drawn
+    (noise itself is out of scope: this engine is deterministic; the
+    plan is the reproducible part).
+
+    Scale shape: the quantile never sorts row-grain data — contributions
+    collapse to a (group, count) HISTOGRAM first (count domain is small:
+    events per user per period), the nearest-rank scan is a window over
+    that domain-bounded frame, and the clipped totals close from the
+    same histogram (sum n_c * least(c, C)).  Everything is exact BIGINT
+    arithmetic except the final share, one IEEE division micro-snapped.
+
+    Output per group: (group, clip_bound, n_units, raw_total,
+    clipped_total, clipped_share_micro)."""
+    hist = contribs.groupBy(
+        F.col(group_col).alias("g"), F.col(count_col).cast("long").alias("c")
+    ).agg(F.count("*").cast("long").alias("n_c"))
+    w = Window.partitionBy("g").orderBy("c")
+    tot = hist.groupBy("g").agg(
+        F.sum("n_c").cast("long").alias("n_units"),
+        F.sum(F.col("n_c") * F.col("c")).cast("long").alias("raw_total"),
+    )
+    ranked = (
+        hist.withColumn(
+            "cum", F.sum("n_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .join(tot, "g")
+        .withColumn("target", F.expr(f"({pct} * n_units + 99) div 100"))
+    )
+    bound = (
+        ranked.filter(F.col("cum") >= F.col("target"))
+        .groupBy("g")
+        .agg(F.min("c").cast("long").alias("clip_bound"))
+    )
+    clipped = (
+        hist.join(bound, "g")
+        .groupBy("g", "clip_bound")
+        .agg(
+            F.sum(F.col("n_c") * F.least(F.col("c"), F.col("clip_bound")))
+            .cast("long")
+            .alias("clipped_total")
+        )
+    )
+    return (
+        clipped.join(tot, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "clip_bound",
+            "n_units",
+            "raw_total",
+            "clipped_total",
+            F.floor(
+                (F.col("raw_total") - F.col("clipped_total")).cast("double")
+                / F.col("raw_total").cast("double")
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("clipped_share_micro"),
+        )
     )

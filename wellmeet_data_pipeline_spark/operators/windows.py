@@ -320,3 +320,48 @@ def rolling_distinct_from_pairs(ud: DataFrame, window_days: int) -> DataFrame:
         cum.join(F.broadcast(days), cum["__d"] == days["as_of_day"])
         .select("as_of_day", F.col("__cum").alias("n_active"))
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from an event log:
+    per key, collapse consecutive same-state observations into versioned
+    validity ranges — effective_from = first observation of the run,
+    effective_to = the next run's start (NULL on the current row).  The
+    warehouse-standard dimension-history shape, built set-based: one
+    lag() to find run starts, one lead() over the surviving change rows
+    for the range close, one row_number for the version ordinal — all
+    three windows partitioned BY KEY (frame size = one key's history,
+    bounded by update frequency, never table-proportional; the
+    cdc_apply_latest scale argument, dedup.py:1436, extended from
+    latest-state to full history).
+
+    Order within key is (ts, tie) — pass a unique tiebreaker (event_id)
+    or same-instant updates version nondeterministically across retries.
+
+    Returns (key, state, effective_from, effective_to, version,
+    is_current)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
+    changes = (
+        df.select(key_col, state_col, ts_col, tie_col)
+        .withColumn("__prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(state_col) != F.col("__prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    return changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w2).alias("effective_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(ts_col).over(w2).isNull().cast("int").alias("is_current"),
+    )

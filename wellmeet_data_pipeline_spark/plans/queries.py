@@ -18,6 +18,7 @@ from wellmeet_data_pipeline_spark.plans.queries_curation import *  # noqa: F401,
 from wellmeet_data_pipeline_spark.plans.queries_retrieval import *  # noqa: F401,F403
 from wellmeet_data_pipeline_spark.plans.queries_stats import *  # noqa: F401,F403
 from wellmeet_data_pipeline_spark.plans.queries_r12 import *  # noqa: F401,F403
+from wellmeet_data_pipeline_spark.plans.queries_r13 import *  # noqa: F401,F403
 
 from wellmeet_data_pipeline_spark.plans.queries_core import (  # noqa: F401
     REGISTRY,
