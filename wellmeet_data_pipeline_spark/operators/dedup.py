@@ -1796,6 +1796,7 @@ def link_prediction_jaccard(
     top_k: int = 50,
     src: str = "id_a",
     dst: str = "id_b",
+    holdout_mod: int | None = None,
 ) -> DataFrame:
     """Neighbor-Jaccard link prediction over the near-dup candidate
     graph: for every NON-adjacent pair reachable in two hops, score
@@ -1805,6 +1806,16 @@ def link_prediction_jaccard(
     band).  The quality-control read on LSH recall that
     lsh_quality_metrics (in-band precision) can't see.
 
+    On a verified dup graph the clusters are CLIQUES — every 2-hop pair
+    is already an edge and the raw prediction set is empty (measured at
+    sf0.001-0.1) — so the measurable form is the holdout EVAL:
+    `holdout_mod` deterministically holds out ~1/mod of the edges
+    ((a * 31 + b) % mod == 0), predicts from the remainder, and flags
+    which predictions recover a held-out true edge (`held_out`).  The
+    fraction of flagged rows in the top-k is the predictor's
+    precision@k — the self-validating read that says whether
+    neighborhood overlap WOULD find edges the banding missed.
+
     Same two-hop path-join shape as triangle_counts (dedup.py:1459):
     candidate pairs are bounded by the sum-of-deg² the LSH verify stage
     already pays, never all-pairs; the existing-edge exclusion is one
@@ -1812,9 +1823,10 @@ def link_prediction_jaccard(
     division to a micro grid (bit-exact cross-engine); top-k is a
     TakeOrdered, not a global sort.
 
-    Returns (id_a, id_b, common, union_deg, jaccard_micro) with id_a <
-    id_b, ordered by (jaccard_micro desc, id_a, id_b), limit top_k."""
-    e = (
+    Returns (id_a, id_b, common, union_deg, jaccard_micro[, held_out])
+    with id_a < id_b, ordered by (jaccard_micro desc, id_a, id_b),
+    limit top_k."""
+    e_all = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -1823,6 +1835,13 @@ def link_prediction_jaccard(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    held = None
+    if holdout_mod is not None:
+        is_held = (F.col("a") * 31 + F.col("b")) % holdout_mod == 0
+        held = e_all.filter(is_held).localCheckpoint(eager=False)
+        e = e_all.filter(~is_held).localCheckpoint(eager=False)
+    else:
+        e = e_all
     und = e.union(e.select(F.col("b"), F.col("a"))).toDF("u", "v")
     deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
     # two-hop pairs through shared neighbor m, canonical a < c
@@ -1850,6 +1869,23 @@ def link_prediction_jaccard(
             .alias("jaccard_micro"),
         )
     )
+    if held is not None:
+        scored = scored.join(
+            held.select(
+                F.col("a").alias("id_a"),
+                F.col("b").alias("id_b"),
+                F.lit(1).alias("__h"),
+            ),
+            ["id_a", "id_b"],
+            "left",
+        ).select(
+            "id_a",
+            "id_b",
+            "common",
+            "union_deg",
+            "jaccard_micro",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("int").alias("held_out"),
+        )
     return scored.orderBy(
         F.col("jaccard_micro").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(top_k)

@@ -103,20 +103,22 @@ def file_compaction_plan(
     bin): n_items, bin_bytes, fill_micro (can exceed 1e6 when a single
     oversized item overflows its bin — those are the split candidates)."""
     w = (
-        Window.partitionBy(part_col)
-        .orderBy(key_col)
+        Window.partitionBy("part")
+        .orderBy("k")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    binned = df.select(
-        F.col(part_col).alias("part"),
-        F.col(key_col).alias("k"),
-        F.col(size_col).cast("long").alias("sz"),
-    ).withColumn(
-        "bin",
-        (
-            F.coalesce(F.sum("sz").over(w), F.lit(0).cast("long"))
-            / F.lit(target_bytes)
-        ).cast("long"),
+    binned = (
+        df.select(
+            F.col(part_col).alias("part"),
+            F.col(key_col).alias("k"),
+            F.col(size_col).cast("long").alias("sz"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("sz").over(w), F.lit(0).cast("long"))
+        )
+        # integer floor division, NOT double / + cast: cumulative sizes
+        # outgrow 2^53 long before they outgrow 2^63
+        .withColumn("bin", F.expr(f"cum_before div {target_bytes}").cast("long"))
     )
     return (
         binned.groupBy("part", "bin")

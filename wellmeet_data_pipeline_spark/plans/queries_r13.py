@@ -590,3 +590,491 @@ def q_cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cuped_adjusted(per_user, "arm", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Classifier release gates: Brier decomposition + WOE / information value
+# (share classifier_auc's hashed-score frame; _CLS_CTES imported above)
+# ---------------------------------------------------------------------------
+
+_SC_SQL = """
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(CAST(s AS DOUBLE) / (CAST(32768 AS DOUBLE) * n_tokens)
+                        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS si
+      FROM cls_agg
+    )"""
+
+
+def _labeled_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, si, y): the classifier_auc score frame — micro-grid
+    hashed-linear score + is-English label."""
+    from wellmeet_data_pipeline_spark.operators.scoring import (
+        hashed_linear_score,
+        model_weights_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(d, model_weights_table(spark)).select(
+        "doc_id", F.round(F.col("logit") * F.lit(1e6)).cast("long").alias("si")
+    )
+    return scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("y")),
+        "doc_id",
+    )
+
+
+@_q(
+    "brier_decomposition",
+    f"""
+    WITH {_CLS_CTES},
+    {_SC_SQL},
+    lab AS (
+      SELECT CAST((sc.si + 1000000) // 2 AS BIGINT) AS p,
+             CAST(d.lang = 'en' AS BIGINT) AS y
+      FROM sc JOIN documents d USING (doc_id)
+    ),
+    pbin AS (
+      SELECT least(9, CAST(floor(CAST(p * 10 AS DOUBLE)
+                                 / CAST(1000000 AS DOUBLE)) AS INT)) AS bin,
+             p, y
+      FROM lab
+    ),
+    binned AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS nk, CAST(sum(p) AS BIGINT) AS sp,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(p * p) AS BIGINT) AS spp,
+             CAST(sum(p * y) AS BIGINT) AS spy
+      FROM pbin GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS sy_all,
+             CAST(sum(sp) AS BIGINT) AS sp_all, CAST(sum(spp) AS BIGINT) AS spp_all,
+             CAST(sum(spy) AS BIGINT) AS spy_all
+      FROM binned
+    ),
+    per_bin AS (
+      SELECT CAST(floor(CAST(nk AS DOUBLE)
+                 * (CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                    - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+                 * (CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                    - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS rel_term_micro,
+             CAST(floor(CAST(nk AS DOUBLE)
+                 * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+                    - CAST(t.sy_all AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+                    - CAST(t.sy_all AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS res_term_micro
+      FROM binned CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT CAST(sum(rel_term_micro) AS BIGINT) AS rel_sum_micro,
+             CAST(sum(res_term_micro) AS BIGINT) AS res_sum_micro
+      FROM per_bin
+    )
+    SELECT t.n,
+           CAST(rel_sum_micro // t.n AS BIGINT) AS reliability_micro,
+           CAST(res_sum_micro // t.n AS BIGINT) AS resolution_micro,
+           CAST(floor(CAST(t.sy_all AS DOUBLE) / CAST(t.n AS DOUBLE)
+                      * (CAST(1 AS DOUBLE)
+                         - CAST(t.sy_all AS DOUBLE) / CAST(t.n AS DOUBLE))
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS uncertainty_micro,
+           CAST(floor((CAST(t.spp_all AS DOUBLE)
+                       - CAST(2000000 AS DOUBLE) * CAST(t.spy_all AS DOUBLE)
+                       + CAST(1000000000000 AS DOUBLE) * CAST(t.sy_all AS DOUBLE))
+                      / CAST(1000000000000 AS DOUBLE) / CAST(t.n AS DOUBLE)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS brier_micro
+    FROM tot t CROSS JOIN terms
+    """,
+    "Murphy decomposition of the hashed classifier's Brier score "
+    "(reliability - resolution + uncertainty over 10 fixed probability "
+    "bins, plus the exact unbinned Brier) against the is-English label — "
+    "the proper-scoring-rule gate next to classifier_auc (rank quality) "
+    "and calibration_ece (binned |gap|): REL reads miscalibration, RES "
+    "discrimination, UNC label entropy.  Probabilities are the affine "
+    "micro-grid map of the bounded score; all bin moments exact BIGINTs; "
+    "per-bin double terms snap to micro BEFORE the cross-bin sum (float "
+    "addition doesn't associate across partitions)",
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.experiment import brier_decomposition
+
+    lab = _labeled_scores(spark, sf_dir).select(
+        F.expr("(si + 1000000) div 2").cast("long").alias("p_micro"), "y"
+    )
+    return brier_decomposition(lab, "p_micro", "y")
+
+
+@_q(
+    "woe_information_value",
+    f"""
+    WITH {_CLS_CTES},
+    {_SC_SQL},
+    lab AS (
+      SELECT sc.si, CAST(d.lang = 'en' AS BIGINT) AS y
+      FROM sc JOIN documents d USING (doc_id)
+    ),
+    pbin AS (
+      SELECT least(9, CAST(floor(CAST((si + 1000000) * 10 AS DOUBLE)
+                                 / CAST(2000000 AS DOUBLE)) AS INT)) AS bin,
+             y
+      FROM lab
+    ),
+    binned AS (
+      SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM pbin GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_pos) AS BIGINT) AS p, CAST(sum(n_neg) AS BIGINT) AS n
+      FROM binned
+    ),
+    per_bin AS (
+      SELECT bin, n_pos, n_neg,
+             CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               CAST(floor(ln((CAST(n_pos AS DOUBLE) * CAST(t.n AS DOUBLE))
+                             / (CAST(n_neg AS DOUBLE) * CAST(t.p AS DOUBLE)))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             END AS woe_micro,
+             CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               CAST(floor((CAST(n_pos AS DOUBLE) / CAST(t.p AS DOUBLE)
+                           - CAST(n_neg AS DOUBLE) / CAST(t.n AS DOUBLE))
+                          * ln((CAST(n_pos AS DOUBLE) * CAST(t.n AS DOUBLE))
+                               / (CAST(n_neg AS DOUBLE) * CAST(t.p AS DOUBLE)))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS iv_term_micro
+      FROM binned CROSS JOIN tot t
+    ),
+    iv AS (SELECT CAST(sum(iv_term_micro) AS BIGINT) AS iv_micro FROM per_bin)
+    SELECT bin, n_pos, n_neg, woe_micro, iv.iv_micro
+    FROM per_bin CROSS JOIN iv
+    """,
+    "weight-of-evidence binning + information value of the hashed "
+    "classifier score against the is-English label — the credit-scoring-"
+    "standard separability read (IV < 0.02 useless, > 0.5 suspicious) "
+    "completing the eval family: AUC ranks, ECE calibrates, WOE/IV "
+    "localizes WHERE in the score range the separation lives.  Counts "
+    "exact BIGINT; ln closes snap to micro (the qld/keyness precedent); "
+    "per-bin IV terms snap BEFORE the cross-bin sum; one-class bins emit "
+    "NULL woe and contribute 0 per the standard zero-cell convention",
+)
+def q_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.scoring import woe_information_value
+
+    return woe_information_value(_labeled_scores(spark, sf_dir), "si", "y")
+
+
+# ---------------------------------------------------------------------------
+# Dup-graph directional centrality: HITS hubs/authorities (integer grid)
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(iters: int) -> str:
+    g = 1_000_000
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""ar{k} AS MATERIALIZED (
+      SELECT e.v, CAST(sum(h.h) AS BIGINT) AS a_raw
+      FROM e JOIN h{k - 1} h ON h.node = e.u GROUP BY 1
+    ),
+    am{k} AS (SELECT greatest(max(a_raw), 1) AS mx FROM ar{k}),
+    a{k} AS MATERIALIZED (
+      SELECT n.node, CAST((coalesce(r.a_raw, 0) * {g}) // m.mx AS BIGINT) AS a
+      FROM nodes n LEFT JOIN ar{k} r ON r.v = n.node CROSS JOIN am{k} m
+    ),
+    hr{k} AS MATERIALIZED (
+      SELECT e.u, CAST(sum(a.a) AS BIGINT) AS h_raw
+      FROM e JOIN a{k} a ON a.node = e.v GROUP BY 1
+    ),
+    hm{k} AS (SELECT greatest(max(h_raw), 1) AS mx FROM hr{k}),
+    h{k} AS MATERIALIZED (
+      SELECT n.node, CAST((coalesce(r.h_raw, 0) * {g}) // m.mx AS BIGINT) AS h
+      FROM nodes n LEFT JOIN hr{k} r ON r.u = n.node CROSS JOIN hm{k} m
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_minhash_sha_ctes()},
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM pairs WHERE id_a <> id_b
+    ),
+    nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+    h0 AS MATERIALIZED (SELECT node, CAST({g} AS BIGINT) AS h FROM nodes),
+    {chain}
+    SELECT h.node, h.h AS hub_micro, a.a AS auth_micro
+    FROM h{iters} h JOIN a{iters} a USING (node)
+    """
+
+
+@_q(
+    "dup_graph_hits",
+    _hits_oracle(2),
+    "2-iteration HITS hubs/authorities over the MinHash-LSH near-dup "
+    "graph oriented older-doc -> newer-doc, computed entirely on a 1e6 "
+    "BIGINT grid with max-normalization by integer floor division (the "
+    "pagerank_integer treatment; Spark div == DuckDB // on non-negative "
+    "operands) so the oracle unrolls the IDENTICAL iterations — the "
+    "directional read undirected PageRank can't give: authority mass "
+    "accumulates on heavily-RE-duplicated late copies, hub mass on the "
+    "early templates that spawned them.  Joins the dup-graph family on "
+    "the shared sha edge frame; per-iteration two edge joins + two "
+    "groupBy sums, shuffle-linear in edges",
+)
+def q_dup_graph_hits(
+    spark: SparkSession, sf_dir: str, shared_lsh_edges: DataFrame | None = None
+) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        hits_integer,
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    edges = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(d)
+    )
+    return hits_integer(edges, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Dup-graph link prediction: neighbor Jaccard over 2-hop non-edges
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dup_link_prediction",
+    f"""
+    WITH {_minhash_sha_ctes()},
+    e_all AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM pairs WHERE id_a <> id_b
+    ),
+    held AS MATERIALIZED (SELECT a, b FROM e_all WHERE (a * 31 + b) % 5 = 0),
+    e AS MATERIALIZED (SELECT a, b FROM e_all WHERE (a * 31 + b) % 5 <> 0),
+    und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+    paths AS (
+      SELECT l.a, r.c FROM (SELECT v AS m, u AS a FROM und) l
+      JOIN (SELECT u AS m, v AS c FROM und) r USING (m)
+      WHERE l.a < r.c
+    ),
+    cmn AS (
+      SELECT a, c, CAST(count(*) AS BIGINT) AS common FROM paths GROUP BY 1, 2
+    ),
+    non_adj AS (
+      SELECT cmn.a, cmn.c, cmn.common FROM cmn
+      LEFT JOIN e ON e.a = cmn.a AND e.b = cmn.c
+      WHERE e.a IS NULL
+    ),
+    scored AS (
+      SELECT n.a AS id_a, n.c AS id_b, n.common,
+             CAST(da.deg + dc.deg - n.common AS BIGINT) AS union_deg,
+             CAST((n.common * 1000000) // (da.deg + dc.deg - n.common) AS BIGINT)
+               AS jaccard_micro
+      FROM non_adj n
+      JOIN deg da ON da.u = n.a
+      JOIN deg dc ON dc.u = n.c
+    )
+    SELECT s.id_a, s.id_b, s.common, s.union_deg, s.jaccard_micro,
+           CAST(coalesce(h.one, 0) AS INT) AS held_out
+    FROM scored s
+    LEFT JOIN (SELECT a, b, 1 AS one FROM held) h
+      ON h.a = s.id_a AND h.b = s.id_b
+    ORDER BY s.jaccard_micro DESC, s.id_a ASC, s.id_b ASC
+    LIMIT 50
+    """,
+    "neighbor-Jaccard link-prediction HOLDOUT EVAL over the near-dup "
+    "graph: deterministically hold out ~1/5 of the edges ((a*31+b)%5), "
+    "score every 2-hop pair non-adjacent in the REMAINING graph by "
+    "|shared dup-neighbors|/|union|, keep the exact top-50, and flag "
+    "which predictions recover a held-out true edge — precision@k of "
+    "'would neighborhood overlap find the edges the banding missed', "
+    "the recall-side QC lsh_quality_metrics' in-band precision can't "
+    "see.  (On the full graph the prediction set is EMPTY — verified "
+    "dup clusters are cliques — which is why the measurable form is "
+    "the holdout eval.)  Two-hop path join bounded by the sum-of-deg^2 "
+    "the LSH verify already pays (the triangle_counts shape), one anti "
+    "join, exact BIGINT scores, one integer floor division; top-k is a "
+    "TakeOrdered with a total (jaccard, id_a, id_b) tie order",
+)
+def q_dup_link_prediction(
+    spark: SparkSession, sf_dir: str, shared_lsh_edges: DataFrame | None = None
+) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        link_prediction_jaccard,
+        minhash_lsh_candidates_sha,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    edges = (
+        shared_lsh_edges
+        if shared_lsh_edges is not None
+        else minhash_lsh_candidates_sha(d)
+    )
+    return link_prediction_jaccard(edges, top_k=50, holdout_mod=5)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-fill file compaction plan
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4000
+
+
+@_q(
+    "file_compaction_plan",
+    f"""
+    WITH s AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS sz FROM documents
+      WHERE source IS NOT NULL AND doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    c AS (
+      SELECT source, sz,
+             CAST(coalesce(sum(sz) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM s
+    )
+    SELECT source, bin, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(sz) AS BIGINT) AS bin_bytes,
+           CAST((CAST(sum(sz) AS BIGINT) * 1000000) // {_COMPACT_TARGET} AS BIGINT)
+             AS fill_micro
+    FROM c GROUP BY 1, 2
+    """,
+    "streaming-fill compaction plan over the documents table: within "
+    "each source, walk docs in id order and open a new output file "
+    "every time the running size crosses the target — bin = exclusive-"
+    "cumsum div target, the one-pass deterministic window form of "
+    "first-fit bin packing (true greedy needs sequential state; this "
+    "parallelizes per partition and both engines agree exactly).  The "
+    "small-file compaction read every lakehouse table schedules: which "
+    "items rewrite together, how full each output lands (fill > 1e6 "
+    "marks split candidates).  One partitioned window + one groupBy, "
+    "integer arithmetic throughout",
+)
+def q_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.sharding import file_compaction_plan
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    return file_compaction_plan(d, "source", "doc_id", "n_chars", _COMPACT_TARGET)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (priority / sequential Poisson)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "priority_sample_docs",
+    """
+    WITH k0 AS (
+      SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS w FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+    ),
+    hx AS (
+      SELECT k, w, sha256(concat_ws('|', 'ps1', CAST(k AS VARCHAR))) AS h FROM k0
+    ),
+    u AS (
+      SELECT k, w,
+             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) AS BIGINT) * 268435456
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+           + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+           + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+           + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS h32
+      FROM hx
+    ),
+    q AS (
+      SELECT k, w,
+             (CAST(h32 + 1 AS DOUBLE) / CAST(4294967296 AS DOUBLE))
+               / CAST(w AS DOUBLE) AS q
+      FROM u
+    ),
+    top AS (SELECT k, w, q FROM q ORDER BY q ASC, k ASC LIMIT 100)
+    SELECT CAST(row_number() OVER (ORDER BY q ASC, k ASC) AS BIGINT) AS rank,
+           k AS doc_id, w AS n_chars,
+           CAST(floor(q * CAST(1000000000000000000 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS priority_atto
+    FROM top
+    """,
+    "deterministic size-weighted document sample by PRIORITY SAMPLING "
+    "(Ohlsson sequential Poisson / Duffield-Lund-Thorup): u drawn from a "
+    "salted sha256 of the key, priority q = u/w, keep the k = 100 "
+    "smallest — inclusion probability ~ min(1, w/tau), the estimator "
+    "behind weighted reservoir sampling, realized reproducibly (re-runs "
+    "re-select the SAME sample; new items never reshuffle survivors).  "
+    "One IEEE division per row (the u^(1/w) exponential-keys variant "
+    "needs pow, which engines round differently), TakeOrdered top-k, "
+    "priorities on the 1e-18 atto grid because q spans ~1e-10/w .. 1/w",
+)
+def q_priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.sharding import priority_sample
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+    )
+    return priority_sample(d, "doc_id", "n_chars", k=100, salt="ps1")
+
+
+# ---------------------------------------------------------------------------
+# Prefix-blocked edit-distance near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "edit_distance_neardup",
+    f"""
+    WITH nn AS (
+      SELECT doc_id, {_NORM_SQL} AS nrm FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_id AS id, substr(nrm, 1, 10) AS blk, substr(nrm, 1, 100) AS cmp
+      FROM nn WHERE length(substr(nrm, 1, 10)) > 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.cmp, b.cmp) AS BIGINT) AS edit_dist
+    FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.cmp, b.cmp) <= 5
+    """,
+    "prefix-blocked edit-distance near-dup pairs over normalized "
+    "document text: block on the first 10 characters (one hash-"
+    "partitioned equi-join, no cross join), verify with exact JVM-side "
+    "levenshtein over the first 100 characters, keep distance <= 5 — "
+    "the high-PRECISION dedup pass that separates 'same words' (what "
+    "Jaccard/MinHash sees) from 'same bytes, small edits' (OCR noise, "
+    "template fills).  The prefix pigeonhole is documented: pairs "
+    "differing inside their first 10 chars belong to the LSH candidates "
+    "instead (the deletion_neighborhood_link topology with a prefix "
+    "block); block skew is the dup clusters' own quadratic, the same "
+    "one their LSH verify already pays",
+)
+def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import normalized_text
+    from wellmeet_data_pipeline_spark.operators.linkage import edit_distance_neardup
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", normalized_text("text").alias("__norm"))
+    )
+    return edit_distance_neardup(
+        d, "__norm", "doc_id", prefix_len=10, cmp_len=100, max_dist=5
+    )
