@@ -254,6 +254,10 @@ HEADLINE = [
     "stratified_sample_plan",
     "t_closeness_audit",
     "dup_graph_pagerank",
+    # r13 dup-graph additions sit NEXT to the family so DEDUP_SHARED
+    # stays inside one restart segment (test_shared_families_single_segment)
+    "dup_graph_hits",
+    "dup_link_prediction",
     "qld_topk",
     "sft_loss_masking_plan",
     "embedding_pca_power",
@@ -266,6 +270,19 @@ HEADLINE = [
     "embedding_quantile_clip_plan",
     "weekly_cohort_ltv",
     "hot_key_salt_plan",
+    # -- round 13 additions (minus the dup-graph pair above) --
+    "ewma_control_chart",
+    "kendall_tau_daily",
+    "event_overdispersion_index",
+    "survival_na_hazard",
+    "scd2_user_state",
+    "dp_contribution_clip",
+    "cuped_adjusted_metric",
+    "brier_decomposition",
+    "woe_information_value",
+    "file_compaction_plan",
+    "priority_sample_docs",
+    "edit_distance_neardup",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol
@@ -323,6 +340,8 @@ DEDUP_SHARED = {
     "self_bleu_pairs",
     "dedup_char_savings",
     "dup_graph_pagerank",
+    "dup_graph_hits",
+    "dup_link_prediction",
 }
 
 # LM/token family: every member re-tokenized the corpus from scratch

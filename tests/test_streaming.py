@@ -2011,3 +2011,76 @@ def test_streaming_trend_monitor_parity_and_replay(spark, tmp_path):
     merge_append(replay, store, id_col="g", partition_col=None, batch_seq=1)
     again = sorted(map(tuple, current_trend(spark, store, "g", "day").collect()))
     assert again == got
+
+
+def test_streaming_ewma_chart_parity_and_replay(spark, tmp_path):
+    """The streaming EWMA control chart (r13) must (a) match the batch
+    ewma_control_chart on the same rolled-up totals, (b) fold an
+    at-least-once replay and a late partial into period totals exactly
+    as the batch read would, (c) return an empty typed frame before the
+    store exists."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from wellmeet_data_pipeline_spark.operators.experiment import ewma_control_chart
+    from wellmeet_data_pipeline_spark.streaming.analytics import (
+        current_ewma_chart,
+        run_streaming_period_totals,
+    )
+
+    landing = tmp_path / "ewma_landing"
+    landing.mkdir()
+    store = str(tmp_path / "ewma_store")
+    ckpt = str(tmp_path / "ewma_ckpt")
+    schema = StructType(
+        [
+            StructField("g", StringType()),
+            StructField("day", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+
+    assert current_ewma_chart(spark, store, "g", "day").count() == 0
+
+    vals = [100, 120, 90, 300, 110, 95, 105]
+    rows1 = [
+        {"g": "a", "day": f"2024-03-{d + 1:02d}", "v": vals[d]} for d in range(4)
+    ] + [{"g": "b", "day": f"2024-03-{d + 1:02d}", "v": 50} for d in range(4)]
+    _drop(landing, "a.json", rows1)
+    run_streaming_period_totals(
+        spark, str(landing), store, ckpt, schema, "g", "day", "v"
+    )
+    rows2 = [
+        {"g": "a", "day": f"2024-03-{d + 1:02d}", "v": vals[d]} for d in range(4, 7)
+    ] + [
+        {"g": "b", "day": f"2024-03-{d + 1:02d}", "v": 50} for d in range(4, 7)
+    ] + [
+        # late partial for an already-seen day: folds into 2024-03-02
+        {"g": "a", "day": "2024-03-02", "v": 30}
+    ]
+    _drop(landing, "b.json", rows2)
+    run_streaming_period_totals(
+        spark, str(landing), store, ckpt, schema, "g", "day", "v"
+    )
+
+    got = sorted(map(tuple, current_ewma_chart(spark, store, "g", "day").collect()))
+
+    all_rows = rows1 + rows2
+    batch_totals = (
+        spark.createDataFrame(
+            [(r["g"], r["day"], r["v"]) for r in all_rows],
+            "g string, day string, v long",
+        )
+        .groupBy("g", "day")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    want = sorted(
+        map(tuple, ewma_control_chart(batch_totals, "g", "day", "v").collect())
+    )
+    assert got == want
+
+    # the constant series never breaches; the late-partial day carries
+    # the folded total in the chart's v column
+    by_key = {(r[0], r[1]): r for r in got}
+    assert all(by_key[("b", d)][6] == 0 for _, d in by_key if _ == "b")
+    assert by_key[("a", "2024-03-02")][2] == 150

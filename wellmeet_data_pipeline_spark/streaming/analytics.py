@@ -533,3 +533,46 @@ def current_trend(
     wi = Window.partitionBy(group_col).orderBy(F.col(period_col).asc())
     idx = totals.withColumn("__i", F.row_number().over(wi))
     return mann_kendall_by_group(idx, group_col, "__i", "__x")
+
+
+def current_ewma_chart(
+    spark: SparkSession,
+    store_path: str,
+    group_col: str,
+    period_col: str,
+    group_type: str = "string",
+    period_type: str = "string",
+) -> DataFrame:
+    """The consumer view of the streaming EWMA control chart (r13 —
+    the drift-NOW companion of current_trend's whole-series test):
+    dedup the SAME (group, period, batch-seq) partial store the
+    CUSUM/Mann-Kendall monitors share via run_streaming_period_totals,
+    roll partials up to true period totals, and hand them to the batch
+    operator (operators.experiment.ewma_control_chart) — monitor and
+    batch read stay contract-identical by construction (the CUSUM-twin
+    discipline).  The EWMA is observation-ordered, so the string period
+    index works as-is (ISO dates sort); a late partial for an old
+    period folds into that period's total and the chart re-reads
+    exactly as the batch operator would — the EWMA's own window
+    recursion never has to be rewound because the substrate is
+    period-total grain, not running-state grain.
+
+    Scale shape: store is (groups x periods x batches) partial grain,
+    one hash-aggregate rollup, then the operator's 60-term banded lag
+    join — calendar-bounded like every consumer of this store."""
+    from wellmeet_data_pipeline_spark.operators.experiment import ewma_control_chart
+
+    cur = read_current_or_none(
+        spark, store_path, id_col=[group_col, period_col, "_batch_seq"]
+    )
+    if cur is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} {group_type}, di {period_type}, v bigint, "
+            "ewma_micro bigint, ucl_micro bigint, lcl_micro bigint, "
+            "breach int",
+        )
+    totals = cur.groupBy(group_col, period_col).agg(
+        F.sum("x").cast("long").alias("__x")
+    )
+    return ewma_control_chart(totals, group_col, period_col, "__x")
