@@ -283,6 +283,10 @@ HEADLINE = [
     "file_compaction_plan",
     "priority_sample_docs",
     "edit_distance_neardup",
+    "jaccard_prefix_join",
+    "revenue_attribution_touch",
+    "dedup_normalization_ladder",
+    "krippendorff_alpha",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

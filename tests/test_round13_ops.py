@@ -441,3 +441,159 @@ def test_edit_distance_prefix_block_is_documented_pigeonhole(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, __norm string")
     assert edit_distance_neardup(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter Jaccard join (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_join_exact_and_complete(spark):
+    # brute-force ground truth on a small token-set universe: the prefix
+    # filter must return EXACTLY the >= 3/5 pairs (completeness is the
+    # point of the algorithm vs LSH)
+    from wellmeet_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_join
+
+    sets = {
+        1: {"a", "b", "c", "d", "e"},
+        2: {"a", "b", "c", "d", "x"},  # J(1,2) = 4/6 = 0.67
+        3: {"a", "b", "c", "d", "e"},  # J(1,3) = 1.0
+        4: {"p", "q", "r"},            # disjoint
+        5: {"a", "p", "q", "r"},       # J(4,5) = 3/4 = 0.75
+    }
+    rows = [(i, t) for i, toks in sets.items() for t in toks]
+    df = spark.createDataFrame(rows, "doc_id long, tok string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_micro"]
+        for r in prefix_filter_jaccard_join(df, 3, 5).collect()
+    }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * 5 >= 3 * union:
+                    want[(a, b)] = inter * 1_000_000 // union
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 1_000_000
+
+
+def test_prefix_join_threshold_excludes(spark):
+    from wellmeet_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_join
+
+    rows = [(1, t) for t in "abcde"] + [(2, t) for t in "aXYZW"]  # J = 1/9
+    df = spark.createDataFrame(rows, "doc_id long, tok string")
+    assert prefix_filter_jaccard_join(df, 3, 5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Touch attribution (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_first_vs_last(spark):
+    from wellmeet_data_pipeline_spark.operators.experiment import touch_attribution
+
+    # user 1: click(day1) -> view(day2) -> purchase(day3, 500c):
+    # first credits click, last credits view.  user 2: no touch -> direct.
+    def ts(day):
+        return f"2024-01-0{day} 12:00:00"
+
+    touches = spark.createDataFrame(
+        [(1, ts(1), 10, "click"), (1, ts(2), 11, "view")],
+        "user_id long, ts string, event_id long, channel string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    convs = spark.createDataFrame(
+        [(1, ts(3), 20, 500), (2, ts(3), 21, 300)],
+        "user_id long, ts string, event_id long, cents long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["model"], r["channel"]): (r["n_conversions"], r["attributed_cents"])
+        for r in touch_attribution(touches, convs).collect()
+    }
+    assert out[("first", "click")] == (1, 500)
+    assert out[("last", "view")] == (1, 500)
+    assert out[("first", "direct")] == (1, 300)
+    assert out[("last", "direct")] == (1, 300)
+
+
+def test_attribution_lookback_excludes_stale_touch(spark):
+    from wellmeet_data_pipeline_spark.operators.experiment import touch_attribution
+
+    touches = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "click")],
+        "user_id long, ts string, event_id long, channel string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    convs = spark.createDataFrame(
+        [(1, "2024-01-20 00:00:00", 20, 100)],
+        "user_id long, ts string, event_id long, cents long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["model"], r["channel"])
+        for r in touch_attribution(touches, convs, lookback_days=7).collect()
+    }
+    assert out == {("first", "direct"), ("last", "direct")}
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_krippendorff_perfect_agreement(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import krippendorff_alpha_nominal
+
+    rows = [(u, r, "x" if u % 2 else "y") for u in range(10) for r in range(3)]
+    df = spark.createDataFrame(rows, "unit long, rater long, label string")
+    r = krippendorff_alpha_nominal(df).collect()[0]
+    assert r["do_micro"] == 0 and r["alpha_micro"] == 1_000_000
+
+
+def test_krippendorff_known_answer(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import krippendorff_alpha_nominal
+
+    # 4 units x 2 raters: units 1-3 agree on distinct labels, unit 4
+    # disagrees (a, b).  n = 8.
+    # D_o = (1/8) * [unit4: 2 ordered disagreeing pairs / (2-1)] = 0.25
+    # marginals: a:4? -> labels: u1 (x,x) u2 (y,y) u3 (z,z) u4 (a,b)
+    # pairs_same = 4*... n_c: x2 y2 z2 a1 b1 -> sum n_c(n_c-1) = 2+2+2 = 6
+    # D_e = (8*7 - 6) / (8*7) = 50/56; alpha = 1 - 0.25/(50/56) = 0.72
+    rows = [
+        (1, 0, "x"), (1, 1, "x"),
+        (2, 0, "y"), (2, 1, "y"),
+        (3, 0, "z"), (3, 1, "z"),
+        (4, 0, "a"), (4, 1, "b"),
+    ]
+    df = spark.createDataFrame(rows, "unit long, rater long, label string")
+    r = krippendorff_alpha_nominal(df).collect()[0]
+    assert r["n_units"] == 4 and r["n_ratings"] == 8
+    assert r["do_micro"] == 250_000
+    import math
+
+    assert r["de_micro"] == math.floor(50 / 56 * 1e6 + 0.5)
+    assert r["alpha_micro"] == math.floor((1 - 0.25 / (50 / 56)) * 1e6 + 0.5)
+
+
+def test_krippendorff_singleton_units_drop(spark):
+    from wellmeet_data_pipeline_spark.operators.stats import krippendorff_alpha_nominal
+
+    rows = [(1, 0, "x"), (1, 1, "x"), (2, 0, "y")]  # unit 2: one rating
+    df = spark.createDataFrame(rows, "unit long, rater long, label string")
+    r = krippendorff_alpha_nominal(df).collect()[0]
+    assert r["n_units"] == 1 and r["n_ratings"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Confusable fold (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_fold_confusables_maps_homoglyphs(spark):
+    from wellmeet_data_pipeline_spark.functions.text import fold_confusables
+
+    # Cyrillic а/е/о + Greek ο fold to latin; plain latin untouched
+    df = spark.createDataFrame([("привет hellо wоrld",), ("plain ascii",)], "t string")
+    out = [r[0] for r in df.select(fold_confusables("t")).collect()]
+    assert out[1] == "plain ascii"
+    assert "о" not in out[0]  # no Cyrillic o survives

@@ -256,3 +256,27 @@ def script_counts(text: Column | str) -> list[Column]:
         F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat in SCRIPT_PATTERNS
     ]
+
+
+# Homoglyph fold map: the common Cyrillic / Greek / fullwidth characters
+# that render identically (or near-identically) to Basic Latin — the
+# substitutions spam and SEO text actually uses to dodge exact-hash
+# dedup.  ONE module-level pair of parallel strings consumed by both the
+# Spark translate() and (via the same constants interpolated into the
+# oracle SQL) DuckDB's translate(), so the fold is definitionally
+# identical cross-engine.  Deliberately small and high-precision:
+# only visually-indistinguishable single-codepoint mappings, no
+# transliteration.
+CONFUSABLE_FROM = "аеіорсухАВЕКМНОРСТХѕјοΑΒΕΗΙΚΜΝΟΡΤΧ"
+CONFUSABLE_TO = "aeiopcyxABEKMHOPCTXsjoABEHIKMNOPTX"
+
+assert len(CONFUSABLE_FROM) == len(CONFUSABLE_TO), "fold map must be parallel"
+
+
+def fold_confusables(text: Column | str) -> Column:
+    """Map confusable homoglyphs to their Basic Latin look-alikes —
+    the L3 rung of the dedup normalization ladder (see the
+    dedup_normalization_ladder query).  Pure translate(): single-pass
+    JVM codegen, no regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.translate(c, CONFUSABLE_FROM, CONFUSABLE_TO)

@@ -1889,3 +1889,90 @@ def link_prediction_jaccard(
     return scored.orderBy(
         F.col("jaccard_micro").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(top_k)
+
+
+def prefix_filter_jaccard_join(
+    tokens: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07; Xiao et al. ICDE'08): two
+    token sets with Jaccard >= t MUST share at least one token among
+    each set's first (|s| - ceil(t|s|) + 1) tokens under any single
+    GLOBAL token order — order by ascending document frequency and the
+    prefixes are the RARE tokens, so candidate blocks stay small where
+    data is heavy.  The deterministic, provably-COMPLETE counterpart of
+    MinHash-LSH (which trades completeness for probability): same
+    candidates-by-equi-join / exactness-by-verify topology, pigeonhole
+    guarantee instead of a probabilistic one.
+
+    Input is the (id, token) DISTINCT-token frame.  All arithmetic is
+    integer: the prefix length is n - ceil(t*n) + 1 computed by exact
+    ceiling division, and the verify keeps den*inter >= num*union by
+    cross-multiplication (no ratio ever materialized; jaccard_micro is
+    emitted by one floor division for ranking only).
+
+    Scale shape: one df aggregation; one per-doc rank window (frame =
+    one document's tokens); candidates from a hash-partitioned
+    equi-join on prefix tokens, bounded by sum over tokens of
+    (prefix-df)² — the quantity the df-ascending order minimizes; one
+    pair-bounded verify join.  No cross join at any cardinality.
+
+    Returns (id_a, id_b, inter, union_n, jaccard_micro), id_a < id_b."""
+    t = tokens.select(
+        F.col(id_col).alias("id"), F.col(tok_col).alias("tok")
+    ).distinct().localCheckpoint(eager=False)
+    df_counts = t.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    sizes = t.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    # global order (df asc, tok asc); per-doc rank window is doc-bounded
+    ranked = (
+        t.join(df_counts, "tok")
+        .join(sizes, "id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("df").asc(), F.col("tok").asc()
+                )
+            ),
+        )
+    )
+    # prefix length = n - ceil(num*n/den) + 1
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(f"({threshold_num} * n + {threshold_den} - 1) div {threshold_den}")
+        + 1
+    ).select("id", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(t.select(F.col("id").alias("id_a"), "tok"), "id_a")
+        .join(t.select(F.col("id").alias("id_b"), F.col("tok").alias("tok2")), "id_b")
+        .filter(F.col("tok") == F.col("tok2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("union_n", (F.col("na") + F.col("nb") - F.col("inter")).cast("long"))
+        .filter(
+            F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("union_n")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "union_n",
+            F.expr("(inter * 1000000) div union_n").cast("long").alias("jaccard_micro"),
+        )
+    )

@@ -418,3 +418,89 @@ def overdispersion_index(
         _micro(disp).alias("dispersion_micro"),
         _micro((nD - F.lit(1.0)) * disp).alias("chi2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Touch attribution (first / last) for conversions
+# ---------------------------------------------------------------------------
+
+
+def touch_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    channel_col: str = "channel",
+    value_col: str = "cents",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """First-touch vs last-touch revenue attribution: every conversion
+    credits its value to ONE touch channel — the user's earliest
+    (first-touch) or latest (last-touch) touch inside the lookback
+    window ending at the conversion; conversions with no touch in
+    window credit 'direct'.  The two bookends of the attribution-model
+    family (position/time-decay models interpolate between them), and
+    the read that decides channel budgets downstream of the funnel
+    queries.
+
+    One banded equi-join on user (touch.ts in (conv.ts - lookback,
+    conv.ts]) — pair volume is per-user touch density within the
+    window, never |touches| x |conversions|; then one window per
+    conversion (frame = that conversion's in-window touches) picks each
+    bookend with the deterministic (ts, tie) order.  Value stays on the
+    integer-cents grid end-to-end.
+
+    Returns (model, channel, n_conversions, attributed_cents), model in
+    ('first', 'last')."""
+    conv = conversions.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("cts"),
+        F.col(tie_col).alias("cid"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    tch = touches.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("tts"),
+        F.col(tie_col).alias("tid"),
+        F.col(channel_col).alias("channel"),
+    )
+    window_lo = F.col("cts") - F.expr(f"INTERVAL {lookback_days} DAYS")
+    joined = conv.join(
+        tch,
+        (conv["u"] == tch["u"])
+        & (F.col("tts") <= F.col("cts"))
+        & (F.col("tts") > window_lo),
+        "left",
+    ).select("cts", "cid", "v", "tts", "tid", "channel")
+    w_first = Window.partitionBy("cid").orderBy(
+        F.col("tts").asc_nulls_last(), F.col("tid").asc_nulls_last()
+    )
+    w_last = Window.partitionBy("cid").orderBy(
+        F.col("tts").desc_nulls_last(), F.col("tid").desc_nulls_last()
+    )
+    picked = (
+        joined.withColumn("rf", F.row_number().over(w_first))
+        .withColumn("rl", F.row_number().over(w_last))
+        .filter((F.col("rf") == 1) | (F.col("rl") == 1))
+    )
+    first = picked.filter(F.col("rf") == 1).select(
+        F.lit("first").alias("model"),
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        "cid",
+        "v",
+    )
+    last = picked.filter(F.col("rl") == 1).select(
+        F.lit("last").alias("model"),
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        "cid",
+        "v",
+    )
+    return (
+        first.unionAll(last)
+        .groupBy("model", "channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("v").cast("long").alias("attributed_cents"),
+        )
+    )

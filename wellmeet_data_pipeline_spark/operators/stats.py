@@ -1857,3 +1857,78 @@ def dp_contribution_clip_plan(
             .alias("clipped_share_micro"),
         )
     )
+
+
+def krippendorff_alpha_nominal(
+    ratings: DataFrame,
+    unit_col: str = "unit",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha (nominal data) over a (unit, rater, label)
+    ratings frame — the inter-annotator agreement coefficient that,
+    unlike Cohen's kappa (lang_id_kappa's 2-rater read), handles ANY
+    number of raters and missing ratings: the labeling-quality gate to
+    run before a crowd-labeled training set is trusted.
+
+      D_o = (1/n) * sum_u [ordered disagreeing pairs in u] / (m_u - 1)
+      D_e = (n(n-1) - sum_c n_c(n_c-1)) / (n(n-1));  alpha = 1 - D_o/D_e
+
+    with n = total ratings, m_u = ratings in unit u, n_c = label
+    marginals.  Every count is an exact BIGINT; the per-unit rational
+    d_u/(m_u-1) snaps to the micro grid by EXACT integer floor division
+    BEFORE the cross-unit sum (the snap-before-sum discipline — a
+    double sum is partition-order-dependent), and the two final closes
+    are IEEE divisions, micro-snapped.  Units with m_u < 2 carry no
+    pair information and drop from D_o per the standard definition.
+
+    Scale shape: one groupBy (unit, label), one groupBy unit, one
+    label-marginal aggregate — all map-side combined; nothing is ever
+    rater^2 beyond the per-unit label histogram.  Output one row:
+    (n_units, n_ratings, do_micro, de_micro, alpha_micro)."""
+    r = ratings.select(
+        F.col(unit_col).alias("u"),
+        F.col(rater_col).alias("rt"),
+        F.col(label_col).alias("lb"),
+    ).filter(F.col("u").isNotNull() & F.col("lb").isNotNull())
+    per_ul = r.groupBy("u", "lb").agg(F.count("*").cast("long").alias("m_uc"))
+    per_u = per_ul.groupBy("u").agg(
+        F.sum("m_uc").cast("long").alias("m_u"),
+        F.sum(F.col("m_uc") * F.col("m_uc")).cast("long").alias("sq"),
+    )
+    # ordered disagreeing pairs in u = m_u^2 - sum_c m_uc^2; the
+    # 1/(m_u - 1) weight snaps by exact integer division per unit
+    do_terms = per_u.filter(F.col("m_u") >= 2).select(
+        F.expr(
+            "((m_u * m_u - sq) * 1000000) div (m_u - 1)"
+        ).cast("long").alias("t_micro"),
+        F.col("m_u"),
+    )
+    do_agg = do_terms.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("t_micro").cast("long").alias("do_sum_micro"),
+        F.sum("m_u").cast("long").alias("n"),
+    )
+    marg = (
+        r.join(
+            per_u.filter(F.col("m_u") >= 2).select("u"), "u", "left_semi"
+        )
+        .groupBy("lb")
+        .agg(F.count("*").cast("long").alias("n_c"))
+        .agg(F.sum(F.col("n_c") * (F.col("n_c") - 1)).cast("long").alias("pairs_same"))
+    )
+    nD = F.col("n").cast("double")
+    do = F.col("do_sum_micro").cast("double") / F.lit(1_000_000.0) / nD
+    de = (nD * (nD - F.lit(1.0)) - F.col("pairs_same").cast("double")) / (
+        nD * (nD - F.lit(1.0))
+    )
+    snap = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    return do_agg.crossJoin(F.broadcast(marg)).select(
+        "n_units",
+        F.col("n").alias("n_ratings"),
+        snap(do).alias("do_micro"),
+        snap(de).alias("de_micro"),
+        snap(
+            F.lit(1.0) - do / F.nullif(de, F.lit(0.0))
+        ).alias("alpha_micro"),
+    )

@@ -1078,3 +1078,351 @@ def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_neardup(
         d, "__norm", "doc_id", prefix_len=10, cmp_len=100, max_dist=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join by prefix filtering (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "jaccard_prefix_join",
+    f"""
+    WITH nn AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tk AS (
+      SELECT doc_id AS id, unnest(
+        list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                     i -> array_to_string(words[i:i+2], ' ')))
+      ) AS tok
+      FROM nn
+    ),
+    dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
+    sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+    rk AS (
+      SELECT t.id, t.tok, s.n,
+             row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rk
+      FROM tk t JOIN dfc d USING (tok) JOIN sz s USING (id)
+    ),
+    pre AS (SELECT id, tok FROM rk WHERE rk <= n - (4 * n + 4) // 5 + 1),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pre a JOIN pre b USING (tok) WHERE a.id < b.id
+    ),
+    itr AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN tk x ON x.id = c.id_a
+      JOIN tk y ON y.id = c.id_b AND y.tok = x.tok
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.inter,
+           CAST(sa.n + sb.n - i.inter AS BIGINT) AS union_n,
+           CAST((i.inter * 1000000) // (sa.n + sb.n - i.inter) AS BIGINT)
+             AS jaccard_micro
+    FROM itr i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+    WHERE i.inter * 5 >= 4 * (sa.n + sb.n - i.inter)
+    """,
+    "EXACT 3-shingle-set similarity self-join at Jaccard >= 0.8 by prefix "
+    "filtering (AllPairs/PPJoin, Bayardo WWW'07): under the global "
+    "df-ascending shingle order, similar sets MUST share a shingle in their "
+    "first n - ceil(0.8n) + 1 tokens, so candidates come from one "
+    "equi-join on RARE prefix tokens and the verify is an exact "
+    "cross-multiplied Jaccard — the provably-COMPLETE counterpart of "
+    "MinHash-LSH (which trades completeness for probability; "
+    "dedup_threshold_sweep measures exactly what that trade costs).  "
+    "Integer arithmetic throughout; per-doc rank window is doc-bounded; "
+    "no cross join",
+)
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_join,
+        shingles_df,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = shingles_df(d, "text", "doc_id", n=3).select(
+        "doc_id", F.col("shingle").alias("tok")
+    )
+    return prefix_filter_jaccard_join(
+        toks, threshold_num=4, threshold_den=5, id_col="doc_id", tok_col="tok"
+    )
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch revenue attribution
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "revenue_attribution_touch",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, ts AS cts, event_id AS cid,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    tch AS (
+      SELECT user_id AS u, ts AS tts, event_id AS tid, event_type AS channel
+      FROM events
+      WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    j AS (
+      SELECT c.cts, c.cid, c.v, t.tts, t.tid, t.channel
+      FROM conv c LEFT JOIN tch t
+        ON t.u = c.u AND t.tts <= c.cts AND t.tts > c.cts - INTERVAL 7 DAY
+    ),
+    p AS (
+      SELECT cid, v, channel,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY tts ASC NULLS LAST, tid ASC NULLS LAST) AS rf,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY tts DESC NULLS LAST, tid DESC NULLS LAST) AS rl
+      FROM j
+    ),
+    lab AS (
+      SELECT 'first' AS model, coalesce(channel, 'direct') AS channel, cid, v
+      FROM p WHERE rf = 1
+      UNION ALL
+      SELECT 'last', coalesce(channel, 'direct'), cid, v FROM p WHERE rl = 1
+    )
+    SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(v) AS BIGINT) AS attributed_cents
+    FROM lab GROUP BY 1, 2
+    """,
+    "first-touch vs last-touch revenue attribution: every purchase "
+    "credits its cents to the user's earliest / latest click-or-view "
+    "inside a 7-day lookback ('direct' when none) — the two bookends of "
+    "the attribution-model family, downstream of the funnel queries, "
+    "deciding channel budgets.  One banded user equi-join (pair volume "
+    "= in-window touch density, never |touches| x |purchases|), one "
+    "window per conversion with the deterministic (ts, event_id) order, "
+    "integer cents end-to-end",
+)
+def q_revenue_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.experiment import touch_attribution
+
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    tch = ev.filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select("user_id", "ts", "event_id", F.col("event_type").alias("channel"))
+    return touch_attribution(
+        tch, conv, "user_id", "ts", "event_id", "channel", "cents", lookback_days=7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup normalization ladder (exact -> casefold -> punct-strip -> homoglyph)
+# ---------------------------------------------------------------------------
+
+from wellmeet_data_pipeline_spark.functions.text import (  # noqa: E402
+    CONFUSABLE_FROM,
+    CONFUSABLE_TO,
+)
+
+
+@_q(
+    "dedup_normalization_ladder",
+    f"""
+    WITH base AS (
+      SELECT source, text, lower(text) AS cased, {_NORM_SQL} AS norm
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT sha256(text)) AS BIGINT) AS d_exact,
+           CAST(count(DISTINCT sha256(cased)) AS BIGINT) AS d_cased,
+           CAST(count(DISTINCT sha256(norm)) AS BIGINT) AS d_norm,
+           CAST(count(DISTINCT sha256(
+             translate(norm, '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}')))
+             AS BIGINT) AS d_folded
+    FROM base GROUP BY 1
+    """,
+    "dedup normalization ladder per source: distinct-content counts at "
+    "four aggressiveness rungs — exact bytes, casefolded, the repo's "
+    "dedup normalization (lowercase + punct strip + whitespace "
+    "collapse), and homoglyph-folded (Cyrillic/Greek/lookalike "
+    "codepoints mapped to Basic Latin via ONE shared translate map) — "
+    "the 'how much duplication does each rung unlock' audit that "
+    "decides which normalization the exact-dedup key should hash, and "
+    "the spam-evasion read (confusable substitution defeats L0-L2).  "
+    "One groupBy with sha-keyed distincts, map-side combined",
+)
+def q_dedup_normalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.functions.text import (
+        fold_confusables,
+        normalized_text,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select(
+            "source",
+            "text",
+            F.lower(F.col("text")).alias("cased"),
+            normalized_text("text").alias("norm"),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).cast("long").alias("d_exact"),
+        F.countDistinct(F.sha2(F.col("cased"), 256)).cast("long").alias("d_cased"),
+        F.countDistinct(F.sha2(F.col("norm"), 256)).cast("long").alias("d_norm"),
+        F.countDistinct(F.sha2(fold_confusables(F.col("norm")), 256))
+        .cast("long")
+        .alias("d_folded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha over synthetic annotators
+# ---------------------------------------------------------------------------
+
+_KRIPP_LANGS = "['de', 'en', 'es', 'fr', 'zh']"
+
+
+def _kripp_rater_sql(r: int) -> str:
+    noise_pct = 2 + 2 * r  # rater 0: 20%, 1: 40%, 2: 60% noise
+    return f"""
+      SELECT doc_id AS unit, {r} AS rater,
+             CASE WHEN h % 10 < {noise_pct}
+                  THEN list_extract({_KRIPP_LANGS}, ((h // 10) % 5) + 1)
+                  ELSE lang END AS label
+      FROM (
+        SELECT doc_id, lang,
+               CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                  AS BIGINT) AS h
+        FROM (
+          SELECT doc_id, lang,
+                 sha256(concat_ws('|', CAST(doc_id AS VARCHAR), '{r}')) AS hx
+          FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        )
+      )"""
+
+
+@_q(
+    "krippendorff_alpha",
+    f"""
+    WITH ratings AS (
+      {_kripp_rater_sql(0)}
+      UNION ALL
+      {_kripp_rater_sql(1)}
+      UNION ALL
+      {_kripp_rater_sql(2)}
+    ),
+    per_ul AS (
+      SELECT unit, label, CAST(count(*) AS BIGINT) AS m_uc
+      FROM ratings GROUP BY 1, 2
+    ),
+    per_u AS (
+      SELECT unit, CAST(sum(m_uc) AS BIGINT) AS m_u,
+             CAST(sum(m_uc * m_uc) AS BIGINT) AS sq
+      FROM per_ul GROUP BY 1
+    ),
+    do_terms AS (
+      SELECT CAST(((m_u * m_u - sq) * 1000000) // (m_u - 1) AS BIGINT) AS t_micro,
+             m_u
+      FROM per_u WHERE m_u >= 2
+    ),
+    do_agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(t_micro) AS BIGINT) AS do_sum_micro,
+             CAST(sum(m_u) AS BIGINT) AS n
+      FROM do_terms
+    ),
+    marg AS (
+      SELECT CAST(sum(n_c * (n_c - 1)) AS BIGINT) AS pairs_same FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_c
+        FROM ratings r
+        JOIN (SELECT unit FROM per_u WHERE m_u >= 2) k USING (unit)
+        GROUP BY r.label
+      )
+    )
+    SELECT n_units, n AS n_ratings,
+           CAST(floor(CAST(do_sum_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                      / CAST(n AS DOUBLE)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS do_micro,
+           CAST(floor((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))
+                       - CAST(pairs_same AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS de_micro,
+           CAST(floor((CAST(1 AS DOUBLE)
+                       - (CAST(do_sum_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                         / nullif((CAST(n AS DOUBLE)
+                                   * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))
+                                   - CAST(pairs_same AS DOUBLE))
+                                  / (CAST(n AS DOUBLE)
+                                     * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))),
+                                  CAST(0 AS DOUBLE)))
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS alpha_micro
+    FROM do_agg CROSS JOIN marg
+    """,
+    "Krippendorff's alpha (nominal) over three deterministic synthetic "
+    "annotators of the documents' language labels (sha-derived noise at "
+    "20/40/60% per rater) — the many-rater agreement coefficient "
+    "completing the labeling-eval family next to lang_id_kappa's "
+    "2-rater Cohen read: the gate a crowd-labeled training set passes "
+    "before it is trusted.  Per-unit disagreement rationals snap by "
+    "exact integer division BEFORE the cross-unit sum; marginals exact "
+    "BIGINT; two IEEE closes, micro-snapped",
+)
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.stats import krippendorff_alpha_nominal
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+    )
+    langs = F.array(*[F.lit(x) for x in ["de", "en", "es", "fr", "zh"]])
+    frames = []
+    for r in range(3):
+        noise_pct = 2 + 2 * r
+        h = F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(str(r))),
+                    256,
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        frames.append(
+            d.select(
+                F.col("doc_id").alias("unit"),
+                F.lit(r).alias("rater"),
+                F.when(
+                    h % 10 < noise_pct,
+                    F.element_at(langs, ((h / 10).cast("long") % 5 + 1).cast("int")),
+                )
+                .otherwise(F.col("lang"))
+                .alias("label"),
+            )
+        )
+    ratings = frames[0].unionAll(frames[1]).unionAll(frames[2])
+    return krippendorff_alpha_nominal(ratings, "unit", "rater", "label")
