@@ -336,13 +336,28 @@ def test_global_rank_cumsum_rank_only_and_single_row(spark):
 def test_registry_driver_window_is_oracle_backed(spark):
     """The driver snapshots the first 50 REGISTRY entries; the rotation must
     keep that window exactly _DRIVER_WINDOW and never waste a slot on a
-    rows-only (oracle=None) query."""
-    from wellmeet_data_pipeline_spark.plans.queries import _DRIVER_WINDOW, REGISTRY
+    rows-only (oracle=None) query — EXCEPT the explicitly allowlisted
+    entries (r12 verdict item 5 spends 4 slots so the only
+    zero-driver-evidence rows-only queries get a rows>0 driver row)."""
+    from wellmeet_data_pipeline_spark.plans.queries import (
+        _DRIVER_WINDOW,
+        _ROWS_ONLY_WINDOW_ALLOWLIST,
+        REGISTRY,
+    )
 
     names = list(REGISTRY)
     assert names[: len(_DRIVER_WINDOW)] == _DRIVER_WINDOW
     assert len(_DRIVER_WINDOW) == 50
-    assert all(REGISTRY[n].oracle is not None for n in _DRIVER_WINDOW)
+    assert all(
+        REGISTRY[n].oracle is not None
+        for n in _DRIVER_WINDOW
+        if n not in _ROWS_ONLY_WINDOW_ALLOWLIST
+    )
+    # the allowlist itself must stay small and name only rows-only entries
+    assert len(_ROWS_ONLY_WINDOW_ALLOWLIST) <= 4
+    assert all(
+        REGISTRY[n].oracle is None for n in _ROWS_ONLY_WINDOW_ALLOWLIST
+    )
     assert len(names) == len(set(names))
 
 
