@@ -1922,15 +1922,23 @@ def prefix_filter_jaccard_join(
     pair-bounded verify join.  No cross join at any cardinality.
 
     Returns (id_a, id_b, inter, union_n, jaccard_micro), id_a < id_b."""
+    # NO localCheckpoint on t: it is corpus-grain, and pinning it in the
+    # block manager OOM'd the 64x smoke corpus — the distinct's shuffle
+    # files are reused across the three consumers anyway
     t = tokens.select(
         F.col(id_col).alias("id"), F.col(tok_col).alias("tok")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
     df_counts = t.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     sizes = t.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    # every join below has BOTH sides at corpus grain (token rows, doc
+    # sizes, candidate pairs) — pin them to sort-merge so AQE never
+    # "promotes" a multi-million-row side to a broadcast it cannot build
+    # (measured: the 64x smoke corpus OOM'd the broadcast exchange);
+    # at 100 TB none of these sides is broadcastable by definition
     # global order (df asc, tok asc); per-doc rank window is doc-bounded
     ranked = (
-        t.join(df_counts, "tok")
-        .join(sizes, "id")
+        t.join(df_counts.hint("merge"), "tok")
+        .join(sizes.hint("merge"), "id")
         .withColumn(
             "rk",
             F.row_number().over(
@@ -1949,21 +1957,36 @@ def prefix_filter_jaccard_join(
     ).select("id", "tok")
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "tok")
+        .join(prefix.alias("b").hint("merge"), "tok")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     inter = (
-        cand.join(t.select(F.col("id").alias("id_a"), "tok"), "id_a")
-        .join(t.select(F.col("id").alias("id_b"), F.col("tok").alias("tok2")), "id_b")
+        cand.join(t.select(F.col("id").alias("id_a"), "tok").hint("merge"), "id_a")
+        .join(
+            t.select(F.col("id").alias("id_b"), F.col("tok").alias("tok2")).hint(
+                "merge"
+            ),
+            "id_b",
+        )
         .filter(F.col("tok") == F.col("tok2"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("inter"))
     )
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")).hint(
+                "merge"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")).hint(
+                "merge"
+            ),
+            "id_b",
+        )
         .withColumn("union_n", (F.col("na") + F.col("nb") - F.col("inter")).cast("long"))
         .filter(
             F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("union_n")
