@@ -287,6 +287,8 @@ HEADLINE = [
     "revenue_attribution_touch",
     "dedup_normalization_ladder",
     "krippendorff_alpha",
+    "ratio_metric_delta_ci",
+    "srm_check",
 ]
 
 # Arrow/matmul-heavy entries: timed min-of-2 (module docstring, protocol

@@ -597,3 +597,48 @@ def test_fold_confusables_maps_homoglyphs(spark):
     out = [r[0] for r in df.select(fold_confusables("t")).collect()]
     assert out[1] == "plain ascii"
     assert "о" not in out[0]  # no Cyrillic o survives
+
+
+# ---------------------------------------------------------------------------
+# Ratio-metric delta CI + SRM (wave 2b)
+# ---------------------------------------------------------------------------
+
+
+def test_ratio_ci_constant_ratio_zero_se(spark):
+    from wellmeet_data_pipeline_spark.operators.experiment import ratio_metric_delta_ci
+
+    # x = 2y per unit exactly: R = 2, delta-method variance = 0
+    rows = [(0, 2 * y, y) for y in (5, 10, 15, 20)]
+    df = spark.createDataFrame(rows, "arm long, x long, y long")
+    r = ratio_metric_delta_ci(df).collect()[0]
+    assert r["ratio_micro"] == 2_000_000 and r["se_micro"] == 0
+    assert r["lo_micro"] == r["hi_micro"] == 2_000_000
+
+
+def test_ratio_ci_interval_brackets_ratio(spark):
+    from wellmeet_data_pipeline_spark.operators.experiment import ratio_metric_delta_ci
+
+    rows = [(0, x, y) for x, y in [(10, 5), (30, 6), (5, 9), (25, 4)]]
+    df = spark.createDataFrame(rows, "arm long, x long, y long")
+    r = ratio_metric_delta_ci(df).collect()[0]
+    assert r["lo_micro"] < r["ratio_micro"] < r["hi_micro"]
+    assert r["se_micro"] > 0
+
+
+def test_srm_balanced_passes_biased_flags(spark):
+    from wellmeet_data_pipeline_spark.operators.experiment import srm_check
+
+    balanced = spark.createDataFrame(
+        [(i, i % 2) for i in range(1000)], "uid long, arm long"
+    )
+    out = srm_check(balanced, "arm").collect()
+    assert all(r["srm_flag"] == 0 for r in out)
+    assert all(r["chi2_term_micro"] == 0 for r in out)
+
+    # 600/400 split on n=1000 vs 50/50: chi2 = 40 >> 3.84 — flag fires
+    biased = spark.createDataFrame(
+        [(i, 0 if i < 600 else 1) for i in range(1000)], "uid long, arm long"
+    )
+    out = srm_check(biased, "arm").collect()
+    assert all(r["srm_flag"] == 1 for r in out)
+    assert out[0]["chi2_total_micro"] == 40_000_000

@@ -504,3 +504,148 @@ def touch_attribution(
             F.sum("v").cast("long").alias("attributed_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-metric delta-method CI + sample-ratio-mismatch gate
+# ---------------------------------------------------------------------------
+
+
+def ratio_metric_delta_ci(
+    per_unit: DataFrame,
+    arm_col: str = "arm",
+    num_col: str = "x",
+    den_col: str = "y",
+    z_times_1000: int = 1960,
+) -> DataFrame:
+    """Per-arm ratio metric R = sum(x)/sum(y) (revenue per session,
+    CTR, items per order — the metric class where unit-level averaging
+    is WRONG because units contribute unequal denominators) with its
+    delta-method standard error:
+
+      var(R) ≈ (var_x - 2 R cov_xy + R² var_y) / (n ȳ²)
+
+    closed from ONE exact BIGINT moment set per arm (sums of x, y, x²,
+    y², xy — map-side combined, one shuffle at arm grain), then a
+    z-interval at z_times_1000/1000 sigma.  The experimentation-family
+    companion of cuped_adjusted (which adjusts unit-level metrics;
+    this handles the ratio class CUPED alone can't).  Degenerate arms
+    (zero denominator, n < 2) emit NULLs via nullif.
+
+    Returns per arm: (arm, n, ratio_micro, se_micro, lo_micro,
+    hi_micro)."""
+    u = per_unit.select(
+        F.col(arm_col).alias("arm"),
+        F.col(num_col).cast("long").alias("x"),
+        F.col(den_col).cast("long").alias("y"),
+    )
+    m = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nD
+    my = F.col("sy").cast("double") / nD
+    vx = F.col("sxx").cast("double") / nD - mx * mx
+    vy = F.col("syy").cast("double") / nD - my * my
+    cxy = F.col("sxy").cast("double") / nD - mx * my
+    r = F.col("sx").cast("double") / F.nullif(F.col("sy").cast("double"), F.lit(0.0))
+    var_r = (vx - F.lit(2.0) * r * cxy + r * r * vy) / F.nullif(
+        nD * my * my, F.lit(0.0)
+    )
+    se = F.sqrt(F.greatest(var_r, F.lit(0.0)))
+    z = z_times_1000 / 1000.0
+    return m.select(
+        "arm",
+        "n",
+        _micro(r).alias("ratio_micro"),
+        _micro(se).alias("se_micro"),
+        _micro(r - F.lit(z) * se).alias("lo_micro"),
+        _micro(r + F.lit(z) * se).alias("hi_micro"),
+    )
+
+
+def srm_check(
+    assignments: DataFrame,
+    arm_col: str = "arm",
+    expected_micro: dict[int, int] | None = None,
+    threshold_chi2_micro: int = 3_841_459,
+) -> DataFrame:
+    """Sample-ratio-mismatch gate: chi-square of observed arm counts
+    against the designed split (default 50/50) — THE first validity
+    check on any experiment readout (a biased assignment invalidates
+    every downstream metric; Kohavi's trustworthy-experiments rule).
+    Default threshold is the exact chi-square(1) 95% critical value on
+    the micro grid.
+
+    One arm-grain count aggregate; expected shares arrive as micro-grid
+    integers so the per-arm statistic (obs - exp)²/exp closes from
+    exact BIGINTs with ONE IEEE division per arm, snapped before the
+    cross-arm sum (snap-before-sum).  Returns per arm: (arm, n_obs,
+    expected_micro_share, chi2_term_micro, chi2_total_micro,
+    srm_flag)."""
+    counts = assignments.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count("*").cast("long").alias("n_obs")
+    )
+    spark = assignments.sparkSession
+    exp = expected_micro or {0: 500_000, 1: 500_000}
+    exp_df = spark.createDataFrame(
+        [(a, m) for a, m in sorted(exp.items())], "arm long, exp_share_micro long"
+    )
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("n_tot"))
+    per_arm = (
+        # no broadcast hint: Spark can't build-right a FULL join and
+        # logs a HintErrorLogger warning; the frame is |arms| rows anyway
+        counts.join(exp_df, "arm", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+            F.coalesce(F.col("exp_share_micro"), F.lit(0).cast("long")).alias(
+                "exp_share_micro"
+            ),
+            "n_tot",
+        )
+        .withColumn(
+            "chi2_term_micro",
+            # (obs - exp)^2 / exp on the micro grid: exp_n = n_tot *
+            # share / 1e6 (double), one division, snap
+            _micro(
+                (
+                    F.col("n_obs").cast("double")
+                    - F.col("n_tot").cast("double")
+                    * F.col("exp_share_micro").cast("double")
+                    / F.lit(1_000_000.0)
+                )
+                * (
+                    F.col("n_obs").cast("double")
+                    - F.col("n_tot").cast("double")
+                    * F.col("exp_share_micro").cast("double")
+                    / F.lit(1_000_000.0)
+                )
+                / F.nullif(
+                    F.col("n_tot").cast("double")
+                    * F.col("exp_share_micro").cast("double")
+                    / F.lit(1_000_000.0),
+                    F.lit(0.0),
+                )
+            ),
+        )
+    )
+    total = per_arm.agg(
+        F.sum("chi2_term_micro").cast("long").alias("chi2_total_micro")
+    )
+    return per_arm.crossJoin(F.broadcast(total)).select(
+        "arm",
+        "n_obs",
+        "exp_share_micro",
+        "chi2_term_micro",
+        "chi2_total_micro",
+        (F.col("chi2_total_micro") > threshold_chi2_micro).cast("int").alias(
+            "srm_flag"
+        ),
+    )

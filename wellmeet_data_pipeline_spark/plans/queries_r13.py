@@ -1426,3 +1426,159 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ratings = frames[0].unionAll(frames[1]).unionAll(frames[2])
     return krippendorff_alpha_nominal(ratings, "unit", "rater", "label")
+
+
+# ---------------------------------------------------------------------------
+# Ratio-metric delta CI + sample-ratio-mismatch gate (experiment family)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ratio_metric_delta_ci",
+    f"""
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN {_EVENT_CENTS_SQL} END), 0) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, user_id
+    ),
+    m AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM u GROUP BY 1
+    ),
+    cl AS (
+      SELECT arm, n,
+             CAST(sx AS DOUBLE) / nullif(CAST(sy AS DOUBLE), CAST(0 AS DOUBLE)) AS r,
+             sqrt(greatest(
+               (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                - CAST(2 AS DOUBLE)
+                  * (CAST(sx AS DOUBLE) / nullif(CAST(sy AS DOUBLE), CAST(0 AS DOUBLE)))
+                  * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                + (CAST(sx AS DOUBLE) / nullif(CAST(sy AS DOUBLE), CAST(0 AS DOUBLE)))
+                  * (CAST(sx AS DOUBLE) / nullif(CAST(sy AS DOUBLE), CAST(0 AS DOUBLE)))
+                  * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+               / nullif(CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)),
+                        CAST(0 AS DOUBLE)),
+               CAST(0 AS DOUBLE))) AS se
+      FROM m
+    )
+    SELECT arm, n,
+           CAST(floor(r * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS ratio_micro,
+           CAST(floor(se * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS se_micro,
+           CAST(floor((r - CAST(1.96 AS DOUBLE) * se)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS lo_micro,
+           CAST(floor((r + CAST(1.96 AS DOUBLE) * se)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS hi_micro
+    FROM cl
+    """,
+    "per-arm ratio metric (purchase cents per event) with its "
+    "delta-method z-interval — the experimentation read for the metric "
+    "class where unit-level averaging is wrong because units carry "
+    "unequal denominators (revenue/session, CTR): var(R) = (var_x - "
+    "2R cov + R^2 var_y)/(n ybar^2) closed from ONE exact BIGINT moment "
+    "set per arm; sqrt/divisions are the only doubles, micro-snapped.  "
+    "Completes the A/B family next to cuped_adjusted_metric (unit "
+    "metrics) and event_welch_ttest (mean differences)",
+)
+def q_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.experiment import ratio_metric_delta_ci
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    per_user = ev.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("arm"), F.col("user_id")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("x"),
+        F.count("*").cast("long").alias("y"),
+    )
+    return ratio_metric_delta_ci(per_user, "arm", "x", "y", z_times_1000=1960)
+
+
+@_q(
+    "srm_check",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id, CAST(user_id % 2 AS BIGINT) AS arm
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    counts AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_obs FROM assign GROUP BY 1
+    ),
+    expd(arm, exp_share_micro) AS (VALUES (0, 500000), (1, 500000)),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM counts),
+    per_arm AS (
+      SELECT coalesce(c.arm, e.arm) AS arm,
+             CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+             CAST(coalesce(e.exp_share_micro, 0) AS BIGINT) AS exp_share_micro,
+             t.n_tot
+      FROM counts c FULL JOIN expd e ON e.arm = c.arm CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT arm, n_obs, exp_share_micro,
+             CAST(floor(
+               (CAST(n_obs AS DOUBLE)
+                - CAST(n_tot AS DOUBLE) * CAST(exp_share_micro AS DOUBLE)
+                  / CAST(1000000 AS DOUBLE))
+               * (CAST(n_obs AS DOUBLE)
+                  - CAST(n_tot AS DOUBLE) * CAST(exp_share_micro AS DOUBLE)
+                    / CAST(1000000 AS DOUBLE))
+               / nullif(CAST(n_tot AS DOUBLE) * CAST(exp_share_micro AS DOUBLE)
+                        / CAST(1000000 AS DOUBLE), CAST(0 AS DOUBLE))
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS chi2_term_micro
+      FROM per_arm
+    ),
+    total AS (
+      SELECT CAST(sum(chi2_term_micro) AS BIGINT) AS chi2_total_micro FROM terms
+    )
+    SELECT t.arm, t.n_obs, t.exp_share_micro, t.chi2_term_micro,
+           tt.chi2_total_micro,
+           CAST(tt.chi2_total_micro > 3841459 AS INT) AS srm_flag
+    FROM terms t CROSS JOIN total tt
+    """,
+    "sample-ratio-mismatch gate on the deterministic user_id-parity "
+    "assignment vs the designed 50/50 split: chi-square of observed arm "
+    "counts with the exact chi2(1) 95% critical value on the micro grid "
+    "— THE first validity check on any experiment readout (a biased "
+    "assignment invalidates every downstream metric).  Per-arm terms "
+    "snap before the cross-arm sum; one arm-grain aggregate",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.experiment import srm_check
+
+    assign = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", (F.col("user_id") % 2).cast("long").alias("arm"))
+        .distinct()
+    )
+    return srm_check(assign, "arm", expected_micro={0: 500_000, 1: 500_000})
