@@ -2084,3 +2084,73 @@ def test_streaming_ewma_chart_parity_and_replay(spark, tmp_path):
     by_key = {(r[0], r[1]): r for r in got}
     assert all(by_key[("b", d)][6] == 0 for _, d in by_key if _ == "b")
     assert by_key[("a", "2024-03-02")][2] == 150
+
+
+def test_streaming_scd2_history_parity_and_replay(spark, tmp_path):
+    """The streaming SCD2 twin (r13) must (a) match the batch
+    scd2_history on the same observation set, (b) fold a replayed
+    observation and an out-of-order late observation exactly as a batch
+    rebuild would (history is a function of the observation SET), (c)
+    return an empty typed frame before the store exists."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from wellmeet_data_pipeline_spark.operators.windows import scd2_history
+    from wellmeet_data_pipeline_spark.streaming.analytics import (
+        current_scd2_history,
+        run_streaming_event_log,
+    )
+
+    landing = tmp_path / "scd2_landing"
+    landing.mkdir()
+    store = str(tmp_path / "scd2_store")
+    ckpt = str(tmp_path / "scd2_ckpt")
+    schema = StructType(
+        [
+            StructField("uid", LongType()),
+            StructField("st", StringType()),
+            StructField("ts", StringType()),
+            StructField("eid", LongType()),
+        ]
+    )
+
+    assert (
+        current_scd2_history(spark, store, "uid", "st", "ts", "eid").count() == 0
+    )
+
+    def ob(uid, st, t, eid):
+        return {"uid": uid, "st": st, "ts": f"2024-04-{t:02d}", "eid": eid}
+
+    rows1 = [ob(1, "A", 1, 1), ob(1, "A", 2, 2), ob(1, "B", 5, 5), ob(2, "X", 1, 9)]
+    _drop(landing, "a.json", rows1)
+    run_streaming_event_log(spark, str(landing), store, ckpt, schema, "eid")
+
+    # batch 2: a LATE observation (day 3, between existing days), a new
+    # run for user 1, and a replayed duplicate of eid=5
+    rows2 = [ob(1, "B", 3, 3), ob(1, "A", 7, 7), ob(1, "B", 5, 5)]
+    _drop(landing, "b.json", rows2)
+    run_streaming_event_log(spark, str(landing), store, ckpt, schema, "eid")
+
+    got = sorted(
+        map(tuple, current_scd2_history(spark, store, "uid", "st", "ts", "eid").collect())
+    )
+
+    all_obs = {r["eid"]: r for r in rows1 + rows2}  # replay collapses
+    batch = spark.createDataFrame(
+        [(r["uid"], r["st"], r["ts"], r["eid"]) for r in all_obs.values()],
+        "uid long, st string, ts string, eid long",
+    )
+    want = sorted(
+        map(
+            tuple,
+            scd2_history(batch, "uid", "st", "ts", "eid")
+            .select("uid", "state", "effective_from", "effective_to", "version", "is_current")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # the late day-3 'B' observation reshapes user 1's history into
+    # A(1..3) B(3..7) A(7..) — versions renumber deterministically
+    u1 = sorted([r for r in got if r[0] == 1], key=lambda r: r[4])
+    assert [r[1] for r in u1] == ["A", "B", "A"]
+    assert u1[-1][5] == 1  # only the last range is current

@@ -576,3 +576,79 @@ def current_ewma_chart(
         F.sum("x").cast("long").alias("__x")
     )
     return ewma_control_chart(totals, group_col, period_col, "__x")
+
+
+def run_streaming_event_log(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    id_col: str,
+) -> None:
+    """Drain the landing stream (availableNow) into a RAW-ROW store
+    keyed by (id, batch seq) — the substrate for consumers that need
+    whole observations rather than pre-aggregated partials (the SCD2
+    history view below needs every state observation's (state, ts,
+    tie)).  Same store contract as the partial-count stores: replays
+    re-append the same identity and dedup on read, so the log is
+    exactly-once under the foreachBatch replay contract."""
+    stream = spark.readStream.schema(schema).option("multiLine", "true").json(
+        landing_dir
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.filter(F.col(id_col).isNotNull())
+        if rows.isEmpty():
+            return
+        merge_append(
+            rows,
+            store_path,
+            id_col=id_col,
+            partition_col=None,
+            batch_seq=batch_id,
+        )
+
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def current_scd2_history(
+    spark: SparkSession,
+    store_path: str,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tie_col: str,
+    key_type: str = "bigint",
+    state_type: str = "string",
+    ts_type: str = "string",
+) -> DataFrame:
+    """The consumer view of the streaming SCD2 dimension-history build
+    (r13 — the batch family's twin, the CUSUM-twin discipline): dedup
+    the raw-row event log on (tie, batch seq) and hand every
+    observation to the SAME batch operator (operators.windows.
+    scd2_history), so monitor and batch read stay contract-identical
+    by construction.  Late or replayed observations fold in exactly as
+    a batch rebuild would — history is a deterministic function of the
+    observation SET (the (ts, tie) total order), never of arrival
+    order, which is the property that makes SCD2 safe to maintain
+    incrementally at all.  Empty store → empty typed frame."""
+    from wellmeet_data_pipeline_spark.operators.windows import scd2_history
+
+    cur = read_current_or_none(spark, store_path, id_col=[tie_col, "_batch_seq"])
+    if cur is None:
+        return spark.createDataFrame(
+            [],
+            f"{key_col} {key_type}, state {state_type}, "
+            f"effective_from {ts_type}, effective_to {ts_type}, "
+            "version bigint, is_current int",
+        )
+    return scd2_history(cur, key_col, state_col, ts_col, tie_col).select(
+        key_col, "state", "effective_from", "effective_to", "version", "is_current"
+    )
