@@ -4,14 +4,19 @@ Two tiers:
 
 - brute_force_top_k / embedding_near_dup_pairs: exact cosine, fully
   distributed.  Both sides are hash-blocked on their id
-  (pmod(xxhash64(id), n_blocks)) and every (query_block, candidate_block)
-  pair meets in ONE cogrouped applyInPandas — a block-nested-loop join
-  where each task scores an (N/B x N/B) tile with a single float64
-  matmul.  Nothing is ever collected to the driver: the only shuffles are
-  the two cogroup exchanges (each side replicated n_blocks times, rows
-  stay narrow (id, vector)) plus a final rank-window merge of the B
-  partial top-k lists per query.  Tile memory is (2N/B) rows — tune
-  n_blocks so a tile fits an executor, independent of total N.
+  (pmod(xxhash64(id), b)) into a b_q x b_c tile grid (b_q*b_c ~
+  n_blocks, square-root split — see _block_split) and every
+  (query_block, candidate_block) pair meets in ONE cogrouped
+  applyInPandas — a block-nested-loop join where each task scores an
+  (N_q/b_q x N_c/b_c) tile with a single float64 matmul.  Nothing is
+  ever collected to the driver: the only shuffles are the two cogroup
+  exchanges (queries replicated b_c times, candidates b_q times — the
+  sqrt split shuffles ~2*sqrt(n_blocks)x fewer bytes than the old
+  square grid for the same task count; rows stay narrow (id, vector))
+  plus a final rank-window merge of the per-tile partial top-k lists
+  per query.  Tile memory is (N_q/b_q + N_c/b_c) rows plus the score
+  matrix — tune n_blocks so a tile fits an executor, independent of
+  total N.
 
 - ivf_top_k: IVF-flat approximate search, the 100 TB path.  Deterministic
   centroids (count ~ sqrt(N) by default, the standard IVF sizing), every
@@ -63,6 +68,63 @@ def _unit_rows(X: np.ndarray) -> np.ndarray:
     return X / np.where(n == 0, 1.0, n)
 
 
+_EMPTY_TOPK = {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
+
+
+def _rank_within_rows(rows: np.ndarray, m: int) -> np.ndarray:
+    """1-based rank of each entry within its (already-sorted-ascending)
+    row group — vectorized replacement for a per-row enumerate."""
+    counts = np.bincount(rows, minlength=m)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return (np.arange(len(rows)) - offsets[rows] + 1).astype(np.int64)
+
+
+def _topk_select(
+    qids: np.ndarray,
+    cids: np.ndarray,
+    S: np.ndarray,
+    allow: np.ndarray,
+    k: int,
+) -> pd.DataFrame:
+    """Exact per-row top-k of a scored matrix under a boolean allow mask,
+    fully vectorized (r13 optimization round, guide §4.2: the old
+    per-query-row python loop ran one O(n) mask + O(n log n) lexsort per
+    row — N_q x N_c lexsort work per tile in interpreted dispatch).
+
+    Selection is EXACT under the repo-wide total order (score desc, id
+    asc): an np.partition threshold finds each row's k-th largest score,
+    the >= threshold survivor set therefore contains every boundary tie,
+    and ONE global lexsort of the ~m*k survivors (row, -score, id) cuts
+    each row at k with the same tie-break the per-row lexsort applied.
+    Returns the standard (query_id, neighbor_id, cosine_sim, rank)
+    frame."""
+    m, n = S.shape
+    neg = np.where(allow, S, -np.inf)
+    kk = min(k, n)
+    if n > kk:
+        thresh = np.partition(neg, n - kk, axis=1)[:, n - kk]
+        sel = (neg >= thresh[:, None]) & allow
+    else:
+        sel = allow
+    rows, cols = np.nonzero(sel)
+    if len(rows) == 0:
+        return pd.DataFrame(_EMPTY_TOPK)
+    sims = S[rows, cols]
+    ids = cids[cols]
+    order = np.lexsort((ids, -sims, rows))
+    rows, ids, sims = rows[order], ids[order], sims[order]
+    rank = _rank_within_rows(rows, m)
+    keep = rank <= k
+    return pd.DataFrame(
+        {
+            "query_id": qids[rows[keep]],
+            "neighbor_id": ids[keep],
+            "cosine_sim": sims[keep],
+            "rank": rank[keep].astype(np.int32),
+        }
+    )
+
+
 def _topk_block(
     qids: np.ndarray,
     Q: np.ndarray,
@@ -70,38 +132,37 @@ def _topk_block(
     C: np.ndarray,
     k: int,
     round_digits: int,
-    mask_fn=None,
+    allow_extra: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact top-k of Q against C (both unnormalized), excluding id-equal
     pairs. Scoring matches the oracle formula dot/(|a||b|) with float64.
-    `mask_fn(r)` may return an extra boolean mask over candidates for
-    query-row r (AND-ed with the id-inequality mask) — e.g. the
-    different-label mask of hard-negative mining."""
+    `allow_extra` may supply an extra (m x n) boolean mask AND-ed with
+    the id-inequality mask — e.g. the different-label mask of
+    hard-negative mining.  Selection/tie-break semantics are pinned by
+    _topk_select (identical output to the original per-row lexsort).
+
+    Query rows are processed in chunks that bound every (chunk x n)
+    float64 intermediate to ~16 MB: the score pipeline allocates several
+    matrix-sized temporaries (norm product, division, rounding, mask)
+    and letting them grow with the tile made big-tile scoring memory-
+    bandwidth-bound (measured 70s vs 19s at the 32k bench tier)."""
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     cn = np.linalg.norm(C, axis=1, keepdims=True)
-    S = _round_half_away((Q @ C.T) / (qn @ cn.T), round_digits)
-    out_q, out_n, out_s, out_r = [], [], [], []
-    for r in range(S.shape[0]):
-        mask = cids != qids[r]
-        if mask_fn is not None:
-            mask &= mask_fn(r)
-        ids_m, sims_m = cids[mask], S[r][mask]
-        order = np.lexsort((ids_m, -sims_m))[:k]
-        kk = len(order)
-        out_q.append(np.full(kk, qids[r]))
-        out_n.append(ids_m[order])
-        out_s.append(sims_m[order])
-        out_r.append(np.arange(1, kk + 1, dtype=np.int32))
-    if not out_q:
-        return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []})
-    return pd.DataFrame(
-        {
-            "query_id": np.concatenate(out_q),
-            "neighbor_id": np.concatenate(out_n),
-            "cosine_sim": np.concatenate(out_s),
-            "rank": np.concatenate(out_r),
-        }
-    )
+    m, n = Q.shape[0], C.shape[0]
+    chunk = max(64, 2_000_000 // max(n, 1))
+    frames = []
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        S = _round_half_away(
+            (Q[lo:hi] @ C.T) / (qn[lo:hi] @ cn.T), round_digits
+        )
+        allow = cids[None, :] != qids[lo:hi, None]
+        if allow_extra is not None:
+            allow &= allow_extra[lo:hi]
+        frames.append(_topk_select(qids[lo:hi], cids, S, allow, k))
+    if not frames:
+        return pd.DataFrame(_EMPTY_TOPK)
+    return pd.concat(frames, ignore_index=True)
 
 
 _TOPK_SCHEMA = "query_id long, neighbor_id long, cosine_sim double, rank int"
@@ -120,6 +181,24 @@ def _merge_tile_partials(partial: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _block_split(n_blocks: int) -> tuple[int, int]:
+    """(n_q_blocks, n_c_blocks) for a ~n_blocks-tile grid.
+
+    r13 optimization round (guide §2.3, shuffle fewer bytes): the old
+    grid was n_blocks x n_blocks tiles, which replicates BOTH sides
+    n_blocks times — shuffle bytes grow linearly in n_blocks.  A b_q x
+    b_c grid replicates queries b_c times and candidates b_q times, so
+    for the same tile COUNT (task parallelism) a square-root split
+    shuffles ~2*sqrt(n_blocks)/(2*n_blocks) of the bytes: at the bench's
+    n_blocks=32 tier that is 11N rows instead of 64N (5.8x fewer).
+    Tiles get proportionally larger (tile memory is (N_q/b_q)x(N_c/b_c)
+    scores) — n_blocks stays the knob that bounds per-task memory, it
+    just buys ~n_blocks tasks instead of n_blocks^2."""
+    b_q = max(1, int(np.sqrt(n_blocks)))
+    b_c = max(1, -(-n_blocks // b_q))
+    return b_q, b_c
+
+
 def _blocked_sides(
     queries: DataFrame,
     candidates: DataFrame,
@@ -132,10 +211,11 @@ def _blocked_sides(
 ) -> tuple[DataFrame, DataFrame]:
     """Block both sides for the block-nested-loop cogroup.
 
-    A query in block i is replicated to every (i, j); a candidate in
-    block j is replicated to every (i, j) — so group (i, j) holds exactly
-    block-i queries x block-j candidates, and every (query, candidate)
-    pair meets in exactly one group.  Blocks derive from xxhash64(id):
+    The grid is b_q x b_c tiles (see _block_split): a query in q-block i
+    is replicated to every (i, j); a candidate in c-block j is
+    replicated to every (i, j) — so group (i, j) holds exactly block-i
+    queries x block-j candidates, and every (query, candidate) pair
+    meets in exactly one group.  Blocks derive from xxhash64(id):
     deterministic under task retries (no monotonically_increasing_id).
 
     Both block columns are cast to int on BOTH sides: cogroup matches its
@@ -152,15 +232,17 @@ def _blocked_sides(
     scorer), and the oracles filter identically."""
     queries = queries.filter(F.col(vec_col).isNotNull())
     candidates = candidates.filter(F.col(vec_col).isNotNull())
-    all_blocks = F.array(*[F.lit(b).cast("int") for b in range(n_blocks)])
+    b_q, b_c = _block_split(n_blocks)
+    c_blocks = F.array(*[F.lit(b).cast("int") for b in range(b_c)])
+    q_blocks = F.array(*[F.lit(b).cast("int") for b in range(b_q)])
     q = (
         queries.select(
             F.col(query_id).alias("qid"),
             F.col(vec_col).alias("qv"),
             *[F.col(src).alias(dst) for dst, src in (q_carry or {}).items()],
         )
-        .withColumn("q_block", F.pmod(F.xxhash64("qid"), F.lit(n_blocks)).cast("int"))
-        .withColumn("c_block", F.explode(all_blocks))
+        .withColumn("q_block", F.pmod(F.xxhash64("qid"), F.lit(b_q)).cast("int"))
+        .withColumn("c_block", F.explode(c_blocks))
     )
     c = (
         candidates.select(
@@ -168,8 +250,8 @@ def _blocked_sides(
             F.col(vec_col).alias("cv"),
             *[F.col(src).alias(dst) for dst, src in (c_carry or {}).items()],
         )
-        .withColumn("c_block", F.pmod(F.xxhash64("cid"), F.lit(n_blocks)).cast("int"))
-        .withColumn("q_block", F.explode(all_blocks))
+        .withColumn("c_block", F.pmod(F.xxhash64("cid"), F.lit(b_c)).cast("int"))
+        .withColumn("q_block", F.explode(q_blocks))
     )
     return q, c
 
@@ -254,7 +336,7 @@ def hard_negative_top_k(
             _matrix(c_pdf["cv"]),
             k,
             round_digits,
-            mask_fn=lambda r: clabs != qlabs[r],
+            allow_extra=clabs[None, :] != qlabs[:, None],
         )
 
     partial = (
@@ -676,16 +758,20 @@ def ivf_assignments(
 
     def assign(batches):
         cids, C_ = bc.value
-        Cn = _unit_rows(C_)
+        # pre-sort centroid columns by ascending cid so one stable
+        # argsort of -S breaks score ties by lowest cid — the exact
+        # order the old per-row lexsort((cids, -S[r])) produced, without
+        # the per-row python loop (r13 optimization round, guide §4.2)
+        perm = np.argsort(cids, kind="stable")
+        cids_s = cids[perm]
+        Cn = _unit_rows(C_)[perm]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Qn = _unit_rows(_matrix(pdf["v"]))  # zero rows stay zero, no NaN probes
             S = Qn @ Cn.T
-            probes = [
-                [int(cids[j]) for j in np.lexsort((cids, -S[r]))[:nprobe]]
-                for r in range(S.shape[0])
-            ]
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+            probes = cids_s[idx].astype(np.int64).tolist()
             yield pd.DataFrame(
                 {"id": pdf["id"].to_numpy(), "v": pdf["v"].to_numpy(), "probes": probes}
             )
@@ -1056,15 +1142,31 @@ def ivf_pq_top_k(
         m, _, sub = books_.shape
         cand_pdf = pdf[pdf["c_rank"] == 1]
         if len(pdf) == 0 or len(cand_pdf) == 0:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
-            )
+            return pd.DataFrame(_EMPTY_TOPK)
         cand_ids = cand_pdf["id"].to_numpy()
-        cand_codes = np.vstack(cand_pdf["codes"].to_numpy()).astype(np.int64)
+        n_cand = len(cand_ids)
         Cn = _unit_rows(_matrix(cand_pdf["v"]))
         qids = pdf["id"].to_numpy()
         Qn = _unit_rows(_matrix(pdf["v"]))
         pre = max(1, oversample * k)
+        # bound the (chunk x n_cand float64) score intermediates to ~16 MB
+        chunk = max(1, 2_000_000 // max(n_cand, 1))
+        if pre >= n_cand:
+            # The ADC shortlist cut keeps the first `pre` of the allowed
+            # candidates — with pre >= bucket size that is EVERY allowed
+            # candidate regardless of the ADC values, so the code
+            # reconstruction + ADC matmul decide nothing: skip them and
+            # score the bucket exactly (identical output, ~half the
+            # flops, no per-row python loop — r13 optimization round,
+            # guide §1.2/§4.2).  This is the live path whenever
+            # oversample*k covers the bucket (both bench tiers).
+            frames = []
+            for lo in range(0, len(Qn), chunk):
+                hi = min(lo + chunk, len(Qn))
+                S = _round_half_away(Qn[lo:hi] @ Cn.T, round_digits)
+                allow = cand_ids[None, :] != qids[lo:hi, None]
+                frames.append(_topk_select(qids[lo:hi], cand_ids, S, allow, k))
+            return pd.concat(frames, ignore_index=True)
         # ADC via RECONSTRUCTION: sum_j <q_j, cb_j[code_j]> is exactly
         # <q, concat_j cb_j[code_j]>, so decoding each candidate ONCE per
         # bucket (n_cand x dim, bounded by bucket size — the same bound as
@@ -1074,15 +1176,13 @@ def ivf_pq_top_k(
         # memory and was 2.7x slower than flat IVF's matmul at the 16x
         # bench tier; this one computes identical ADC values at matmul
         # speed.
-        R_hat = books_[np.arange(m)[None, :], cand_codes].reshape(
-            len(cand_ids), m * sub
-        )
-        out_q, out_n, out_s, out_r = [], [], [], []
-        # bound the adc intermediate (chunk x n_cand float64) to ~16 MB
-        chunk = max(1, 2_000_000 // max(len(cand_ids), 1))
+        cand_codes = np.vstack(cand_pdf["codes"].to_numpy()).astype(np.int64)
+        R_hat = books_[np.arange(m)[None, :], cand_codes].reshape(n_cand, m * sub)
+        frames = []
         for lo in range(0, len(Qn), chunk):
             hi = min(lo + chunk, len(Qn))
             adc_chunk = Qn[lo:hi] @ R_hat.T
+            out_q, out_n, out_s, out_r = [], [], [], []
             for r in range(lo, hi):
                 adc = adc_chunk[r - lo]
                 orig = np.flatnonzero(cand_ids != qids[r])
@@ -1104,18 +1204,20 @@ def ivf_pq_top_k(
                 out_n.append(cand_ids[keep][order])
                 out_s.append(sims[order])
                 out_r.append(np.arange(1, kk + 1, dtype=np.int32))
-        if not out_q:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
-            )
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "cosine_sim": np.concatenate(out_s),
-                "rank": np.concatenate(out_r),
-            }
-        )
+            if out_q:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "cosine_sim": np.concatenate(out_s),
+                            "rank": np.concatenate(out_r),
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(_EMPTY_TOPK)
+        return pd.concat(frames, ignore_index=True)
 
     bucket_results = ranked.groupBy("centroid_id").applyInPandas(
         bucket_adc_topk, _TOPK_SCHEMA
@@ -1458,17 +1560,16 @@ def embedding_near_dup_pairs(
         S = _round_half_away(Qn @ Cn.T, round_digits)
         qids = q_pdf["qid"].to_numpy()
         cids = c_pdf["cid"].to_numpy()
-        out_a, out_b, out_s = [], [], []
-        for r in range(S.shape[0]):
-            mask = (cids > qids[r]) & (S[r] >= threshold)
-            out_a.append(np.full(int(mask.sum()), qids[r]))
-            out_b.append(cids[mask])
-            out_s.append(S[r][mask])
+        # vectorized pair emit (r13 optimization round): one boolean
+        # matrix + nonzero replaces the per-query-row python loop;
+        # identical pair set (same mask, applied all at once)
+        sel = (cids[None, :] > qids[:, None]) & (S >= threshold)
+        rows, cols = np.nonzero(sel)
         return pd.DataFrame(
             {
-                "id_a": np.concatenate(out_a) if out_a else [],
-                "id_b": np.concatenate(out_b) if out_b else [],
-                "cosine_sim": np.concatenate(out_s) if out_s else [],
+                "id_a": qids[rows],
+                "id_b": cids[cols],
+                "cosine_sim": S[rows, cols],
             }
         )
 
@@ -1859,24 +1960,27 @@ def ivf_cross_top_k(
     def assigner(n_buckets: int):
         def assign(batches):
             cids, Cm = bc.value
-            Cn = _unit_rows(Cm)
+            # cid-ascending column order so one stable argsort of -S
+            # reproduces the old per-row lexsort((cids, -S[r])) exactly
+            # (score ties break on lowest cid) — r13 optimization round
+            perm = np.argsort(cids, kind="stable")
+            cids_s = cids[perm]
+            Cn = _unit_rows(Cm)[perm]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                Q = _matrix(pdf["v"])
-                Qn = _unit_rows(Q)
+                Qn = _unit_rows(_matrix(pdf["v"]))
                 S = Qn @ Cn.T
+                nb = min(n_buckets, S.shape[1])
+                idx = np.argsort(-S, axis=1, kind="stable")[:, :nb]
                 ids = pdf["id"].to_numpy()
                 vs = pdf["v"].to_numpy()
-                out_id, out_v, out_c = [], [], []
-                for r in range(S.shape[0]):
-                    order = np.lexsort((cids, -S[r]))[:n_buckets]
-                    for j in order:
-                        out_id.append(ids[r])
-                        out_v.append(vs[r])
-                        out_c.append(int(cids[j]))
                 yield pd.DataFrame(
-                    {"id": out_id, "v": out_v, "centroid_id": out_c}
+                    {
+                        "id": np.repeat(ids, nb),
+                        "v": np.repeat(vs, nb),
+                        "centroid_id": cids_s[idx].astype(np.int64).ravel(),
+                    }
                 )
 
         return assign
