@@ -435,42 +435,77 @@ def bootstrap_mean_ci(
     ).select(F.col(group_col), F.col(id_col).alias("__id"), mv.alias("mv"))
 
     # one sha256 yields 64 hex chars = EIGHT independent 32-bit uniforms,
-    # so replica b reads slice (b mod 8) of hash group (b div 8).  NOTE
-    # (r11 re-measure): because the sha argument references `b`, the
-    # hash is still evaluated per GENERATED row — the slicing dedups the
-    # DRAW SPACE (5 distinct digests per id), not the executed sha
-    # count.  Both restructurings that would hoist it were measured
-    # WORSE at sf0.1/B=40: a pre-explode digest array makes Generate
-    # copy 5 x 64-char strings into every generated row (13-15s vs
-    # 8-10s), and a pre-explode 40-weight array grows the projection
-    # past codegen limits (19-23s, interpreted fallback).  This shape
-    # stands until someone measures a faster one.
-    rep = base.select(
+    # so replica b reads slice (b mod 8) of hash group (b div 8).  The
+    # explode is TWO-STAGE so the sha executes once per DIGEST, not once
+    # per replica (r13 optimization round, guide §1.2 per-task work):
+    # stage 1 generates the ceil(B/8) hash groups per id and evaluates
+    # the sha there (5 digests at B=40, down from 40 evaluations — the
+    # dominant CPU of this query); stage 2 turns each digest into its 8
+    # weights inside ONE projection and posexplodes the 8-long weight
+    # array, so the 64-char digest itself never rides a Generate.  The
+    # two shapes the r11 re-measure rejected both made Generate copy
+    # heavy payloads (a 5x64-char digest array into all 40 generated
+    # rows: 13-15s; a 40-wide weight projection past codegen limits:
+    # 19-23s) — this one copies 8 longs.  Weights are bit-identical:
+    # same digest string, same slice, same conv/CDF chain, with
+    # b = 8*bh + bl reconstructing the replica id exactly.
+    rep_hi = base.select(
         group_col,
         "__id",
         "mv",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_replicas) - 1))).alias("b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit((int(n_replicas) + 7) // 8 - 1))
+        ).alias("bh"),
     )
-    hx = F.sha2(
-        F.concat(
-            F.lit(f"{salt}|"),
-            F.col("__id").cast("string"),
-            F.lit("|"),
-            F.expr("b div 8").cast("string"),
-        ),
-        256,
+    # the digest is materialized as a NAMED column before the 8 weight
+    # expressions reference it — as an inline expression it would be
+    # embedded (and re-evaluated) once per array slot, re-running the
+    # sha 8x and losing the whole reduction (measured: 10.6s vs 5.0s)
+    rep_hi = rep_hi.select(
+        group_col,
+        "mv",
+        "bh",
+        F.sha2(
+            F.concat(
+                F.lit(f"{salt}|"),
+                F.col("__id").cast("string"),
+                F.lit("|"),
+                F.col("bh").cast("string"),
+            ),
+            256,
+        ).alias("__hx"),
     )
-    start = (F.lit(1) + F.lit(8) * (F.col("b") % F.lit(8))).cast("int")
-    unif = (
-        F.conv(F.substring(hx, start, F.lit(8)), 16, 10).cast("double") + F.lit(1.0)
-    ) / F.lit(4294967296.0)
-    w = F.lit(6).cast("long")
-    for k in range(len(POISSON1_CDF) - 1, -1, -1):
-        w = F.when(unif < F.lit(POISSON1_CDF[k]), F.lit(k).cast("long")).otherwise(w)
+
+    def _w_of_slice(bl: int):
+        unif = (
+            F.conv(F.substring(F.col("__hx"), 1 + 8 * bl, 8), 16, 10).cast("double")
+            + F.lit(1.0)
+        ) / F.lit(4294967296.0)
+        w = F.lit(6).cast("long")
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(
+                unif < F.lit(POISSON1_CDF[k]), F.lit(k).cast("long")
+            ).otherwise(w)
+        return w
+
+    rep = rep_hi.select(
+        group_col,
+        "mv",
+        "bh",
+        F.posexplode(
+            F.array(*[_w_of_slice(bl) for bl in range(8)])
+        ).alias("bl", "w"),
+    ).select(
+        group_col,
+        "mv",
+        (F.col("bh") * 8 + F.col("bl")).alias("b"),
+        "w",
+    )
+    if int(n_replicas) % 8 != 0:
+        rep = rep.filter(F.col("b") < int(n_replicas))
 
     per_rep = (
-        rep.withColumn("w", w)
-        .groupBy(group_col, "b")
+        rep.groupBy(group_col, "b")
         .agg(
             F.sum(F.col("w") * F.col("mv")).alias("smw"),
             F.sum("w").alias("sw"),
