@@ -478,50 +478,65 @@ def mmr_diversify(
     the cogrouped applyInPandas stage is rerank-sized — queries × n
     rows — never corpus-sized; queries parallelize freely.  The
     similarity frame is candidate-pairs-bounded (n·(n-1)/2 per query).
+    The cogroup key is a hash BUCKET of the query id, not the query id
+    itself: per-query groups would pay one Python invocation + two
+    pandas constructions per query (the measured dominant cost at 2000
+    queries — r13 optimization round, guide §4), while ~n_buckets
+    bucket groups amortize that overhead over ~queries/n_buckets
+    greedies apiece without changing any per-query argmax chain.
 
     Output: (query_id, doc_id, rank, mmr_micro), rank 1..min(k, n)."""
     out_schema = f"{query_col} int, doc_id long, rank int, mmr_micro long"
     one = 1_000_000
+    n_buckets = 64
 
     def pick(key: tuple, cand: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
         # nullable longs arrive as float64+NaN through Arrow: a NULL
         # similarity honors the documented 'missing pair = 0' rule, a
         # NULL relevance drops the candidate (it cannot be ranked) —
         # bare int() would crash the whole query on one null row
-        rel = {
-            int(d): int(r)
-            for d, r in zip(cand["doc_id"], cand["rel_norm_micro"])
-            if not pd.isna(r)
-        }
-        sim: dict[tuple[int, int], int] = {}
-        for a, b, j in zip(pairs["a"], pairs["b"], pairs["jac_micro"]):
+        rel_by_q: dict[int, dict[int, int]] = {}
+        for q, d, r in zip(cand[query_col], cand["doc_id"], cand["rel_norm_micro"]):
+            if pd.isna(r):
+                continue
+            rel_by_q.setdefault(int(q), {})[int(d)] = int(r)
+        sim_by_q: dict[int, dict[tuple[int, int], int]] = {}
+        for q, a, b, j in zip(pairs[query_col], pairs["a"], pairs["b"], pairs["jac_micro"]):
             if pd.isna(j):
                 continue
+            sim = sim_by_q.setdefault(int(q), {})
             sim[(int(a), int(b))] = int(j)
             sim[(int(b), int(a))] = int(j)
-        selected: list[int] = []
         rows = []
-        remaining = set(rel)
-        while remaining and len(selected) < k:
-            best_key, best_doc, best_sc = None, None, None
-            for d in remaining:
-                mj = max((sim.get((d, s), 0) for s in selected), default=0)
-                sc = lam_micro * rel[d] + (one - lam_micro) * (one - mj)
-                cand_key = (sc, -d)
-                if best_key is None or cand_key > best_key:
-                    best_key, best_doc, best_sc = cand_key, d, sc
-            selected.append(best_doc)
-            remaining.remove(best_doc)
-            rows.append((int(key[0]), best_doc, len(selected), best_sc))
+        empty: dict[tuple[int, int], int] = {}
+        for q, rel in rel_by_q.items():
+            sim = sim_by_q.get(q, empty)
+            selected: list[int] = []
+            remaining = set(rel)
+            while remaining and len(selected) < k:
+                best_key, best_doc, best_sc = None, None, None
+                for d in remaining:
+                    mj = max((sim.get((d, s), 0) for s in selected), default=0)
+                    sc = lam_micro * rel[d] + (one - lam_micro) * (one - mj)
+                    cand_key = (sc, -d)
+                    if best_key is None or cand_key > best_key:
+                        best_key, best_doc, best_sc = cand_key, d, sc
+                selected.append(best_doc)
+                remaining.remove(best_doc)
+                rows.append((q, best_doc, len(selected), best_sc))
         return pd.DataFrame(rows, columns=[query_col, "doc_id", "rank", "mmr_micro"])
 
     # cogroup matches keys positionally AND by type (the round-2 trap):
     # cast both sides explicitly
-    c = candidates.withColumn(query_col, F.col(query_col).cast("int"))
-    p = pair_sims.withColumn(query_col, F.col(query_col).cast("int"))
+    c = candidates.withColumn(query_col, F.col(query_col).cast("int")).withColumn(
+        "__bkt", F.pmod(F.hash(F.col(query_col)), F.lit(n_buckets)).cast("int")
+    )
+    p = pair_sims.withColumn(query_col, F.col(query_col).cast("int")).withColumn(
+        "__bkt", F.pmod(F.hash(F.col(query_col)), F.lit(n_buckets)).cast("int")
+    )
     return (
-        c.groupBy(query_col)
-        .cogroup(p.groupBy(query_col))
+        c.groupBy("__bkt")
+        .cogroup(p.groupBy("__bkt"))
         .applyInPandas(pick, out_schema)
     )
 
