@@ -731,8 +731,15 @@ def q_minhash_union_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
 
     d = table(spark, sf_dir, "documents")
-    shl = shingles_df(d).select(
-        (F.col("doc_id") % 2).alias("shard"), "shingle"
+    # min() is idempotent over duplicates, so only DISTINCT
+    # (shard, shingle) pairs need hashing: the dedup costs one partial-
+    # aggregated shuffle of short strings and removes the x16 explode +
+    # sha256 for every repeated shingle (guide §2.2 — shuffle/compute
+    # fewer rows before the expansion, not after)
+    shl = (
+        shingles_df(d)
+        .select((F.col("doc_id") % 2).alias("shard"), "shingle")
+        .distinct()
     )
     ex = shl.select(
         "shard", "shingle", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("h_idx")
@@ -743,13 +750,23 @@ def q_minhash_union_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
     )
     hashed = ex.select("shard", "h_idx", h.alias("__h"))
-    agg = hashed.groupBy("shard", "h_idx").agg(F.min("__h").alias("h"))
-    uni = hashed.groupBy("h_idx").agg(F.min("__h").alias("h_union"))
-    a = agg.filter(F.col("shard") == 0).select("h_idx", F.col("h").alias("h_a"))
-    b = agg.filter(F.col("shard") == 1).select("h_idx", F.col("h").alias("h_b"))
+    # ONE grouped pass computes all three signatures as conditional
+    # mins — the former three-frame shape (per-shard agg read twice +
+    # union agg, joined back on h_idx) re-executed the whole scan ->
+    # shingle -> x16 -> sha256 lineage once PER BRANCH because Spark
+    # does not CSE DataFrame subtrees (r13 optimization round, guide
+    # §2.1: 3 scans/3 Exchange -> 1 scan/1 Exchange; min-of-3 4.2s ->
+    # ~1.5s at sf0.1).  min over the shard-0 rows is exactly the old
+    # shard-0 aggregate, min overall is exactly the union signature;
+    # the not-null filter mirrors the former inner joins for the
+    # degenerate single-shard corpus.
+    per = hashed.groupBy("h_idx").agg(
+        F.min(F.when(F.col("shard") == 0, F.col("__h"))).alias("h_a"),
+        F.min(F.when(F.col("shard") == 1, F.col("__h"))).alias("h_b"),
+        F.min("__h").alias("h_union"),
+    )
     return (
-        a.join(b, "h_idx")
-        .join(uni, "h_idx")
+        per.filter(F.col("h_a").isNotNull() & F.col("h_b").isNotNull())
         .select(
             F.col("h_idx").cast("int").alias("h_idx"),
             "h_a",
