@@ -1046,8 +1046,9 @@ def char_entropy(
     bit-for-bit.  Empty-after-normalization docs are absent from the
     output (documented contract)."""
     from wellmeet_data_pipeline_spark.functions.text import normalized_text
+    from wellmeet_data_pipeline_spark.operators.skew import fanout_small_scan
 
-    s = docs.withColumn(
+    s = fanout_small_scan(docs).withColumn(
         "__cs", F.regexp_replace(normalized_text(F.col(text_col)), " ", "")
     ).filter(F.length("__cs") > 0)
     chars = F.expr("transform(sequence(1, length(__cs)), i -> substring(__cs, i, 1))")

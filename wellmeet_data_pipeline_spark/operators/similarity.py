@@ -1442,8 +1442,11 @@ def embedding_lsh_sha_pairs(
     lsh_cost_estimate's Σ c·(c-1)/2 pre-flight before paying for the
     join."""
     from wellmeet_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+    from wellmeet_data_pipeline_spark.operators.skew import fanout_small_scan
 
-    data = data.filter(F.col(vec_col).isNotNull())
+    # the per-row signature is 16 full-dim integer dot products; fan a
+    # few-split vector scan out to cluster parallelism (no-op at scale)
+    data = fanout_small_scan(data).filter(F.col(vec_col).isNotNull())
     # bounded model read: one scalar agg to learn the dimensionality (the
     # sign literals need it).  ORACLE CONTRACT: dim = max vector length,
     # and shorter vectors are DROPPED on both engines.  Deriving dim from
