@@ -117,6 +117,53 @@ def test_round_half_away_matches_oracle_mode():
     assert got[3] == 0.5 and got[4] == -0.5
 
 
+def test_topk_select_raw_matches_round_first_reference():
+    """The r13 select-then-round kernel (_topk_select on RAW scores with
+    the rounding-slack threshold) must return byte-identical output to
+    the round-everything-first per-row reference, including on
+    manufactured .xxxx5 boundary ties and rows with fewer than k allowed
+    candidates."""
+    import numpy as np
+    import pandas as pd
+
+    from wellmeet_data_pipeline_spark.operators.similarity import (
+        _round_half_away,
+        _topk_select,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        m, n, k, d = 37, 53, 5, 4
+        S = rng.normal(size=(m, n))
+        # manufacture heavy tie mass: snap a third of entries to the
+        # 1e-4 grid (exact ties after rounding) and put some exactly on
+        # .xxxx5 rounding boundaries
+        snap = rng.random(size=(m, n)) < 0.33
+        S = np.where(snap, np.round(S, 4), S)
+        bnd = rng.random(size=(m, n)) < 0.1
+        S = np.where(bnd, np.floor(S * 1e4) / 1e4 + 0.00005, S)
+        allow = rng.random(size=(m, n)) < (0.9 if trial % 2 else 0.05)
+        qids = np.arange(m) * 3
+        cids = rng.permutation(n) * 7
+
+        got = _topk_select(qids, cids, S, allow, k, 4)
+
+        # reference: round EVERYTHING first, then per-row lexsort cut
+        R = _round_half_away(S, 4)
+        rows = []
+        for i in range(m):
+            ok = np.flatnonzero(allow[i])
+            order = ok[np.lexsort((cids[ok], -R[i, ok]))][:k]
+            for rk, j in enumerate(order, 1):
+                rows.append((qids[i], cids[j], R[i, j], rk))
+        want = pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "cosine_sim", "rank"]
+        )
+        got_t = sorted(map(tuple, got.to_numpy().tolist()))
+        want_t = sorted(map(tuple, want.to_numpy().tolist()))
+        assert got_t == want_t, f"trial {trial} diverged"
+
+
 def test_blocked_topk_matches_numpy_at_scale(spark):
     """Full cross-check against numpy on enough rows that a co-partitioning
     bug can't hide (the cogroup key-type mismatch passed every toy-sized

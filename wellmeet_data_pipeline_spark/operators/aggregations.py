@@ -430,7 +430,16 @@ def bootstrap_mean_ci(
     # while DuckDB concat() skips it, so a NULL id would draw ENGINE-
     # DEPENDENT weights (w=6 via the NULL-comparison else-branch on one
     # side, a real hash on the other)
-    base = df.filter(
+    from wellmeet_data_pipeline_spark.operators.skew import fanout_small_scan
+
+    # The B-fold sha fan-out below multiplies per-row CPU ~ceil(B/8)x
+    # (one sha256 per digest group) before any exchange, so a source
+    # that scans in fewer splits than the cluster has slots serializes
+    # the dominant stage on those few cores (guide §2.5 input skew /
+    # §2.6 single-task stages).  fanout_small_scan is an exact no-op on
+    # wide scans (the 100 TB case) and a cheap round-robin of the
+    # pre-fan rows otherwise.
+    base = fanout_small_scan(df).filter(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(F.col(group_col), F.col(id_col).alias("__id"), mv.alias("mv"))
 

@@ -55,6 +55,26 @@ def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).filter(F.col("term") != "")
 
 
+def _doc_lengths(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, dl) document token counts as a PURE PROJECTION — no explode,
+    no shuffle (r13 optimization round, guide §2.4 remove shuffles
+    outright): dl is the size of the filtered split array, exactly the
+    groupBy-count over _doc_tokens wherever that frame has a row.  Docs
+    with ZERO tokens (NULL / empty / whitespace-only text) get a dl=0
+    row here where the explode form omits them — equivalent at every
+    consumer: dl is only ever (a) inner-joined against docs that matched
+    a query term (those have >= 1 token, so the extra rows never match)
+    and (b) summed into total_dl (+0 == absent row)."""
+    toks_arr = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda x: x != F.lit(""),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(F.size(toks_arr), F.lit(0)).cast("long").alias("dl"),
+    )
+
+
 def _query_terms_df(spark, queries: Mapping[int, Sequence[str]]) -> DataFrame:
     """Literal (query_id, term) frame from the pinned query map.  Terms
     are lowercased through the same normalization as the corpus so a
@@ -99,14 +119,16 @@ def bm25_scores(
     is the exact micro-grid sum the caller should rank on."""
     toks = _doc_tokens(docs, text_col, id_col)
     qt = F.broadcast(_query_terms_df(docs.sparkSession, queries))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # dl as a shuffle-free projection (see _doc_lengths); left lazy even
+    # under `materialize` — recomputing it is one scan+regex projection,
+    # cheaper than the eager-checkpoint job the old groupBy form needed
+    dl = _doc_lengths(docs, text_col, id_col)
     tfq = (
         toks.join(F.broadcast(qt.select("term").distinct()), "term")
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
     if materialize:
-        dl = dl.localCheckpoint(eager=True)
         tfq = tfq.localCheckpoint(eager=True)
     dfreq = tfq.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
@@ -572,7 +594,11 @@ def bm25_prf_topk(
     """
     toks = _doc_tokens(docs, text_col, id_col).localCheckpoint(eager=True)
     qt = F.broadcast(_query_terms_df(docs.sparkSession, queries))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint(eager=True)
+    # dl as the shuffle-free _doc_lengths projection, left lazy: the old
+    # groupBy-over-toks form cost one eager-checkpoint job; consumers of
+    # the projection pay one cheap scan+regex pass instead (r13
+    # optimization round, guide §2.4 / §1.2 — fewer serial jobs)
+    dl = _doc_lengths(docs, text_col, id_col)
     stats = (
         docs.agg(F.count("*").alias("n_docs"))
         .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl")))
@@ -580,6 +606,11 @@ def bm25_prf_topk(
     )
 
     def _score(qt_frame):
+        # tfq stays an EAGER checkpoint: a lazy-tfq variant (hoping
+        # ReusedExchange would dedupe its two consumers) measured
+        # 7.66s vs 5.65s min-of-3 — the dfreq broadcast subtree executes
+        # before AQE can reuse the exchange, so the semi-join+agg ran
+        # twice per pass (r13 optimization round, measured and kept)
         tfq = (
             toks.join(F.broadcast(qt_frame.select("term").distinct()), "term")
             .groupBy(id_col, "term")
@@ -657,9 +688,8 @@ def qld_topk(
     score_int desc, doc_id asc."""
     toks = _doc_tokens(docs, text_col, id_col)
     qt = F.broadcast(_query_terms_df(docs.sparkSession, queries))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint(
-        eager=True
-    )
+    # shuffle-free dl projection (see _doc_lengths) — no eager job
+    dl = _doc_lengths(docs, text_col, id_col)
     tfq = (
         toks.join(F.broadcast(qt.select("term").distinct()), "term")
         .groupBy(id_col, "term")

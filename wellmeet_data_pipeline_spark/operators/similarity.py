@@ -82,34 +82,45 @@ def _rank_within_rows(rows: np.ndarray, m: int) -> np.ndarray:
 def _topk_select(
     qids: np.ndarray,
     cids: np.ndarray,
-    S: np.ndarray,
+    S_raw: np.ndarray,
     allow: np.ndarray,
     k: int,
+    round_digits: int,
 ) -> pd.DataFrame:
-    """Exact per-row top-k of a scored matrix under a boolean allow mask,
-    fully vectorized (r13 optimization round, guide §4.2: the old
-    per-query-row python loop ran one O(n) mask + O(n log n) lexsort per
-    row — N_q x N_c lexsort work per tile in interpreted dispatch).
+    """Exact per-row top-k of a RAW (pre-rounding) scored matrix under a
+    boolean allow mask, fully vectorized (r13 optimization round, guide
+    §4.2: the old per-query-row python loop ran one O(n) mask +
+    O(n log n) lexsort per row — N_q x N_c lexsort work per tile in
+    interpreted dispatch).
 
-    Selection is EXACT under the repo-wide total order (score desc, id
-    asc): an np.partition threshold finds each row's k-th largest score,
-    the >= threshold survivor set therefore contains every boundary tie,
-    and ONE global lexsort of the ~m*k survivors (row, -score, id) cuts
-    each row at k with the same tie-break the per-row lexsort applied.
-    Returns the standard (query_id, neighbor_id, cosine_sim, rank)
-    frame."""
-    m, n = S.shape
-    neg = np.where(allow, S, -np.inf)
+    The ranking contract is (round_half_away(score, d) desc, id asc).
+    Rounding half-away is monotone non-decreasing, so order statistics
+    commute with it: the row's k-th largest ROUNDED value equals the
+    rounding of its k-th largest RAW value t.  Every entry whose rounded
+    score ties-or-beats that boundary satisfies s >= t - 10^-d (each
+    rounding moves a value by <= 0.5*10^-d plus float eps), so selecting
+    raw survivors at threshold t - 1.5*10^-d, rounding ONLY them (~m*k
+    values instead of m*n — the full-matrix rounding was ~6 elementwise
+    float64 passes per tile, the dominant non-BLAS cost at dim 64), and
+    re-ranking the survivors on (rounded desc, id asc) returns exactly
+    the round-everything-first result.  An np.partition threshold finds
+    each row's k-th largest raw score; ONE global lexsort of the ~m*k
+    rounded survivors (row, -score, id) cuts each row at k with the same
+    tie-break the per-row lexsort applied.  Returns the standard
+    (query_id, neighbor_id, cosine_sim, rank) frame."""
+    m, n = S_raw.shape
+    neg = np.where(allow, S_raw, -np.inf)
     kk = min(k, n)
     if n > kk:
         thresh = np.partition(neg, n - kk, axis=1)[:, n - kk]
-        sel = (neg >= thresh[:, None]) & allow
+        slack = 1.5 * 10.0 ** (-round_digits)
+        sel = (neg >= (thresh - slack)[:, None]) & allow
     else:
         sel = allow
     rows, cols = np.nonzero(sel)
     if len(rows) == 0:
         return pd.DataFrame(_EMPTY_TOPK)
-    sims = S[rows, cols]
+    sims = _round_half_away(S_raw[rows, cols], round_digits)
     ids = cids[cols]
     order = np.lexsort((ids, -sims, rows))
     rows, ids, sims = rows[order], ids[order], sims[order]
@@ -153,13 +164,13 @@ def _topk_block(
     frames = []
     for lo in range(0, m, chunk):
         hi = min(lo + chunk, m)
-        S = _round_half_away(
-            (Q[lo:hi] @ C.T) / (qn[lo:hi] @ cn.T), round_digits
-        )
+        # RAW scores into the selector — it rounds survivors only (the
+        # full-matrix rounding passes were the dominant non-BLAS cost)
+        S = (Q[lo:hi] @ C.T) / (qn[lo:hi] @ cn.T)
         allow = cids[None, :] != qids[lo:hi, None]
         if allow_extra is not None:
             allow &= allow_extra[lo:hi]
-        frames.append(_topk_select(qids[lo:hi], cids, S, allow, k))
+        frames.append(_topk_select(qids[lo:hi], cids, S, allow, k, round_digits))
     if not frames:
         return pd.DataFrame(_EMPTY_TOPK)
     return pd.concat(frames, ignore_index=True)
@@ -1163,9 +1174,11 @@ def ivf_pq_top_k(
             frames = []
             for lo in range(0, len(Qn), chunk):
                 hi = min(lo + chunk, len(Qn))
-                S = _round_half_away(Qn[lo:hi] @ Cn.T, round_digits)
+                S = Qn[lo:hi] @ Cn.T  # raw; selector rounds survivors only
                 allow = cand_ids[None, :] != qids[lo:hi, None]
-                frames.append(_topk_select(qids[lo:hi], cand_ids, S, allow, k))
+                frames.append(
+                    _topk_select(qids[lo:hi], cand_ids, S, allow, k, round_digits)
+                )
             return pd.concat(frames, ignore_index=True)
         # ADC via RECONSTRUCTION: sum_j <q_j, cb_j[code_j]> is exactly
         # <q, concat_j cb_j[code_j]>, so decoding each candidate ONCE per
