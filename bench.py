@@ -92,7 +92,9 @@ HEADLINE = [
     "pack_sequences",
     "corpus_end_to_end",
     "quality_classifier_score",
-    "dedup_vs_reference",
+    # dedup_vs_reference moved next to dedup_threshold_sweep (r13): both
+    # consume the session-shared raw verify-counts frame (VERIFY_SHARED),
+    # so they must sit inside one restart segment
     "hard_negatives_topk",
     "dsir_importance",
     "market_share_by_year",
@@ -266,6 +268,8 @@ HEADLINE = [
     "term_burstiness_top_df",
     "returnflag_status_chi2",
     "dedup_threshold_sweep",
+    # moved next to dedup_threshold_sweep (r13): same VERIFY_SHARED frame
+    "dedup_vs_reference",
     "event_acf_portmanteau",
     "embedding_quantile_clip_plan",
     "weekly_cohort_ltv",
@@ -348,6 +352,20 @@ DEDUP_SHARED = {
     "dup_graph_pagerank",
     "dup_graph_hits",
     "dup_link_prediction",
+}
+
+# Verify family (r13): dedup_vs_reference and dedup_threshold_sweep both
+# run the FULL minhash_verify_sha pipeline (signatures + shingles + band
+# pairs + agree/intersect joins) over the same corpus — the rounded form
+# the first reports is a pure projection of the raw-counts frame the
+# second consumes.  bench builds the raw-counts frame once per session,
+# localCheckpoints it, times the build as its own entry
+# ("dedup_verify_counts_build"), and passes it via each query's
+# shared_verify_counts kwarg.  Correctness pinned by
+# tests/test_shared_verify_counts.py (shared == standalone, exact).
+VERIFY_SHARED = {
+    "dedup_vs_reference",
+    "dedup_threshold_sweep",
 }
 
 # LM/token family: every member re-tokenized the corpus from scratch
@@ -475,6 +493,34 @@ def main() -> None:
             dedup_shared_state["edges"] = edges
         return dedup_shared_state["edges"]
 
+    # shared raw verify-counts frame (see VERIFY_SHARED): same lifecycle
+    # as the dedup edge frame — lazy, session-keyed, build time in its
+    # own entry with the build/rebuild split
+    verify_shared_state: dict = {"session": None, "counts": None}
+
+    def _verify_counts(sess):
+        if verify_shared_state["session"] is not sess:
+            from wellmeet_data_pipeline_spark.operators.dedup import (
+                minhash_verify_sha,
+            )
+            from wellmeet_data_pipeline_spark.plans.queries import table as _table
+
+            t0 = time.perf_counter()
+            counts = minhash_verify_sha(
+                _table(sess, sf_dir, "documents"), raw_counts=True
+            ).localCheckpoint(eager=True)
+            key = (
+                "dedup_verify_counts_build"
+                if "dedup_verify_counts_build" not in times
+                else "dedup_verify_counts_rebuild"
+            )
+            times[key] = round(
+                times.get(key, 0.0) + time.perf_counter() - t0, 3
+            )
+            verify_shared_state["session"] = sess
+            verify_shared_state["counts"] = counts
+        return verify_shared_state["counts"]
+
     # shared LM token frame (see LM_SHARED): same lifecycle as the dedup
     # edge frame — lazy, session-keyed, build time in its own entry
     lm_shared_state: dict = {"session": None, "tokens": None}
@@ -528,6 +574,8 @@ def main() -> None:
             kwargs["shared_lsh_edges"] = _dedup_edges(spark)
         if name in LM_SHARED:
             kwargs["shared_tokens"] = _lm_tokens(spark)
+        if name in VERIFY_SHARED:
+            kwargs["shared_verify_counts"] = _verify_counts(spark)
         t0 = time.perf_counter()
         rows = REGISTRY[name].fn(spark, sf_dir, **kwargs).collect()
         times[name] = round(time.perf_counter() - t0, 3)

@@ -43,6 +43,7 @@ def test_shared_families_single_segment():
     for fam_name, fam in (
         ("DEDUP_SHARED", bench.DEDUP_SHARED),
         ("LM_SHARED", bench.LM_SHARED),
+        ("VERIFY_SHARED", bench.VERIFY_SHARED),
     ):
         segs = {_segment_of(idx[n]) for n in fam if n in idx}
         assert len(segs) == 1, (

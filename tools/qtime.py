@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import DEDUP_SHARED, LM_SHARED  # noqa: E402
+from bench import DEDUP_SHARED, LM_SHARED, VERIFY_SHARED  # noqa: E402
 from wellmeet_data_pipeline_spark.plans.queries import REGISTRY, table  # noqa: E402
 from wellmeet_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -66,6 +66,20 @@ def main() -> None:
             ).localCheckpoint(eager=True)
         return shared_tokens
 
+    shared_counts = None
+
+    def _counts():
+        nonlocal shared_counts
+        if shared_counts is None:
+            from wellmeet_data_pipeline_spark.operators.dedup import (
+                minhash_verify_sha,
+            )
+
+            shared_counts = minhash_verify_sha(
+                table(spark, args.sf, "documents"), raw_counts=True
+            ).localCheckpoint(eager=True)
+        return shared_counts
+
     out: dict[str, float] = {}
     for name in args.queries:
         kwargs = {}
@@ -73,6 +87,8 @@ def main() -> None:
             kwargs["shared_lsh_edges"] = _edges()
         if name in LM_SHARED:
             kwargs["shared_tokens"] = _tokens()
+        if name in VERIFY_SHARED:
+            kwargs["shared_verify_counts"] = _counts()
         spark.sparkContext.setJobDescription(f"qtime:{name}")
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)

@@ -765,6 +765,35 @@ def minhash_verify_sha(
     )
 
 
+def minhash_verify_from_raw(
+    counts: DataFrame,
+    num_hashes: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The rounded (id_a, id_b, est_jaccard, jaccard) verify form derived
+    from a `minhash_verify_sha(..., raw_counts=True)` frame — r13
+    optimization round: the raw-counts frame is the one expensive
+    artifact the verify family shares (bench builds it once per session
+    and both consumers read it), and the rounded form is a pure
+    projection over it.  BIT-IDENTICAL to minhash_verify_sha's
+    non-raw output by construction: est_jaccard divides the same exact
+    BIGINT `agree` by the same float(num_hashes) literal, and jaccard
+    divides the same exact integers (`i` is already coalesced in the raw
+    frame), through the same F.round — the same IEEE operations on the
+    same inputs.  Pinned by tests/test_shared_verify_counts.py."""
+    return counts.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("agree") / F.lit(float(num_hashes)), round_digits
+        ).alias("est_jaccard"),
+        F.round(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")),
+            round_digits,
+        ).alias("jaccard"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -2750,9 +2750,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded joins only (pairs ⋈ signatures, pairs ⋈ shingles), the "
     "two-phase recall/precision topology near-dup runs at 100 TB",
 )
-def q_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from wellmeet_data_pipeline_spark.operators.dedup import minhash_verify_sha
+def q_minhash_verify(
+    spark: SparkSession, sf_dir: str, shared_verify_counts: DataFrame | None = None
+) -> DataFrame:
+    from wellmeet_data_pipeline_spark.operators.dedup import (
+        minhash_verify_from_raw,
+        minhash_verify_sha,
+    )
 
+    # bench VERIFY_SHARED: the raw-counts verify frame is built once per
+    # session (billed as dedup_verify_counts_build) and the rounded form
+    # here is a bit-identical projection over it — shared == standalone
+    # pinned by tests/test_shared_verify_counts.py
+    if shared_verify_counts is not None:
+        return minhash_verify_from_raw(shared_verify_counts)
     d = table(spark, sf_dir, "documents")
     return minhash_verify_sha(d)
 

@@ -1746,12 +1746,42 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the union self-join, exact because signatures are corpus-"
     "membership-independent)",
 )
-def q_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_vs_reference(
+    spark: SparkSession, sf_dir: str, shared_verify_counts: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import dedup_against_reference_sha
 
     d = table(spark, sf_dir, "documents")
-    ref = d.filter((F.col("doc_id") % 4) == 0)
     new = d.filter((F.col("doc_id") % 4) != 0)
+    if shared_verify_counts is not None:
+        # bench VERIFY_SHARED: the cross-corpus candidate pairs are the
+        # exactly-one-ref-side subset of the union self-join pairs the
+        # shared raw-counts frame already carries (signatures and
+        # shingle counts are corpus-membership-independent — the same
+        # identity the oracle SQL uses), and the verify filter below is
+        # the operator's own double comparison on the same exact
+        # integers.  Shared == standalone pinned by
+        # tests/test_shared_verify_counts.py.
+        c = shared_verify_counts
+        cross = c.filter(
+            ((F.col("id_a") % 4) == 0) != ((F.col("id_b") % 4) == 0)
+        )
+        hits = (
+            cross.filter(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+                >= F.lit(0.5)
+            )
+            .select(
+                F.when((F.col("id_a") % 4) != 0, F.col("id_a"))
+                .otherwise(F.col("id_b"))
+                .alias("doc_id")
+            )
+            .distinct()
+        )
+        return new.join(hits, "doc_id", "left_anti").select(
+            "doc_id", "lang", "source"
+        )
+    ref = d.filter((F.col("doc_id") % 4) == 0)
     return dedup_against_reference_sha(new, ref).select("doc_id", "lang", "source")
 
 

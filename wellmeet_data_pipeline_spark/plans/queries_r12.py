@@ -923,11 +923,19 @@ _SWEEP_VALUES = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
     "BIGINT cross-multiplication (agree*1e6 >= t*k; i*1e6 >= t*(union)) "
     "— no ratio is ever materialized, so no snap boundary exists at all",
 )
-def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str, shared_verify_counts: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import minhash_verify_sha
 
-    d = table(spark, sf_dir, "documents")
-    counts = minhash_verify_sha(d, raw_counts=True)
+    # bench VERIFY_SHARED: consume the session-shared raw-counts frame
+    # when provided (shared == standalone pinned by
+    # tests/test_shared_verify_counts.py)
+    if shared_verify_counts is not None:
+        counts = shared_verify_counts
+    else:
+        d = table(spark, sf_dir, "documents")
+        counts = minhash_verify_sha(d, raw_counts=True)
     th = spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS], "t_micro long")
     judged = counts.crossJoin(F.broadcast(th)).select(
         "t_micro",
