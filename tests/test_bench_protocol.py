@@ -44,6 +44,7 @@ def test_shared_families_single_segment():
         ("DEDUP_SHARED", bench.DEDUP_SHARED),
         ("LM_SHARED", bench.LM_SHARED),
         ("VERIFY_SHARED", bench.VERIFY_SHARED),
+        ("PAIR_STATS_SHARED", bench.PAIR_STATS_SHARED),
     ):
         segs = {_segment_of(idx[n]) for n in fam if n in idx}
         assert len(segs) == 1, (

@@ -23,7 +23,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import DEDUP_SHARED, LM_SHARED, VERIFY_SHARED  # noqa: E402
+from bench import (  # noqa: E402
+    DEDUP_SHARED,
+    LM_SHARED,
+    PAIR_STATS_SHARED,
+    VERIFY_SHARED,
+)
 from wellmeet_data_pipeline_spark.plans.queries import REGISTRY, table  # noqa: E402
 from wellmeet_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -80,6 +85,20 @@ def main() -> None:
             ).localCheckpoint(eager=True)
         return shared_counts
 
+    shared_stats = None
+
+    def _stats():
+        nonlocal shared_stats
+        if shared_stats is None:
+            from wellmeet_data_pipeline_spark.operators.dedup import (
+                _shingle_pair_stats,
+            )
+
+            shared_stats = _shingle_pair_stats(
+                table(spark, args.sf, "documents"), "text", "doc_id", 3, None, 10_000
+            ).localCheckpoint(eager=True)
+        return shared_stats
+
     out: dict[str, float] = {}
     for name in args.queries:
         kwargs = {}
@@ -89,6 +108,8 @@ def main() -> None:
             kwargs["shared_tokens"] = _tokens()
         if name in VERIFY_SHARED:
             kwargs["shared_verify_counts"] = _counts()
+        if name in PAIR_STATS_SHARED:
+            kwargs["shared_pair_stats"] = _stats()
         spark.sparkContext.setJobDescription(f"qtime:{name}")
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)

@@ -204,6 +204,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = 10_000,
+    stats_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (verification stage after
     LSH).  Without a candidate frame it falls back to the inverted-index
@@ -216,9 +217,19 @@ def ngram_jaccard_pairs(
     >10k docs carries ~zero Jaccard signal), bounding the self-join at
     cap^2 rows per shingle.  The DF count rides the same shuffle
     partitioning as the self-join (both keyed on shingle).  Set
-    max_shingle_df=None for the exact uncapped semantics."""
-    stats = _shingle_pair_stats(
-        docs, text_col, id_col, shingle_n, candidates, max_shingle_df
+    max_shingle_df=None for the exact uncapped semantics.
+
+    `stats_frame` (r13 optimization round, bench PAIR_STATS_SHARED)
+    injects a prebuilt _shingle_pair_stats(docs, text, id, shingle_n,
+    None, max_shingle_df) frame — the caller owns parameter parity;
+    everything below it (threshold + rounding) is a pure projection.
+    Shared == standalone pinned by tests/test_shared_pair_stats.py."""
+    stats = (
+        stats_frame
+        if stats_frame is not None
+        else _shingle_pair_stats(
+            docs, text_col, id_col, shingle_n, candidates, max_shingle_df
+        )
     )
     return (
         stats.withColumn(
@@ -238,6 +249,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = 10_000,
+    stats_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection: shingle CONTAINMENT
     c(A in B) = |A∩B| / |A| instead of symmetric Jaccard.  Catches the
@@ -247,9 +259,14 @@ def ngram_containment_pairs(
     (the RefinedWeb-style sub/superset dedup read).  Emits both
     directions per co-occurring pair and keeps pairs where either
     reaches `threshold`; same inverted-index topology, DF cap, and
-    candidate-driven verify tier as ngram_jaccard_pairs."""
-    stats = _shingle_pair_stats(
-        docs, text_col, id_col, shingle_n, candidates, max_shingle_df
+    candidate-driven verify tier as ngram_jaccard_pairs.  `stats_frame`
+    injects the shared prebuilt stats frame (see ngram_jaccard_pairs)."""
+    stats = (
+        stats_frame
+        if stats_frame is not None
+        else _shingle_pair_stats(
+            docs, text_col, id_col, shingle_n, candidates, max_shingle_df
+        )
     )
     c_ab = F.col("inter") / F.col("n_a")
     c_ba = F.col("inter") / F.col("n_b")
@@ -1157,6 +1174,7 @@ def minhash_band_plan(
     shingle_n: int = 3,
     max_shingle_df: int | None = 10_000,
     round_digits: int = 6,
+    stats_frame: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash band-tuning from the corpus's own MEASURED Jaccard
     distribution (the planning read the r6 verdict asked for): for every
@@ -1185,8 +1203,12 @@ def minhash_band_plan(
     if n_hashes < 2 or (n_hashes & (n_hashes - 1)) != 0:
         raise ValueError(f"n_hashes={n_hashes} must be a power of two")
     scale = 10**round_digits
-    stats = _shingle_pair_stats(
-        docs, text_col, id_col, shingle_n, None, max_shingle_df
+    stats = (
+        stats_frame
+        if stats_frame is not None
+        else _shingle_pair_stats(
+            docs, text_col, id_col, shingle_n, None, max_shingle_df
+        )
     )
     j_raw = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     j6 = F.floor(j_raw * F.lit(float(scale)) + F.lit(0.5)) / F.lit(float(scale))

@@ -1120,9 +1120,14 @@ def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from index AND set sizes) so parity holds at any scale, not just "
     "where the cap is inert",
 )
-def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_jaccard(
+    spark: SparkSession, sf_dir: str, shared_pair_stats: DataFrame | None = None
+) -> DataFrame:
+    # bench PAIR_STATS_SHARED: the (id_a, id_b, inter, n_a, n_b) frame
+    # is built once per session (billed shingle_pair_stats_build);
+    # threshold + rounding here are a pure projection over it
     d = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.15)
+    return ngram_jaccard_pairs(d, threshold=0.15, stats_frame=shared_pair_stats)
 
 
 @_q(

@@ -864,11 +864,16 @@ def _containment_ctes() -> str:
     "index topology and document-frequency cap as ngram_jaccard_pairs "
     "(shared _shingle_pair_stats core)",
 )
-def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ngram_containment(
+    spark: SparkSession, sf_dir: str, shared_pair_stats: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import ngram_containment_pairs
 
     d = table(spark, sf_dir, "documents")
-    return ngram_containment_pairs(d, threshold=0.5)
+    # bench PAIR_STATS_SHARED (see q_jaccard)
+    return ngram_containment_pairs(
+        d, threshold=0.5, stats_frame=shared_pair_stats
+    )
 
 
 @_q(
@@ -1331,11 +1336,16 @@ def _band_plan_oracle(n_hashes: int = 32, threshold: str = "0.5") -> str:
     "midpoint; all float work is repeated-squaring / sqrt chains on the "
     "micro grid so both engines agree bit-for-bit",
 )
-def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_band_plan(
+    spark: SparkSession, sf_dir: str, shared_pair_stats: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import minhash_band_plan
 
     d = table(spark, sf_dir, "documents")
-    return minhash_band_plan(d, n_hashes=32, threshold=0.5)
+    # bench PAIR_STATS_SHARED (see q_jaccard)
+    return minhash_band_plan(
+        d, n_hashes=32, threshold=0.5, stats_frame=shared_pair_stats
+    )
 
 
 @_q(

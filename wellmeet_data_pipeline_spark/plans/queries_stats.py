@@ -191,12 +191,17 @@ def q_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "run needs BEFORE the split ships (hash split makes membership a "
     "pure id function, so the audit never materializes the split)",
 )
-def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_split_leakage_audit(
+    spark: SparkSession, sf_dir: str, shared_pair_stats: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.corpus import hash_split
     from wellmeet_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    # bench PAIR_STATS_SHARED (see q_jaccard)
+    pairs = ngram_jaccard_pairs(
+        d, threshold=0.5, stats_frame=shared_pair_stats
+    ).select("id_a", "id_b")
     sp = hash_split(d, _SPLIT_FRACTIONS).select("doc_id", "split")
     lab = (
         pairs.join(
