@@ -2024,31 +2024,42 @@ def prefix_filter_jaccard_join(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    inter = (
-        cand.join(t.select(F.col("id").alias("id_a"), "tok").hint("merge"), "id_a")
-        .join(
-            t.select(F.col("id").alias("id_b"), F.col("tok").alias("tok2")).hint(
-                "merge"
-            ),
-            "id_b",
-        )
-        .filter(F.col("tok") == F.col("tok2"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("inter"))
+    # Verify on doc-grain token ARRAYS, not exploded token rows (r13
+    # optimization round, guide §2.3 shuffle fewer bytes / §2.4 remove
+    # shuffles): the old shape attached every token of id_a to every
+    # candidate pair (|pairs| x |tokens(a)| rows through two token-grain
+    # SMJs) and re-aggregated by pair — stage-probed at ~5.6s of the
+    # query's 8.9s.  Here each doc's distinct token set rides ONCE per
+    # candidate join as one array cell, the intersection is a per-pair
+    # JVM array_intersect (exact: both sides are distinct sets, so
+    # |array_intersect| IS the intersection cardinality), and the pair
+    # groupBy exchange disappears.  Still candidate-bounded end to end;
+    # array size is bounded by the per-doc token count, the same bound
+    # the exploded form had.
+    arrays = t.groupBy("id").agg(
+        F.collect_set("tok").alias("toks"), F.count("*").cast("long").alias("n")
     )
     return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")).hint(
-                "merge"
-            ),
+        cand.join(
+            arrays.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("__ta"),
+                F.col("n").alias("na"),
+            ).hint("merge"),
             "id_a",
         )
         .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")).hint(
-                "merge"
-            ),
+            arrays.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("__tb"),
+                F.col("n").alias("nb"),
+            ).hint("merge"),
             "id_b",
         )
+        .withColumn(
+            "inter", F.size(F.array_intersect("__ta", "__tb")).cast("long")
+        )
+        .filter(F.col("inter") > 0)
         .withColumn("union_n", (F.col("na") + F.col("nb") - F.col("inter")).cast("long"))
         .filter(
             F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("union_n")
