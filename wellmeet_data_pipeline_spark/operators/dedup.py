@@ -328,19 +328,34 @@ def _shingle_pair_stats(
         )
     sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
-        # candidate-driven verification: enumerate intersections ONLY for
-        # the candidate pairs — cost Σ_pairs |shingles(a)|, linear in the
-        # candidate count, never the DF² shingle self-join.  (Filtering the
-        # self-join output by candidates instead would pay the full
-        # inverted-index cost first and discard most of it.)
+        # candidate-driven verification: intersections ONLY for the
+        # candidate pairs — cost linear in the candidate count, never
+        # the DF² shingle self-join.  r13 optimization round (guide
+        # §2.3/§2.4, the jaccard_prefix_join lesson): each doc's
+        # distinct shingle set rides the candidate join ONCE as an
+        # array cell and the intersection is a per-pair JVM
+        # array_intersect (exact — both sides are distinct sets),
+        # instead of attaching every shingle of id_a to every pair
+        # (|pairs|×|shingles| rows) and re-aggregating by pair.  The
+        # inter>0 filter reproduces the old inner-join semantics
+        # (zero-overlap candidate pairs are absent from stats).
         cand = candidates.select("id_a", "id_b").distinct()
-        ash = exploded.select(F.col(id_col).alias("id_a"), "shingle")
-        bsh = exploded.select(F.col(id_col).alias("id_b"), "shingle")
+        arrs = exploded.groupBy(id_col).agg(F.collect_set("shingle").alias("__shs"))
         co = (
-            cand.join(ash, "id_a")
-            .join(bsh, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
+            cand.join(
+                arrs.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa")),
+                "id_a",
+            )
+            .join(
+                arrs.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__sa", "__sb")).cast("long").alias("inter"),
+            )
+            .filter(F.col("inter") > 0)
         )
     else:
         a = exploded.alias("a")
@@ -749,6 +764,12 @@ def minhash_verify_sha(
         else [F.round(agree / F.lit(float(num_hashes)), round_digits).alias("est_jaccard")]
     )
     est = pairs.join(sig_a, "id_a").join(sig_b, "id_b").select("id_a", "id_b", *est_cols)
+    # NOTE (r13 optimization round): an array_intersect rewrite of this
+    # intersection leg (the jaccard_prefix_join entry-14 shape) was
+    # measured and REJECTED here — warm build 4.17s (this form) vs
+    # 5.46s (arrays): the banded pair set is small enough that the
+    # exploded SMJ touches few rows, while per-pair set hashing over
+    # the est frame's 16 signature columns costs more than it saves.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
