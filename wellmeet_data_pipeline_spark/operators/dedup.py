@@ -485,7 +485,10 @@ def simhash_sha_near_dup_profile(
     evidence even when the corpus contains no near-dups."""
     # pinned: the fingerprint frame feeds both sides of the banded join
     # and the final profile join — recomputing 48 vote sums three times
-    # would triple the dominant shingle scan
+    # would triple the dominant shingle scan.  NOTE (r13):
+    # fanout_small_scan on docs was A/B-measured and REJECTED (identity
+    # 2.36s vs fanned 2.52-2.76s min-of-3 same session — the exchange +
+    # .rdd partition probe outweigh the spread at this per-row weight).
     sig = simhash_sha_df(docs, text_col, id_col).localCheckpoint(eager=False)
     pairs = simhash_near_dup_pairs(
         sig,

@@ -534,6 +534,10 @@ def _hashed_ngram_features(docs: DataFrame, text_col: str, id_col: str) -> DataF
     was DSIR's scale bottleneck (8→64x smoke slope 0.878); in-row
     pairing removes it for every consumer (importance weight, model
     build, model scoring)."""
+    # NOTE (r13): fanout_small_scan here was A/B-measured and REJECTED —
+    # dsir_importance 1.73s (identity) vs 2.36s (fanned) min-of-3 same
+    # session: the added round-robin exchange plus the .rdd partition
+    # probe cost more than the spread saves at this per-row weight.
     # Feature STRINGS are built with cheap in-row lambdas (concat_ws of
     # adjacent elements), but the sha bucket is computed in a PROJECTION
     # after the explode: HOF lambda bodies run interpreted (measured

@@ -1455,11 +1455,13 @@ def embedding_lsh_sha_pairs(
     lsh_cost_estimate's Σ c·(c-1)/2 pre-flight before paying for the
     join."""
     from wellmeet_data_pipeline_spark.operators.dedup import simhash_near_dup_pairs
-    from wellmeet_data_pipeline_spark.operators.skew import fanout_small_scan
 
-    # the per-row signature is 16 full-dim integer dot products; fan a
-    # few-split vector scan out to cluster parallelism (no-op at scale)
-    data = fanout_small_scan(data).filter(F.col(vec_col).isNotNull())
+    # NOTE (r13): fanout_small_scan on data was added when the signature
+    # stage looked compute-bound, then REJECTED after the sign-matrix
+    # literal fix below exposed that the cost had been driver-side
+    # planning, not executor compute — A/B min-of-3 same session:
+    # identity 1.87-1.97s vs fanned 2.37-3.02s for the full query.
+    data = data.filter(F.col(vec_col).isNotNull())
     # bounded model read: one scalar agg to learn the dimensionality (the
     # sign literals need it).  ORACLE CONTRACT: dim = max vector length,
     # and shorter vectors are DROPPED on both engines.  Deriving dim from
@@ -1485,30 +1487,42 @@ def embedding_lsh_sha_pairs(
         ),
     )
     qd = data.select(F.col(id_col), q.alias("__q"))
-    dots = [
-        F.aggregate(
-            F.zip_with(
-                F.col("__q"),
-                F.array(*[F.lit(s).cast("long") for s in signs[p]]),
-                lambda a, b: a * b,
-            ),
+    # One nested-array Literal for the whole sign matrix + one transform,
+    # instead of n_planes separate aggregate(zip_with(CreateArray(dim
+    # literals))) expressions: the per-plane form put ~n_planes*dim
+    # Literal NODES in the tree and cost ~2.8s of pure driver-side
+    # Catalyst optimization per invocation (measured: 10-row execution
+    # and plan-only both ~2.8s; guide §7.3 "very large plans").  Values
+    # are bit-identical: same zip order, same per-plane summation order,
+    # same integer arithmetic (probed old==new over the full corpus).
+    sign_matrix = F.lit([[int(v) for v in row] for row in signs])
+    dots_arr = F.transform(
+        sign_matrix,
+        lambda row: F.aggregate(
+            F.zip_with(F.col("__q"), row, lambda a, b: a * b.cast("long")),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        ).alias(f"__dot{p}")
-        for p in range(n_planes)
-    ]
-    with_dots = qd.select(id_col, "__q", *dots)
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        sig = sig + F.when(F.col(f"__dot{p}") >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        ),
+    )
+    with_dots = qd.select(id_col, "__q", dots_arr.alias("__dots"))
+    sig = F.aggregate(
+        F.zip_with(
+            F.col("__dots"),
+            F.lit([1 << p for p in range(n_planes)]).cast("array<long>"),
+            lambda d, p: F.when(d >= 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     # pin the signature frame: it feeds three join branches (both sides of
     # the candidate join + the verify fetch), and recomputing 16 aggregate
     # dots per branch would re-scan the source 4x (same localCheckpoint
-    # pattern as phash_assets)
+    # pattern as phash_assets).  Eager: with a lazy checkpoint the three
+    # branches race to materialize it inside one job and can compute the
+    # subtree concurrently before the cache lands (measured on the
+    # simhash twin: lazy 3.02s vs eager 2.47s min-of-3)
     sigs = with_dots.select(id_col, "__q", sig.alias("simhash")).localCheckpoint(
-        eager=False
+        eager=True
     )
 
     cand = simhash_near_dup_pairs(
@@ -1519,19 +1533,30 @@ def embedding_lsh_sha_pairs(
         bands=bands,
         n_bits=n_planes,
     )
-    qa = sigs.select(F.col(id_col).alias("id_a"), F.col("__q").alias("__qa"))
-    qb = sigs.select(F.col(id_col).alias("id_b"), F.col("__q").alias("__qb"))
+    # the squared norm depends only on the DOC, so fold it once per doc
+    # here (2 extra longs on the 2-row-per-doc fetch frames) instead of
+    # once per candidate PAIR side in the verify projection — HOF folds
+    # run interpreted, and the pair set is ~14x the doc count at the
+    # bench tier.  Same long -> same sqrt(double): bit-identical output.
+    nrm2 = lambda c: F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    qa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__q").alias("__qa"),
+        nrm2(F.col("__q")).alias("__na2"),
+    )
+    qb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__q").alias("__qb"),
+        nrm2(F.col("__q")).alias("__nb2"),
+    )
     dot_ab = F.aggregate(
         F.zip_with("__qa", "__qb", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    nrm2 = lambda c: F.aggregate(
-        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
-    den = F.sqrt(nrm2(F.col("__qa")).cast("double")) * F.sqrt(
-        nrm2(F.col("__qb")).cast("double")
-    )
+    den = F.sqrt(F.col("__na2").cast("double")) * F.sqrt(F.col("__nb2").cast("double"))
     return (
         cand.join(qa, "id_a")
         .join(qb, "id_b")
