@@ -2118,25 +2118,39 @@ def hamming_exact_pairs(
     e = embeddings.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     )
-    lo = sum(
-        (F.shiftleft(_sign_bit(vec_col, i), i) for i in range(1, 32)),
-        _sign_bit(vec_col, 0),
+    # Pack via ONE sign-bit array + slice/zip folds against power-of-two
+    # literal arrays instead of per-bit shiftleft(when(element_at..))
+    # chains: the per-bit form put ~dim + sum(block sizes) Add/When/
+    # ElementAt nodes in the tree TWICE (both self-join sides) and cost
+    # seconds of driver-side Catalyst optimization per invocation (the
+    # entry-18 pathology; guide §7.3).  bit_k<<k == bit_k * 2^k on exact
+    # integers and addition order is immaterial, so lo/hi/block values
+    # are bit-identical to the per-bit form.
+    bits = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
-    hi = sum(
-        (F.shiftleft(_sign_bit(vec_col, i), i - 32) for i in range(33, dim)),
-        _sign_bit(vec_col, 32),
-    )
-    block_structs = []
-    for b, (s, t) in enumerate(bounds):
-        val = sum(
-            (F.shiftleft(_sign_bit(vec_col, i), i - s) for i in range(s + 1, t)),
-            _sign_bit(vec_col, s),
+
+    def _pack(bits_col, s: int, t: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(bits_col, s + 1, t - s),
+                F.lit([1 << k for k in range(t - s)]).cast("array<long>"),
+                lambda b, p: b * p,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        block_structs.append(
-            F.struct(
-                F.lit(b).cast("int").alias("block_id"), val.alias("block_val")
-            )
+
+    lo = _pack(bits, 0, 32)
+    hi = _pack(bits, 32, dim)
+    block_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("block_id"),
+            _pack(bits, s, t).alias("block_val"),
         )
+        for b, (s, t) in enumerate(bounds)
+    ]
     base = e.select(
         F.col(id_col).alias("id"),
         lo.alias("__lo"),

@@ -542,6 +542,13 @@ def spearman_rho(
     pairs = df.select(a_col, b_col).filter(
         F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
     )
+    # NOTE (r13): an explicit localCheckpoint pin on `pairs` (to stop the
+    # two rank passes + final join re-deriving the caller's lineage) was
+    # A/B-measured and REJECTED: eager 17-39s, lazy 3.5-12s vs 3.7s
+    # baseline at sf0.1 — the .rdd materialization path of a scored
+    # corpus-grain frame costs far more than the partial re-execution it
+    # saves (quality_length_spearman's residual cost stays adjudicated as
+    # the two-pass ranking itself).
     ra = _avg_rank2(pairs, a_col, "__ra")
     rb = _avg_rank2(pairs, b_col, "__rb")
     j = pairs.join(ra, a_col).join(rb, b_col)

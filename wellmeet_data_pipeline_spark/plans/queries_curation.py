@@ -421,15 +421,40 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    np_ = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
-    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = items.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    # ONE orderkey-grouped pass (collect_set dedupes in-order items with
+    # map-side partials) and in-array pair generation, instead of
+    # items.distinct() + a within-order self-join: removes the distinct
+    # Exchange and the join entirely (guide §2.4) — pair blowup stays
+    # bounded by ORDER SIZE exactly as the join form was.  array_sort
+    # gives part_a < part_b by construction; per-part counts and the
+    # order total re-derive from the same grouped frame (AQE reuses the
+    # one exchange across the three consumers).  Measured min-of-3 at
+    # sf0.1: 2.69 -> 2.23s, output row-identical.
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    np_ = (
+        arrs.select(F.explode("__ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = arrs.agg(F.count("*").alias("n_orders"))
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("__ps"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ps"),
+                    i + F.lit(2),
+                    F.greatest(F.size("__ps") - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, (a["l_orderkey"] == b["ok2"]) & (a["part_a"] < b["part_b"]))
+        arrs.select(F.explode(pairs_arr).alias("__p"))
+        .select(F.col("__p.part_a"), F.col("__p.part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
     )

@@ -932,54 +932,75 @@ def q_self_bleu_pairs(
     )
     words = F.split(normalized_text(F.col("text")), " ")
     utf = (
-        (
-            shared_tokens.select("doc_id", "term")
-            if shared_tokens is not None
-            else d.select("doc_id", F.explode(words).alias("term")).filter(
-                F.col("term") != ""
-            )
+        shared_tokens.select("doc_id", "term")
+        if shared_tokens is not None
+        else d.select("doc_id", F.explode(words).alias("term")).filter(
+            F.col("term") != ""
         )
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # both join sides below
-    )
-    ulen = utf.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n1"))
-    btf = (
+    ).groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("c"))
+    # Clipped overlaps on per-doc count MAPS instead of token-grain SMJs:
+    # the exploded form attached every (doc, gram) row to every candidate
+    # pair side through four corpus-grain merge joins and re-aggregated
+    # by pair; here each doc's counts ride as ONE map cell through
+    # candidate-bounded joins and sum(least(a,b)) folds per pair in a
+    # map_zip_with (entry-14's array-intersect shape, with counts).
+    # Measured min-of-3 standalone: 4.60 -> 4.11s; rows identical.
+    um = utf.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "c"))).alias("__m"),
+        F.sum("c").cast("long").alias("n1"),
+    ).localCheckpoint(eager=False)  # both pair sides below
+    bm = (
         shingles_df(d, n=2)
         .groupBy("doc_id", F.col("shingle").alias("gram"))
         .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("gram", "c"))).alias("__mb"))
         .localCheckpoint(eager=False)
     )
-    c1 = (
-        pairs.join(utf.select(F.col("doc_id").alias("id_a"), "term", F.col("c").alias("__ca")), "id_a")
-        .join(
-            utf.select(F.col("doc_id").alias("id_b"), "term", F.col("c").alias("__cb")),
-            ["id_b", "term"],
+
+    def _clipped(ma, mb):
+        return F.aggregate(
+            F.map_values(
+                F.map_zip_with(
+                    ma,
+                    mb,
+                    lambda k, a, b: F.when(
+                        a.isNotNull() & b.isNotNull(), F.least(a, b)
+                    ).otherwise(F.lit(0).cast("long")),
+                )
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.least("__ca", "__cb")).cast("long").alias("m1"))
-    )
-    c2 = (
-        pairs.join(btf.select(F.col("doc_id").alias("id_a"), "gram", F.col("c").alias("__ca")), "id_a")
-        .join(
-            btf.select(F.col("doc_id").alias("id_b"), "gram", F.col("c").alias("__cb")),
-            ["id_b", "gram"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.least("__ca", "__cb")).cast("long").alias("m2"))
-    )
+
     base = (
-        pairs.join(ulen.select(F.col("doc_id").alias("id_a"), F.col("n1").alias("n1_a")), "id_a")
-        .join(ulen.select(F.col("doc_id").alias("id_b"), F.col("n1").alias("n1_b")), "id_b")
-        .join(c1, ["id_a", "id_b"], "left")
-        .join(c2, ["id_a", "id_b"], "left")
+        pairs.join(
+            um.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("__m").alias("__ma"),
+                F.col("n1").alias("n1_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            um.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("__m").alias("__mu_b"),
+                F.col("n1").alias("n1_b"),
+            ),
+            "id_b",
+        )
+        .join(bm.select(F.col("doc_id").alias("id_a"), F.col("__mb").alias("__ba")), "id_a", "left")
+        .join(bm.select(F.col("doc_id").alias("id_b"), F.col("__mb").alias("__bb")), "id_b", "left")
         .select(
             "id_a",
             "id_b",
             "n1_a",
             "n1_b",
-            F.coalesce("m1", F.lit(0)).cast("long").alias("m1"),
-            F.coalesce("m2", F.lit(0)).cast("long").alias("m2"),
+            _clipped(F.col("__ma"), F.col("__mu_b")).cast("long").alias("m1"),
+            F.coalesce(_clipped(F.col("__ba"), F.col("__bb")), F.lit(0))
+            .cast("long")
+            .alias("m2"),
         )
         .filter((F.col("n1_a") >= 2) & (F.col("n1_b") >= 2))
     )
@@ -3095,10 +3116,13 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fq",
         "mc",
     )
-    b = b.localCheckpoint(eager=False)  # feeds three histograms + the join
+    # eager: the three bucket builds below run from a thread pool, and a
+    # lazy checkpoint would let them race its first materialization
+    b = b.localCheckpoint(eager=True)  # feeds three histograms + the join
     nt = b.agg(F.count("*").cast("long").alias("nt"))
 
-    def bucket(metric: str, seg: str) -> DataFrame:
+    def bucket(args: tuple[str, str]) -> DataFrame:
+        metric, seg = args
         hist = b.groupBy(metric).agg(F.count("*").cast("long").alias("__c"))
         cum = global_rank_cumsum(
             hist, [F.col(metric).asc()], sum_col="__c", cum_col="__cum"
@@ -3108,10 +3132,20 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(5 * __cum + nt - 1) div nt").cast("long").alias(seg),
         )
 
+    # guide §2.6 (overlap independent jobs): each bucket build contains
+    # one EAGER checkpoint job (global_rank_cumsum's range pin); run the
+    # three independent builds concurrently instead of serially.
+    # Measured min-of-3 at sf0.1: 4.02 -> 2.12s, output identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as ex:
+        rb, fb, mb = list(
+            ex.map(bucket, [("r", "r_seg"), ("fq", "f_seg"), ("mc", "m_seg")])
+        )
     return (
-        b.join(bucket("r", "r_seg"), "r")
-        .join(bucket("fq", "f_seg"), "fq")
-        .join(bucket("mc", "m_seg"), "mc")
+        b.join(rb, "r")
+        .join(fb, "fq")
+        .join(mb, "mc")
         .groupBy("r_seg", "f_seg", "m_seg")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
