@@ -2211,27 +2211,45 @@ _DCG_TERM_SQL = (
     "hash-verified discipline as the rankers themselves",
 )
 def q_retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from wellmeet_data_pipeline_spark.functions.text import normalized_text
     from wellmeet_data_pipeline_spark.operators.retrieval import (
+        _bm25_score_frames,
+        _doc_lengths,
+        _doc_tokens,
         _query_terms_df,
-        bm25_topk,
+        bm25_rank_cut,
         ir_eval_metrics,
     )
 
+    # Build the BM25 index frames inline (the bm25_prf_topk pattern)
+    # instead of calling bm25_topk + a SECOND tokenize pass for qrels:
+    # tfq's rows are exactly the distinct matched (doc, term) pairs, so
+    # the qrels leg derives from the SAME checkpointed frame — the old
+    # form re-ran scan → normalize → explode → broadcast-semi-join →
+    # corpus-grain distinct just to recount them (r13 optimization
+    # round, guide §2.1; min-of-3 same box 5.92 → 4.66s, rows
+    # identical).  The semi-join-before-distinct scale rule is preserved
+    # inside tfq's construction.
     d = table(spark, sf_dir, "documents")
-    run = bm25_topk(d, _RETRIEVAL_QUERIES, k=10)
-    qt = _query_terms_df(spark, _RETRIEVAL_QUERIES)
-    # broadcast semi-join on the ~12 query terms FIRST, dedup the
-    # survivors after: a corpus-grain distinct before the join would
-    # shuffle every token (the BM25 scale-shape rule; review catch)
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
-    ).filter(F.col("term") != "")
+    qt = F.broadcast(_query_terms_df(spark, _RETRIEVAL_QUERIES))
+    toks = _doc_tokens(d, "text", "doc_id")
+    dl = _doc_lengths(d, "text", "doc_id")
+    tfq = (
+        toks.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    stats = d.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"))
+    )
+    run = bm25_rank_cut(
+        _bm25_score_frames(qt, tfq, dl, dfreq, stats, "doc_id"), "doc_id", 10
+    )
     qrels = (
-        toks.join(F.broadcast(qt), "term")
-        .select("query_id", "doc_id", "term")
+        qt.select("query_id", "term")
         .distinct()
+        .join(tfq.select("doc_id", "term"), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").alias("__m"))
         .filter(F.col("__m") >= 2)
@@ -2668,17 +2686,19 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.retrieval import (
-        _doc_tokens,
+        _doc_lengths,
         bm25_topk,
     )
 
     d = table(spark, sf_dir, "documents")
     run = bm25_topk(d, _RETRIEVAL_QUERIES, k=10).localCheckpoint(eager=True)
     cand = run.select("doc_id").distinct()
-    n_tokens = (
-        _doc_tokens(d.join(F.broadcast(cand), "doc_id"), "text", "doc_id")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_tokens"))
+    # token counts as the shuffle-free _doc_lengths projection instead of
+    # explode -> groupBy (guide §2.4, the entry-10 BM25-dl trick): every
+    # candidate doc matched >= 1 query term so it has >= 1 token, exactly
+    # the grain where dl == the exploded count
+    n_tokens = _doc_lengths(d.join(F.broadcast(cand), "doc_id"), "text", "doc_id").select(
+        "doc_id", F.col("dl").alias("n_tokens")
     )
     w = (
         Window.partitionBy("query_id")
