@@ -973,9 +973,11 @@ def _train_pq_codebooks(
     # samples mistrain the codebooks (argmax breaks ties by index, which
     # diverges when the sha-fallback sample makes index order != cid order)
     S = X @ Cn.T
-    top1 = np.array(
-        [np.lexsort((cent_ids, -S[r]))[0] for r in range(len(X))], dtype=np.intp
-    )  # dtype pinned: an empty comprehension would yield float64 indices
+    # vectorized lowest-cid-on-ties top-1: reorder columns by ascending
+    # cent_id, then argmax's first-occurrence rule IS the lexsort
+    # tie-break (verified element-identical to the per-row lexsort loop)
+    cid_order = np.argsort(cent_ids, kind="stable")
+    top1 = cid_order[np.argmax(S[:, cid_order], axis=1)]
     X = X - Cn[top1]
     sub = dim // m_subspaces
     books = np.empty((m_subspaces, n_codes, sub))
@@ -987,10 +989,24 @@ def _train_pq_codebooks(
             cb = np.tile(cb, (reps, 1))[:n_codes]
         for _ in range(lloyd_iters):
             assign = _pq_assign(Xj, cb)
-            for c in range(n_codes):
-                mask = assign == c
-                if mask.any():
-                    cb[c] = Xj[mask].mean(axis=0)
+            # centroid update via per-dim bincount instead of a
+            # n_codes-iteration Python loop of masked means (r13
+            # optimization round).  BIT-IDENTICAL: bincount's weighted
+            # accumulation and np.mean(axis=0) over a C-order 2-D slice
+            # both sum rows sequentially in index order (numpy's pairwise
+            # summation only engages along the contiguous axis), so
+            # sums/count == mean to the last ulp — verified
+            # np.array_equal against the loop form on the live fixture.
+            counts = np.bincount(assign, minlength=n_codes)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=Xj[:, d], minlength=n_codes)
+                    for d in range(sub)
+                ],
+                axis=1,
+            )
+            nz = counts > 0
+            cb[nz] = sums[nz] / counts[nz, None]
         books[j] = cb
     return books
 
