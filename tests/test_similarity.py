@@ -164,6 +164,38 @@ def test_topk_select_raw_matches_round_first_reference():
         assert got_t == want_t, f"trial {trial} diverged"
 
 
+def test_adc_shortlist_matches_per_row_reference():
+    """The r14 vectorized ADC shortlist (_adc_shortlist) must return the
+    exact per-row lexsort((ids, -adc))[:pre] selection, including on
+    bit-equal ADC ties (identical PQ codes make exact float ties COMMON)
+    and rows with fewer than pre allowed candidates."""
+    import numpy as np
+
+    from wellmeet_data_pipeline_spark.operators.similarity import _adc_shortlist
+
+    rng = np.random.default_rng(14)
+    for trial in range(8):
+        m, n, pre = 29, 61, 7
+        adc = rng.normal(size=(m, n))
+        # manufacture heavy EXACT-tie mass: snap half the entries to a
+        # coarse grid so many candidates share bit-equal ADC values,
+        # exactly like identical-code candidates do
+        snap = rng.random(size=(m, n)) < 0.5
+        adc = np.where(snap, np.round(adc, 1), adc)
+        allow = rng.random(size=(m, n)) < (0.9 if trial % 2 else 0.08)
+        cand_ids = rng.permutation(n) * 13
+
+        rows, cols = _adc_shortlist(adc, allow, cand_ids, pre)
+        got = {}
+        for r, c in zip(rows.tolist(), cols.tolist()):
+            got.setdefault(r, []).append(c)
+
+        for i in range(m):
+            ok = np.flatnonzero(allow[i])
+            want = ok[np.lexsort((cand_ids[ok], -adc[i, ok]))][:pre]
+            assert got.get(i, []) == want.tolist(), f"trial {trial} row {i}"
+
+
 def test_blocked_topk_matches_numpy_at_scale(spark):
     """Full cross-check against numpy on enough rows that a co-partitioning
     bug can't hide (the cogroup key-type mismatch passed every toy-sized

@@ -121,7 +121,52 @@ def _topk_select(
     if len(rows) == 0:
         return pd.DataFrame(_EMPTY_TOPK)
     sims = _round_half_away(S_raw[rows, cols], round_digits)
-    ids = cids[cols]
+    return _rank_cut_survivors(qids, rows, cids[cols], sims, m, k)
+
+
+def _adc_shortlist(
+    adc_chunk: np.ndarray,
+    allow: np.ndarray,
+    cand_ids: np.ndarray,
+    pre: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ADC shortlist: per row, the top-`pre` allowed candidates
+    by (adc desc, id asc) — exactly the old per-row
+    lexsort((cand_ids[orig], -adc[orig]))[:pre], without the per-row
+    python loop (r14 optimization round, guide §4.2).  An np.partition
+    threshold bounds each row; survivors INCLUDING boundary ADC ties
+    (common: identical codes give bit-equal ADC values) are lexsorted
+    once globally and cut at `pre` per row with the id tie-break.
+    Returns (rows, cols) in final shortlist order."""
+    mrows, n_cand = adc_chunk.shape
+    neg = np.where(allow, adc_chunk, -np.inf)
+    if n_cand > pre:
+        t = np.partition(neg, n_cand - pre, axis=1)[:, n_cand - pre]
+        sel = (neg >= t[:, None]) & allow
+    else:
+        sel = allow
+    rows, cols = np.nonzero(sel)
+    if len(rows) == 0:
+        return rows, cols
+    order = np.lexsort((cand_ids[cols], -neg[rows, cols], rows))
+    rows, cols = rows[order], cols[order]
+    keep = _rank_within_rows(rows, mrows) <= pre
+    return rows[keep], cols[keep]
+
+
+def _rank_cut_survivors(
+    qids: np.ndarray,
+    rows: np.ndarray,
+    ids: np.ndarray,
+    sims: np.ndarray,
+    m: int,
+    k: int,
+) -> pd.DataFrame:
+    """Shared tail of the vectorized selectors: ONE global lexsort of the
+    survivor (row, id, rounded-sim) triples on (row, sim desc, id asc),
+    rank within rows, cut at k.  Exactly the per-row
+    lexsort((ids, -sims))[:k] + 1-based rank the old per-row loops
+    produced."""
     order = np.lexsort((ids, -sims, rows))
     rows, ids, sims = rows[order], ids[order], sims[order]
     rank = _rank_within_rows(rows, m)
@@ -154,11 +199,23 @@ def _topk_block(
 
     Query rows are processed in chunks that bound every (chunk x n)
     float64 intermediate to ~16 MB: the score pipeline allocates several
-    matrix-sized temporaries (norm product, division, rounding, mask)
-    and letting them grow with the tile made big-tile scoring memory-
-    bandwidth-bound (measured 70s vs 19s at the 32k bench tier)."""
-    qn = np.linalg.norm(Q, axis=1, keepdims=True)
-    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    matrix-sized temporaries (rounding, mask) and letting them grow with
+    the tile made big-tile scoring memory-bandwidth-bound (measured 70s
+    vs 19s at the 32k bench tier).
+
+    r14 optimization round (guide §4.2): both sides are normalized ONCE
+    per tile — O((m+n)*dim) — so each chunk's score matrix is ONE BLAS
+    matmul, instead of matmul + norm outer-product + divide (two extra
+    matrix-sized memory passes per chunk, the dominant non-BLAS cost at
+    dim 64 after the r13 rounding fix).  (q/|q|)·(c/|c|) equals
+    (q·c)/(|q||c|) to float64 ulp — the same tolerance class as the
+    BLAS-vs-oracle summation-order difference the rounded contract
+    already absorbs; zero-norm rows divide to NaN vectors whose scores
+    stay NaN, exactly like the old 0/0 form (verified row-identical on
+    all three SFs + the recall-gate fixtures)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     m, n = Q.shape[0], C.shape[0]
     chunk = max(64, 2_000_000 // max(n, 1))
     frames = []
@@ -166,7 +223,7 @@ def _topk_block(
         hi = min(lo + chunk, m)
         # RAW scores into the selector — it rounds survivors only (the
         # full-matrix rounding passes were the dominant non-BLAS cost)
-        S = (Q[lo:hi] @ C.T) / (qn[lo:hi] @ cn.T)
+        S = Qn[lo:hi] @ Cn.T
         allow = cids[None, :] != qids[lo:hi, None]
         if allow_extra is not None:
             allow &= allow_extra[lo:hi]
@@ -1211,39 +1268,34 @@ def ivf_pq_top_k(
         for lo in range(0, len(Qn), chunk):
             hi = min(lo + chunk, len(Qn))
             adc_chunk = Qn[lo:hi] @ R_hat.T
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for r in range(lo, hi):
-                adc = adc_chunk[r - lo]
-                orig = np.flatnonzero(cand_ids != qids[r])
-                if len(orig) == 0:
-                    continue
-                # lexsort, not stable argsort: ADC ties must break on id,
-                # not on the partition-dependent row order, or the
-                # shortlist (and thus the result) would change across
-                # repartitionings
-                keep = orig[np.lexsort((cand_ids[orig], -adc[orig]))[:pre]]
-                # exact re-rank of the ADC shortlist ONLY — index with the
-                # short `keep` list, never a boolean mask over the whole
-                # bucket: Cn[mask] would copy the full (n_cand x dim)
-                # matrix per query, making the O(m)-per-pair stage O(dim)
-                sims = _round_half_away(Cn[keep] @ Qn[r], round_digits)
-                order = np.lexsort((cand_ids[keep], -sims))[:k]
-                kk = len(order)
-                out_q.append(np.full(kk, qids[r]))
-                out_n.append(cand_ids[keep][order])
-                out_s.append(sims[order])
-                out_r.append(np.arange(1, kk + 1, dtype=np.int32))
-            if out_q:
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.concatenate(out_q),
-                            "neighbor_id": np.concatenate(out_n),
-                            "cosine_sim": np.concatenate(out_s),
-                            "rank": np.concatenate(out_r),
-                        }
-                    )
+            # Vectorized ADC shortlist (r14 optimization round, guide
+            # §4.2 — the _topk_select treatment applied to this path,
+            # which still ran one python lexsort + fancy-index re-rank
+            # PER QUERY ROW; with the clustered fixture's skewed buckets
+            # this loop dominated the ivfpq tier at ~2x its flat-IVF
+            # sibling).  Shortlist semantics pinned by _adc_shortlist
+            # (identical to the per-row lexsort incl. boundary ADC ties).
+            allow = cand_ids[None, :] != qids[lo:hi, None]
+            mrows = hi - lo
+            rows, cols = _adc_shortlist(adc_chunk, allow, cand_ids, pre)
+            if len(rows) == 0:
+                continue
+            # exact re-rank of the shortlist ONLY: per-survivor
+            # row-gathered dot products in slices bounded to ~16 MB of
+            # gathered vectors (never a (rows x n_cand x dim) temp)
+            sims = np.empty(len(rows))
+            step = max(1, 2_000_000 // max(sub * m, 1))
+            for s in range(0, len(rows), step):
+                e = s + step
+                sims[s:e] = np.einsum(
+                    "ij,ij->i", Qn[lo + rows[s:e]], Cn[cols[s:e]]
                 )
+            sims = _round_half_away(sims, round_digits)
+            frames.append(
+                _rank_cut_survivors(
+                    qids[lo:hi], rows, cand_ids[cols], sims, mrows, k
+                )
+            )
         if not frames:
             return pd.DataFrame(_EMPTY_TOPK)
         return pd.concat(frames, ignore_index=True)
