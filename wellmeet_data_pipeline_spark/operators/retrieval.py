@@ -592,18 +592,30 @@ def bm25_prf_topk(
     query), so nothing corpus-grain ever shuffles.  Feedback-doc term
     frames are fb_docs-bounded.  Output (query_id, doc_id, score, rank).
     """
-    toks = _doc_tokens(docs, text_col, id_col).localCheckpoint(eager=True)
     qt = F.broadcast(_query_terms_df(docs.sparkSession, queries))
     # dl as the shuffle-free _doc_lengths projection, left lazy: the old
     # groupBy-over-toks form cost one eager-checkpoint job; consumers of
     # the projection pay one cheap scan+regex pass instead (r13
     # optimization round, guide §2.4 / §1.2 — fewer serial jobs)
     dl = _doc_lengths(docs, text_col, id_col)
-    stats = (
-        docs.agg(F.count("*").alias("n_docs"))
-        .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl")))
-        .localCheckpoint(eager=True)
-    )
+    # guide §2.6 (overlap independent jobs, r14): the toks and stats
+    # eager checkpoints are independent (stats reads docs + the dl
+    # projection, never toks) but ran as two serial driver-blocking
+    # jobs; a 2-thread pool overlaps them (the customer_rfm_segments
+    # pattern).  Both inputs are plain scans, so the threads cannot race
+    # a shared lazy materialization.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_toks = ex.submit(
+            lambda: _doc_tokens(docs, text_col, id_col).localCheckpoint(eager=True)
+        )
+        f_stats = ex.submit(
+            lambda: docs.agg(F.count("*").alias("n_docs"))
+            .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl")))
+            .localCheckpoint(eager=True)
+        )
+        toks, stats = f_toks.result(), f_stats.result()
 
     def _score(qt_frame):
         # tfq stays an EAGER checkpoint: a lazy-tfq variant (hoping
