@@ -45,6 +45,9 @@ def test_shared_families_single_segment():
         ("LM_SHARED", bench.LM_SHARED),
         ("VERIFY_SHARED", bench.VERIFY_SHARED),
         ("PAIR_STATS_SHARED", bench.PAIR_STATS_SHARED),
+        # the shingle base feeds BOTH the verify-counts build and the
+        # SHINGLE_BASE_SHARED consumers, so the union must share a segment
+        ("SHINGLE_BASE+VERIFY", bench.SHINGLE_BASE_SHARED | bench.VERIFY_SHARED),
     ):
         segs = {_segment_of(idx[n]) for n in fam if n in idx}
         assert len(segs) == 1, (

@@ -27,6 +27,7 @@ from bench import (  # noqa: E402
     DEDUP_SHARED,
     LM_SHARED,
     PAIR_STATS_SHARED,
+    SHINGLE_BASE_SHARED,
     VERIFY_SHARED,
 )
 from wellmeet_data_pipeline_spark.plans.queries import REGISTRY, table  # noqa: E402
@@ -71,6 +72,28 @@ def main() -> None:
             ).localCheckpoint(eager=True)
         return shared_tokens
 
+    shared_base = None
+
+    def _base():
+        nonlocal shared_base
+        if shared_base is None:
+            from wellmeet_data_pipeline_spark.operators.dedup import shingles_df
+            from wellmeet_data_pipeline_spark.operators.skew import (
+                fanout_small_scan,
+            )
+
+            shared_base = (
+                shingles_df(
+                    fanout_small_scan(table(spark, args.sf, "documents")),
+                    "text",
+                    "doc_id",
+                    3,
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        return shared_base
+
     shared_counts = None
 
     def _counts():
@@ -81,7 +104,9 @@ def main() -> None:
             )
 
             shared_counts = minhash_verify_sha(
-                table(spark, args.sf, "documents"), raw_counts=True
+                table(spark, args.sf, "documents"),
+                raw_counts=True,
+                shingle_base=_base(),
             ).localCheckpoint(eager=True)
         return shared_counts
 
@@ -110,6 +135,8 @@ def main() -> None:
             kwargs["shared_verify_counts"] = _counts()
         if name in PAIR_STATS_SHARED:
             kwargs["shared_pair_stats"] = _stats()
+        if name in SHINGLE_BASE_SHARED:
+            kwargs["shared_shingle_base"] = _base()
         spark.sparkContext.setJobDescription(f"qtime:{name}")
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)

@@ -517,18 +517,31 @@ def minhash_signatures_sha(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingle_base: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h0..h{k-1}) MinHash signature with the sha256-prefix hash
     family: substr(sha256(shingle || '|' || seed), 1, 16) — fixed-width
     lowercase hex, so lexicographic min == numeric min and ANSI SQL
-    (DuckDB) reproduces the signature bit-for-bit."""
+    (DuckDB) reproduces the signature bit-for-bit.
+
+    `shingle_base` (r14 optimization round, bench SHINGLE_BASE sharing)
+    injects a prebuilt DISTINCT (id, shingle) frame —
+    shingles_df(docs, text, id, shingle_n).distinct() — the caller owns
+    parameter parity.  Signatures are identical by construction: min is
+    idempotent, so mins over the distinct shingle set equal mins over
+    occurrences, and the base IS the distinct set this function builds
+    itself otherwise."""
     from wellmeet_data_pipeline_spark.operators.skew import fanout_small_scan
 
     # num_hashes sha256 per distinct shingle is ~100x the scan cost; fan
     # a few-split scan out to cluster parallelism first (no-op at scale,
     # and a no-op again when the caller already fanned `docs` out) —
     # measured min-of-3 at sf0.1: 2.53s -> 0.90s for the 16-hash build
-    exploded = shingles_df(fanout_small_scan(docs), text_col, id_col, shingle_n).distinct()
+    exploded = (
+        shingle_base
+        if shingle_base is not None
+        else shingles_df(fanout_small_scan(docs), text_col, id_col, shingle_n).distinct()
+    )
     aggs = [
         F.min(F.substring(F.sha2(F.concat_ws("|", "shingle", F.lit(str(i))), 256), 1, 16)).alias(
             f"h{i}"
@@ -713,6 +726,7 @@ def minhash_verify_sha(
     round_digits: int = 6,
     materialize: bool = True,
     raw_counts: bool = False,
+    shingle_base: DataFrame | None = None,
 ) -> DataFrame:
     """The MinHash VERIFY stage the LSH candidate generator feeds: for each
     candidate pair, the signature-agreement estimate
@@ -745,14 +759,30 @@ def minhash_verify_sha(
     become pure BIGINT inequalities with no snap anywhere."""
     from wellmeet_data_pipeline_spark.operators.skew import fanout_small_scan
 
-    # fan out ONCE here so the signature and shingle legs share the same
-    # repartition subtree (the inner fanout no-ops on the wide frame)
-    docs = fanout_small_scan(docs)
-    sig = minhash_signatures_sha(docs, text_col, id_col, num_hashes, shingle_n)
-    sh = shingles_df(docs, text_col, id_col, shingle_n).distinct()
-    if materialize:
-        sig = sig.localCheckpoint(eager=False)
-        sh = sh.localCheckpoint(eager=False)
+    if shingle_base is not None:
+        # r14 optimization round (guide §2.1, bench SHINGLE_BASE sharing):
+        # the signature and intersect legs both reduce over the SAME
+        # distinct (id, shingle) frame, and when the session already
+        # holds it checkpointed, BOTH legs read it — signatures are
+        # identical because min is idempotent over the distinct set, and
+        # the exact-Jaccard leg consumed exactly this distinct frame
+        # anyway.  The caller owns the checkpoint, so the `materialize`
+        # lazy checkpoints are skipped for the shingle leg.
+        sig = minhash_signatures_sha(
+            docs, text_col, id_col, num_hashes, shingle_n, shingle_base=shingle_base
+        )
+        sh = shingle_base
+        if materialize:
+            sig = sig.localCheckpoint(eager=False)
+    else:
+        # fan out ONCE here so the signature and shingle legs share the same
+        # repartition subtree (the inner fanout no-ops on the wide frame)
+        docs = fanout_small_scan(docs)
+        sig = minhash_signatures_sha(docs, text_col, id_col, num_hashes, shingle_n)
+        sh = shingles_df(docs, text_col, id_col, shingle_n).distinct()
+        if materialize:
+            sig = sig.localCheckpoint(eager=False)
+            sh = sh.localCheckpoint(eager=False)
     pairs = _sha_band_pairs(sig, id_col, num_hashes, bands)
     sig_a = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
@@ -1983,6 +2013,7 @@ def prefix_filter_jaccard_join(
     threshold_den: int = 5,
     id_col: str = "doc_id",
     tok_col: str = "tok",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join by prefix filtering (AllPairs /
     PPJoin family, Bayardo et al. WWW'07; Xiao et al. ICDE'08): two
@@ -2007,13 +2038,19 @@ def prefix_filter_jaccard_join(
     (prefix-df)² — the quantity the df-ascending order minimizes; one
     pair-bounded verify join.  No cross join at any cardinality.
 
+    `assume_distinct` (r14 optimization round, bench SHINGLE_BASE
+    sharing) skips the input distinct when the caller supplies an
+    already-distinct (id, token) frame (e.g. the session-shared
+    checkpointed shingle base) — rows identical by definition, one
+    corpus-grain exchange fewer.
+
     Returns (id_a, id_b, inter, union_n, jaccard_micro), id_a < id_b."""
     # NO localCheckpoint on t: it is corpus-grain, and pinning it in the
     # block manager OOM'd the 64x smoke corpus — the distinct's shuffle
     # files are reused across the three consumers anyway
-    t = tokens.select(
-        F.col(id_col).alias("id"), F.col(tok_col).alias("tok")
-    ).distinct()
+    t = tokens.select(F.col(id_col).alias("id"), F.col(tok_col).alias("tok"))
+    if not assume_distinct:
+        t = t.distinct()
     df_counts = t.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     sizes = t.groupBy("id").agg(F.count("*").cast("long").alias("n"))
     # every join below has BOTH sides at corpus grain (token rows, doc

@@ -1136,12 +1136,31 @@ def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Integer arithmetic throughout; per-doc rank window is doc-bounded; "
     "no cross join",
 )
-def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_jaccard_prefix_join(
+    spark: SparkSession, sf_dir: str, shared_shingle_base: DataFrame | None = None
+) -> DataFrame:
     from wellmeet_data_pipeline_spark.operators.dedup import (
         prefix_filter_jaccard_join,
         shingles_df,
     )
 
+    # `shared_shingle_base` (r14, bench SHINGLE_BASE sharing): the
+    # session-shared DISTINCT (doc_id, shingle) 3-gram frame — exactly
+    # the `t` frame prefix_filter_jaccard_join derives itself (its first
+    # step is .distinct() over these rows), so the shared path is
+    # row-identical by construction (pinned by
+    # tests/test_shared_shingle_base.py); the standalone path below is
+    # what the driver's correctness runs execute.  The text-IS-NOT-NULL
+    # filter is subsumed: normalized_text(NULL) splits to no words, so
+    # NULL-text docs contribute no shingles on either path.
+    if shared_shingle_base is not None:
+        toks = shared_shingle_base.select(
+            "doc_id", F.col("shingle").alias("tok")
+        )
+        return prefix_filter_jaccard_join(
+            toks, threshold_num=4, threshold_den=5, id_col="doc_id",
+            tok_col="tok", assume_distinct=True,
+        )
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = shingles_df(d, "text", "doc_id", n=3).select(
         "doc_id", F.col("shingle").alias("tok")
