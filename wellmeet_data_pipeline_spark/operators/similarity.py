@@ -129,29 +129,34 @@ def _adc_shortlist(
     allow: np.ndarray,
     cand_ids: np.ndarray,
     pre: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized ADC shortlist: per row, the top-`pre` allowed candidates
-    by (adc desc, id asc) — exactly the old per-row
-    lexsort((cand_ids[orig], -adc[orig]))[:pre], without the per-row
-    python loop (r14 optimization round, guide §4.2).  An np.partition
-    threshold bounds each row; survivors INCLUDING boundary ADC ties
-    (common: identical codes give bit-equal ADC values) are lexsorted
-    once globally and cut at `pre` per row with the id tie-break.
-    Returns (rows, cols) in final shortlist order."""
+) -> np.ndarray:
+    """Vectorized ADC shortlist: boolean (m x n) mask of each row's
+    top-`pre` allowed candidates by (adc desc, id asc) — SET-identical
+    to the old per-row lexsort((cand_ids[orig], -adc[orig]))[:pre],
+    without the per-row python loop (r14 optimization round, guide
+    §4.2).  Downstream re-ranks the shortlist by exact cosine, so only
+    the selected SET matters, never its order.
+
+    An np.partition threshold per row admits everything STRICTLY above
+    the pre-th largest ADC value (always < pre entries); the remaining
+    slots are filled from the boundary-TIED entries (bit-equal ADC
+    values are common: identical PQ codes reconstruct identically) in
+    ascending-id order — one small lexsort over the tied entries only,
+    exactly the id tie-break the per-row lexsort applied."""
     mrows, n_cand = adc_chunk.shape
+    if n_cand <= pre:
+        return allow.copy()
     neg = np.where(allow, adc_chunk, -np.inf)
-    if n_cand > pre:
-        t = np.partition(neg, n_cand - pre, axis=1)[:, n_cand - pre]
-        sel = (neg >= t[:, None]) & allow
-    else:
-        sel = allow
-    rows, cols = np.nonzero(sel)
-    if len(rows) == 0:
-        return rows, cols
-    order = np.lexsort((cand_ids[cols], -neg[rows, cols], rows))
-    rows, cols = rows[order], cols[order]
-    keep = _rank_within_rows(rows, mrows) <= pre
-    return rows[keep], cols[keep]
+    t = np.partition(neg, n_cand - pre, axis=1)[:, n_cand - pre]
+    mask = neg > t[:, None]
+    room = pre - mask.sum(axis=1)
+    r2, c2 = np.nonzero((neg == t[:, None]) & allow)
+    if len(r2):
+        order = np.lexsort((cand_ids[c2], r2))
+        r2, c2 = r2[order], c2[order]
+        keep = _rank_within_rows(r2, mrows) <= room[r2]
+        mask[r2[keep], c2[keep]] = True
+    return mask
 
 
 def _rank_cut_survivors(
@@ -1277,12 +1282,31 @@ def ivf_pq_top_k(
             # (identical to the per-row lexsort incl. boundary ADC ties).
             allow = cand_ids[None, :] != qids[lo:hi, None]
             mrows = hi - lo
-            rows, cols = _adc_shortlist(adc_chunk, allow, cand_ids, pre)
+            mask = _adc_shortlist(adc_chunk, allow, cand_ids, pre)
+            # exact re-rank of the shortlist ONLY.  Two regimes, same
+            # values either way (a dot of the same two float64 vectors):
+            # when the bucket is within ~16x of the shortlist (every
+            # bench tier), ONE more BLAS matmul per chunk — the same
+            # 16 MB-bounded shape as the ADC matmul — fed straight into
+            # _topk_select with the shortlist mask as its allow mask
+            # (partition threshold + a tiny survivor lexsort), which
+            # beats both the old per-row dgemv loop and any
+            # gather-then-sort-all-survivors form.  For n_cand >> pre
+            # (the true PQ operating point at 100 TB, where the whole
+            # point is NOT scoring the full bucket exactly) fall back to
+            # sliced gathered dot products bounded to ~16 MB, which stay
+            # O(pre*dim) per query.
+            if n_cand <= 16 * pre:
+                frames.append(
+                    _topk_select(
+                        qids[lo:hi], cand_ids, Qn[lo:hi] @ Cn.T, mask, k,
+                        round_digits,
+                    )
+                )
+                continue
+            rows, cols = np.nonzero(mask)
             if len(rows) == 0:
                 continue
-            # exact re-rank of the shortlist ONLY: per-survivor
-            # row-gathered dot products in slices bounded to ~16 MB of
-            # gathered vectors (never a (rows x n_cand x dim) temp)
             sims = np.empty(len(rows))
             step = max(1, 2_000_000 // max(sub * m, 1))
             for s in range(0, len(rows), step):
