@@ -876,10 +876,18 @@ def main() -> None:
     cids16, C16, a16 = ivf_assignments(e16, n_centroids=64, nprobe=4, seed_mod=421)
     shared16 = (cids16, C16, a16.localCheckpoint(eager=True))
     times["ivf_assignments_16x"] = round(time.perf_counter() - t0, 3)
+    # score_dtype="float32" on the recall-gated scale tiers (r14, guide
+    # §4.2, VERDICT item 1 A/B): SGEMM bucket scoring, survivors
+    # re-rounded in float64.  Measured quiet-box min-of-2 vs the float64
+    # control on the same tree: ivf_hd 3.55->3.18s, ivfpq_hd
+    # 4.17->3.52s; recall gates ivf_hd 1.0->0.9999, ivfpq_hd
+    # 0.9992->0.9991, 16x gates byte-identical.  Declared/oracle-checked
+    # queries keep the float64 default (the exact anchors feeding these
+    # recall gates are still float64).
     iv16, times["cosine_topk_ivf_16x"] = _min2(
         lambda: ivf_top_k(
             e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, kmeans_iters=0,
-            round_digits=4, shared=shared16,
+            round_digits=4, shared=shared16, score_dtype="float32",
         ).collect()
     )
     # oversample=64 (320 exact re-ranks per query) closes the ADC
@@ -899,7 +907,7 @@ def main() -> None:
         lambda: ivf_pq_top_k(
             e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
             n_codes=256, oversample=64, round_digits=4, shared=shared16,
-            shared_pq=(books16, enc16),
+            shared_pq=(books16, enc16), score_dtype="float32",
         ).collect()
     )
 
@@ -1188,7 +1196,7 @@ def main() -> None:
     iv_hd, times["cosine_topk_ivf_hd"] = _min2(
         lambda: ivf_top_k(
             e_hd, k=5, n_centroids=64, nprobe=4, seed_mod=421, kmeans_iters=0,
-            round_digits=4, shared=shared_hd,
+            round_digits=4, shared=shared_hd, score_dtype="float32",
         ).collect()
     )
     t0 = time.perf_counter()
@@ -1201,7 +1209,7 @@ def main() -> None:
         lambda: ivf_pq_top_k(
             e_hd, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
             n_codes=256, oversample=128, round_digits=4, shared=shared_hd,
-            shared_pq=(books_hd, enc_hd),
+            shared_pq=(books_hd, enc_hd), score_dtype="float32",
         ).collect()
     )
     sample_q = e_hd.filter(F.col("vec_id") < 1_000_000)  # the copy-0 originals

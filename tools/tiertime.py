@@ -29,6 +29,8 @@ from wellmeet_data_pipeline_spark.plans.queries import REGISTRY, table  # noqa: 
 from wellmeet_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# A/B knob for the r14 float32 tier experiment (VERDICT item 1)
+SCORE_DTYPE = os.environ.get("SPARK_GRAFT_TIER_DTYPE", "float64")
 
 
 def _min2(run):
@@ -85,7 +87,7 @@ def run_16x(spark, times):
     iv16, times["cosine_topk_ivf_16x"] = _min2(
         lambda: ivf_top_k(
             e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, kmeans_iters=0,
-            round_digits=4, shared=shared16,
+            round_digits=4, shared=shared16, score_dtype=SCORE_DTYPE,
         ).collect()
     )
     t0 = time.perf_counter()
@@ -96,7 +98,7 @@ def run_16x(spark, times):
         lambda: ivf_pq_top_k(
             e16, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
             n_codes=256, oversample=64, round_digits=4, shared=shared16,
-            shared_pq=(books16, enc16),
+            shared_pq=(books16, enc16), score_dtype=SCORE_DTYPE,
         ).collect()
     )
     truth16 = _truth_sets(bf16)
@@ -139,7 +141,7 @@ def run_hd(spark, times):
     iv_hd, times["cosine_topk_ivf_hd"] = _min2(
         lambda: ivf_top_k(
             e_hd, k=5, n_centroids=64, nprobe=4, seed_mod=421, kmeans_iters=0,
-            round_digits=4, shared=shared_hd,
+            round_digits=4, shared=shared_hd, score_dtype=SCORE_DTYPE,
         ).collect()
     )
     t0 = time.perf_counter()
@@ -150,7 +152,7 @@ def run_hd(spark, times):
         lambda: ivf_pq_top_k(
             e_hd, k=5, n_centroids=64, nprobe=4, seed_mod=421, m_subspaces=16,
             n_codes=256, oversample=128, round_digits=4, shared=shared_hd,
-            shared_pq=(books_hd, enc_hd),
+            shared_pq=(books_hd, enc_hd), score_dtype=SCORE_DTYPE,
         ).collect()
     )
     sample_q = e_hd.filter(F.col("vec_id") < 1_000_000)

@@ -120,7 +120,12 @@ def _topk_select(
     rows, cols = np.nonzero(sel)
     if len(rows) == 0:
         return pd.DataFrame(_EMPTY_TOPK)
-    sims = _round_half_away(S_raw[rows, cols], round_digits)
+    # survivors round (and emit) in float64 regardless of the scoring
+    # dtype — float32 tiers (score_dtype below) still produce a double
+    # cosine_sim column on the standard grid
+    sims = _round_half_away(
+        S_raw[rows, cols].astype(np.float64, copy=False), round_digits
+    )
     return _rank_cut_survivors(qids, rows, cids[cols], sims, m, k)
 
 
@@ -194,9 +199,14 @@ def _topk_block(
     k: int,
     round_digits: int,
     allow_extra: np.ndarray | None = None,
+    dtype: type = np.float64,
 ) -> pd.DataFrame:
     """Exact top-k of Q against C (both unnormalized), excluding id-equal
     pairs. Scoring matches the oracle formula dot/(|a||b|) with float64.
+    `dtype=np.float32` switches the score matmul to SGEMM (2x ALU
+    throughput, half the memory traffic) — an opt-in for recall-gated
+    serving tiers only (bench 16x/hd); every oracle-checked caller stays
+    on the float64 default.
     `allow_extra` may supply an extra (m x n) boolean mask AND-ed with
     the id-inequality mask — e.g. the different-label mask of
     hard-negative mining.  Selection/tie-break semantics are pinned by
@@ -221,6 +231,9 @@ def _topk_block(
     with np.errstate(invalid="ignore", divide="ignore"):
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    if dtype is not np.float64:
+        Qn = Qn.astype(dtype)
+        Cn = Cn.astype(dtype)
     m, n = Q.shape[0], C.shape[0]
     chunk = max(64, 2_000_000 // max(n, 1))
     frames = []
@@ -911,8 +924,16 @@ def ivf_top_k(
     round_digits: int = 6,
     kmeans_iters: int = 0,
     shared: tuple[np.ndarray, np.ndarray, DataFrame] | None = None,
+    score_dtype: str = "float64",
 ) -> DataFrame:
     """IVF-flat approximate self-top-k.
+
+    `score_dtype="float32"` (r14 optimization round, guide §4.2) runs
+    the bucket score matmul in SGEMM — 2x ALU throughput, half the
+    memory traffic — with survivors re-rounded in float64.  Opt-in for
+    recall-gated serving tiers (the bench 16x/hd fixtures measure its
+    recall every round); declared/oracle-checked queries keep the
+    float64 default.
 
     Centroids: deterministic sample (id % seed_mod == 0, lowest ids) —
     reproducible without RNG — optionally refined by `kmeans_iters`
@@ -952,6 +973,7 @@ def ivf_top_k(
     ranked = _explode_probes(
         assigned, nprobe, required=min(nprobe, len(cent_ids))
     )
+    dt = np.float32 if score_dtype == "float32" else np.float64
 
     def bucket_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # every ranked row IS a probe of its bucket, and the c_rank==1
@@ -968,6 +990,7 @@ def ivf_top_k(
             _matrix(cand_pdf["v"]),
             k,
             round_digits,
+            dtype=dt,
         )
 
     bucket_results = ranked.groupBy("centroid_id").applyInPandas(bucket_topk, _TOPK_SCHEMA)
@@ -1153,6 +1176,7 @@ def ivf_pq_top_k(
     lloyd_iters: int = 5,
     shared: tuple[np.ndarray, np.ndarray, DataFrame] | None = None,
     shared_pq: tuple[np.ndarray, DataFrame] | None = None,
+    score_dtype: str = "float64",
 ) -> DataFrame:
     """IVF-PQ approximate self-top-k: the coarse inverted file of
     ivf_top_k plus product-quantization candidate scoring inside each
@@ -1192,7 +1216,12 @@ def ivf_pq_top_k(
     `shared_pq` optionally supplies pq_encoded_frame's (codebooks,
     encoded) pair so repeated scans skip training + encoding; the
     m_subspaces/n_codes/train_rows/lloyd_iters arguments are then
-    ignored (they're baked into the shared build)."""
+    ignored (they're baked into the shared build).
+
+    `score_dtype="float32"` (r14 optimization round, guide §4.2) runs
+    the ADC and exact-rerank matmuls in SGEMM; survivors re-round in
+    float64.  Opt-in for recall-gated serving tiers only (see
+    ivf_top_k)."""
     spark = data.sparkSession
     if n_codes > 256:
         raise ValueError(f"n_codes must be <= 256 (uint8 codes), got {n_codes}")
@@ -1225,6 +1254,7 @@ def ivf_pq_top_k(
     ranked = _explode_probes(
         encoded, nprobe, "codes", required=min(nprobe, len(cent_ids))
     )
+    dt = np.float32 if score_dtype == "float32" else np.float64
 
     def bucket_adc_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cids_, C_, books_ = bc.value
@@ -1237,6 +1267,9 @@ def ivf_pq_top_k(
         Cn = _unit_rows(_matrix(cand_pdf["v"]))
         qids = pdf["id"].to_numpy()
         Qn = _unit_rows(_matrix(pdf["v"]))
+        if dt is not np.float64:
+            Qn = Qn.astype(dt)
+            Cn = Cn.astype(dt)
         pre = max(1, oversample * k)
         # bound the (chunk x n_cand float64) score intermediates to ~16 MB
         chunk = max(1, 2_000_000 // max(n_cand, 1))
@@ -1269,6 +1302,8 @@ def ivf_pq_top_k(
         # speed.
         cand_codes = np.vstack(cand_pdf["codes"].to_numpy()).astype(np.int64)
         R_hat = books_[np.arange(m)[None, :], cand_codes].reshape(n_cand, m * sub)
+        if dt is not np.float64:
+            R_hat = R_hat.astype(dt)
         frames = []
         for lo in range(0, len(Qn), chunk):
             hi = min(lo + chunk, len(Qn))
