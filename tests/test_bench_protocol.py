@@ -61,6 +61,18 @@ def test_min2_set_members_exist():
     assert bench.MATMUL_MIN2 <= set(bench.HEADLINE)
 
 
+def test_prev_detail_selects_completed_round_snapshot():
+    # the noise-gated re-timing and the common-subset comparison both
+    # read the most recent COMPLETED round's snapshot at the same sf;
+    # with the repo's committed artifacts that is the r13 detail for 0.1
+    # and nothing for an sf no round has recorded
+    name, queries = bench._prev_detail(0.1)
+    assert name is not None and "_r" in name
+    assert isinstance(queries, dict) and len(queries) > 100
+    none_name, none_q = bench._prev_detail(99.0)
+    assert none_name is None and none_q is None
+
+
 def test_stable_class_excludes_arrow_and_slow():
     # stable-class tiering (r12 verdict item 6): the snapshot tool's
     # class assignment must never hand an Arrow-bearing or >cutoff entry
