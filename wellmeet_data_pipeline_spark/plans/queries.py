@@ -33,68 +33,69 @@ from wellmeet_data_pipeline_spark.plans.queries_retrieval import _synth_conv_spa
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # -- r13 window (precomputed at NOTES.md §r12 close, validated by
-    # the r12 VERDICT): CORRECTNESS_r12 landed 50/50, so the queries
-    # without driver evidence are the 19 round-12 additions — they
-    # lead.  Then (r12 verdict item 5) the 4 rows-only queries that
-    # have never had ANY driver row — dedup_embedding_lsh,
-    # approx_distinct_sketch, bitext_mine_margin_ivf,
-    # compression_quality — each backed by a documented pytest
-    # differential (COVERAGE.md); a rows>0 driver row closes their
-    # loop.  Then the 27 oldest-evidence anchors (remaining r7-green
-    # alphabetical, then the oldest r8 block, truncated to fit 50). --
-    "daily_revenue_mann_kendall",
-    "daily_revenue_runs_test",
-    "daily_revenue_theil_sen",
-    "dedup_threshold_sweep",
-    "dup_graph_pagerank",
-    "embedding_pca_power",
-    "embedding_quantile_clip_plan",
-    "event_acf_portmanteau",
-    "event_markov_transitions",
-    "hot_key_salt_plan",
-    "lineitem_pareto_abc",
-    "order_cycle_percentiles",
-    "qld_topk",
-    "returnflag_status_chi2",
-    "sft_loss_masking_plan",
-    "stratified_sample_plan",
-    "t_closeness_audit",
-    "term_burstiness_top_df",
-    "weekly_cohort_ltv",
-    # -- rows-only, never driver-checked (r12 verdict item 5) --
-    "dedup_embedding_lsh",
-    "approx_distinct_sketch",
-    "bitext_mine_margin_ivf",
-    "compression_quality",
-    # -- oldest-evidence anchors --
-    "readability_scores",
-    "scrub_pii",
-    "session_window",
-    "sliding_window",
-    "source_drift_js",
-    "source_vocab_overlap",
-    "stratified_sample",
-    "surrogate_key_sha2",
-    "tfidf_top_terms",
-    "trimmed_mean_by_type",
-    "tumbling_window",
-    "union_distinct",
-    "url_decode_keys",
-    "validate_required_fields",
-    "vocab_growth_curve",
-    "asof_join_last_purchase",
-    "basket_part_pairs",
-    "bucketed_order_revenue",
-    "chunk_documents",
-    "contamination_report",
-    "corpus_shuffle_shards",
-    "corpus_split",
+    # -- r14 window (optimization round 2).  Priority order: (1) the
+    # oracle-backed queries this round's optimizations touch — the
+    # hash-pinned exact similarity tiers (kernel rewrite), the
+    # retrieval family (toks/stats threading), the shingle-base
+    # consumers — so the driver itself verifies the changed paths;
+    # (2) the 19 round-13-build additions never driver-sampled
+    # (CORRECTNESS_r12 ∪ r13 miss them); (3) oldest-evidence core
+    # anchors (r1/r2 queries outside both recent samples).  The 4
+    # rows-only entries leave the window: they got their driver rows in
+    # r13 and now additionally carry live-fixture differentials
+    # (tests/test_rows_only_live_differentials.py). --
     "cosine_topk_bruteforce",
     "cosine_topk_exact_clustered",
-    "cube_subtotals",
-    "customer_above_avg",
-    "date_parts",
+    "hard_negatives_topk",
+    "bitext_mine_margin",
+    "kmeans_cluster_step",
+    "semdedup_survivors",
+    "ivf_index_merge",
+    "matryoshka_prefix_recall",
+    "jaccard_prefix_join",
+    "dedup_vs_reference",
+    "bm25_prf_topk",
+    "retrieval_eval_bm25",
+    "rag_context_pack",
+    "mmr_diversified_topk",
+    # -- r13-build additions, never driver-sampled --
+    "ewma_control_chart",
+    "kendall_tau_daily",
+    "event_overdispersion_index",
+    "survival_na_hazard",
+    "scd2_user_state",
+    "dp_contribution_clip",
+    "cuped_adjusted_metric",
+    "brier_decomposition",
+    "woe_information_value",
+    "dup_graph_hits",
+    "dup_link_prediction",
+    "file_compaction_plan",
+    "priority_sample_docs",
+    "edit_distance_neardup",
+    "revenue_attribution_touch",
+    "dedup_normalization_ladder",
+    "krippendorff_alpha",
+    "ratio_metric_delta_ci",
+    "srm_check",
+    # -- oldest-evidence core anchors --
+    "pricing_summary",
+    "rollup_subtotals",
+    "intersect_keys",
+    "except_keys",
+    "topk_per_group",
+    "date_trunc_month",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_guess",
+    "lang_id_confusion",
+    "script_mix_stats",
+    "doc_fingerprint",
+    "dedup_exact_documents",
+    "window_running_sum",
+    "pivot_event_counts",
+    "grouping_sets",
+    "stats_by_type",
 ]
 
 # Rows-only queries are normally kept out of the window (an oracle-less
