@@ -957,15 +957,27 @@ def main() -> None:
     shortlist = brute_force_top_k(
         pre_q, pre_c, k=200, n_blocks=32, round_digits=4
     ).select("query_id", "neighbor_id")
-    _vq = e16.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    _nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    # r14 (guide §4.2 applied to the JVM rerank): norms are per-VECTOR,
+    # so fold them once per vector row here instead of twice per PAIR
+    # row in the rerank projection — the 200-deep shortlist reranks
+    # ~400k pairs, and each interpreted higher-order fold is O(dim).
+    # Bit-identical: sqrt(fold(v)) is the same expression over the same
+    # array either way, and the product/round are unchanged.
+    _vq = e16.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _nrm("embedding").alias("qnrm"),
+    )
     _vn = e16.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        _nrm("embedding").alias("nnrm"),
     )
     _dot = F.aggregate(
         F.zip_with("qv", "nv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    _nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
     )
     _rr_w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -981,7 +993,7 @@ def main() -> None:
             .select(
                 "query_id",
                 "neighbor_id",
-                F.round(_dot / (_nrm("qv") * _nrm("nv")), 4).alias("cos"),
+                F.round(_dot / (F.col("qnrm") * F.col("nnrm")), 4).alias("cos"),
             )
             .withColumn("rk", F.row_number().over(_rr_w))
             .filter(F.col("rk") <= 5)
@@ -1104,13 +1116,24 @@ def main() -> None:
     pair16 = (
         _ca.join(_cb, "query_id")
         .filter(F.col("a") < F.col("b"))
-        .join(_vn.select(F.col("neighbor_id").alias("a"), F.col("nv").alias("qv")), "a")
-        .join(_vn.select(F.col("neighbor_id").alias("b"), "nv"), "b")
+        .join(
+            _vn.select(
+                F.col("neighbor_id").alias("a"),
+                F.col("nv").alias("qv"),
+                F.col("nnrm").alias("qnrm"),
+            ),
+            "a",
+        )
+        .join(_vn.select(F.col("neighbor_id").alias("b"), "nv", "nnrm"), "b")
         .select(
             "query_id",
             "a",
             "b",
-            F.floor((_dot / (_nrm("qv") * _nrm("nv")) + 1.0) / 2.0 * 1_000_000 + 0.5)
+            # per-vector norms hoisted like _exact_rerank5's (bit-identical)
+            F.floor(
+                (_dot / (F.col("qnrm") * F.col("nnrm")) + 1.0) / 2.0 * 1_000_000
+                + 0.5
+            )
             .cast("long")
             .alias("jac_micro"),
         )
